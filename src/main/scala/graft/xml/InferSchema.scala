@@ -1,0 +1,227 @@
+package graft.xml
+
+import java.io.StringReader
+
+import javax.xml.stream.{XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.types._
+
+/**
+ * Distributed schema inference: per-record type inference on executors,
+ * merged on the driver through a commutative type lattice.
+ *
+ * Semantics follow the reference
+ * (reference: src/main/scala/com/databricks/spark/xml/util/InferSchema.scala:67-332):
+ * leaves infer as Boolean/Long/Double/Timestamp/Date/String, repeated sibling
+ * elements widen to arrays, structs merge field-wise, `NullType` canonicalizes
+ * to String, inferred struct fields are name-sorted. The merge runs as a
+ * `treeAggregate` rather than a driver-side fold so that 100k+-partition
+ * inputs do not serialize every partial schema to one node.
+ */
+private[graft] object InferSchema {
+
+  def infer(xml: RDD[String], options: XmlOptions): StructType = {
+    val sampled =
+      if (options.samplingRatio < 1.0) xml.sample(withReplacement = false, options.samplingRatio, 1)
+      else xml
+    val zero: DataType = NullType
+    val merged = sampled
+      .mapPartitions { iter =>
+        val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
+        iter.flatMap { record =>
+          try {
+            validator.foreach(ValidatorUtil.validate(_, record))
+            Some(inferRecord(record, options))
+          } catch {
+            case NonFatal(_) =>
+              options.parseMode match {
+                case ParseMode.FailFast =>
+                  throw new IllegalArgumentException(s"Malformed record during inference: $record")
+                case _ => None
+              }
+          }
+        }
+      }
+      .treeAggregate(zero)(compatibleType(options), compatibleType(options))
+
+    canonicalize(merged, options) match {
+      case st: StructType => st
+      case _ => StructType(Nil)
+    }
+  }
+
+  def inferRecord(record: String, options: XmlOptions): DataType = {
+    val reader = StaxFactories.get.createXMLStreamReader(new StringReader(record))
+    try {
+      while (reader.getEventType != XMLStreamConstants.START_ELEMENT && reader.hasNext) {
+        reader.next()
+      }
+      inferElement(reader, options)
+    } finally reader.close()
+  }
+
+  /**
+   * Infers the type of the element the reader is positioned on, consuming it.
+   * Result is one of: NullType (empty), a scalar type, or StructType whose
+   * fields cover attributes (prefixed), children, and optionally valueTag.
+   */
+  private def inferElement(reader: XMLStreamReader, options: XmlOptions): DataType = {
+    import XMLStreamConstants._
+
+    val attrFields = mutable.ArrayBuffer.empty[(String, DataType)]
+    if (!options.excludeAttribute) {
+      var i = 0
+      while (i < reader.getAttributeCount) {
+        val name = options.attributePrefix + stripNs(reader.getAttributeLocalName(i), options)
+        attrFields += name -> inferLeaf(reader.getAttributeValue(i), options)
+        i += 1
+      }
+    }
+
+    val children = mutable.LinkedHashMap.empty[String, DataType]
+    val repeated = mutable.Set.empty[String]
+    val text = new StringBuilder
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case START_ELEMENT =>
+          val name = stripNs(reader.getLocalName, options)
+          val childType = inferElement(reader, options)
+          children.get(name) match {
+            case Some(existing) =>
+              repeated += name
+              children(name) = compatibleType(options)(existing, childType)
+            case None =>
+              children(name) = childType
+          }
+        case CHARACTERS | CDATA =>
+          if (!reader.isWhiteSpace) text ++= reader.getText
+        case END_ELEMENT | END_DOCUMENT => done = true
+        case _ =>
+      }
+    }
+
+    val textStr0 = text.result()
+    val textStr = if (options.ignoreSurroundingSpaces) textStr0.trim else textStr0
+
+    if (children.isEmpty && attrFields.isEmpty) {
+      // Plain leaf.
+      if (textStr.isEmpty) NullType else inferLeaf(textStr, options)
+    } else {
+      val fields = mutable.ArrayBuffer.empty[(String, DataType)]
+      fields ++= attrFields
+      children.foreach { case (name, dt) =>
+        val finalType = if (repeated(name)) wrapArray(dt) else dt
+        fields += name -> finalType
+      }
+      // Text beside attributes/elements → valueTag (mixed content: struct wins,
+      // text recorded only when there are no child elements).
+      if (textStr.nonEmpty && children.isEmpty) {
+        fields += options.valueTag -> inferLeaf(textStr, options)
+      }
+      StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
+    }
+  }
+
+  private def wrapArray(dt: DataType): ArrayType = dt match {
+    case a: ArrayType => a
+    case other => ArrayType(other)
+  }
+
+  private def stripNs(name: String, options: XmlOptions): String =
+    if (options.ignoreNamespace) {
+      val i = name.indexOf(':')
+      if (i >= 0) name.substring(i + 1) else name
+    } else name
+
+  def inferLeaf(value: String, options: XmlOptions): DataType = {
+    val v = if (options.ignoreSurroundingSpaces) value.trim else value
+    if (v.isEmpty || v == options.nullValue) NullType
+    else if (TypeCast.isLong(v)) LongType
+    else if (TypeCast.isDouble(v)) DoubleType
+    else if (TypeCast.isBoolean(v)) BooleanType
+    else if (TypeCast.isTimestamp(v, options)) TimestampType
+    else if (TypeCast.isDate(v, options)) DateType
+    else StringType
+  }
+
+  /** Commutative, associative merge over the inference lattice. */
+  def compatibleType(options: XmlOptions)(t1: DataType, t2: DataType): DataType = (t1, t2) match {
+    case (a, b) if a == b => a
+    case (NullType, other) => other
+    case (other, NullType) => other
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (s1: StructType, s2: StructType) =>
+      val byName = mutable.LinkedHashMap.empty[String, DataType]
+      (s1.fields ++ s2.fields).foreach { f =>
+        byName(f.name) = byName.get(f.name) match {
+          case Some(existing) => compatibleType(options)(existing, f.dataType)
+          case None => f.dataType
+        }
+      }
+      StructType(byName.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
+    case (a1: ArrayType, a2: ArrayType) =>
+      ArrayType(compatibleType(options)(a1.elementType, a2.elementType))
+    case (a: ArrayType, other) => ArrayType(compatibleType(options)(a.elementType, other))
+    case (other, a: ArrayType) => ArrayType(compatibleType(options)(a.elementType, other))
+    // A scalar merging with an attributed struct absorbs into its valueTag.
+    case (s: StructType, scalar) if s.fieldNames.contains(options.valueTag) =>
+      mergeIntoValueTag(s, scalar, options)
+    case (scalar, s: StructType) if s.fieldNames.contains(options.valueTag) =>
+      mergeIntoValueTag(s, scalar, options)
+    case _ => StringType
+  }
+
+  private def mergeIntoValueTag(
+      s: StructType, scalar: DataType, options: XmlOptions): StructType = {
+    StructType(s.fields.map { f =>
+      if (f.name == options.valueTag) {
+        StructField(f.name, compatibleType(options)(f.dataType, scalar), nullable = true)
+      } else f
+    })
+  }
+
+  /** NullType→String, empty-struct removal, name-sorted fields. */
+  private def canonicalize(dt: DataType, options: XmlOptions): DataType = dt match {
+    case st: StructType =>
+      val cleaned = st.fields.flatMap { f =>
+        canonicalize(f.dataType, options) match {
+          case s: StructType if s.isEmpty => None
+          case t => Some(StructField(f.name, t, nullable = true))
+        }
+      }
+      StructType(cleaned.sortBy(_.name))
+    case ArrayType(et, _) => ArrayType(canonicalize(et, options))
+    case NullType => StringType
+    case other => other
+  }
+
+  /** All-strings schema shape for `inferSchema=false`. */
+  def stringOnly(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f => StructField(f.name, stringOnly(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(stringOnly(et))
+    case _ => StringType
+  }
+}
+
+/** Shared thread-local StAX input factories (not thread-safe per spec). */
+private[graft] object StaxFactories {
+  import javax.xml.stream.XMLInputFactory
+  private val tl = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, false)
+      f.setProperty(XMLInputFactory.IS_COALESCING, true)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
+  }
+  def get: javax.xml.stream.XMLInputFactory = tl.get()
+}

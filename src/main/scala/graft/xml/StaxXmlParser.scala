@@ -1,0 +1,395 @@
+package graft.xml
+
+import java.io.StringReader
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/**
+ * Pull-parses one XML record string into an external [[Row]] under a
+ * [[StructType]], applying the XML→relational mapping rules:
+ *
+ *  - attributes become `attributePrefix + name` fields
+ *  - an element with attributes and character data maps its text to `valueTag`
+ *  - repeated sibling elements accumulate into `ArrayType` fields
+ *  - a field declared `StringType` whose element contains child elements
+ *    captures the raw inner XML verbatim
+ *  - unmatched elements are skipped (or captured by `wildcardColName`)
+ *  - malformed records follow PERMISSIVE / DROPMALFORMED / FAILFAST
+ *
+ * Semantics follow the reference data model (reference:
+ * src/main/scala/com/databricks/spark/xml/parsers/StaxXmlParser.scala:42-373)
+ * but the implementation is new, built on the StAX *cursor* API
+ * (`XMLStreamReader`) rather than the event API — no per-event object
+ * allocation on the hot path.
+ */
+private[graft] object StaxXmlParser {
+  import XMLStreamConstants._
+
+  private val factories = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, false)
+      f.setProperty(XMLInputFactory.IS_COALESCING, true)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
+  }
+
+  /** Distributed entry point: one task parses its partition's records. */
+  def parse(xml: RDD[String], schema: StructType, options: XmlOptions): RDD[Row] = {
+    xml.mapPartitions { iter =>
+      val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
+      iter.flatMap { record =>
+        validator.foreach(ValidatorUtil.validate(_, record))
+        parseRecord(record, schema, options)
+      }
+    }
+  }
+
+  /** Driver-side single-string parse (backs `from_xml` / `from_xml_string`). */
+  def parseColumn(xml: String, schema: StructType, options: XmlOptions): Row =
+    parseRecord(xml, schema, options).orNull
+
+  /** Tracks whether any field in the current record failed to convert. */
+  private final class Status { var malformed: Boolean = false }
+
+  def parseRecord(record: String, schema: StructType, options: XmlOptions): Option[Row] = {
+    val status = new Status
+    try {
+      val reader = factories.get().createXMLStreamReader(new StringReader(record))
+      try {
+        while (reader.getEventType != START_ELEMENT && reader.hasNext) reader.next()
+        if (reader.getEventType != START_ELEMENT) {
+          throw new IllegalArgumentException("no element found in record")
+        }
+        val row = convertStruct(reader, schema, options, status)
+        if (status.malformed) handleMalformed(record, schema, options, partial = Some(row))
+        else Some(row)
+      } finally {
+        reader.close()
+      }
+    } catch {
+      case NonFatal(e) =>
+        options.parseMode match {
+          case ParseMode.FailFast =>
+            throw new IllegalArgumentException(s"Malformed record: $record", e)
+          case _ => handleMalformed(record, schema, options, partial = None)
+        }
+    }
+  }
+
+  private def handleMalformed(
+      record: String,
+      schema: StructType,
+      options: XmlOptions,
+      partial: Option[Row]): Option[Row] = options.parseMode match {
+    case ParseMode.FailFast =>
+      throw new IllegalArgumentException(s"Malformed record: $record")
+    case ParseMode.DropMalformed => None
+    case ParseMode.Permissive =>
+      val corruptIdx = schema.fieldNames.indexOf(options.columnNameOfCorruptRecord)
+      val base: IndexedSeq[Any] = partial match {
+        case Some(row) => row.toSeq.toIndexedSeq
+        case None => IndexedSeq.fill[Any](schema.length)(null)
+      }
+      val withCorrupt =
+        if (corruptIdx >= 0) base.updated(corruptIdx, record) else base
+      Some(Row.fromSeq(withCorrupt))
+  }
+
+  /** Element name as seen by the (namespace-unaware) parser, with optional prefix strip. */
+  private def elementName(reader: XMLStreamReader, options: XmlOptions): String = {
+    val raw = reader.getLocalName
+    if (options.ignoreNamespace) {
+      val i = raw.indexOf(':')
+      if (i >= 0) raw.substring(i + 1) else raw
+    } else raw
+  }
+
+  private def attributeName(reader: XMLStreamReader, i: Int, options: XmlOptions): String = {
+    val raw = reader.getAttributeLocalName(i)
+    if (options.ignoreNamespace) {
+      val j = raw.indexOf(':')
+      if (j >= 0) raw.substring(j + 1) else raw
+    } else raw
+  }
+
+  /**
+   * Converts the element the reader is positioned on (START_ELEMENT) into a Row.
+   * Consumes events through the element's matching END_ELEMENT.
+   */
+  private def convertStruct(
+      reader: XMLStreamReader,
+      schema: StructType,
+      options: XmlOptions,
+      status: Status): Row = {
+    val values = new Array[Any](schema.length)
+    val arrays = new Array[mutable.ArrayBuffer[Any]](schema.length)
+    val seen = new Array[Boolean](schema.length)
+    val valueTagIdx = schema.fieldNames.indexOf(options.valueTag)
+    val wildcardIdx = schema.fieldNames.indexOf(options.wildcardColName)
+    val text = new StringBuilder
+
+    def setScalarField(idx: Int, raw: String): Unit = {
+      seen(idx) = true
+      try {
+        values(idx) = castLeaf(raw, schema(idx).dataType, options)
+      } catch {
+        case NonFatal(_) =>
+          values(idx) = null
+          status.malformed = true
+      }
+    }
+
+    // Attributes of this element.
+    if (!options.excludeAttribute) {
+      var i = 0
+      while (i < reader.getAttributeCount) {
+        val name = options.attributePrefix + attributeName(reader, i, options)
+        val idx = schema.fieldNames.indexOf(name)
+        if (idx >= 0) setScalarField(idx, reader.getAttributeValue(i))
+        i += 1
+      }
+    }
+
+    var done = false
+    var sawChildElement = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case START_ELEMENT =>
+          sawChildElement = true
+          val name = elementName(reader, options)
+          val idx = schema.fieldNames.indexOf(name)
+          if (idx >= 0) {
+            seen(idx) = true
+            schema(idx).dataType match {
+              case ArrayType(elementType, _) =>
+                if (arrays(idx) == null) arrays(idx) = mutable.ArrayBuffer.empty[Any]
+                arrays(idx) += convertField(reader, elementType, options, status)
+              case dt =>
+                values(idx) = convertField(reader, dt, options, status)
+            }
+          } else if (wildcardIdx >= 0) {
+            seen(wildcardIdx) = true
+            val captured = outerStructureAsString(reader, options)
+            schema(wildcardIdx).dataType match {
+              case ArrayType(StringType, _) =>
+                if (arrays(wildcardIdx) == null) {
+                  arrays(wildcardIdx) = mutable.ArrayBuffer.empty[Any]
+                }
+                arrays(wildcardIdx) += captured
+              case _ => values(wildcardIdx) = captured
+            }
+          } else {
+            skipElement(reader)
+          }
+        case CHARACTERS | CDATA =>
+          if (!reader.isWhiteSpace) text ++= reader.getText
+        case END_ELEMENT | END_DOCUMENT => done = true
+        case _ => // comments, PIs: ignore
+      }
+    }
+
+    // Character data beside attributes/elements lands in the valueTag field.
+    if (valueTagIdx >= 0 && !seen(valueTagIdx) && text.nonEmpty) {
+      val t = if (options.ignoreSurroundingSpaces) text.result().trim else text.result()
+      if (t.nonEmpty) setScalarField(valueTagIdx, t)
+    }
+
+    var i = 0
+    while (i < schema.length) {
+      if (arrays(i) != null) values(i) = arrays(i).toSeq
+      else if (seen(i) && values(i) == null) {
+        // present-but-null: keep null
+      } else if (!seen(i)) {
+        // absent: null unless this element was actually a pure-text element
+        // matched against a struct with only a valueTag (handled above)
+        values(i) = null
+      }
+      // A declared non-array field that repeated keeps the last occurrence.
+      schema(i).dataType match {
+        case _: ArrayType if values(i) == null && seen(i) => values(i) = Seq.empty[Any]
+        case _ =>
+      }
+      i += 1
+    }
+    Row.fromSeq(values.toIndexedSeq)
+  }
+
+  /**
+   * Converts the element at the current START_ELEMENT into a value of `dt`,
+   * consuming through its END_ELEMENT. Scalar cast failures are recorded on
+   * `status` and produce null (PERMISSIVE partial results).
+   */
+  private def convertField(
+      reader: XMLStreamReader,
+      dt: DataType,
+      options: XmlOptions,
+      status: Status): Any = dt match {
+    case st: StructType => convertStruct(reader, st, options, status)
+    case MapType(StringType, valueType, _) => convertMap(reader, valueType, options, status)
+    case ArrayType(elementType, _) =>
+      // Nested array with no intermediate struct: treat as single element.
+      Seq(convertField(reader, elementType, options, status))
+    case StringType => convertStringField(reader, options)
+    case scalar =>
+      val raw = collectText(reader, options)
+      if (raw == null) null
+      else {
+        try castLeaf(raw, scalar, options)
+        catch {
+          case NonFatal(_) =>
+            status.malformed = true
+            null
+        }
+      }
+  }
+
+  private def castLeaf(raw: String, dt: DataType, options: XmlOptions): Any = dt match {
+    case StringType =>
+      if (raw.isEmpty && options.treatEmptyValuesAsNulls) null
+      else TypeCast.castTo(raw, StringType, options)
+    case _ =>
+      if (raw == null || raw.isEmpty) null
+      else TypeCast.castTo(raw, dt, options)
+  }
+
+  /**
+   * Gathers the character content of the current element; nested elements make
+   * the content non-scalar and raise (caught by the caller's cast handler).
+   * Returns "" for an empty element, which casts to null for non-string types.
+   */
+  private def collectText(reader: XMLStreamReader, options: XmlOptions): String = {
+    val sb = new StringBuilder
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case CHARACTERS | CDATA => sb ++= reader.getText
+        case START_ELEMENT =>
+          skipElement(reader)
+          throw new IllegalArgumentException("unexpected child element in scalar field")
+        case END_ELEMENT => done = true
+        case _ =>
+      }
+    }
+    val s = sb.result()
+    if (options.ignoreSurroundingSpaces) s.trim else s
+  }
+
+  /**
+   * A StringType field: plain text normally; if the element turns out to have
+   * child elements (mixed content), the raw inner XML is captured verbatim.
+   */
+  private def convertStringField(reader: XMLStreamReader, options: XmlOptions): String = {
+    val sb = new StringBuilder
+    var sawElement = false
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case CHARACTERS | CDATA =>
+          if (sawElement) appendEscaped(sb, reader.getText) else sb ++= reader.getText
+        case START_ELEMENT =>
+          if (!sawElement) {
+            // Retroactively escape what we already collected as plain text.
+            val plain = sb.result(); sb.clear(); appendEscaped(sb, plain)
+            sawElement = true
+          }
+          serializeElement(reader, sb, options)
+        case END_ELEMENT => done = true
+        case _ =>
+      }
+    }
+    val s = sb.result()
+    val trimmed = if (options.ignoreSurroundingSpaces) s.trim else s
+    if (trimmed.isEmpty && options.treatEmptyValuesAsNulls) null
+    else if (trimmed == options.nullValue) null
+    else trimmed
+  }
+
+  private def convertMap(
+      reader: XMLStreamReader,
+      valueType: DataType,
+      options: XmlOptions,
+      status: Status): Map[String, Any] = {
+    val entries = mutable.LinkedHashMap.empty[String, Any]
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case START_ELEMENT =>
+          val key = elementName(reader, options)
+          entries(key) = convertField(reader, valueType, options, status)
+        case END_ELEMENT => done = true
+        case _ =>
+      }
+    }
+    entries.toMap
+  }
+
+  /** Consumes the current element (START_ELEMENT) through its END_ELEMENT. */
+  private def skipElement(reader: XMLStreamReader): Unit = {
+    var depth = 1
+    while (depth > 0 && reader.hasNext) {
+      reader.next() match {
+        case START_ELEMENT => depth += 1
+        case END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+  }
+
+  /** Serializes the element at START_ELEMENT (inclusive) into `sb`, consuming it. */
+  private def serializeElement(
+      reader: XMLStreamReader,
+      sb: StringBuilder,
+      options: XmlOptions): Unit = {
+    val name = reader.getLocalName
+    sb += '<' ++= name
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      sb += ' ' ++= reader.getAttributeLocalName(i) ++= "=\""
+      appendEscaped(sb, reader.getAttributeValue(i))
+      sb += '"'
+      i += 1
+    }
+    sb += '>'
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case START_ELEMENT => serializeElement(reader, sb, options)
+        case CHARACTERS | CDATA => appendEscaped(sb, reader.getText)
+        case END_ELEMENT => done = true
+        case _ =>
+      }
+    }
+    sb ++= "</" ++= name += '>'
+  }
+
+  /** Raw XML of the current unmatched element, outer tags included (wildcard capture). */
+  private def outerStructureAsString(reader: XMLStreamReader, options: XmlOptions): String = {
+    val sb = new StringBuilder
+    serializeElement(reader, sb, options)
+    sb.result()
+  }
+
+  private def appendEscaped(sb: StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb ++= "&amp;"
+        case '<' => sb ++= "&lt;"
+        case '>' => sb ++= "&gt;"
+        case '"' => sb ++= "&quot;"
+        case c => sb += c
+      }
+      i += 1
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.xml
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.sql.{Date, Timestamp}
+import java.text.{NumberFormat, ParsePosition}
+import java.time._
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+import java.util.Locale
+
+import scala.util.Try
+import scala.util.control.Exception.allCatch
+
+import org.apache.spark.sql.types._
+
+/**
+ * String → typed-value conversion for XML leaf values.
+ *
+ * Re-expresses the cast semantics of the reference
+ * (reference: src/main/scala/com/databricks/spark/xml/util/TypeCast.scala:44-318):
+ * XML booleans accept 1/0, decimals tolerate grouping commas, numerics accept
+ * an explicit leading '+', dates/timestamps try ISO formats before the
+ * user-configured pattern, and the configured `nullValue` maps to null.
+ * Catalyst's `Cast` is deliberately NOT used: its semantics differ on all of
+ * the above.
+ */
+private[graft] object TypeCast {
+
+  def castTo(rawDatum: String, castType: DataType, options: XmlOptions): Any = {
+    val datum =
+      if (options.ignoreSurroundingSpaces) rawDatum.trim
+      else rawDatum
+    if (datum == options.nullValue || datum == null) {
+      null
+    } else {
+      castType match {
+        case _: ByteType => datum.toByte
+        case _: ShortType => datum.toShort
+        case _: IntegerType => signSafe(datum, _.toInt)
+        case _: LongType => signSafe(datum, _.toLong)
+        case _: FloatType => Try(datum.toFloat).getOrElse(parseLocaleNumber(datum).floatValue())
+        case _: DoubleType => Try(datum.toDouble).getOrElse(parseLocaleNumber(datum).doubleValue())
+        case _: BooleanType => parseXmlBoolean(datum)
+        case dt: DecimalType =>
+          Decimal(new JBigDecimal(datum.replaceAll(",", "")), dt.precision, dt.scale)
+        case _: TimestampType => parseXmlTimestamp(datum, options)
+        case _: DateType => parseXmlDate(datum, options)
+        case _: StringType => datum
+        case other => throw new IllegalArgumentException(s"Unsupported type: ${other.typeName}")
+      }
+    }
+  }
+
+  private def signSafe[T](value: String, f: String => T): T =
+    if (value.startsWith("+")) f(value.substring(1)) else f(value)
+
+  private def parseLocaleNumber(s: String): Number = {
+    val pos = new ParsePosition(0)
+    val result = NumberFormat.getInstance(Locale.getDefault).parse(s, pos)
+    if (result == null || pos.getIndex != s.length) {
+      throw new NumberFormatException(s"cannot parse number: '$s'")
+    }
+    result
+  }
+
+  private def parseXmlBoolean(s: String): Boolean = s match {
+    case "true" | "1" => true
+    case "false" | "0" => false
+    case other => throw new IllegalArgumentException(s"For input string: '$other'")
+  }
+
+  // ISO-ish timestamp formats accepted out of the box, tried in order.
+  private val builtInTimestampFormats: Seq[DateTimeFormatter] = Seq(
+    DateTimeFormatter.ISO_INSTANT,
+    DateTimeFormatter.ISO_OFFSET_DATE_TIME,
+    DateTimeFormatter.RFC_1123_DATE_TIME,
+    // Local timestamp, no zone: interpreted in UTC (Verify pins session TZ=UTC).
+    new DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .toFormatter,
+    new DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .toFormatter
+  )
+
+  private[xml] def parseXmlTimestamp(value: String, options: XmlOptions): Timestamp = {
+    def fromInstant(i: Instant): Timestamp = Timestamp.from(i)
+    val zone = options.timezone.map(ZoneId.of).getOrElse(ZoneOffset.UTC)
+
+    val builtIn = builtInTimestampFormats.view.flatMap { fmt =>
+      allCatch.opt {
+        val parsed = fmt.parse(value)
+        if (parsed.isSupported(ChronoField.OFFSET_SECONDS)) {
+          fromInstant(Instant.from(parsed))
+        } else {
+          fromInstant(LocalDateTime.from(parsed).atZone(zone).toInstant)
+        }
+      }
+    }.headOption
+
+    builtIn.orElse {
+      options.timestampFormat.flatMap { pattern =>
+        val fmt = DateTimeFormatter.ofPattern(pattern, Locale.US)
+        allCatch.opt {
+          val parsed = fmt.parse(value)
+          if (parsed.isSupported(ChronoField.OFFSET_SECONDS)) {
+            fromInstant(Instant.from(parsed))
+          } else {
+            fromInstant(LocalDateTime.from(parsed).atZone(zone).toInstant)
+          }
+        }
+      }
+    }.getOrElse(throw new IllegalArgumentException(s"cannot parse timestamp: '$value'"))
+  }
+
+  private[xml] def parseXmlDate(value: String, options: XmlOptions): Date = {
+    val iso = allCatch.opt(LocalDate.parse(value, DateTimeFormatter.ISO_DATE))
+    iso.orElse {
+      options.dateFormat.flatMap { pattern =>
+        allCatch.opt(LocalDate.parse(value, DateTimeFormatter.ofPattern(pattern, Locale.US)))
+      }
+    }.map(Date.valueOf)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse date: '$value'"))
+  }
+
+  // ---- inference predicates (used by InferSchema) ----
+
+  def isBoolean(value: String): Boolean =
+    value == "true" || value == "false"
+
+  def isLong(value: String): Boolean = {
+    val v = if (value.startsWith("+")) value.substring(1) else value
+    v.nonEmpty && allCatch.opt(v.toLong).isDefined
+  }
+
+  def isDouble(value: String): Boolean = {
+    val v = if (value.startsWith("+")) value.substring(1) else value
+    // Reject Java-isms the XML data model shouldn't infer as numbers.
+    v.nonEmpty && !v.exists(c => c.isLetter && c != 'E' && c != 'e') &&
+      allCatch.opt(v.toDouble).isDefined
+  }
+
+  def isTimestamp(value: String, options: XmlOptions): Boolean =
+    allCatch.opt(parseXmlTimestamp(value, options)).isDefined
+
+  def isDate(value: String, options: XmlOptions): Boolean =
+    allCatch.opt(parseXmlDate(value, options)).isDefined
+}

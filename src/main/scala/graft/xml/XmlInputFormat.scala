@@ -1,0 +1,332 @@
+package graft.xml
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.nio.charset.Charset
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.mapreduce.{InputSplit, JobContext, RecordReader, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
+
+/**
+ * Hadoop input format that extracts `<rowTag …>…</rowTag>` blocks from raw
+ * byte splits and emits each as one [[Text]] record (bytes in the file's
+ * charset; decoding happens downstream in [[XmlFile.read]]).
+ *
+ * Fulfills the same contract as the reference's record splitter (reference:
+ * src/main/scala/com/databricks/spark/xml/XmlInputFormat.scala:32-340) with a
+ * different mechanism: a single-pass byte state machine with quote-,
+ * comment- and CDATA-awareness, and split-boundary handling done purely by
+ * byte position (a record belongs to the split in which its opening `<`
+ * lies; scanning continues past the split end to finish an open record).
+ * Compressed inputs are read as one split per file; at scale, parallelism
+ * comes from many files, which is how 100 TB XML corpora are laid out anyway.
+ */
+class XmlInputFormat extends FileInputFormat[LongWritable, Text] {
+
+  override def createRecordReader(
+      split: InputSplit,
+      context: TaskAttemptContext): RecordReader[LongWritable, Text] =
+    new XmlRecordReader
+
+  override def isSplitable(context: JobContext, file: Path): Boolean = {
+    val codec = new CompressionCodecFactory(context.getConfiguration).getCodec(file)
+    codec == null
+  }
+}
+
+object XmlInputFormat {
+  /** Configuration key: row tag name (no angle brackets). */
+  val ROW_TAG_KEY = "graft.xml.input.rowtag"
+  /** Configuration key: charset name of the input files. */
+  val ENCODING_KEY = "graft.xml.input.encoding"
+}
+
+private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text] {
+
+  private var startTag: Array[Byte] = _ // "<tag"
+  private var endTag: Array[Byte] = _ // "</tag>"
+  private var in: InputStream = _
+  private var splitStart = 0L
+  private var splitEnd = 0L
+  private var pos = 0L // absolute byte offset of the next byte to be read
+  private val currentKey = new LongWritable
+  private val currentValue = new Text
+  private var finished = false
+  private var openDelim = 0 // delimiter byte that ended the start-tag match
+
+  private val buf = new Array[Byte](131072)
+  private var bufLen = 0
+  private var bufPos = 0
+  private val record = new ByteArrayOutputStream(65536)
+
+  override def initialize(genericSplit: InputSplit, context: TaskAttemptContext): Unit = {
+    val split = genericSplit.asInstanceOf[FileSplit]
+    val conf = context.getConfiguration
+    val charset = Charset.forName(conf.get(XmlInputFormat.ENCODING_KEY, "UTF-8"))
+    val rowTag = conf.get(XmlInputFormat.ROW_TAG_KEY)
+    require(rowTag != null && rowTag.nonEmpty, "row tag must be configured")
+    startTag = s"<$rowTag".getBytes(charset)
+    endTag = s"</$rowTag>".getBytes(charset)
+    require(startTag(0) == '<',
+      s"charset ${charset.name} is not ASCII-compatible; not supported")
+
+    val file = split.getPath
+    val fs = file.getFileSystem(conf)
+    val fsIn = fs.open(file)
+    val codec = new CompressionCodecFactory(conf).getCodec(file)
+    if (codec == null) {
+      fsIn.seek(split.getStart)
+      splitStart = split.getStart
+      splitEnd = split.getStart + split.getLength
+      pos = splitStart
+      in = fsIn
+    } else {
+      // Whole compressed file as one split.
+      splitStart = 0L
+      splitEnd = Long.MaxValue
+      pos = 0L
+      in = codec.createInputStream(fsIn)
+    }
+  }
+
+  private def fill(): Boolean = {
+    bufLen = in.read(buf)
+    bufPos = 0
+    bufLen > 0
+  }
+
+  /** Next byte or -1; advances `pos`. */
+  @inline private def readByte(): Int = {
+    if (bufPos >= bufLen && !fill()) return -1
+    val b = buf(bufPos) & 0xff
+    bufPos += 1
+    pos += 1
+    b
+  }
+
+  override def nextKeyValue(): Boolean = {
+    if (finished) return false
+    record.reset()
+    val startPos = scanToStartTag()
+    if (startPos < 0) { finished = true; return false }
+    if (readRecordBody()) {
+      currentKey.set(startPos)
+      currentValue.set(record.toByteArray, 0, record.size())
+      true
+    } else {
+      // EOF hit mid-record (malformed trailing data): stop.
+      finished = true
+      false
+    }
+  }
+
+  @inline private def isTagDelimiter(b: Int): Boolean =
+    b == '>' || b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '/'
+
+  /**
+   * Scans forward for the next start tag whose `<` begins before the split
+   * end. Returns the absolute position of that `<`, or -1. On success the
+   * record buffer holds `<tag` plus the delimiter byte (stored in openDelim).
+   */
+  private def scanToStartTag(): Long = {
+    var b = readByte()
+    while (b != -1) {
+      if (b == '<') {
+        val tagStart = pos - 1
+        if (tagStart >= splitEnd) return -1
+        var i = 1
+        var matched = true
+        var bb = 0
+        while (matched && i < startTag.length) {
+          bb = readByte()
+          if (bb == -1) return -1
+          if (bb != (startTag(i) & 0xff)) matched = false else i += 1
+        }
+        if (matched) {
+          val delim = readByte()
+          if (delim == -1) return -1
+          if (isTagDelimiter(delim)) {
+            record.write(startTag)
+            record.write(delim)
+            openDelim = delim
+            return tagStart
+          }
+          // Not our tag (e.g. <rowTagFoo); re-examine the breaking byte in
+          // case it opens a new tag.
+          b = delim
+        } else {
+          b = bb // '<' cannot recur inside the matched prefix; rescan from bb
+        }
+      } else {
+        b = readByte()
+      }
+    }
+    -1
+  }
+
+  /**
+   * With `<tag` + one delimiter consumed, reads the rest of the record:
+   * finishes the start tag (quote-aware), then tracks nesting of same-named
+   * tags until depth 0. All bytes are appended to the record buffer.
+   * Returns false on EOF before the record completes.
+   */
+  private def readRecordBody(): Boolean = {
+    var depth = 0
+    if (openDelim == '>') {
+      depth = 1
+    } else {
+      finishOpenTag(openDelim) match {
+        case -1 => return false
+        case 0 => return true // self-closing record
+        case _ => depth = 1
+      }
+    }
+    while (depth > 0) {
+      val b = readByte()
+      if (b == -1) return false
+      record.write(b)
+      if (b == '<') {
+        val n = readByte()
+        if (n == -1) return false
+        record.write(n)
+        if (n == '/') {
+          // Candidate end tag: match remaining "</tag>" bytes.
+          var i = 2
+          var matched = true
+          while (matched && i < endTag.length) {
+            val bb = readByte()
+            if (bb == -1) return false
+            record.write(bb)
+            if (bb != (endTag(i) & 0xff)) matched = false else i += 1
+          }
+          if (matched) depth -= 1
+          else if (!skipToGt()) return false
+        } else if (n == '!') {
+          if (!skipSpecial()) return false
+        } else if (n == '?') {
+          if (!skipProcessingInstruction()) return false
+        } else if (n == (startTag(1) & 0xff)) {
+          // Candidate nested same-name open.
+          var i = 2
+          var matched = true
+          while (matched && i < startTag.length) {
+            val bb = readByte()
+            if (bb == -1) return false
+            record.write(bb)
+            if (bb != (startTag(i) & 0xff)) matched = false else i += 1
+          }
+          if (matched) {
+            val delim = readByte()
+            if (delim == -1) return false
+            record.write(delim)
+            if (isTagDelimiter(delim)) {
+              if (delim == '>') depth += 1
+              else {
+                finishOpenTag(delim) match {
+                  case -1 => return false
+                  case 0 => // nested self-closing: depth unchanged
+                  case _ => depth += 1
+                }
+              }
+            } else if (!skipToGt()) return false
+          } else if (!skipToGt()) return false
+        } else if (!skipToGt()) return false
+      }
+    }
+    true
+  }
+
+  /**
+   * Consumes an open tag from just after its name to its closing `>`,
+   * honoring quoted attribute values. `prev0` is the last byte already
+   * consumed (matters for `<tag/>` where `/` was read as the delimiter).
+   * Returns 1 for a normal open, 0 for a self-closing tag, -1 on EOF.
+   */
+  private def finishOpenTag(prev0: Int): Int = {
+    var quote = 0 // 0 = none, else the active quote char
+    var prev = prev0
+    while (true) {
+      val b = readByte()
+      if (b == -1) return -1
+      record.write(b)
+      if (quote != 0) {
+        if (b == quote) quote = 0
+      } else if (b == '"' || b == '\'') {
+        quote = b
+      } else if (b == '>') {
+        return if (prev == '/') 0 else 1
+      }
+      prev = b
+    }
+    -1
+  }
+
+  /** Consumes through the next unquoted `>`. */
+  private def skipToGt(): Boolean = {
+    var quote = 0
+    while (true) {
+      val b = readByte()
+      if (b == -1) return false
+      record.write(b)
+      if (quote != 0) {
+        if (b == quote) quote = 0
+      } else if (b == '"' || b == '\'') {
+        quote = b
+      } else if (b == '>') {
+        return true
+      }
+    }
+    false
+  }
+
+  /** After `<!`: comments (`<!-- … -->`), CDATA (`<![CDATA[ … ]]>`), other decls. */
+  private def skipSpecial(): Boolean = {
+    val b = readByte()
+    if (b == -1) return false
+    record.write(b)
+    b match {
+      case '-' => skipUntilRunThenGt('-', 2)
+      case '[' => skipUntilRunThenGt(']', 2)
+      case _ => skipToGt()
+    }
+  }
+
+  /** Consumes through `?>`. */
+  private def skipProcessingInstruction(): Boolean = {
+    var prev = 0
+    while (true) {
+      val b = readByte()
+      if (b == -1) return false
+      record.write(b)
+      if (b == '>' && prev == '?') return true
+      prev = b
+    }
+    false
+  }
+
+  /**
+   * Consumes bytes until a `>` immediately preceded by at least `n`
+   * occurrences of `marker` (correctly handles overlaps like `]]]>`).
+   */
+  private def skipUntilRunThenGt(marker: Int, n: Int): Boolean = {
+    var run = 0
+    while (true) {
+      val b = readByte()
+      if (b == -1) return false
+      record.write(b)
+      if (b == marker) run += 1
+      else if (b == '>' && run >= n) return true
+      else run = 0
+    }
+    false
+  }
+
+  override def getCurrentKey: LongWritable = currentKey
+  override def getCurrentValue: Text = currentValue
+  override def getProgress: Float =
+    if (splitEnd <= splitStart) 1.0f
+    else math.min(1.0f, (pos - splitStart).toFloat / (splitEnd - splitStart).toFloat)
+  override def close(): Unit = if (in != null) in.close()
+}
