@@ -1,13 +1,506 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
+ * relational capabilities over it) plus the training-data pipeline operators
+ * (dedup, similarity, text analysis, multimodal), each exposed as a named
+ * query with a DuckDB-checkable oracle where SQL can express it.
+ *
+ * Numeric discipline for oracle equality: aggregates over double columns cast
+ * operands to exact decimals first (the testdata is 2-3dp money), aggregate
+ * exactly, and cast the result to double — bit-identical on both engines.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec3(c: Column): Column = c.cast(DecimalType(18, 3))
+
+  /** Writes `df` as XML and reads it back through the graft source. */
+  private def xmlRoundtrip(
+      s: SparkSession,
+      dir: String,
+      df: DataFrame,
+      tag: String,
+      inferSchema: Boolean = false): DataFrame = {
+    val sfName = new java.io.File(dir).getName
+    val path = s"/tmp/graft_xml/$sfName/$tag"
+    df.write.format("graft.xml").mode("overwrite").option("rowTag", tag).save(path)
+    val reader = s.read.format("graft.xml").option("rowTag", tag)
+    if (inferSchema) reader.load(path) else reader.schema(df.schema).load(path)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational over parquet (Catalyst plan quality) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 3)) -
+            dec3(col("l_discount")))).cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_top_revenue_orders" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 3)) -
+          dec3(col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q03_latest_order_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    "q04_distinct_parts_per_flag" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_distinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q05_rollup_counts" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q06_events_hourly" -> ((s, d) => {
+      // events.ts is parquet TIMESTAMP(NANOS) — read as long ns
+      // (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs.
+      t(s, d, "events")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec3(col("value"))).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "q07_region_revenue" -> ((s, d) => {
+      val region = t(s, d, "region")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      orders
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("order_cnt"))
+        .orderBy("r_name")
+    }),
+
+    "q08_semi_anti_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val withOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("kind"), col("c_custkey"))
+      val noOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("kind"), col("c_custkey"))
+      withOrders.unionAll(noOrders)
+        .groupBy("kind").agg(count(lit(1)).as("cnt")).orderBy("kind")
+    }),
+
+    // ---- XML engine end-to-end (write → split-parallel scan → Catalyst) ----
+    "q10_xml_roundtrip_nation" -> ((s, d) => {
+      xmlRoundtrip(s, d, t(s, d, "nation"), "nation").orderBy("n_nationkey")
+    }),
+
+    "q11_xml_infer_region" -> ((s, d) => {
+      xmlRoundtrip(s, d, t(s, d, "region"), "region", inferSchema = true)
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
+    "q12_xml_pricing_summary" -> ((s, d) => {
+      val slim = t(s, d, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+      xmlRoundtrip(s, d, slim, "line")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 3)) -
+            dec3(col("l_discount")))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q13_xml_join_supplier_nation" -> ((s, d) => {
+      val sup = xmlRoundtrip(s, d, t(s, d, "supplier"), "supplier")
+      val nat = xmlRoundtrip(s, d, t(s, d, "nation"), "nation2")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("suppliers"),
+          sum(dec2(col("s_acctbal"))).cast("double").as("total_acctbal"))
+        .orderBy("n_name")
+    }),
+
+    "q14_xml_attrs_part" -> ((s, d) => {
+      // Underscore-prefixed fields serialize as XML attributes and come back.
+      val attrs = t(s, d, "part").select(
+        col("p_partkey").as("_partkey"),
+        col("p_brand").as("_brand"),
+        col("p_retailprice").as("p_retailprice"))
+      xmlRoundtrip(s, d, attrs, "part")
+        .filter(col("_partkey") <= 100)
+        .orderBy("_partkey")
+    }),
+
+    "q15_xml_nested_orders" -> ((s, d) => {
+      val nested = t(s, d, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_totalprice"), col("o_orderstatus")).as("info"))
+      xmlRoundtrip(s, d, nested, "order")
+        .select(col("o_orderkey"), col("info.o_totalprice").as("o_totalprice"),
+          col("info.o_orderstatus").as("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q16_from_xml_orders" -> ((s, d) => {
+      val payloads = t(s, d, "orders").select(
+        col("o_orderkey"),
+        concat(lit("<o><k>"), col("o_orderkey"),
+          lit("</k><p>"), col("o_orderpriority"), lit("</p></o>")).as("payload"))
+      val st = StructType(Seq(
+        StructField("k", LongType), StructField("p", StringType)))
+      payloads
+        .withColumn("parsed", graft.xml.from_xml(col("payload"), st))
+        .select(col("o_orderkey"), col("parsed.k").as("k"), col("parsed.p").as("p"))
+        .filter(col("o_orderkey") % 97 === 0)
+        .orderBy("o_orderkey")
+    }),
+
+    "q17_xml_window_orders" -> ((s, d) => {
+      val orders = xmlRoundtrip(s, d,
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        "order2")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(sum(dec2(col("o_totalprice"))).cast("double").as("recent_two_total"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- training-data pipeline operators ----
+    "q20_dedup_exact" -> ((s, d) => {
+      Dedup.exactRepresentatives(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy("doc_id")
+    }),
+
+    "q21_text_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("token_count"),
+        length(col("text")).as("char_count"),
+        TextAnalysis.meanWordLength(col("text")).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q22_text_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q24_minhash_pairs" -> ((s, d) => {
+      Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q25_ngram_jaccard_pairs" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 3, 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q26_simhash_pairs" -> ((s, d) => {
+      Dedup.simHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q27_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q28_embed_near_pairs" -> ((s, d) => {
+      Similarity.bruteForceNearPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.42)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q29_lsh_near_pairs" -> ((s, d) => {
+      Similarity.lshNearPairs(t(s, d, "embeddings"), "vec_id", "embedding", 64, 0.42)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q30_multimodal_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+      Multimodal.withMediaColumns(docs, "payload", "stub/utf8", 8)
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          element_at(col("features"), 1).as("f0"),
+          length(col("thumb")).as("thumb_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q31_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q32_rolling_hash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_revenue_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q03_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q04_distinct_parts_per_flag" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q05_rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q06_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q07_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q08_semi_anti_join" ->
+      """SELECT kind, count(*) AS cnt FROM (
+        |  SELECT 'has_orders' AS kind, c_custkey FROM customer
+        |    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'no_orders' AS kind, c_custkey FROM customer
+        |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q10_xml_roundtrip_nation" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q11_xml_infer_region" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q12_xml_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q13_xml_join_supplier_nation" ->
+      """SELECT n_name, count(*) AS suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q14_xml_attrs_part" ->
+      """SELECT p_partkey AS "_partkey", p_brand AS "_brand", p_retailprice
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
+
+    "q15_xml_nested_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_from_xml_orders" ->
+      """SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS p
+        |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q17_xml_window_orders" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS recent_two_total
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn <= 2 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q21_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count,
+        |  CAST(len(text) AS INTEGER) AS char_count,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
+        |            / len(string_split_regex(trim(text), '\s+')) END AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_text_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |              t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], lower(t)))) AS DOUBLE)
+        |            / len(string_split_regex(trim(text), '\s+')) END AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_ngram_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+        |    ELSE list_distinct(list_transform(
+        |      range(len(string_split_regex(trim(text), '\s+')) - 2),
+        |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i + 1, i + 3), ' ')))
+        |    END AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.grams, b.grams))) END AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+        |           ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |                len(list_distinct(list_concat(a.grams, b.grams))) END >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q28_embed_near_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_lang_id" ->
+      ("""SELECT doc_id,
+        |  CASE
+        |    WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+        |    WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+        |    WHEN fr >= de AND fr > 0 THEN 'fr'
+        |    WHEN de > 0 THEN 'de'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['the','and','of','to','is','a'], t))) AS en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['el','la','los','las','es','y'], t))) AS es,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','les','est','et','une'], t))) AS fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','ist','und','ein'], t))) AS de
+        |  FROM documents)
+        |ORDER BY doc_id""").stripMargin
+    // q26_simhash_pairs, q29_lsh_near_pairs, q30_multimodal_features,
+    // q32_rolling_hash: engine-internal sketches (hash-seed-dependent), not
+    // SQL-expressible → rows-only check by the driver.
+  )
 }

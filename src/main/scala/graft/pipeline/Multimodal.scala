@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads travel as opaque
+ * `binary` columns next to a typed metadata struct, and per-row feature
+ * extraction is a map-side transform that never shuffles.
+ *
+ * The actual media *decode* is STUBBED — this container has no image/audio
+ * codecs — as a clearly-marked deterministic fake
+ * ([[stubDecodeFeatures]]); everything around it (schema shape, batch-safe
+ * expressions, partition sizing guidance, frame sampling) is real and tested.
+ * Swapping the stub for a real decoder means replacing one expression with a
+ * `mapInPandas`/JNI kernel of the same signature: `binary → array<float>`.
+ */
+object Multimodal {
+
+  /** Canonical metadata struct for a binary media payload. */
+  def mediaMeta(bin: Column, format: String): Column =
+    struct(
+      length(bin).as("byte_len"),
+      xxhash64(bin).as("checksum"),
+      lit(format).as("format"))
+
+  /**
+   * STUB decoder: deterministic pseudo-features derived from the payload
+   * bytes (xxhash64 with per-dimension salt, scaled to [0,1)). Replace with a
+   * real decode kernel; the signature and plan shape are what production
+   * code would use.
+   */
+  def stubDecodeFeatures(bin: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(bin, i), lit(1000000L)).cast("double") / 1000000.0))
+
+  /**
+   * STUB resize: a "thumbnail" that is a deterministic byte slice of the
+   * payload — stands in for image resizing while keeping real binary slicing
+   * plumbing (`substring` over BinaryType).
+   */
+  def stubResize(bin: Column, maxBytes: Int): Column =
+    substring(bin, 1, maxBytes)
+
+  /**
+   * Frame sampling for "video" payloads: splits the payload into `frames`
+   * equal byte ranges and keeps each range's slice — the partition-friendly
+   * shape (one row in, array of frames out; explode downstream if needed).
+   */
+  def stubFrameSample(bin: Column, frames: Int): Column = {
+    val flen = greatest(length(bin).cast("int") / frames, lit(1))
+    transform(sequence(lit(0), lit(frames - 1)),
+      i => substring_index_safe(bin, i * flen + 1, flen))
+  }
+
+  private def substring_index_safe(bin: Column, pos: Column, len: Column): Column =
+    call_function("substring", bin, pos, len)
+
+  /**
+   * Attach the standard multimodal block to a DataFrame with a binary
+   * payload column: metadata, features, thumbnail.
+   */
+  def withMediaColumns(df: DataFrame, binCol: String, format: String, dim: Int): DataFrame = {
+    val b = col(binCol)
+    df.withColumn("meta", mediaMeta(b, format))
+      .withColumn("features", stubDecodeFeatures(b, dim))
+      .withColumn("thumb", stubResize(b, 64))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * statistics, quality scoring, language identification, fingerprinting.
+ *
+ * Everything here is a composition of built-in `org.apache.spark.sql.functions`
+ * (whole-stage-codegen'd, no UDFs): per-row map-side work that scales linearly
+ * with data volume and never shuffles — exactly what a 100 TB cleaning pass
+ * needs.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text; empty string → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Number of whitespace-delimited tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * A BPE-ish subword count estimate: words are split into runs of letters,
+   * digits, and individual punctuation (the usual pre-tokenizer regex shape).
+   */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = TextAnalysis.EnglishStopwords.map(lit): Seq[Column]
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => lower(t).isin(TextAnalysis.EnglishStopwords: _*)))
+        .cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards mid-length documents with low
+   * punctuation density and a healthy stopword ratio (the classic heuristic
+   * trio used to pre-filter web text).
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /**
+   * N-gram-heuristic language ID over a small marker vocabulary. Counts
+   * marker-word hits per language and picks the argmax (ties → 'und').
+   * Deterministic and SQL-expressible, hence oracle-checkable.
+   */
+  def langId(text: Column): Column = {
+    def score(markers: Seq[String]): Column =
+      size(filter(tokens(lower(text)), t => t.isin(markers: _*)))
+    val en = score(LangMarkers("en"))
+    val es = score(LangMarkers("es"))
+    val fr = score(LangMarkers("fr"))
+    val de = score(LangMarkers("de"))
+    when(en >= es && en >= fr && en >= de && en > 0, lit("en"))
+      .when(es >= fr && es >= de && es > 0, lit("es"))
+      .when(fr >= de && fr > 0, lit("fr"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /**
+   * Canonical document fingerprint: md5 of case-folded, punctuation-stripped,
+   * whitespace-collapsed text. Stable across formatting-only edits.
+   */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(
+      trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")),
+      lit("utf-8")))
+
+  /**
+   * 64-bit rolling hash over tokens — order-sensitive, unlike
+   * [[fingerprint]]: acc = xxhash64(acc, token). Chained hashing rather than
+   * a polynomial so it cannot overflow under ANSI mode.
+   */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Convenience: attach the full stat block to a DataFrame. */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("token_count", tokenCount(t))
+      .withColumn("char_count", length(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_word_len", meanWordLength(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "une"),
+    "de" -> Seq("der", "die", "das", "ist", "und", "ein"))
+}

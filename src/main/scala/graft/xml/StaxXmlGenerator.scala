@@ -109,6 +109,8 @@ private[graft] object StaxXmlGenerator {
             DateTimeFormatter.ofPattern(fmt).withZone(zone).format(i)
           case None => isoInstantMicros(i)
         }
+      case (TimestampNTZType, ldt: java.time.LocalDateTime) =>
+        ldt.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME)
       case (DateType, d: Date) =>
         options.dateFormat match {
           case Some(fmt) => d.toLocalDate.format(DateTimeFormatter.ofPattern(fmt))

@@ -44,6 +44,7 @@ private[graft] object TypeCast {
         case dt: DecimalType =>
           Decimal(new JBigDecimal(datum.replaceAll(",", "")), dt.precision, dt.scale)
         case _: TimestampType => parseXmlTimestamp(datum, options)
+        case _: TimestampNTZType => parseXmlLocalDateTime(datum)
         case _: DateType => parseXmlDate(datum, options)
         case _: StringType => datum
         case other => throw new IllegalArgumentException(s"Unsupported type: ${other.typeName}")
@@ -113,6 +114,17 @@ private[graft] object TypeCast {
         }
       }
     }.getOrElse(throw new IllegalArgumentException(s"cannot parse timestamp: '$value'"))
+  }
+
+  /** Zone-less timestamps (TIMESTAMP_NTZ): ISO local date-time or `yyyy-MM-dd HH:mm:ss[.S]`. */
+  private[xml] def parseXmlLocalDateTime(value: String): LocalDateTime = {
+    allCatch.opt(LocalDateTime.parse(value, DateTimeFormatter.ISO_LOCAL_DATE_TIME))
+      .orElse(allCatch.opt(LocalDateTime.parse(value,
+        new DateTimeFormatterBuilder()
+          .appendPattern("yyyy-MM-dd HH:mm:ss")
+          .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+          .toFormatter)))
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse local timestamp: '$value'"))
   }
 
   private[xml] def parseXmlDate(value: String, options: XmlOptions): Date = {
