@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.util.{HashSet => JHashSet}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native sketch expressions for dedup at scale. Each replaces a nested
+ * higher-order-function composition (one interpreted tree-walk per element ×
+ * per seed) with a single primitive loop per row.
+ */
+
+/**
+ * MinHash signature of a pre-hashed token set: out[i] = min over tokens of
+ * xxhash64(i, tokenHash). Value-identical to the HOF formulation
+ * `transform(seq(0,n-1), i -> array_min(transform(hashes, h -> xxhash64(i,h))))`
+ * because it uses the same XXH64 chain (seed 42, int then long).
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < numHashes) {
+      // Spark's xxhash64(i, h) chains: seed 42 → hashInt(i) → hashLong(h).
+      val seedI = XXH64.hashInt(i, 42L)
+      var j = 0
+      var m = Long.MaxValue
+      while (j < n) {
+        val v = XXH64.hashLong(hashes.getLong(j), seedI)
+        if (v < m) m = v
+        j += 1
+      }
+      mins(i) = m
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/**
+ * 64-bit SimHash of a pre-hashed token set: bit j of the result is set when
+ * more tokens have bit j set than clear.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/**
+ * Set-Jaccard of two string arrays: |A∩B| / |A∪B| over distinct elements
+ * (0.0 when both are empty). One hash-set pass instead of
+ * `array_intersect` + `array_union`, which each build their own hash
+ * structures per call.
+ */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new JHashSet[UTF8String](math.max(8, a.numElements() * 2))
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new JHashSet[UTF8String](math.max(8, b.numElements() * 2))
+    i = 0
+    var inter = 0
+    while (i < b.numElements()) {
+      val s = b.getUTF8String(i)
+      if (setB.add(s) && setA.contains(s)) inter += 1
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_jaccard"
+}
+
+object SketchFunctions {
+  def minhash_signature(tokenHashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokenHashes), numHashes))
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+  def array_jaccard(a: Column, b: Column): Column =
+    Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.SketchFunctions
+
 /**
  * Deduplication operators for training-data pipelines, each designed around
  * Spark's shuffle model:
@@ -45,11 +47,9 @@ object Dedup {
    * independent-enough family with no arithmetic that can overflow under
    * ANSI mode. Single map pass, no shuffle.
    */
-  def minHashSignature(text: Column, numHashes: Int): Column = {
-    val hashes = transform(tokenSet(text), t => xxhash64(t))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(hashes, h => xxhash64(i, h))))
-  }
+  def minHashSignature(text: Column, numHashes: Int): Column =
+    SketchFunctions.minhash_signature(
+      transform(tokenSet(text), t => xxhash64(t)), numHashes)
 
   /**
    * LSH band buckets for a signature: `bands` rows of (band index, bucket
@@ -76,45 +76,71 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
     val r = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+
     val base = df.select(
-      col(idCol).as("id"),
+      col(idCol).cast("long").as("id"),
       tokenSet(col(textCol)).as("toks"),
       minHashSignature(col(textCol), numHashes).as("sig"))
 
+    // One row per (band, bucket) membership, carrying the signature so each
+    // bucket can emit a pair exactly once: a pair is produced only by its
+    // *first* agreeing band. This removes the classic LSH blow-up where a
+    // near-duplicate pair is emitted by most of its bands and needs a
+    // many-times-larger distinct() shuffle afterwards (9× here).
     val banded = base
-      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
 
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    val candidates = banded
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Array[Long])]) =>
+        val band = key._1
+        val docs = iter.toArray.sortBy(_._3)
+        // First band (< this one) on which the two signatures fully agree.
+        def firstAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
+          var k = 0
+          while (k < band) {
+            var eq = true
+            var p = k * r
+            val end = p + r
+            while (eq && p < end) { if (a(p) != b(p)) eq = false else p += 1 }
+            if (eq) return k
+            k += 1
+          }
+          band
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < docs.length) {
+          var j = i + 1
+          while (j < docs.length) {
+            if (firstAgreeingBand(docs(i)._4, docs(j)._4) == band) {
+              out += ((docs(i)._3, docs(j)._3))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
 
     val toks = base.select(col("id"), col("toks"))
     candidates
       .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .withColumn("jaccard", SketchFunctions.array_jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over the distinct-token set (bit-vote sketch); map-side only. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(tokenSet(text), t => xxhash64(t))
-    // votes(j) > 0 → bit j set.
-    val votes = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(hashes, lit(0), (acc, x) =>
-        acc + when((shiftrightunsigned_col(x, j) bitwiseAND lit(1L)) === 1L, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
-        when(v > 0, shiftleft_col(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc bitwiseOR x)
-  }
+  def simHash(text: Column): Column =
+    SketchFunctions.simhash64(transform(tokenSet(text), t => xxhash64(t)))
 
   // shiftright/shiftleft with Column shift amounts exist only in SQL; wrap them.
   private def shiftrightunsigned_col(v: Column, amount: Column): Column =
@@ -177,11 +203,7 @@ object Dedup {
       col(blockCol).as("blk"), col(idCol).as("id"), ngramSet(col(textCol), n).as("grams"))
     base.as("l").join(base.as("r"),
         col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .withColumn("inter", size(array_intersect(col("l.grams"), col("r.grams"))))
-      .withColumn("uni", size(array_union(col("l.grams"), col("r.grams"))))
-      .withColumn("jaccard",
-        when(col("uni") === 0, lit(0.0))
-          .otherwise(col("inter").cast("double") / col("uni").cast("double")))
+      .withColumn("jaccard", SketchFunctions.array_jaccard(col("l.grams"), col("r.grams")))
       .filter(col("jaccard") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
