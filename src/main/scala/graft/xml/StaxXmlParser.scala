@@ -48,8 +48,17 @@ private[graft] object StaxXmlParser {
     xml.mapPartitions { iter =>
       val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
       iter.flatMap { record =>
-        validator.foreach(ValidatorUtil.validate(_, record))
-        parseRecord(record, schema, options)
+        val valid =
+          try { validator.foreach(ValidatorUtil.validate(_, record)); true }
+          catch {
+            case NonFatal(e) => options.parseMode match {
+              case ParseMode.FailFast =>
+                throw new IllegalArgumentException(s"Record failed XSD validation: $record", e)
+              case _ => false
+            }
+          }
+        if (valid) parseRecord(record, schema, options)
+        else handleMalformed(record, schema, options, partial = None)
       }
     }
   }
