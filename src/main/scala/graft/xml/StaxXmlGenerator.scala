@@ -4,8 +4,6 @@ import java.sql.{Date, Timestamp}
 import java.time.{Instant, LocalDate, ZoneId, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
-import javax.xml.stream.XMLStreamWriter
-
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
@@ -18,79 +16,82 @@ import org.apache.spark.sql.types._
  * elements), `valueTag` becomes the element's character data, arrays repeat
  * the field's element once per item, maps write keys as element names, nulls
  * are skipped unless a `nullValue` representation is configured.
+ *
+ * Emission goes through [[XmlEmitter]], a zero-dependency append-only writer:
+ * one reusable StringBuilder per partition instead of a fresh
+ * javax.xml.stream writer per row (which dominated write cost).
  */
 private[graft] object StaxXmlGenerator {
 
   def writeRow(
       schema: StructType,
-      writer: XMLStreamWriter,
+      out: XmlEmitter,
       options: XmlOptions)(row: Row): Unit = {
-    writeChildElement(writer, options.rowTag, schema, row, options)
+    writeChildElement(out, options.rowTag, schema, row, options)
   }
 
   private def isAttributeField(name: String, options: XmlOptions): Boolean =
     name.startsWith(options.attributePrefix) && name != options.valueTag
 
   private def writeChildElement(
-      writer: XMLStreamWriter,
+      out: XmlEmitter,
       name: String,
       dt: DataType,
       value: Any,
       options: XmlOptions): Unit = (dt, value) match {
     case (_, null) | (NullType, _) =>
+      out.start(name)
       if (options.nullValue != null && options.nullValue.nonEmpty) {
-        writer.writeStartElement(name)
-        writer.writeCharacters(options.nullValue)
-        writer.writeEndElement()
-      } else {
-        writer.writeStartElement(name)
-        writer.writeEndElement()
+        out.text(options.nullValue)
       }
+      out.end(name)
     case (ArrayType(elementType, _), v: scala.collection.Seq[_]) =>
-      v.foreach(item => writeChildElement(writer, name, elementType, item, options))
+      v.foreach(item => writeChildElement(out, name, elementType, item, options))
     case _ =>
-      writer.writeStartElement(name)
-      writeElementBody(writer, dt, value, options)
-      writer.writeEndElement()
+      out.start(name)
+      writeElementBody(out, dt, value, options)
+      out.end(name)
   }
 
   private def writeElementBody(
-      writer: XMLStreamWriter,
+      out: XmlEmitter,
       dt: DataType,
       value: Any,
       options: XmlOptions): Unit = (dt, value) match {
     case (st: StructType, row: Row) =>
       // Attributes must precede any child element.
-      val (attrs, elems) = st.fields.zipWithIndex.partition {
-        case (f, _) => isAttributeField(f.name, options)
-      }
-      attrs.foreach { case (f, i) =>
-        if (!row.isNullAt(i)) {
-          writer.writeAttribute(
-            f.name.substring(options.attributePrefix.length),
+      var i = 0
+      while (i < st.length) {
+        val f = st.fields(i)
+        if (isAttributeField(f.name, options) && !row.isNullAt(i)) {
+          out.attr(f.name.substring(options.attributePrefix.length),
             scalarText(f.dataType, row.get(i), options))
         }
+        i += 1
       }
-      elems.foreach { case (f, i) =>
-        if (f.name == options.valueTag) {
-          if (!row.isNullAt(i)) {
-            writer.writeCharacters(scalarText(f.dataType, row.get(i), options))
+      i = 0
+      while (i < st.length) {
+        val f = st.fields(i)
+        if (!isAttributeField(f.name, options)) {
+          if (f.name == options.valueTag) {
+            if (!row.isNullAt(i)) out.text(scalarText(f.dataType, row.get(i), options))
+          } else {
+            writeChildElement(out, f.name, f.dataType, row.get(i), options)
           }
-        } else {
-          writeChildElement(writer, f.name, f.dataType, row.get(i), options)
         }
+        i += 1
       }
     case (MapType(_, valueType, _), m: scala.collection.Map[_, _]) =>
       m.foreach { case (k, v) =>
-        writeChildElement(writer, k.toString, valueType, v, options)
+        writeChildElement(out, k.toString, valueType, v, options)
       }
     case (ArrayType(elementType, _), v: scala.collection.Seq[_]) =>
       // Array directly inside an array: wrap items in the configured item tag.
       v.foreach { item =>
-        writeChildElement(writer, options.arrayElementName, elementType, item, options)
+        writeChildElement(out, options.arrayElementName, elementType, item, options)
       }
     case (scalar, v) =>
-      writer.writeCharacters(scalarText(scalar, v, options))
+      out.text(scalarText(scalar, v, options))
   }
 
   private[xml] def scalarText(dt: DataType, value: Any, options: XmlOptions): String =
@@ -100,14 +101,14 @@ private[graft] object StaxXmlGenerator {
           case Some(fmt) =>
             val zone = options.timezone.map(ZoneId.of).getOrElse(ZoneOffset.UTC)
             DateTimeFormatter.ofPattern(fmt).withZone(zone).format(ts.toInstant)
-          case None => isoInstantMicros(ts.toInstant)
+          case None => DateTimeFormatter.ISO_INSTANT.format(ts.toInstant)
         }
       case (TimestampType, i: Instant) =>
         options.timestampFormat match {
           case Some(fmt) =>
             val zone = options.timezone.map(ZoneId.of).getOrElse(ZoneOffset.UTC)
             DateTimeFormatter.ofPattern(fmt).withZone(zone).format(i)
-          case None => isoInstantMicros(i)
+          case None => DateTimeFormatter.ISO_INSTANT.format(i)
         }
       case (TimestampNTZType, ldt: java.time.LocalDateTime) =>
         ldt.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME)
@@ -123,8 +124,74 @@ private[graft] object StaxXmlGenerator {
         }
       case (_, v) => v.toString
     }
+}
 
-  /** ISO-8601 instant with full microsecond fidelity (Spark timestamps are µs). */
-  private def isoInstantMicros(i: Instant): String =
-    DateTimeFormatter.ISO_INSTANT.format(i)
+/**
+ * Minimal streaming XML emitter over a StringBuilder: start/attr/text/end
+ * with XML 1.0 escaping and pretty-printing. Not a general-purpose writer —
+ * exactly the surface the generator needs, with zero per-row allocation
+ * beyond the builder growth.
+ */
+private[graft] final class XmlEmitter(sb: java.lang.StringBuilder, baseDepth: Int) {
+  private var depth = baseDepth
+  private var openTag = false // start tag written but '>' pending
+  private var hadChild: List[Boolean] = Nil
+
+  def start(name: String): Unit = {
+    if (openTag) { sb.append('>'); openTag = false }
+    hadChild = hadChild match {
+      case _ :: tail => true :: tail
+      case Nil => Nil
+    }
+    sb.append('\n')
+    var i = 0
+    while (i < depth * 4) { sb.append(' '); i += 1 }
+    sb.append('<').append(name)
+    openTag = true
+    depth += 1
+    hadChild = false :: hadChild
+  }
+
+  def attr(name: String, value: String): Unit = {
+    sb.append(' ').append(name).append("=\"")
+    escapeInto(value, attrMode = true)
+    sb.append('"')
+  }
+
+  def text(value: String): Unit = {
+    if (openTag) { sb.append('>'); openTag = false }
+    escapeInto(value, attrMode = false)
+  }
+
+  def end(name: String): Unit = {
+    depth -= 1
+    val children = hadChild.headOption.getOrElse(false)
+    hadChild = hadChild.drop(1)
+    if (openTag) {
+      sb.append("/>")
+      openTag = false
+    } else {
+      if (children) {
+        sb.append('\n')
+        var i = 0
+        while (i < depth * 4) { sb.append(' '); i += 1 }
+      }
+      sb.append("</").append(name).append('>')
+    }
+  }
+
+  private def escapeInto(s: String, attrMode: Boolean): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' if attrMode => sb.append("&quot;")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+  }
 }
