@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+class PipelineSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "a"),
+    (1L, "the quick brown fox jumps over the lazy cat", "a"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 0
+    (3L, "completely different words entirely here now", "b"),
+    (4L, "", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts") {
+    val reps = Dedup.exactRepresentatives(docs, "doc_id", "text")
+    val m = reps.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m(0L) === 2L) // docs 0 and 2 collapse, representative id 0
+    assert(reps.count() === 4)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() === 4)
+  }
+
+  test("minhash finds near-dup and exact pairs, not unrelated ones") {
+    val pairs = Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 2L))) // exact: jaccard 1.0
+    assert(ids.contains((0L, 1L)) && ids.contains((1L, 2L))) // near-dup
+    assert(!ids.exists { case (a, b) => a == 3L || b == 3L })
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 2L).get
+    assert(exact._3 === 1.0)
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val pairs = Dedup.simHashDedupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 === 0))
+  }
+
+  test("ngram jaccard within blocking key") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("cosine similarity and top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "vec_id", "embedding", 2)
+    val got = topk.collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 1L), (2, 2L)))
+
+    val pairs = Similarity.bruteForceNearPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("lsh near pairs find what brute force finds at high threshold") {
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    // identical-vector planted pair
+    val planted = Seq((100L, Array.tabulate(16)(j => math.sin(3 * 17 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = vecs.union(planted)
+    val got = Similarity.lshNearPairs(all, "vec_id", "embedding", 16, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((3L, 100L)))
+  }
+
+  test("text stats and language id") {
+    val stats = TextAnalysis.withTextStats(docs, "text")
+    val r0 = stats.filter(col("doc_id") === 0).head()
+    assert(r0.getAs[Int]("token_count") === 9)
+    assert(r0.getAs[String]("lang_pred") === "en")
+    val r4 = stats.filter(col("doc_id") === 4).head()
+    assert(r4.getAs[Int]("token_count") === 0)
+    assert(r4.getAs[Double]("stopword_ratio") === 0.0)
+    // fingerprint stable across formatting changes
+    val fp = docs.select(TextAnalysis.fingerprint(lit("The quick,  brown FOX!")).as("a"),
+      TextAnalysis.fingerprint(lit("the quick brown fox")).as("b")).head()
+    assert(fp.getString(0) === fp.getString(1))
+  }
+
+  test("multimodal stub plumbing: schema and determinism") {
+    val df = docs.withColumn("payload", to_binary(col("text"), lit("utf-8")))
+    val out = Multimodal.withMediaColumns(df, "payload", "stub/utf8", 4)
+    val r = out.filter(col("doc_id") === 0).head()
+    val meta = r.getAs[Row]("meta")
+    assert(meta.getAs[Int]("byte_len") === 43)
+    assert(meta.getAs[String]("format") === "stub/utf8")
+    val feats = r.getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length === 4)
+    assert(feats.forall(f => f >= 0.0 && f < 1.0))
+    // identical payloads → identical features (docs 0 and 2)
+    val f2 = out.filter(col("doc_id") === 2).head().getAs[scala.collection.Seq[Double]]("features")
+    assert(feats === f2)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.xml
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TypeCastSuite extends AnyFunSuite {
+
+  private val opts = XmlOptions()
+
+  test("numeric casts with explicit plus sign") {
+    assert(TypeCast.castTo("+123", LongType, opts) === 123L)
+    assert(TypeCast.castTo("-123", LongType, opts) === -123L)
+    assert(TypeCast.castTo("+12", IntegerType, opts) === 12)
+    assert(TypeCast.castTo("1.5", DoubleType, opts) === 1.5)
+    assert(TypeCast.castTo("44.95", DoubleType, opts) === 44.95)
+  }
+
+  test("xml booleans accept 1/0") {
+    assert(TypeCast.castTo("true", BooleanType, opts) === true)
+    assert(TypeCast.castTo("1", BooleanType, opts) === true)
+    assert(TypeCast.castTo("false", BooleanType, opts) === false)
+    assert(TypeCast.castTo("0", BooleanType, opts) === false)
+    intercept[IllegalArgumentException] { TypeCast.castTo("yes", BooleanType, opts) }
+  }
+
+  test("decimal strips grouping commas") {
+    val d = TypeCast.castTo("1,234,567.89", DecimalType(18, 2), opts)
+    assert(d === Decimal(BigDecimal("1234567.89"), 18, 2))
+  }
+
+  test("timestamps: ISO instant, offset, and local formats") {
+    assert(TypeCast.castTo("2024-01-02T03:04:05Z", TimestampType, opts) ===
+      Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05Z")))
+    assert(TypeCast.castTo("2024-01-02T03:04:05+02:00", TimestampType, opts) ===
+      Timestamp.from(java.time.Instant.parse("2024-01-02T01:04:05Z")))
+    assert(TypeCast.castTo("2024-01-02T03:04:05.123Z", TimestampType, opts) ===
+      Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05.123Z")))
+    // zone-less local interpreted as UTC by default
+    assert(TypeCast.castTo("2024-01-02T03:04:05", TimestampType, opts) ===
+      Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05Z")))
+  }
+
+  test("custom timestampFormat and timezone") {
+    val o = XmlOptions(Map(
+      "timestampFormat" -> "dd/MM/yyyy HH:mm", "timezone" -> "UTC"))
+    assert(TypeCast.castTo("02/01/2024 03:04", TimestampType, o) ===
+      Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:00Z")))
+  }
+
+  test("dates: ISO and custom format") {
+    assert(TypeCast.castTo("2020-06-07", DateType, opts) === Date.valueOf("2020-06-07"))
+    val o = XmlOptions(Map("dateFormat" -> "dd.MM.yyyy"))
+    assert(TypeCast.castTo("07.06.2020", DateType, o) === Date.valueOf("2020-06-07"))
+    intercept[IllegalArgumentException] { TypeCast.castTo("junk", DateType, opts) }
+  }
+
+  test("nullValue mapping") {
+    val o = XmlOptions(Map("nullValue" -> "N/A"))
+    assert(TypeCast.castTo("N/A", StringType, o) === null)
+    assert(TypeCast.castTo("N/A", LongType, o) === null)
+    assert(TypeCast.castTo("x", StringType, o) === "x")
+  }
+
+  test("inference predicates") {
+    assert(TypeCast.isLong("123") && TypeCast.isLong("+4") && !TypeCast.isLong("1.2"))
+    assert(TypeCast.isDouble("1.5e3") && !TypeCast.isDouble("1.5d") && !TypeCast.isDouble("abc"))
+    assert(TypeCast.isBoolean("true") && !TypeCast.isBoolean("1"))
+    assert(TypeCast.isDate("2020-01-01", opts) && !TypeCast.isDate("20200101x", opts))
+    assert(TypeCast.isTimestamp("2020-01-01T00:00:00Z", opts))
+  }
+}
