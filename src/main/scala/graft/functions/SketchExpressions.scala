@@ -124,7 +124,63 @@ case class ArrayJaccard(left: Expression, right: Expression)
   override def prettyName: String = "array_jaccard"
 }
 
+/**
+ * Jaccard of two ascending-sorted long arrays via a single merge pass —
+ * duplicates are collapsed during the merge, so inputs need not be distinct.
+ * Used on xxhash64-hashed token/shingle sets: pairs joins then carry compact
+ * 8-byte elements instead of strings, and per-pair cost is O(n+m) with no
+ * hashing at all.
+ */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    var union = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      union += 1
+      if (x == y) {
+        inter += 1
+        do i += 1 while (i < na && a.getLong(i) == x)
+        do j += 1 while (j < nb && b.getLong(j) == y)
+      } else if (x < y) {
+        do i += 1 while (i < na && a.getLong(i) == x)
+      } else {
+        do j += 1 while (j < nb && b.getLong(j) == y)
+      }
+    }
+    while (i < na) {
+      val x = a.getLong(i)
+      union += 1
+      do i += 1 while (i < na && a.getLong(i) == x)
+    }
+    while (j < nb) {
+      val y = b.getLong(j)
+      union += 1
+      do j += 1 while (j < nb && b.getLong(j) == y)
+    }
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongJaccard =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_long_jaccard"
+}
+
 object SketchFunctions {
+  def sorted_long_jaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
   def minhash_signature(tokenHashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokenHashes), numHashes))
   def simhash64(tokenHashes: Column): Column =

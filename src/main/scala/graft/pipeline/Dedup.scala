@@ -81,7 +81,9 @@ object Dedup {
 
     val base = df.select(
       col(idCol).cast("long").as("id"),
-      tokenSet(col(textCol)).as("toks"),
+      // Hashed + sorted token set: verification joins then move 8-byte
+      // elements instead of strings, and Jaccard is a single merge pass.
+      array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"),
       minHashSignature(col(textCol), numHashes).as("sig"))
 
     // One row per (band, bucket) membership, carrying the signature so each
@@ -133,7 +135,7 @@ object Dedup {
     candidates
       .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("jaccard", SketchFunctions.array_jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", SketchFunctions.sorted_long_jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -200,10 +202,11 @@ object Dedup {
       n: Int,
       threshold: Double): DataFrame = {
     val base = df.select(
-      col(blockCol).as("blk"), col(idCol).as("id"), ngramSet(col(textCol), n).as("grams"))
+      col(blockCol).as("blk"), col(idCol).as("id"),
+      array_sort(transform(ngramSet(col(textCol), n), g => xxhash64(g))).as("grams"))
     base.as("l").join(base.as("r"),
         col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .withColumn("jaccard", SketchFunctions.array_jaccard(col("l.grams"), col("r.grams")))
+      .withColumn("jaccard", SketchFunctions.sorted_long_jaccard(col("l.grams"), col("r.grams")))
       .filter(col("jaccard") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
