@@ -9,7 +9,11 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Pull-parses one XML record string into an external [[Row]] under a
@@ -43,8 +47,13 @@ private[graft] object StaxXmlParser {
     }
   }
 
-  /** Distributed entry point: one task parses its partition's records. */
-  def parse(xml: RDD[String], schema: StructType, options: XmlOptions): RDD[Row] = {
+  /**
+   * Distributed entry point: one task parses its partition's records.
+   * Emits Catalyst [[InternalRow]]s directly (UTF8String / micros / epoch
+   * days) so the relation can declare `needConversion = false` and skip the
+   * per-row external→internal conversion layer entirely.
+   */
+  def parse(xml: RDD[String], schema: StructType, options: XmlOptions): RDD[InternalRow] = {
     xml.mapPartitions { iter =>
       val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
       iter.flatMap { record =>
@@ -63,14 +72,20 @@ private[graft] object StaxXmlParser {
     }
   }
 
-  /** Driver-side single-string parse (backs `from_xml` / `from_xml_string`). */
-  def parseColumn(xml: String, schema: StructType, options: XmlOptions): Row =
+  /** Single-string parse to internal form (backs `from_xml`). */
+  def parseColumn(xml: String, schema: StructType, options: XmlOptions): InternalRow =
     parseRecord(xml, schema, options).orNull
+
+  /** Single-string parse to an external [[Row]] (public `from_xml_string`). */
+  def parseColumnExternal(xml: String, schema: StructType, options: XmlOptions): Row =
+    parseRecord(xml, schema, options)
+      .map(CatalystTypeConverters.createToScalaConverter(schema)(_).asInstanceOf[Row])
+      .orNull
 
   /** Tracks whether any field in the current record failed to convert. */
   private final class Status { var malformed: Boolean = false }
 
-  def parseRecord(record: String, schema: StructType, options: XmlOptions): Option[Row] = {
+  def parseRecord(record: String, schema: StructType, options: XmlOptions): Option[InternalRow] = {
     val status = new Status
     try {
       val reader = factories.get().createXMLStreamReader(new StringReader(record))
@@ -99,19 +114,18 @@ private[graft] object StaxXmlParser {
       record: String,
       schema: StructType,
       options: XmlOptions,
-      partial: Option[Row]): Option[Row] = options.parseMode match {
+      partial: Option[InternalRow]): Option[InternalRow] = options.parseMode match {
     case ParseMode.FailFast =>
       throw new IllegalArgumentException(s"Malformed record: $record")
     case ParseMode.DropMalformed => None
     case ParseMode.Permissive =>
       val corruptIdx = schema.fieldNames.indexOf(options.columnNameOfCorruptRecord)
-      val base: IndexedSeq[Any] = partial match {
-        case Some(row) => row.toSeq.toIndexedSeq
-        case None => IndexedSeq.fill[Any](schema.length)(null)
+      val row = partial match {
+        case Some(r: GenericInternalRow) => r
+        case _ => new GenericInternalRow(schema.length)
       }
-      val withCorrupt =
-        if (corruptIdx >= 0) base.updated(corruptIdx, record) else base
-      Some(Row.fromSeq(withCorrupt))
+      if (corruptIdx >= 0) row.update(corruptIdx, UTF8String.fromString(record))
+      Some(row)
   }
 
   /** Element name as seen by the (namespace-unaware) parser, with optional prefix strip. */
@@ -139,7 +153,7 @@ private[graft] object StaxXmlParser {
       reader: XMLStreamReader,
       schema: StructType,
       options: XmlOptions,
-      status: Status): Row = {
+      status: Status): InternalRow = {
     val values = new Array[Any](schema.length)
     val arrays = new Array[mutable.ArrayBuffer[Any]](schema.length)
     val seen = new Array[Boolean](schema.length)
@@ -188,7 +202,7 @@ private[graft] object StaxXmlParser {
             }
           } else if (wildcardIdx >= 0) {
             seen(wildcardIdx) = true
-            val captured = outerStructureAsString(reader, options)
+            val captured = UTF8String.fromString(outerStructureAsString(reader, options))
             schema(wildcardIdx).dataType match {
               case ArrayType(StringType, _) =>
                 if (arrays(wildcardIdx) == null) {
@@ -215,7 +229,7 @@ private[graft] object StaxXmlParser {
 
     var i = 0
     while (i < schema.length) {
-      if (arrays(i) != null) values(i) = arrays(i).toSeq
+      if (arrays(i) != null) values(i) = new GenericArrayData(arrays(i).toArray)
       else if (seen(i) && values(i) == null) {
         // present-but-null: keep null
       } else if (!seen(i)) {
@@ -225,12 +239,13 @@ private[graft] object StaxXmlParser {
       }
       // A declared non-array field that repeated keeps the last occurrence.
       schema(i).dataType match {
-        case _: ArrayType if values(i) == null && seen(i) => values(i) = Seq.empty[Any]
+        case _: ArrayType if values(i) == null && seen(i) =>
+          values(i) = new GenericArrayData(Array.empty[Any])
         case _ =>
       }
       i += 1
     }
-    Row.fromSeq(values.toIndexedSeq)
+    new GenericInternalRow(values)
   }
 
   /**
@@ -247,7 +262,7 @@ private[graft] object StaxXmlParser {
     case MapType(StringType, valueType, _) => convertMap(reader, valueType, options, status)
     case ArrayType(elementType, _) =>
       // Nested array with no intermediate struct: treat as single element.
-      Seq(convertField(reader, elementType, options, status))
+      new GenericArrayData(Array(convertField(reader, elementType, options, status)))
     case StringType => convertStringField(reader, options)
     case scalar =>
       val raw = collectText(reader, options)
@@ -265,10 +280,10 @@ private[graft] object StaxXmlParser {
   private def castLeaf(raw: String, dt: DataType, options: XmlOptions): Any = dt match {
     case StringType =>
       if (raw.isEmpty && options.treatEmptyValuesAsNulls) null
-      else TypeCast.castTo(raw, StringType, options)
+      else TypeCast.castToInternal(raw, StringType, options)
     case _ =>
       if (raw == null || raw.isEmpty) null
-      else TypeCast.castTo(raw, dt, options)
+      else TypeCast.castToInternal(raw, dt, options)
   }
 
   /**
@@ -297,7 +312,7 @@ private[graft] object StaxXmlParser {
    * A StringType field: plain text normally; if the element turns out to have
    * child elements (mixed content), the raw inner XML is captured verbatim.
    */
-  private def convertStringField(reader: XMLStreamReader, options: XmlOptions): String = {
+  private def convertStringField(reader: XMLStreamReader, options: XmlOptions): UTF8String = {
     val sb = new StringBuilder
     var sawElement = false
     var done = false
@@ -320,14 +335,14 @@ private[graft] object StaxXmlParser {
     val trimmed = if (options.ignoreSurroundingSpaces) s.trim else s
     if (trimmed.isEmpty && options.treatEmptyValuesAsNulls) null
     else if (trimmed == options.nullValue) null
-    else trimmed
+    else UTF8String.fromString(trimmed)
   }
 
   private def convertMap(
       reader: XMLStreamReader,
       valueType: DataType,
       options: XmlOptions,
-      status: Status): Map[String, Any] = {
+      status: Status): ArrayBasedMapData = {
     val entries = mutable.LinkedHashMap.empty[String, Any]
     var done = false
     while (!done && reader.hasNext) {
@@ -339,7 +354,9 @@ private[graft] object StaxXmlParser {
         case _ =>
       }
     }
-    entries.toMap
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.keys.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(entries.values.toArray))
   }
 
   /** Consumes the current element (START_ELEMENT) through its END_ELEMENT. */

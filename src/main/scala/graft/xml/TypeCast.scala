@@ -26,6 +26,33 @@ import org.apache.spark.sql.types._
  */
 private[graft] object TypeCast {
 
+  /**
+   * Cast to Catalyst *internal* representation: UTF8String for strings,
+   * microseconds for timestamps, epoch days for dates. Primitive/decimal
+   * results are shared with [[castTo]].
+   */
+  def castToInternal(rawDatum: String, castType: DataType, options: XmlOptions): Any = {
+    val datum =
+      if (options.ignoreSurroundingSpaces) rawDatum.trim
+      else rawDatum
+    if (datum == options.nullValue || datum == null) {
+      null
+    } else {
+      castType match {
+        case _: StringType => org.apache.spark.unsafe.types.UTF8String.fromString(datum)
+        case _: TimestampType =>
+          val i = parseXmlTimestamp(datum, options).toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case _: TimestampNTZType =>
+          val ldt = parseXmlLocalDateTime(datum)
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+        case _: DateType =>
+          parseXmlDate(datum, options).toLocalDate.toEpochDay.toInt
+        case other => castTo(datum, other, options)
+      }
+    }
+  }
+
   def castTo(rawDatum: String, castType: DataType, options: XmlOptions): Any = {
     val datum =
       if (options.ignoreSurroundingSpaces) rawDatum.trim

@@ -1,6 +1,5 @@
 package graft.xml
 
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -41,19 +40,16 @@ case class XmlDataToCatalyst(
       throw new IllegalArgumentException(s"from_xml requires a struct schema, got $other")
   }
 
-  @transient private lazy val toCatalyst =
-    CatalystTypeConverters.createToCatalystConverter(rowSchema)
-
   override def dataType: DataType = schema
 
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = (input, schema) match {
     case (s: UTF8String, _: StructType) =>
-      toCatalyst(StaxXmlParser.parseColumn(s.toString, rowSchema, xmlOptions))
+      StaxXmlParser.parseColumn(s.toString, rowSchema, xmlOptions)
     case (arr: GenericArrayData, ArrayType(_: StructType, _)) =>
       new GenericArrayData(arr.array.map { el =>
-        toCatalyst(StaxXmlParser.parseColumn(el.toString, rowSchema, xmlOptions))
+        StaxXmlParser.parseColumn(el.toString, rowSchema, xmlOptions)
       })
     case (other, _) =>
       throw new IllegalArgumentException(

@@ -65,6 +65,7 @@ class XmlReader extends Serializable {
         if (options.inferSchema) inferred
         else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
       }
-    spark.createDataFrame(StaxXmlParser.parse(rdd, resolved, options), resolved)
+    org.apache.spark.sql.graft.Bridge.internalCreateDataFrame(
+      spark, StaxXmlParser.parse(rdd, resolved, options), resolved)
   }
 }

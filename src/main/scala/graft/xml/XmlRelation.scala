@@ -33,11 +33,15 @@ case class XmlRelation(
     else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
   }
 
+  // The parser emits InternalRow directly; telling Spark so skips the
+  // per-row external->internal conversion above the scan.
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
     val requested =
       if (requiredColumns.isEmpty) schema
       else StructType(requiredColumns.flatMap(c => schema.fields.find(_.name == c)))
-    StaxXmlParser.parse(baseRDD(), requested, options)
+    StaxXmlParser.parse(baseRDD(), requested, options).asInstanceOf[RDD[Row]]
   }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

@@ -33,7 +33,7 @@ package object xml {
       xml: String,
       schema: StructType,
       options: Map[String, String] = Map.empty): Row =
-    StaxXmlParser.parseColumn(xml, schema, XmlOptions(options))
+    StaxXmlParser.parseColumnExternal(xml, schema, XmlOptions(options))
 
   /** Infers the schema of a collection of XML document strings. */
   def schema_of_xml(ds: Dataset[String], options: Map[String, String] = Map.empty): StructType = {
