@@ -281,6 +281,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q33_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // Approximate by construction (rows-only check); recall vs q27 is the
+      // quality metric, cell-join cost is the scale win.
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", 5, nlist = 32, nprobe = 8)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     "q30_multimodal_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("payload", to_binary(col("text"), lit("utf-8")))

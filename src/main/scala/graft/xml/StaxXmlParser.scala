@@ -85,6 +85,26 @@ private[graft] object StaxXmlParser {
   /** Tracks whether any field in the current record failed to convert. */
   private final class Status { var malformed: Boolean = false }
 
+  // Per-thread identity-keyed field-index cache: name->ordinal lookups are on
+  // the per-element hot path and StructType offers no public O(1) accessor.
+  private val idxCache =
+    new ThreadLocal[java.util.IdentityHashMap[StructType, java.util.HashMap[String, Integer]]] {
+      override def initialValue() = new java.util.IdentityHashMap
+    }
+
+  private def fieldIndex(schema: StructType, name: String): Int = {
+    val cache = idxCache.get()
+    var m = cache.get(schema)
+    if (m == null) {
+      m = new java.util.HashMap[String, Integer](schema.length * 2)
+      var i = 0
+      while (i < schema.length) { m.put(schema.fields(i).name, i); i += 1 }
+      cache.put(schema, m)
+    }
+    val v = m.get(name)
+    if (v == null) -1 else v.intValue
+  }
+
   def parseRecord(record: String, schema: StructType, options: XmlOptions): Option[InternalRow] = {
     val status = new Status
     try {
@@ -119,7 +139,7 @@ private[graft] object StaxXmlParser {
       throw new IllegalArgumentException(s"Malformed record: $record")
     case ParseMode.DropMalformed => None
     case ParseMode.Permissive =>
-      val corruptIdx = schema.fieldNames.indexOf(options.columnNameOfCorruptRecord)
+      val corruptIdx = fieldIndex(schema, options.columnNameOfCorruptRecord)
       val row = partial match {
         case Some(r: GenericInternalRow) => r
         case _ => new GenericInternalRow(schema.length)
@@ -157,8 +177,8 @@ private[graft] object StaxXmlParser {
     val values = new Array[Any](schema.length)
     val arrays = new Array[mutable.ArrayBuffer[Any]](schema.length)
     val seen = new Array[Boolean](schema.length)
-    val valueTagIdx = schema.fieldNames.indexOf(options.valueTag)
-    val wildcardIdx = schema.fieldNames.indexOf(options.wildcardColName)
+    val valueTagIdx = fieldIndex(schema, options.valueTag)
+    val wildcardIdx = fieldIndex(schema, options.wildcardColName)
     val text = new StringBuilder
 
     def setScalarField(idx: Int, raw: String): Unit = {
@@ -177,7 +197,7 @@ private[graft] object StaxXmlParser {
       var i = 0
       while (i < reader.getAttributeCount) {
         val name = options.attributePrefix + attributeName(reader, i, options)
-        val idx = schema.fieldNames.indexOf(name)
+        val idx = fieldIndex(schema, name)
         if (idx >= 0) setScalarField(idx, reader.getAttributeValue(i))
         i += 1
       }
@@ -190,7 +210,7 @@ private[graft] object StaxXmlParser {
         case START_ELEMENT =>
           sawChildElement = true
           val name = elementName(reader, options)
-          val idx = schema.fieldNames.indexOf(name)
+          val idx = fieldIndex(schema, name)
           if (idx >= 0) {
             seen(idx) = true
             schema(idx).dataType match {

@@ -82,6 +82,22 @@ class PipelineSuite extends AnyFunSuite {
     assert(got.contains((3L, 100L)))
   }
 
+  test("ivf topk finds the planted identical vector") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val planted = Seq((100L, Array.tabulate(16)(j => math.sin(3 * 17 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = vecs.union(planted)
+    val got = Similarity.ivfTopK(
+      all.filter(col("vec_id") === 3), all, "vec_id", "vec_id", "embedding",
+      k = 1, nlist = 8, nprobe = 3)
+    val top = got.collect()
+    assert(top.length === 1)
+    assert(top(0).getAs[Long]("neighbor_id") === 100L)
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
   test("text stats and language id") {
     val stats = TextAnalysis.withTextStats(docs, "text")
     val r0 = stats.filter(col("doc_id") === 0).head()
