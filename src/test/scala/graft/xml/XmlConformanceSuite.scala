@@ -1,0 +1,137 @@
+package graft.xml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-shape conformance: the structural challenges from FIXTURES.md. */
+class XmlConformanceSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def load(content: String, options: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val f = Files.createTempFile("graft-conf", ".xml")
+    Files.writeString(f, content)
+    options.foldLeft(spark.read.format("graft.xml")) { case (r, (k, v)) => r.option(k, v) }
+      .load(f.toString)
+  }
+
+  test("ages: attribute on scalar element becomes valueTag struct") {
+    val df = load(
+      """<people>
+        |  <person><age born="1990-02-24">25</age><name>Ana</name></person>
+        |  <person><age born="1985-01-01">31</age><name>Ben</name></person>
+        |</people>""".stripMargin,
+      Map("rowTag" -> "person"))
+    val age = df.schema("age").dataType.asInstanceOf[StructType]
+    assert(age("_VALUE").dataType === LongType)
+    assert(age("_born").dataType === DateType)
+    val r = df.filter(col("name") === "Ana").select("age._VALUE", "age._born").head()
+    assert(r === Row(25L, java.sql.Date.valueOf("1990-02-24")))
+  }
+
+  test("nested array of structs (books-complicated shape)") {
+    val df = load(
+      """<catalog>
+        |  <book>
+        |    <genre><genreid>1</genreid><name>Computer</name></genre>
+        |    <publish_dates>
+        |      <publish_date><day>1</day><month>10</month><year>2000</year></publish_date>
+        |      <publish_date><day>2</day><month>11</month><year>2001</year></publish_date>
+        |    </publish_dates>
+        |  </book>
+        |</catalog>""".stripMargin,
+      Map("rowTag" -> "book"))
+    assert(df.schema("genre").dataType.asInstanceOf[StructType]("genreid").dataType === LongType)
+    val pd = df.schema("publish_dates").dataType.asInstanceOf[StructType]
+    assert(pd("publish_date").dataType.isInstanceOf[ArrayType])
+    val years = df.select(explode(col("publish_dates.publish_date.year"))).collect()
+      .map(_.getLong(0)).sorted
+    assert(years.toSeq === Seq(2000L, 2001L))
+  }
+
+  test("null/empty/whitespace nested structs") {
+    val df = load(
+      """<ROWS>
+        |  <ROW><k>1</k><s><a>x</a></s></ROW>
+        |  <ROW><k>2</k><s></s></ROW>
+        |  <ROW><k>3</k></ROW>
+        |</ROWS>""".stripMargin,
+      Map("rowTag" -> "ROW"))
+    val rows = df.orderBy("k").select("k", "s.a").collect()
+    assert(rows(0) === Row(1L, "x"))
+    assert(rows(0).getString(1) === "x")
+    assert(rows(1).isNullAt(1) || rows(1).getString(1) == null) // empty struct → null field
+    assert(rows(2).isNullAt(1))
+  }
+
+  test("unicode row tag and element content") {
+    val df = load(
+      "<目録><書><題>星</題><年>2020</年></書><書><題>月</題><年>2021</年></書></目録>",
+      Map("rowTag" -> "書"))
+    assert(df.schema.fieldNames.toSeq === Seq("年", "題"))
+    assert(df.orderBy("年").collect().map(_.getString(1)).toSeq === Seq("星", "月"))
+  }
+
+  test("self-closing tag yields null for declared numeric field") {
+    val schema = StructType(Seq(StructField("a", LongType), StructField("k", LongType)))
+    val f = Files.createTempFile("graft-selfclose", ".xml")
+    Files.writeString(f, "<R><W><k>1</k><a/></W><W><k>2</k><a>5</a></W></R>")
+    val df = spark.read.format("graft.xml").schema(schema).option("rowTag", "W").load(f.toString)
+    val rows = df.orderBy("k").collect()
+    assert(rows(0).isNullAt(0) && rows(0).getLong(1) === 1L)
+    assert(rows(1).getLong(0) === 5L)
+  }
+
+  test("ignoreSurroundingSpaces trims whitespace-padded values") {
+    val df = load(
+      """<ROWS><ROW><age>  25 </age><name>  Pad </name></ROW></ROWS>""",
+      Map("rowTag" -> "ROW", "ignoreSurroundingSpaces" -> "true"))
+    assert(df.schema("age").dataType === LongType)
+    assert(df.head() === Row(25L, "Pad"))
+  }
+
+  test("whitespace-only value stays string without trimming") {
+    val df = load(
+      """<ROWS><ROW><age>    </age><k>1</k></ROW></ROWS>""",
+      Map("rowTag" -> "ROW"))
+    assert(df.schema("age").dataType === StringType)
+    assert(df.head().getString(0) === "    ")
+  }
+
+  test("array of dates from repeated elements") {
+    val df = load(
+      """<catalog>
+        |  <book><publish_date>2000-10-01</publish_date><publish_date>2001-11-02</publish_date></book>
+        |</catalog>""".stripMargin,
+      Map("rowTag" -> "book"))
+    assert(df.schema("publish_date").dataType === ArrayType(DateType))
+    val ds = df.select(explode(col("publish_date"))).collect().map(_.getDate(0).toString).sorted
+    assert(ds.toSeq === Seq("2000-10-01", "2001-11-02"))
+  }
+
+  test("XML comments and CDATA inside records") {
+    val df = load(
+      """<ROWS>
+        |  <ROW><!-- a comment --><k>1</k><v><![CDATA[x < y & z]]></v></ROW>
+        |</ROWS>""".stripMargin,
+      Map("rowTag" -> "ROW"))
+    val r = df.head()
+    assert(r.getLong(df.schema.fieldIndex("k")) === 1L)
+    assert(r.getString(df.schema.fieldIndex("v")) === "x < y & z")
+  }
+
+  test("corrupt record column captures raw record in PERMISSIVE") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("_corrupt_record", StringType)))
+    val f = Files.createTempFile("graft-corrupt", ".xml")
+    Files.writeString(f, "<R><W><k>1</k></W><W><k>notanumber</k></W></R>")
+    val df = spark.read.format("graft.xml").schema(schema).option("rowTag", "W").load(f.toString)
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1)
+    assert(bad(0).getString(1).contains("notanumber"))
+  }
+}
