@@ -93,3 +93,59 @@ class XmlSqlSuite extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq === Seq("v"))
   }
 }
+
+/** Reference-parity extras: concurrent reads, globs, wildcard arrays. */
+class XmlConcurrencySuite extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("concurrent reads of the same relation from multiple threads") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-mt")
+    val f = tmp.resolve("mt.xml")
+    val content = new StringBuilder("<ROWS>")
+    (0 until 200).foreach(i => content ++= s"<ROW><k>$i</k></ROW>")
+    content ++= "</ROWS>"
+    Files.writeString(f, content.result())
+    val df = spark.read.format("graft.xml").option("rowTag", "ROW").load(f.toString)
+    val threads = (0 until 4).map { _ =>
+      new Thread {
+        @volatile var result = -1L
+        override def run(): Unit = { result = df.count() }
+      }
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(threads.forall(_.result === 200L))
+  }
+
+  test("glob over multiple files unions records") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-glob")
+    (1 to 3).foreach { i =>
+      Files.writeString(tmp.resolve(s"part$i.xml"),
+        s"<ROWS><ROW><k>$i</k></ROW><ROW><k>${i * 10}</k></ROW></ROWS>")
+    }
+    val df = spark.read.format("graft.xml").option("rowTag", "ROW")
+      .load(tmp.toString + "/*.xml")
+    assert(df.count() === 6)
+    assert(df.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) === 66L)
+  }
+
+  test("wildcard column as array captures multiple unmatched elements") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-wild2")
+    val f = tmp.resolve("w.xml")
+    Files.writeString(f,
+      "<ROWS><ROW><a>1</a><x1><u>1</u></x1><x2>t</x2></ROW></ROWS>")
+    val schema = StructType(Seq(
+      StructField("a", LongType),
+      StructField("xs_any", ArrayType(StringType))))
+    val df = spark.read.format("graft.xml").schema(schema)
+      .option("rowTag", "ROW").load(f.toString)
+    val arr = df.head().getSeq[String](1)
+    assert(arr.length === 2)
+    assert(arr.exists(_.contains("<u>1</u>")))
+    assert(arr.exists(_.contains("x2")))
+  }
+}
