@@ -56,6 +56,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
   private var finished = false
   private var openDelim = 0 // delimiter byte that ended the start-tag match
 
+  private var capture = true // false while skipping constructs between records
   private val buf = new Array[Byte](131072)
   private var bufLen = 0
   private var bufPos = 0
@@ -156,6 +157,14 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           // Not our tag (e.g. <rowTagFoo); re-examine the breaking byte in
           // case it opens a new tag.
           b = delim
+        } else if (i == 1 && (bb == '!' || bb == '?')) {
+          // Comment / CDATA / declaration / PI between records: a row tag
+          // inside one must not be taken as a record start. Skip wholesale.
+          capture = false
+          val ok = if (bb == '!') skipSpecial() else skipProcessingInstruction()
+          capture = true
+          if (!ok) return -1
+          b = readByte()
         } else {
           b = bb // '<' cannot recur inside the matched prefix; rescan from bb
         }
@@ -269,7 +278,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return false
-      record.write(b)
+      if (capture) record.write(b)
       if (quote != 0) {
         if (b == quote) quote = 0
       } else if (b == '"' || b == '\'') {
@@ -285,7 +294,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
   private def skipSpecial(): Boolean = {
     val b = readByte()
     if (b == -1) return false
-    record.write(b)
+    if (capture) record.write(b)
     b match {
       case '-' => skipUntilRunThenGt('-', 2)
       case '[' => skipUntilRunThenGt(']', 2)
@@ -299,7 +308,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return false
-      record.write(b)
+      if (capture) record.write(b)
       if (b == '>' && prev == '?') return true
       prev = b
     }
@@ -315,7 +324,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return false
-      record.write(b)
+      if (capture) record.write(b)
       if (b == marker) run += 1
       else if (b == '>' && run >= n) return true
       else run = 0

@@ -124,6 +124,19 @@ class XmlConformanceSuite extends AnyFunSuite {
     assert(r.getString(df.schema.fieldIndex("v")) === "x < y & z")
   }
 
+  test("row tags inside comments/CDATA between records are not record starts") {
+    val df = load(
+      """<ROWS>
+        |  <ROW><k>1</k></ROW>
+        |  <!-- dead record: <ROW><k>99</k></ROW> -->
+        |  <ROW><k>2</k></ROW>
+        |  <other><![CDATA[<ROW><k>98</k></ROW>]]></other>
+        |  <ROW><k>3</k></ROW>
+        |</ROWS>""".stripMargin,
+      Map("rowTag" -> "ROW", "mode" -> "FAILFAST"))
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("corrupt record column captures raw record in PERMISSIVE") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("_corrupt_record", StringType)))
