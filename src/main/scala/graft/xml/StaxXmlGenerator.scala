@@ -40,11 +40,14 @@ private[graft] object StaxXmlGenerator {
       value: Any,
       options: XmlOptions): Unit = (dt, value) match {
     case (_, null) | (NullType, _) =>
-      out.start(name)
-      if (options.nullValue != null && options.nullValue.nonEmpty) {
-        out.text(options.nullValue)
+      // With no nullValue representation configured the element is omitted
+      // entirely (reference: StaxXmlGenerator.scala:52-56) so a null string
+      // round-trips as null, not "".
+      if (options.nullValue != null) {
+        out.start(name)
+        if (options.nullValue.nonEmpty) out.text(options.nullValue)
+        out.end(name)
       }
-      out.end(name)
     case (ArrayType(elementType, _), v: scala.collection.Seq[_]) =>
       v.foreach(item => writeChildElement(out, name, elementType, item, options))
     case _ =>
@@ -82,8 +85,20 @@ private[graft] object StaxXmlGenerator {
         i += 1
       }
     case (MapType(_, valueType, _), m: scala.collection.Map[_, _]) =>
+      // Keys carrying the attribute prefix become attributes (reference:
+      // StaxXmlGenerator.scala:115-123); attributes must precede children.
       m.foreach { case (k, v) =>
-        writeChildElement(out, k.toString, valueType, v, options)
+        val key = k.toString
+        if (isAttributeField(key, options) && v != null) {
+          out.attr(key.substring(options.attributePrefix.length),
+            scalarText(valueType, v, options))
+        }
+      }
+      m.foreach { case (k, v) =>
+        val key = k.toString
+        if (!isAttributeField(key, options)) {
+          writeChildElement(out, key, valueType, v, options)
+        }
       }
     case (ArrayType(elementType, _), v: scala.collection.Seq[_]) =>
       // Array directly inside an array: wrap items in the configured item tag.

@@ -92,10 +92,16 @@ private[graft] object StaxXmlParser {
       override def initialValue() = new java.util.IdentityHashMap
     }
 
+  // A task deserializes fresh StructType instances, so identity keys pile up
+  // one per (task × nested struct) on long-lived executor threads; flushing
+  // past a small bound caps the leak at the cost of a rare rebuild.
+  private val IdxCacheMaxEntries = 256
+
   private def fieldIndex(schema: StructType, name: String): Int = {
     val cache = idxCache.get()
     var m = cache.get(schema)
     if (m == null) {
+      if (cache.size >= IdxCacheMaxEntries) cache.clear()
       m = new java.util.HashMap[String, Integer](schema.length * 2)
       var i = 0
       while (i < schema.length) { m.put(schema.fields(i).name, i); i += 1 }

@@ -2,7 +2,7 @@ package graft.xml
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,10 +47,20 @@ case class XmlDataToCatalyst(
   override def nullSafeEval(input: Any): Any = (input, schema) match {
     case (s: UTF8String, _: StructType) =>
       StaxXmlParser.parseColumn(s.toString, rowSchema, xmlOptions)
-    case (arr: GenericArrayData, ArrayType(_: StructType, _)) =>
-      new GenericArrayData(arr.array.map { el =>
-        StaxXmlParser.parseColumn(el.toString, rowSchema, xmlOptions)
-      })
+    case (arr: ArrayData, ArrayType(_: StructType, _)) =>
+      // Accept any ArrayData shape (UnsafeArrayData after scans/shuffles,
+      // GenericArrayData from literals); null elements map to null rows.
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          out(i) = StaxXmlParser.parseColumn(
+            arr.getUTF8String(i).toString, rowSchema, xmlOptions)
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
     case (other, _) =>
       throw new IllegalArgumentException(
         s"from_xml cannot evaluate input of class ${other.getClass}")

@@ -41,6 +41,9 @@ private[graft] object XmlFile {
 
   def save(df: DataFrame, path: String, options: XmlOptions): Unit = {
     val schema = df.schema
+    // rootTag may carry inline attributes ("books count=\"3\""); only the
+    // name part closes the document (reference: XmlFile.scala:88-101).
+    val rootTagName = options.rootTag.split(" ", 2)(0)
     val codecClass: Option[Class[_ <: CompressionCodec]] = options.codec.map { name =>
       resolveCodec(name)
     }
@@ -60,7 +63,7 @@ private[graft] object XmlFile {
               header ++= s"<?xml ${options.declaration}?>\n"
             }
             header ++= s"<${options.rootTag}>"
-            if (!rows.hasNext) { ended = true; header ++= s"\n</${options.rootTag}>" }
+            if (!rows.hasNext) { ended = true; header ++= s"\n</$rootTagName>" }
             header.result()
           } else if (rows.hasNext) {
             sb.setLength(0)
@@ -69,7 +72,7 @@ private[graft] object XmlFile {
             // Strip the emitter's leading newline: saveAsTextFile adds one per record.
             if (!rows.hasNext) {
               ended = true
-              sb.append('\n').append("</").append(options.rootTag).append('>')
+              sb.append('\n').append("</").append(rootTagName).append('>')
             }
             sb.substring(1)
           } else {

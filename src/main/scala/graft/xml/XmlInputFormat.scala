@@ -201,17 +201,32 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
         if (n == -1) return false
         record.write(n)
         if (n == '/') {
-          // Candidate end tag: match remaining "</tag>" bytes.
+          // Candidate end tag: match the name bytes of "</tag", then allow
+          // optional whitespace before '>' (XML ETag is '</' Name S? '>').
           var i = 2
           var matched = true
-          while (matched && i < endTag.length) {
+          var broke = 0
+          while (matched && i < endTag.length - 1) {
             val bb = readByte()
             if (bb == -1) return false
             record.write(bb)
-            if (bb != (endTag(i) & 0xff)) matched = false else i += 1
+            if (bb != (endTag(i) & 0xff)) { matched = false; broke = bb } else i += 1
           }
-          if (matched) depth -= 1
-          else if (!skipToGt()) return false
+          if (matched) {
+            var bb = readByte()
+            if (bb == -1) return false
+            record.write(bb)
+            while (bb == ' ' || bb == '\t' || bb == '\n' || bb == '\r') {
+              bb = readByte()
+              if (bb == -1) return false
+              record.write(bb)
+            }
+            if (bb == '>') depth -= 1
+            // else: longer tag name sharing the prefix (e.g. </rowx>).
+            else if (!skipToGt()) return false
+          } else if (broke != '>' && !skipToGt()) return false
+          // broke == '>': the tag completed inside the failed match (e.g.
+          // child </ro> vs endTag </row>) — nothing left to skip.
         } else if (n == '!') {
           if (!skipSpecial()) return false
         } else if (n == '?') {
@@ -220,11 +235,12 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           // Candidate nested same-name open.
           var i = 2
           var matched = true
+          var broke = 0
           while (matched && i < startTag.length) {
             val bb = readByte()
             if (bb == -1) return false
             record.write(bb)
-            if (bb != (startTag(i) & 0xff)) matched = false else i += 1
+            if (bb != (startTag(i) & 0xff)) { matched = false; broke = bb } else i += 1
           }
           if (matched) {
             val delim = readByte()
@@ -240,7 +256,9 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
                 }
               }
             } else if (!skipToGt()) return false
-          } else if (!skipToGt()) return false
+          } else if (broke != '>' && !skipToGt()) return false
+          // broke == '>': tag completed inside the failed match (e.g. child
+          // <ro> vs rowTag <row>) — already closed, nothing to skip.
         } else if (!skipToGt()) return false
       }
     }

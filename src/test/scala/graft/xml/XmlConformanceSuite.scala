@@ -137,6 +137,42 @@ class XmlConformanceSuite extends AnyFunSuite {
     assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("child tag that is a proper prefix of rowTag (row/ro)") {
+    val df = load(
+      """<ROWS>
+        |  <row><ro><b>1</b></ro><k>1</k></row>
+        |  <row><ro>x</ro><k>2</k></row>
+        |  <row><k>3</k></row>
+        |</ROWS>""".stripMargin,
+      Map("rowTag" -> "row", "mode" -> "FAILFAST"))
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("child tag that is a proper prefix of rowTag (books/book)") {
+    val df = load(
+      "<lib><books><book>a</book><n>1</n></books><books><book>b</book><n>2</n></books></lib>",
+      Map("rowTag" -> "books", "mode" -> "FAILFAST"))
+    assert(df.select("n").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(df.select("book").collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("self-closing and attributed prefix-named children") {
+    val df = load(
+      """<ROWS>
+        |  <row><ro/><k>1</k></row>
+        |  <row><ro a="v">y</ro><k>2</k></row>
+        |</ROWS>""".stripMargin,
+      Map("rowTag" -> "row", "mode" -> "FAILFAST"))
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("end tag with whitespace before '>' is recognized") {
+    val df = load(
+      "<ROWS><row><k>1</k></row ><row><k>2</k></row\n></ROWS>",
+      Map("rowTag" -> "row", "mode" -> "FAILFAST"))
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("corrupt record column captures raw record in PERMISSIVE") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("_corrupt_record", StringType)))

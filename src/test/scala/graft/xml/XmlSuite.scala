@@ -292,6 +292,86 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.contains("hello"))
   }
 
+  test("null string field: omitted on write, round-trips as null") {
+    import spark.implicits._
+    val df = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("id", "s")
+    val out = tmp.resolve("null-omit").toString
+    df.write.format("graft.xml").mode("overwrite").option("rowTag", "r").save(out)
+    val text = Files.list(new java.io.File(out).toPath).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(Files.readString).mkString
+    assert(!text.contains("<s/>"), "null field must be omitted, not emptied")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val back = spark.read.format("graft.xml").schema(schema).option("rowTag", "r").load(out)
+    assert(back.filter(col("id") === 2).head().isNullAt(1))
+    assert(back.filter(col("id") === 1).head().getString(1) === "x")
+  }
+
+  test("null field with nullValue configured writes the representation") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String])).toDF("id", "s")
+    val out = tmp.resolve("null-rep").toString
+    df.write.format("graft.xml").mode("overwrite")
+      .option("rowTag", "r").option("nullValue", "NA").save(out)
+    val back = spark.read.format("graft.xml")
+      .option("rowTag", "r").option("nullValue", "NA").load(out)
+    assert(back.select("s").head().isNullAt(0))
+  }
+
+  test("rootTag with inline attributes opens with attrs, closes with name only") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val out = tmp.resolve("roottag-attrs").toString
+    df.write.format("graft.xml").mode("overwrite")
+      .option("rowTag", "book").option("rootTag", "books count=\"2\"").save(out)
+    val text = Files.list(new java.io.File(out).toPath).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(Files.readString).mkString
+    assert(text.contains("<books count=\"2\">"))
+    assert(text.contains("</books>"))
+    assert(!text.contains("</books count"))
+    val back = spark.read.format("graft.xml").option("rowTag", "book").load(out)
+    assert(back.count() === 2)
+  }
+
+  test("map keys with attribute prefix write as attributes and round-trip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("_id" -> "k1", "name" -> "alpha")),
+      (2L, Map("_id" -> "k2", "name" -> "beta"))).toDF("n", "m")
+    val out = tmp.resolve("map-attrs").toString
+    df.write.format("graft.xml").mode("overwrite").option("rowTag", "r").save(out)
+    val text = Files.list(new java.io.File(out).toPath).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(Files.readString).mkString
+    assert(text.contains("<m id=\"k1\">") || text.contains("<m id=\"k2\">"),
+      s"map attr key must become an XML attribute, got: $text")
+    assert(!text.contains("<_id>"))
+    val back = spark.read.format("graft.xml").option("rowTag", "r").load(out)
+    val m = back.filter(col("n") === 1).select("m._id", "m.name").head()
+    assert(m === Row("k1", "alpha"))
+  }
+
+  test("from_xml_array accepts UnsafeArrayData and null elements") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, Seq("<r><k>1</k></r>", "<r><k>2</k></r>")),
+      (2L, Seq("<r><k>3</k></r>", null))).toDF("id", "xs")
+    val pq = tmp.resolve("fxa-parquet").toString
+    src.write.mode("overwrite").parquet(pq)
+    // Parquet scan + shuffle materializes the column as UnsafeArrayData.
+    val df = spark.read.parquet(pq).repartition(2, col("id"))
+    val elem = StructType(Seq(StructField("k", LongType)))
+    val parsed = df.select(col("id"),
+      graft.xml.from_xml_array(col("xs"), ArrayType(elem)).as("ps"))
+    val r1 = parsed.filter(col("id") === 1).select(explode(col("ps")).as("p"))
+      .select("p.k").collect().map(_.getLong(0)).sorted
+    assert(r1.toSeq === Seq(1L, 2L))
+    val r2 = parsed.filter(col("id") === 2).head().getSeq[Row](1)
+    assert(r2.size === 2)
+    assert(r2(1) === null)
+  }
+
   test("ignoreNamespace strips prefixes") {
     val xml = "<ROWS><ns:ROW><ns:a>5</ns:a></ns:ROW></ROWS>"
     val path = writeFixture("ns.xml", xml)
