@@ -15,9 +15,11 @@ import graft.functions.{CentroidFunctions, TopKFunctions, VectorFunctions}
  *    ([[graft.functions.TopKByScore]]) reduces each task to k rows before the
  *    only (tiny) shuffle
  *  - sign-LSH (random hyperplane) near-pairs — candidates from an equi-join
- *    on compact bucket keys; each pair is emitted by its *first* agreeing
- *    hash table so no distinct is needed, and vectors are joined back only
- *    for candidate ids (the shuffle moves ids + 8-byte buckets, not vectors)
+ *    on compact (table, bucket) keys where each side carries only
+ *    (id, table, bucket) ≈ 20 bytes, deduped on the id pair alone, with
+ *    vectors joined back only for surviving candidates; planes scale with
+ *    corpus size and tables with the recall target, so bucket occupancy and
+ *    candidate volume stay linear in n
  *  - IVF top-k — centroids from driver-side k-means on a bounded sample;
  *    cell assignment is a map-side argmax expression (zero shuffle), probes
  *    are broadcast, so the whole search is map-side + one k-row aggregate
@@ -67,14 +69,22 @@ object Similarity {
   /**
    * Approximate near-neighbor pairs: candidates share a sign-LSH bucket in at
    * least one of `tables` independent hash tables, then exact cosine ≥
-   * `threshold` re-ranking. Each pair is produced only by its first agreeing
-   * table (computed from the per-table bucket arrays both sides already
-   * carry), so the bucket join needs no deduplication and never moves
-   * vectors; candidate ids join the vectors back afterwards.
+   * `threshold` re-ranking.
    *
-   * Recall tuning: detection probability per table is p^numPlanes with
-   * p = 1 - acos(sim)/π; defaults (6 planes × 64 tables) give ≥ 0.999 at
-   * sim 0.5 and ≈ 0.99 at sim 0.42.
+   * Shuffle discipline: the self-join moves only (id, table, bucket) rows
+   * (~20 bytes each — no vectors, no bucket arrays), duplicates across
+   * agreeing tables are removed by a distinct on the **id pair alone**
+   * (16 bytes), and vectors are joined back only for surviving candidates.
+   * Both join inputs are the same subplan, so the (table, bucket) exchange
+   * is built once and reused.
+   *
+   * Sizing: detection probability per table is p^planes with
+   * p = 1 - acos(sim)/π. When not given, `numPlanes` scales with corpus
+   * size as ⌈log₂(n/32)⌉ (keeps expected bucket occupancy ~32, so candidate
+   * volume stays linear in n) and `tables` is solved from `recallTarget`
+   * at the re-rank threshold: T = ⌈ln(1−R)/ln(1−p^planes)⌉. Lower
+   * thresholds therefore cost more tables — that's the LSH trade, made
+   * explicit instead of silently losing recall.
    */
   def lshNearPairs(
       df: DataFrame,
@@ -82,25 +92,37 @@ object Similarity {
       vecCol: String,
       dim: Int,
       threshold: Double,
-      numPlanes: Int = 6,
-      tables: Int = 64,
+      numPlanes: Int = 0,
+      tables: Int = 0,
+      recallTarget: Double = 0.999,
       seed: Long = 0xc0ffee00L): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val withBuckets = base.select(col("id"),
-      CentroidFunctions.sign_lsh_buckets(col("v"), tables, numPlanes, dim, seed).as("bs"))
-    val exploded = withBuckets
-      .select(col("id"), col("bs"), posexplode(col("bs")).as(Seq("t", "b")))
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = math.max(1L, base.count())
+        math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      }
+    val nTables =
+      if (tables > 0) tables
+      else {
+        val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+        val perTable = math.pow(p, planes)
+        val t = math.ceil(math.log(1.0 - recallTarget) / math.log1p(-perTable))
+        math.min(512, math.max(16, t.toInt))
+      }
 
-    // Pair emitted only where t is the FIRST table whose buckets agree:
-    // no earlier position in the two bucket arrays matches.
-    val noEarlierAgreement =
-      size(filter(slice(zip_with(col("l.bs"), col("r.bs"), (x, y) => x === y),
-        lit(1), col("l.t")), p => p)) === 0
+    val withBuckets = base.select(col("id"),
+      CentroidFunctions.sign_lsh_buckets(col("v"), nTables, planes, dim, seed).as("bs"))
+    // Only (id, t, b) survives into the join — the bucket array is consumed
+    // by the generator and never shuffled.
+    val exploded = withBuckets.select(col("id"), posexplode(col("bs")).as(Seq("t", "b")))
 
     val candidates = exploded.as("l").join(exploded.as("r"),
         col("l.t") === col("r.t") && col("l.b") === col("r.b") &&
-          col("l.id") < col("r.id") && noEarlierAgreement)
+          col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
 
     candidates
       .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
