@@ -214,6 +214,80 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q18_schema_of_xml" -> ((s, d) => {
+      import s.implicits._
+      // Distributed schema inference over per-row XML payloads; the resulting
+      // DDL string is the oracle-checkable artifact.
+      val payloads = t(s, d, "orders").select(
+        concat(lit("<o><k>"), col("o_orderkey"),
+          lit("</k><p>"), col("o_orderpriority"), lit("</p></o>")).as("payload"))
+      val ddl = graft.xml.schema_of_xml(payloads.as[String]).toDDL
+      payloads.agg(count(lit(1)).as("cnt")).select(lit(ddl).as("ddl"), col("cnt"))
+    }),
+
+    "q19_xsd_nation" -> ((s, d) => {
+      // XSD → StructType (A11) driving a schema'd XML read.
+      val xsd =
+        """<?xml version="1.0"?>
+          |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          |  <xs:element name="nation">
+          |    <xs:complexType>
+          |      <xs:sequence>
+          |        <xs:element name="n_nationkey" type="xs:int"/>
+          |        <xs:element name="n_name" type="xs:string"/>
+          |        <xs:element name="n_regionkey" type="xs:int"/>
+          |      </xs:sequence>
+          |    </xs:complexType>
+          |  </xs:element>
+          |</xs:schema>""".stripMargin
+      // XSDToSchema wraps rows in the root element; unwrap for rowTag reads.
+      val schema = graft.xml.XSDToSchema.read(xsd)("nation").dataType.asInstanceOf[StructType]
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/xsd_nation"
+      t(s, d, "nation").write.format("graft.xml").mode("overwrite")
+        .option("rowTag", "nation").save(path)
+      s.read.format("graft.xml").option("rowTag", "nation").schema(schema).load(path)
+        .orderBy("n_nationkey")
+    }),
+
+    "q34_parse_modes" -> ((s, d) => {
+      // Corrupt corpus: every 10th record carries an uncastable long (A13).
+      val recs = t(s, d, "orders").select(
+        when(col("o_orderkey") % 10 === 0,
+          concat(lit("<order><k>bad"), col("o_orderkey"), lit("</k><v>x</v></order>")))
+          .otherwise(concat(lit("<order><k>"), col("o_orderkey"), lit("</k><v>x</v></order>")))
+          .as("value"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/modes"
+      recs.write.mode("overwrite").text(path)
+      val dataSchema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      val permSchema = dataSchema.add(StructField("_corrupt_record", StringType))
+      val perm = s.read.format("graft.xml").option("rowTag", "order")
+        .schema(permSchema).load(path)
+        .agg(count(lit(1)).as("cnt"), count(col("_corrupt_record")).as("corrupt_cnt"))
+        .select(lit("permissive").as("mode"), col("cnt"), col("corrupt_cnt"))
+      val drop = s.read.format("graft.xml").option("rowTag", "order")
+        .option("mode", "DROPMALFORMED").schema(dataSchema).load(path)
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("dropmalformed").as("mode"), col("cnt"), lit(0L).as("corrupt_cnt"))
+      perm.unionAll(drop).orderBy("mode")
+    }),
+
+    "q35_explode_lineitems" -> ((s, d) => {
+      // array<struct> through the XML sink/source, then explode + re-aggregate.
+      val items = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("items"))
+      val back = xmlRoundtrip(s, d, items, "orderitems")
+      back.select(col("o_orderkey"), explode(col("items")).as("item"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("item_cnt"),
+          sum(dec2(col("item.qty"))).cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- training-data pipeline operators ----
     "q20_dedup_exact" -> ((s, d) => {
       Dedup.exactRepresentatives(t(s, d, "documents"), "doc_id", "text")
@@ -278,6 +352,11 @@ object SparkEntry {
     "q29_lsh_near_pairs" -> ((s, d) => {
       Similarity.lshNearPairs(t(s, d, "embeddings"), "vec_id", "embedding", 64, 0.42)
         .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q36_simhash_dup_exact" -> ((s, d) => {
+      Dedup.simHashExactDupPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     }),
 
@@ -416,6 +495,28 @@ object SparkEntry {
         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn <= 2 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    "q18_schema_of_xml" ->
+      "SELECT 'k BIGINT,p STRING' AS ddl, count(*) AS cnt FROM orders",
+
+    "q19_xsd_nation" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q34_parse_modes" ->
+      """SELECT 'dropmalformed' AS mode,
+        |  count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS cnt,
+        |  CAST(0 AS BIGINT) AS corrupt_cnt
+        |FROM orders
+        |UNION ALL
+        |SELECT 'permissive' AS mode, count(*) AS cnt,
+        |  count(*) FILTER (WHERE o_orderkey % 10 = 0) AS corrupt_cnt
+        |FROM orders
+        |ORDER BY mode""".stripMargin,
+
+    "q35_explode_lineitems" ->
+      """SELECT l_orderkey AS o_orderkey, count(*) AS item_cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
@@ -493,6 +594,26 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The LSH path is gated against the same exact-pair oracle as q28: at the
+    // auto-sized planes/tables the sketch must retrieve every true pair.
+    "q29_lsh_near_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_simhash_dup_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(trim(text), '\s+') END)) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.toks = b.toks
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q31_lang_id" ->
       ("""SELECT doc_id,
         |  CASE
@@ -509,8 +630,9 @@ object SparkEntry {
         |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','ist','und','ein'], t))) AS de
         |  FROM documents)
         |ORDER BY doc_id""").stripMargin
-    // q26_simhash_pairs, q29_lsh_near_pairs, q30_multimodal_features,
-    // q32_rolling_hash: engine-internal sketches (hash-seed-dependent), not
-    // SQL-expressible → rows-only check by the driver.
+    // q26_simhash_pairs (hamming radius of a seeded sketch),
+    // q30_multimodal_features / q32_rolling_hash (xxhash64-derived values),
+    // q33_ivf_topk (approximate by construction; recall gated in tests):
+    // not SQL-expressible → rows-only check by the driver.
   )
 }

@@ -180,6 +180,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Exact token-set duplicate pairs found through the SimHash sketch: two
+   * documents with identical distinct-token sets have identical 64-bit
+   * sketches, so candidates come from a plain equi-join on the 8-byte sketch
+   * (one compact-key shuffle, no explode) and are then verified by exact
+   * token-set equality. Returns (id_a, id_b).
+   */
+  def simHashExactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      simHash(col(textCol)).as("sim"),
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
+    val slim = base.select(col("id"), col("sim"))
+    val cands = slim.as("l").join(slim.as("r"),
+        col("l.sim") === col("r.sim") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    cands
+      .join(base.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .filter(col("toks_a") === col("toks_b"))
+      .select("id_a", "id_b")
+  }
+
   /** Distinct word n-gram (shingle) set of a text column. */
   def ngramSet(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)

@@ -41,7 +41,29 @@ case class XmlRelation(
     val requested =
       if (requiredColumns.isEmpty) schema
       else StructType(requiredColumns.flatMap(c => schema.fields.find(_.name == c)))
-    StaxXmlParser.parse(baseRDD(), requested, options).asInstanceOf[RDD[Row]]
+    // Malformedness is defined against the full row: a pruned parse would
+    // never attempt the casts of unselected columns, silently changing what
+    // counts as corrupt. When the query observes malformedness — it selects
+    // the corrupt-record column, or the mode drops bad rows — parse the full
+    // schema and project afterwards.
+    val observesMalformed =
+      requiredColumns.contains(options.columnNameOfCorruptRecord) ||
+        options.parseMode == ParseMode.DropMalformed
+    if (!observesMalformed || requested.length == schema.length) {
+      StaxXmlParser.parse(baseRDD(), requested, options).asInstanceOf[RDD[Row]]
+    } else {
+      val full = schema
+      val idxs = requested.fieldNames.map(full.fieldIndex)
+      val types = idxs.map(i => full(i).dataType)
+      StaxXmlParser.parse(baseRDD(), full, options)
+        .map { row =>
+          val values = new Array[Any](idxs.length)
+          var i = 0
+          while (i < idxs.length) { values(i) = row.get(idxs(i), types(i)); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values):
+            org.apache.spark.sql.catalyst.InternalRow
+        }.asInstanceOf[RDD[Row]]
+    }
   }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

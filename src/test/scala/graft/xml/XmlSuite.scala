@@ -142,6 +142,32 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("malformedness is judged on the full row even under column pruning") {
+    val xml =
+      """<ROWSET>
+        |  <ROW><a>1</a><b>x</b></ROW>
+        |  <ROW><a>oops</a><b>y</b></ROW>
+        |</ROWSET>
+        |""".stripMargin
+    val path = writeFixture("malformed_pruned.xml", xml)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("_corrupt_record", StringType)))
+
+    // Selecting only the corrupt column must still attempt every cast.
+    val corrupt = spark.read.format("graft.xml").schema(schema)
+      .option("rowTag", "ROW").load(path)
+      .select("_corrupt_record").collect()
+    assert(corrupt.count(!_.isNullAt(0)) === 1)
+
+    // DROPMALFORMED must drop the bad row even when only `b` is selected.
+    val survivors = spark.read.format("graft.xml")
+      .schema(StructType(schema.dropRight(1)))
+      .option("rowTag", "ROW").option("mode", "DROPMALFORMED").load(path)
+      .select("b").collect()
+    assert(survivors.map(_.getString(0)).toSeq === Seq("x"))
+  }
+
   test("roundtrip write → read preserves typed values") {
     import spark.implicits._
     val df = Seq(
