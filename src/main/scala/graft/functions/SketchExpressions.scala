@@ -178,6 +178,87 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   override def prettyName: String = "sorted_long_jaccard"
 }
 
+/**
+ * Sorted distinct hashed word n-grams of a text column, in one primitive pass
+ * over the UTF-8 bytes — no token strings, no gram strings, no boxed
+ * intermediates. Token semantics mirror `split(trim(text), "\s+")` exactly:
+ * trim removes ASCII spaces only; a leading whitespace run yields an empty
+ * first token and a trailing run an empty last token (Java split, limit -1);
+ * separators are runs of ASCII whitespace (multi-byte UTF-8 chars never
+ * contain ASCII bytes, so byte scanning is safe). A gram's hash chains the
+ * XXH64 hashes of its n tokens, so two grams collide iff their token tuples
+ * match (modulo 64-bit hash collisions, as everywhere in this package).
+ *
+ * Exists because the straightforward HOF formulation is expensive enough that
+ * `InferFiltersFromGenerate` + predicate pushdown (which clone an explode's
+ * input expression into scan-level filters) dominate whole pipelines.
+ */
+case class HashedNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val bytes = trimmed.getBytes
+    val len = bytes.length
+    if (len == 0) return new GenericArrayData(Array.emptyLongArray)
+
+    // Token hashes: XXH64 over each token's bytes (seed 42).
+    var tokHashes = new Array[Long](math.max(8, len / 4))
+    var numToks = 0
+    def push(start: Int, end: Int): Unit = {
+      if (numToks == tokHashes.length) {
+        tokHashes = java.util.Arrays.copyOf(tokHashes, tokHashes.length * 2)
+      }
+      tokHashes(numToks) = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      numToks += 1
+    }
+    var i = 0
+    var start = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        push(start, i)
+        do i += 1 while (i < len && isWs(bytes(i)))
+        start = i
+      } else {
+        i += 1
+      }
+    }
+    push(start, len)
+
+    if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = numToks - n + 1
+    val grams = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(tokHashes(g + j), h); j += 1 }
+      grams(g) = h
+      g += 1
+    }
+    java.util.Arrays.sort(grams)
+    var out = 1
+    var k = 1
+    while (k < m) {
+      if (grams(k) != grams(k - 1)) { grams(out) = grams(k); out += 1 }
+      k += 1
+    }
+    new GenericArrayData(if (out == m) grams else java.util.Arrays.copyOf(grams, out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedNgrams =
+    copy(child = c)
+  override def prettyName: String = "hashed_ngrams"
+}
+
 object SketchFunctions {
   def sorted_long_jaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
@@ -187,4 +268,6 @@ object SketchFunctions {
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
   def array_jaccard(a: Column, b: Column): Column =
     Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
+  def hashed_ngrams(text: Column, n: Int): Column =
+    Bridge.column(HashedNgrams(Bridge.expression(text), n))
 }

@@ -43,13 +43,14 @@ object Dedup {
 
   /**
    * MinHash signature (length `numHashes`) over the distinct-token set.
-   * The i-th hash function is xxhash64 re-keyed by the seed index — an
+   * The i-th hash function is XXH64 re-keyed by the seed index — an
    * independent-enough family with no arithmetic that can overflow under
-   * ANSI mode. Single map pass, no shuffle.
+   * ANSI mode. Single map pass, no shuffle; token hashing uses the native
+   * one-byte-pass expression (min is order- and duplicate-insensitive, so
+   * the signature is a pure function of the token set).
    */
   def minHashSignature(text: Column, numHashes: Int): Column =
-    SketchFunctions.minhash_signature(
-      transform(tokenSet(text), t => xxhash64(t)), numHashes)
+    SketchFunctions.minhash_signature(hashedNgramSet(text, 1), numHashes)
 
   /**
    * LSH band buckets for a signature: `bands` rows of (band index, bucket
@@ -79,12 +80,14 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val base = df.select(
-      col(idCol).cast("long").as("id"),
-      // Hashed + sorted token set: verification joins then move 8-byte
-      // elements instead of strings, and Jaccard is a single merge pass.
-      array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("toks"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+    // Hashed + sorted token set: verification joins then move 8-byte
+    // elements instead of strings, and Jaccard is a single merge pass. The
+    // signature derives from the same token-hash array in a second projection
+    // so tokenization runs once per row.
+    val base = df
+      .select(col(idCol).cast("long").as("id"), hashedNgramSet(col(textCol), 1).as("toks"))
+      .select(col("id"), col("toks"),
+        SketchFunctions.minhash_signature(col("toks"), numHashes).as("sig"))
 
     // One row per (band, bucket) membership, carrying the signature so each
     // bucket can emit a pair exactly once: a pair is produced only by its
@@ -101,7 +104,28 @@ object Dedup {
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
       .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Array[Long])]) =>
         val band = key._1
-        val docs = iter.toArray.sortBy(_._3)
+        // Skew defense: duplicate-heavy corpora put thousands of identical
+        // documents in one (band, bucket) group. Rows are collapsed into
+        // distinct-signature groups as they stream in, so the task holds one
+        // signature plus an id list per distinct signature — never the full
+        // row set — and signature comparisons are O(groups²), not O(rows²).
+        val groups = new java.util.LinkedHashMap[Seq[Long], (Array[Long],
+          scala.collection.mutable.ArrayBuffer[Long])]()
+        iter.foreach { case (_, _, id, sig) =>
+          val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(sig)
+          val entry = groups.get(k)
+          if (entry == null) {
+            groups.put(k, (sig, scala.collection.mutable.ArrayBuffer(id)))
+          } else entry._2 += id
+        }
+        val gs = new Array[(Array[Long], Array[Long])](groups.size)
+        var gi = 0
+        val it = groups.values.iterator()
+        while (it.hasNext) {
+          val (sig, ids) = it.next()
+          gs(gi) = (sig, ids.toArray.sorted)
+          gi += 1
+        }
         // First band (< this one) on which the two signatures fully agree.
         def firstAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
           var k = 0
@@ -115,19 +139,27 @@ object Dedup {
           }
           band
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < docs.length) {
-          var j = i + 1
-          while (j < docs.length) {
-            if (firstAgreeingBand(docs(i)._4, docs(j)._4) == band) {
-              out += ((docs(i)._3, docs(j)._3))
-            }
-            j += 1
+        // Identical signatures agree on band 0, so within-group pairs are
+        // emitted exactly once, by the band-0 bucket. Output is a lazy
+        // iterator: a quadratic-sized true answer (all-duplicates corpus)
+        // streams out without ever materializing in task memory.
+        val within: Iterator[(Long, Long)] =
+          if (band != 0) Iterator.empty
+          else gs.iterator.flatMap { case (_, ids) =>
+            ids.indices.iterator.flatMap(i =>
+              (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
           }
-          i += 1
-        }
-        out.iterator
+        val across: Iterator[(Long, Long)] =
+          gs.indices.iterator.flatMap { i =>
+            (i + 1 until gs.length).iterator
+              .filter(j => firstAgreeingBand(gs(i)._1, gs(j)._1) == band)
+              .flatMap { j =>
+                val (as, bs) = (gs(i)._2, gs(j)._2)
+                as.iterator.flatMap(a => bs.iterator.map(b =>
+                  if (a < b) (a, b) else (b, a)))
+              }
+          }
+        within ++ across
       }
       .toDF("id_a", "id_b")
 
@@ -142,7 +174,7 @@ object Dedup {
 
   /** 64-bit SimHash over the distinct-token set (bit-vote sketch); map-side only. */
   def simHash(text: Column): Column =
-    SketchFunctions.simhash64(transform(tokenSet(text), t => xxhash64(t)))
+    SketchFunctions.simhash64(hashedNgramSet(text, 1))
 
   // shiftright/shiftleft with Column shift amounts exist only in SQL; wrap them.
   private def shiftrightunsigned_col(v: Column, amount: Column): Column =
@@ -214,10 +246,10 @@ object Dedup {
 
   /**
    * Exact n-gram Jaccard similarity pairs within a blocking key (e.g. source,
-   * language, or an LSH bucket). Quadratic only within each block — the
-   * standard way to bound exact-verification cost at scale.
+   * language, or an LSH bucket). Quadratic only within each block — use
+   * [[ngramJaccardPairs]] (prefix-filtered) unless blocks are known-small.
    */
-  def ngramJaccardPairs(
+  def ngramJaccardPairsQuadratic(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -232,5 +264,92 @@ object Dedup {
       .withColumn("jaccard", SketchFunctions.sorted_long_jaccard(col("l.grams"), col("r.grams")))
       .filter(col("jaccard") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Sorted distinct hashed n-gram set, computed without building gram
+   * strings: tokens are hashed once, and a gram's hash combines its n token
+   * hashes with one more xxhash64. Tokens are whitespace-free, so two grams
+   * are string-equal iff their token tuples are equal — equality semantics
+   * match hashing the space-joined gram text, at a fraction of the cost.
+   */
+  /**
+   * Sorted distinct hashed n-gram set — the native single-pass expression.
+   * Gram hashes combine per-token XXH64 hashes, so equality semantics match
+   * hashing the space-joined gram strings (tokens are whitespace-free).
+   */
+  def hashedNgramSet(text: Column, n: Int): Column =
+    SketchFunctions.hashed_ngrams(text, n)
+
+  /**
+   * Exact n-gram Jaccard similarity pairs by prefix filtering (AllPairs /
+   * PPJoin family), blocked by `blockCol`. Never quadratic in a block:
+   *
+   *  1. one aggregation computes global gram document-frequencies;
+   *  2. each document's grams are ordered rarest-first by (df, gram) — a
+   *     common total order — and only the first `|A| - ceil(t*|A|) + 1`
+   *     (the Jaccard prefix) are emitted as (block, gram) index rows. Any
+   *     pair with Jaccard >= t must share a gram in both prefixes, so the
+   *     equi-join on (block, gram) has perfect recall;
+   *  3. a length filter (`t*|A| <= |B| <= |A|/t`) prunes inside the join,
+   *     candidates are deduped on the id pair alone, and survivors are
+   *     verified with the exact merge-pass Jaccard.
+   *
+   * Rarest-first ordering keeps stop-gram rows out of the index, so the join
+   * fan-out tracks true near-duplicates rather than shared common phrases.
+   * All stages shuffle compact keys (8-byte gram hashes, 16-byte id pairs);
+   * the frequency-sort window shuffles by id — linear in corpus size. The
+   * verification stage melts candidate id pairs to single-id rows so the
+   * expensive gram-set computation runs once, not once per join side.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val base = df.select(
+      col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
+      hashedNgramSet(col(textCol), n).as("grams"))
+
+    val freq = base.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+
+    val exploded = base.select(col("blk"), col("id"),
+        size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+      .join(freq, "g")
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val prefix = exploded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+      .filter(col("rk") <= prefixLen)
+      .select("blk", "id", "sz", "g")
+
+    val candidates = prefix.as("l").join(prefix.as("r"),
+        col("l.g") === col("r.g") && col("l.blk") === col("r.blk") &&
+          col("l.id") < col("r.id") &&
+          col("r.sz") >= lit(threshold) * col("l.sz") &&
+          col("l.sz") >= lit(threshold) * col("r.sz"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    // Melt each candidate pair into two (pair, side, id) rows and resolve
+    // gram sets through ONE join against base, then pivot the two sides back
+    // together. Base's gram computation is the dominant cost at scale; this
+    // runs it once instead of once per pair side.
+    val sides = candidates.select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(lit(0).as("side"), col("id_a").as("id")),
+          struct(lit(1).as("side"), col("id_b").as("id")))).as("s"))
+      .select(col("id_a"), col("id_b"), col("s.side").as("side"), col("s.id").as("id"))
+    sides.join(base.select(col("id"), col("grams")), "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === 0, col("grams")), ignoreNulls = true).as("grams_a"),
+        first(when(col("side") === 1, col("grams")), ignoreNulls = true).as("grams_b"))
+      .withColumn("jaccard", SketchFunctions.sorted_long_jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 }

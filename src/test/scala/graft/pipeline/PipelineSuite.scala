@@ -44,6 +44,32 @@ class PipelineSuite extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 === 0))
   }
 
+  test("minhash survives a degenerate all-duplicates corpus") {
+    // 2,000 identical docs land in one (band, bucket) group for every band.
+    // The group must collapse to a single distinct signature (ids only in
+    // memory) and stream out exactly C(2000,2) pairs, each emitted once.
+    val n = 2000
+    val degen = (0 until n).map(i => (i.toLong, "all work and no play makes jack a dull boy"))
+      .toDF("doc_id", "text")
+    val cnt = Dedup.minHashDedupPairs(degen, "doc_id", "text", 0.9).count()
+    assert(cnt === n.toLong * (n - 1) / 2)
+  }
+
+  test("ngram prefix join matches the quadratic exact join") {
+    val extra = Seq(
+      (5L, "one two three four five six seven eight nine ten", "a"),
+      (6L, "one two three four five six seven eight nine zen", "a"),
+      (7L, "one two three four five six seven eight nine ten", "b")
+    ).toDF("doc_id", "text", "source")
+    val corpus = docs.unionAll(extra)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pre = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "source", 2, 0.3))
+    val quad = pairSet(Dedup.ngramJaccardPairsQuadratic(corpus, "doc_id", "text", "source", 2, 0.3))
+    assert(pre === quad)
+    assert(pre.nonEmpty)
+  }
+
   test("ngram jaccard within blocking key") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
