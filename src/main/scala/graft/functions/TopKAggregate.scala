@@ -26,6 +26,7 @@ case class TopKByScore(
     score: Expression,
     id: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
@@ -57,6 +58,19 @@ case class TopKByScore(
   private def add(
       buf: mutable.PriorityQueue[(Double, Long)],
       e: (Double, Long)): Unit = {
+    if (distinctIds) {
+      // Candidate generators that can score the same (group, id) twice —
+      // e.g. IVF multi-assignment, where a corpus vector lives in several
+      // cells — must not occupy two heap slots with one neighbor. k is
+      // small, so a linear membership scan beats a side index.
+      val existing = buf.find(_._2 == e._2)
+      if (existing.isDefined) {
+        if (existing.get._1 >= e._1) return
+        val kept = buf.dequeueAll.filterNot(_._2 == e._2)
+        buf.clear()
+        kept.foreach(buf.enqueue(_))
+      }
+    }
     if (buf.size < k) buf.enqueue(e)
     else if (worstFirst.compare(e, buf.head) < 0) { buf.dequeue(); buf.enqueue(e) }
   }
@@ -109,8 +123,8 @@ case class TopKByScore(
 
 object TopKFunctions {
   /** Top-k (score desc, id asc) entries per group, as array<struct<neighbor_id, sim>>. */
-  def topk_by_score(score: Column, id: Column, k: Int): Column =
+  def topk_by_score(score: Column, id: Column, k: Int, distinctIds: Boolean = false): Column =
     Bridge.column(TopKByScore(
       Bridge.expression(score.cast("double")),
-      Bridge.expression(id.cast("long")), k).toAggregateExpression())
+      Bridge.expression(id.cast("long")), k, distinctIds).toAggregateExpression())
 }

@@ -206,12 +206,25 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      replicas: Int = 1): DataFrame = {
+    require(replicas >= 1 && replicas <= nlist, "replicas must be in [1, nlist]")
     val cents = kmeansCentroids(corpus, corpusIdCol, vecCol, nlist)
 
-    val assigned = corpus
-      .select(col(corpusIdCol).as("c_id"), col(vecCol).as("c_v"))
-      .withColumn("cell", CentroidFunctions.nearest_centroid(col("c_v"), cents))
+    // Multi-assignment (`replicas` > 1) stores each corpus vector in its
+    // `replicas` nearest cells — the standard IVF remedy for cell-boundary
+    // recall loss: a neighbor just across a cell border is still found
+    // without widening every query's probe set. Storage and scan cost scale
+    // by `replicas`; the aggregate dedups neighbors that meet a query in
+    // more than one probed cell.
+    val slim = corpus.select(col(corpusIdCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned =
+      if (replicas == 1) {
+        slim.withColumn("cell", CentroidFunctions.nearest_centroid(col("c_v"), cents))
+      } else {
+        slim.withColumn("cell",
+          explode(CentroidFunctions.nearest_cells(col("c_v"), cents, replicas)))
+      }
 
     val probes = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("q_v"))
@@ -222,7 +235,8 @@ object Similarity {
       .filter(col("query_id") =!= col("c_id"))
       .groupBy("query_id")
       .agg(TopKFunctions.topk_by_score(
-        cosine(col("q_v"), col("c_v")), col("c_id"), k).as("topk"))
+        cosine(col("q_v"), col("c_v")), col("c_id"), k,
+        distinctIds = replicas > 1).as("topk"))
     explodeTopK(grouped)
   }
 

@@ -124,6 +124,24 @@ class PipelineSuite extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("ivf recall@5 >= 0.95 vs exact at q33 parameters") {
+    // The q33 operating point, gated against the exact oracle on the real
+    // sf0.001 embeddings. Also proves multi-assignment dedup: each query
+    // yields exactly k distinct neighbors even though replicas=3 scores
+    // some (query, neighbor) pairs in more than one probed cell.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRows = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding", 5,
+        nlist = 32, nprobe = 12, replicas = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfRows.length === ivfRows.toSet.size, "duplicate neighbors in ivf output")
+    assert(ivfRows.length === exact.size)
+    val recall = (exact & ivfRows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.95, s"ivf recall@5 $recall below gate")
+  }
+
   test("text stats and language id") {
     val stats = TextAnalysis.withTextStats(docs, "text")
     val r0 = stats.filter(col("doc_id") === 0).head()
