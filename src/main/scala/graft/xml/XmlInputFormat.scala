@@ -3,9 +3,9 @@ package graft.xml
 import java.io.{ByteArrayOutputStream, InputStream}
 import java.nio.charset.Charset
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{Path, Seekable}
 import org.apache.hadoop.io.{LongWritable, Text}
-import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.io.compress.{CodecPool, CompressionCodecFactory, Decompressor, SplittableCompressionCodec}
 import org.apache.hadoop.mapreduce.{InputSplit, JobContext, RecordReader, TaskAttemptContext}
 import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
 
@@ -20,8 +20,14 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
  * comment- and CDATA-awareness, and split-boundary handling done purely by
  * byte position (a record belongs to the split in which its opening `<`
  * lies; scanning continues past the split end to finish an open record).
- * Compressed inputs are read as one split per file; at scale, parallelism
- * comes from many files, which is how 100 TB XML corpora are laid out anyway.
+ *
+ * Block-compressed codecs that implement [[SplittableCompressionCodec]]
+ * (bzip2) are split too: the reader opens the stream in BYBLOCK mode, the
+ * split range snaps to compressed-block boundaries, and record ownership is
+ * decided by the compressed block position — a record belongs to the split
+ * whose block range contains the block it starts in. Stream codecs (gzip)
+ * remain one split per file; at scale, parallelism there comes from many
+ * files, which is how 100 TB XML corpora are laid out anyway.
  */
 class XmlInputFormat extends FileInputFormat[LongWritable, Text] {
 
@@ -32,7 +38,7 @@ class XmlInputFormat extends FileInputFormat[LongWritable, Text] {
 
   override def isSplitable(context: JobContext, file: Path): Boolean = {
     val codec = new CompressionCodecFactory(context.getConfiguration).getCodec(file)
-    codec == null
+    codec == null || codec.isInstanceOf[SplittableCompressionCodec]
   }
 }
 
@@ -55,6 +61,11 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
   private val currentValue = new Text
   private var finished = false
   private var openDelim = 0 // delimiter byte that ended the start-tag match
+  // Non-null for splittable compressed input: compressed-stream position,
+  // block-granular in BYBLOCK mode. Ownership checks then compare it (not
+  // the uncompressed `pos`) against the block-aligned split end.
+  private var compressedPos: Seekable = _
+  private var decompressor: Decompressor = _
 
   private var capture = true // false while skipping constructs between records
   private val buf = new Array[Byte](131072)
@@ -77,24 +88,47 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     val fs = file.getFileSystem(conf)
     val fsIn = fs.open(file)
     val codec = new CompressionCodecFactory(conf).getCodec(file)
-    if (codec == null) {
-      fsIn.seek(split.getStart)
-      splitStart = split.getStart
-      splitEnd = split.getStart + split.getLength
-      pos = splitStart
-      in = fsIn
-    } else {
-      // Whole compressed file as one split.
-      splitStart = 0L
-      splitEnd = Long.MaxValue
-      pos = 0L
-      in = codec.createInputStream(fsIn)
+    codec match {
+      case null =>
+        fsIn.seek(split.getStart)
+        splitStart = split.getStart
+        splitEnd = split.getStart + split.getLength
+        pos = splitStart
+        in = fsIn
+      case sc: SplittableCompressionCodec =>
+        // BYBLOCK: the stream starts at the first compressed block at or
+        // after split start and reports block-granular positions, so every
+        // block — and every record starting in it — is owned by exactly one
+        // split. Reading continues past the adjusted end to finish an open
+        // record (reference: XmlInputFormat.scala:89-120 semantics).
+        decompressor = CodecPool.getDecompressor(codec)
+        val cIn = sc.createInputStream(fsIn, decompressor,
+          split.getStart, split.getStart + split.getLength,
+          SplittableCompressionCodec.READ_MODE.BYBLOCK)
+        splitStart = cIn.getAdjustedStart
+        splitEnd = cIn.getAdjustedEnd
+        pos = 0L
+        compressedPos = cIn
+        in = cIn
+      case _ =>
+        // Stream codec (gzip): whole compressed file as one split.
+        decompressor = CodecPool.getDecompressor(codec)
+        splitStart = 0L
+        splitEnd = Long.MaxValue
+        pos = 0L
+        in = codec.createInputStream(fsIn, decompressor)
     }
   }
+
+  // Compressed-stream position as of the last buffer fill. BYBLOCK reads
+  // never span compressed-block boundaries, so this position is valid for
+  // every byte currently buffered.
+  private var streamPos = 0L
 
   private def fill(): Boolean = {
     bufLen = in.read(buf)
     bufPos = 0
+    if (compressedPos != null) streamPos = compressedPos.getPos
     bufLen > 0
   }
 
@@ -136,7 +170,11 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (b != -1) {
       if (b == '<') {
         val tagStart = pos - 1
-        if (tagStart >= splitEnd) return -1
+        if (compressedPos != null) {
+          // Block-granular ownership: once the stream has moved past the
+          // adjusted split end, new records belong to the next split.
+          if (streamPos > splitEnd) return -1
+        } else if (tagStart >= splitEnd) return -1
         var i = 1
         var matched = true
         var bb = 0
@@ -352,8 +390,16 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
 
   override def getCurrentKey: LongWritable = currentKey
   override def getCurrentValue: Text = currentValue
-  override def getProgress: Float =
+  override def getProgress: Float = {
+    val cur = if (compressedPos != null) streamPos else pos
     if (splitEnd <= splitStart) 1.0f
-    else math.min(1.0f, (pos - splitStart).toFloat / (splitEnd - splitStart).toFloat)
-  override def close(): Unit = if (in != null) in.close()
+    else math.min(1.0f, (cur - splitStart).toFloat / (splitEnd - splitStart).toFloat)
+  }
+  override def close(): Unit = {
+    try if (in != null) in.close()
+    finally if (decompressor != null) {
+      CodecPool.returnDecompressor(decompressor)
+      decompressor = null
+    }
+  }
 }

@@ -257,6 +257,44 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 3)
   }
 
+  test("bzip2 compressed input splits by block and loses nothing") {
+    // ~4 MB of semi-random records → several 900 KB bzip2 blocks. With a
+    // small max split size the file must fan out to >1 non-empty partition
+    // (BYBLOCK splitting), and the id set must come back exactly — records
+    // straddling block boundaries are neither lost nor duplicated.
+    val n = 40000
+    val rnd = new scala.util.Random(7)
+    val sb = new StringBuilder(5 << 20)
+    sb.append("<rows>\n")
+    (0 until n).foreach { i =>
+      sb.append(s"<row><id>$i</id><v>${rnd.alphanumeric.take(64).mkString}</v></row>\n")
+    }
+    sb.append("</rows>\n")
+    val f = tmp.resolve("big.xml.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val os = codec.createOutputStream(Files.newOutputStream(f))
+    os.write(sb.toString.getBytes("UTF-8")); os.close()
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
+    conf.set("mapreduce.input.fileinputformat.split.maxsize", "65536")
+    try {
+      val df = spark.read.format("graft.xml").option("rowTag", "row")
+        .schema("id LONG, v STRING").load(f.toString)
+      val perPart = df.select("id").rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size))).collect()
+      assert(perPart.count(_._2 > 0) >= 2,
+        s"expected multiple non-empty splits, got ${perPart.mkString(",")}")
+      val ids = df.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.length === n)
+      assert(ids.toSeq === (0 until n).map(_.toLong))
+    } finally {
+      if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else conf.set("mapreduce.input.fileinputformat.split.maxsize", old)
+    }
+  }
+
   test("from_xml parses a string column; malformed → null struct") {
     import spark.implicits._
     val df = Seq(
