@@ -46,6 +46,14 @@ class XmlOptions(@transient private val raw: Map[String, String]) extends Serial
   val timestampFormat: Option[String] = get("timestampFormat")
   val dateFormat: Option[String] = get("dateFormat")
   val timezone: Option[String] = get("timezone")
+  /**
+   * Raw-record substring pre-filtering for pushed-down string predicates
+   * (skip the whole StAX parse when a record cannot match). Sound for any
+   * writer that escapes only the five XML-special characters; disable for
+   * documents that encode ordinary ASCII as numeric character references
+   * (&#65; for 'A'), where a substring test could miss a match.
+   */
+  val rawFilterPushdown: Boolean = get("rawFilterPushdown").forall(_.toBoolean)
 
   require(rowTag.nonEmpty, "'rowTag' option must not be empty")
   require(rootTag.nonEmpty, "'rootTag' option must not be empty")

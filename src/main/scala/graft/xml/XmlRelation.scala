@@ -7,20 +7,88 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 /**
+ * Compiles pushed-down [[Filter]]s into a conjunction of required-substring
+ * groups over the RAW record text: a record that contains no member of some
+ * group cannot produce a matching row, so the whole StAX parse is skipped.
+ * Strictly a necessary-condition pre-test — every filter is also declared
+ * unhandled, so Spark re-evaluates all of them above the scan and a false
+ * KEEP costs only the parse it would have cost anyway.
+ *
+ * Only predicates whose match implies a verbatim substring are compiled:
+ * equality / contains / prefix / suffix / IN on top-level string fields,
+ * with values made only of printable ASCII that XML never escapes. Values a
+ * writer could legally encode differently (the five specials, non-ASCII)
+ * are left out, so the pre-test never false-drops for standard-escaping
+ * writers; `rawFilterPushdown=false` opts out entirely for documents using
+ * numeric character references on ordinary ASCII.
+ *
+ * (The reference declines filter pushdown — XmlRelation.scala:34-36; this
+ * is a deliberate improvement for scan-heavy selective queries.)
+ */
+private[xml] object RawRecordFilter {
+
+  private def substringSafe(v: String): Boolean =
+    v != null && v.nonEmpty &&
+      v.forall(c => c >= 0x20 && c < 0x7f &&
+        c != '&' && c != '<' && c != '>' && c != '"' && c != '\'')
+
+  /** Conjunction of disjunction-groups; empty = no usable pre-filter. */
+  def compile(filters: Array[Filter], schema: StructType, options: XmlOptions): Array[Array[String]] = {
+    def stringField(name: String): Boolean =
+      name != options.columnNameOfCorruptRecord &&
+        schema.fields.exists(f => f.name == name && f.dataType == StringType)
+
+    def groups(f: Filter): Option[Seq[Seq[String]]] = f match {
+      case EqualTo(a, v: String) if stringField(a) && substringSafe(v) =>
+        Some(Seq(Seq(v)))
+      case StringContains(a, v) if stringField(a) && substringSafe(v) =>
+        Some(Seq(Seq(v)))
+      case StringStartsWith(a, v) if stringField(a) && substringSafe(v) =>
+        Some(Seq(Seq(v)))
+      case StringEndsWith(a, v) if stringField(a) && substringSafe(v) =>
+        Some(Seq(Seq(v)))
+      case In(a, vs) if stringField(a) && vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[String] && substringSafe(v.asInstanceOf[String])) =>
+        Some(Seq(vs.map(_.asInstanceOf[String]).toSeq))
+      case And(l, r) =>
+        // Both sides must hold, so either side's requirements stand alone.
+        (groups(l), groups(r)) match {
+          case (Some(a), Some(b)) => Some(a ++ b)
+          case (a @ Some(_), None) => a
+          case (None, b) => b
+        }
+      case Or(l, r) =>
+        // Only mergeable when each side is a single group; a lost side would
+        // wrongly strengthen the condition.
+        for {
+          a <- groups(l) if a.lengthCompare(1) == 0
+          b <- groups(r) if b.lengthCompare(1) == 0
+        } yield Seq(a.head ++ b.head)
+      case _ => None
+    }
+
+    filters.iterator.flatMap(f => groups(f).getOrElse(Nil))
+      .map(_.toArray).toArray
+  }
+}
+
+/**
  * The XML-backed relational table: a directory/glob of XML files plus a
  * `rowTag` (reference: src/main/scala/com/databricks/spark/xml/XmlRelation.scala:29-84).
  *
- * `PrunedScan` pushes the projection into the scan: the parser receives a
- * sub-schema and skips every subtree it doesn't mention, so a 2-column
- * projection over a 100-column document never materializes the other 98.
- * All other relational work (filters, joins, aggregates, windows, …) is
+ * `PrunedFilteredScan` pushes projection and filters into the scan: the
+ * parser receives a sub-schema and skips every subtree it doesn't mention,
+ * so a 2-column projection over a 100-column document never materializes
+ * the other 98; pushed string predicates become a raw-substring pre-test
+ * ([[RawRecordFilter]]) that skips the StAX parse of records that cannot
+ * match. All other relational work (joins, aggregates, windows, …) is
  * planned by Catalyst above this scan.
  */
 case class XmlRelation(
     location: String,
     parameters: Map[String, String],
     userSchema: Option[StructType])(@transient val sqlContext: SQLContext)
-  extends BaseRelation with PrunedScan with InsertableRelation {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val options = XmlOptions(parameters)
 
@@ -37,10 +105,25 @@ case class XmlRelation(
   // per-row external->internal conversion above the scan.
   override def needConversion: Boolean = false
 
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+  // The raw pre-test is a necessary condition only; Spark must re-evaluate
+  // every filter above the scan.
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val requested =
       if (requiredColumns.isEmpty) schema
       else StructType(requiredColumns.flatMap(c => schema.fields.find(_.name == c)))
+    // FAILFAST must see every record: a pre-dropped malformed record would
+    // let a query succeed that is contractually required to throw.
+    val preGroups =
+      if (options.rawFilterPushdown && options.parseMode != ParseMode.FailFast) {
+        RawRecordFilter.compile(filters, schema, options)
+      } else Array.empty[Array[String]]
+    def rawRecords(): RDD[String] = {
+      val raw = baseRDD()
+      if (preGroups.isEmpty) raw
+      else raw.filter(rec => preGroups.forall(g => g.exists(rec.contains)))
+    }
     // Malformedness is defined against the full row: a pruned parse would
     // never attempt the casts of unselected columns, silently changing what
     // counts as corrupt. When the query observes malformedness — it selects
@@ -50,12 +133,12 @@ case class XmlRelation(
       requiredColumns.contains(options.columnNameOfCorruptRecord) ||
         options.parseMode == ParseMode.DropMalformed
     if (!observesMalformed || requested.length == schema.length) {
-      StaxXmlParser.parse(baseRDD(), requested, options).asInstanceOf[RDD[Row]]
+      StaxXmlParser.parse(rawRecords(), requested, options).asInstanceOf[RDD[Row]]
     } else {
       val full = schema
       val idxs = requested.fieldNames.map(full.fieldIndex)
       val types = idxs.map(i => full(i).dataType)
-      StaxXmlParser.parse(baseRDD(), full, options)
+      StaxXmlParser.parse(rawRecords(), full, options)
         .map { row =>
           val values = new Array[Any](idxs.length)
           var i = 0
