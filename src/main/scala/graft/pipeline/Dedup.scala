@@ -89,52 +89,61 @@ object Dedup {
       .select(col("id"), col("toks"),
         SketchFunctions.minhash_signature(col("toks"), numHashes).as("sig"))
 
-    // One row per (band, bucket) membership, carrying the signature so each
-    // bucket can emit a pair exactly once: a pair is produced only by its
-    // *first* agreeing band. This removes the classic LSH blow-up where a
-    // near-duplicate pair is emitted by most of its bands and needs a
-    // many-times-larger distinct() shuffle afterwards (9× here).
+    // One row per (band, bucket) membership, carrying the row's full array
+    // of band-bucket hashes so each bucket can emit a pair exactly once: a
+    // pair is produced only by its *first* agreeing band. This removes the
+    // classic LSH blow-up where a near-duplicate pair is emitted by most of
+    // its bands and needs a many-times-larger distinct() shuffle afterwards
+    // (9× here). Agreement is judged on the band HASHES — the same values
+    // that define bucket membership, so the scheme stays self-consistent —
+    // which ships `bands` longs per row through the shuffle instead of the
+    // `numHashes`-long signature (4× less here).
+    // The generator argument stays an inline expression on purpose: given a
+    // bare attribute, InferFiltersFromGenerate adds a size()>0 filter that
+    // predicate pushdown then inlines through every projection, re-running
+    // the whole signature pipeline per row at the scan.
+    val bucketsOf = transform(sequence(lit(0), lit(bands - 1)),
+      i => xxhash64(slice(col("sig"), i * r + 1, lit(r))))
     val banded = base
-      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("id"), col("sig"))
-      .as[(Int, Long, Long, Array[Long])]
+      .select(posexplode(bucketsOf).as(Seq("band", "bucket")),
+        col("id"), bucketsOf.as("bs"))
 
+    // Column-keyed grouping (not groupByKey with a closure): the shuffle
+    // moves UnsafeRows as-is and rows deserialize to tuples only inside
+    // flatMapGroups, instead of a per-row deserialize/reserialize round
+    // trip before the exchange just to extract the key.
     val candidates = banded
-      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .groupBy(col("band"), col("bucket"))
+      .as[(Int, Long), (Int, Long, Long, Array[Long])]
       .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Array[Long])]) =>
         val band = key._1
         // Skew defense: duplicate-heavy corpora put thousands of identical
         // documents in one (band, bucket) group. Rows are collapsed into
-        // distinct-signature groups as they stream in, so the task holds one
-        // signature plus an id list per distinct signature — never the full
-        // row set — and signature comparisons are O(groups²), not O(rows²).
+        // distinct-band-hash groups as they stream in, so the task holds one
+        // hash array plus an id list per distinct shape — never the full
+        // row set — and pair comparisons are O(groups²), not O(rows²).
         val groups = new java.util.LinkedHashMap[Seq[Long], (Array[Long],
           scala.collection.mutable.ArrayBuffer[Long])]()
-        iter.foreach { case (_, _, id, sig) =>
-          val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(sig)
+        iter.foreach { case (_, _, id, bs) =>
+          val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(bs)
           val entry = groups.get(k)
           if (entry == null) {
-            groups.put(k, (sig, scala.collection.mutable.ArrayBuffer(id)))
+            groups.put(k, (bs, scala.collection.mutable.ArrayBuffer(id)))
           } else entry._2 += id
         }
         val gs = new Array[(Array[Long], Array[Long])](groups.size)
         var gi = 0
         val it = groups.values.iterator()
         while (it.hasNext) {
-          val (sig, ids) = it.next()
-          gs(gi) = (sig, ids.toArray.sorted)
+          val (bs, ids) = it.next()
+          gs(gi) = (bs, ids.toArray.sorted)
           gi += 1
         }
-        // First band (< this one) on which the two signatures fully agree.
+        // First band (< this one) on which the two rows' band hashes agree.
         def firstAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
           var k = 0
           while (k < band) {
-            var eq = true
-            var p = k * r
-            val end = p + r
-            while (eq && p < end) { if (a(p) != b(p)) eq = false else p += 1 }
-            if (eq) return k
+            if (a(k) == b(k)) return k
             k += 1
           }
           band

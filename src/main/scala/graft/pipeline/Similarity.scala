@@ -112,11 +112,21 @@ object Similarity {
         math.min(512, math.max(16, t.toInt))
       }
 
-    val withBuckets = base.select(col("id"),
-      CentroidFunctions.sign_lsh_buckets(col("v"), nTables, planes, dim, seed).as("bs"))
     // Only (id, t, b) survives into the join — the bucket array is consumed
-    // by the generator and never shuffled.
-    val exploded = withBuckets.select(col("id"), posexplode(col("bs")).as(Seq("t", "b")))
+    // by the generator and never shuffled. The generator argument stays an
+    // inline expression: a bare attribute would trip InferFiltersFromGenerate
+    // + predicate pushdown into re-running the bucket computation per row in
+    // a scan-level filter.
+    //
+    // The explicit repartition pins join parallelism: the self-join's INPUT
+    // is tiny (20-byte rows) but its OUTPUT is the candidate set, so AQE's
+    // input-size-based coalescing would otherwise collapse the bucket join
+    // onto a handful of tasks. Partitioning once by (t, b) also means both
+    // join sides reuse a single exchange.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val exploded = base.select(col("id"), posexplode(
+        CentroidFunctions.sign_lsh_buckets(col("v"), nTables, planes, dim, seed)).as(Seq("t", "b")))
+      .repartition(parts, col("t"), col("b"))
 
     val candidates = exploded.as("l").join(exploded.as("r"),
         col("l.t") === col("r.t") && col("l.b") === col("r.b") &&
