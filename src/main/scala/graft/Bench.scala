@@ -18,11 +18,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // Local small-SF harness: AQE's input-size-based partition coalescing
-      // collapses explosive-output stages (LSH bucket joins emit 17x their
-      // input) onto one task. On a real cluster the inputs are large enough
-      // that this never bites; here it serializes the benchmark.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -104,9 +104,18 @@ object Dedup {
     // the whole signature pipeline per row at the scan.
     val bucketsOf = transform(sequence(lit(0), lit(bands - 1)),
       i => xxhash64(slice(col("sig"), i * r + 1, lit(r))))
+    // The explicit repartition pins the bucket-stage parallelism: the
+    // exchange input is compact membership rows but flatMapGroups emits the
+    // candidate-pair set (orders of magnitude larger on duplicate-heavy
+    // corpora), so AQE's input-size-based coalescing would otherwise run
+    // the emission and everything above it on a handful of tasks. A
+    // user-specified repartition is exempt from coalescing, and grouping by
+    // the same columns reuses it instead of adding an exchange.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val banded = base
       .select(posexplode(bucketsOf).as(Seq("band", "bucket")),
         col("id"), bucketsOf.as("bs"))
+      .repartition(parts, col("band"), col("bucket"))
 
     // Column-keyed grouping (not groupByKey with a closure): the shuffle
     // moves UnsafeRows as-is and rows deserialize to tuples only inside

@@ -260,7 +260,11 @@ object Similarity {
       vecCol: String,
       threshold: Double): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
+    // The stream side drives nested-loop-join parallelism; a small corpus
+    // read as one parquet partition would otherwise score every pair on a
+    // single task.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    base.repartition(parts).as("l").join(base.as("r"), col("l.id") < col("r.id"))
       .withColumn("sim", cosine(col("l.v"), col("r.v")))
       .filter(col("sim") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
