@@ -274,6 +274,75 @@ object SparkEntry {
       perm.unionAll(drop).orderBy("mode")
     }),
 
+    "q37_xsd_validation" -> ((s, d) => {
+      // Per-row XSD validation (A12) routed through DROPMALFORMED: every 7th
+      // record omits the required <p> element and must be dropped.
+      val recs = t(s, d, "orders").select(
+        when(col("o_orderkey") % 7 === 0,
+          concat(lit("<order><k>"), col("o_orderkey"), lit("</k></order>")))
+          .otherwise(concat(lit("<order><k>"), col("o_orderkey"),
+            lit("</k><p>"), col("o_orderpriority"), lit("</p></order>")))
+          .as("value"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/xsd_validation"
+      recs.write.mode("overwrite").text(path)
+      val xsdPath = s"/tmp/graft_xml/$sfName/order.xsd"
+      val xsd =
+        """<?xml version="1.0"?>
+          |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          |  <xs:element name="order">
+          |    <xs:complexType>
+          |      <xs:sequence>
+          |        <xs:element name="k" type="xs:long"/>
+          |        <xs:element name="p" type="xs:string"/>
+          |      </xs:sequence>
+          |    </xs:complexType>
+          |  </xs:element>
+          |</xs:schema>""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(xsdPath),
+        xsd.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.format("graft.xml").option("rowTag", "order")
+        .option("mode", "DROPMALFORMED")
+        .option("rowValidationXSDPath", xsdPath)
+        .schema(StructType(Seq(
+          StructField("k", LongType), StructField("p", StringType))))
+        .load(path)
+        .agg(count(lit(1)).as("valid_cnt"))
+    }),
+
+    "q38_from_xml_string" -> ((s, d) => {
+      // Driver-side single-string parse (A10): the parsed values join a
+      // table aggregate so the oracle can state them as literals.
+      val st = StructType(Seq(
+        StructField("k", LongType), StructField("p", StringType)))
+      val row = graft.xml.from_xml_string("<o><k>42</k><p>urgent</p></o>", st)
+      t(s, d, "orders").agg(count(lit(1)).as("cnt"))
+        .select(lit(row.getLong(0)).as("k"), lit(row.getString(1)).as("p"), col("cnt"))
+    }),
+
+    "q39_insert_overwrite" -> ((s, d) => {
+      // INSERT OVERWRITE through InsertableRelation (A7), read back schema'd.
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/insert_target"
+      t(s, d, "nation").limit(1).select(col("n_nationkey"), col("n_name"))
+        .write.format("graft.xml").mode("overwrite").option("rowTag", "n").save(path)
+      // Explicit view schema: inference canonicalizes field order by name,
+      // which would flip the positional column mapping of the INSERT.
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW q39_target
+           |(n_nationkey INT, n_name STRING)
+           |USING xmlng
+           |OPTIONS (path "$path", rowTag "n")""".stripMargin)
+      t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("q39_src")
+      s.sql("INSERT OVERWRITE TABLE q39_target SELECT * FROM q39_src")
+      s.read.format("graft.xml").option("rowTag", "n")
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType), StructField("n_name", StringType))))
+        .load(path)
+        .orderBy("n_nationkey")
+    }),
+
     "q35_explode_lineitems" -> ((s, d) => {
       // array<struct> through the XML sink/source, then explode + re-aggregate.
       val items = t(s, d, "lineitem")
@@ -513,6 +582,17 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderkey % 10 = 0) AS corrupt_cnt
         |FROM orders
         |ORDER BY mode""".stripMargin,
+
+    "q37_xsd_validation" ->
+      """SELECT count(*) FILTER (WHERE o_orderkey % 7 <> 0) AS valid_cnt
+        |FROM orders""".stripMargin,
+
+    "q38_from_xml_string" ->
+      """SELECT CAST(42 AS BIGINT) AS k, 'urgent' AS p, count(*) AS cnt
+        |FROM orders""".stripMargin,
+
+    "q39_insert_overwrite" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
 
     "q35_explode_lineitems" ->
       """SELECT l_orderkey AS o_orderkey, count(*) AS item_cnt,
