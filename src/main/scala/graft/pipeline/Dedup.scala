@@ -25,10 +25,6 @@ import graft.functions.SketchFunctions
  */
 object Dedup {
 
-  /** Distinct word tokens of a text column. */
-  def tokenSet(text: Column): Column =
-    array_distinct(TextAnalysis.tokens(text))
-
   /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("digest"))
@@ -51,15 +47,6 @@ object Dedup {
    */
   def minHashSignature(text: Column, numHashes: Int): Column =
     SketchFunctions.minhash_signature(hashedNgramSet(text, 1), numHashes)
-
-  /**
-   * LSH band buckets for a signature: `bands` rows of (band index, bucket
-   * hash of the band's slice). hamming-style banding: two documents collide
-   * in some band iff their signatures agree on that band's `r` positions.
-   */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      i => struct(i.as("band"), xxhash64(slice(sig, i * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
   /**
    * Near-duplicate pairs by MinHash LSH with exact Jaccard verification.

@@ -29,10 +29,23 @@ private[graft] object ValidatorUtil {
     })
   }
 
+  // Validators are not thread-safe, but building one compiles a whole
+  // validation pipeline — far more than a record parse. Each task thread
+  // reuses one validator per compiled schema (reset() between records);
+  // the map is bounded by the number of distinct XSDs in the JVM.
+  private val validators = new ThreadLocal[java.util.IdentityHashMap[Schema, Validator]] {
+    override def initialValue() = new java.util.IdentityHashMap[Schema, Validator]()
+  }
+
   /** Validates one record; throws on violation (routed through parse modes). */
   def validate(schema: Schema, record: String): Unit = {
-    // Validators are not thread-safe and cheap to create relative to a parse.
-    val v: Validator = schema.newValidator()
+    val perThread = validators.get()
+    var v = perThread.get(schema)
+    if (v == null) {
+      v = schema.newValidator()
+      perThread.put(schema, v)
+    }
+    v.reset()
     v.validate(new StreamSource(new StringReader(record)))
   }
 }
