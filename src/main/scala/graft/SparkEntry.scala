@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -441,6 +441,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q40_sessionize" -> ((s, d) => {
+      // Gap-based sessionization via session_window (same operator runs in
+      // Structured Streaming with a watermark; see StreamingSessionSuite).
+      val events = t(s, d, "events")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      Sessionize.sessions(events, "user_id", "ts", "30 minutes",
+        Seq("sum_value" -> sum(dec3(col("value"))).cast("double")))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q30_multimodal_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("payload", to_binary(col("text"), lit("utf-8")))
@@ -695,6 +705,26 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.toks = b.toks
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Spark session semantics: an event at exactly prev_ts + gap starts a NEW
+    // session (windows are [start, end)), hence the strict < in the oracle.
+    "q40_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q31_lang_id" ->
       ("""SELECT doc_id,

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+/**
+ * The q40 sessionization operator running as a stream: same
+ * `Sessionize.sessions` call, fed by a file stream with a watermark.
+ * Sessions are emitted in append mode once the watermark passes their
+ * close — bounded state, no hand-rolled mapGroupsWithState.
+ */
+class StreamingSessionSuite extends AnyFunSuite {
+
+  test("session_window sessionization runs incrementally with a watermark") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-sessions")
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    // user 1: two events 5 min apart (one session), then 2h silence;
+    // user 2: one event.
+    Files.writeString(in.resolve("b1.csv"),
+      """1,2024-01-01T00:00:00Z
+        |1,2024-01-01T00:05:00Z
+        |2,2024-01-01T00:10:00Z
+        |""".stripMargin)
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val events = spark.readStream.schema(schema).csv(in.toString)
+      .withWatermark("ts", "10 minutes")
+    val sessions = Sessionize.sessions(events, "user_id", "ts", "30 minutes")
+
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // Advance event time far enough that the watermark closes everything.
+      Files.writeString(in.resolve("b2.csv"), "3,2024-01-01T06:00:00Z\n")
+      query.processAllAvailable()
+      Files.writeString(in.resolve("b3.csv"), "3,2024-01-01T12:00:00Z\n")
+      query.processAllAvailable()
+
+      val rows = spark.table("sessions_out")
+        .select("user_id", "events").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.contains((1L, 2L))) // merged session of two events
+      assert(rows.contains((2L, 1L)))
+    } finally {
+      query.stop()
+    }
+  }
+}
