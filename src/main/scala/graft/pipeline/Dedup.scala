@@ -25,6 +25,58 @@ import graft.functions.SketchFunctions
  */
 object Dedup {
 
+  /**
+   * Streaming exact dedup with custom state: the first row per key passes,
+   * later rows — in the same micro-batch or any later one inside the
+   * horizon — are dropped. `flatMapGroupsWithState` keeps one boolean per
+   * key, expired `horizonMs` past the event-time watermark, so state stays
+   * bounded on an unbounded keyspace and the behavior is deterministic on
+   * replay (the horizon is measured in event time, not wall clock). The
+   * streaming input must carry a watermark; a batch frame runs the same
+   * code with state starting empty.
+   */
+  def dropDuplicatesStateful(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      horizonMs: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(df.schema)
+    df.groupByKey((r: Row) => r.getLong(keyIdx))(Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty
+          } else {
+            val first = rows.next()
+            var maxTs = first.getTimestamp(tsIdx).getTime
+            while (rows.hasNext) {
+              val t = rows.next().getTimestamp(tsIdx).getTime
+              if (t > maxTs) maxTs = t
+            }
+            state.update(true)
+            // Expiry anchored to the record's EVENT time (not the current
+            // watermark — that would expire state the moment the watermark
+            // jumps past a fixed offset). Clamped above the watermark, as
+            // setTimeoutTimestamp requires; batch runs have no watermark and
+            // never time out, so the call is skipped there.
+            val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+            if (wm >= 0) {
+              state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+            }
+            Iterator.single(first)
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+      .toDF(df.columns: _*)
+  }
+
   /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("digest"))

@@ -16,6 +16,55 @@ import graft.xml.SparkTestSession
  */
 class StreamingSessionSuite extends AnyFunSuite {
 
+  test("stateful dedup drops duplicate keys across micro-batches") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-statededup")
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("b1.csv"),
+      """1,a,2024-01-01T00:00:00Z
+        |2,b,2024-01-01T00:00:05Z
+        |1,dup-in-batch,2024-01-01T00:00:10Z
+        |""".stripMargin)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val docs = spark.readStream.schema(schema).csv(in.toString)
+      .withWatermark("ts", "10 seconds")
+    val deduped = Dedup.dropDuplicatesStateful(docs, "doc_id", "ts", 3600L * 1000)
+
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // Second batch: 1 and 2 repeat (state must drop them), 3 is new.
+      Files.writeString(in.resolve("b2.csv"),
+        """1,dup-later,2024-01-01T00:01:00Z
+          |3,c,2024-01-01T00:01:05Z
+          |2,dup-later,2024-01-01T00:01:10Z
+          |""".stripMargin)
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(rows.map(_._1) === Seq(1L, 2L, 3L))
+      assert(rows.contains((1L, "a")) && rows.contains((2L, "b")) && rows.contains((3L, "c")))
+    } finally {
+      query.stop()
+    }
+  }
+
+  test("stateful dedup also runs on a batch frame") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    val out = Dedup.dropDuplicatesStateful(df, "doc_id", "ts", 3600L * 1000)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
   test("session_window sessionization runs incrementally with a watermark") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-sessions")
