@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+/**
+ * Equivalence properties the native gram path depends on:
+ *
+ *  1. `HashedNgrams` must induce the same gram-set EQUALITY semantics as the
+ *     higher-order-function formulation (`split(trim(text), "\s+")` →
+ *     distinct n-gram strings): same set sizes, same intersections — the
+ *     hashes differ, Jaccard values must not.
+ *  2. The prefix-filtered similarity join must return exactly the quadratic
+ *     join's pairs on randomized corpora (perfect recall of the prefix
+ *     filter, not just on the fixture corpus).
+ */
+class NgramPropertySuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xbeef)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "z9", "the", "of")
+
+  private def randomDoc(): String = {
+    val n = rnd.nextInt(12)
+    val seps = Vector(" ", "  ", "\t", "\n", " \t ")
+    val sb = new StringBuilder
+    // adversarial leading/trailing whitespace mixes
+    if (rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+    (0 until n).foreach { i =>
+      if (i > 0) sb.append(seps(rnd.nextInt(seps.length)))
+      sb.append(vocab(rnd.nextInt(vocab.length)))
+    }
+    if (rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+    sb.toString
+  }
+
+  test("hashed n-gram sets match the HOF formulation's sizes and overlaps") {
+    for (n <- Seq(1, 2, 3)) {
+      val docs = (0 until 200).map(i => (i.toLong, randomDoc())).toDF("id", "text")
+      // HOF reference: distinct n-gram strings of split(trim(text), "\s+")
+      val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val hofGrams = array_distinct(
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      val both = docs.select(col("id"),
+        size(Dedup.hashedNgramSet(col("text"), n)).as("native_sz"),
+        size(hofGrams).as("hof_sz"))
+      val mismatch = both.filter(col("native_sz") =!= col("hof_sz")).count()
+      assert(mismatch === 0, s"n=$n gram-set size mismatch")
+
+      // pairwise intersection sizes must also agree (equality semantics):
+      // compare native sorted-hash Jaccard against string-set Jaccard.
+      val g = docs.select(col("id"),
+        Dedup.hashedNgramSet(col("text"), n).as("ng"), hofGrams.as("sg"))
+      val pairs = g.as("l").join(g.as("r"), col("l.id") < col("r.id"))
+        .select(
+          graft.functions.SketchFunctions.sorted_long_jaccard(col("l.ng"), col("r.ng")).as("jn"),
+          graft.functions.SketchFunctions.array_jaccard(col("l.sg"), col("r.sg")).as("js"))
+      val bad = pairs.filter(abs(col("jn") - col("js")) > 1e-12).count()
+      assert(bad === 0, s"n=$n Jaccard disagreement between native and HOF gram sets")
+    }
+  }
+
+  test("prefix-filtered join equals quadratic join on randomized corpora") {
+    for (trial <- 0 until 3) {
+      val docs = (0 until 120).map { i =>
+        val blk = s"s${i % 3}"
+        (i.toLong, randomDoc(), blk)
+      }.toDF("doc_id", "text", "source")
+      for (t <- Seq(0.2, 0.5, 0.8)) {
+        def pairSet(df: org.apache.spark.sql.DataFrame) =
+          df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pre = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, t))
+        val quad = pairSet(Dedup.ngramJaccardPairsQuadratic(docs, "doc_id", "text", "source", 2, t))
+        assert(pre === quad, s"trial=$trial t=$t: prefix ${pre.size} vs quad ${quad.size}")
+      }
+    }
+  }
+}
