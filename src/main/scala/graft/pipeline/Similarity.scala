@@ -85,6 +85,14 @@ object Similarity {
    * at the re-rank threshold: T = ⌈ln(1−R)/ln(1−p^planes)⌉. Lower
    * thresholds therefore cost more tables — that's the LSH trade, made
    * explicit instead of silently losing recall.
+   *
+   * The corpus size for auto-sizing comes from `nHint` when the caller knows
+   * it, else from Catalyst plan statistics (row count if present, else a
+   * size-in-bytes estimate), and only as a last resort from an extra
+   * `count()` pass — at 100 TB that pass is a full scan, and planes only
+   * need order-of-magnitude n (a misestimate shifts bucket occupancy;
+   * `tables` re-solves from `recallTarget` at whatever planes came out, so
+   * the recall bar holds either way).
    */
   def lshNearPairs(
       df: DataFrame,
@@ -95,13 +103,14 @@ object Similarity {
       numPlanes: Int = 0,
       tables: Int = 0,
       recallTarget: Double = 0.999,
-      seed: Long = 0xc0ffee00L): DataFrame = {
+      seed: Long = 0xc0ffee00L,
+      nHint: Long = 0L): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val planes =
       if (numPlanes > 0) numPlanes
       else {
-        val n = math.max(1L, base.count())
-        math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+        val n = math.max(1L, estimateRows(df, dim, nHint))
+        math.min(32, math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
       }
     val nTables =
       if (tables > 0) tables
@@ -140,6 +149,23 @@ object Similarity {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Corpus row count for LSH auto-sizing: hint > plan statistics > count(). */
+  private def estimateRows(df: DataFrame, dim: Int, nHint: Long): Long = {
+    if (nHint > 0) return nHint
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount match {
+      case Some(rc) => rc.toLong
+      case None =>
+        // File relations report size-on-disk; unknown relations report the
+        // defaultSizeInBytes sentinel (huge) — only then pay the count().
+        val size = stats.sizeInBytes
+        if (size > 0 && size < (BigInt(1L) << 50)) {
+          val width = math.max(16L, 4L * dim) // floats dominate the row
+          math.max(1L, (size / width).toLong)
+        } else df.count()
+    }
   }
 
   /**

@@ -34,7 +34,13 @@ private[graft] object XmlFile {
         classOf[Text],
         conf)
       .mapPartitions { iter =>
-        val charset = Charset.forName(charsetName)
+        // Non-ASCII-compatible input was decoded to UTF-8 by the record
+        // reader (TranscodingInputStream), so record bytes are then UTF-8
+        // regardless of the file charset.
+        val cs = Charset.forName(charsetName)
+        val charset =
+          if (XmlInputFormat.isAsciiCompatible(cs)) cs
+          else java.nio.charset.StandardCharsets.UTF_8
         iter.map { case (_, text) => new String(text.getBytes, 0, text.getLength, charset) }
       }
   }

@@ -37,6 +37,14 @@ class XmlInputFormat extends FileInputFormat[LongWritable, Text] {
     new XmlRecordReader
 
   override def isSplitable(context: JobContext, file: Path): Boolean = {
+    // Non-ASCII-compatible charsets (UTF-16/32, EBCDIC) cannot be scanned
+    // byte-wise from an arbitrary mid-file offset: code-unit alignment and
+    // BOM state are unknowable there. Such files are read whole (decoded to
+    // UTF-8 by the record reader); at 100 TB parallelism comes from many
+    // files, which is how large XML corpora are laid out anyway.
+    val charset = Charset.forName(
+      context.getConfiguration.get(XmlInputFormat.ENCODING_KEY, "UTF-8"))
+    if (!XmlInputFormat.isAsciiCompatible(charset)) return false
     val codec = new CompressionCodecFactory(context.getConfiguration).getCodec(file)
     codec == null || codec.isInstanceOf[SplittableCompressionCodec]
   }
@@ -47,6 +55,17 @@ object XmlInputFormat {
   val ROW_TAG_KEY = "graft.xml.input.rowtag"
   /** Configuration key: charset name of the input files. */
   val ENCODING_KEY = "graft.xml.input.encoding"
+
+  /**
+   * A charset the byte state machine can scan directly: the XML structural
+   * bytes encode to their single ASCII byte values. UTF-8 and the 8-bit
+   * ASCII supersets qualify; UTF-16/32 and EBCDIC do not and take the
+   * decode-to-UTF-8 path instead.
+   */
+  def isAsciiCompatible(charset: Charset): Boolean = {
+    val probe = "</aA1>".getBytes(charset)
+    probe.length == 6 && probe.sameElements("</aA1>".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
 }
 
 private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text] {
@@ -79,10 +98,13 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     val charset = Charset.forName(conf.get(XmlInputFormat.ENCODING_KEY, "UTF-8"))
     val rowTag = conf.get(XmlInputFormat.ROW_TAG_KEY)
     require(rowTag != null && rowTag.nonEmpty, "row tag must be configured")
-    startTag = s"<$rowTag".getBytes(charset)
-    endTag = s"</$rowTag>".getBytes(charset)
-    require(startTag(0) == '<',
-      s"charset ${charset.name} is not ASCII-compatible; not supported")
+    // Non-ASCII-compatible input is decoded to UTF-8 before scanning (below),
+    // so the state machine — and the records it emits — are always in an
+    // ASCII-compatible encoding. XmlFile.read decodes accordingly.
+    val transcode = !XmlInputFormat.isAsciiCompatible(charset)
+    val tagCharset = if (transcode) java.nio.charset.StandardCharsets.UTF_8 else charset
+    startTag = s"<$rowTag".getBytes(tagCharset)
+    endTag = s"</$rowTag>".getBytes(tagCharset)
 
     val file = split.getPath
     val fs = file.getFileSystem(conf)
@@ -117,6 +139,16 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
         splitEnd = Long.MaxValue
         pos = 0L
         in = codec.createInputStream(fsIn, decompressor)
+    }
+    if (transcode) {
+      // isSplitable returned false for this charset, so this split is the
+      // whole file; ownership checks are moot and `pos` counts UTF-8 bytes
+      // of the decoded stream (which may exceed the file's byte length).
+      in = new TranscodingInputStream(in, charset)
+      compressedPos = null
+      splitStart = 0L
+      splitEnd = Long.MaxValue
+      pos = 0L
     }
   }
 
@@ -402,4 +434,61 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
       decompressor = null
     }
   }
+}
+
+/**
+ * Decodes a byte stream in `from` (any JVM charset — UTF-16/32, EBCDIC, …)
+ * and re-encodes it as UTF-8, so the byte state machine can scan encodings
+ * whose structural characters are not single ASCII bytes. BOM and endianness
+ * detection is the decoder's (e.g. "UTF-16" honors a leading BOM; a decoded
+ * U+FEFF that survives is harmless — the scanner skips bytes outside tags).
+ * A high surrogate at a read boundary is held back so pairs always encode
+ * together.
+ */
+private[xml] final class TranscodingInputStream(in: InputStream, from: Charset)
+    extends InputStream {
+
+  private val reader = new java.io.InputStreamReader(in, from)
+  private val chars = new Array[Char](8192)
+  private var pending: Int = -1 // held-back high surrogate
+  private var bytes: Array[Byte] = Array.emptyByteArray
+  private var bp = 0
+
+  private def refill(): Boolean = {
+    var n = 0
+    var start = 0
+    if (pending >= 0) { chars(0) = pending.toChar; start = 1; pending = -1 }
+    n = reader.read(chars, start, chars.length - start)
+    if (n < 0) {
+      if (start == 0) return false
+      n = 0 // flush the held-back char alone at EOF
+    }
+    var len = start + n
+    if (len > 0 && Character.isHighSurrogate(chars(len - 1)) && n > 0) {
+      pending = chars(len - 1)
+      len -= 1
+      if (len == 0) return refill()
+    }
+    bytes = new String(chars, 0, len).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bp = 0
+    bytes.length > 0 || refill()
+  }
+
+  override def read(): Int = {
+    if (bp >= bytes.length && !refill()) return -1
+    val b = bytes(bp) & 0xff
+    bp += 1
+    b
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (bp >= bytes.length && !refill()) return -1
+    val m = math.min(len, bytes.length - bp)
+    System.arraycopy(bytes, bp, b, off, m)
+    bp += m
+    m
+  }
+
+  override def close(): Unit = reader.close()
 }

@@ -19,6 +19,9 @@ class XmlOptions(@transient private val raw: Map[String, String]) extends Serial
   private def get(key: String): Option[String] = params.get(key)
 
   val charset: String = get("charset").getOrElse(StandardCharsets.UTF_8.name())
+  // Fail on the driver with the JDK's UnsupportedCharsetException (same
+  // contract as the reference) instead of per-task on executors.
+  java.nio.charset.Charset.forName(charset)
   val codec: Option[String] = get("codec").orElse(get("compression"))
 
   val rowTag: String = get("rowTag").getOrElse(XmlOptions.DefaultRowTag)
@@ -61,6 +64,8 @@ class XmlOptions(@transient private val raw: Map[String, String]) extends Serial
     "'rowTag' must not include angle brackets")
   require(!rootTag.startsWith("<") && !rootTag.endsWith(">"),
     "'rootTag' must not include angle brackets")
+  require(!declaration.startsWith("<") && !declaration.endsWith(">"),
+    "'declaration' should not include angle brackets")
   require(samplingRatio > 0, s"samplingRatio ($samplingRatio) must be greater than 0")
   require(valueTag.nonEmpty, "'valueTag' option must not be empty")
   require(valueTag != attributePrefix,
@@ -73,7 +78,10 @@ object XmlOptions {
   val DefaultRowTag = "ROW"
   val DefaultNullValue: String = null
   val DefaultRootTag = "ROWS"
-  val DefaultDeclaration = """version="1.0" encoding="UTF-8""""
+  // Matches the reference default byte-for-byte (reference:
+  // src/main/scala/com/databricks/spark/xml/XmlOptions.scala:76) so written
+  // files diff clean against reference output.
+  val DefaultDeclaration = """version="1.0" encoding="UTF-8" standalone="yes""""
   val DefaultArrayElementName = "item"
   val DefaultCorruptRecordName = "_corrupt_record"
   val DefaultWildcardColName = "xs_any"
