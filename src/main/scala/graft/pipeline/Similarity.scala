@@ -152,18 +152,30 @@ object Similarity {
   }
 
   /** Corpus row count for LSH auto-sizing: hint > plan statistics > count(). */
-  private def estimateRows(df: DataFrame, dim: Int, nHint: Long): Long = {
+  private[pipeline] def estimateRows(df: DataFrame, dim: Int, nHint: Long): Long = {
     if (nHint > 0) return nHint
-    val stats = df.queryExecution.optimizedPlan.stats
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
     stats.rowCount match {
       case Some(rc) => rc.toLong
       case None =>
-        // File relations report size-on-disk; unknown relations report the
-        // defaultSizeInBytes sentinel (huge) — only then pay the count().
+        // Unknown relations report the defaultSizeInBytes sentinel (huge) —
+        // only then pay the count().
         val size = stats.sizeInBytes
         if (size > 0 && size < (BigInt(1L) << 50)) {
-          val width = math.max(16L, 4L * dim) // floats dominate the row
-          math.max(1L, (size / width).toLong)
+          // The divisor must match how sizeInBytes was produced. In-memory
+          // relations (LocalRelation) compute it as rowCount × (8 + Σ field
+          // defaultSize), so inverting with the same width is exact. File
+          // scans report compressed on-disk bytes: there the float payload
+          // dominates (4·dim; random embeddings compress ≈1:1) and a 2×
+          // headroom covers codec gains — erring toward MORE rows costs at
+          // most one extra plane, and `tables` re-solves from recallTarget.
+          val inMemory = plan.collectLeaves().forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+          val est =
+            if (inMemory) size / (8L + df.schema.map(_.dataType.defaultSize.toLong).sum)
+            else size * 2 / math.max(16L, 4L * dim)
+          math.max(1L, est.toLong)
         } else df.count()
     }
   }

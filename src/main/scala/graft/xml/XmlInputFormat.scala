@@ -63,6 +63,9 @@ object XmlInputFormat {
    * decode-to-UTF-8 path instead.
    */
   def isAsciiCompatible(charset: Charset): Boolean = {
+    // Decode-only charsets (ISO-2022-CN, x-JISAutoDetect) would throw from
+    // getBytes; the transcode path only ever decodes them, so route there.
+    if (!charset.canEncode) return false
     val probe = "</aA1>".getBytes(charset)
     probe.length == 6 && probe.sameElements("</aA1>".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
   }

@@ -77,6 +77,22 @@ class PipelineSuite extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("lsh auto-sizing row estimate needs no count() pass") {
+    // In-memory relation: sizeInBytes = rowCount × (8 + Σ field defaultSize),
+    // so the inversion is exact.
+    val local = (0 until 1000).map(i => (i.toLong, Array.fill(64)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.estimateRows(local, 64, 0L) === 1000L)
+    // File scan: compressed on-disk bytes over the float payload width with
+    // 2× codec headroom — order of magnitude is all auto-sizing needs.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val est = Similarity.estimateRows(emb, 64, 0L)
+    assert(est >= n / 4 && est <= n * 16, s"estimate $est vs true $n")
+    // An explicit hint always wins.
+    assert(Similarity.estimateRows(emb, 64, 1234L) === 1234L)
+  }
+
   test("cosine similarity and top-k") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
