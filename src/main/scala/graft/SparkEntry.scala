@@ -225,6 +225,20 @@ object SparkEntry {
       payloads.agg(count(lit(1)).as("cnt")).select(lit(ddl).as("ddl"), col("cnt"))
     }),
 
+    "q41_schema_of_xml_sampled" -> ((s, d) => {
+      import s.implicits._
+      // Same inference as q18 at samplingRatio=0.1 — the documented lever for
+      // inference at 100 TB. The corpus is shape-uniform, so the sampled DDL
+      // is deterministic and oracle-checkable; the bench row quantifies the
+      // sampling crossover against q18's full pass.
+      val payloads = t(s, d, "orders").select(
+        concat(lit("<o><k>"), col("o_orderkey"),
+          lit("</k><p>"), col("o_orderpriority"), lit("</p></o>")).as("payload"))
+      val ddl = graft.xml.schema_of_xml(
+        payloads.as[String], Map("samplingRatio" -> "0.1")).toDDL
+      payloads.agg(count(lit(1)).as("cnt")).select(lit(ddl).as("ddl"), col("cnt"))
+    }),
+
     "q19_xsd_nation" -> ((s, d) => {
       // XSD → StructType (A11) driving a schema'd XML read.
       val xsd =
@@ -573,6 +587,9 @@ object SparkEntry {
         |WHERE rn <= 2 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q18_schema_of_xml" ->
+      "SELECT 'k BIGINT,p STRING' AS ddl, count(*) AS cnt FROM orders",
+
+    "q41_schema_of_xml_sampled" ->
       "SELECT 'k BIGINT,p STRING' AS ddl, count(*) AS cnt FROM orders",
 
     "q19_xsd_nation" ->

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+/** Marker for long-running stress tests: `sbt "Test/testOnly -- -l graft.SlowTest"` excludes them. */
+object SlowTest extends Tag("graft.SlowTest")
+
+/**
+ * Bench-scale degenerate-corpus stress for the dedup paths: the 2k-identical
+ * spec in PipelineSuite proves the skew *design*; these runs prove it at
+ * real volume — 100k+ documents that are ALL duplicates of something.
+ *
+ * Note the arithmetic governing the extreme case: a corpus of n mutually
+ * identical docs has C(n,2) true pairs, so "100k identical docs" as ONE
+ * group is a 5×10⁹-row answer — unrepresentable as a test on any engine.
+ * Real duplicate-heavy corpora are many heavy groups, which is what the
+ * volume test models; the single-group test takes one group as deep as the
+ * answer size allows and proves the lazy emission path stays bounded.
+ */
+class DedupStressSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 334 groups × 300 identical docs = 100,200 docs; disjoint token sets
+  // across groups so the exact answer is within-group pairs only.
+  private val groupSize = 300
+  private val groups = 334
+  private lazy val grouped = spark.range(groups.toLong * groupSize)
+    .select(col("id").as("doc_id"),
+      concat(lit("group "), (col("id") % groups).cast("string"),
+        lit(" body token"), (col("id") % groups).cast("string"),
+        lit(" filler"), (col("id") % groups).cast("string"),
+        lit(" tail"), (col("id") % groups).cast("string")).as("text"),
+      lit("s").as("source"))
+  private val expectedPairs =
+    groups.toLong * (groupSize.toLong * (groupSize - 1) / 2)
+
+  test("minhash: 100k all-duplicate docs, exact pair count, bounded time", SlowTest) {
+    val t0 = System.nanoTime()
+    val cnt = Dedup.minHashDedupPairs(grouped, "doc_id", "text", 0.9).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"minhash 100k-doc all-dup stress: $cnt%d pairs in $secs%.1f s")
+    assert(cnt === expectedPairs)
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+
+  test("ngram jaccard: 100k all-duplicate docs, exact pair count, bounded time", SlowTest) {
+    val t0 = System.nanoTime()
+    val cnt = Dedup.ngramJaccardPairs(grouped, "doc_id", "text", "source", 3, 0.3).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"ngram 100k-doc all-dup stress: $cnt%d pairs in $secs%.1f s")
+    assert(cnt === expectedPairs)
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+
+  test("minhash: one 20k-identical-doc group streams its 2x10^8-pair answer", SlowTest) {
+    val n = 20000
+    val degen = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        lit("all work and no play makes jack a dull boy").as("text"))
+    val t0 = System.nanoTime()
+    val cnt = Dedup.minHashDedupPairs(degen, "doc_id", "text", 0.9).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"minhash 20k single-group stress: $cnt%d pairs in $secs%.1f s")
+    assert(cnt === n.toLong * (n - 1) / 2)
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+}
