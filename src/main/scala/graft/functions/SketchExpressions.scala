@@ -55,6 +55,44 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /**
+ * LSH band hashes of a MinHash signature: the signature is cut into `bands`
+ * equal slices of r = len/bands mins and each slice is folded to one 64-bit
+ * bucket hash. Value-identical to the HOF formulation
+ * `transform(seq(0,bands-1), b -> xxhash64(slice(sig, b*r+1, r)))` — Spark's
+ * `xxhash64` over an array<bigint> chains hashLong over the elements from
+ * seed 42, which is exactly the fold below — but one primitive loop instead
+ * of 2×bands interpreted Slice allocations + expression tree walks per row
+ * (which dominated the q24 map stage).
+ */
+case class MinHashBandHashes(child: Expression, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(bands >= 1, "bands must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val r = sig.numElements() / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var j = b * r
+      val end = j + r
+      while (j < end) { h = XXH64.hashLong(sig.getLong(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
+    copy(child = c)
+  override def prettyName: String = "minhash_band_hashes"
+}
+
+/**
  * 64-bit SimHash of a pre-hashed token set: bit j of the result is set when
  * more tokens have bit j set than clear.
  */
@@ -264,6 +302,8 @@ object SketchFunctions {
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
   def minhash_signature(tokenHashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokenHashes), numHashes))
+  def minhash_band_hashes(sig: Column, bands: Int): Column =
+    Bridge.column(MinHashBandHashes(Bridge.expression(sig), bands))
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
   def array_jaccard(a: Column, b: Column): Column =

@@ -78,6 +78,20 @@ object Dedup {
   }
 
   /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */
+  /**
+   * Ensures the expensive map-side sketch computation has enough input
+   * partitions WHEN that matters: a large unsplittable input (a multi-GB
+   * gzip dump, one giant parquet row group) would otherwise serialize
+   * signature computation onto a handful of tasks. Small under-partitioned
+   * inputs are left alone — there the serial map work is cheaper than the
+   * round-robin exchange this would add (measured: +0.8–1.3 s per query at
+   * sf0.1), and at scale inputs carry many splits so this is a no-op.
+   */
+  private def spreadInput(df: DataFrame, parts: Int): DataFrame = {
+    val big = df.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
+    if (big && df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
@@ -115,7 +129,6 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
-    val r = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -123,7 +136,8 @@ object Dedup {
     // elements instead of strings, and Jaccard is a single merge pass. The
     // signature derives from the same token-hash array in a second projection
     // so tokenization runs once per row.
-    val base = df
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = spreadInput(df, parts)
       .select(col(idCol).cast("long").as("id"), hashedNgramSet(col(textCol), 1).as("toks"))
       .select(col("id"), col("toks"),
         SketchFunctions.minhash_signature(col("toks"), numHashes).as("sig"))
@@ -141,8 +155,7 @@ object Dedup {
     // bare attribute, InferFiltersFromGenerate adds a size()>0 filter that
     // predicate pushdown then inlines through every projection, re-running
     // the whole signature pipeline per row at the scan.
-    val bucketsOf = transform(sequence(lit(0), lit(bands - 1)),
-      i => xxhash64(slice(col("sig"), i * r + 1, lit(r))))
+    val bucketsOf = SketchFunctions.minhash_band_hashes(col("sig"), bands)
     // The explicit repartition pins the bucket-stage parallelism: the
     // exchange input is compact membership rows but flatMapGroups emits the
     // candidate-pair set (orders of magnitude larger on duplicate-heavy
@@ -150,7 +163,6 @@ object Dedup {
     // the emission and everything above it on a handful of tasks. A
     // user-specified repartition is exempt from coalescing, and grouping by
     // the same columns reuses it instead of adding an exchange.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val banded = base
       .select(posexplode(bucketsOf).as(Seq("band", "bucket")),
         col("id"), bucketsOf.as("bs"))
@@ -256,7 +268,9 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for radius <= 3")
-    val base = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = spreadInput(df, parts)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
     val chunked = base.select(col("id"), col("sim"), explode(simHashChunks(col("sim"))).as("c"))
       .select(col("id"), col("sim"), col("c.chunk").as("chunk"), col("c.val").as("val"))
     chunked.as("l")
@@ -366,7 +380,8 @@ object Dedup {
       blockCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val base = df.select(
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = spreadInput(df, parts).select(
       col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
       hashedNgramSet(col(textCol), n).as("grams"))
 

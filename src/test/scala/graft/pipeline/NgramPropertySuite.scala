@@ -38,6 +38,24 @@ class NgramPropertySuite extends AnyFunSuite {
     sb.toString
   }
 
+  test("native band hashes are value-identical to the HOF formulation") {
+    import graft.functions.SketchFunctions
+    val bands = 32
+    val r = 4
+    val docs = (0 until 300).map(i => (i.toLong, randomDoc())).toDF("id", "text")
+    val sigs = docs.select(col("id"),
+      SketchFunctions.minhash_signature(
+        SketchFunctions.hashed_ngrams(col("text"), 1), bands * r).as("sig"))
+    val hof = transform(sequence(lit(0), lit(bands - 1)),
+      i => xxhash64(slice(col("sig"), i * r + 1, lit(r))))
+    val mismatches = sigs
+      .select(SketchFunctions.minhash_band_hashes(col("sig"), bands).as("native"),
+        hof.as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("hashed n-gram sets match the HOF formulation's sizes and overlaps") {
     for (n <- Seq(1, 2, 3)) {
       val docs = (0 until 200).map(i => (i.toLong, randomDoc())).toDF("id", "text")
