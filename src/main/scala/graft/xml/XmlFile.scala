@@ -26,6 +26,18 @@ private[graft] object XmlFile {
     val conf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
     conf.set(XmlInputFormat.ROW_TAG_KEY, options.rowTag)
     conf.set(XmlInputFormat.ENCODING_KEY, options.charset)
+    // Mirror Spark's FilePartition.maxSplitBytes policy for the Hadoop-based
+    // scan: pack the input into at least defaultParallelism splits, bounded
+    // by [4 MB open-cost, 128 MB]. FileInputFormat otherwise splits at the
+    // filesystem block size (32 MB on local disks), which leaves most cores
+    // idle on inputs in the 100 MB range. Explicit user settings win.
+    if (conf.get("mapreduce.input.fileinputformat.split.maxsize") == null) {
+      totalInputBytes(conf, path).foreach { total =>
+        val target = math.max(1, sc.defaultParallelism)
+        val maxSplit = math.min(128L << 20, math.max(4L << 20, total / target))
+        conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplit)
+      }
+    }
     val charsetName = options.charset
     sc.newAPIHadoopFile(
         path,
@@ -43,6 +55,26 @@ private[graft] object XmlFile {
           else java.nio.charset.StandardCharsets.UTF_8
         iter.map { case (_, text) => new String(text.getBytes, 0, text.getLength, charset) }
       }
+  }
+
+  /** Total byte size of the files `path` names (comma-separated, globs ok);
+   *  None if listing fails — sizing then falls back to Hadoop defaults. */
+  private def totalInputBytes(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[Long] = {
+    try {
+      var total = 0L
+      path.split(",").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p.trim)
+        val fs = hp.getFileSystem(conf)
+        val matches = fs.globStatus(hp)
+        if (matches != null) matches.foreach { st =>
+          total += (if (st.isDirectory) fs.getContentSummary(st.getPath).getLength
+                    else st.getLen)
+        }
+      }
+      Some(total)
+    } catch { case _: Exception => None }
   }
 
   def save(df: DataFrame, path: String, options: XmlOptions): Unit = {
