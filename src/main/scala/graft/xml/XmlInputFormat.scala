@@ -1,6 +1,6 @@
 package graft.xml
 
-import java.io.{ByteArrayOutputStream, InputStream}
+import java.io.InputStream
 import java.nio.charset.Charset
 
 import org.apache.hadoop.fs.{Path, Seekable}
@@ -93,7 +93,25 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
   private val buf = new Array[Byte](131072)
   private var bufLen = 0
   private var bufPos = 0
-  private val record = new ByteArrayOutputStream(65536)
+  // Record accumulator: a plain growable array, NOT ByteArrayOutputStream —
+  // BAOS methods are synchronized, and with biased locking gone (JDK 15+)
+  // a per-byte lock in the hot loop costs more than the byte work itself.
+  private var recBuf = new Array[Byte](65536)
+  private var recLen = 0
+
+  @inline private def recEnsure(n: Int): Unit =
+    if (recLen + n > recBuf.length) {
+      var cap = recBuf.length << 1
+      while (cap < recLen + n) cap <<= 1
+      recBuf = java.util.Arrays.copyOf(recBuf, cap)
+    }
+  @inline private def recWrite(b: Int): Unit = {
+    recEnsure(1); recBuf(recLen) = b.toByte; recLen += 1
+  }
+  private def recWrite(src: Array[Byte], off: Int, len: Int): Unit = {
+    recEnsure(len); System.arraycopy(src, off, recBuf, recLen, len); recLen += len
+  }
+  private def recWrite(src: Array[Byte]): Unit = recWrite(src, 0, src.length)
 
   override def initialize(genericSplit: InputSplit, context: TaskAttemptContext): Unit = {
     val split = genericSplit.asInstanceOf[FileSplit]
@@ -178,12 +196,12 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
 
   override def nextKeyValue(): Boolean = {
     if (finished) return false
-    record.reset()
+    recLen = 0
     val startPos = scanToStartTag()
     if (startPos < 0) { finished = true; return false }
     if (readRecordBody()) {
       currentKey.set(startPos)
-      currentValue.set(record.toByteArray, 0, record.size())
+      currentValue.set(recBuf, 0, recLen)
       true
     } else {
       // EOF hit mid-record (malformed trailing data): stop.
@@ -222,8 +240,8 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           val delim = readByte()
           if (delim == -1) return -1
           if (isTagDelimiter(delim)) {
-            record.write(startTag)
-            record.write(delim)
+            recWrite(startTag)
+            recWrite(delim)
             openDelim = delim
             return tagStart
           }
@@ -242,6 +260,14 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           b = bb // '<' cannot recur inside the matched prefix; rescan from bb
         }
       } else {
+        // Bulk path: between-record bytes are not captured — skip to the
+        // next '<' directly in the read buffer.
+        if (bufPos < bufLen && buf(bufPos) != '<') {
+          var i = bufPos + 1
+          while (i < bufLen && buf(i) != '<') i += 1
+          pos += i - bufPos
+          bufPos = i
+        }
         b = readByte()
       }
     }
@@ -266,13 +292,23 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
       }
     }
     while (depth > 0) {
+      // Bulk path: copy content bytes (everything up to the next '<')
+      // straight from the read buffer with one arraycopy instead of a
+      // readByte + recWrite pair per byte.
+      if (bufPos < bufLen && buf(bufPos) != '<') {
+        var i = bufPos + 1
+        while (i < bufLen && buf(i) != '<') i += 1
+        recWrite(buf, bufPos, i - bufPos)
+        pos += i - bufPos
+        bufPos = i
+      }
       val b = readByte()
       if (b == -1) return false
-      record.write(b)
+      recWrite(b)
       if (b == '<') {
         val n = readByte()
         if (n == -1) return false
-        record.write(n)
+        recWrite(n)
         if (n == '/') {
           // Candidate end tag: match the name bytes of "</tag", then allow
           // optional whitespace before '>' (XML ETag is '</' Name S? '>').
@@ -282,17 +318,17 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           while (matched && i < endTag.length - 1) {
             val bb = readByte()
             if (bb == -1) return false
-            record.write(bb)
+            recWrite(bb)
             if (bb != (endTag(i) & 0xff)) { matched = false; broke = bb } else i += 1
           }
           if (matched) {
             var bb = readByte()
             if (bb == -1) return false
-            record.write(bb)
+            recWrite(bb)
             while (bb == ' ' || bb == '\t' || bb == '\n' || bb == '\r') {
               bb = readByte()
               if (bb == -1) return false
-              record.write(bb)
+              recWrite(bb)
             }
             if (bb == '>') depth -= 1
             // else: longer tag name sharing the prefix (e.g. </rowx>).
@@ -312,13 +348,13 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           while (matched && i < startTag.length) {
             val bb = readByte()
             if (bb == -1) return false
-            record.write(bb)
+            recWrite(bb)
             if (bb != (startTag(i) & 0xff)) { matched = false; broke = bb } else i += 1
           }
           if (matched) {
             val delim = readByte()
             if (delim == -1) return false
-            record.write(delim)
+            recWrite(delim)
             if (isTagDelimiter(delim)) {
               if (delim == '>') depth += 1
               else {
@@ -350,7 +386,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return -1
-      record.write(b)
+      recWrite(b)
       if (quote != 0) {
         if (b == quote) quote = 0
       } else if (b == '"' || b == '\'') {
@@ -369,7 +405,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return false
-      if (capture) record.write(b)
+      if (capture) recWrite(b)
       if (quote != 0) {
         if (b == quote) quote = 0
       } else if (b == '"' || b == '\'') {
@@ -385,7 +421,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
   private def skipSpecial(): Boolean = {
     val b = readByte()
     if (b == -1) return false
-    if (capture) record.write(b)
+    if (capture) recWrite(b)
     b match {
       case '-' => skipUntilRunThenGt('-', 2)
       case '[' => skipUntilRunThenGt(']', 2)
@@ -399,7 +435,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return false
-      if (capture) record.write(b)
+      if (capture) recWrite(b)
       if (b == '>' && prev == '?') return true
       prev = b
     }
@@ -415,7 +451,7 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
     while (true) {
       val b = readByte()
       if (b == -1) return false
-      if (capture) record.write(b)
+      if (capture) recWrite(b)
       if (b == marker) run += 1
       else if (b == '>' && run >= n) return true
       else run = 0
