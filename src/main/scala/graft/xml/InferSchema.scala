@@ -28,8 +28,16 @@ private[graft] object InferSchema {
     val sampled =
       if (options.samplingRatio < 1.0) xml.sample(withReplacement = false, options.samplingRatio, 1)
       else xml
+    // Per-record inference is CPU-bound; an under-partitioned input (a
+    // 1-split file, a derived dataset inheriting a small scan) would run it
+    // nearly serial. The lattice merge is commutative and canonicalized, so
+    // a round-robin spread cannot change the result. At scale inputs carry
+    // more partitions than cores and this is a no-op.
+    val target = sampled.sparkContext.defaultParallelism
+    val spread =
+      if (sampled.getNumPartitions < target) sampled.repartition(target) else sampled
     val zero: DataType = NullType
-    val merged = sampled
+    val merged = spread
       .mapPartitions { iter =>
         val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
         iter.flatMap { record =>
