@@ -45,6 +45,32 @@ class XmlPartitioningSuite extends AnyFunSuite {
     (plain.toString, gz.toString, bz.toString)
   }
 
+  test("size-aware split packing spreads a large file across the cluster") {
+    // ~8 MB single file on local[4]: the packing policy (total/parallelism,
+    // clamped to >= 4 MB) must yield 2 MB->4 MB splits, i.e. 2 partitions —
+    // not the 1 split a 32 MB block size would give.
+    val dir = Files.createTempDirectory("graft-split-packing")
+    val row = s"""<house id="1"><num>1</num><addr>${"x" * 100}</addr></house>\n"""
+    val sb = new StringBuilder(9 << 20)
+    sb.append("<houses>\n")
+    while (sb.length < (8 << 20)) sb.append(row)
+    sb.append("</houses>\n")
+    val big = dir.resolve("big.xml")
+    Files.write(big, sb.toString.getBytes("UTF-8"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assume(conf.get("mapreduce.input.fileinputformat.split.maxsize") == null)
+    val df = spark.read.format("graft.xml").option("rowTag", "house")
+      .schema("_id LONG, num LONG, addr STRING").load(big.toString)
+    assert(df.rdd.getNumPartitions === 2)
+    // An explicit user setting always wins over the policy.
+    conf.set("mapreduce.input.fileinputformat.split.maxsize", "1048576")
+    try {
+      val df2 = spark.read.format("graft.xml").option("rowTag", "house")
+        .schema("_id LONG, num LONG, addr STRING").load(big.toString)
+      assert(df2.rdd.getNumPartitions >= 8)
+    } finally conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+  }
+
   test("split-size sweep x codec matrix returns identical record sets") {
     val dir = Files.createTempDirectory("graft-partitioning")
     val (plain, gz, bz) = write(dir)
