@@ -28,6 +28,15 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
  * whose block range contains the block it starts in. Stream codecs (gzip)
  * remain one split per file; at scale, parallelism there comes from many
  * files, which is how 100 TB XML corpora are laid out anyway.
+ *
+ * Known limitation, shared with the reference and Spark's built-in `xml`
+ * source (reference: XmlInputFormat.scala:193-217): split scanning is
+ * context-free, so a split that begins INSIDE a record (self-nested row
+ * tags) or inside a comment/CDATA that contains a row-tag opener takes the
+ * first `<rowTag` it sees as a record start and emits a phantom record.
+ * Within a split these constructs are handled exactly (XmlScannerFuzzSuite);
+ * across boundaries exactness would require scanning from file start, which
+ * forfeits the parallel-scan contract.
  */
 class XmlInputFormat extends FileInputFormat[LongWritable, Text] {
 
@@ -306,6 +315,14 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
       if (b == -1) return false
       recWrite(b)
       if (b == '<') {
+        // In-buffer fast path for the two dominant constructs (exact end
+        // tags and quote-free tags): peek without consuming, so any
+        // mismatch, buffer boundary, or unusual shape falls through to the
+        // byte-wise path below with identical semantics.
+        val delta = tryFastTag()
+        if (delta != Int.MinValue) {
+          depth += delta
+        } else {
         val n = readByte()
         if (n == -1) return false
         recWrite(n)
@@ -369,9 +386,91 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
           // broke == '>': tag completed inside the failed match (e.g. child
           // <ro> vs rowTag <row>) — already closed, nothing to skip.
         } else if (!skipToGt()) return false
+        }
       }
     }
     true
+  }
+
+  /**
+   * In-buffer tag fast path, called with `<` already consumed and captured.
+   * Peeks at the buffered bytes and, when the whole construct is visible and
+   * unambiguous, consumes it in one bulk write and returns the depth delta
+   * (-1 exact end tag, +1 row-tag open, 0 child tag / self-closing row tag).
+   * Returns Int.MinValue WITHOUT consuming anything when the slow byte-wise
+   * dispatch must run instead: construct crosses the buffer edge, carries
+   * quotes (attribute values may hide `>`), is a comment/CDATA/PI, is an
+   * end tag with whitespace before `>`, or is any malformed shape the slow
+   * path has defined behavior for.
+   */
+  private def tryFastTag(): Int = {
+    val avail = bufLen - bufPos
+    if (avail <= 0) return Int.MinValue
+    val first = buf(bufPos)
+    if (first == '/') {
+      // Exact end tag "</tag>"?
+      val need = endTag.length - 1 // bytes after '<': "/tag>"
+      if (avail < need) return Int.MinValue
+      var i = 0
+      var ok = true
+      while (ok && i < need) {
+        if (buf(bufPos + i) != endTag(i + 1)) ok = false else i += 1
+      }
+      if (ok) {
+        recWrite(buf, bufPos, need); pos += need; bufPos += need
+        return -1
+      }
+      if (i == need - 1) {
+        // Name matched but the byte where '>' belongs differs: whitespace
+        // there still closes the record ("</tag >") — slow path handles it.
+        val nb = buf(bufPos + need - 1)
+        if (nb == ' ' || nb == '\t' || nb == '\n' || nb == '\r') return Int.MinValue
+      }
+      // Child end tag: consume through its '>' if fully visible.
+      var j = bufPos
+      while (j < bufLen) {
+        val c = buf(j)
+        if (c == '>') {
+          val len = j - bufPos + 1
+          recWrite(buf, bufPos, len); pos += len; bufPos += len
+          return 0
+        }
+        if (c == '"' || c == '\'' || c == '<') return Int.MinValue
+        j += 1
+      }
+      return Int.MinValue
+    }
+    if (first == '!' || first == '?') return Int.MinValue
+    // Open tag: consume through '>' when quote-free and fully visible.
+    var j = bufPos
+    while (j < bufLen) {
+      val c = buf(j)
+      if (c == '>') {
+        if (j == bufPos) return Int.MinValue // "<>": slow path's domain
+        val len = j - bufPos + 1
+        val selfClosing = buf(j - 1) == '/'
+        // Row tag iff the name equals rowTag and is followed by a delimiter.
+        var isRow = false
+        val nameLen = startTag.length - 1
+        if (len - 1 >= nameLen) {
+          var k = 0
+          var ok = true
+          while (ok && k < nameLen) {
+            if (buf(bufPos + k) != startTag(k + 1)) ok = false else k += 1
+          }
+          if (ok) {
+            val after = buf(bufPos + nameLen)
+            isRow = after == '>' || after == ' ' || after == '\t' ||
+              after == '\n' || after == '\r' || after == '/'
+          }
+        }
+        recWrite(buf, bufPos, len); pos += len; bufPos += len
+        return if (isRow && !selfClosing) 1 else 0
+      }
+      if (c == '"' || c == '\'' || c == '<') return Int.MinValue
+      j += 1
+    }
+    Int.MinValue
   }
 
   /**
