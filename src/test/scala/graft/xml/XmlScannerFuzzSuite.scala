@@ -58,18 +58,24 @@ class XmlScannerFuzzSuite extends AnyFunSuite {
       .schema("num LONG").load(path)
       .collect().map(_.getLong(0)).sorted.toSeq
 
-  test("adversarial corpus: exact id set across split sizes") {
+  test("adversarial corpus: exact id set across split sizes and codecs") {
     val dir: Path = Files.createTempDirectory("graft-fuzz")
     val f = dir.resolve("fuzz.xml")
-    Files.write(f, corpus(nested = false).getBytes("UTF-8"))
+    val bytes = corpus(nested = false).getBytes("UTF-8")
+    Files.write(f, bytes)
+    val bz = dir.resolve("fuzz.xml.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val bos = codec.createOutputStream(Files.newOutputStream(bz))
+    bos.write(bytes); bos.close()
     val conf = spark.sparkContext.hadoopConfiguration
     val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
     try {
-      for (splitSize <- Seq("2048", "65536", "4194304")) {
+      for (splitSize <- Seq("2048", "65536", "4194304"); path <- Seq(f, bz)) {
         conf.set("mapreduce.input.fileinputformat.split.maxsize", splitSize)
-        val ids = readIds(f.toString)
-        assert(ids.length === n, s"split=$splitSize lost/duplicated records")
-        assert(ids === (0 until n).map(_.toLong), s"split=$splitSize wrong id set")
+        val ids = readIds(path.toString)
+        assert(ids.length === n, s"split=$splitSize path=$path lost/duplicated records")
+        assert(ids === (0 until n).map(_.toLong), s"split=$splitSize path=$path wrong id set")
       }
     } finally {
       if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
