@@ -228,6 +228,10 @@ private[graft] object StaxFactories {
       f.setProperty(XMLInputFactory.IS_COALESCING, true)
       f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
       f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      // SJSXP reader recycling (see StaxXmlParser): per-thread sequential
+      // parses, so instance reuse is safe; other impls reject and allocate.
+      try f.setProperty("reuse-instance", java.lang.Boolean.TRUE)
+      catch { case _: IllegalArgumentException => }
       f
     }
   }

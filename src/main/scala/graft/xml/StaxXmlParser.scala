@@ -43,6 +43,14 @@ private[graft] object StaxXmlParser {
       f.setProperty(XMLInputFactory.IS_COALESCING, true)
       f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
       f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      // The JDK's SJSXP recycles its reader instance across
+      // createXMLStreamReader calls when asked, skipping ~10 allocations +
+      // buffer setup per record. Safe here: the factory is thread-local and
+      // every parse completes before the next begins on a thread (parses
+      // never nest — expression arguments are evaluated strictly). Other
+      // StAX impls reject the property; that's fine, they just allocate.
+      try f.setProperty("reuse-instance", java.lang.Boolean.TRUE)
+      catch { case _: IllegalArgumentException => }
       f
     }
   }
