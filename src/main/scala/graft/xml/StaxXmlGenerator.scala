@@ -147,7 +147,10 @@ private[graft] object StaxXmlGenerator {
  * exactly the surface the generator needs, with zero per-row allocation
  * beyond the builder growth.
  */
-private[graft] final class XmlEmitter(sb: java.lang.StringBuilder, baseDepth: Int) {
+private[graft] final class XmlEmitter(
+    sb: java.lang.StringBuilder,
+    baseDepth: Int,
+    compact: Boolean = false) {
   private var depth = baseDepth
   private var openTag = false // start tag written but '>' pending
   private var hadChild: List[Boolean] = Nil
@@ -158,9 +161,11 @@ private[graft] final class XmlEmitter(sb: java.lang.StringBuilder, baseDepth: In
       case _ :: tail => true :: tail
       case Nil => Nil
     }
-    sb.append('\n')
-    var i = 0
-    while (i < depth * 4) { sb.append(' '); i += 1 }
+    if (!compact) {
+      sb.append('\n')
+      var i = 0
+      while (i < depth * 4) { sb.append(' '); i += 1 }
+    }
     sb.append('<').append(name)
     openTag = true
     depth += 1
@@ -186,7 +191,7 @@ private[graft] final class XmlEmitter(sb: java.lang.StringBuilder, baseDepth: In
       sb.append("/>")
       openTag = false
     } else {
-      if (children) {
+      if (children && !compact) {
         sb.append('\n')
         var i = 0
         while (i < depth * 4) { sb.append(' '); i += 1 }

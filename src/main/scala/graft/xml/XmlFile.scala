@@ -105,14 +105,15 @@ private[graft] object XmlFile {
             header.result()
           } else if (rows.hasNext) {
             sb.setLength(0)
-            val emitter = new XmlEmitter(sb, baseDepth = 1)
+            val emitter = new XmlEmitter(sb, baseDepth = 1, compact = options.compactOutput)
             StaxXmlGenerator.writeRow(schema, emitter, options)(rows.next())
-            // Strip the emitter's leading newline: saveAsTextFile adds one per record.
             if (!rows.hasNext) {
               ended = true
               sb.append('\n').append("</").append(rootTagName).append('>')
             }
-            sb.substring(1)
+            // Pretty mode: strip the emitter's leading newline —
+            // saveAsTextFile adds one per record. Compact rows start at '<'.
+            if (options.compactOutput) sb.toString else sb.substring(1)
           } else {
             throw new NoSuchElementException("exhausted")
           }

@@ -57,6 +57,13 @@ class XmlOptions(@transient private val raw: Map[String, String]) extends Serial
    * (&#65; for 'A'), where a substring test could miss a match.
    */
   val rawFilterPushdown: Boolean = get("rawFilterPushdown").forall(_.toBoolean)
+  /**
+   * Write each record as a single line with no indentation (extra over the
+   * reference surface). Smaller files, and downstream parses skip the
+   * inter-element whitespace events pretty-printing creates; the default
+   * stays pretty-printed for byte-compatibility with reference output.
+   */
+  val compactOutput: Boolean = get("compactOutput").exists(_.toBoolean)
 
   require(rowTag.nonEmpty, "'rowTag' option must not be empty")
   require(rootTag.nonEmpty, "'rootTag' option must not be empty")

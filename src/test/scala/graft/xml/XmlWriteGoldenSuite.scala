@@ -42,6 +42,27 @@ class XmlWriteGoldenSuite extends AnyFunSuite {
     assert(partText(out) === golden)
   }
 
+  test("compactOutput writes one line per record and round-trips") {
+    import spark.implicits._
+    val df = Seq(("fiction", "Dune & more", 9.5), ("sci", "Foundation", 7.25))
+      .toDF("_genre", "title", "price")
+    val out = Files.createTempDirectory("graft-golden-compact").resolve("books").toString
+    df.coalesce(1).write.format("graft.xml").mode("overwrite")
+      .option("rowTag", "book").option("rootTag", "catalog")
+      .option("compactOutput", "true").save(out)
+    val golden =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<catalog>
+        |<book genre="fiction"><title>Dune &amp; more</title><price>9.5</price></book>
+        |<book genre="sci"><title>Foundation</title><price>7.25</price></book>
+        |</catalog>
+        |""".stripMargin
+    assert(partText(out) === golden)
+    val back = spark.read.format("graft.xml").option("rowTag", "book").load(out)
+    assert(back.count() === 2)
+    assert(back.filter("_genre = 'sci'").select("title").head().getString(0) === "Foundation")
+  }
+
   test("declaration override and empty declaration") {
     import spark.implicits._
     val df = Seq(Tuple1(1L)).toDF("id")
