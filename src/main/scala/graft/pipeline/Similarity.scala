@@ -102,15 +102,20 @@ object Similarity {
       threshold: Double,
       numPlanes: Int = 0,
       tables: Int = 0,
-      recallTarget: Double = 0.999,
+      recallTarget: Double = 0.9999,
       seed: Long = 0xc0ffee00L,
       nHint: Long = 0L): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val planes =
       if (numPlanes > 0) numPlanes
       else {
+        // Target bucket occupancy ~64: each extra plane halves buckets but
+        // multiplies the table count the recall solve demands (at low
+        // thresholds tables grow ~1/q per plane), and measured wall-time at
+        // bench scale favors fewer planes + fewer tables over smaller
+        // buckets. Recall is held by the tables solve either way.
         val n = math.max(1L, estimateRows(df, dim, nHint))
-        math.min(32, math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+        math.min(32, math.max(4, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
       }
     val nTables =
       if (tables > 0) tables
