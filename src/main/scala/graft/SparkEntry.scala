@@ -461,6 +461,25 @@ object SparkEntry {
         Seq("sum_value" -> sum(dec3(col("value"))).cast("double")))
     }),
 
+    "q42_dedup_paragraphs" -> ((s, d) => {
+      // Paragraph-level exact dedup over a deterministic paragraphed corpus
+      // built from `documents`: each doc = own text + next doc's text + the
+      // text of doc (id % 50). The third chunk repeats across ~n/50 docs
+      // (and IS the first chunk for ids < 50), planting cross-document and
+      // within-document duplicate paragraphs with an exact SQL oracle.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val d2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val d3 = docs.select(col("doc_id").as("id3"), col("text").as("t3"))
+      val corpus = docs
+        .join(d2, col("id2") === col("doc_id") + 1, "left")
+        .join(d3, col("id3") === col("doc_id") % 50)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), coalesce(col("t2"), lit("")),
+            lit("\n\n"), col("t3")).as("text"))
+      Dedup.dedupParagraphs(corpus, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q30_multimodal_features" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("payload", to_binary(col("text"), lit("utf-8")))
@@ -591,6 +610,32 @@ object SparkEntry {
 
     "q41_schema_of_xml_sampled" ->
       "SELECT 'k BIGINT,p STRING' AS ddl, count(*) AS cnt FROM orders",
+
+    "q42_dedup_paragraphs" ->
+      """WITH corpus AS (
+        |  SELECT d1.doc_id,
+        |    d1.text || chr(10) || chr(10) || coalesce(d2.text, '')
+        |      || chr(10) || chr(10) || d3.text AS text
+        |  FROM documents d1
+        |  LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |  JOIN documents d3 ON d3.doc_id = d1.doc_id % 50
+        |), paras AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(parts) + 1)) AS idx,
+        |    unnest(parts) AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+        |        FROM corpus)
+        |), ranked AS (
+        |  SELECT doc_id, idx, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM paras
+        |)
+        |SELECT c.doc_id,
+        |  coalesce(string_agg(r.para, chr(10) || chr(10) ORDER BY r.idx), '')
+        |    AS cleaned
+        |FROM corpus c
+        |LEFT JOIN ranked r ON r.doc_id = c.doc_id AND r.rn = 1
+        |GROUP BY c.doc_id""".stripMargin,
 
     "q19_xsd_nation" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

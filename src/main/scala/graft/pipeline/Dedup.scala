@@ -306,6 +306,39 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /**
+   * Exact paragraph-level dedup across the corpus (the C4/RefinedWeb-style
+   * cleanup): splits each document on `sep`, keeps only the globally-first
+   * occurrence of each distinct paragraph — ordered by (doc id, position) —
+   * and reassembles documents in original paragraph order (documents whose
+   * every paragraph was seen earlier become empty strings, not dropped
+   * rows). The first-occurrence decision shuffles 8-byte paragraph hashes
+   * plus (id, idx), never paragraph text; text moves only in the one
+   * reassembly shuffle it must.
+   */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val paras = base
+      .select(col("id"),
+        posexplode(split(col("t"), java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+      .withColumn("h", xxhash64(col("para")))
+    val firsts = paras.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    val kept = paras.join(firsts, "h")
+      .filter(col("id") === col("first.id") && col("idx") === col("first.idx"))
+      .select("id", "idx", "para")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x("para"))).as("cleaned"))
+    base.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Distinct word n-gram (shingle) set of a text column. */
   def ngramSet(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)

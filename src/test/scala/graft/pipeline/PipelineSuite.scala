@@ -77,6 +77,21 @@ class PipelineSuite extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("paragraph dedup keeps first occurrence and reassembles in order") {
+    val docs = Seq(
+      (0L, "alpha\n\nbeta"),
+      (1L, "beta\n\ngamma\n\nalpha"), // beta + alpha seen in doc 0: keeps gamma
+      (2L, "delta\n\ndelta"), // within-doc duplicate: keeps the first only
+      (3L, "alpha\n\nbeta") // fully duplicate document -> empty, not dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "alpha\n\nbeta")
+    assert(out(1L) === "gamma")
+    assert(out(2L) === "delta")
+    assert(out(3L) === "")
+  }
+
   test("lsh auto-sizing row estimate needs no count() pass") {
     // In-memory relation: sizeInBytes = rowCount × (8 + Σ field defaultSize),
     // so the inversion is exact.
