@@ -80,7 +80,12 @@ case class MinHashBandHashes(child: Expression, bands: Int)
       var h = 42L
       var j = b * r
       val end = j + r
-      while (j < end) { h = XXH64.hashLong(sig.getLong(j), h); j += 1 }
+      while (j < end) {
+        // Spark's xxhash64 skips null array elements; match it exactly so
+        // the HOF-equivalence claim holds for nullable inputs too.
+        if (!sig.isNullAt(j)) h = XXH64.hashLong(sig.getLong(j), h)
+        j += 1
+      }
       out(b) = h
       b += 1
     }

@@ -77,21 +77,34 @@ object Dedup {
       .toDF(df.columns: _*)
   }
 
-  /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */
   /**
    * Ensures the expensive map-side sketch computation has enough input
    * partitions WHEN that matters: a large unsplittable input (a multi-GB
    * gzip dump, one giant parquet row group) would otherwise serialize
-   * signature computation onto a handful of tasks. Small under-partitioned
-   * inputs are left alone — there the serial map work is cheaper than the
-   * round-robin exchange this would add (measured: +0.8–1.3 s per query at
-   * sf0.1), and at scale inputs carry many splits so this is a no-op.
+   * signature computation onto a handful of tasks. Only scan-shaped plans
+   * (no shuffle in the lineage) are considered — anything downstream of a
+   * join/aggregate/repartition already carries shuffle-partition
+   * parallelism, and probing such a plan's partition count via `.rdd` would
+   * eagerly execute its query stages under AQE just to read a number. Small
+   * under-partitioned inputs are left alone too: the serial map work is
+   * cheaper than the round-robin exchange this would add (measured:
+   * +0.8–1.3 s per query at sf0.1). At scale inputs carry many splits and
+   * this is a no-op.
    */
   private def spreadInput(df: DataFrame, parts: Int): DataFrame = {
-    val big = df.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
+    import org.apache.spark.sql.catalyst.plans.{logical => l}
+    val plan = df.queryExecution.optimizedPlan
+    val hasShuffleUpstream = plan.exists {
+      case _: l.Join | _: l.Aggregate | _: l.Window | _: l.Sort |
+          _: l.RepartitionOperation | _: l.Distinct | _: l.Deduplicate => true
+      case _ => false
+    }
+    if (hasShuffleUpstream) return df
+    val big = plan.stats.sizeInBytes > (64L << 20)
     if (big && df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
 
+  /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
@@ -312,9 +325,10 @@ object Dedup {
    * occurrence of each distinct paragraph — ordered by (doc id, position) —
    * and reassembles documents in original paragraph order (documents whose
    * every paragraph was seen earlier become empty strings, not dropped
-   * rows). The first-occurrence decision shuffles 8-byte paragraph hashes
-   * plus (id, idx), never paragraph text; text moves only in the one
-   * reassembly shuffle it must.
+   * rows). The first-occurrence decision shuffles a 16-byte paragraph hash
+   * (two independent xxhash64 draws — collision odds are birthday/2^128,
+   * i.e. never) plus (id, idx), not paragraph text; text moves only in the
+   * one reassembly shuffle it must.
    */
   def dedupParagraphs(
       df: DataFrame,
@@ -325,7 +339,7 @@ object Dedup {
     val paras = base
       .select(col("id"),
         posexplode(split(col("t"), java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
-      .withColumn("h", xxhash64(col("para")))
+      .withColumn("h", struct(xxhash64(col("para")), xxhash64(col("para"), lit(1))))
     val firsts = paras.groupBy("h")
       .agg(min(struct(col("id"), col("idx"))).as("first"))
     val kept = paras.join(firsts, "h")

@@ -21,20 +21,38 @@ import org.apache.spark.sql.DataFrame
  */
 private[graft] object XmlFile {
 
+  /**
+   * Split max-size per Spark's FilePartition.maxSplitBytes policy: pack the
+   * input into at least defaultParallelism splits, bounded by [4 MB
+   * open-cost, 128 MB]. FileInputFormat otherwise splits at the filesystem
+   * block size (32 MB on local disks), which leaves most cores idle on
+   * inputs in the 100 MB range. Involves a driver-side listing — compute
+   * once per relation and pass the result to [[read]] (XmlRelation caches
+   * it across inference + every buildScan); None when the listing fails or
+   * an explicit user setting should win.
+   */
+  def splitMaxSizeFor(sc: SparkContext, path: String): Option[Long] = {
+    if (sc.hadoopConfiguration.get("mapreduce.input.fileinputformat.split.maxsize") != null) {
+      return None
+    }
+    totalInputBytes(sc.hadoopConfiguration, path).map { total =>
+      val target = math.max(1, sc.defaultParallelism)
+      math.min(128L << 20, math.max(4L << 20, total / target))
+    }
+  }
+
   /** Raw record strings for `path`, split-parallel. */
-  def read(sc: SparkContext, path: String, options: XmlOptions): RDD[String] = {
+  def read(
+      sc: SparkContext,
+      path: String,
+      options: XmlOptions,
+      splitMaxSize: Option[Long] = null): RDD[String] = {
     val conf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
     conf.set(XmlInputFormat.ROW_TAG_KEY, options.rowTag)
     conf.set(XmlInputFormat.ENCODING_KEY, options.charset)
-    // Mirror Spark's FilePartition.maxSplitBytes policy for the Hadoop-based
-    // scan: pack the input into at least defaultParallelism splits, bounded
-    // by [4 MB open-cost, 128 MB]. FileInputFormat otherwise splits at the
-    // filesystem block size (32 MB on local disks), which leaves most cores
-    // idle on inputs in the 100 MB range. Explicit user settings win.
-    if (conf.get("mapreduce.input.fileinputformat.split.maxsize") == null) {
-      totalInputBytes(conf, path).foreach { total =>
-        val target = math.max(1, sc.defaultParallelism)
-        val maxSplit = math.min(128L << 20, math.max(4L << 20, total / target))
+    val sizing = if (splitMaxSize != null) splitMaxSize else splitMaxSizeFor(sc, path)
+    sizing.foreach { maxSplit =>
+      if (conf.get("mapreduce.input.fileinputformat.split.maxsize") == null) {
         conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplit)
       }
     }

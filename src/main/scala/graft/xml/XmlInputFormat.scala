@@ -108,12 +108,21 @@ private[xml] final class XmlRecordReader extends RecordReader[LongWritable, Text
   private var recBuf = new Array[Byte](65536)
   private var recLen = 0
 
-  @inline private def recEnsure(n: Int): Unit =
-    if (recLen + n > recBuf.length) {
-      var cap = recBuf.length << 1
-      while (cap < recLen + n) cap <<= 1
-      recBuf = java.util.Arrays.copyOf(recBuf, cap)
+  @inline private def recEnsure(n: Int): Unit = {
+    val need = recLen.toLong + n
+    if (need > recBuf.length) {
+      // Long arithmetic: doubling an Int capacity past 2^30 overflows
+      // negative and would loop forever. Records near the 2 GiB array limit
+      // fail loudly instead.
+      if (need > Int.MaxValue - 8) {
+        throw new IllegalStateException(
+          s"XML record exceeds ${Int.MaxValue - 8} bytes; is rowTag ever closed?")
+      }
+      var cap = recBuf.length.toLong
+      while (cap < need) cap <<= 1
+      recBuf = java.util.Arrays.copyOf(recBuf, math.min(cap, Int.MaxValue - 8).toInt)
     }
+  }
   @inline private def recWrite(b: Int): Unit = {
     recEnsure(1); recBuf(recLen) = b.toByte; recLen += 1
   }

@@ -92,8 +92,13 @@ case class XmlRelation(
 
   private val options = XmlOptions(parameters)
 
+  // One driver-side listing per relation, shared by inference and every
+  // buildScan (each would otherwise re-list the input to size splits).
+  @transient private lazy val splitMaxSize: Option[Long] =
+    XmlFile.splitMaxSizeFor(sqlContext.sparkContext, location)
+
   private def baseRDD(): RDD[String] =
-    XmlFile.read(sqlContext.sparkContext, location, options)
+    XmlFile.read(sqlContext.sparkContext, location, options, splitMaxSize)
 
   override val schema: StructType = userSchema.getOrElse {
     val inferred = InferSchema.infer(baseRDD(), options)
