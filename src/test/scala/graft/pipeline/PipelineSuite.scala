@@ -92,6 +92,23 @@ class PipelineSuite extends AnyFunSuite {
     assert(out(3L) === "")
   }
 
+  test("paragraph dedup matches a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(77)
+    val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "")
+    val docs = (0 until 80).map { i =>
+      val k = rnd.nextInt(5) + 1
+      (i.toLong, (0 until k).map(_ => pool(rnd.nextInt(pool.size))).mkString("\n\n"))
+    }
+    // Sequential reference: walk documents in id order, keep first sightings.
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, t) =>
+      id -> t.split("\n\n", -1).filter(seen.add).mkString("\n\n")
+    }.toMap
+    val got = Dedup.dedupParagraphs(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
   test("lsh auto-sizing row estimate needs no count() pass") {
     // In-memory relation: sizeInBytes = rowCount × (8 + Σ field defaultSize),
     // so the inversion is exact.
