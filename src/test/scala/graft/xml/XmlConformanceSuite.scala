@@ -12,11 +12,16 @@ class XmlConformanceSuite extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
-  private def load(content: String, options: Map[String, String]): org.apache.spark.sql.DataFrame = {
+  private def load(
+      content: String,
+      options: Map[String, String],
+      schema: Option[StructType] = None): org.apache.spark.sql.DataFrame = {
     val f = Files.createTempFile("graft-conf", ".xml")
     Files.writeString(f, content)
-    options.foldLeft(spark.read.format("graft.xml")) { case (r, (k, v)) => r.option(k, v) }
-      .load(f.toString)
+    val reader = options.foldLeft(spark.read.format("graft.xml")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    schema.fold(reader)(reader.schema).load(f.toString)
   }
 
   test("ages: attribute on scalar element becomes valueTag struct") {
@@ -84,6 +89,78 @@ class XmlConformanceSuite extends AnyFunSuite {
     val rows = df.orderBy("k").collect()
     assert(rows(0).isNullAt(0) && rows(0).getLong(1) === 1L)
     assert(rows(1).getLong(0) === 5L)
+  }
+
+  test("empty vs missing vs whitespace nested structs (reference parity)") {
+    // Mirrors the reference's null-nested-struct fixtures and assertions
+    // (reference: src/test/scala/com/databricks/spark/xml/XmlSuite.scala:
+    // 739-767): an empty <es/> under b is a Row of nulls, not null; an
+    // empty <b> yields es = null; <f> </f> keeps " " while <f></f> is "".
+    val f1 = load(
+      """<root>
+        |  <item><b><!-- c --><es><e>1</e></es></b></item>
+        |  <item><b><!-- c --><es></es></b></item>
+        |</root>""".stripMargin,
+      Map("rowTag" -> "item"))
+    val r1 = f1.select("b.es").collect()
+    assert(r1(1).getStruct(0) !== null)
+    assert(r1(1).getStruct(0)(0) === null)
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "b STRUCT<es: STRUCT<e: STRING, f: STRING>>")
+    val r2 = load(
+      """<root>
+        |  <item><b>
+        |  </b></item>
+        |  <item><b><es></es></b></item>
+        |  <item><b><es><e>E</e></es></b></item>
+        |  <item><b><es><e>E</e><f> </f></es></b></item>
+        |  <item><b><es><e>E</e><f></f></es></b></item>
+        |</root>""".stripMargin,
+      Map("rowTag" -> "item"), Some(schema)).collect()
+    assert(r2(0) === Row(Row(null)))
+    assert(r2(1) === Row(Row(Row(null, null))))
+    assert(r2(2) === Row(Row(Row("E", null))))
+    assert(r2(3) === Row(Row(Row("E", " "))))
+    assert(r2(4) === Row(Row(Row("E", ""))))
+  }
+
+  test("decimals with scale greater than precision of the literal (reference parity)") {
+    // reference: src/test/scala/com/databricks/spark/xml/XmlSuite.scala:1210-1222
+    val schema = StructType(Seq(StructField("Number", DecimalType(7, 4))))
+    val df = load(
+      """<ROWS><Row> <Number>0.0000</Number> </Row>
+        |<Row> <Number>0.01</Number> </Row></ROWS>""".stripMargin,
+      Map("rowTag" -> "Row"), Some(schema))
+    val results = df.collect()
+    assert(results(0).getAs[java.math.BigDecimal](0).toString === "0.0000")
+    assert(results(1).getAs[java.math.BigDecimal](0).toString === "0.0100")
+  }
+
+  test("double field with whitespace-only value marks the row corrupt (reference parity)") {
+    // reference: XmlSuite.scala:1224-1234 + resources/whitespace_error.xml
+    val schema = StructType(Seq(
+      StructField("Book", StructType(Seq(StructField("Price", DoubleType)))),
+      StructField("_corrupt_record", StringType)))
+    val df = load("<Books><Book><Price> </Price></Book></Books>",
+      Map("rowTag" -> "Books"), Some(schema))
+    assert(df.count() === 1)
+    assert(df.take(1).head.getAs[String]("_corrupt_record") !== null)
+  }
+
+  test("attributes starting on a new line parse with all separators (reference parity)") {
+    // reference: XmlSuite.scala:947-969 + resources/attributesStartWithNewLine*.xml
+    for (sep <- Seq("\n", "\r", "\r\n")) {
+      val xml = "<?xml version=\"1.0\"?>" + sep + "<note" + sep +
+        "        xmlns=\"http://www.w3schools.com\"" + sep +
+        "        xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\"" + sep +
+        "        xsi:schemaLocation=\"http://www.w3schools.com note.xsd\">" + sep +
+        "<to>Tove</to><from>Jani</from><heading>R</heading><body>B</body></note>"
+      val df = load(xml, Map("rowTag" -> "note", "ignoreNamespace" -> "true"))
+      assert(df.count() === 1)
+      val row = df.selectExpr("to", "from", "heading").head()
+      assert(row === Row("Tove", "Jani", "R"))
+    }
   }
 
   test("ignoreSurroundingSpaces trims whitespace-padded values") {
