@@ -163,6 +163,20 @@ class XmlConformanceSuite extends AnyFunSuite {
     }
   }
 
+  test("XML in a string field preserves nested attributes (reference parity)") {
+    // reference: XmlSuite.scala:1245-1253 + resources/cars-attribute.xml
+    val schema = StructType(Seq(StructField("ROW", StringType)))
+    val df = load(
+      """<ROWSET>
+        |    <ROW>
+        |        <year>2015</year>
+        |        <comment foo="bar">No</comment>
+        |    </ROW>
+        |</ROWSET>""".stripMargin,
+      Map("rowTag" -> "ROWSET"), Some(schema))
+    assert(df.head().getString(0).contains("<comment foo=\"bar\">No</comment>"))
+  }
+
   test("ignoreSurroundingSpaces trims whitespace-padded values") {
     val df = load(
       """<ROWS><ROW><age>  25 </age><name>  Pad </name></ROW></ROWS>""",
