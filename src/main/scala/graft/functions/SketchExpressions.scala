@@ -57,12 +57,16 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 /**
  * LSH band hashes of a MinHash signature: the signature is cut into `bands`
  * equal slices of r = len/bands mins and each slice is folded to one 64-bit
- * bucket hash. Value-identical to the HOF formulation
- * `transform(seq(0,bands-1), b -> xxhash64(slice(sig, b*r+1, r)))` — Spark's
- * `xxhash64` over an array<bigint> chains hashLong over the elements from
- * seed 42, which is exactly the fold below — but one primitive loop instead
- * of 2×bands interpreted Slice allocations + expression tree walks per row
- * (which dominated the q24 map stage).
+ * bucket hash. For any non-null signature, value-identical to the HOF
+ * formulation `transform(seq(0,bands-1), b -> xxhash64(slice(sig, b*r+1,
+ * r)))` — Spark's `xxhash64` over an array<bigint> chains hashLong over the
+ * elements from seed 42, which is exactly the fold below — but one primitive
+ * loop instead of 2×bands interpreted Slice allocations + expression tree
+ * walks per row (which dominated the q24 map stage). The one divergence is a
+ * NULL signature: this null-intolerant UnaryExpression returns null, while
+ * the HOF yields an array of seed hashes (xxhash64 of an all-null slice is
+ * the seed, 42). Null is the saner contract — no pipeline here produces
+ * null signatures, and a null sketch must not land in a real LSH bucket.
  */
 case class MinHashBandHashes(child: Expression, bands: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

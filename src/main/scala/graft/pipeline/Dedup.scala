@@ -97,6 +97,9 @@ object Dedup {
     val hasShuffleUpstream = plan.exists {
       case _: l.Join | _: l.Aggregate | _: l.Window | _: l.Sort |
           _: l.RepartitionOperation | _: l.Distinct | _: l.Deduplicate => true
+      // Limits/offsets also plan an exchange stage; probing them via .rdd
+      // would eagerly execute it at planning time under AQE.
+      case _: l.GlobalLimit | _: l.LocalLimit | _: l.Offset => true
       case _ => false
     }
     if (hasShuffleUpstream) return df

@@ -41,18 +41,27 @@ private[graft] object XmlFile {
     }
   }
 
-  /** Raw record strings for `path`, split-parallel. */
+  /** Raw record strings for `path`, split-parallel; computes split sizing
+   *  here (explicit `splitMaxBytes` option, else the packing policy). */
+  def read(sc: SparkContext, path: String, options: XmlOptions): RDD[String] =
+    read(sc, path, options, options.splitMaxBytes.orElse(splitMaxSizeFor(sc, path)))
+
+  /** Raw record strings for `path`, split-parallel, with sizing precomputed
+   *  by the caller (XmlRelation computes once and reuses across inference +
+   *  every buildScan). */
   def read(
       sc: SparkContext,
       path: String,
       options: XmlOptions,
-      splitMaxSize: Option[Long] = null): RDD[String] = {
+      splitMaxSize: Option[Long]): RDD[String] = {
     val conf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
     conf.set(XmlInputFormat.ROW_TAG_KEY, options.rowTag)
     conf.set(XmlInputFormat.ENCODING_KEY, options.charset)
-    val sizing = if (splitMaxSize != null) splitMaxSize else splitMaxSizeFor(sc, path)
-    sizing.foreach { maxSplit =>
-      if (conf.get("mapreduce.input.fileinputformat.split.maxsize") == null) {
+    splitMaxSize.foreach { maxSplit =>
+      // An explicit per-read option wins over the global Hadoop conf (this
+      // conf is a private copy); policy-computed sizing only fills a gap.
+      if (options.splitMaxBytes.isDefined ||
+          conf.get("mapreduce.input.fileinputformat.split.maxsize") == null) {
         conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplit)
       }
     }

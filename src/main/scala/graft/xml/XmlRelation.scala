@@ -93,9 +93,11 @@ case class XmlRelation(
   private val options = XmlOptions(parameters)
 
   // One driver-side listing per relation, shared by inference and every
-  // buildScan (each would otherwise re-list the input to size splits).
+  // buildScan (each would otherwise re-list the input to size splits). An
+  // explicit splitMaxBytes option skips the listing entirely.
   @transient private lazy val splitMaxSize: Option[Long] =
-    XmlFile.splitMaxSizeFor(sqlContext.sparkContext, location)
+    options.splitMaxBytes.orElse(
+      XmlFile.splitMaxSizeFor(sqlContext.sparkContext, location))
 
   private def baseRDD(): RDD[String] =
     XmlFile.read(sqlContext.sparkContext, location, options, splitMaxSize)

@@ -56,6 +56,22 @@ class NgramPropertySuite extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("band hashes of a NULL signature: native is null, HOF is seed hashes") {
+    // The documented divergence: the null-intolerant native expression
+    // propagates null, while the HOF hashes bands of an all-null slice to
+    // the xxhash64 seed (42). Locks the contract stated in the scaladoc.
+    import graft.functions.SketchFunctions
+    val bands = 4
+    val row = Seq(Tuple1(Option.empty[Array[Long]])).toDF("sig")
+    val hof = transform(sequence(lit(0), lit(bands - 1)),
+      i => xxhash64(slice(col("sig"), i * 2 + 1, lit(2))))
+    val out = row.select(
+      SketchFunctions.minhash_band_hashes(col("sig"), bands).as("native"),
+      hof.as("hof")).head()
+    assert(out.isNullAt(0), "native band hashes of a null signature must be null")
+    assert(out.getSeq[Long](1) === Seq.fill(bands)(42L))
+  }
+
   test("hashed n-gram sets match the HOF formulation's sizes and overlaps") {
     for (n <- Seq(1, 2, 3)) {
       val docs = (0 until 200).map(i => (i.toLong, randomDoc())).toDF("id", "text")

@@ -57,39 +57,48 @@ class XmlPartitioningSuite extends AnyFunSuite {
     sb.append("</houses>\n")
     val big = dir.resolve("big.xml")
     Files.write(big, sb.toString.getBytes("UTF-8"))
+    // This test intentionally exercises the global-conf precedence contract,
+    // so it must touch the shared key: snapshot + restore (no assume-skip),
+    // and it is the only suite left that mutates it — the sweep tests use
+    // the per-read splitMaxBytes option.
     val conf = spark.sparkContext.hadoopConfiguration
-    assume(conf.get("mapreduce.input.fileinputformat.split.maxsize") == null)
-    val df = spark.read.format("graft.xml").option("rowTag", "house")
-      .schema("_id LONG, num LONG, addr STRING").load(big.toString)
-    assert(df.rdd.getNumPartitions === 2)
-    // An explicit user setting always wins over the policy.
-    conf.set("mapreduce.input.fileinputformat.split.maxsize", "1048576")
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = conf.get(key)
     try {
+      conf.unset(key)
+      val df = spark.read.format("graft.xml").option("rowTag", "house")
+        .schema("_id LONG, num LONG, addr STRING").load(big.toString)
+      assert(df.rdd.getNumPartitions === 2)
+      // An explicit global Hadoop setting wins over the packing policy.
+      conf.set(key, "1048576")
       val df2 = spark.read.format("graft.xml").option("rowTag", "house")
         .schema("_id LONG, num LONG, addr STRING").load(big.toString)
       assert(df2.rdd.getNumPartitions >= 8)
-    } finally conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      // And the per-read option wins over the global setting.
+      conf.set(key, String.valueOf(32L << 20))
+      val df3 = spark.read.format("graft.xml").option("rowTag", "house")
+        .option("splitMaxBytes", "1048576")
+        .schema("_id LONG, num LONG, addr STRING").load(big.toString)
+      assert(df3.rdd.getNumPartitions >= 8)
+    } finally {
+      if (old == null) conf.unset(key) else conf.set(key, old)
+    }
   }
 
   test("split-size sweep x codec matrix returns identical record sets") {
     val dir = Files.createTempDirectory("graft-partitioning")
     val (plain, gz, bz) = write(dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
-    try {
-      for (splitSize <- Seq("1024", "4096", "65536", "1048576")) {
-        conf.set("mapreduce.input.fileinputformat.split.maxsize", splitSize)
-        for (path <- Seq(plain, gz, bz)) {
-          val df = spark.read.format("graft.xml").option("rowTag", "house")
-            .schema("_id LONG, num LONG, addr STRING").load(path)
-          val ids = df.select("num").collect().map(_.getLong(0)).sorted
-          assert(ids.length === n, s"split=$splitSize path=$path lost/duplicated records")
-          assert(ids.toSeq === (0 until n).map(_.toLong), s"split=$splitSize path=$path")
-        }
+    // Per-read splitMaxBytes option: no shared-SparkContext conf mutation,
+    // so this suite cannot race with concurrently-running suites.
+    for (splitSize <- Seq("1024", "4096", "65536", "1048576")) {
+      for (path <- Seq(plain, gz, bz)) {
+        val df = spark.read.format("graft.xml").option("rowTag", "house")
+          .option("splitMaxBytes", splitSize)
+          .schema("_id LONG, num LONG, addr STRING").load(path)
+        val ids = df.select("num").collect().map(_.getLong(0)).sorted
+        assert(ids.length === n, s"split=$splitSize path=$path lost/duplicated records")
+        assert(ids.toSeq === (0 until n).map(_.toLong), s"split=$splitSize path=$path")
       }
-    } finally {
-      if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
-      else conf.set("mapreduce.input.fileinputformat.split.maxsize", old)
     }
   }
 }

@@ -53,8 +53,11 @@ class XmlScannerFuzzSuite extends AnyFunSuite {
     sb.toString
   }
 
-  private def readIds(path: String): Seq[Long] =
+  // Per-read splitMaxBytes option: forces the split size for this read only,
+  // no shared-SparkContext conf mutation to race with parallel suites.
+  private def readIds(path: String, splitSize: String): Seq[Long] =
     spark.read.format("graft.xml").option("rowTag", "row")
+      .option("splitMaxBytes", splitSize)
       .schema("num LONG").load(path)
       .collect().map(_.getLong(0)).sorted.toSeq
 
@@ -68,18 +71,10 @@ class XmlScannerFuzzSuite extends AnyFunSuite {
     codec.setConf(spark.sparkContext.hadoopConfiguration)
     val bos = codec.createOutputStream(Files.newOutputStream(bz))
     bos.write(bytes); bos.close()
-    val conf = spark.sparkContext.hadoopConfiguration
-    val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
-    try {
-      for (splitSize <- Seq("2048", "65536", "4194304"); path <- Seq(f, bz)) {
-        conf.set("mapreduce.input.fileinputformat.split.maxsize", splitSize)
-        val ids = readIds(path.toString)
-        assert(ids.length === n, s"split=$splitSize path=$path lost/duplicated records")
-        assert(ids === (0 until n).map(_.toLong), s"split=$splitSize path=$path wrong id set")
-      }
-    } finally {
-      if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
-      else conf.set("mapreduce.input.fileinputformat.split.maxsize", old)
+    for (splitSize <- Seq("2048", "65536", "4194304"); path <- Seq(f, bz)) {
+      val ids = readIds(path.toString, splitSize)
+      assert(ids.length === n, s"split=$splitSize path=$path lost/duplicated records")
+      assert(ids === (0 until n).map(_.toLong), s"split=$splitSize path=$path wrong id set")
     }
   }
 
@@ -99,16 +94,8 @@ class XmlScannerFuzzSuite extends AnyFunSuite {
     val dir: Path = Files.createTempDirectory("graft-fuzz-nested")
     val f = dir.resolve("nested.xml")
     Files.write(f, corpus(nested = true).getBytes("UTF-8"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
-    conf.set("mapreduce.input.fileinputformat.split.maxsize", "1073741824")
-    try {
-      val ids = readIds(f.toString)
-      assert(ids.length === n)
-      assert(ids === (0 until n).map(_.toLong))
-    } finally {
-      if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
-      else conf.set("mapreduce.input.fileinputformat.split.maxsize", old)
-    }
+    val ids = readIds(f.toString, "1073741824")
+    assert(ids.length === n)
+    assert(ids === (0 until n).map(_.toLong))
   }
 }

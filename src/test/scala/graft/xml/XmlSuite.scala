@@ -216,22 +216,15 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
     big ++= "</ROWS>\n"
     val path = writeFixture("big.xml", big.result())
+    // Force many partitions via the per-read split-size option.
     val df = spark.read.format("graft.xml").option("rowTag", "ROW")
       .option("mode", "FAILFAST")
+      .option("splitMaxBytes", "2048")
       .load(path)
-    // Force many partitions via small max split size.
-    val conf = spark.sparkContext.hadoopConfiguration
-    val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
-    conf.set("mapreduce.input.fileinputformat.split.maxsize", "2048")
-    try {
-      val cnt = df.count()
-      assert(cnt === n)
-      val ks = df.select("k").collect().map(_.getLong(0)).sorted
-      assert(ks.toSeq === (0 until n).map(_.toLong))
-    } finally {
-      if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
-      else conf.set("mapreduce.input.fileinputformat.split.maxsize", old)
-    }
+    val cnt = df.count()
+    assert(cnt === n)
+    val ks = df.select("k").collect().map(_.getLong(0)).sorted
+    assert(ks.toSeq === (0 until n).map(_.toLong))
   }
 
   test("nested same-name tags and self-closing rows survive splitting") {
@@ -276,23 +269,16 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     val os = codec.createOutputStream(Files.newOutputStream(f))
     os.write(sb.toString.getBytes("UTF-8")); os.close()
 
-    val conf = spark.sparkContext.hadoopConfiguration
-    val old = conf.get("mapreduce.input.fileinputformat.split.maxsize")
-    conf.set("mapreduce.input.fileinputformat.split.maxsize", "65536")
-    try {
-      val df = spark.read.format("graft.xml").option("rowTag", "row")
-        .schema("id LONG, v STRING").load(f.toString)
-      val perPart = df.select("id").rdd
-        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size))).collect()
-      assert(perPart.count(_._2 > 0) >= 2,
-        s"expected multiple non-empty splits, got ${perPart.mkString(",")}")
-      val ids = df.select("id").collect().map(_.getLong(0)).sorted
-      assert(ids.length === n)
-      assert(ids.toSeq === (0 until n).map(_.toLong))
-    } finally {
-      if (old == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
-      else conf.set("mapreduce.input.fileinputformat.split.maxsize", old)
-    }
+    val df = spark.read.format("graft.xml").option("rowTag", "row")
+      .option("splitMaxBytes", "65536")
+      .schema("id LONG, v STRING").load(f.toString)
+    val perPart = df.select("id").rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size))).collect()
+    assert(perPart.count(_._2 > 0) >= 2,
+      s"expected multiple non-empty splits, got ${perPart.mkString(",")}")
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === n)
+    assert(ids.toSeq === (0 until n).map(_.toLong))
   }
 
   test("from_xml parses a string column; malformed → null struct") {
