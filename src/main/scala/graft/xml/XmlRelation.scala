@@ -178,6 +178,7 @@ class DefaultSource
   extends RelationProvider
   with SchemaRelationProvider
   with CreatableRelationProvider
+  with StreamSourceProvider
   with DataSourceRegister {
 
   override def shortName(): String = "xmlng"
@@ -185,6 +186,40 @@ class DefaultSource
   private def pathFor(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' must be specified for XML data"))
+
+  // ---- Structured Streaming: readStream.format("xmlng") ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val resolved = schema.getOrElse {
+      // Infer once at stream start from the files already present — the
+      // stream's schema is fixed for its lifetime, like other file sources.
+      val options = XmlOptions(parameters)
+      val raw = XmlFile.read(sqlContext.sparkContext, pathFor(parameters), options)
+      if (raw.isEmpty()) {
+        throw new IllegalArgumentException(
+          "Cannot infer a schema for an XML stream over an empty directory; " +
+            "provide .schema(...) or seed the directory first")
+      }
+      val inferred = InferSchema.infer(raw, options)
+      if (options.inferSchema) inferred
+      else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
+    }
+    (shortName(), resolved)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new XmlStreamSource(sqlContext, metadataPath, pathFor(parameters), resolved, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -1,0 +1,169 @@
+package graft.xml
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming file source for XML directories:
+ * `spark.readStream.format("xmlng").option("rowTag", …).schema(s).load(dir)`.
+ *
+ * The reference library has no streaming surface, and the `readStream.text`
+ * + `from_xml` composition only handles one-record-per-line corpora; this
+ * source streams real multi-line XML documents (declaration, root tag,
+ * records spanning lines) through the same split-parallel scanner and StAX
+ * parser as the batch relation, so every read option (rowTag, charset,
+ * modes, XSD validation, pushdown-safe pruning via the user schema) behaves
+ * identically in a stream.
+ *
+ * Offset/recovery model (same shape as Spark's own FileStreamSource): an
+ * offset is the id of the latest discovered batch of files. Each discovered
+ * batch's file list is persisted to `metadataPath/<batchId>` with an
+ * atomic-rename write BEFORE the offset is surfaced, so `getBatch(x, y)` is
+ * a pure function of the durable log — a restarted query replays exactly
+ * the same files per batch (exactly-once per file). Files are identified by
+ * path: appends to an already-seen file are not re-read, matching file-sink
+ * + file-source conventions where files are immutable once visible.
+ *
+ * Scale notes: discovery is one driver-side listing per trigger (the same
+ * cost FileStreamSource pays); the per-batch log entry is O(new files), and
+ * the in-memory seen-set holds paths only. For an unbounded stream a
+ * retention/compaction policy would bound both (the batch log compacts
+ * naturally — old entries are never re-read after checkpoint commit, so a
+ * TTL cleaner can drop them); at test scale none is needed. The actual data
+ * read is executor-side and split-parallel via [[XmlFile.read]].
+ */
+private[xml] class XmlStreamSource(
+    sqlContext: SQLContext,
+    metadataPath: String,
+    path: String,
+    override val schema: StructType,
+    parameters: Map[String, String]) extends Source with Logging {
+
+  private val options = XmlOptions(parameters)
+  private val maxFilesPerTrigger: Option[Int] =
+    parameters.get("maxFilesPerTrigger").map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger ($n) must be positive")
+      n
+    }
+
+  private val logDir = new Path(metadataPath)
+  private val fs: FileSystem =
+    logDir.getFileSystem(sqlContext.sparkContext.hadoopConfiguration)
+  if (!fs.exists(logDir)) fs.mkdirs(logDir)
+
+  // Rebuilt from the durable log on (re)start: which files belong to which
+  // already-discovered batch, and the full seen-set.
+  private val batchFiles = mutable.SortedMap.empty[Long, Seq[String]]
+  private val seen = mutable.HashSet.empty[String]
+  locally {
+    val entries = fs.listStatus(logDir)
+    entries.iterator
+      .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+      .foreach { st =>
+        val id = st.getPath.getName.toLong
+        val files = readLog(st.getPath)
+        batchFiles(id) = files
+        seen ++= files
+      }
+  }
+  private var latestBatchId: Long = if (batchFiles.isEmpty) -1L else batchFiles.lastKey
+
+  private def readLog(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    } finally in.close()
+  }
+
+  private def writeLog(id: Long, files: Seq[String]): Unit = {
+    val tmp = new Path(logDir, s".${id}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, id.toString))) {
+      throw new IllegalStateException(s"failed to commit stream batch log $id")
+    }
+  }
+
+  /** One listing per trigger: data files under `path` (dir, file, or glob),
+   *  excluding hidden/in-progress names, oldest first for FIFO fairness. */
+  private def listInput(): Seq[FileStatus] = {
+    val in = new Path(path)
+    val inFs = in.getFileSystem(sqlContext.sparkContext.hadoopConfiguration)
+    val matched = Option(inFs.globStatus(in)).getOrElse(Array.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) inFs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+    }
+    files.iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+      .toSeq
+      .sortBy(st => (st.getModificationTime, st.getPath.toString))
+  }
+
+  override def getOffset: Option[Offset] = synchronized {
+    val unseen = listInput().map(_.getPath.toString).filterNot(seen)
+    val take = maxFilesPerTrigger.fold(unseen)(unseen.take)
+    if (take.nonEmpty) {
+      val id = latestBatchId + 1
+      writeLog(id, take) // durable before visible
+      batchFiles(id) = take
+      seen ++= take
+      latestBatchId = id
+      logInfo(s"xmlng stream batch $id: ${take.size} new file(s)")
+    }
+    if (latestBatchId < 0) None else Some(LongOffset(latestBatchId))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = synchronized {
+    val from = start.map(toBatchId(_) + 1).getOrElse(0L)
+    val to = toBatchId(end)
+    val files = (from to to).flatMap(id => batchFiles.getOrElse(id, readMissing(id)))
+    val spark = sqlContext.sparkSession
+    if (files.isEmpty) {
+      Bridge.internalCreateStreamingDataFrame(
+        spark, spark.sparkContext.emptyRDD, schema)
+    } else {
+      val raw = XmlFile.read(sqlContext.sparkContext, files.mkString(","), options)
+      Bridge.internalCreateStreamingDataFrame(
+        spark, StaxXmlParser.parse(raw, schema, options), schema)
+    }
+  }
+
+  /** After a restart Spark can ask for a batch discovered by a previous
+   *  incarnation whose in-memory map predates it; fall back to the log. */
+  private def readMissing(id: Long): Seq[String] = {
+    val p = new Path(logDir, id.toString)
+    if (fs.exists(p)) {
+      val files = readLog(p)
+      batchFiles(id) = files
+      files
+    } else {
+      throw new IllegalStateException(
+        s"stream batch $id requested but no log entry exists under $logDir")
+    }
+  }
+
+  private def toBatchId(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"XmlStreamSource[$path, rowTag=${options.rowTag}]"
+}
