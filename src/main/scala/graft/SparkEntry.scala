@@ -500,6 +500,23 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")
+    }),
+
+    "q43_stream_nation" -> ((s, d) => {
+      // The native streaming file source gated by the batch oracle: the same
+      // XML directory drained as a stream (file discovery, durable offset
+      // log, per-batch parse) must equal the plain batch read of nation.
+      val nation = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/stream_nation"
+      nation.write.format("graft.xml").mode("overwrite")
+        .option("rowTag", "nation").save(path)
+      val sinkName = "q43_sink_" + sfName.replace('.', '_')
+      val q = s.readStream.format("xmlng").option("rowTag", "nation")
+        .schema(nation.schema).load(path)
+        .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("n_nationkey")
     })
   )
 
@@ -638,6 +655,9 @@ object SparkEntry {
         |GROUP BY c.doc_id""".stripMargin,
 
     "q19_xsd_nation" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q43_stream_nation" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q34_parse_modes" ->
