@@ -502,6 +502,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q44_to_xml_roundtrip" -> ((s, d) => {
+      // to_xml/from_xml as a column-level identity over real data: serialize
+      // each supplier row to an XML string, parse it back, project the
+      // parsed fields. Exercises escaping (comments contain &<>"), nulls,
+      // and numeric text through both directions of the column surface.
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      sup.select(graft.xml.to_xml(struct(
+          col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")))
+          .as("xml"))
+        .select(graft.xml.from_xml(col("xml"), schema).as("r"))
+        .select(col("r.s_suppkey").as("s_suppkey"), col("r.s_name").as("s_name"),
+          col("r.s_nationkey").as("s_nationkey"), col("r.s_acctbal").as("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     "q43_stream_nation" -> ((s, d) => {
       // The native streaming file source gated by the batch oracle: the same
       // XML directory drained as a stream (file discovery, durable offset
@@ -659,6 +679,9 @@ object SparkEntry {
 
     "q43_stream_nation" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q44_to_xml_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
     "q34_parse_modes" ->
       """SELECT 'dropmalformed' AS mode,

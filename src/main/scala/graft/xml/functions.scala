@@ -30,6 +30,13 @@ object functions {
   def from_xml_array(e: Column, schema: ArrayType, options: java.util.Map[String, String]): Column =
     graft.xml.from_xml_array(e, schema, options.asScala.toMap)
 
+  /** Serializes a struct column to one XML element string. */
+  def to_xml(e: Column): Column =
+    graft.xml.to_xml(e)
+
+  def to_xml(e: Column, options: java.util.Map[String, String]): Column =
+    graft.xml.to_xml(e, options.asScala.toMap)
+
   /** Infers the schema of a collection of XML document strings. */
   def schema_of_xml(ds: Dataset[String]): StructType =
     graft.xml.schema_of_xml(ds)

@@ -28,6 +28,13 @@ package object xml {
       options: Map[String, String] = Map.empty): Column =
     Bridge.column(XmlDataToCatalyst(Bridge.expression(e), schema, options))
 
+  /** Serializes a struct column to one XML element string (inverse of
+   *  `from_xml`; same mapping rules as the file sink). Element name is
+   *  `rowTag` (default `ROW`); output is compact unless
+   *  `compactOutput=false`. */
+  def to_xml(e: Column, options: Map[String, String] = Map.empty): Column =
+    Bridge.column(CatalystDataToXml(Bridge.expression(e), options))
+
   /** Driver-side single-string parse, usable inside UDFs. */
   def from_xml_string(
       xml: String,

@@ -295,6 +295,39 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.filter(col("p.k") === 10).select("p.s").head().getString(0) === "ok")
   }
 
+  test("to_xml serializes a struct column; attributes, arrays, null omission") {
+    import spark.implicits._
+    val df = Seq((7L, "a&b", Seq(1, 2), Option.empty[String]))
+      .toDF("id", "name", "xs", "note")
+      .select(struct(col("id"), col("name"), col("xs"), col("note")).as("s"))
+    // Default: compact, rowTag ROW, nulls omitted, text escaped.
+    val s = df.select(graft.xml.to_xml(col("s")).as("x")).head().getString(0)
+    assert(s === "<ROW><id>7</id><name>a&amp;b</name><xs>1</xs><xs>2</xs></ROW>")
+    // rowTag + attributePrefix behave like the file sink.
+    val attrDf = Seq(("v1", 3L)).toDF("_ver", "n")
+      .select(struct(col("_ver"), col("n")).as("s"))
+    val t = attrDf.select(
+      graft.xml.to_xml(col("s"), Map("rowTag" -> "rec")).as("x")).head().getString(0)
+    assert(t === """<rec ver="v1"><n>3</n></rec>""")
+    // Null struct → null string.
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRUCT<a: INT>) AS s")
+      .select(graft.xml.to_xml(col("s"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("to_xml/from_xml roundtrip is the identity on structs") {
+    import spark.implicits._
+    val src = Seq((1L, "plain"), (2L, "esc <&> \"q\""), (3L, null))
+      .toDF("k", "s")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val back = src
+      .select(struct(col("k"), col("s")).as("orig"))
+      .withColumn("xml", graft.xml.to_xml(col("orig")))
+      .withColumn("re", graft.xml.from_xml(col("xml"), schema))
+      .where(col("re.k") <=> col("orig.k") && col("re.s") <=> col("orig.s"))
+    assert(back.count() === 3)
+  }
+
   test("schema_of_xml infers from a dataset of strings") {
     import spark.implicits._
     val ds = Seq("<r><a>1</a><b>x</b></r>", "<r><a>2.5</a><c>true</c></r>").toDS()
