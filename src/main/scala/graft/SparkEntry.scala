@@ -537,6 +537,33 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(sinkName).orderBy("n_nationkey")
+    }),
+
+    "q45_stream_sink_roundtrip" -> ((s, d) => {
+      // The full streaming loop gated by the batch oracle: customer → XML
+      // files → xmlng stream source → xmlng stream sink (per-batch commit
+      // log, complete XML documents per part) → plain batch read of the
+      // sink directory. Everything between the two parquet reads is the
+      // engine's own streaming surface.
+      val cust = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val sfName = new java.io.File(d).getName
+      val base = s"/tmp/graft_xml/$sfName/stream_sink"
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      // Fresh run each invocation: stale sink commits or checkpoints from a
+      // previous process would mask the new input.
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      cust.write.format("graft.xml").option("rowTag", "customer").save(inDir)
+      val q = s.readStream.format("xmlng").option("rowTag", "customer")
+        .schema(cust.schema).load(inDir)
+        .writeStream.format("xmlng").option("rowTag", "customer")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(outDir)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("xmlng").option("rowTag", "customer")
+        .schema(cust.schema).load(outDir)
+        .orderBy("c_custkey")
     })
   )
 
@@ -682,6 +709,9 @@ object SparkEntry {
 
     "q44_to_xml_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "q45_stream_sink_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
 
     "q34_parse_modes" ->
       """SELECT 'dropmalformed' AS mode,

@@ -179,6 +179,7 @@ class DefaultSource
   with SchemaRelationProvider
   with CreatableRelationProvider
   with StreamSourceProvider
+  with StreamSinkProvider
   with DataSourceRegister {
 
   override def shortName(): String = "xmlng"
@@ -219,6 +220,21 @@ class DefaultSource
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new XmlStreamSource(sqlContext, metadataPath, pathFor(parameters), resolved, parameters)
+  }
+
+  // ---- Structured Streaming: writeStream.format("xmlng") ----
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"xmlng sink supports Append output mode only, got $outputMode " +
+        "(files are immutable once written; aggregate with a watermark to use Append)")
+    require(partitionColumns.isEmpty,
+      "xmlng sink does not support partitionBy; partition upstream or write separate streams")
+    new XmlStreamSink(sqlContext, pathFor(parameters), parameters)
   }
 
   override def createRelation(

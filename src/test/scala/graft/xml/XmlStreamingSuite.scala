@@ -171,6 +171,75 @@ class XmlStreamingSuite extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("xmlng stream sink writes XML files a batch read parses back") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-stream-sink")
+    val in = dir.resolve("in"); val out = dir.resolve("out"); val ckpt = dir.resolve("ckpt")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("a.xml"),
+      "<rows><r><k>1</k><v>a&amp;b</v></r><r><k>2</k><v>two</v></r></rows>")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+
+    def start() = spark.readStream.format("xmlng")
+      .option("rowTag", "r").schema(schema).load(in.toString)
+      .writeStream.format("xmlng")
+      .option("rowTag", "rec").option("rootTag", "recs")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start(out.toString)
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // Second incarnation picks up a new input file; the sink must append it
+    // without disturbing (or duplicating) batch-0 output.
+    Files.writeString(in.resolve("b.xml"), "<rows><r><k>3</k><v>three</v></r></rows>")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val back = spark.read.format("xmlng").option("rowTag", "rec")
+      .schema(schema).load(out.toString)
+    val rows = back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a&b"), (2L, "two"), (3L, "three")))
+    // Commit markers exist and sink part files carry their batch id.
+    val commits = out.resolve("_xmlng_commits")
+    assert(Files.list(commits).count() >= 2)
+    val names = Files.list(out).map[String](_.getFileName.toString)
+      .filter(n => n.startsWith("part-")).toArray
+    assert(names.nonEmpty && names.forall(_.toString.matches("part-\\d+-.*")))
+  }
+
+  test("xmlng stream sink replay of a committed batch is a no-op") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sink-replay")
+    val out = dir.resolve("out")
+    val sink = new XmlStreamSink(spark.sqlContext, out.toString, Map("rowTag" -> "r"))
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    sink.addBatch(0, df)
+    val firstFiles = Files.list(out).map[String](_.getFileName.toString)
+      .filter(_.startsWith("part-")).sorted().toArray.toSeq
+    sink.addBatch(0, df) // replay after commit: must not duplicate
+    val afterFiles = Files.list(out).map[String](_.getFileName.toString)
+      .filter(_.startsWith("part-")).sorted().toArray.toSeq
+    assert(afterFiles === firstFiles)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    assert(spark.read.format("xmlng").option("rowTag", "r")
+      .schema(schema).load(out.toString).count() === 2)
+  }
+
+  test("xmlng stream sink rejects non-append modes and partitionBy") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-stream-sink-modes")
+    val counts = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .groupBy("value").count()
+    val ex = intercept[Exception] {
+      counts.writeStream.format("xmlng")
+        .option("checkpointLocation", dir.resolve("c1").toString)
+        .outputMode("complete").start(dir.resolve("o1").toString)
+    }
+    assert(ex.getMessage.contains("Append"), ex.getMessage)
+  }
+
   test("streaming windowed aggregation over parsed XML events") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-stream2")
