@@ -416,6 +416,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 3, 0.3)
     }),
 
+    "q46_dup_components" -> ((s, d) => {
+      // Pairs → duplicate clusters: large-star/small-star connected
+      // components over the (exact-verified) MinHash pair graph. One row per
+      // paired doc; component = min doc_id reachable. `id = component`
+      // selects the cluster representative a dedup keeps.
+      val pairs = Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 0.9)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
     "q26_simhash_pairs" -> ((s, d) => {
       Dedup.simHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 3)
     }),
@@ -778,6 +787,20 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_dup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q25_ngram_jaccard_pairs" ->
       """WITH t AS (

@@ -474,4 +474,111 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /**
+   * Connected components over a near-duplicate pair graph: the step between
+   * "pairs above threshold" and "keep one representative per duplicate
+   * cluster". Returns one row per node that appears in `pairs`:
+   * (`id`, `component`) where `component` is the smallest node id reachable
+   * from `id` — so `WHERE id = component` selects cluster representatives.
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014), the
+   * standard O(log n)-round formulation — NOT label propagation, whose
+   * round count is the graph diameter (a duplicate chain a-b-c-…-z would
+   * take |chain| shuffles). Both steps are expressed as min-aggregations
+   * and equi-joins on node id:
+   *
+   *  - large-star: every node points its larger neighbors at the minimum
+   *    of its neighborhood (incl. itself)
+   *  - small-star: every node and its smaller neighbors collapse onto that
+   *    minimum
+   *
+   * Skew: a duplicate cluster of any size concentrates on its minimum node,
+   * but both stages only ever shuffle (node, 8-byte min) rows — min is
+   * partially aggregable map-side, and the join back is AQE-skew-splittable.
+   * No neighborhood is ever collected into one task. Each round
+   * `localCheckpoint`s the edge set: iterative self-joins otherwise double
+   * the lineage per round and replan from the raw input at every step (on a
+   * real cluster with lossy executors, substitute reliable `checkpoint`).
+   * Convergence is detected by an order-insensitive edge-set checksum —
+   * one extra cheap aggregate per round on the already-materialized frame.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // Canonical undirected edge list, self-loops dropped.
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Order-insensitive: XOR over distinct edge hashes (sum would overflow
+    // under ANSI arithmetic), plus the count to guard XOR collisions.
+    def checksum(e: DataFrame): (Long, Long) =
+      e.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+        .as[(Long, Long)].head()
+
+    var prev = checksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Large-star on the symmetric neighborhood.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val afterLarge = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // Small-star on the downward edges (u > v by construction above).
+      val minsS = afterLarge.groupBy("u").agg(min(col("v")).as("mn"))
+      val withMin = afterLarge.join(minsS, "u")
+      val afterSmall = withMin
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(withMin.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+
+      val cur = checksum(afterSmall)
+      converged = cur == prev
+      prev = cur
+      edges = afterSmall
+      iter += 1
+    }
+
+    // At the fixed point every edge is (member, root); roots name themselves.
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
+  /**
+   * MinHash near-dup dedup end-to-end: pairs → clusters → one surviving row
+   * per cluster (minimum id wins; rows in no cluster survive untouched).
+   * The composition a 100-TB pipeline actually runs.
+   */
+  def nearDupRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minHashDedupPairs(df, idCol, textCol, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+  }
 }

@@ -204,6 +204,35 @@ class PipelineSuite extends AnyFunSuite {
     assert(fp.getString(0) === fp.getString(1))
   }
 
+  test("connected components: chain, star, disjoint, singleton-free") {
+    // A long chain is the adversarial case for label propagation (diameter
+    // rounds); large-star/small-star must still collapse it within maxIter.
+    val chain = (0L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 41)
+    assert(cc.values.toSet === Set(0L))
+
+    // Two disjoint clusters + reversed/duplicated/self edges.
+    val messy = Seq((5L, 9L), (9L, 5L), (9L, 7L), (7L, 7L),
+      (20L, 21L), (22L, 21L)).toDF("a", "b")
+    val cc2 = Dedup.connectedComponents(messy, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 === Map(5L -> 5L, 9L -> 5L, 7L -> 5L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    // Empty pair set → empty result, no iteration blowup.
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
+  }
+
+  test("near-dup representatives keep one row per duplicate cluster") {
+    // docs: {0,1,2} one near-dup cluster (min id 0 survives), {3,4} untouched.
+    val kept = Dedup.nearDupRepresentatives(docs, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(0L, 3L, 4L))
+  }
+
   test("multimodal stub plumbing: schema and determinism") {
     val df = docs.withColumn("payload", to_binary(col("text"), lit("utf-8")))
     val out = Multimodal.withMediaColumns(df, "payload", "stub/utf8", 4)
