@@ -58,6 +58,24 @@ class DedupStressSuite extends AnyFunSuite {
     assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
   }
 
+  test("connected components: 334 heavy cliques collapse in few rounds", SlowTest) {
+    // The adversarial input for clustering is the clique: every group of 300
+    // identical docs contributes C(300,2) = 44,850 edges that must all
+    // collapse onto one root. 334 such cliques ≈ 15M edges total.
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minHashDedupPairs(grouped, "doc_id", "text", 0.9)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val comps = cc.groupBy("component").count()
+    val sizes = comps.select("count").distinct().collect().map(_.getLong(0)).toSeq
+    val nComps = comps.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"cc 100k-doc clique stress: $nComps%d components in $secs%.1f s")
+    assert(nComps === groups.toLong)
+    assert(sizes === Seq(groupSize.toLong), s"every clique must be one full component: $sizes")
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+
   test("minhash: one 20k-identical-doc group streams its 2x10^8-pair answer", SlowTest) {
     val n = 20000
     val degen = spark.range(n.toLong)
