@@ -35,11 +35,14 @@ import org.apache.spark.sql.types.StructType
  *
  * Scale notes: discovery is one driver-side listing per trigger (the same
  * cost FileStreamSource pays); the per-batch log entry is O(new files), and
- * the in-memory seen-set holds paths only. For an unbounded stream a
- * retention/compaction policy would bound both (the batch log compacts
- * naturally — old entries are never re-read after checkpoint commit, so a
- * TTL cleaner can drop them); at test scale none is needed. The actual data
- * read is executor-side and split-parallel via [[XmlFile.read]].
+ * the in-memory seen-set holds paths only. The log COMPACTS: every
+ * `logCompactInterval` batches (default 10) the per-batch files merge into
+ * one `<id>.compact` snapshot carrying (batchId, path) lines for the whole
+ * history, and the superseded entries are deleted — the log directory stays
+ * O(interval) files on an unbounded stream, the same design as Spark's own
+ * FileStreamSource metadata log. Batch ids survive compaction, so a
+ * restarted query can still replay any batch exactly. The actual data read
+ * is executor-side and split-parallel via [[XmlFile.read]].
  */
 private[xml] class XmlStreamSource(
     sqlContext: SQLContext,
@@ -55,6 +58,10 @@ private[xml] class XmlStreamSource(
       require(n > 0, s"maxFilesPerTrigger ($n) must be positive")
       n
     }
+  private val logCompactInterval: Int =
+    parameters.get("logCompactInterval").map(_.toInt).getOrElse(10)
+  require(logCompactInterval > 0,
+    s"logCompactInterval ($logCompactInterval) must be positive")
 
   private val logDir = new Path(metadataPath)
   private val fs: FileSystem =
@@ -62,19 +69,39 @@ private[xml] class XmlStreamSource(
   if (!fs.exists(logDir)) fs.mkdirs(logDir)
 
   // Rebuilt from the durable log on (re)start: which files belong to which
-  // already-discovered batch, and the full seen-set.
+  // already-discovered batch, and the full seen-set. The newest `.compact`
+  // snapshot (if any) carries all history up to its id; numbered entries
+  // above it carry the rest. Numbered entries at or below the snapshot id
+  // are leftovers from a crash between compact-rename and cleanup — stale
+  // by construction (the snapshot supersedes them), so they are re-deleted.
   private val batchFiles = mutable.SortedMap.empty[Long, Seq[String]]
   private val seen = mutable.HashSet.empty[String]
   locally {
-    val entries = fs.listStatus(logDir)
-    entries.iterator
-      .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
-      .foreach { st =>
-        val id = st.getPath.getName.toLong
-        val files = readLog(st.getPath)
+    val entries = fs.listStatus(logDir).filter(_.isFile)
+    val compacts = entries
+      .filter(_.getPath.getName.endsWith(".compact"))
+      .map(st => st.getPath.getName.stripSuffix(".compact").toLong -> st.getPath)
+      .sortBy(_._1)
+    compacts.lastOption.foreach { case (_, p) =>
+      readCompact(p).foreach { case (id, files) =>
         batchFiles(id) = files
         seen ++= files
       }
+    }
+    val compactedThrough = compacts.lastOption.map(_._1).getOrElse(-1L)
+    entries.iterator
+      .filter(st => st.getPath.getName.forall(_.isDigit))
+      .foreach { st =>
+        val id = st.getPath.getName.toLong
+        if (id > compactedThrough) {
+          val files = readLog(st.getPath)
+          batchFiles(id) = files
+          seen ++= files
+        } else {
+          fs.delete(st.getPath, false) // stale: superseded by the snapshot
+        }
+      }
+    compacts.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
   }
   private var latestBatchId: Long = if (batchFiles.isEmpty) -1L else batchFiles.lastKey
 
@@ -94,6 +121,49 @@ private[xml] class XmlStreamSource(
     finally out.close()
     if (!fs.rename(tmp, new Path(logDir, id.toString))) {
       throw new IllegalStateException(s"failed to commit stream batch log $id")
+    }
+  }
+
+  /** Tab-separated (batchId, path) lines — batch ids survive compaction so
+   *  any batch remains replayable from the snapshot alone. */
+  private def readCompact(p: Path): Seq[(Long, Seq[String])] = {
+    val in = fs.open(p)
+    val bytes = try {
+      val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(b); b
+    } finally in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        line.take(i).toLong -> line.drop(i + 1)
+      }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+  }
+
+  /** Folds every entry ≤ `id` (all already in `batchFiles`) into one
+   *  `<id>.compact` snapshot, then deletes the superseded per-batch files
+   *  and older snapshots. Atomic-rename first, cleanup after — a crash
+   *  between the two leaves stale entries the next start re-deletes. */
+  private def compactThrough(id: Long): Unit = {
+    val tmp = new Path(logDir, s".${id}.compact.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      batchFiles.rangeTo(id).foreach { case (bid, files) =>
+        files.foreach(f => sb.append(bid).append('\t').append(f).append('\n'))
+      }
+      out.write(sb.result().getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, s"$id.compact"))) {
+      throw new IllegalStateException(s"failed to commit stream log compaction $id")
+    }
+    fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.forall(_.isDigit) && n.toLong <= id) ||
+          (n.endsWith(".compact") && n.stripSuffix(".compact").toLong < id)
+      if (stale) fs.delete(st.getPath, false)
     }
   }
 
@@ -125,8 +195,15 @@ private[xml] class XmlStreamSource(
       seen ++= take
       latestBatchId = id
       logInfo(s"xmlng stream batch $id: ${take.size} new file(s)")
+      if ((id + 1) % logCompactInterval == 0) compactThrough(id)
     }
     if (latestBatchId < 0) None else Some(LongOffset(latestBatchId))
+  }
+
+  /** Batch-id → file list, via the in-memory map or the durable log (the
+   *  resolution getBatch uses; exposed for the compaction tests). */
+  private[xml] def loggedFiles(id: Long): Seq[String] = synchronized {
+    batchFiles.getOrElse(id, readMissing(id))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = synchronized {

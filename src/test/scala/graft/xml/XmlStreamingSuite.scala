@@ -153,6 +153,38 @@ class XmlStreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("xmlng stream source log compacts: bounded dir, replay and restart intact") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-stream-compact")
+    val in = dir.resolve("in"); val meta = dir.resolve("meta")
+    Files.createDirectories(in)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val src = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString,
+      schema, Map("rowTag" -> "r", "maxFilesPerTrigger" -> "1", "logCompactInterval" -> "10"))
+    // 25 files discovered one per trigger → batches 0..24; compactions at 9, 19.
+    (0 until 25).foreach { i =>
+      val f = in.resolve(f"f$i%03d.xml")
+      Files.writeString(f, s"<rows><r><k>$i</k></r></rows>")
+      assert(f.toFile.setLastModified(100000L * (i + 1)))
+      src.getOffset
+    }
+    val names = Files.list(meta).map[String](_.getFileName.toString)
+      .filter(n => !n.startsWith(".")).sorted().toArray.toSeq
+    assert(names.contains("19.compact"), s"latest snapshot missing: $names")
+    assert(!names.contains("9.compact"), s"old snapshot must be deleted: $names")
+    assert(names.map(_.toString).count(n => !n.endsWith(".compact")) === 5,
+      s"only batches 20..24 should remain as numbered entries: $names")
+
+    // A fresh incarnation rebuilds the full seen-set (no re-delivery) and can
+    // replay a batch that only exists inside the snapshot.
+    val src2 = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString,
+      schema, Map("rowTag" -> "r"))
+    assert(src2.getOffset.map(_.json) === Some("24"))
+    val replayed = (3L to 4L).flatMap(src2.loggedFiles)
+    assert(replayed.map(_.split('/').last) === Seq("f003.xml", "f004.xml"),
+      "batches 3..4 live only in the compact snapshot and must replay from it")
+  }
+
   test("xmlng stream source infers the schema from files present at start") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-stream-infer")
