@@ -33,16 +33,27 @@ import org.apache.spark.sql.types.StructType
  * path: appends to an already-seen file are not re-read, matching file-sink
  * + file-source conventions where files are immutable once visible.
  *
- * Scale notes: discovery is one driver-side listing per trigger (the same
- * cost FileStreamSource pays); the per-batch log entry is O(new files), and
- * the in-memory seen-set holds paths only. The log COMPACTS: every
- * `logCompactInterval` batches (default 10) the per-batch files merge into
- * one `<id>.compact` snapshot carrying (batchId, path) lines for the whole
- * history, and the superseded entries are deleted — the log directory stays
- * O(interval) files on an unbounded stream, the same design as Spark's own
- * FileStreamSource metadata log. Batch ids survive compaction, so a
- * restarted query can still replay any batch exactly. The actual data read
- * is executor-side and split-parallel via [[XmlFile.read]].
+ * Scale notes — an unbounded stream must bound BOTH the log dir and the
+ * seen-set, and each has its own mechanism:
+ *
+ *  - discovery is one driver-side listing per trigger (the cost
+ *    FileStreamSource pays too);
+ *  - the log COMPACTS: every `logCompactInterval` batches (default 10) the
+ *    per-batch files merge into one `<id>.compact` snapshot carrying
+ *    (batchId, path, mtime) lines, and the superseded entries are deleted —
+ *    the log directory stays O(interval) files forever. Batch ids survive
+ *    compaction, so a restarted query can still replay any batch exactly;
+ *  - `maxFileAgeMs` (optional, off by default — matching semantics of
+ *    FileStreamSource's maxFileAge) bounds the retained history: files
+ *    whose mtime has fallen `maxFileAgeMs` behind the newest seen mtime
+ *    are ignored at discovery if unseen, and evicted from the seen-set and
+ *    the snapshot at compaction once their batch is committed (committed
+ *    batches are never replayed, so dropping their entries is safe). With
+ *    it set, seen-set and snapshot are O(files-per-age-window); without
+ *    it, they grow with total file count — path strings only.
+ *
+ * The actual data read is executor-side and split-parallel via
+ * [[XmlFile.read]].
  */
 private[xml] class XmlStreamSource(
     sqlContext: SQLContext,
@@ -62,20 +73,27 @@ private[xml] class XmlStreamSource(
     parameters.get("logCompactInterval").map(_.toInt).getOrElse(10)
   require(logCompactInterval > 0,
     s"logCompactInterval ($logCompactInterval) must be positive")
+  private val maxFileAgeMs: Option[Long] =
+    parameters.get("maxFileAgeMs").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxFileAgeMs ($n) must be positive")
+      n
+    }
 
   private val logDir = new Path(metadataPath)
   private val fs: FileSystem =
     logDir.getFileSystem(sqlContext.sparkContext.hadoopConfiguration)
   if (!fs.exists(logDir)) fs.mkdirs(logDir)
 
-  // Rebuilt from the durable log on (re)start: which files belong to which
-  // already-discovered batch, and the full seen-set. The newest `.compact`
-  // snapshot (if any) carries all history up to its id; numbered entries
-  // above it carry the rest. Numbered entries at or below the snapshot id
-  // are leftovers from a crash between compact-rename and cleanup — stale
-  // by construction (the snapshot supersedes them), so they are re-deleted.
-  private val batchFiles = mutable.SortedMap.empty[Long, Seq[String]]
-  private val seen = mutable.HashSet.empty[String]
+  // Rebuilt from the durable log on (re)start: which (file, mtime) pairs
+  // belong to which already-discovered batch, and the seen-set. The newest
+  // `.compact` snapshot (if any) carries history up to its id; numbered
+  // entries above it carry the rest. Numbered entries at or below the
+  // snapshot id are leftovers from a crash between compact-rename and
+  // cleanup — stale by construction, so they are re-deleted.
+  private val batchFiles = mutable.SortedMap.empty[Long, Seq[(String, Long)]]
+  private val seen = mutable.HashMap.empty[String, Long]
+  private var maxSeenMtime = Long.MinValue
   locally {
     val entries = fs.listStatus(logDir).filter(_.isFile)
     val compacts = entries
@@ -85,7 +103,7 @@ private[xml] class XmlStreamSource(
     compacts.lastOption.foreach { case (_, p) =>
       readCompact(p).foreach { case (id, files) =>
         batchFiles(id) = files
-        seen ++= files
+        files.foreach { case (f, m) => seen(f) = m }
       }
     }
     val compactedThrough = compacts.lastOption.map(_._1).getOrElse(-1L)
@@ -96,37 +114,47 @@ private[xml] class XmlStreamSource(
         if (id > compactedThrough) {
           val files = readLog(st.getPath)
           batchFiles(id) = files
-          seen ++= files
+          files.foreach { case (f, m) => seen(f) = m }
         } else {
           fs.delete(st.getPath, false) // stale: superseded by the snapshot
         }
       }
     compacts.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
+    if (seen.nonEmpty) maxSeenMtime = seen.valuesIterator.max
   }
   private var latestBatchId: Long = if (batchFiles.isEmpty) -1L else batchFiles.lastKey
+  private var committedThrough: Long = -1L
 
-  private def readLog(p: Path): Seq[String] = {
+  /** Log line: `path TAB mtime` (tab-less legacy lines read as mtime 0). */
+  private def parseLine(line: String): (String, Long) = {
+    val i = line.lastIndexOf('\t')
+    if (i < 0) (line, 0L) else (line.take(i), line.drop(i + 1).toLong)
+  }
+
+  private def readLog(p: Path): Seq[(String, Long)] = {
     val in = fs.open(p)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
-      new String(bytes, StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+      new String(bytes, StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).map(parseLine).toSeq
     } finally in.close()
   }
 
-  private def writeLog(id: Long, files: Seq[String]): Unit = {
+  private def writeLog(id: Long, files: Seq[(String, Long)]): Unit = {
     val tmp = new Path(logDir, s".${id}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(files.map { case (f, m) => s"$f\t$m" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(logDir, id.toString))) {
       throw new IllegalStateException(s"failed to commit stream batch log $id")
     }
   }
 
-  /** Tab-separated (batchId, path) lines — batch ids survive compaction so
-   *  any batch remains replayable from the snapshot alone. */
-  private def readCompact(p: Path): Seq[(Long, Seq[String])] = {
+  /** Tab-separated (batchId, path, mtime) lines — batch ids survive
+   *  compaction so any batch remains replayable from the snapshot alone. */
+  private def readCompact(p: Path): Seq[(Long, Seq[(String, Long)])] = {
     val in = fs.open(p)
     val bytes = try {
       val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -136,22 +164,39 @@ private[xml] class XmlStreamSource(
       .split("\n").iterator.filter(_.nonEmpty)
       .map { line =>
         val i = line.indexOf('\t')
-        line.take(i).toLong -> line.drop(i + 1)
+        val id = line.take(i).toLong
+        id -> parseLine(line.drop(i + 1))
       }
       .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
   }
 
-  /** Folds every entry ≤ `id` (all already in `batchFiles`) into one
-   *  `<id>.compact` snapshot, then deletes the superseded per-batch files
-   *  and older snapshots. Atomic-rename first, cleanup after — a crash
-   *  between the two leaves stale entries the next start re-deletes. */
+  /** Folds every entry ≤ `id` into one `<id>.compact` snapshot, then deletes
+   *  the superseded per-batch files and older snapshots. Atomic-rename
+   *  first, cleanup after — a crash between the two leaves stale entries
+   *  the next start re-deletes. With `maxFileAgeMs` set, entries of
+   *  COMMITTED batches whose files have aged out of the discovery window
+   *  are dropped from the snapshot, the in-memory map, and the seen-set:
+   *  committed batches are never replayed, and discovery's age filter
+   *  guarantees those paths can't be re-delivered as new. */
   private def compactThrough(id: Long): Unit = {
+    val cutoff = maxFileAgeMs.map(maxSeenMtime - _)
+    cutoff.foreach { c =>
+      batchFiles.rangeTo(math.min(id, committedThrough)).foreach { case (bid, files) =>
+        val (keep, evict) = files.partition(_._2 >= c)
+        if (evict.nonEmpty) {
+          evict.foreach { case (f, _) => seen.remove(f) }
+          batchFiles(bid) = keep
+        }
+      }
+    }
     val tmp = new Path(logDir, s".${id}.compact.tmp")
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
       batchFiles.rangeTo(id).foreach { case (bid, files) =>
-        files.foreach(f => sb.append(bid).append('\t').append(f).append('\n'))
+        files.foreach { case (f, m) =>
+          sb.append(bid).append('\t').append(f).append('\t').append(m).append('\n')
+        }
       }
       out.write(sb.result().getBytes(StandardCharsets.UTF_8))
     } finally out.close()
@@ -186,13 +231,22 @@ private[xml] class XmlStreamSource(
   }
 
   override def getOffset: Option[Offset] = synchronized {
-    val unseen = listInput().map(_.getPath.toString).filterNot(seen)
+    val listed = listInput()
+    if (listed.nonEmpty) {
+      maxSeenMtime = math.max(maxSeenMtime, listed.map(_.getModificationTime).max)
+    }
+    val ageCutoff = maxFileAgeMs.map(maxSeenMtime - _)
+    val unseen = listed.iterator
+      .filter(st => !seen.contains(st.getPath.toString))
+      .filter(st => ageCutoff.forall(st.getModificationTime >= _))
+      .map(st => st.getPath.toString -> st.getModificationTime)
+      .toSeq
     val take = maxFilesPerTrigger.fold(unseen)(unseen.take)
     if (take.nonEmpty) {
       val id = latestBatchId + 1
       writeLog(id, take) // durable before visible
       batchFiles(id) = take
-      seen ++= take
+      take.foreach { case (f, m) => seen(f) = m }
       latestBatchId = id
       logInfo(s"xmlng stream batch $id: ${take.size} new file(s)")
       if ((id + 1) % logCompactInterval == 0) compactThrough(id)
@@ -203,13 +257,14 @@ private[xml] class XmlStreamSource(
   /** Batch-id → file list, via the in-memory map or the durable log (the
    *  resolution getBatch uses; exposed for the compaction tests). */
   private[xml] def loggedFiles(id: Long): Seq[String] = synchronized {
-    batchFiles.getOrElse(id, readMissing(id))
+    batchFiles.getOrElse(id, readMissing(id)).map(_._1)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = synchronized {
     val from = start.map(toBatchId(_) + 1).getOrElse(0L)
     val to = toBatchId(end)
-    val files = (from to to).flatMap(id => batchFiles.getOrElse(id, readMissing(id)))
+    val files = (from to to).flatMap(id =>
+      batchFiles.getOrElse(id, readMissing(id)).map(_._1))
     val spark = sqlContext.sparkSession
     if (files.isEmpty) {
       Bridge.internalCreateStreamingDataFrame(
@@ -223,7 +278,7 @@ private[xml] class XmlStreamSource(
 
   /** After a restart Spark can ask for a batch discovered by a previous
    *  incarnation whose in-memory map predates it; fall back to the log. */
-  private def readMissing(id: Long): Seq[String] = {
+  private def readMissing(id: Long): Seq[(String, Long)] = {
     val p = new Path(logDir, id.toString)
     if (fs.exists(p)) {
       val files = readLog(p)
@@ -240,7 +295,12 @@ private[xml] class XmlStreamSource(
     case other => other.json.trim.toLong
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** The engine calls this once batch `end` is durably committed downstream;
+   *  batches ≤ `end` are never replayed, which is what licenses age-based
+   *  eviction of their entries at the next compaction. */
+  override def commit(end: Offset): Unit = synchronized {
+    committedThrough = math.max(committedThrough, toBatchId(end))
+  }
   override def stop(): Unit = ()
   override def toString: String = s"XmlStreamSource[$path, rowTag=${options.rowTag}]"
 }

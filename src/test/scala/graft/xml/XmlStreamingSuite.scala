@@ -130,8 +130,9 @@ class XmlStreamingSuite extends AnyFunSuite {
       new String(Files.readAllBytes(meta.resolve(id.toString)), "UTF-8").trim
     }
     assert(logged.forall(_.linesIterator.size == 1), s"one file per batch log: $logged")
-    assert(logged.map(_.split('/').last) === Seq("f1.xml", "f2.xml", "f3.xml"),
-      "FIFO by modification time")
+    // Log lines are `path TAB mtime`; compare the file names.
+    assert(logged.map(_.split('\t').head.split('/').last) ===
+      Seq("f1.xml", "f2.xml", "f3.xml"), "FIFO by modification time")
     // A fresh incarnation over the same metadata dir re-reads the log and
     // discovers nothing new — restart cannot re-deliver seen files.
     val src2 = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString,
@@ -183,6 +184,46 @@ class XmlStreamingSuite extends AnyFunSuite {
     val replayed = (3L to 4L).flatMap(src2.loggedFiles)
     assert(replayed.map(_.split('/').last) === Seq("f003.xml", "f004.xml"),
       "batches 3..4 live only in the compact snapshot and must replay from it")
+  }
+
+  test("xmlng stream source maxFileAgeMs: aged committed entries evict, no re-delivery") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-stream-age")
+    val in = dir.resolve("in"); val meta = dir.resolve("meta")
+    Files.createDirectories(in)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val opts = Map("rowTag" -> "r", "maxFilesPerTrigger" -> "1",
+      "logCompactInterval" -> "4", "maxFileAgeMs" -> "250000")
+    val src = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString, schema, opts)
+    // Files at mtimes 100k..800k; age window 250k behind the newest.
+    (0 until 8).foreach { i =>
+      val f = in.resolve(f"f$i%03d.xml")
+      Files.writeString(f, s"<rows><r><k>$i</k></r></rows>")
+      assert(f.toFile.setLastModified(100000L * (i + 1)))
+      src.getOffset
+      src.commit(LongOffset(i.toLong)) // engine has committed this batch
+    }
+    // Compaction at batch 7 (mtime watermark 800k, cutoff 550k): batches
+    // 0..4 (mtimes 100k..500k) are committed AND aged → evicted from the
+    // snapshot; recent ones survive.
+    val compact = Files.readString(meta.resolve("7.compact"))
+    assert(!compact.contains("f000.xml") && !compact.contains("f004.xml"),
+      s"aged committed entries must leave the snapshot: $compact")
+    assert(compact.contains("f005.xml") && compact.contains("f007.xml"),
+      s"in-window entries must survive: $compact")
+
+    // Restart: the aged files are listed in the input dir but must NOT be
+    // re-delivered — discovery's age filter excludes them even though the
+    // seen-set no longer holds them.
+    val src2 = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString, schema, opts)
+    assert(src2.getOffset.map(_.json) === Some("7"), "no new batch on restart")
+    // A genuinely new in-window file is still picked up.
+    val fresh = in.resolve("f100.xml")
+    Files.writeString(fresh, "<rows><r><k>100</k></r></rows>")
+    assert(fresh.toFile.setLastModified(900000L))
+    assert(src2.getOffset.map(_.json) === Some("8"))
+    assert(src2.loggedFiles(8L).map(_.split('/').last) === Seq("f100.xml"))
   }
 
   test("xmlng stream source infers the schema from files present at start") {
