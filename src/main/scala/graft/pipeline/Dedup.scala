@@ -512,14 +512,17 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    // Canonical undirected edge list, self-loops dropped. No distinct here:
-    // duplicate edges change neither the group-by-min nor the first round's
-    // own distinct, and skipping it saves a full-width shuffle of the raw
-    // pair set (the largest frame this operator ever touches). The
-    // localCheckpoint still matters — `pairs` is typically an expensive
-    // similarity-join pipeline, and round 1 scans the edge set twice.
+    // Canonical undirected edge list, self-loops dropped. Ids keep their
+    // natural type — the algorithm only needs ordering and equality, so
+    // string doc-ids (content hashes, URLs) work as-is and `component` is
+    // the min under that type's ordering. No distinct here: duplicate edges
+    // change neither the group-by-min nor the first round's own distinct,
+    // and skipping it saves a full-width shuffle of the raw pair set (the
+    // largest frame this operator ever touches). The localCheckpoint still
+    // matters — `pairs` is typically an expensive similarity-join pipeline,
+    // and round 1 scans the edge set twice.
     var edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .localCheckpoint()

@@ -224,6 +224,15 @@ class PipelineSuite extends AnyFunSuite {
     // Empty pair set → empty result, no iteration blowup.
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
+
+    // Ids keep their natural type: string doc-ids (hashes, URLs) cluster
+    // under lexicographic min without any numeric cast.
+    val strPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy"))
+      .toDF("a", "b")
+    val cc3 = Dedup.connectedComponents(strPairs, "a", "b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc3 === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "yy" -> "yy", "zz" -> "yy"))
   }
 
   test("near-dup representatives keep one row per duplicate cluster") {
