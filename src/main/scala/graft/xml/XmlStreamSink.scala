@@ -27,9 +27,11 @@ import org.apache.spark.sql.graft.Bridge
  *
  * Scale notes: the per-batch driver work is one listing + O(part files)
  * renames (same-filesystem moves, no data copy); rendering itself is
- * executor-side and partition-parallel. The commit log grows one empty file
- * per batch — O(batches), path-only, and prunable by TTL the same way the
- * source's batch log is.
+ * executor-side and partition-parallel. The commit log stays bounded:
+ * markers more than `commitRetention` batches (default 100) behind the one
+ * being committed are deleted — the engine only ever replays batches at or
+ * after the last checkpointed commit, which is always within one trigger of
+ * the newest, so a 100-batch horizon is far beyond any replay window.
  */
 private[xml] class XmlStreamSink(
     sqlContext: SQLContext,
@@ -37,6 +39,9 @@ private[xml] class XmlStreamSink(
     parameters: Map[String, String]) extends Sink with Logging {
 
   private val options = XmlOptions(parameters)
+  private val commitRetention: Long =
+    parameters.get("commitRetention").map(_.toLong).getOrElse(100L)
+  require(commitRetention > 0, s"commitRetention ($commitRetention) must be positive")
   private val dir = new Path(path)
   private val commitsDir = new Path(dir, "_xmlng_commits")
   private val fs: FileSystem =
@@ -77,6 +82,13 @@ private[xml] class XmlStreamSink(
     }
     fs.delete(tmp, true)
     fs.create(marker, true).close()
+    // Prune markers beyond the replay horizon so the commit dir is O(retention).
+    fs.listStatus(commitsDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.forall(_.isDigit) && n.toLong < batchId - commitRetention) {
+        fs.delete(st.getPath, false)
+      }
+    }
     logInfo(s"xmlng sink: committed batch $batchId (${parts.length} file(s))")
   }
 

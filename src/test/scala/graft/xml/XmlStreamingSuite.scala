@@ -300,6 +300,22 @@ class XmlStreamingSuite extends AnyFunSuite {
       .schema(schema).load(out.toString).count() === 2)
   }
 
+  test("xmlng stream sink prunes commit markers beyond the retention horizon") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sink-retention")
+    val out = dir.resolve("out")
+    val sink = new XmlStreamSink(spark.sqlContext, out.toString,
+      Map("rowTag" -> "r", "commitRetention" -> "3"))
+    val df = Seq((1L, "x")).toDF("k", "v")
+    (0L to 8L).foreach(sink.addBatch(_, df))
+    val markers = Files.list(out.resolve("_xmlng_commits"))
+      .map[String](_.getFileName.toString)
+      .filter(!_.startsWith(".")) // local-FS .crc shadows
+      .sorted().toArray.toSeq
+    assert(markers === Seq("5", "6", "7", "8"), s"markers: $markers")
+  }
+
   test("xmlng stream sink rejects non-append modes and partitionBy") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-stream-sink-modes")
