@@ -55,9 +55,12 @@ class XmlReader extends Serializable {
   }
 
   /** Parses an in-memory collection of XML record strings. */
-  def xmlDataset(spark: SparkSession, ds: org.apache.spark.sql.Dataset[String]): DataFrame = {
+  def xmlDataset(spark: SparkSession, ds: org.apache.spark.sql.Dataset[String]): DataFrame =
+    xmlRdd(spark, ds.rdd)
+
+  /** RDD variant (reference: XmlReader.scala:169-192). */
+  def xmlRdd(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[String]): DataFrame = {
     val options = XmlOptions(params.toMap)
-    val rdd = ds.rdd
     val resolved =
       if (schema != null) schema
       else {

@@ -295,6 +295,24 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.filter(col("p.k") === 10).select("p.s").head().getString(0) === "ok")
   }
 
+  test("XmlReader builder: xmlFile, xmlDataset, xmlRdd with options") {
+    import spark.implicits._
+    val path = writeFixture("cars_reader.xml", carsXml)
+    val fromFile = new XmlReader().withRowTag("ROW").xmlFile(spark, path)
+    assert(fromFile.count() === 3)
+
+    val ds = Seq("<r><k>1</k><v> padded </v></r>", "<r><k>2</k></r>").toDS()
+    val fromDs = new XmlReader().withRowTag("r").withIgnoreSurroundingSpaces(true)
+      .xmlDataset(spark, ds)
+    assert(fromDs.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(fromDs.filter(col("k") === 1).select("v").head().getString(0) === "padded")
+
+    val fromRdd = new XmlReader().withRowTag("r")
+      .withSchema(StructType(Seq(StructField("k", LongType))))
+      .xmlRdd(spark, spark.sparkContext.parallelize(Seq("<r><k>9</k></r>")))
+    assert(fromRdd.head().getLong(0) === 9L)
+  }
+
   test("to_xml serializes a struct column; attributes, arrays, null omission") {
     import spark.implicits._
     val df = Seq((7L, "a&b", Seq(1, 2), Option.empty[String]))
