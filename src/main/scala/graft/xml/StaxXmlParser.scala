@@ -378,6 +378,22 @@ private[graft] object StaxXmlParser {
       options: XmlOptions,
       status: Status): ArrayBasedMapData = {
     val entries = mutable.LinkedHashMap.empty[String, Any]
+    // Attributes of the map element itself become prefixed entries
+    // (reference: StaxXmlParser.scala convertMap + XmlSuite "MapType field
+    // with attributes"), mirroring how the generator writes them back out.
+    if (!options.excludeAttribute) {
+      var i = 0
+      while (i < reader.getAttributeCount) {
+        val key = options.attributePrefix + attributeName(reader, i, options)
+        try entries(key) = castLeaf(reader.getAttributeValue(i), valueType, options)
+        catch {
+          case NonFatal(_) =>
+            entries(key) = null
+            status.malformed = true
+        }
+        i += 1
+      }
+    }
     var done = false
     while (!done && reader.hasNext) {
       reader.next() match {

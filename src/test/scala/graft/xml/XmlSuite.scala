@@ -295,6 +295,43 @@ class XmlSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.filter(col("p.k") === 10).select("p.s").head().getString(0) === "ok")
   }
 
+  test("MapType field reads element children and attributes as map entries") {
+    // reference: src/test/.../XmlSuite.scala:1278-1292 (map-attribute.xml)
+    val path = writeFixture("map_attr.xml",
+      """<?xml version="1.0"?>
+        |<PMSetup startTime="2020-11-06T16:30:00+00:00" interval="15">
+        |    <PMTarget measurementType="TYPE1">
+        |        <M1>0</M1>
+        |        <M2>7</M2>
+        |    </PMTarget>
+        |</PMSetup>
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("_startTime", StringType),
+      StructField("_interval", StringType),
+      StructField("PMTarget", MapType(StringType, StringType))))
+    val df = spark.read.format("graft.xml").option("rowTag", "PMSetup")
+      .schema(schema).load(path).select("PMTarget")
+    val map = df.collect().head.getAs[Map[String, String]](0)
+    assert(map.contains("_measurementType") && map("_measurementType") === "TYPE1")
+    assert(map("M1") === "0" && map("M2") === "7")
+
+    // And the write side: a map column serializes back to elements +
+    // attribute-prefixed keys, re-readable under the same schema.
+    import spark.implicits._
+    val src = Seq((Map("_a" -> "x", "k1" -> "1", "k2" -> "2"), "t"))
+      .toDF("m", "tag")
+    val out = tmp.resolve("map_out").toString
+    src.write.format("graft.xml").option("rowTag", "row").save(out)
+    val back = spark.read.format("graft.xml").option("rowTag", "row")
+      .schema(StructType(Seq(
+        StructField("m", MapType(StringType, StringType)),
+        StructField("tag", StringType))))
+      .load(out)
+    val m2 = back.collect().head.getAs[Map[String, String]](0)
+    assert(m2 === Map("_a" -> "x", "k1" -> "1", "k2" -> "2"))
+  }
+
   test("XmlReader builder: xmlFile, xmlDataset, xmlRdd with options") {
     import spark.implicits._
     val path = writeFixture("cars_reader.xml", carsXml)
