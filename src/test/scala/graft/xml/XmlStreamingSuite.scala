@@ -300,6 +300,23 @@ class XmlStreamingSuite extends AnyFunSuite {
       .schema(schema).load(out.toString).count() === 2)
   }
 
+  test("xmlng stream sink honors the compression codec; batch read splits it back") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sink-codec")
+    val out = dir.resolve("out")
+    val sink = new XmlStreamSink(spark.sqlContext, out.toString,
+      Map("rowTag" -> "r", "codec" -> "gzip"))
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val files = Files.list(out).map[String](_.getFileName.toString)
+      .filter(_.startsWith("part-")).sorted().toArray.toSeq.map(_.toString)
+    assert(files.nonEmpty && files.forall(_.endsWith(".gz")), s"files: $files")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val back = spark.read.format("xmlng").option("rowTag", "r")
+      .schema(schema).load(out.toString)
+    assert(back.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("xmlng stream sink prunes commit markers beyond the retention horizon") {
     val spark = SparkTestSession.spark
     import spark.implicits._
