@@ -23,7 +23,7 @@ import graft.functions.SketchFunctions
  * computed in a single map pass (no shuffle) so the only wide stages are the
  * candidate joins on compact keys.
  */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /**
    * Streaming exact dedup with custom state: the first row per key passes,
@@ -107,6 +107,20 @@ object Dedup {
     if (big && df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
 
+  /** The long-keyed operators compact ids to 8 bytes for their pair joins;
+   *  a non-integral id would cast to null and silently dedup NOTHING, so
+   *  reject it loudly. String ids: add an integral surrogate
+   *  (`monotonically_increasing_id` or `xxhash64(id)`) first, or use
+   *  [[connectedComponents]], which keeps natural id types. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral id column; '$idCol' is ${dt.catalogString}. " +
+        "Derive a long surrogate (e.g. xxhash64(id)) or use connectedComponents, " +
+        "which preserves natural id types.")
+  }
+
   /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */
   def exactRepresentatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("digest"))
@@ -145,6 +159,7 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
+    requireIntegralId(df, idCol, "minHashDedupPairs")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -307,6 +322,7 @@ object Dedup {
    * token-set equality. Returns (id_a, id_b).
    */
   def simHashExactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireIntegralId(df, idCol, "simHashExactDupPairs")
     val base = df.select(
       col(idCol).cast("long").as("id"),
       simHash(col(textCol)).as("sim"),
@@ -338,6 +354,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       sep: String = "\n\n"): DataFrame = {
+    requireIntegralId(df, idCol, "dedupParagraphs")
     val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     val paras = base
       .select(col("id"),
@@ -430,6 +447,7 @@ object Dedup {
       blockCol: String,
       n: Int,
       threshold: Double): DataFrame = {
+    requireIntegralId(df, idCol, "ngramJaccardPairs")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = spreadInput(df, parts).select(
       col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
@@ -565,6 +583,13 @@ object Dedup {
       prev = cur
       edges = afterSmall
       iter += 1
+    }
+    if (!converged) {
+      // Result would be a partially merged clustering — never fail silently.
+      logWarning(s"connectedComponents did not converge within $maxIter rounds; " +
+        "component labels may be partially merged. Raise maxIter (rounds needed " +
+        "grow ~log n; 25 covers any realistic graph, so this usually indicates " +
+        "pathological input).")
     }
 
     // At the fixed point every edge is (member, root); roots name themselves.

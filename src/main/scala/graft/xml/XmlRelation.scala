@@ -198,16 +198,25 @@ class DefaultSource
     val resolved = schema.getOrElse {
       // Infer once at stream start from the files already present — the
       // stream's schema is fixed for its lifetime, like other file sources.
-      val options = XmlOptions(parameters)
-      val raw = XmlFile.read(sqlContext.sparkContext, pathFor(parameters), options)
-      if (raw.isEmpty()) {
-        throw new IllegalArgumentException(
-          "Cannot infer a schema for an XML stream over an empty directory; " +
-            "provide .schema(...) or seed the directory first")
-      }
-      val inferred = InferSchema.infer(raw, options)
-      if (options.inferSchema) inferred
-      else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
+      // Spark calls sourceSchema at plan time and createSource at start
+      // with only the USER schema, so without memoization inference would
+      // scan the directory twice — and could resolve two different schemas
+      // if files landed in between, failing the first micro-batch's
+      // plan/output check. The cache pins (path, options) → first answer.
+      DefaultSource.inferredStreamSchemas.computeIfAbsent(
+        (pathFor(parameters), parameters.toSeq.sorted),
+        { _ =>
+          val options = XmlOptions(parameters)
+          val raw = XmlFile.read(sqlContext.sparkContext, pathFor(parameters), options)
+          if (raw.isEmpty()) {
+            throw new IllegalArgumentException(
+              "Cannot infer a schema for an XML stream over an empty directory; " +
+                "provide .schema(...) or seed the directory first")
+          }
+          val inferred = InferSchema.infer(raw, options)
+          if (options.inferSchema) inferred
+          else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
+        })
     }
     (shortName(), resolved)
   }
@@ -277,4 +286,13 @@ class DefaultSource
     if (doSave) XmlFile.save(data, location, options)
     createRelation(sqlContext, parameters, data.schema)
   }
+}
+
+object DefaultSource {
+  /** Stream-start inference memo: (path, sorted options) -> resolved schema.
+   *  Driver-side, a handful of entries per JVM (one per distinct stream). */
+  private[xml] val inferredStreamSchemas =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Seq[(String, String)]),
+      org.apache.spark.sql.types.StructType]()
 }

@@ -65,6 +65,16 @@ private[xml] class XmlStreamSink(
     if (fs.exists(tmp)) fs.delete(tmp, true)
     XmlFile.save(batchDf, tmp.toString, options)
 
+    // A replay may render FEWER part files than the crashed attempt (e.g.
+    // restart on fewer cores changes split packing); deterministic names
+    // would overwrite the shared prefix but leave the tail stale, silently
+    // duplicating rows. Clear every part of this batch first.
+    fs.listStatus(dir).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(s"part-$batchId-")) {
+        fs.delete(st.getPath, false)
+      }
+    }
+
     val parts = fs.listStatus(tmp).filter { st =>
       st.isFile && st.getPath.getName.startsWith("part-")
     }

@@ -91,7 +91,7 @@ private[xml] class XmlStreamSource(
   // entries above it carry the rest. Numbered entries at or below the
   // snapshot id are leftovers from a crash between compact-rename and
   // cleanup — stale by construction, so they are re-deleted.
-  private val batchFiles = mutable.SortedMap.empty[Long, Seq[(String, Long)]]
+  private val batchFiles = mutable.SortedMap.empty[Long, Seq[FileEntry]]
   private val seen = mutable.HashMap.empty[String, Long]
   private var maxSeenMtime = Long.MinValue
   locally {
@@ -103,7 +103,7 @@ private[xml] class XmlStreamSource(
     compacts.lastOption.foreach { case (_, p) =>
       readCompact(p).foreach { case (id, files) =>
         batchFiles(id) = files
-        files.foreach { case (f, m) => seen(f) = m }
+        files.foreach(e => seen(e.path) = e.mtime)
       }
     }
     val compactedThrough = compacts.lastOption.map(_._1).getOrElse(-1L)
@@ -114,7 +114,7 @@ private[xml] class XmlStreamSource(
         if (id > compactedThrough) {
           val files = readLog(st.getPath)
           batchFiles(id) = files
-          files.foreach { case (f, m) => seen(f) = m }
+          files.foreach(e => seen(e.path) = e.mtime)
         } else {
           fs.delete(st.getPath, false) // stale: superseded by the snapshot
         }
@@ -125,13 +125,17 @@ private[xml] class XmlStreamSource(
   private var latestBatchId: Long = if (batchFiles.isEmpty) -1L else batchFiles.lastKey
   private var committedThrough: Long = -1L
 
-  /** Log line: `path TAB mtime` (tab-less legacy lines read as mtime 0). */
-  private def parseLine(line: String): (String, Long) = {
-    val i = line.lastIndexOf('\t')
-    if (i < 0) (line, 0L) else (line.take(i), line.drop(i + 1).toLong)
+  /** Log line: `path TAB mtime TAB len` (short legacy lines read as 0s). */
+  private def parseLine(line: String): FileEntry = {
+    val parts = line.split('\t')
+    if (parts.length >= 3) {
+      FileEntry(parts.dropRight(2).mkString("\t"),
+        parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
+    } else if (parts.length == 2) FileEntry(parts(0), parts(1).toLong, 0L)
+    else FileEntry(line, 0L, 0L)
   }
 
-  private def readLog(p: Path): Seq[(String, Long)] = {
+  private def readLog(p: Path): Seq[FileEntry] = {
     val in = fs.open(p)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -141,10 +145,10 @@ private[xml] class XmlStreamSource(
     } finally in.close()
   }
 
-  private def writeLog(id: Long, files: Seq[(String, Long)]): Unit = {
+  private def writeLog(id: Long, files: Seq[FileEntry]): Unit = {
     val tmp = new Path(logDir, s".${id}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.map { case (f, m) => s"$f\t$m" }
+    try out.write(files.map(e => s"${e.path}\t${e.mtime}\t${e.len}")
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(logDir, id.toString))) {
@@ -152,9 +156,9 @@ private[xml] class XmlStreamSource(
     }
   }
 
-  /** Tab-separated (batchId, path, mtime) lines — batch ids survive
+  /** Tab-separated (batchId, path, mtime, len) lines — batch ids survive
    *  compaction so any batch remains replayable from the snapshot alone. */
-  private def readCompact(p: Path): Seq[(Long, Seq[(String, Long)])] = {
+  private def readCompact(p: Path): Seq[(Long, Seq[FileEntry])] = {
     val in = fs.open(p)
     val bytes = try {
       val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -182,9 +186,9 @@ private[xml] class XmlStreamSource(
     val cutoff = maxFileAgeMs.map(maxSeenMtime - _)
     cutoff.foreach { c =>
       batchFiles.rangeTo(math.min(id, committedThrough)).foreach { case (bid, files) =>
-        val (keep, evict) = files.partition(_._2 >= c)
+        val (keep, evict) = files.partition(_.mtime >= c)
         if (evict.nonEmpty) {
-          evict.foreach { case (f, _) => seen.remove(f) }
+          evict.foreach(e => seen.remove(e.path))
           batchFiles(bid) = keep
         }
       }
@@ -194,8 +198,9 @@ private[xml] class XmlStreamSource(
     try {
       val sb = new StringBuilder
       batchFiles.rangeTo(id).foreach { case (bid, files) =>
-        files.foreach { case (f, m) =>
-          sb.append(bid).append('\t').append(f).append('\t').append(m).append('\n')
+        files.foreach { e =>
+          sb.append(bid).append('\t').append(e.path).append('\t')
+            .append(e.mtime).append('\t').append(e.len).append('\n')
         }
       }
       out.write(sb.result().getBytes(StandardCharsets.UTF_8))
@@ -239,14 +244,14 @@ private[xml] class XmlStreamSource(
     val unseen = listed.iterator
       .filter(st => !seen.contains(st.getPath.toString))
       .filter(st => ageCutoff.forall(st.getModificationTime >= _))
-      .map(st => st.getPath.toString -> st.getModificationTime)
+      .map(st => FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
       .toSeq
     val take = maxFilesPerTrigger.fold(unseen)(unseen.take)
     if (take.nonEmpty) {
       val id = latestBatchId + 1
       writeLog(id, take) // durable before visible
       batchFiles(id) = take
-      take.foreach { case (f, m) => seen(f) = m }
+      take.foreach(e => seen(e.path) = e.mtime)
       latestBatchId = id
       logInfo(s"xmlng stream batch $id: ${take.size} new file(s)")
       if ((id + 1) % logCompactInterval == 0) compactThrough(id)
@@ -257,20 +262,31 @@ private[xml] class XmlStreamSource(
   /** Batch-id → file list, via the in-memory map or the durable log (the
    *  resolution getBatch uses; exposed for the compaction tests). */
   private[xml] def loggedFiles(id: Long): Seq[String] = synchronized {
-    batchFiles.getOrElse(id, readMissing(id)).map(_._1)
+    batchFiles.getOrElse(id, readMissing(id)).map(_.path)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = synchronized {
     val from = start.map(toBatchId(_) + 1).getOrElse(0L)
     val to = toBatchId(end)
-    val files = (from to to).flatMap(id =>
-      batchFiles.getOrElse(id, readMissing(id)).map(_._1))
+    val entries = (from to to).flatMap(id => batchFiles.getOrElse(id, readMissing(id)))
     val spark = sqlContext.sparkSession
-    if (files.isEmpty) {
+    if (entries.isEmpty) {
       Bridge.internalCreateStreamingDataFrame(
         spark, spark.sparkContext.emptyRDD, schema)
     } else {
-      val raw = XmlFile.read(sqlContext.sparkContext, files.mkString(","), options)
+      // Split sizing from the lengths captured at discovery — no second
+      // driver-side listing per trigger (on an object store that would be
+      // one round-trip per file per micro-batch).
+      val total = entries.map(_.len).sum
+      val sizing = options.splitMaxBytes.orElse {
+        if (total <= 0) None
+        else {
+          val target = math.max(1, sqlContext.sparkContext.defaultParallelism)
+          Some(math.min(128L << 20, math.max(4L << 20, total / target)))
+        }
+      }
+      val raw = XmlFile.read(
+        sqlContext.sparkContext, entries.map(_.path).mkString(","), options, sizing)
       Bridge.internalCreateStreamingDataFrame(
         spark, StaxXmlParser.parse(raw, schema, options), schema)
     }
@@ -278,7 +294,7 @@ private[xml] class XmlStreamSource(
 
   /** After a restart Spark can ask for a batch discovered by a previous
    *  incarnation whose in-memory map predates it; fall back to the log. */
-  private def readMissing(id: Long): Seq[(String, Long)] = {
+  private def readMissing(id: Long): Seq[FileEntry] = {
     val p = new Path(logDir, id.toString)
     if (fs.exists(p)) {
       val files = readLog(p)
@@ -304,3 +320,7 @@ private[xml] class XmlStreamSource(
   override def stop(): Unit = ()
   override def toString: String = s"XmlStreamSource[$path, rowTag=${options.rowTag}]"
 }
+
+/** One discovered input file: identity, FIFO/age ordering key, and size
+ *  (sizes drive split packing in getBatch without re-listing). */
+private[xml] case class FileEntry(path: String, mtime: Long, len: Long)

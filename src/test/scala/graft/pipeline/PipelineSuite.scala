@@ -235,6 +235,21 @@ class PipelineSuite extends AnyFunSuite {
       "yy" -> "yy", "zz" -> "yy"))
   }
 
+  test("long-keyed dedup operators reject non-integral ids loudly") {
+    // A string id would cast to null and silently dedup nothing.
+    val strDocs = docs.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minHashDedupPairs(strDocs, "doc_id", "text", 0.9)
+    }
+    assert(ex.getMessage.contains("integral id"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(strDocs, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(strDocs, "doc_id", "text", "source", 3, 0.3)
+    }
+  }
+
   test("near-dup representatives keep one row per duplicate cluster") {
     // docs: {0,1,2} one near-dup cluster (min id 0 survives), {3,4} untouched.
     val kept = Dedup.nearDupRepresentatives(docs, "doc_id", "text", 0.5)

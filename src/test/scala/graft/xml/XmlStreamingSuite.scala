@@ -300,6 +300,31 @@ class XmlStreamingSuite extends AnyFunSuite {
       .schema(schema).load(out.toString).count() === 2)
   }
 
+  test("xmlng stream sink replay with fewer parts clears the stale tail") {
+    // A crashed attempt may have rendered MORE part files than the replay
+    // (e.g. restart on fewer cores): deterministic names overwrite the
+    // shared prefix, and the fix must delete the rest or rows duplicate.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sink-shrink")
+    val out = dir.resolve("out")
+    val sink = new XmlStreamSink(spark.sqlContext, out.toString, Map("rowTag" -> "r"))
+    val wide = Seq.tabulate(8)(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(4)
+    sink.addBatch(0, wide)
+    // Simulate the crash-before-marker: remove the commit marker, replay
+    // the same batch rendered into fewer partitions.
+    Files.delete(out.resolve("_xmlng_commits").resolve("0"))
+    val narrow = Seq.tabulate(8)(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+    sink.addBatch(0, narrow)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val back = spark.read.format("xmlng").option("rowTag", "r")
+      .schema(schema).load(out.toString)
+    assert(back.count() === 8, "stale parts from the wider attempt must be gone")
+    val parts = Files.list(out).map[String](_.getFileName.toString)
+      .filter(_.startsWith("part-")).toArray.toSeq
+    assert(parts.size === 1, s"replay rendered one part, dir must hold one: $parts")
+  }
+
   test("xmlng stream sink honors the compression codec; batch read splits it back") {
     val spark = SparkTestSession.spark
     import spark.implicits._
