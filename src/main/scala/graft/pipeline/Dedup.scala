@@ -112,7 +112,7 @@ object Dedup extends org.apache.spark.internal.Logging {
    *  reject it loudly. String ids: add an integral surrogate
    *  (`monotonically_increasing_id` or `xxhash64(id)`) first, or use
    *  [[connectedComponents]], which keeps natural id types. */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+  private[pipeline] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),

@@ -105,6 +105,7 @@ object Similarity {
       recallTarget: Double = 0.9999,
       seed: Long = 0xc0ffee00L,
       nHint: Long = 0L): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "lshNearPairs")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val planes =
       if (numPlanes > 0) numPlanes
