@@ -69,6 +69,12 @@ private[xml] class XmlStreamSource(
       require(n > 0, s"maxFilesPerTrigger ($n) must be positive")
       n
     }
+  private val maxBytesPerTrigger: Option[Long] =
+    parameters.get("maxBytesPerTrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxBytesPerTrigger ($n) must be positive")
+      n
+    }
   private val logCompactInterval: Int =
     parameters.get("logCompactInterval").map(_.toInt).getOrElse(10)
   require(logCompactInterval > 0,
@@ -246,7 +252,13 @@ private[xml] class XmlStreamSource(
       .filter(st => ageCutoff.forall(st.getModificationTime >= _))
       .map(st => FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
       .toSeq
-    val take = maxFilesPerTrigger.fold(unseen)(unseen.take)
+    val capped = maxFilesPerTrigger.fold(unseen)(unseen.take)
+    // Byte pacing: stop before the file that crosses the budget, but always
+    // admit at least one file or an oversized single file never progresses.
+    val take = maxBytesPerTrigger.fold(capped) { budget =>
+      var acc = 0L
+      capped.takeWhile { e => acc += e.len; acc <= budget || acc == e.len }
+    }
     if (take.nonEmpty) {
       val id = latestBatchId + 1
       writeLog(id, take) // durable before visible

@@ -154,6 +154,34 @@ class XmlStreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("xmlng stream source maxBytesPerTrigger paces by file size") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-stream-bytes")
+    val in = dir.resolve("in"); val meta = dir.resolve("meta")
+    Files.createDirectories(in)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // Three ~60-byte files plus one oversized file; budget 150 bytes.
+    (0 until 3).foreach { i =>
+      val f = in.resolve(s"s$i.xml")
+      Files.writeString(f, s"<rows><r><k>$i</k></r></rows>" + (" " * 30))
+      assert(f.toFile.setLastModified(100000L * (i + 1)))
+    }
+    val big = in.resolve("s3big.xml")
+    Files.writeString(big, s"<rows><r><k>3</k></r></rows>" + (" " * 400))
+    assert(big.toFile.setLastModified(400000L))
+    val src = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString,
+      schema, Map("rowTag" -> "r", "maxBytesPerTrigger" -> "150"))
+    // Trigger 1: s0+s1 fit in 150 bytes, s2 would cross.
+    src.getOffset
+    assert(src.loggedFiles(0L).map(_.split('/').last) === Seq("s0.xml", "s1.xml"))
+    // Trigger 2: s2 alone (big would cross).
+    src.getOffset
+    assert(src.loggedFiles(1L).map(_.split('/').last) === Seq("s2.xml"))
+    // Trigger 3: the oversized file must still be admitted alone.
+    src.getOffset
+    assert(src.loggedFiles(2L).map(_.split('/').last) === Seq("s3big.xml"))
+  }
+
   test("xmlng stream source log compacts: bounded dir, replay and restart intact") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-stream-compact")
