@@ -108,17 +108,29 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /** The long-keyed operators compact ids to 8 bytes for their pair joins;
-   *  a non-integral id would cast to null and silently dedup NOTHING, so
-   *  reject it loudly. String ids: add an integral surrogate
-   *  (`monotonically_increasing_id` or `xxhash64(id)`) first, or use
-   *  [[connectedComponents]], which keeps natural id types. */
+   *  a non-numeric id would cast to null and silently dedup NOTHING, so
+   *  reject it loudly. Accepts the integral primitives and exact integral
+   *  decimals that fit a long (scale 0, precision ≤ 18 — JDBC/Hive NUMBER
+   *  keys). Resolution mirrors the operators' own case-insensitive column
+   *  lookup; an unresolvable or ambiguous name is left for `col()` to
+   *  report with Spark's standard error. String ids: add an integral
+   *  surrogate (`monotonically_increasing_id` or `xxhash64(id)`) first, or
+   *  use [[connectedComponents]], which keeps natural id types. */
   private[pipeline] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$op requires an integral id column; '$idCol' is ${dt.catalogString}. " +
-        "Derive a long surrogate (e.g. xxhash64(id)) or use connectedComponents, " +
-        "which preserves natural id types.")
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    df.schema.fields.filter(_.name.equalsIgnoreCase(idCol)) match {
+      case Array(f) =>
+        val ok = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case d: DecimalType => d.scale == 0 && d.precision <= 18
+          case _ => false
+        }
+        require(ok,
+          s"$op requires an integral id column; '$idCol' is ${f.dataType.catalogString}. " +
+            "Derive a long surrogate (e.g. xxhash64(id)) or use connectedComponents, " +
+            "which preserves natural id types.")
+      case _ => // missing or ambiguous: let col() resolution produce the standard error
+    }
   }
 
   /** Exact-duplicate groups keyed by md5 of raw text; keeps min(id) as representative. */

@@ -190,33 +190,44 @@ class DefaultSource
 
   // ---- Structured Streaming: readStream.format("xmlng") ----
 
+  private def inferStreamSchema(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    val options = XmlOptions(parameters)
+    val raw = XmlFile.read(sqlContext.sparkContext, pathFor(parameters), options)
+    if (raw.isEmpty()) {
+      throw new IllegalArgumentException(
+        "Cannot infer a schema for an XML stream over an empty directory; " +
+          "provide .schema(...) or seed the directory first")
+    }
+    val inferred = InferSchema.infer(raw, options)
+    if (options.inferSchema) inferred
+    else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val resolved = schema.getOrElse {
-      // Infer once at stream start from the files already present — the
+      // Infer once per QUERY START from the files already present — the
       // stream's schema is fixed for its lifetime, like other file sources.
       // Spark calls sourceSchema at plan time and createSource at start
-      // with only the USER schema, so without memoization inference would
+      // with only the USER schema, so without a handoff inference would
       // scan the directory twice — and could resolve two different schemas
       // if files landed in between, failing the first micro-batch's
-      // plan/output check. The cache pins (path, options) → first answer.
-      DefaultSource.inferredStreamSchemas.computeIfAbsent(
-        (pathFor(parameters), parameters.toSeq.sorted),
-        { _ =>
-          val options = XmlOptions(parameters)
-          val raw = XmlFile.read(sqlContext.sparkContext, pathFor(parameters), options)
-          if (raw.isEmpty()) {
-            throw new IllegalArgumentException(
-              "Cannot infer a schema for an XML stream over an empty directory; " +
-                "provide .schema(...) or seed the directory first")
-          }
-          val inferred = InferSchema.infer(raw, options)
-          if (options.inferSchema) inferred
-          else InferSchema.stringOnly(inferred).asInstanceOf[StructType]
-        })
+      // plan/output check. The pin holds (path, options) → planned schema
+      // until createSource CONSUMES it, so the next query over the same
+      // path re-infers fresh (new fields are picked up) and the map stays
+      // bounded. Inference runs outside the map — a multi-second Spark job
+      // must not execute under a ConcurrentHashMap bin lock.
+      val key = (pathFor(parameters), parameters.toSeq.sorted)
+      Option(DefaultSource.plannedStreamSchemas.get(key)).getOrElse {
+        val inferred = inferStreamSchema(sqlContext, parameters)
+        val prior = DefaultSource.plannedStreamSchemas.putIfAbsent(key, inferred)
+        if (prior != null) prior else inferred
+      }
     }
     (shortName(), resolved)
   }
@@ -227,7 +238,14 @@ class DefaultSource
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val resolved = schema.getOrElse {
+      // Consume the schema pinned at plan time (guaranteeing the source
+      // matches the analyzed plan's attributes); if none is pinned —
+      // checkpoint restart paths that skip sourceSchema — infer here.
+      val key = (pathFor(parameters), parameters.toSeq.sorted)
+      Option(DefaultSource.plannedStreamSchemas.remove(key))
+        .getOrElse(inferStreamSchema(sqlContext, parameters))
+    }
     new XmlStreamSource(sqlContext, metadataPath, pathFor(parameters), resolved, parameters)
   }
 
@@ -289,9 +307,10 @@ class DefaultSource
 }
 
 object DefaultSource {
-  /** Stream-start inference memo: (path, sorted options) -> resolved schema.
-   *  Driver-side, a handful of entries per JVM (one per distinct stream). */
-  private[xml] val inferredStreamSchemas =
+  /** Plan-time → start-time schema handoff: (path, sorted options) ->
+   *  schema inferred at sourceSchema, consumed (removed) by createSource.
+   *  Driver-side; bounded because every entry is consumed at query start. */
+  private[xml] val plannedStreamSchemas =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Seq[(String, String)]),
       org.apache.spark.sql.types.StructType]()

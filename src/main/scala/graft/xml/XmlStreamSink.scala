@@ -68,12 +68,11 @@ private[xml] class XmlStreamSink(
     // A replay may render FEWER part files than the crashed attempt (e.g.
     // restart on fewer cores changes split packing); deterministic names
     // would overwrite the shared prefix but leave the tail stale, silently
-    // duplicating rows. Clear every part of this batch first.
-    fs.listStatus(dir).foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith(s"part-$batchId-")) {
-        fs.delete(st.getPath, false)
-      }
-    }
+    // duplicating rows. Clear every part of this batch first — via a
+    // prefix glob, which object stores serve as one prefix-bounded LIST,
+    // not a scan of the whole (ever-growing) output directory.
+    Option(fs.globStatus(new Path(dir, s"part-$batchId-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
 
     val parts = fs.listStatus(tmp).filter { st =>
       st.isFile && st.getPath.getName.startsWith("part-")
@@ -82,9 +81,10 @@ private[xml] class XmlStreamSink(
       // part-00000[.gz] → part-<batchId>-00000[.gz]: deterministic so a
       // replay overwrites rather than duplicates.
       val suffix = st.getPath.getName.stripPrefix("part-")
+      // No exists/delete probe per target: the batch-prefix sweep above
+      // already cleared every possible name for this batch.
       val target = new Path(dir, s"part-$batchId-$suffix" +
         (if (suffix.contains(".")) "" else ".xml"))
-      if (fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(st.getPath, target)) {
         throw new IllegalStateException(
           s"xmlng sink: failed to move ${st.getPath} to $target")

@@ -131,14 +131,23 @@ private[xml] class XmlStreamSource(
   private var latestBatchId: Long = if (batchFiles.isEmpty) -1L else batchFiles.lastKey
   private var committedThrough: Long = -1L
 
-  /** Log line: `path TAB mtime TAB len` (short legacy lines read as 0s). */
+  /** Log line: `path TAB mtime TAB len`. Parsed from the END, each numeric
+   *  field validated — a tab inside the path never shifts fields, and
+   *  shorter legacy lines degrade to 0s instead of failing the restart. */
   private def parseLine(line: String): FileEntry = {
-    val parts = line.split('\t')
-    if (parts.length >= 3) {
-      FileEntry(parts.dropRight(2).mkString("\t"),
-        parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
-    } else if (parts.length == 2) FileEntry(parts(0), parts(1).toLong, 0L)
-    else FileEntry(line, 0L, 0L)
+    def splitLastLong(s: String): Option[(String, Long)] = {
+      val i = s.lastIndexOf('\t')
+      if (i < 0) None
+      else s.drop(i + 1).toLongOption.map(n => (s.take(i), n))
+    }
+    splitLastLong(line) match {
+      case Some((rest, last)) =>
+        splitLastLong(rest) match {
+          case Some((path, mid)) => FileEntry(path, mid, last) // path \t mtime \t len
+          case None => FileEntry(rest, last, 0L) // legacy: path \t mtime
+        }
+      case None => FileEntry(line, 0L, 0L) // legacy: bare path
+    }
   }
 
   private def readLog(p: Path): Seq[FileEntry] = {
@@ -254,10 +263,17 @@ private[xml] class XmlStreamSource(
       .toSeq
     val capped = maxFilesPerTrigger.fold(unseen)(unseen.take)
     // Byte pacing: stop before the file that crosses the budget, but always
-    // admit at least one file or an oversized single file never progresses.
+    // admit the FIRST file (an oversized one alone must still progress —
+    // and only alone: judging by accumulated == own length would also let
+    // an oversized file ride along after zero-length admissions).
     val take = maxBytesPerTrigger.fold(capped) { budget =>
       var acc = 0L
-      capped.takeWhile { e => acc += e.len; acc <= budget || acc == e.len }
+      var admitted = 0
+      capped.takeWhile { e =>
+        val ok = admitted == 0 || acc + e.len <= budget
+        if (ok) { acc += e.len; admitted += 1 }
+        ok
+      }
     }
     if (take.nonEmpty) {
       val id = latestBatchId + 1
