@@ -166,6 +166,27 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q47_xml_v2_scan" -> ((s, d) => {
+      // The DSv2 (`xmlng2`) read path: pruned + filter-pushed scan over XML
+      // written by the sink, joined to a second XML table WITHOUT a
+      // broadcast hint — the V2 scan reports its input size, so Catalyst
+      // auto-broadcasts the small side on its own.
+      val sfName = new java.io.File(d).getName
+      val base = s"/tmp/graft_xml/$sfName"
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      sup.write.format("graft.xml").mode("overwrite").option("rowTag", "s").save(s"$base/v2sup")
+      nat.write.format("graft.xml").mode("overwrite").option("rowTag", "n").save(s"$base/v2nat")
+      val supV2 = s.read.format("xmlng2").option("rowTag", "s").schema(sup.schema).load(s"$base/v2sup")
+      val natV2 = s.read.format("xmlng2").option("rowTag", "n").schema(nat.schema).load(s"$base/v2nat")
+      supV2.filter(col("s_acctbal") >= 0)
+        .join(natV2, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("suppliers"),
+          sum(dec2(col("s_acctbal"))).cast("double").as("total_acctbal"))
+        .orderBy("n_name")
+    }),
+
     "q14_xml_attrs_part" -> ((s, d) => {
       // Underscore-prefixed fields serialize as XML attributes and come back.
       val attrs = t(s, d, "part").select(
@@ -661,6 +682,13 @@ object SparkEntry {
     "q14_xml_attrs_part" ->
       """SELECT p_partkey AS "_partkey", p_brand AS "_brand", p_retailprice
         |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
+
+    "q47_xml_v2_scan" ->
+      """SELECT n_name, count(*) AS suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal >= 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q15_xml_nested_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -62,21 +62,31 @@ private[graft] object StaxXmlParser {
    * per-row external→internal conversion layer entirely.
    */
   def parse(xml: RDD[String], schema: StructType, options: XmlOptions): RDD[InternalRow] = {
-    xml.mapPartitions { iter =>
-      val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
-      iter.flatMap { record =>
-        val valid =
-          try { validator.foreach(ValidatorUtil.validate(_, record)); true }
-          catch {
-            case NonFatal(e) => options.parseMode match {
-              case ParseMode.FailFast =>
-                throw new IllegalArgumentException(s"Record failed XSD validation: $record", e)
-              case _ => false
-            }
+    xml.mapPartitions(parseIterator(_, schema, options))
+  }
+
+  /**
+   * Per-partition entry point shared by the RDD path above and the DSv2
+   * [[graft.xml.v2.XmlPartitionReader]]: XSD validation (when configured),
+   * the StAX parse, and parse-mode malformed handling, one record at a time.
+   */
+  def parseIterator(
+      iter: Iterator[String],
+      schema: StructType,
+      options: XmlOptions): Iterator[InternalRow] = {
+    val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
+    iter.flatMap { record =>
+      val valid =
+        try { validator.foreach(ValidatorUtil.validate(_, record)); true }
+        catch {
+          case NonFatal(e) => options.parseMode match {
+            case ParseMode.FailFast =>
+              throw new IllegalArgumentException(s"Record failed XSD validation: $record", e)
+            case _ => false
           }
-        if (valid) parseRecord(record, schema, options)
-        else handleMalformed(record, schema, options, partial = None)
-      }
+        }
+      if (valid) parseRecord(record, schema, options)
+      else handleMalformed(record, schema, options, partial = None)
     }
   }
 

@@ -1,0 +1,113 @@
+package graft.xml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 `xmlng2` read path: row identity with DSv1, pruning/pushdown
+ *  through the connector API, reported statistics driving auto-broadcast. */
+class XmlV2Suite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dataDir: String = {
+    val xml = new StringBuilder("<rows>\n")
+    (0 until 1000).foreach { i =>
+      val name = if (i % 100 == 0) "alice" else s"user$i"
+      xml.append(
+        s"""<r id="$i"><name>$name</name><n>$i</n><note>note &amp; $i</note></r>\n""")
+    }
+    xml.append("</rows>\n")
+    val dir = Files.createTempDirectory("graft_v2")
+    Files.write(dir.resolve("data.xml"), xml.toString.getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("_id", LongType),
+    StructField("name", StringType),
+    StructField("n", LongType),
+    StructField("note", StringType)))
+
+  private def v1: DataFrame =
+    spark.read.format("xmlng").option("rowTag", "r").schema(schema).load(dataDir)
+  private def v2: DataFrame =
+    spark.read.format("xmlng2").option("rowTag", "r").schema(schema).load(dataDir)
+
+  private def batchScan(plan: SparkPlan): BatchScanExec =
+    plan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail(s"no BatchScanExec in:\n$plan"))
+
+  test("v2 rows are identical to v1") {
+    val a = v1.collect().map(_.toSeq).sortBy(_.toString)
+    val b = v2.collect().map(_.toSeq).sortBy(_.toString)
+    assert(b === a)
+    assert(v2.count() === 1000)
+  }
+
+  test("v2 infers the same schema as v1") {
+    val s1 = spark.read.format("xmlng").option("rowTag", "r").load(dataDir).schema
+    val s2 = spark.read.format("xmlng2").option("rowTag", "r").load(dataDir).schema
+    assert(s2 === s1)
+  }
+
+  test("column pruning reaches the v2 scan") {
+    val q = v2.select("name", "n")
+    val scan = batchScan(q.queryExecution.executedPlan)
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("name", "n"))
+    assert(q.agg(sum("n")).collect().head.getLong(0) === (0 until 1000).sum.toLong)
+  }
+
+  test("string filters surface as pushed filters and results stay exact") {
+    val q = v2.filter(col("name") === "alice").select("n")
+    val scan = batchScan(q.queryExecution.executedPlan)
+    assert(scan.scan.description().contains("alice"),
+      s"expected pushed filter in: ${scan.scan.description()}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0 until 1000 by 100).map(_.toLong))
+    // Escapable value: not compiled into the pre-test, still exact.
+    assert(v2.filter(col("note") === "note & 7").count() === 1)
+  }
+
+  test("v2 scan reports input size so a small XML table auto-broadcasts") {
+    val big = spark.range(0, 10000).selectExpr("id", "id % 1000 as n")
+    val joined = big.join(v2.select("n", "name"), "n")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin") ||
+      joined.queryExecution.executedPlan.toString.contains("BroadcastExchange")
+    assert(hasBroadcast, s"expected auto-broadcast:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() === 10000)
+  }
+
+  test("DROPMALFORMED drops the same rows through v2") {
+    val xml =
+      """<rows>
+        |<r id="1"><name>a</name><n>1</n><note>x</note></r>
+        |<r id="2"><name>b</name><n>oops</n><note>y</note></r>
+        |<r id="3"><name>c</name><n>3</n><note>z</note></r>
+        |</rows>""".stripMargin
+    val dir = Files.createTempDirectory("graft_v2_bad")
+    Files.write(dir.resolve("bad.xml"), xml.getBytes("UTF-8"))
+    def read(fmt: String) = spark.read.format(fmt)
+      .option("rowTag", "r").option("mode", "DROPMALFORMED")
+      .schema(schema).load(dir.toString)
+    // Projection away from the corrupt field must not change which rows
+    // exist (full-schema parse + projection under DROPMALFORMED).
+    val got = read("xmlng2").select("name").collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("a", "c"))
+    assert(got.toSeq === read("xmlng").select("name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("multi-split v2 read returns every record exactly once") {
+    val q = spark.read.format("xmlng2")
+      .option("rowTag", "r").option("splitMaxBytes", "2048")
+      .schema(schema).load(dataDir)
+    assert(q.rdd.getNumPartitions > 4, s"expected many splits, got ${q.rdd.getNumPartitions}")
+    val ids = q.select("_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 1000L))
+  }
+}
