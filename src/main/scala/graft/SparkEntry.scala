@@ -411,6 +411,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q48_vocab_topk" -> ((s, d) => {
+      // Exact heavy hitters: map-side partial counts -> one token shuffle ->
+      // TakeOrderedAndProject (per-task k-heaps, no global sort).
+      TextAnalysis.topTokens(t(s, d, "documents"), "text", 100)
+    }),
+
     "q22_text_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -790,6 +796,12 @@ object SparkEntry {
         |       ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
         |            / len(string_split_regex(trim(text), '\s+')) END AS mean_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_vocab_topk" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents WHERE len(trim(text)) > 0)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "q22_text_quality" ->
       """SELECT doc_id,

@@ -102,6 +102,34 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /**
+   * Exact global top-k token frequencies — vocabulary building / heavy
+   * hitters over a corpus. One explode + one hash aggregation with map-side
+   * partial counts (the shuffle moves one row per distinct token per task,
+   * not one per occurrence), then `orderBy(...).limit(k)`, which Spark plans
+   * as `TakeOrderedAndProject` — each task keeps a k-row heap and the driver
+   * merges task heaps, so no global sort materializes at any scale. Ties at
+   * the boundary break deterministically by token.
+   *
+   * `byDocFreq=true` counts documents containing the token (each token
+   * counted once per document) instead of raw occurrences — the document-
+   * frequency table an IDF weighting or stopword mining pass needs.
+   */
+  def topTokens(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      byDocFreq: Boolean = false): DataFrame = {
+    val toks = tokens(col(textCol))
+    val exploded =
+      if (byDocFreq) df.select(explode(array_distinct(toks)).as("token"))
+      else df.select(explode(toks).as("token"))
+    exploded.groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

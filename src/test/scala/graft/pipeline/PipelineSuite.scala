@@ -204,6 +204,23 @@ class PipelineSuite extends AnyFunSuite {
     assert(fp.getString(0) === fp.getString(1))
   }
 
+  test("topTokens: exact counts, deterministic tie-break, doc-frequency variant") {
+    val corpus = Seq(
+      (0L, "b a a c"), (1L, "a b b"), (2L, "c d"), (3L, "   "), (4L, "d c c")
+    ).toDF("doc_id", "text")
+    // term frequency: a=3, b=3, c=4, d=2 -> top3 = c4, then tie a/b broken by token
+    val tf = TextAnalysis.topTokens(corpus, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tf === Seq(("c", 4L), ("a", 3L), ("b", 3L)))
+    // doc frequency: c in docs {0,2,4}=3; a,b,d each in 2 -> tie broken by token
+    val df = TextAnalysis.topTokens(corpus, "text", 2, byDocFreq = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df === Seq(("c", 3L), ("a", 2L)))
+    // plan shape: a k-heap TakeOrdered, not a global Sort+Exchange
+    val plan = TextAnalysis.topTokens(corpus, "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("connected components: chain, star, disjoint, singleton-free") {
     // A long chain is the adversarial case for label propagation (diameter
     // rounds); large-star/small-star must still collapse it within maxIter.
