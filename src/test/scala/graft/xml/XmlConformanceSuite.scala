@@ -274,4 +274,84 @@ class XmlConformanceSuite extends AnyFunSuite {
     assert(bad.length === 1)
     assert(bad(0).getString(1).contains("notanumber"))
   }
+
+  test("empty file with known schema reads as an empty frame (reference parity)") {
+    // reference XmlSuite.scala: "DSL test with empty file and known schema" /
+    // "DDL test with empty file" — an empty input with a user schema is a
+    // valid, empty table, not an error.
+    val dir = Files.createTempDirectory("graft-conf-empty")
+    Files.writeString(dir.resolve("empty.xml"), "")
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("age", LongType)))
+    val df = spark.read.format("graft.xml").option("rowTag", "person")
+      .schema(schema).load(dir.toString)
+    assert(df.count() === 0)
+    assert(df.schema === schema)
+    // and through SQL DDL, like the reference's DDL variant
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW conf_empty (name STRING, age BIGINT)
+      USING graft.xml OPTIONS (path '$dir', rowTag 'person')""")
+    assert(spark.sql("SELECT count(*) FROM conf_empty").collect().head.getLong(0) === 0)
+    assert(spark.table("conf_empty").schema === schema)
+  }
+
+  test("option validation rejects the reference's invalid combinations") {
+    // reference XmlSuite.scala: "Empty string not allowed for rowTag…",
+    // "'rowTag' and 'rootTag' should not include angle brackets",
+    // "valueTag and attributePrefix should not be the same."
+    def bad(opts: (String, String)*): Unit = {
+      val e = intercept[IllegalArgumentException] { XmlOptions(opts.toMap) }
+      assert(e.getMessage != null)
+    }
+    bad("rowTag" -> "")
+    bad("rootTag" -> "")
+    bad("valueTag" -> "")
+    bad("rowTag" -> "<row>")
+    bad("rootTag" -> "<rows>")
+    bad("valueTag" -> "_attr", "attributePrefix" -> "_attr")
+    bad("samplingRatio" -> "0")
+    bad("splitMaxBytes" -> "-1")
+  }
+
+  test("missing input path fails with a clear error, with or without schema") {
+    // reference XmlSuite.scala: "Issue 588: Ensure fails when data is not present"
+    val missing = "/tmp/graft-conf-definitely-missing-" + System.nanoTime()
+    val schema = StructType(Seq(StructField("name", StringType)))
+    intercept[Exception] {
+      spark.read.format("graft.xml").option("rowTag", "r").load(missing).count()
+    }
+    intercept[Exception] {
+      spark.read.format("graft.xml").option("rowTag", "r")
+        .schema(schema).load(missing).count()
+    }
+  }
+
+  test("rowValidationXSDPath resolves through SparkContext.addFile (reference parity)") {
+    // reference XmlSuite.scala: "test XSD validation with addFile() with
+    // validation error" — executors resolve the XSD by basename via SparkFiles.
+    val xsd = Files.createTempFile("graft-conf-addfile", ".xsd")
+    Files.writeString(xsd,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="person">
+        |    <xs:complexType><xs:sequence>
+        |      <xs:element name="name" type="xs:string"/>
+        |      <xs:element name="age" type="xs:long"/>
+        |    </xs:sequence></xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin)
+    spark.sparkContext.addFile(xsd.toString)
+    val data = Files.createTempDirectory("graft-conf-addfile-data")
+    Files.writeString(data.resolve("people.xml"),
+      """<people>
+        |<person><name>ok</name><age>30</age></person>
+        |<person><age>31</age></person>
+        |</people>""".stripMargin)
+    val df = spark.read.format("graft.xml")
+      .option("rowTag", "person").option("mode", "DROPMALFORMED")
+      .option("rowValidationXSDPath", xsd.getFileName.toString)
+      .schema(StructType(Seq(
+        StructField("name", StringType), StructField("age", LongType))))
+      .load(data.toString)
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("ok"))
+  }
 }
