@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -417,6 +417,21 @@ object SparkEntry {
       TextAnalysis.topTokens(t(s, d, "documents"), "text", 100)
     }),
 
+    "q49_split_assign" -> ((s, d) => {
+      // Deterministic train/val/test assignment + hash-sampling: pure
+      // map-side md5 bucketing on the key, reproducible on any cluster
+      // layout (no df.sample() order-dependence).
+      val docs = t(s, d, "documents")
+      val assigned = Sampling.assignSplits(
+        docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "seed42")
+      val sampled = Sampling.sampleByHash(docs, "doc_id", 0.25, salt = "sub1")
+        .agg(count(lit(1)).as("sampled_cnt"), sum(col("doc_id")).as("sampled_id_sum"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+        .crossJoin(sampled)
+        .orderBy("split")
+    }),
+
     "q22_text_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -802,6 +817,30 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |      FROM documents WHERE len(trim(text)) > 0)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q49_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'seed42'), 25, 8))::BIGINT
+        |      % 1000000 AS bucket
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 800000 THEN 'train'
+        |         WHEN bucket < 900000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b),
+        |sub AS (
+        |  SELECT count(*) AS sampled_cnt,
+        |         CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sub1'), 25, 8))::BIGINT
+        |          % 1000000 < 250000)
+        |SELECT split, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       sub.sampled_cnt, sub.sampled_id_sum
+        |FROM assigned, sub
+        |GROUP BY split, sub.sampled_cnt, sub.sampled_id_sum
+        |ORDER BY split""".stripMargin,
 
     "q22_text_quality" ->
       """SELECT doc_id,

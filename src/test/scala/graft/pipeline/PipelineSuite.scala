@@ -221,6 +221,35 @@ class PipelineSuite extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("hash sampling and split assignment are deterministic and key-stable") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplits(ids, "id", splits, salt = "s1")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform: 80/10/10 within a few percent at n=10k
+    assert(math.abs(counts("train") - 8000L) < 400, counts.toString)
+    assert(math.abs(counts("val") - 1000L) < 200, counts.toString)
+    assert(math.abs(counts("test") - 1000L) < 200, counts.toString)
+    // identical assignment on a re-run and under a different partitioning
+    val b = Sampling.assignSplits(ids.repartition(13), "id", splits, salt = "s1")
+    assert(a.orderBy("id").collect().toSeq === b.orderBy("id").collect().toSeq)
+    // different salt draws an independent assignment
+    val c = Sampling.assignSplits(ids, "id", splits, salt = "s2")
+    val changed = a.alias("a").join(c.alias("c"), "id")
+      .filter(col("a.split") =!= col("c.split")).count()
+    assert(changed > 1000, s"salt change should reassign many rows, moved $changed")
+    // sampleByHash subsets are nested for growing fractions (same salt)
+    val s10 = Sampling.sampleByHash(ids, "id", 0.10, "u").collect().map(_.getLong(0)).toSet
+    val s25 = Sampling.sampleByHash(ids, "id", 0.25, "u").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s25))
+    assert(math.abs(s25.size - 2500) < 200, s25.size.toString)
+    // weight validation
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, "id", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("connected components: chain, star, disjoint, singleton-free") {
     // A long chain is the adversarial case for label propagation (diameter
     // rounds); large-star/small-star must still collapse it within maxIter.
