@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -432,6 +432,57 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q50_decontaminate" -> ((s, d) => {
+      // Benchmark decontamination: the "eval set" is every doc with
+      // doc_id % 37 == 0; any doc sharing a 5-word gram with it (the
+      // corpus's planted near/exact dups, and the eval docs themselves) is
+      // dropped. The corpus never shuffles by gram — eval grams broadcast,
+      // matches stream through the semi-join map-side.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text", 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "q51_source_cap" -> ((s, d) => {
+      // Per-domain frequency cap: at most 15 docs per source, winners
+      // chosen by deterministic md5 rank so the kept set is identical on
+      // any cluster layout / re-run. One shuffle keyed by source.
+      Sampling.capPerKey(t(s, d, "documents"), "source", 15, "doc_id", salt = "cap1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "q52_pii_redact" -> ((s, d) => {
+      // PII scrub over text with planted emails/IPs/phones (the synthetic
+      // corpus carries none, so the query plants deterministic ones —
+      // identically in the oracle). Map-side regexp chain + audit counts.
+      val withPii = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" Contact user"), col("doc_id"), lit("@example.com via 10."),
+          col("doc_id") % 256, lit(".0.1 or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199.")
+        ).as("text"))
+      withPii.select(
+        col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("email_cnt"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("ip_cnt"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern).as("phone_cnt"))
+        .orderBy("doc_id")
+    }),
+
+    "q53_chunk_tokens" -> ((s, d) => {
+      // Context-window chunking: 32-token windows, 8-token overlap
+      // (stride 24), one row per chunk — sequence packing's shuffle-free
+      // precursor. posexplode pipelines inside codegen.
+      TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q22_text_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -841,6 +892,68 @@ object SparkEntry {
         |FROM assigned, sub
         |GROUP BY split, sub.sampled_cnt, sub.sampled_id_sum
         |ORDER BY split""".stripMargin,
+
+    "q50_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE gram IN (SELECT gram FROM g WHERE doc_id % 37 = 0))
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q51_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap1'), 25, 8))::BIGINT
+        |                  % 1000000,
+        |               doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+
+    "q52_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.0.1 or 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199.' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS email_cnt,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS ip_cnt,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS phone_cnt
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q53_chunk_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+        |  CAST(least(32, len(toks) - start) AS INTEGER) AS chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q22_text_quality" ->
       """SELECT doc_id,

@@ -67,4 +67,35 @@ object Sampling {
     val assigned = expr.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
     df.withColumn(splitCol, assigned)
   }
+
+  /**
+   * Frequency capping: keep at most `maxPerKey` rows per `keyCol` value —
+   * the per-domain cap a web-corpus pipeline applies so one giant crawl
+   * host can't dominate the training mix. Which rows survive is
+   * deterministic and layout-independent: rows rank by their md5 bucket
+   * (then by `orderCol` to break ties), so re-runs keep the same winners
+   * and changing `salt` draws an independent cap. One shuffle, keyed by
+   * `keyCol`, feeding a windowed rank that Spark evaluates streaming per
+   * partition (no buffering beyond the run of one key).
+   *
+   * Skew note for 100 TB: a single pathological key (one domain = half the
+   * crawl) serializes into one task here. When such keys are known, thin
+   * them first with an approximate pass — `sampleByHash(df, orderCol,
+   * f·maxPerKey/estimatedCount(key))` keeps the exact window's input
+   * bounded without changing the survivors' distribution guarantees.
+   */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      maxPerKey: Int,
+      orderCol: String,
+      salt: String = ""): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(orderCol), DefaultBuckets, salt), col(orderCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxPerKey)
+      .drop("__rank")
+  }
 }

@@ -130,6 +130,68 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * PII scrub: replace emails, IPv4 addresses, and US-style phone numbers
+   * with typed placeholder tokens. Pure map-side `regexp_replace` chain —
+   * codegen'd, no shuffle, linear in bytes; the patterns avoid lookarounds
+   * so the same regexes run identically under Java regex here and RE2
+   * downstream (the oracle replays them in DuckDB). Replacement order
+   * matters: emails first (their dotted hosts would otherwise be eaten by
+   * the IP pass), then IPs, then phones.
+   */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of matches for one PII pattern (audit/reporting column). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /**
+   * Token-budget chunking: split each document into overlapping windows of
+   * at most `chunkSize` tokens with stride `chunkSize - overlap` — the
+   * sequence-packing precursor every context-window-bounded training run
+   * needs. Emits `(id, chunk_idx, chunk_text, chunk_tokens)`, one row per
+   * window. All native expressions (`sequence`/`posexplode`/`slice`): the
+   * explode pipelines inside whole-stage codegen, nothing shuffles, and
+   * output volume is input volume × (1 + overlap/stride). Empty documents
+   * emit no chunks.
+   */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    // sequence() rejects an empty (0 to -1) range, so guard zero-token docs
+    // to an empty start list; posexplode then drops them entirely.
+    val starts = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - 1, lit(stride)))
+    df.select(col(idCol), toks.as("__toks"), starts.as("__starts"))
+      .select(
+        col(idCol),
+        col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_idx", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("__start"))
+          .as("chunk_tokens"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

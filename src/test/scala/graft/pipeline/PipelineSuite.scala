@@ -303,6 +303,90 @@ class PipelineSuite extends AnyFunSuite {
     assert(kept === Seq(0L, 3L, 4L))
   }
 
+  test("decontaminate drops n-gram overlap with the benchmark, keeps the rest") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram with bench
+      (1L, "alpha beta gamma delta different tail here"), // only a 4-gram run
+      (2L, "totally unrelated content in this row"),
+      (3L, "short doc"), // shorter than n: never contaminated
+      (4L, "ALPHA BETA GAMMA DELTA EPSILON suffix") // case-folded match
+    ).toDF("doc_id", "text")
+    val bench = Seq("x alpha beta gamma delta epsilon y").toDF("text")
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 3L))
+    val bad = Decontaminate.contaminatedIds(corpus, "doc_id", "text", bench, "text", 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bad === Seq(0L, 4L))
+  }
+
+  test("capPerKey keeps at most k per key, deterministically across layouts") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "key")
+    val kept = Sampling.capPerKey(df, "key", 10, "id", salt = "s1")
+    val byKey = kept.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey.values.forall(_ === 10L) && byKey.size === 4)
+    // Same winners regardless of partitioning.
+    val kept2 = Sampling.capPerKey(df.repartition(7), "key", 10, "id", salt = "s1")
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      kept2.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // A different salt draws a different (but equally sized) sample.
+    val kept3 = Sampling.capPerKey(df, "key", 10, "id", salt = "s2")
+    assert(kept3.count() === 40L)
+    assert(kept3.select("id").collect().map(_.getLong(0)).sorted.toSeq !==
+      kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // Under-cap keys pass through whole.
+    assert(Sampling.capPerKey(df, "key", 100, "id").count() === 100L)
+  }
+
+  test("redactPii replaces emails, IPs, phones and counts them") {
+    val df = Seq(
+      (0L, "mail bob.smith+x@corp.example.org, host 192.168.1.7, call 555-867-5309 now"),
+      (1L, "no pii here at all"),
+      (2L, "two mails a@b.io c@d.net and ip 10.0.0.1 and 1.2.3.4")
+    ).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.redactPii(col("text")).as("red"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("e"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("i"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern).as("p"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) ===
+      "mail <EMAIL>, host <IP>, call <PHONE> now")
+    assert((out(0L).getInt(2), out(0L).getInt(3), out(0L).getInt(4)) === ((1, 1, 1)))
+    assert(out(1L).getString(1) === "no pii here at all")
+    assert((out(1L).getInt(2), out(1L).getInt(3), out(1L).getInt(4)) === ((0, 0, 0)))
+    assert(out(2L).getString(1) === "two mails <EMAIL> <EMAIL> and ip <IP> and <IP>")
+    assert((out(2L).getInt(2), out(2L).getInt(3)) === ((2, 2)))
+  }
+
+  test("chunkByTokens windows with overlap; short and empty docs") {
+    val df = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (1L, "a b c"), // shorter than one chunk
+      (2L, "") // no chunks at all
+    ).toDF("id", "text")
+    val rows = TextAnalysis.chunkByTokens(df, "id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    // stride 2: starts 0,2,4,6,8 for doc 0
+    assert(rows.filter(_._1 == 0L) === Seq(
+      (0L, 0, "t0 t1 t2 t3", 4),
+      (0L, 1, "t2 t3 t4 t5", 4),
+      (0L, 2, "t4 t5 t6 t7", 4),
+      (0L, 3, "t6 t7 t8 t9", 4),
+      (0L, 4, "t8 t9", 2)))
+    assert(rows.filter(_._1 == 1L) === Seq((1L, 0, "a b c", 3), (1L, 1, "c", 1)))
+    assert(!rows.exists(_._1 == 2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(df, "id", "text", 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(df, "id", "text", 0)
+    }
+  }
+
   test("multimodal stub plumbing: schema and determinism") {
     val df = docs.withColumn("payload", to_binary(col("text"), lit("utf-8")))
     val out = Multimodal.withMediaColumns(df, "payload", "stub/utf8", 4)
