@@ -21,15 +21,29 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Iterative operators localCheckpoint intermediates; those blocks are
+    // reaped only when the GC collects the RDD handles, so a 100-query run
+    // accumulates dead blocks that inflate later queries (GC pressure, block
+    // manager scans). Nothing here is reused across queries — every timed
+    // query plans from scratch — so dropping all persisted RDDs between
+    // queries (outside the timed window) keeps each measurement clean.
+    def dropLeakedBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // Untimed warmup pass: JIT + codegen caches + shuffle service init, so the
     // first timed query doesn't absorb JVM startup.
     SparkEntry.queries.foreach { case (_, fn) =>
       try sink(fn(spark, sfDir)) catch { case _: Throwable => () }
+      dropLeakedBlocks()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try sink(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropLeakedBlocks()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -436,13 +436,15 @@ object SparkEntry {
       // Benchmark decontamination: the "eval set" is every doc with
       // doc_id % 37 == 0; any doc sharing a 5-word gram with it (the
       // corpus's planted near/exact dups, and the eval docs themselves) is
-      // dropped. The corpus never shuffles by gram — eval grams broadcast,
-      // matches stream through the semi-join map-side.
+      // dropped. The corpus never shuffles by gram — eval gram hashes
+      // broadcast, matches stream through the semi-join map-side. Equals
+      // the string-gram oracle absent a 64-bit collision (~1e-9 here). No
+      // final orderBy: the gate is order-insensitive and a range sort's
+      // sampling pass would re-execute the whole anti-join pipeline.
       val docs = t(s, d, "documents")
       val bench = docs.filter(col("doc_id") % 37 === 0)
       Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text", 5)
         .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
     }),
 
     "q51_source_cap" -> ((s, d) => {

@@ -531,14 +531,19 @@ object Dedup extends org.apache.spark.internal.Logging {
    * `localCheckpoint`s the edge set: iterative self-joins otherwise double
    * the lineage per round and replan from the raw input at every step (on a
    * real cluster with lossy executors, substitute reliable `checkpoint`).
-   * Convergence is detected by an order-insensitive edge-set checksum —
-   * one extra cheap aggregate per round on the already-materialized frame.
+   * Convergence is detected by an order-insensitive edge-set checksum, and
+   * the checkpoints are lazy so that checksum is the ONE job per round —
+   * it materializes the round's frame into the checkpoint as a side
+   * effect, instead of an eager-checkpoint job followed by a checksum job
+   * (measured ~2× on small graphs, where per-round scheduling overhead
+   * dominates the tiny shuffles).
    */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      localUnionFindEdges: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -555,7 +560,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // Order-insensitive: XOR over distinct edge hashes (sum would overflow
     // under ANSI arithmetic), plus the count to guard XOR collisions.
@@ -566,6 +571,20 @@ object Dedup extends org.apache.spark.internal.Logging {
         .as[(Long, Long)].head()
 
     var prev = checksum(edges)
+
+    // Small-graph short circuit: the O(log n) rounds exist for graphs that
+    // cannot fit one task; below the threshold (the checksum already paid
+    // for the exact edge count) a single-task union-find answers in ONE
+    // stage over the checkpointed edges instead of ~6 shuffles × rounds of
+    // scheduling overhead. Components of a 100 TB near-dup pair set go the
+    // distributed route; the specs force it with localUnionFindEdges = 0.
+    if (prev._1 <= localUnionFindEdges) {
+      localUnionFindOrdering(edges) match {
+        case Some(ord) => return localUnionFind(edges, ord)
+        case None => () // exotic id type: distributed rounds handle any type
+      }
+    }
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -588,7 +607,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         .filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
 
       val cur = checksum(afterSmall)
       converged = cur == prev
@@ -608,6 +627,67 @@ object Dedup extends org.apache.spark.internal.Logging {
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
+  /** External-type ordering for the id column matching Spark's own sort
+   *  order for that type (strings compare as UTF-8 bytes, exactly like
+   *  `UTF8String`, NOT as UTF-16 `String.compareTo` — they disagree on
+   *  supplementary code points, and the component label must be the same
+   *  min the distributed rounds would pick). None → no cheap external
+   *  comparator here, take the distributed rounds regardless of size. */
+  private def localUnionFindOrdering(edges: DataFrame): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val comparableOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+    val utf8Ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    edges.schema("u").dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | _: DecimalType => Some(comparableOrd)
+      case StringType => Some(utf8Ord)
+      case _ => None
+    }
+  }
+
+  /** Single-task min-rooted union-find with path halving: one stage over
+   *  an edge set already known to be small. The root of every set is the
+   *  component minimum by construction (union keeps the smaller root), so
+   *  the output labeling is identical to the distributed rounds'. */
+  private def localUnionFind(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val spark = edges.sparkSession
+    val dt = edges.schema("u").dataType
+    val out = edges.select(col("u"), col("v")).rdd.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        if (p == null) { parent.put(x, x); return x }
+        while (p != x) { // path halving
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      it.foreach { r =>
+        val ra = find(r.get(0))
+        val rb = find(r.get(1))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = parent.keySet().toArray()
+      nodes.iterator.map(n => org.apache.spark.sql.Row(n, find(n)))
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("component", dt))))
   }
 
   /**

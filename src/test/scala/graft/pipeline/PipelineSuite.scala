@@ -251,34 +251,57 @@ class PipelineSuite extends AnyFunSuite {
   }
 
   test("connected components: chain, star, disjoint, singleton-free") {
-    // A long chain is the adversarial case for label propagation (diameter
-    // rounds); large-star/small-star must still collapse it within maxIter.
-    val chain = (0L until 40L).map(i => (i + 1, i)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(chain, "a", "b").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.size === 41)
-    assert(cc.values.toSet === Set(0L))
+    // Both execution paths must pass the same matrix: the distributed
+    // large-star/small-star rounds (localUnionFindEdges = 0 forces them)
+    // and the small-graph single-task union-find (default threshold).
+    for (threshold <- Seq(0L, 4L << 20)) {
+      // A long chain is the adversarial case for label propagation (diameter
+      // rounds); large-star/small-star must still collapse it within maxIter.
+      val chain = (0L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+      val cc = Dedup.connectedComponents(chain, "a", "b",
+        localUnionFindEdges = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc.size === 41, s"threshold=$threshold")
+      assert(cc.values.toSet === Set(0L), s"threshold=$threshold")
 
-    // Two disjoint clusters + reversed/duplicated/self edges.
-    val messy = Seq((5L, 9L), (9L, 5L), (9L, 7L), (7L, 7L),
-      (20L, 21L), (22L, 21L)).toDF("a", "b")
-    val cc2 = Dedup.connectedComponents(messy, "a", "b").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc2 === Map(5L -> 5L, 9L -> 5L, 7L -> 5L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+      // Two disjoint clusters + reversed/duplicated/self edges.
+      val messy = Seq((5L, 9L), (9L, 5L), (9L, 7L), (7L, 7L),
+        (20L, 21L), (22L, 21L)).toDF("a", "b")
+      val cc2 = Dedup.connectedComponents(messy, "a", "b",
+        localUnionFindEdges = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc2 === Map(5L -> 5L, 9L -> 5L, 7L -> 5L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L), s"threshold=$threshold")
 
-    // Empty pair set → empty result, no iteration blowup.
-    assert(Dedup.connectedComponents(
-      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0)
+      // Empty pair set → empty result, no iteration blowup.
+      assert(Dedup.connectedComponents(
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b",
+        localUnionFindEdges = threshold).count() === 0, s"threshold=$threshold")
 
-    // Ids keep their natural type: string doc-ids (hashes, URLs) cluster
-    // under lexicographic min without any numeric cast.
-    val strPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy"))
-      .toDF("a", "b")
-    val cc3 = Dedup.connectedComponents(strPairs, "a", "b").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(cc3 === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
-      "yy" -> "yy", "zz" -> "yy"))
+      // Ids keep their natural type: string doc-ids (hashes, URLs) cluster
+      // under lexicographic min without any numeric cast.
+      val strPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy"))
+        .toDF("a", "b")
+      val cc3 = Dedup.connectedComponents(strPairs, "a", "b",
+        localUnionFindEdges = threshold).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cc3 === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+        "yy" -> "yy", "zz" -> "yy"), s"threshold=$threshold")
+    }
+  }
+
+  test("connected components: union-find path equals distributed rounds on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .toDF("a", "b")
+      val dist = Dedup.connectedComponents(edges, "a", "b", localUnionFindEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === local, s"trial=$trial")
+    }
   }
 
   test("long-keyed dedup operators reject non-integral ids loudly") {
