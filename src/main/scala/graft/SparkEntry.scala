@@ -436,11 +436,12 @@ object SparkEntry {
       // Benchmark decontamination: the "eval set" is every doc with
       // doc_id % 37 == 0; any doc sharing a 5-word gram with it (the
       // corpus's planted near/exact dups, and the eval docs themselves) is
-      // dropped. The corpus never shuffles by gram — eval gram hashes
-      // broadcast, matches stream through the semi-join map-side. Equals
-      // the string-gram oracle absent a 64-bit collision (~1e-9 here). No
-      // final orderBy: the gate is order-insensitive and a range sort's
-      // sampling pass would re-execute the whole anti-join pipeline.
+      // dropped. The eval gram hashes collect once into a sorted table
+      // that rides to every task; the corpus pays one map-side membership
+      // test per doc — zero shuffles, zero joins. Equals the string-gram
+      // oracle absent a 64-bit collision (~1e-9 here). No final orderBy:
+      // the gate is order-insensitive and a range sort's sampling pass
+      // would re-execute the filter.
       val docs = t(s, d, "documents")
       val bench = docs.filter(col("doc_id") % 37 === 0)
       Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text", 5)

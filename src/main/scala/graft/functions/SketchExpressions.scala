@@ -306,6 +306,42 @@ case class HashedNgrams(child: Expression, n: Int)
   override def prettyName: String = "hashed_ngrams"
 }
 
+/**
+ * True iff any element of the child long array is a member of `set`
+ * (sorted, distinct). The membership table rides into the plan once and is
+ * shared by every task via the task-binary broadcast — the executor-local
+ * "Bloom filter" pattern of a decontamination pass, but exact. Per row:
+ * one binary search per element, O(m log |set|); null elements are skipped
+ * (cannot match).
+ */
+case class AnyInLongSet(child: Expression, set: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) {
+        return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  // The table is identity-compared by case-class equality on Array (eq);
+  // that is correct here: two plans share this expression only when they
+  // share the instance.
+  override protected def withNewChildInternal(c: Expression): AnyInLongSet =
+    copy(child = c)
+  override def prettyName: String = "any_in_long_set"
+}
+
 object SketchFunctions {
   def sorted_long_jaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
@@ -319,4 +355,6 @@ object SketchFunctions {
     Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
   def hashed_ngrams(text: Column, n: Int): Column =
     Bridge.column(HashedNgrams(Bridge.expression(text), n))
+  def any_in_long_set(arr: Column, set: Array[Long]): Column =
+    Bridge.column(AnyInLongSet(Bridge.expression(arr), set))
 }

@@ -12,14 +12,16 @@ import graft.functions.SketchFunctions
  * pass (GPT-3 appendix C / PaLM-style 8-gram overlap).
  *
  * Shape at 100 TB: the corpus side is the 100 TB; the benchmark side is a
- * few MB of eval sets. So the plan must never shuffle the corpus by gram:
- * the benchmark's distinct grams are collected into a broadcast hash set,
- * each corpus document's grams stream through a broadcast semi-join
- * map-side (the explode is pipelined into the join — gram rows are never
- * materialized to a shuffle), and only the matched document ids (bounded by
- * the benchmark's true overlap, not corpus size) reach an exchange for the
- * final anti-join. AQE turns that anti-join into a broadcast too when the
- * contaminated set is small — the common case.
+ * few MB of eval sets. So the corpus must never shuffle by gram — and with
+ * an eval set that fits executor memory (the overwhelmingly common case)
+ * it never shuffles at all: the eval set's distinct gram hashes are pulled
+ * once into a sorted long array that rides to every task with the plan,
+ * and each document is one map-side membership test
+ * ([[graft.functions.AnyInLongSet]]) — the executor-local Bloom-filter
+ * pattern, but exact. Zero shuffles, zero joins, streaming-safe. Above
+ * `maxLocalGrams` the operator falls back to a broadcast semi-join on the
+ * exploded gram hashes (still never shuffling the corpus by gram; only
+ * matched ids reach an exchange).
  *
  * Grams are compared as 64-bit `xxhash64` values ([[graft.functions
  * .SketchExpressions HashedNgrams]]: one byte pass per document —
@@ -34,8 +36,14 @@ import graft.functions.SketchFunctions
  */
 object Decontaminate {
 
+  /** Eval-set gram-table size (distinct hashes) up to which the zero-shuffle
+   *  map-filter path is used: 64M grams = one 512 MB sorted array per
+   *  executor — GLUE/MMLU/HumanEval-style eval suites are thousands of
+   *  times smaller. */
+  val MaxLocalGramsDefault: Int = 64 << 20
+
   /** Distinct lowercased word n-grams of `text` as strings (exact audit
-   *  path; the operator itself joins on [[hashedGrams]]); fewer than `n`
+   *  path; the operator itself matches on [[hashedGrams]]); fewer than `n`
    *  tokens → empty array (a document shorter than the window can't be
    *  contaminated by it). */
   def wordGrams(text: Column, n: Int): Column = {
@@ -47,14 +55,57 @@ object Decontaminate {
         i => array_join(F.slice(toks, i + 1, lit(n)), " "))))
   }
 
-  /** Distinct hashed lowercased word n-grams — value-equivalent to
-   *  `transform(wordGrams(text, n), g -> xxhash64-of-tokens(g))` but one
-   *  byte pass, no per-gram string materialization. */
+  /** Distinct (sorted) hashed lowercased word n-grams — value-equivalent to
+   *  hashing each [[wordGrams]] entry's token sequence, but one byte pass,
+   *  no per-gram string materialization. */
   def hashedGrams(text: Column, n: Int): Column =
-    array_distinct(SketchFunctions.hashed_ngrams(lower(text), n))
+    SketchFunctions.hashed_ngrams(lower(text), n)
+
+  /** The eval set's distinct gram hashes as a sorted array, pulled to the
+   *  driver once. Bounded by construction: this is the *benchmark* side.
+   *  Fails loudly past `maxLocalGrams` rather than silently assembling a
+   *  driver-crushing array — callers with a pathological "benchmark" that
+   *  big should use the join-path operators directly. */
+  def benchmarkGramTable(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      maxLocalGrams: Int = MaxLocalGramsDefault): Array[Long] =
+    collectGramTable(benchmark, benchTextCol, n, maxLocalGrams).getOrElse {
+      throw new IllegalArgumentException(
+        s"benchmark produced more than $maxLocalGrams distinct $n-grams; " +
+          "raise maxLocalGrams or use contaminatedIds/decontaminate's join path")
+    }
+
+  /** None ⇔ the distinct gram count exceeds `maxLocalGrams` (checked with a
+   *  limit, so an oversized eval set never materializes on the driver). */
+  private def collectGramTable(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      maxLocalGrams: Int): Option[Array[Long]] = {
+    val rows = benchmark
+      .select(explode(hashedGrams(col(benchTextCol), n)).as("gram"))
+      .distinct()
+      .limit(maxLocalGrams + 1)
+      .collect()
+    if (rows.length > maxLocalGrams) None
+    else {
+      val arr = rows.map(_.getLong(0))
+      java.util.Arrays.sort(arr)
+      Some(arr)
+    }
+  }
+
+  /** Predicate: does `text` share any n-gram with the (pre-collected) eval
+   *  gram table? Pure map-side expression — usable in batch filters and
+   *  unbounded streaming queries alike (no state, no shuffle). */
+  def isContaminated(text: Column, gramTable: Array[Long], n: Int): Column =
+    SketchFunctions.any_in_long_set(hashedGrams(text, n), gramTable)
 
   /** Ids of `df` documents sharing at least one word n-gram with
-   *  `benchmark`. One distinct-aggregation shuffle over matched ids only. */
+   *  `benchmark`. One distinct-aggregation shuffle over matched ids only
+   *  (join path — works for any benchmark size). */
   def contaminatedIds(
       df: DataFrame,
       idCol: String,
@@ -72,16 +123,32 @@ object Decontaminate {
       .distinct()
   }
 
-  /** `df` minus every document overlapping `benchmark` by an n-gram. */
+  /** `df` minus every document overlapping `benchmark` by an n-gram.
+   *  Zero-shuffle map filter when the eval gram table fits locally (the
+   *  common case); broadcast-semi-join + anti-join otherwise. Streaming
+   *  `df` is supported on the map-filter path (the benchmark side must be
+   *  a batch frame). */
   def decontaminate(
       df: DataFrame,
       idCol: String,
       textCol: String,
       benchmark: DataFrame,
       benchTextCol: String,
-      n: Int = 8): DataFrame =
-    df.join(
-      contaminatedIds(df, idCol, textCol, benchmark, benchTextCol, n),
-      Seq(idCol),
-      "left_anti")
+      n: Int = 8,
+      maxLocalGrams: Int = MaxLocalGramsDefault): DataFrame = {
+    require(!benchmark.isStreaming,
+      "the benchmark side must be a batch frame (it is collected once)")
+    collectGramTable(benchmark, benchTextCol, n, maxLocalGrams) match {
+      case Some(table) =>
+        df.filter(!isContaminated(col(textCol), table, n))
+      case None =>
+        require(!df.isStreaming,
+          "streaming decontamination needs the eval gram table to fit " +
+            "locally; raise maxLocalGrams")
+        df.join(
+          contaminatedIds(df, idCol, textCol, benchmark, benchTextCol, n),
+          Seq(idCol),
+          "left_anti")
+    }
+  }
 }

@@ -341,6 +341,39 @@ class PipelineSuite extends AnyFunSuite {
     val bad = Decontaminate.contaminatedIds(corpus, "doc_id", "text", bench, "text", 5)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(bad === Seq(0L, 4L))
+    // A gram table too big for the local path falls back to the join path
+    // with identical results.
+    val keptJoin = Decontaminate.decontaminate(
+      corpus, "doc_id", "text", bench, "text", 5, maxLocalGrams = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptJoin === kept)
+    intercept[IllegalArgumentException] {
+      Decontaminate.benchmarkGramTable(bench, "text", 5, maxLocalGrams = 1)
+    }
+  }
+
+  test("decontaminate runs on an unbounded stream (stateless map filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val bench = Seq("x alpha beta gamma delta epsilon y").toDF("text")
+    val cleaned = Decontaminate.decontaminate(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text", 5)
+    val q = cleaned.writeStream.format("memory")
+      .queryName("decon_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (0L, "alpha beta gamma delta epsilon zeta"), // contaminated
+        (1L, "totally unrelated content in this row"))
+      q.processAllAvailable()
+      input.addData(
+        (2L, "ALPHA BETA GAMMA DELTA EPSILON suffix"), // contaminated
+        (3L, "short doc"))
+      q.processAllAvailable()
+      val got = spark.table("decon_stream")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 3L))
+    } finally q.stop()
   }
 
   test("capPerKey keeps at most k per key, deterministically across layouts") {
