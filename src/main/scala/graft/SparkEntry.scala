@@ -475,7 +475,8 @@ object SparkEntry {
         TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("email_cnt"),
         TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("ip_cnt"),
         TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern).as("phone_cnt"))
-        .orderBy("doc_id")
+      // no orderBy: the sort's range-sampling pass would run the six-regex
+      // chain twice; the gate is order-insensitive
     }),
 
     "q53_chunk_tokens" -> ((s, d) => {
@@ -483,7 +484,26 @@ object SparkEntry {
       // (stride 24), one row per chunk — sequence packing's shuffle-free
       // precursor. posexplode pipelines inside codegen.
       TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text", 32, 8)
-        .orderBy("doc_id", "chunk_idx")
+      // no orderBy: order-insensitive gate; a sort would re-run the explode
+    }),
+
+    "q54_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signals: duplicate-line fraction
+      // over a corpus with planted duplicate lines (the synthetic docs are
+      // single-line), and top-bigram fraction via the native one-pass
+      // gram_stats. Two-phase select so the stats struct evaluates once
+      // per doc; both signals are pure map-side work. No orderBy — the
+      // gate is order-insensitive and a sort's sampling pass would run
+      // the text pass twice.
+      val docs = t(s, d, "documents")
+      docs.select(
+          col("doc_id"),
+          TextAnalysis.duplicateLineFraction(
+            concat_ws("\n", col("text"), substring(col("text"), 1, 40), col("text")))
+            .as("dup_line_frac"),
+          graft.functions.SketchFunctions.gram_stats(col("text"), 2).as("gs"))
+        .select(col("doc_id"), col("dup_line_frac"),
+          TextAnalysis.fractionOfGramStats(col("gs")).as("top_bigram_frac"))
     }),
 
     "q22_text_quality" -> ((s, d) => {
@@ -957,6 +977,41 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
         |  CAST(least(32, len(toks) - start) AS INTEGER) AS chunk_tokens
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q54_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    text || chr(10) || substr(text, 1, 40) || chr(10) || text AS mtext
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(mtext, chr(10)), x -> trim(x)),
+        |                x -> len(x) > 0) AS lines
+        |  FROM base),
+        |dl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        |    END AS dup_line_frac
+        |  FROM l),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 1),
+        |           i -> toks[i + 1] || ' ' || toks[i + 2])) AS gram
+        |  FROM w WHERE len(toks) >= 2),
+        |c AS (
+        |  SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_bigram_frac
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT dl.doc_id, dl.dup_line_frac,
+        |       coalesce(c.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM dl LEFT JOIN c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q22_text_quality" ->
       """SELECT doc_id,

@@ -307,6 +307,84 @@ case class HashedNgrams(child: Expression, n: Int)
 }
 
 /**
+ * Occurrence statistics of the word n-grams of a text: returns
+ * `struct(total_grams int, max_gram_count int)` — total n-gram count
+ * (with duplicates) and the multiplicity of the most repeated n-gram.
+ * `max_gram_count / total_grams` is the Gopher-style repetition signal
+ * (fraction of n-grams claimed by the top n-gram). Same tokenizer and
+ * gram hashing as [[HashedNgrams]], but keeps duplicates: one byte pass,
+ * sort, run-length max. Fewer than `n` tokens → (0, 0).
+ */
+case class GramStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_grams", IntegerType, nullable = false),
+    StructField("max_gram_count", IntegerType, nullable = false)))
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val bytes = trimmed.getBytes
+    val len = bytes.length
+    if (len == 0) return org.apache.spark.sql.catalyst.InternalRow(0, 0)
+
+    var tokHashes = new Array[Long](math.max(8, len / 4))
+    var numToks = 0
+    def push(start: Int, end: Int): Unit = {
+      if (numToks == tokHashes.length) {
+        tokHashes = java.util.Arrays.copyOf(tokHashes, tokHashes.length * 2)
+      }
+      tokHashes(numToks) = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
+      numToks += 1
+    }
+    var i = 0
+    var start = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        push(start, i)
+        do i += 1 while (i < len && isWs(bytes(i)))
+        start = i
+      } else {
+        i += 1
+      }
+    }
+    push(start, len)
+
+    if (numToks < n) return org.apache.spark.sql.catalyst.InternalRow(0, 0)
+    val m = numToks - n + 1
+    val grams = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(tokHashes(g + j), h); j += 1 }
+      grams(g) = h
+      g += 1
+    }
+    java.util.Arrays.sort(grams)
+    var best = 1
+    var run = 1
+    var k = 1
+    while (k < m) {
+      if (grams(k) == grams(k - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(m, best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramStats =
+    copy(child = c)
+  override def prettyName: String = "gram_stats"
+}
+
+/**
  * True iff any element of the child long array is a member of `set`
  * (sorted, distinct). The membership table rides into the plan once and is
  * shared by every task via the task-binary broadcast — the executor-local
@@ -357,4 +435,6 @@ object SketchFunctions {
     Bridge.column(HashedNgrams(Bridge.expression(text), n))
   def any_in_long_set(arr: Column, set: Array[Long]): Column =
     Bridge.column(AnyInLongSet(Bridge.expression(arr), set))
+  def gram_stats(text: Column, n: Int): Column =
+    Bridge.column(GramStats(Bridge.expression(text), n))
 }

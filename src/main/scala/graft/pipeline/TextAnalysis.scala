@@ -131,6 +131,39 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style line repetition: the fraction of nonempty trimmed lines
+   * that repeat an earlier line (1 − distinct/total). Boilerplate-heavy web
+   * pages (nav bars, cookie banners) score high; clean prose scores 0.
+   */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") /
+        size(lines).cast("double"))
+  }
+
+  /**
+   * Gopher-style n-gram repetition: the fraction of the document's word
+   * n-grams claimed by its single most repeated n-gram, via the native
+   * one-pass `gram_stats` (tokenize, hash, sort, run-length — no per-gram
+   * strings). NOTE the struct is referenced three times here, which
+   * re-evaluates `gram_stats` per reference in a single projection; when
+   * deriving several signals, materialize `gram_stats` to a column in one
+   * select and apply [[fractionOfGramStats]] in the next (CollapseProject
+   * keeps non-cheap multiply-referenced aliases in their own projection,
+   * so that shape evaluates once).
+   */
+  def topNgramFraction(text: Column, n: Int): Column =
+    fractionOfGramStats(graft.functions.SketchFunctions.gram_stats(text, n))
+
+  /** `max_gram_count / total_grams` of a materialized `gram_stats` struct;
+   *  0.0 for documents with no grams. */
+  def fractionOfGramStats(stats: Column): Column =
+    when(stats.getField("total_grams") === 0, lit(0.0))
+      .otherwise(stats.getField("max_gram_count").cast("double") /
+        stats.getField("total_grams").cast("double"))
+
+  /**
    * PII scrub: replace emails, IPv4 addresses, and US-style phone numbers
    * with typed placeholder tokens. Pure map-side `regexp_replace` chain —
    * codegen'd, no shuffle, linear in bytes; the patterns avoid lookarounds

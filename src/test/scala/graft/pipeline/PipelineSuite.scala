@@ -395,6 +395,28 @@ class PipelineSuite extends AnyFunSuite {
     assert(Sampling.capPerKey(df, "key", 100, "id").count() === 100L)
   }
 
+  test("repetition signals: duplicate lines and top-bigram fraction") {
+    val df = Seq(
+      (0L, "nav\nhome\nnav\ncontent here\nnav"), // 5 lines, 3 distinct
+      (1L, "clean prose line"),
+      (2L, "buy now buy now buy now"), // 'buy now'/'now buy' dominate
+      (3L, ""),
+      (4L, "one") // single token: no bigrams
+    ).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.duplicateLineFraction(col("text")).as("dl"),
+      TextAnalysis.topNgramFraction(col("text"), 2).as("tb"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 === 1.0 - 3.0 / 5.0)
+    assert(out(1L)._1 === 0.0)
+    // "buy now buy now buy now": bigrams = [buy now, now buy, buy now,
+    // now buy, buy now] -> top 'buy now' 3 of 5
+    assert(out(2L)._2 === 3.0 / 5.0)
+    assert(out(3L) === ((0.0, 0.0)))
+    assert(out(4L)._2 === 0.0)
+  }
+
   test("redactPii replaces emails, IPs, phones and counts them") {
     val df = Seq(
       (0L, "mail bob.smith+x@corp.example.org, host 192.168.1.7, call 555-867-5309 now"),
