@@ -454,7 +454,8 @@ object SparkEntry {
       // any cluster layout / re-run. One shuffle keyed by source.
       Sampling.capPerKey(t(s, d, "documents"), "source", 15, "doc_id", salt = "cap1")
         .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
+      // no orderBy: order-insensitive gate; a range sort's sampling pass
+      // would run the window pipeline twice
     }),
 
     "q52_pii_redact" -> ((s, d) => {

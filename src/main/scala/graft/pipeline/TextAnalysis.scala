@@ -208,14 +208,20 @@ object TextAnalysis {
     val stride = chunkSize - overlap
     val toks = tokens(col(textCol))
     // sequence() rejects an empty (0 to -1) range, so guard zero-token docs
-    // to an empty start list; posexplode then drops them entirely.
+    // to an empty start list.
     val starts = when(size(toks) === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), size(toks) - 1, lit(stride)))
+    // posexplode_OUTER, then drop the null row empty docs produce: the
+    // non-outer form trips InferFiltersFromGenerate, whose size(...)>0
+    // filter re-runs the whole tokenize+sequence chain per row below the
+    // Generate; the outer form is exempt from the rule and the null filter
+    // tests a generate OUTPUT, recomputing nothing.
     df.select(col(idCol), toks.as("__toks"), starts.as("__starts"))
       .select(
         col(idCol),
         col("__toks"),
-        posexplode(col("__starts")).as(Seq("chunk_idx", "__start")))
+        posexplode_outer(col("__starts")).as(Seq("chunk_idx", "__start")))
+      .filter(col("chunk_idx").isNotNull)
       .select(
         col(idCol),
         col("chunk_idx"),
