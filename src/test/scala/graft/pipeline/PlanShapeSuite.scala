@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+/**
+ * Physical-plan regression guards for the curation operators: the shapes
+ * below are what make them scale, and each was won against a specific
+ * optimizer interaction — a regression here is a silent 2-30× slowdown
+ * that correctness gates would never catch.
+ */
+class PlanShapeSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // range-backed, not a local Seq: ConvertToLocalRelation would eagerly
+  // fold filters/projections over a LocalRelation and leave no plan to
+  // inspect.
+  private def docs = spark.range(0, 8)
+    .select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha beta gamma delta"), col("id").cast("string"))
+        .as("text"),
+      (col("id") % 2).cast("string").as("source"))
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("decontaminate local path is a pure map filter: no exchange, no join") {
+    val bench = docs.limit(1).select(col("text"))
+    val plan = physical(
+      Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text", 3))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(plan.contains("any_in_long_set"), s"membership filter missing:\n$plan")
+  }
+
+  test("capPerKey ranks with WindowGroupLimit pushdown (partial top-k per task)") {
+    val plan = physical(Sampling.capPerKey(docs, "source", 1, "doc_id"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pushdown lost — every row would reach the window exchange:\n$plan")
+  }
+
+  test("chunkByTokens does not re-run the tokenize chain in an inferred filter") {
+    val plan = physical(TextAnalysis.chunkByTokens(docs, "doc_id", "text", 4, 2))
+    // InferFiltersFromGenerate on a non-outer explode plants a
+    // size(sequence(...split...)) > 0 filter below the Generate that
+    // re-tokenizes per row; the outer-explode form must keep filters to
+    // generate outputs only.
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.forall(l => !l.contains("split(")),
+      s"inferred filter re-runs tokenization:\n${filterLines.mkString("\n")}")
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("repetition and pii queries stay whole-stage map work: no exchange") {
+    val rep = docs.select(
+      TextAnalysis.duplicateLineFraction(col("text")),
+      TextAnalysis.topNgramFraction(col("text"), 2))
+    assert(!physical(rep).contains("Exchange"))
+    val pii = docs.select(TextAnalysis.redactPii(col("text")),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern))
+    assert(!physical(pii).contains("Exchange"))
+  }
+}
