@@ -37,10 +37,11 @@ import graft.functions.SketchFunctions
 object Decontaminate {
 
   /** Eval-set gram-table size (distinct hashes) up to which the zero-shuffle
-   *  map-filter path is used: 64M grams = one 512 MB sorted array per
-   *  executor — GLUE/MMLU/HumanEval-style eval suites are thousands of
-   *  times smaller. */
-  val MaxLocalGramsDefault: Int = 64 << 20
+   *  map-filter path is used: 16M grams = a 128 MB sorted array, shipped
+   *  once per executor inside the broadcast task binary — and
+   *  GLUE/MMLU/HumanEval-style eval suites are thousands of times smaller
+   *  still. */
+  val MaxLocalGramsDefault: Int = 16 << 20
 
   /** Distinct lowercased word n-grams of `text` as strings (exact audit
    *  path; the operator itself matches on [[hashedGrams]]); fewer than `n`
@@ -84,14 +85,18 @@ object Decontaminate {
       benchTextCol: String,
       n: Int,
       maxLocalGrams: Int): Option[Array[Long]] = {
-    val rows = benchmark
+    // Primitive collect (Dataset[Long] → Array[Long]), not collect() of
+    // Rows: at the millions-of-grams scale, boxing one Row per gram would
+    // cost the driver far more transient heap than the table itself.
+    val arr = benchmark
       .select(explode(hashedGrams(col(benchTextCol), n)).as("gram"))
       .distinct()
       .limit(maxLocalGrams + 1)
+      .select(col("gram"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
       .collect()
-    if (rows.length > maxLocalGrams) None
+    if (arr.length > maxLocalGrams) None
     else {
-      val arr = rows.map(_.getLong(0))
       java.util.Arrays.sort(arr)
       Some(arr)
     }

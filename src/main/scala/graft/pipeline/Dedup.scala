@@ -543,7 +543,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
-      localUnionFindEdges: Long = 4L << 20): DataFrame = {
+      localUnionFindEdges: Long = 2L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -576,8 +576,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     // cannot fit one task; below the threshold (the checksum already paid
     // for the exact edge count) a single-task union-find answers in ONE
     // stage over the checkpointed edges instead of ~6 shuffles × rounds of
-    // scheduling overhead. Components of a 100 TB near-dup pair set go the
-    // distributed route; the specs force it with localUnionFindEdges = 0.
+    // scheduling overhead. The default is sized by the union-find's heap,
+    // not the edge bytes: worst case (a perfect matching) has 2 nodes per
+    // edge at ~75 B per boxed HashMap entry, so 2M edges ≤ ~300 MB in the
+    // one task — safe on ordinary 4 GB executors. Components of a 100 TB
+    // near-dup pair set go the distributed route; the specs force it with
+    // localUnionFindEdges = 0.
     if (prev._1 <= localUnionFindEdges) {
       localUnionFindOrdering(edges) match {
         case Some(ord) => return localUnionFind(edges, ord)
