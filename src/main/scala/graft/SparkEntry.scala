@@ -507,6 +507,32 @@ object SparkEntry {
           TextAnalysis.fractionOfGramStats(col("gs")).as("top_bigram_frac"))
     }),
 
+    "q55_curation_pipeline" -> ((s, d) => {
+      // The whole curation pipeline as ONE Catalyst plan: language filter →
+      // quality filter → exact dedup → eval-set decontamination →
+      // per-source cap → train/val split → per-split accounting. Every
+      // stage is an operator from this library; the oracle replays the
+      // identical chain in SQL. Shuffle census for the full pipeline: one
+      // for the dedup window, one for the cap window, one for the final
+      // aggregate — filters, decontamination, and split assignment are all
+      // map-side.
+      val docs = t(s, d, "documents")
+      val filtered = docs.filter(
+        TextAnalysis.langId(col("text")) === "en" &&
+          TextAnalysis.tokenCount(col("text")) >= 30 &&
+          TextAnalysis.punctRatio(col("text")) < 0.1)
+      val deduped = Dedup.exactDedup(filtered, "doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val clean = Decontaminate.decontaminate(deduped, "doc_id", "text", bench, "text", 5)
+      val capped = Sampling.capPerKey(clean, "source", 10, "doc_id", salt = "cap6")
+      val split = Sampling.assignSplits(
+        capped, "doc_id", Seq("train" -> 0.9, "val" -> 0.1), salt = "split6")
+      split.groupBy("split", "source")
+        .agg(count(lit(1)).as("cnt"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+        .orderBy("split", "source")
+    }),
+
     "q22_text_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -1013,6 +1039,61 @@ object SparkEntry {
         |       coalesce(c.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM dl LEFT JOIN c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q55_curation_pipeline" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END AS pr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['the','and','of','to','is','a'], t))) AS en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['el','la','los','las','es','y'], t))) AS es,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','les','est','et','une'], t))) AS fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','ist','und','ein'], t))) AS de
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, source, tc FROM tok
+        |  WHERE en >= es AND en >= fr AND en >= de AND en > 0
+        |    AND tc >= 30 AND pr < 0.1),
+        |dd AS (
+        |  SELECT doc_id, text, source, tc FROM (
+        |    SELECT f.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM f)
+        |  WHERE rn = 1),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE gram IN (SELECT gram FROM g WHERE doc_id % 37 = 0)),
+        |clean AS (
+        |  SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |capped AS (
+        |  SELECT doc_id, text, source, tc FROM (
+        |    SELECT clean.*, row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap6'), 25, 8))::BIGINT
+        |                  % 1000000,
+        |               doc_id) AS rk
+        |    FROM clean)
+        |  WHERE rk <= 10)
+        |SELECT
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split6'), 25, 8))::BIGINT
+        |              % 1000000 < 900000
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  source, count(*) AS cnt, CAST(sum(tc) AS BIGINT) AS tokens
+        |FROM capped
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q22_text_quality" ->
       """SELECT doc_id,
