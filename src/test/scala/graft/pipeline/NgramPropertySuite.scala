@@ -116,4 +116,48 @@ class NgramPropertySuite extends AnyFunSuite {
       }
     }
   }
+
+  test("gram_stats equals the HOF gram-multiset formulation on random text") {
+    import graft.functions.SketchFunctions
+    for (n <- Seq(1, 2, 3)) {
+      val docs = (0 until 400).map(i => (i.toLong, randomDoc())).toDF("id", "text")
+      // HOF reference: string n-grams WITH duplicates; total = count, max =
+      // highest multiplicity (via sort + an aggregate run-length fold).
+      val toks = TextAnalysis.tokens(col("text"))
+      val grams = when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      val sorted = array_sort(grams)
+      val maxRun = when(size(sorted) === 0, lit(0)).otherwise(
+        aggregate(sorted, struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (acc, g) => {
+            val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+            struct(g.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
+      val mismatches = docs.select(
+          SketchFunctions.gram_stats(col("text"), n).as("gs"),
+          size(grams).as("hof_total"), maxRun.as("hof_max"))
+        .filter(col("gs.total_grams") =!= col("hof_total") ||
+          col("gs.max_gram_count") =!= col("hof_max"))
+        .count()
+      assert(mismatches === 0, s"n=$n")
+    }
+  }
+
+  test("any_in_long_set equals arrays_overlap against the same literal set") {
+    import graft.functions.SketchFunctions
+    val docs = (0 until 400).map(i => (i.toLong, randomDoc())).toDF("id", "text")
+    val table = Decontaminate.benchmarkGramTable(
+      docs.filter(col("id") % 7 === 0), "text", 2)
+    val native = SketchFunctions.any_in_long_set(
+      Decontaminate.hashedGrams(col("text"), 2), table)
+    val hof = arrays_overlap(
+      Decontaminate.hashedGrams(col("text"), 2),
+      typedLit(table))
+    val mismatches = docs.select(native.as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(mismatches === 0)
+  }
 }
