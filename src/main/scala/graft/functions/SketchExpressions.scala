@@ -240,23 +240,21 @@ case class SortedLongJaccard(left: Expression, right: Expression)
  * `InferFiltersFromGenerate` + predicate pushdown (which clone an explode's
  * input expression into scan-level filters) dominate whole pipelines.
  */
-case class HashedNgrams(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  require(n >= 1, "n-gram size must be >= 1")
 
-  override def inputTypes: Seq[DataType] = Seq(StringType)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
+/** Shared byte-scan tokenizer: XXH64 (seed 42) of each whitespace-delimited
+ *  token of the TRIMMED input, mirroring `split(trim(text), "\\s+")` —
+ *  leading/trailing whitespace runs yield empty tokens exactly like Java
+ *  split with limit -1. Returns null for empty trimmed input. */
+private[functions] object TokenHashScan {
   private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
-  override def nullSafeEval(input: Any): Any = {
-    val trimmed = input.asInstanceOf[UTF8String].trim()
+  /** (hash buffer, token count); the buffer may be longer than the count. */
+  def scan(input: UTF8String): (Array[Long], Int) = {
+    val trimmed = input.trim()
     val bytes = trimmed.getBytes
     val len = bytes.length
-    if (len == 0) return new GenericArrayData(Array.emptyLongArray)
-
-    // Token hashes: XXH64 over each token's bytes (seed 42).
+    if (len == 0) return (Array.emptyLongArray, 0)
     var tokHashes = new Array[Long](math.max(8, len / 4))
     var numToks = 0
     def push(start: Int, end: Int): Unit = {
@@ -279,7 +277,19 @@ case class HashedNgrams(child: Expression, n: Int)
       }
     }
     push(start, len)
+    (tokHashes, numToks)
+  }
+}
 
+case class HashedNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val (tokHashes, numToks) = TokenHashScan.scan(input.asInstanceOf[UTF8String])
     if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
     val m = numToks - n + 1
     val grams = new Array[Long](m)
@@ -324,38 +334,8 @@ case class GramStats(child: Expression, n: Int)
     StructField("total_grams", IntegerType, nullable = false),
     StructField("max_gram_count", IntegerType, nullable = false)))
 
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
-
   override def nullSafeEval(input: Any): Any = {
-    val trimmed = input.asInstanceOf[UTF8String].trim()
-    val bytes = trimmed.getBytes
-    val len = bytes.length
-    if (len == 0) return org.apache.spark.sql.catalyst.InternalRow(0, 0)
-
-    var tokHashes = new Array[Long](math.max(8, len / 4))
-    var numToks = 0
-    def push(start: Int, end: Int): Unit = {
-      if (numToks == tokHashes.length) {
-        tokHashes = java.util.Arrays.copyOf(tokHashes, tokHashes.length * 2)
-      }
-      tokHashes(numToks) = XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
-      numToks += 1
-    }
-    var i = 0
-    var start = 0
-    while (i < len) {
-      if (isWs(bytes(i))) {
-        push(start, i)
-        do i += 1 while (i < len && isWs(bytes(i)))
-        start = i
-      } else {
-        i += 1
-      }
-    }
-    push(start, len)
-
+    val (tokHashes, numToks) = TokenHashScan.scan(input.asInstanceOf[UTF8String])
     if (numToks < n) return org.apache.spark.sql.catalyst.InternalRow(0, 0)
     val m = numToks - n + 1
     val grams = new Array[Long](m)
