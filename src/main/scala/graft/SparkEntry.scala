@@ -507,6 +507,20 @@ object SparkEntry {
           TextAnalysis.fractionOfGramStats(col("gs")).as("top_bigram_frac"))
     }),
 
+    "q56_mixture_sample" -> ((s, d) => {
+      // Data-mixture reweighting: per-source keep fractions via the same
+      // md5 bucketing as q49/q51 — pure map-side filter, no join for the
+      // fraction lookup (folds to a when-chain).
+      val docs = t(s, d, "documents")
+      Sampling.sampleByKeyFractions(
+          docs, "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0),
+          "doc_id", defaultFraction = 0.1, salt = "mix6")
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }),
+
     "q55_curation_pipeline" -> ((s, d) => {
       // The whole curation pipeline as ONE Catalyst plan: language filter →
       // quality filter → exact dedup → eval-set decontamination →
@@ -1039,6 +1053,23 @@ object SparkEntry {
         |       coalesce(c.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM dl LEFT JOIN c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q56_mixture_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix6'), 25, 8))::BIGINT
+        |      % 1000000 AS bucket
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source FROM b
+        |  WHERE bucket < CASE source
+        |    WHEN 'src0' THEN 1000000
+        |    WHEN 'src1' THEN 500000
+        |    WHEN 'src2' THEN 250000
+        |    WHEN 'src3' THEN 0
+        |    ELSE 100000 END)
+        |SELECT source, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     "q55_curation_pipeline" ->
       """WITH tok AS (

@@ -69,6 +69,35 @@ object Sampling {
   }
 
   /**
+   * Mixture reweighting: keep a different deterministic fraction of rows
+   * per `keyCol` value — upweight code, downweight boilerplate domains,
+   * rebalance languages. Pure map-side: the fraction lookup folds into a
+   * when-chain (no join), and membership is the same key-stable md5 bucket
+   * as [[sampleByHash]], so for one salt the kept sets are NESTED across
+   * fraction changes — raising a source's weight only adds rows, never
+   * reshuffles which ones survive. Keys absent from `fractions` keep
+   * `defaultFraction` (1.0 = pass through).
+   */
+  def sampleByKeyFractions(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Map[String, Double],
+      idCol: String,
+      defaultFraction: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val bucket = hashBucket(col(idCol), DefaultBuckets, salt)
+    val cut = fractions.foldLeft(Option.empty[Column]) { case (acc, (k, f)) =>
+      val cond = col(keyCol) === lit(k)
+      val v = lit(math.round(f * DefaultBuckets))
+      Some(acc.fold(when(cond, v))(_.when(cond, v)))
+    }.fold(lit(math.round(defaultFraction * DefaultBuckets)): Column)(
+      _.otherwise(lit(math.round(defaultFraction * DefaultBuckets))))
+    df.filter(bucket < cut)
+  }
+
+  /**
    * Frequency capping: keep at most `maxPerKey` rows per `keyCol` value —
    * the per-domain cap a web-corpus pipeline applies so one giant crawl
    * host can't dominate the training mix. Which rows survive is

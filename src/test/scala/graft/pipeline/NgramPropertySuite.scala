@@ -22,7 +22,11 @@ class NgramPropertySuite extends AnyFunSuite {
   import spark.implicits._
 
   private val rnd = new scala.util.Random(0xbeef)
-  private val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "z9", "the", "of")
+  // Multi-byte UTF-8 tokens included on purpose: the native byte-scan
+  // tokenizers claim byte scanning is safe because no UTF-8 continuation
+  // byte is ASCII whitespace — these make the property tests prove it.
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy",
+    "z9", "the", "of", "héllo", "日本語", "emoji🙂ok", "ñandú")
 
   private def randomDoc(): String = {
     val n = rnd.nextInt(12)

@@ -376,6 +376,28 @@ class PipelineSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sampleByKeyFractions: per-key rates, nested across weight changes") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 2}")).toDF("id", "key")
+    val kept = Sampling.sampleByKeyFractions(
+      df, "key", Map("src0" -> 1.0, "src1" -> 0.2), "id", salt = "m1")
+    val byKey = kept.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("src0") === 500L)
+    assert(byKey("src1") > 50L && byKey("src1") < 150L) // ~100 of 500
+    // Same salt, higher weight → strict superset (nested membership).
+    val more = Sampling.sampleByKeyFractions(
+      df, "key", Map("src0" -> 1.0, "src1" -> 0.5), "id", salt = "m1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val fewer = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(fewer.subsetOf(more))
+    // Unlisted keys follow defaultFraction.
+    assert(Sampling.sampleByKeyFractions(
+      df, "key", Map.empty, "id", defaultFraction = 0.0).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByKeyFractions(df, "key", Map("src0" -> 1.5), "id")
+    }
+  }
+
   test("capPerKey keeps at most k per key, deterministically across layouts") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "key")
     val kept = Sampling.capPerKey(df, "key", 10, "id", salt = "s1")
