@@ -507,6 +507,12 @@ object SparkEntry {
           TextAnalysis.fractionOfGramStats(col("gs")).as("top_bigram_frac"))
     }),
 
+    "q57_tfidf_terms" -> ((s, d) => {
+      // Per-document salient terms by TF-IDF, document frequencies from
+      // the corpus itself. No final orderBy (order-insensitive gate).
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+    }),
+
     "q56_mixture_sample" -> ((s, d) => {
       // Data-mixture reweighting: per-source keep fractions via the same
       // md5 bucketing as q49/q51 — pure map-side filter, no join for the
@@ -1053,6 +1059,22 @@ object SparkEntry {
         |       coalesce(c.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM dl LEFT JOIN c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q57_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(CAST(tf.tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) DESC,
+        |               tf.term) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q56_mixture_sample" ->
       """WITH b AS (

@@ -231,6 +231,44 @@ object TextAnalysis {
           .as("chunk_tokens"))
   }
 
+  /**
+   * Top-k TF-IDF terms per document: `tf × ln(N/df)` with the document
+   * frequencies computed from the corpus itself. Emits
+   * `(id, rank, term, score)`, ties broken by term for determinism.
+   *
+   * Shuffle shape: one aggregation by (doc, token) for term frequencies,
+   * one by token for document frequencies (vocabulary-sized — Spark picks
+   * broadcast vs shuffle join from stats; a web-scale vocabulary shuffles,
+   * a domain vocabulary broadcasts), the corpus size as a 1-row broadcast
+   * cross join (no driver-side count action), and one window by doc for
+   * the top-k — which WindowGroupLimit bounds to k rows per doc per task
+   * before the exchange.
+   */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count_distinct(col(idCol)).as("n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("score"), asc("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      // Rounded BEFORE ranking: JVM Math.log and other engines' libm ln
+      // may differ in the last ulp, and a cross-engine-reproducible rank
+      // must not depend on that bit.
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -417,6 +417,23 @@ class PipelineSuite extends AnyFunSuite {
     assert(Sampling.capPerKey(df, "key", 100, "id").count() === 100L)
   }
 
+  test("tfidfTopTerms: corpus-wide idf, deterministic tie-break") {
+    val df = Seq((0L, "a a b"), (1L, "a c")).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    // 'a' appears in both docs: idf = ln(2/2) = 0; 'b'/'c' in one: ln 2,
+    // rounded to 6dp (the operator rounds before ranking for cross-engine
+    // rank determinism).
+    val ln2r = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      (0L, 1, "b", ln2r), (0L, 2, "a", 0.0),
+      (1L, 1, "c", ln2r), (1L, 2, "a", 0.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tfidfTopTerms(df, "id", "text", 0)
+    }
+  }
+
   test("repetition signals: duplicate lines and top-bigram fraction") {
     val df = Seq(
       (0L, "nav\nhome\nnav\ncontent here\nnav"), // 5 lines, 3 distinct
