@@ -66,4 +66,53 @@ object Multimodal {
       .withColumn("features", stubDecodeFeatures(b, dim))
       .withColumn("thumb", stubResize(b, 64))
   }
+
+  /**
+   * Batched kernel execution — the Scala analogue of `mapInPandas`: rows
+   * stream through each partition in fixed-size batches, the kernel runs
+   * ONCE per batch of payloads (the shape a real decoder needs — ONNX
+   * session, JNI codec, GPU feature extractor — so per-call overhead
+   * amortizes across the batch), and outputs rejoin their rows in order as
+   * a `features array<float>` column. Lazy batching: one batch in flight
+   * per task, memory O(batchSize × payload) regardless of partition size.
+   * No shuffle; partitioning and all existing columns pass through.
+   *
+   * The kernel must be per-batch pure (no state across batches) — the spec
+   * pins batch-size independence. Swap [[stubBatchKernel]] for the real
+   * decoder; everything else is production plumbing.
+   */
+  def withBatchedFeatures(
+      df: DataFrame,
+      binCol: String,
+      batchSize: Int,
+      kernel: Seq[Array[Byte]] => Seq[Array[Float]]): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val idx = df.schema.fieldIndex(binCol)
+    val outSchema = df.schema.add("features", ArrayType(FloatType, containsNull = false))
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = kernel(batch.map(_.getAs[Array[Byte]](idx)))
+        require(feats.length == batch.length,
+          s"kernel returned ${feats.length} outputs for ${batch.length} inputs")
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
+      }
+    }(enc)
+  }
+
+  /** STUB batch kernel: deterministic per-payload pseudo-features (salted
+   *  xxhash64 of the bytes, scaled to [0,1)); stands in for the real
+   *  decode+embed call with the same batched signature. */
+  def stubBatchKernel(dim: Int): Seq[Array[Byte]] => Seq[Array[Float]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    payloads => payloads.map { bytes =>
+      Array.tabulate(dim) { i =>
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, i.toLong)
+        (java.lang.Math.floorMod(h, 1000000L).toFloat / 1000000.0f)
+      }
+    }
+  }
 }

@@ -504,6 +504,28 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("batched kernel features: batch-size independence, laziness-safe shape") {
+    val df = docs.withColumn("payload", to_binary(col("text"), lit("utf-8")))
+    def run(bs: Int) = Multimodal
+      .withBatchedFeatures(df, "payload", bs, Multimodal.stubBatchKernel(6))
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b1 = run(1)
+    val b3 = run(3)
+    val b100 = run(100)
+    assert(b1 === b3 && b3 === b100) // kernel results can't depend on batching
+    assert(b1.values.forall(f => f.length == 6 && f.forall(v => v >= 0f && v < 1f)))
+    assert(b1(0L) === b1(2L)) // identical payloads → identical features
+    assert(b1(0L) !== b1(1L))
+    // schema: all original columns + features
+    val out = Multimodal.withBatchedFeatures(df, "payload", 4, Multimodal.stubBatchKernel(2))
+    assert(out.columns.toSeq === df.columns.toSeq :+ "features")
+    // a kernel violating the length contract fails loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.withBatchedFeatures(df, "payload", 4, _ => Seq.empty).collect()
+    }
+  }
+
   test("multimodal stub plumbing: schema and determinism") {
     val df = docs.withColumn("payload", to_binary(col("text"), lit("utf-8")))
     val out = Multimodal.withMediaColumns(df, "payload", "stub/utf8", 4)
