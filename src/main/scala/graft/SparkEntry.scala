@@ -711,6 +711,31 @@ object SparkEntry {
       s.table(sinkName).orderBy("n_nationkey")
     }),
 
+    "q58_stream_decontaminate" -> ((s, d) => {
+      // Curation meets the streaming surface: documents written as XML,
+      // drained through the native xmlng stream source with the
+      // decontamination filter applied per micro-batch (stateless
+      // map-side membership test — safe on unbounded streams), gated by
+      // the batch oracle. The eval set is the same doc_id % 37 slice as
+      // q50, read as a batch frame.
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/stream_decon"
+      docs.write.format("graft.xml").mode("overwrite")
+        .option("rowTag", "doc").save(path)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(docs.schema).load(path)
+      val cleaned = Decontaminate.decontaminate(
+        stream, "doc_id", "text", bench, "text", 5)
+      val sinkName = "q58_sink_" + sfName.replace('.', '_')
+      val q = cleaned.select("doc_id", "source")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("doc_id")
+    }),
+
     "q45_stream_sink_roundtrip" -> ((s, d) => {
       // The full streaming loop gated by the batch oracle: customer → XML
       // files → xmlng stream source → xmlng stream sink (per-batch commit
@@ -1092,6 +1117,28 @@ object SparkEntry {
         |    ELSE 100000 END)
         |SELECT source, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same survivors as q50 (the streaming path must equal the batch path),
+    // with source carried through the XML roundtrip.
+    "q58_stream_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE gram IN (SELECT gram FROM g WHERE doc_id % 37 = 0))
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q55_curation_pipeline" ->
       """WITH tok AS (
