@@ -280,6 +280,8 @@ object TextAnalysis {
       .withColumn("quality_score", qualityScore(t))
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
+      .withColumn("dup_line_frac", duplicateLineFraction(t))
+      .withColumn("top_bigram_frac", topNgramFraction(t, 2))
   }
 
   val EnglishStopwords: Seq[String] = Seq(

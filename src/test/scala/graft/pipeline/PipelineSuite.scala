@@ -526,6 +526,43 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("chunkByTokens covers every token and reconstructs slices (randomized)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val chunkSize = 2 + rnd.nextInt(6)
+      val overlap = rnd.nextInt(chunkSize)
+      val stride = chunkSize - overlap
+      val docsR = (0 until 30).map { i =>
+        val n = rnd.nextInt(20)
+        (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+      }
+      val rows = TextAnalysis.chunkByTokens(
+        docsR.toDF("id", "text"), "id", "text", chunkSize, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      docsR.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val got = rows.getOrElse(id, Array.empty).sortBy(_._2)
+        if (toks.isEmpty) {
+          assert(got.isEmpty, s"trial=$trial id=$id")
+        } else {
+          val expStarts = 0 until toks.length by stride
+          assert(got.length === expStarts.length, s"trial=$trial id=$id")
+          got.zip(expStarts).foreach { case ((_, idx, textC, nTok), start) =>
+            val exp = toks.slice(start, start + chunkSize)
+            assert(idx === start / stride, s"trial=$trial id=$id")
+            assert(textC === exp.mkString(" "), s"trial=$trial id=$id start=$start")
+            assert(nTok === exp.length, s"trial=$trial id=$id start=$start")
+          }
+          // every token position covered by at least one chunk
+          val covered = expStarts.flatMap(s0 => s0 until math.min(s0 + chunkSize, toks.length)).toSet
+          assert(covered === toks.indices.toSet, s"trial=$trial id=$id")
+        }
+      }
+    }
+  }
+
   test("multimodal stub plumbing: schema and determinism") {
     val df = docs.withColumn("payload", to_binary(col("text"), lit("utf-8")))
     val out = Multimodal.withMediaColumns(df, "payload", "stub/utf8", 4)
