@@ -63,7 +63,8 @@ class XSDToSchemaSuite extends AnyFunSuite {
         |  </xs:element>
         |</xs:schema>""".stripMargin
     val rec = XSDToSchema.read(xsd)("rec").dataType.asInstanceOf[StructType]
-    assert(rec.fieldNames.toSeq === Seq("_id", "a", "b"))
+    // Declaration order, children before attributes (reference convention).
+    assert(rec.fieldNames.toSeq === Seq("a", "b", "_id"))
     assert(!rec("_id").nullable)
     assert(rec("a").nullable && rec("b").nullable)
   }
@@ -140,5 +141,66 @@ class XSDToSchemaSuite extends AnyFunSuite {
       .load(xmlPath.toString)
     assert(df.count() === 2)
     assert(df.select("year").collect().map(_.getLong(0)).sorted.toSeq === Seq(2001L, 2002L))
+  }
+
+  test("element ref resolves to the referenced declaration (reference parity, issue 617)") {
+    // An xs:element with ref= must expand to the referenced element's full
+    // type, including inside repeated (array) contexts.
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="book">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="name" type="xs:string"/>
+        |        <xs:element name="author" type="xs:string"/>
+        |        <xs:element name="isbn" type="xs:string"/>
+        |      </xs:sequence>
+        |    </xs:complexType>
+        |  </xs:element>
+        |  <xs:element name="bookList" type="BookList"/>
+        |  <xs:complexType name="BookList">
+        |    <xs:sequence>
+        |      <xs:element ref="book" minOccurs="0" maxOccurs="unbounded"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin
+    val st = XSDToSchema.read(xsd)
+    val book = st("book").dataType.asInstanceOf[StructType]
+    assert(book.fieldNames.toSeq === Seq("name", "author", "isbn"))
+    val list = st("bookList").dataType.asInstanceOf[StructType]
+    val arr = list("book").dataType.asInstanceOf[ArrayType]
+    val inner = arr.elementType.asInstanceOf[StructType]
+    assert(inner.fieldNames.toSeq === Seq("name", "author", "isbn"))
+    assert(inner("isbn").dataType === StringType)
+  }
+
+  test("complexContent extension appends to the base type (reference parity, issue 554)") {
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="employee" type="fullpersoninfo"/>
+        |  <xs:complexType name="personinfo">
+        |    <xs:sequence>
+        |      <xs:element name="firstname" type="xs:string"/>
+        |      <xs:element name="lastname" type="xs:string"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |  <xs:complexType name="fullpersoninfo">
+        |    <xs:complexContent>
+        |      <xs:extension base="personinfo">
+        |        <xs:sequence>
+        |          <xs:element name="address" type="xs:string"/>
+        |          <xs:element name="city" type="xs:string"/>
+        |          <xs:element name="country" type="xs:string"/>
+        |        </xs:sequence>
+        |      </xs:extension>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin
+    val emp = XSDToSchema.read(xsd)("employee").dataType.asInstanceOf[StructType]
+    assert(emp.fieldNames.toSeq ===
+      Seq("firstname", "lastname", "address", "city", "country"))
+    assert(emp.fields.forall(_.dataType === StringType))
   }
 }

@@ -354,4 +354,22 @@ class XmlConformanceSuite extends AnyFunSuite {
       .load(data.toString)
     assert(df.collect().map(_.getString(0)).toSeq === Seq("ok"))
   }
+
+  test("user schema field order wins over document order for nested rows (reference parity)") {
+    // The document writes <a> before <b>; the user schema declares b before
+    // a. Values must land by NAME in the user's column order, not by
+    // position in the document.
+    val schema = StructType(Seq(
+      StructField("c", StructType(Seq(
+        StructField("b", IntegerType),
+        StructField("a", IntegerType))))))
+    val df = load(
+      """<rows>
+        |  <row><c><a>111</a><b>222</b></c></row>
+        |</rows>""".stripMargin,
+      Map("rowTag" -> "row"),
+      Some(schema))
+    assert(df.select("c.a", "c.b").head() === Row(111, 222))
+    assert(df.select("c").head().getStruct(0) === Row(222, 111))
+  }
 }
