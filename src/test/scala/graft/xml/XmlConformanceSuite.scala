@@ -372,4 +372,31 @@ class XmlConformanceSuite extends AnyFunSuite {
     assert(df.select("c.a", "c.b").head() === Row(111, 222))
     assert(df.select("c").head().getStruct(0) === Row(222, 111))
   }
+
+  test("projecting one nested struct keeps all its children populated (reference parity)") {
+    // Column pruning prunes TOP-LEVEL fields only; selecting a struct must
+    // deliver the complete struct, even when sibling top-level fields are
+    // pruned away at the scan.
+    val df = load(
+      """<books>
+        |  <book>
+        |    <title>t1</title>
+        |    <dates><pub>2001-01-01</pub><rev>2002-02-02</rev></dates>
+        |    <price>10.5</price>
+        |  </book>
+        |  <book>
+        |    <title>t2</title>
+        |    <dates><pub>2003-03-03</pub><rev>2004-04-04</rev></dates>
+        |    <price>11.5</price>
+        |  </book>
+        |</books>""".stripMargin,
+      Map("rowTag" -> "book"))
+    val rows = df.select("dates").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(!r.anyNull)
+      val s = r.getStruct(0)
+      assert(!s.anyNull && s.size === 2)
+    }
+  }
 }
