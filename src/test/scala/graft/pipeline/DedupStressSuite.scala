@@ -88,4 +88,30 @@ class DedupStressSuite extends AnyFunSuite {
     assert(cnt === n.toLong * (n - 1) / 2)
     assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
   }
+
+  test("decontaminate: 100k docs vs 10k-doc eval set, exact drops, bounded time", SlowTest) {
+    // Every doc's token set is unique (per-doc suffixes), so its 5-grams
+    // collide with the eval set iff the doc IS an eval doc — the expected
+    // survivor set is exact. 10k eval docs ≈ 20k distinct gram hashes in
+    // the broadcast table; the corpus side must stay one map-side filter.
+    val n = 100000L
+    val corpus = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("a"), col("id")), concat(lit("b"), col("id")),
+        concat(lit("c"), col("id")), concat(lit("d"), col("id")),
+        concat(lit("e"), col("id")), concat(lit("f"), col("id"))).as("text"))
+    val bench = corpus.filter(col("doc_id") % 10 === 0).select(col("text"))
+    val t0 = System.nanoTime()
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 5)
+    val (cnt, minKept) = {
+      val r = kept.agg(count(lit(1)), min(col("doc_id") % 10)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"decontaminate 100k-doc stress: $cnt%d survivors in $secs%.1f s")
+    assert(cnt === n - n / 10)
+    assert(minKept >= 1L) // every eval doc dropped, nothing else
+    assert(secs < 300.0, f"blew the wall-time bound: $secs%.1f s")
+  }
 }
