@@ -149,58 +149,58 @@ class XSDToSchemaSuite extends AnyFunSuite {
     val xsd =
       """<?xml version="1.0" encoding="UTF-8"?>
         |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
-        |  <xs:element name="book">
+        |  <xs:element name="album">
         |    <xs:complexType>
         |      <xs:sequence>
-        |        <xs:element name="name" type="xs:string"/>
-        |        <xs:element name="author" type="xs:string"/>
-        |        <xs:element name="isbn" type="xs:string"/>
+        |        <xs:element name="title" type="xs:string"/>
+        |        <xs:element name="artist" type="xs:string"/>
+        |        <xs:element name="catno" type="xs:string"/>
         |      </xs:sequence>
         |    </xs:complexType>
         |  </xs:element>
-        |  <xs:element name="bookList" type="BookList"/>
-        |  <xs:complexType name="BookList">
+        |  <xs:element name="shelf" type="Shelf"/>
+        |  <xs:complexType name="Shelf">
         |    <xs:sequence>
-        |      <xs:element ref="book" minOccurs="0" maxOccurs="unbounded"/>
+        |      <xs:element ref="album" minOccurs="0" maxOccurs="unbounded"/>
         |    </xs:sequence>
         |  </xs:complexType>
         |</xs:schema>""".stripMargin
     val st = XSDToSchema.read(xsd)
-    val book = st("book").dataType.asInstanceOf[StructType]
-    assert(book.fieldNames.toSeq === Seq("name", "author", "isbn"))
-    val list = st("bookList").dataType.asInstanceOf[StructType]
-    val arr = list("book").dataType.asInstanceOf[ArrayType]
+    val album = st("album").dataType.asInstanceOf[StructType]
+    assert(album.fieldNames.toSeq === Seq("title", "artist", "catno"))
+    val list = st("shelf").dataType.asInstanceOf[StructType]
+    val arr = list("album").dataType.asInstanceOf[ArrayType]
     val inner = arr.elementType.asInstanceOf[StructType]
-    assert(inner.fieldNames.toSeq === Seq("name", "author", "isbn"))
-    assert(inner("isbn").dataType === StringType)
+    assert(inner.fieldNames.toSeq === Seq("title", "artist", "catno"))
+    assert(inner("catno").dataType === StringType)
   }
 
   test("complexContent extension appends to the base type (reference parity, issue 554)") {
     val xsd =
       """<?xml version="1.0" encoding="UTF-8"?>
         |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
-        |  <xs:element name="employee" type="fullpersoninfo"/>
-        |  <xs:complexType name="personinfo">
+        |  <xs:element name="member" type="fullcontact"/>
+        |  <xs:complexType name="namepart">
         |    <xs:sequence>
-        |      <xs:element name="firstname" type="xs:string"/>
-        |      <xs:element name="lastname" type="xs:string"/>
+        |      <xs:element name="given" type="xs:string"/>
+        |      <xs:element name="family" type="xs:string"/>
         |    </xs:sequence>
         |  </xs:complexType>
-        |  <xs:complexType name="fullpersoninfo">
+        |  <xs:complexType name="fullcontact">
         |    <xs:complexContent>
-        |      <xs:extension base="personinfo">
+        |      <xs:extension base="namepart">
         |        <xs:sequence>
-        |          <xs:element name="address" type="xs:string"/>
-        |          <xs:element name="city" type="xs:string"/>
-        |          <xs:element name="country" type="xs:string"/>
+        |          <xs:element name="street" type="xs:string"/>
+        |          <xs:element name="town" type="xs:string"/>
+        |          <xs:element name="nation" type="xs:string"/>
         |        </xs:sequence>
         |      </xs:extension>
         |    </xs:complexContent>
         |  </xs:complexType>
         |</xs:schema>""".stripMargin
-    val emp = XSDToSchema.read(xsd)("employee").dataType.asInstanceOf[StructType]
+    val emp = XSDToSchema.read(xsd)("member").dataType.asInstanceOf[StructType]
     assert(emp.fieldNames.toSeq ===
-      Seq("firstname", "lastname", "address", "city", "country"))
+      Seq("given", "family", "street", "town", "nation"))
     assert(emp.fields.forall(_.dataType === StringType))
   }
 }
