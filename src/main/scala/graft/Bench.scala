@@ -48,7 +48,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"toRdd sink + warmup pass (r3): totals not comparable to r1/r2 count()-sink numbers"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup (r6); totals not comparable to r1/r2 count()-sink numbers"}""")
     spark.stop()
   }
 }
