@@ -244,7 +244,8 @@ case class SortedLongJaccard(left: Expression, right: Expression)
 /** Shared byte-scan tokenizer: XXH64 (seed 42) of each whitespace-delimited
  *  token of the TRIMMED input, mirroring `split(trim(text), "\\s+")` —
  *  leading/trailing whitespace runs yield empty tokens exactly like Java
- *  split with limit -1. Returns null for empty trimmed input. */
+ *  split with limit -1. Empty trimmed input yields an empty buffer with a
+ *  zero token count (never null). */
 private[functions] object TokenHashScan {
   private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d

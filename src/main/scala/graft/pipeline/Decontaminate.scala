@@ -145,7 +145,10 @@ object Decontaminate {
       "the benchmark side must be a batch frame (it is collected once)")
     collectGramTable(benchmark, benchTextCol, n, maxLocalGrams) match {
       case Some(table) =>
-        df.filter(!isContaminated(col(textCol), table, n))
+        // coalesce: a NULL text can't be contaminated, but `!NULL` is NULL
+        // and a bare filter would silently drop the row — diverging from the
+        // join path, which keeps null-text docs (explode yields no grams).
+        df.filter(!coalesce(isContaminated(col(textCol), table, n), lit(false)))
       case None =>
         require(!df.isStreaming,
           "streaming decontamination needs the eval gram table to fit " +

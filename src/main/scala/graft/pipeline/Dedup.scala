@@ -300,30 +300,104 @@ object Dedup extends org.apache.spark.internal.Logging {
       struct(i.as("chunk"),
         (shiftrightunsigned_col(sim, i * 16) bitwiseAND lit(0xffffL)).as("val")))
 
+  /** Index of the first (lowest) agreeing 16-bit chunk of two sketches,
+   *  from their XOR: 4 if no chunk agrees. Pure bit arithmetic — the
+   *  across-group pair dedup below is a filter, not a distinct() shuffle. */
+  private def firstAgreeingChunkOfXor(xor: Column): Column =
+    when((xor bitwiseAND lit(0xffffL)) === 0, lit(0))
+      .when((shiftrightunsigned(xor, 16) bitwiseAND lit(0xffffL)) === 0, lit(1))
+      .when((shiftrightunsigned(xor, 32) bitwiseAND lit(0xffffL)) === 0, lit(2))
+      .when((shiftrightunsigned(xor, 48) bitwiseAND lit(0xffffL)) === 0, lit(3))
+      .otherwise(lit(4))
+
   /**
    * Near-duplicate pairs by SimHash with Hamming distance ≤ `maxHamming`
-   * (≤ 16 supported via 4-chunk pigeonhole: any pair within radius 3 shares
-   * at least one exact chunk). Returns (id_a, id_b, hamming).
+   * (≤ 3 supported via 4-chunk pigeonhole: any pair within radius 3 shares
+   * at least one exact 16-bit chunk). Returns (id_a, id_b, hamming).
+   *
+   * Scale shape: identical sketches are collapsed FIRST into
+   * (sketch, sorted id list) groups — one 8-byte-key shuffle — so the
+   * pigeonhole join sees each DISTINCT sketch exactly once. Duplicate-heavy
+   * corpora (where a bucket would otherwise grow as the square of the
+   * duplicate count) cost the join nothing: hamming-0 pairs stream out of
+   * the groups frame through pipelined generators without materializing,
+   * and across-group pairs expand from the (small) matched-sketch-pair set.
+   * Cross-group pair dedup is first-agreeing-chunk arithmetic on the XOR —
+   * a map-side filter — replacing the former distinct() over the whole
+   * candidate pair set (which shipped every candidate 4× through an extra
+   * exchange).
+   *
+   * Remaining ceiling, stated plainly: each chunk has only 2¹⁶ values, so
+   * chunk-join bucket occupancy grows as d/65536 with d = DISTINCT sketch
+   * count, and within-bucket candidate pairing goes quadratic somewhere
+   * past d ≈ 10⁷–10⁸. Duplicates no longer count toward d, which keeps
+   * real duplicate-heavy corpora inside the envelope; past it, widen the
+   * sketch (128-bit, 8 chunks) or pre-block on a content prefix (trading
+   * recall, stated). [[minHashDedupPairs]] is the preferred unbounded-scale
+   * near-dup path.
    */
   def simHashDedupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for radius <= 3")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-chunk pigeonhole guarantees recall only for radius 0..3")
+    requireIntegralId(df, idCol, "simHashDedupPairs")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // Null sketches (null text) never pair — mirrors the join semantics the
+    // chunk-equi-join had (NULL = NULL is not a match).
     val base = spreadInput(df, parts)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
-    val chunked = base.select(col("id"), col("sim"), explode(simHashChunks(col("sim"))).as("c"))
-      .select(col("id"), col("sim"), col("c.chunk").as("chunk"), col("c.val").as("val"))
-    chunked.as("l")
+      .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+    // One row per distinct sketch, carrying its sorted member ids. The
+    // explicit repartition pins parallelism for the pair-emission stages
+    // below (AQE would coalesce the compact agg output onto a few tasks and
+    // run the — potentially quadratic-sized — generator output there); the
+    // groupBy on the same key reuses the exchange.
+    val groups = base.repartition(parts, col("sim"))
+      .groupBy(col("sim"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+
+    // hamming 0: all i<j pairs within one sketch group. Generators pipeline
+    // row-by-row under whole-stage codegen, so a quadratic-sized true
+    // answer (all-duplicates corpus) streams out without task-memory
+    // blow-up; the per-group id array is the only held state (same bound as
+    // minHashDedupPairs' per-shape id buffers).
+    val within = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+
+    // hamming 1..max: pigeonhole join over DISTINCT sketches only, then
+    // expand each qualifying sketch pair to its id cross-product. sim_a <
+    // sim_b makes each sketch pair canonical; ids live in exactly one
+    // group, so no id pair can repeat across sketch pairs.
+    val slim = groups.select(col("sim"))
+    val chunked = slim
+      .select(col("sim"), explode(simHashChunks(col("sim"))).as("c"))
+      .select(col("sim"), col("c.chunk").as("chunk"), col("c.val").as("val"))
+    val simPairs = chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.sim") < col("r.sim"))
+      .filter(firstAgreeingChunkOfXor(col("l.sim") bitwiseXOR col("r.sim")) === col("l.chunk"))
+      .select(col("l.sim").as("sim_a"), col("r.sim").as("sim_b"),
         bit_count(col("l.sim") bitwiseXOR col("r.sim")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+    val across = simPairs
+      .join(groups.select(col("sim").as("sim_a"), col("ids").as("ids_a")), "sim_a")
+      .join(groups.select(col("sim").as("sim_b"), col("ids").as("ids_b")), "sim_b")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+
+    within.unionByName(across)
   }
 
   /**

@@ -80,6 +80,10 @@ object Multimodal {
    * The kernel must be per-batch pure (no state across batches) — the spec
    * pins batch-size independence. Swap [[stubBatchKernel]] for the real
    * decoder; everything else is production plumbing.
+   *
+   * NULL payloads never reach the kernel (a real decoder would NPE/segfault
+   * on one, deep inside a task): they are filtered out of each batch and
+   * their rows pass through with a NULL `features` column.
    */
   def withBatchedFeatures(
       df: DataFrame,
@@ -94,10 +98,16 @@ object Multimodal {
     val enc = Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val feats = kernel(batch.map(_.getAs[Array[Byte]](idx)))
-        require(feats.length == batch.length,
-          s"kernel returned ${feats.length} outputs for ${batch.length} inputs")
-        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
+        val payloads = batch.map(_.getAs[Array[Byte]](idx))
+        val present = payloads.filter(_ != null)
+        val feats =
+          if (present.isEmpty) Seq.empty[Array[Float]] else kernel(present)
+        require(feats.length == present.length,
+          s"kernel returned ${feats.length} outputs for ${present.length} inputs")
+        val featIt = feats.iterator
+        batch.lazyZip(payloads).map { (r, p) =>
+          Row.fromSeq(r.toSeq :+ (if (p == null) null else featIt.next().toSeq))
+        }
       }
     }(enc)
   }

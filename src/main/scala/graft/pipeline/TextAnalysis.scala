@@ -281,7 +281,12 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
       .withColumn("dup_line_frac", duplicateLineFraction(t))
-      .withColumn("top_bigram_frac", topNgramFraction(t, 2))
+      // gram_stats materialized in its own projection so the byte pass runs
+      // once, not three times for the struct's three field references.
+      .withColumn("__gram_stats",
+        graft.functions.SketchFunctions.gram_stats(t, 2))
+      .withColumn("top_bigram_frac", fractionOfGramStats(col("__gram_stats")))
+      .drop("__gram_stats")
   }
 
   val EnglishStopwords: Seq[String] = Seq(

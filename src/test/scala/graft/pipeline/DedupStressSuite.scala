@@ -76,6 +76,39 @@ class DedupStressSuite extends AnyFunSuite {
     assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
   }
 
+  test("simhash: 100k all-duplicate docs, exact pair count, bounded time", SlowTest) {
+    // Identical docs collapse to one sketch per group BEFORE the chunk
+    // join, so the pigeonhole join sees 334 distinct sketches — not 100k
+    // rows × 4 chunks — and every true pair (hamming 0) streams from the
+    // group expansion. Disjoint token sets across groups keep cross-group
+    // hamming far above 3, so the expected answer is exactly the
+    // within-group pairs.
+    val t0 = System.nanoTime()
+    val out = Dedup.simHashDedupPairs(grouped, "doc_id", "text", 3)
+    val (cnt, maxH) = {
+      val r = out.agg(count(lit(1)), max(col("hamming"))).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"simhash 100k-doc all-dup stress: $cnt%d pairs in $secs%.1f s")
+    assert(cnt === expectedPairs)
+    assert(maxH === 0, "all-duplicate groups must pair at hamming 0")
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+
+  test("simhash: one 20k-identical-doc group streams its 2x10^8-pair answer", SlowTest) {
+    val n = 20000
+    val degen = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        lit("all work and no play makes jack a dull boy").as("text"))
+    val t0 = System.nanoTime()
+    val cnt = Dedup.simHashDedupPairs(degen, "doc_id", "text", 3).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"simhash 20k single-group stress: $cnt%d pairs in $secs%.1f s")
+    assert(cnt === n.toLong * (n - 1) / 2)
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+
   test("minhash: one 20k-identical-doc group streams its 2x10^8-pair answer", SlowTest) {
     val n = 20000
     val degen = spark.range(n.toLong)

@@ -332,12 +332,13 @@ class PipelineSuite extends AnyFunSuite {
       (1L, "alpha beta gamma delta different tail here"), // only a 4-gram run
       (2L, "totally unrelated content in this row"),
       (3L, "short doc"), // shorter than n: never contaminated
-      (4L, "ALPHA BETA GAMMA DELTA EPSILON suffix") // case-folded match
+      (4L, "ALPHA BETA GAMMA DELTA EPSILON suffix"), // case-folded match
+      (5L, null.asInstanceOf[String]) // null text: never contaminated, kept on BOTH paths
     ).toDF("doc_id", "text")
     val bench = Seq("x alpha beta gamma delta epsilon y").toDF("text")
     val kept = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept === Seq(1L, 2L, 3L))
+    assert(kept === Seq(1L, 2L, 3L, 5L))
     val bad = Decontaminate.contaminatedIds(corpus, "doc_id", "text", bench, "text", 5)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(bad === Seq(0L, 4L))
@@ -524,6 +525,19 @@ class PipelineSuite extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] {
       Multimodal.withBatchedFeatures(df, "payload", 4, _ => Seq.empty).collect()
     }
+    // null payloads never reach the kernel; their rows keep a null features
+    // cell and non-null rows are unaffected by null neighbors in the batch
+    val withNulls = df.withColumn("payload",
+      when(col("doc_id") % 2 === 0, col("payload")))
+    val nullKernel: Seq[Array[Byte]] => Seq[Array[Float]] = { payloads =>
+      assert(payloads.forall(_ != null), "kernel saw a null payload")
+      Multimodal.stubBatchKernel(6)(payloads)
+    }
+    val nk = Multimodal.withBatchedFeatures(withNulls, "payload", 3, nullKernel)
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    assert(nk.filter(_._1 % 2 != 0).values.forall(_ == null))
+    assert(nk.filter(_._1 % 2 == 0).forall { case (id, f) => f === b1(id) })
   }
 
   test("chunkByTokens covers every token and reconstructs slices (randomized)") {
