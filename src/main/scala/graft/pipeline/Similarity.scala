@@ -107,6 +107,10 @@ object Similarity {
       nHint: Long = 0L): DataFrame = {
     Dedup.requireIntegralId(df, idCol, "lshNearPairs")
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // Shared by the planes solve and the join-parallelism sizing below. The
+    // count() fallback is only permitted when the planes solve needs it
+    // anyway — partition sizing alone never pays an extra scan (0 → floor).
+    val nEst = estimateRows(df, dim, nHint, allowCount = numPlanes <= 0)
     val planes =
       if (numPlanes > 0) numPlanes
       else {
@@ -115,7 +119,7 @@ object Similarity {
         // thresholds tables grow ~1/q per plane), and measured wall-time at
         // bench scale favors fewer planes + fewer tables over smaller
         // buckets. Recall is held by the tables solve either way.
-        val n = math.max(1L, estimateRows(df, dim, nHint))
+        val n = math.max(1L, nEst)
         math.min(32, math.max(4, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
       }
     val nTables =
@@ -137,8 +141,10 @@ object Similarity {
     // is tiny (20-byte rows) but its OUTPUT is the candidate set, so AQE's
     // input-size-based coalescing would otherwise collapse the bucket join
     // onto a handful of tasks. Partitioning once by (t, b) also means both
-    // join sides reuse a single exchange.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // join sides reuse a single exchange. The count grows with the
+    // membership volume (n × tables), session default as the floor.
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = Dedup.expansionPartitions(math.max(0L, nEst) * nTables, floor)
     val exploded = base.select(col("id"), posexplode(
         CentroidFunctions.sign_lsh_buckets(col("v"), nTables, planes, dim, seed)).as(Seq("t", "b")))
       .repartition(parts, col("t"), col("b"))
@@ -157,8 +163,10 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** Corpus row count for LSH auto-sizing: hint > plan statistics > count(). */
-  private[pipeline] def estimateRows(df: DataFrame, dim: Int, nHint: Long): Long = {
+  /** Corpus row count for LSH auto-sizing: hint > plan statistics > count()
+   *  (the count pass only when `allowCount`; otherwise 0 = "unknown"). */
+  private[pipeline] def estimateRows(
+      df: DataFrame, dim: Int, nHint: Long, allowCount: Boolean = true): Long = {
     if (nHint > 0) return nHint
     val plan = df.queryExecution.optimizedPlan
     val stats = plan.stats
@@ -182,7 +190,8 @@ object Similarity {
             if (inMemory) size / (8L + df.schema.map(_.dataType.defaultSize.toLong).sum)
             else size * 2 / math.max(16L, 4L * dim)
           math.max(1L, est.toLong)
-        } else df.count()
+        } else if (allowCount) df.count()
+        else 0L
     }
   }
 

@@ -48,6 +48,20 @@ private[graft] object StaxXmlGenerator {
         if (options.nullValue.nonEmpty) out.text(options.nullValue)
         out.end(name)
       }
+    case (ArrayType(inner: ArrayType, _), v: scala.collection.Seq[_]) =>
+      // Array directly inside an array: the inner array has no element name
+      // of its own, so each inner array becomes ONE `name` element whose
+      // items are wrapped in options.arrayElementName (the body's
+      // array-in-array case). Flattening both levels under `name` would
+      // lose the nesting on read-back (reference: StaxXmlGenerator.scala:
+      // 74-77, XmlSuite "DSL save with item").
+      v.foreach {
+        case null => writeChildElement(out, name, NullType, null, options)
+        case item =>
+          out.start(name)
+          writeElementBody(out, inner, item, options)
+          out.end(name)
+      }
     case (ArrayType(elementType, _), v: scala.collection.Seq[_]) =>
       v.foreach(item => writeChildElement(out, name, elementType, item, options))
     case _ =>

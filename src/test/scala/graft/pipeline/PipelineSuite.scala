@@ -204,6 +204,44 @@ class PipelineSuite extends AnyFunSuite {
     assert(fp.getString(0) === fp.getString(1))
   }
 
+  test("rolling hash: pinned golden vectors, independent reimpl, order-sensitive") {
+    // q32's only gate (the value is an internal xxhash64 chain, not
+    // SQL-expressible): pinned known vectors so the function can never
+    // drift silently, cross-checked against an independent driver-side
+    // fold of the same chain (seed 42, acc hashed as long, token as bytes).
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def independent(text: String): Long = {
+      val trimmed = text.trim
+      val toks = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+      toks.foldLeft(0L) { (acc, t) =>
+        val seeded = XXH64.hashLong(acc, 42L)
+        val u = UTF8String.fromString(t)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeded)
+      }
+    }
+    val golden = Seq(
+      "the quick brown fox" -> 947478958966750507L,
+      "fox brown quick the" -> 3493948597149027918L, // same tokens, other order
+      "  padded   tokens  " -> 7469417338518264022L, // trim + run collapsing
+      "single" -> 7211103244229753867L,
+      "" -> 0L, // no tokens -> the fold's zero element
+      "a b" -> -4019523852482604890L,
+      "b a" -> -2347018189080029468L)
+    val got = golden.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.rollingHash(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    golden.foreach { case (t, h) =>
+      assert(got(t) === h, s"pinned vector drifted for '$t'")
+      assert(got(t) === independent(t), s"independent chain disagrees for '$t'")
+    }
+    assert(got("the quick brown fox") !== got("fox brown quick the"),
+      "rolling hash must be order-sensitive (unlike fingerprint)")
+    val nullH = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(TextAnalysis.rollingHash(col("t"))).head()
+    assert(nullH.isNullAt(0), "null text -> null hash")
+  }
+
   test("topTokens: exact counts, deterministic tie-break, doc-frequency variant") {
     val corpus = Seq(
       (0L, "b a a c"), (1L, "a b b"), (2L, "c d"), (3L, "   "), (4L, "d c c")
@@ -288,6 +326,24 @@ class PipelineSuite extends AnyFunSuite {
       assert(cc3 === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
         "yy" -> "yy", "zz" -> "yy"), s"threshold=$threshold")
     }
+  }
+
+  test("connected components: reliable-checkpoint path equals localCheckpoint path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .toDF("a", "b")
+    // Forced through the distributed rounds (the only path that checkpoints).
+    val local = Dedup.connectedComponents(edges, "a", "b", localUnionFindEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(edges, "a", "b",
+      localUnionFindEdges = 0, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    // The reliable path actually wrote checkpoint files.
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint left no files on disk")
   }
 
   test("connected components: union-find path equals distributed rounds on random graphs") {
@@ -416,6 +472,71 @@ class PipelineSuite extends AnyFunSuite {
       kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
     // Under-cap keys pass through whole.
     assert(Sampling.capPerKey(df, "key", 100, "id").count() === 100L)
+  }
+
+  test("expansion parallelism grows with corpus estimate, session floor at bench scale") {
+    // Plan-only: read the user-pinned repartition's partition count out of
+    // the logical plan; nothing executes.
+    def repartNums(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.optNumPartitions.getOrElse(-1)
+      }
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val docsDf = Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text")
+    // Tiny corpus, no hint: the session default is the floor.
+    assert(repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9)).max === floor)
+    // Growth law: partitions scale ~linearly in n × bands, then hit the cap.
+    val p1e8 = repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9,
+      nHint = 100000000L)).max
+    val p1e10 = repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9,
+      nHint = 10000000000L)).max
+    assert(p1e8 > floor && p1e10 > p1e8, s"no growth: floor=$floor, 1e8->$p1e8, 1e10->$p1e10")
+    assert(p1e10 === 65536, "ceiling should bound the task count")
+    // Same law for the sign-LSH bucket join.
+    val emb = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val l0 = repartNums(Similarity.lshNearPairs(emb, "vec_id", "embedding", 2, 0.8,
+      numPlanes = 16, tables = 32)).max
+    val l8 = repartNums(Similarity.lshNearPairs(emb, "vec_id", "embedding", 2, 0.8,
+      numPlanes = 16, tables = 32, nHint = 100000000L)).max
+    assert(l0 === floor && l8 > floor, s"lsh growth: floor=$floor, no-hint=$l0, 1e8=$l8")
+    // The helper itself: floor below, linear middle, capped top.
+    assert(Dedup.expansionPartitions(0L, 32) === 32)
+    assert(Dedup.expansionPartitions(1L << 30, 32) === 1025)
+    assert(Dedup.expansionPartitions(Long.MaxValue / 4, 32) === 65536)
+  }
+
+  test("capPerKey skew thin: pathological key bounded, winners identical") {
+    // One domain is 100k rows (half the crawl, the serializing case);
+    // nine unskewed sources are 50 rows each. skewThinFactor pre-thins the
+    // heavy key's window input to ~factor×maxPerKey rows without changing
+    // a single winner anywhere (the thin keeps a prefix of the window's
+    // own ascending-bucket order; everything is md5-deterministic).
+    val heavyN = 100000L
+    val df = spark.range(heavyN)
+      .select(col("id"), lit("bighost").as("key"))
+      .unionByName(spark.range(heavyN, heavyN + 450L)
+        .select(col("id"), concat(lit("src"), (col("id") % 9).cast("string")).as("key")))
+    val k = 10
+    val plain = Sampling.capPerKey(df, "key", k, "id", salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val thinned = Sampling.capPerKey(df, "key", k, "id", salt = "s1", skewThinFactor = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(thinned === plain, "skew thinning changed the survivors")
+    assert(plain.count(_._2 == "bighost") === k)
+    // The mechanism really bounds the heavy key's window input: replay the
+    // thin filter — ~factor×k of the 100k heavy rows survive to the window.
+    val bound = 20L * k
+    val t = math.ceil(Sampling.DefaultBuckets.toDouble * bound / heavyN).toLong
+    val windowInput = df.filter(col("key") === "bighost")
+      .filter(Sampling.hashBucket(col("id"), Sampling.DefaultBuckets, "s1") < t)
+      .count()
+    assert(windowInput >= k && windowInput < 10L * bound,
+      s"thinned heavy-key window input out of expected envelope: $windowInput")
+    // Guardrail: a factor small enough to risk under-selection is rejected.
+    intercept[IllegalArgumentException] {
+      Sampling.capPerKey(df, "key", k, "id", skewThinFactor = 3)
+    }
   }
 
   test("tfidfTopTerms: corpus-wide idf, deterministic tie-break") {

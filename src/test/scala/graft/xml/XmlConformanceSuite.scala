@@ -399,4 +399,58 @@ class XmlConformanceSuite extends AnyFunSuite {
       assert(!s.anyNull && s.size === 2)
     }
   }
+
+  test("arrayElementName names nested-array items on write (reference parity)") {
+    // reference XmlSuite.scala: "DSL save with item" — an array nested
+    // inside an array has no element name of its own, so the writer wraps
+    // each inner array in `arrayElementName` (default "item").
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-conf-item").resolve("out").toString
+    Seq(Tuple1(Array(Array(3, 4)))).toDF("thing").repartition(1)
+      .write.format("graft.xml").option("arrayElementName", "foo")
+      .option("rowTag", "ROW").save(dir)
+    val lines = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.contains("part-") && !p.endsWith(".crc"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    assert(lines.count(_.contains("<foo>")) === 2, lines.mkString("\n"))
+    // Read-back wraps the inner arrays in the default "item" field.
+    val back = spark.read.format("graft.xml").option("rowTag", "ROW").load(dir)
+    val thing = back.schema("thing").dataType.asInstanceOf[StructType]
+    assert(thing.fieldNames.toSeq === Seq("foo"))
+  }
+
+  test("inferSchema=false keeps every leaf a string (reference parity)") {
+    // reference XmlSuite.scala: "test all string data type infer strategy" /
+    // "test default data type infer strategy" — leading zeros survive only
+    // without type inference.
+    val xml = "<ROWSET><ROW><col1>00010</col1></ROW></ROWSET>"
+    val text = load(xml, Map("rowTag" -> "ROW", "inferSchema" -> "false"))
+    assert(text.schema("col1").dataType === StringType)
+    assert(text.head().getAs[String]("col1") === "00010")
+    val typed = load(xml, Map("rowTag" -> "ROW", "inferSchema" -> "true"))
+    assert(typed.head().getAs[Long]("col1") === 10L)
+  }
+
+  test("valueTag starting with attributePrefix round-trips on write (reference parity)") {
+    // reference XmlSuite.scala: "Write values properly as given to valueTag
+    // even if it starts with attributePrefix" — the writer must tell the
+    // value field apart from attribute fields by NAME EQUALITY with
+    // valueTag, not by the attribute-prefix test alone.
+    val df = load(
+      """<catalog>
+        |  <book id="b1">text one</book>
+        |  <book id="b2">text two</book>
+        |</catalog>""".stripMargin,
+      Map("rowTag" -> "book", "valueTag" -> "#VALUE", "attributePrefix" -> "#"))
+    val dir = Files.createTempDirectory("graft-conf-vt").resolve("out").toString
+    df.write.format("graft.xml")
+      .option("rowTag", "book").option("rootTag", "catalog")
+      .option("valueTag", "#VALUE").option("attributePrefix", "#").save(dir)
+    val back = spark.read.format("graft.xml")
+      .option("rowTag", "book").option("valueTag", "#VALUE")
+      .option("attributePrefix", "_").load(dir)
+    assert(back.count() === df.count())
+    assert(back.select("#VALUE").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("text one", "text two"))
+  }
 }
