@@ -74,7 +74,7 @@ object Dedup extends org.apache.spark.internal.Logging {
             Iterator.single(first)
           }
       }(Encoders.scalaBoolean, rowEnc)
-      .toDF(df.columns: _*)
+      .toDF(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns): _*)
   }
 
   /**
