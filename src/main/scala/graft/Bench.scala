@@ -53,19 +53,31 @@ object Bench {
     }
     val p1 = timedPass()
     val p2 = timedPass()
+    // Min of the passes that SUCCEEDED: one transient failure (host OOM in
+    // a single pass) doesn't void a valid measurement from the other.
     val results = p1.map { case (name, v1) =>
       val v2 = p2(name)
-      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
+      val ok = Seq(v1, v2).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup + min of 2 timed passes (r7); totals not comparable to r1/r2 count()-sink numbers"}"""
-    // The driver captures stdout with a tail that truncated round 6's file
-    // mid-JSON; the on-disk copy is the non-truncatable record.
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Failed queries are EXCLUDED from the total and listed: summing their
+    // -1 sentinel would make a broken query look like a speedup.
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.values.filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup + min of 2 timed passes, failures excluded from total (r7); totals not comparable to r1/r2 count()-sink numbers"}"""
+    // stdout first — it must survive even if the file write fails. The
+    // on-disk copy exists because the driver's stdout tail truncated round
+    // 6's capture mid-JSON; losing BOTH to a full /tmp would be worse.
     println(json)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench: could not write /tmp/graft_bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -119,7 +119,9 @@ object Dedup extends org.apache.spark.internal.Logging {
    * fleet). `expandedRows ≤ 0` (no usable estimate) keeps the floor.
    */
   private[pipeline] def expansionPartitions(expandedRows: Long, floor: Int): Int =
-    math.min(65536L, math.max(floor.toLong, expandedRows / (1L << 20) + 1)).toInt
+    // Floor applied LAST: a session configured above the ceiling keeps its
+    // own parallelism — the ceiling bounds our growth, never the user's.
+    math.max(floor.toLong, math.min(65536L, expandedRows / (1L << 20) + 1)).toInt
 
   /**
    * Order-of-magnitude row estimate from plan statistics alone — NEVER an
@@ -432,6 +434,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(groups.select(col("sim").as("sim_b"), col("ids").as("ids_b")), "sim_b")
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      // ia =!= ib guards the self-pair a COLLIDING surrogate id could
+      // produce (the same id landing in two sketch groups); like the rest
+      // of the long-keyed pair family, unique ids are the contract and a
+      // duplicated id across groups would pair once per group pair.
+      .filter(col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
 
@@ -648,11 +655,13 @@ object Dedup extends org.apache.spark.internal.Logging {
    * of that round's files instead of a full recompute from the raw pairs
    * (which the truncated lineage could not even express).
    * Convergence is detected by an order-insensitive edge-set checksum, and
-   * the checkpoints are lazy so that checksum is the ONE job per round —
-   * it materializes the round's frame into the checkpoint as a side
-   * effect, instead of an eager-checkpoint job followed by a checksum job
-   * (measured ~2× on small graphs, where per-round scheduling overhead
-   * dominates the tiny shuffles).
+   * the checkpoints are lazy so the round's lineage is COMPUTED exactly
+   * once, by that checksum — on the local path that is the one job per
+   * round (vs. an eager-checkpoint job followed by a checksum job,
+   * measured ~2× on small graphs, where per-round scheduling overhead
+   * dominates the tiny shuffles); on the reliable path Spark's internal
+   * checkpoint writer adds a second job that reads the round's (persisted)
+   * blocks rather than recomputing them.
    */
   def connectedComponents(
       pairs: DataFrame,
@@ -664,12 +673,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     val spark = pairs.sparkSession
     import spark.implicits._
 
+    // NOTE: setCheckpointDir mutates SparkContext-global state (it stays in
+    // effect after this call), and Spark does not delete reliable
+    // checkpoint files when the RDDs are collected unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — give each
+    // pipeline run its own directory and remove it afterwards (up to
+    // maxIter+1 edge-set snapshots accumulate per run).
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // Both flavors stay lazy: the round's checksum action is the one job
-    // that materializes the checkpoint as a side effect.
+    // that materializes the round. Reliable checkpoints write their files
+    // in a SECOND internal job at the end of that action; the persist below
+    // makes that writer read the round's cached blocks instead of
+    // recomputing the whole round's lineage (Spark only skips the
+    // recomputation for persisted RDDs). The cache is dropped right after
+    // the round's checksum — from then on reads come from checkpoint files.
+    var roundCache: Option[DataFrame] = None
     def checkpointRound(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        roundCache = Some(df)
+        df.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    def dropRoundCache(): Unit = {
+      roundCache.foreach(_.unpersist(blocking = false))
+      roundCache = None
+    }
 
     // Canonical undirected edge list, self-loops dropped. Ids keep their
     // natural type — the algorithm only needs ordering and equality, so
@@ -695,6 +723,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         .as[(Long, Long)].head()
 
     var prev = checksum(edges)
+    dropRoundCache()
 
     // Small-graph short circuit: the O(log n) rounds exist for graphs that
     // cannot fit one task; below the threshold (the checksum already paid
@@ -737,6 +766,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         .distinct())
 
       val cur = checksum(afterSmall)
+      dropRoundCache()
       converged = cur == prev
       prev = cur
       edges = afterSmall

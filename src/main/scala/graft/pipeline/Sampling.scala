@@ -115,8 +115,11 @@ object Sampling {
    * n⌉` — a PREFIX of the window's own ascending-bucket ranking, so
    * whenever at least `maxPerKey` rows survive the thin, the winners are
    * bit-for-bit the winners of the unthinned window. Expected survivors
-   * per heavy key = `skewThinFactor × maxPerKey`, so the exact window's
-   * input is bounded regardless of key volume; under-selection odds decay
+   * per heavy key = `max(skewThinFactor × maxPerKey, n / buckets)` — the
+   * threshold cannot drop below one bucket, so past `n = buckets ×
+   * skewThinFactor × maxPerKey` rows the bound grows again at slope
+   * 1/buckets (a 10¹⁰-row key still leaves only ~10⁴ rows for the window
+   * task at the default 10⁶ buckets); under-selection odds decay
    * as exp(-F(1-1/F)²·maxPerKey/2) by Chernoff — < 2·10⁻⁸ per heavy key at
    * the recommended F = 20 even for maxPerKey = 1. Unskewed keys (and rows
    * with a null bucket, which rank first and must always reach the window)
