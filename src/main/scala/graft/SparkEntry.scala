@@ -62,10 +62,19 @@ object SparkEntry {
     "q02_top_revenue_orders" -> ((s, d) => {
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
+      // Revenue aggregates BELOW the join: o_orderdate is functionally
+      // dependent on the join key, so grouping lineitem by l_orderkey first
+      // is equivalent — and at scale it is the only sane shape: the partial
+      // agg combines map-side (~4 lineitems/order in TPC-H shrink before
+      // shuffling), the join moves one row per order instead of one per
+      // lineitem, and the agg's hash partitioning on the key is reused by
+      // the join's exchange.
+      val rev = l.groupBy(col("l_orderkey"))
         .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 3)) -
-          dec3(col("l_discount")))).cast("double").as("revenue"))
+          dec3(col("l_discount")))).as("rev0"))
+      rev.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("rev0").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
