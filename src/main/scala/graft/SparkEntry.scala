@@ -770,6 +770,17 @@ object SparkEntry {
       s.read.format("xmlng").option("rowTag", "customer")
         .schema(cust.schema).load(outDir)
         .orderBy("c_custkey")
+    }),
+
+    "q59_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: embedding-space near-duplicates (cosine >= 0.42, the
+      // threshold the q28/q29 oracles pin) collapse to their component's
+      // min vec_id; survivors = representatives + singletons. Same pair
+      // threshold as q29, so the oracle replays exact pairs + a recursive
+      // CTE for the components.
+      Similarity.semanticDupRepresentatives(
+        t(s, d, "embeddings"), "vec_id", "embedding", 64, 0.42)
+        .select("vec_id")
     })
   )
 
@@ -1336,7 +1347,27 @@ object SparkEntry {
         |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','les','est','et','une'], t))) AS fr,
         |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','ist','und','ein'], t))) AS de
         |  FROM documents)
-        |ORDER BY doc_id""").stripMargin
+        |ORDER BY doc_id""").stripMargin,
+
+    // Exact near-pair graph (the q28/q29-pinned threshold) → recursive-CTE
+    // components → drop every non-min member; survivors are representatives
+    // plus all singletons.
+    "q59_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
+        |g AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM g
+        |  UNION
+        |  SELECT reach.id, g.v FROM reach JOIN g ON reach.r = g.u)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+        |ORDER BY vec_id""".stripMargin
     // q26_simhash_pairs (hamming radius of a seeded sketch),
     // q30_multimodal_features / q32_rolling_hash (xxhash64-derived values),
     // q33_ivf_topk (approximate by construction; recall gated in tests):

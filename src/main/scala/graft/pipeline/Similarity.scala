@@ -322,4 +322,33 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup", 2023):
+   * rows whose embeddings are near-duplicates (cosine ≥ `threshold`)
+   * collapse to one representative — the minimum id of each connected
+   * component of the near-pair graph — and everything else passes through
+   * untouched (singletons never enter the component join).
+   *
+   * Composed entirely from the audited scale paths: pair generation is
+   * sign-LSH ([[lshNearPairs]] — candidates only from matching sketch
+   * buckets, exact cosine verify, recall solved from `recallTarget`);
+   * clustering is [[Dedup.connectedComponents]] (O(log n)
+   * large-star/small-star rounds moving (node, 8-byte min) rows); the
+   * final keep is one anti-join on the loser id set. No stage touches the
+   * full n² pair space or collects anything driver-side.
+   */
+  def semanticDupRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nHint: Long = 0L): DataFrame = {
+    val pairs = lshNearPairs(df, idCol, vecCol, dim, threshold, nHint = nHint)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+  }
 }

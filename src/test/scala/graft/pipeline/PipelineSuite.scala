@@ -190,6 +190,26 @@ class PipelineSuite extends AnyFunSuite {
     assert(recall >= 0.95, s"ivf recall@5 $recall below gate")
   }
 
+  test("semantic dedup keeps one representative per embedding cluster") {
+    // Two tight clusters + two singletons. Cluster A = {0,1,2} (near-identical
+    // directions), cluster B = {10,11}; 20 and 21 are far from everything.
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0.00)), (1L, vec(1, 0, 0, 0.01)), (2L, vec(1, 0, 0, 0.02)),
+      (10L, vec(0, 1, 0, 0.00)), (11L, vec(0, 1, 0, 0.01)),
+      (20L, vec(0, 0, 1, 0)), (21L, vec(0.6, 0.6, 0.5, 0.2))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDupRepresentatives(emb, "vec_id", "embedding", 4, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(0L, 10L, 20L, 21L))
+    // All original columns pass through for the survivors.
+    val full = Similarity.semanticDupRepresentatives(emb, "vec_id", "embedding", 4, 0.99)
+    assert(full.columns.toSeq === Seq("vec_id", "embedding"))
+    // A threshold nothing meets keeps everything.
+    assert(Similarity.semanticDupRepresentatives(emb, "vec_id", "embedding", 4, 0.999999)
+      .count() === 7L)
+  }
+
   test("text stats and language id") {
     val stats = TextAnalysis.withTextStats(docs, "text")
     val r0 = stats.filter(col("doc_id") === 0).head()
