@@ -400,6 +400,34 @@ class XmlConformanceSuite extends AnyFunSuite {
     }
   }
 
+  test("StAX factory disables DTD parsing and external entities (reference parity)") {
+    // reference StaxXmlParserUtilsSuite "XML Input Factory disables DTD
+    // parsing" — XXE defense: external entities must never resolve while
+    // parsing untrusted corpora.
+    import javax.xml.stream.XMLInputFactory
+    val f = StaxFactories.get
+    assert(f.getProperty(XMLInputFactory.SUPPORT_DTD) === false)
+    assert(f.getProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES) === false)
+    // Behavior check: a document declaring an external entity that points at
+    // a local file must never surface that file's content — the reference
+    // (&ext;) stays unresolved (PERMISSIVE turns the record into a corrupt
+    // row or a null field, either is fine; leaking TOP-SECRET is not).
+    val secret = Files.createTempFile("graft-xxe", ".txt")
+    Files.writeString(secret, "TOP-SECRET")
+    val df = load(
+      s"""<?xml version="1.0"?>
+         |<!DOCTYPE rows [<!ENTITY ext SYSTEM "file://${secret.toAbsolutePath}">]>
+         |<rows>
+         |  <row><v>&ext;</v><k>1</k></row>
+         |  <row><v>plain</v><k>2</k></row>
+         |</rows>""".stripMargin,
+      Map("rowTag" -> "row", "mode" -> "PERMISSIVE"))
+    val vals = df.collect().flatMap(_.toSeq).map(String.valueOf)
+    assert(!vals.exists(_.contains("TOP-SECRET")),
+      "external entity expansion leaked file content into a parsed row")
+    assert(vals.exists(_ == "plain"), "well-formed sibling record must survive")
+  }
+
   test("arrayElementName names nested-array items on write (reference parity)") {
     // reference XmlSuite.scala: "DSL save with item" — an array nested
     // inside an array has no element name of its own, so the writer wraps
