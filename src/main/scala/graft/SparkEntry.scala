@@ -781,6 +781,16 @@ object SparkEntry {
       Similarity.semanticDupRepresentatives(
         t(s, d, "embeddings"), "vec_id", "embedding", 64, 0.42)
         .select("vec_id")
+    }),
+
+    "q60_dup_span_coverage" -> ((s, d) => {
+      // Substring-level dedup signal (Lee et al. 2022): per doc, the
+      // fraction of tokens covered by a 5-gram occurring in >= 2 distinct
+      // docs. One gram exchange feeds both the min!=max duplicate decision
+      // and the membership semi-join; covered length is a lag window
+      // (fixed-size intervals: union = n + sum(min(n, gap))). n=5 matches
+      // the q50 gram size so planted dups light up at sf0.001 too.
+      Dedup.duplicateSpanCoverage(t(s, d, "documents"), "doc_id", "text", 5)
     })
   )
 
@@ -1367,7 +1377,35 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (
         |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q60_dup_span_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+        |  FROM w, UNNEST(CASE WHEN len(toks) < 5 THEN CAST([] AS BIGINT[])
+        |                      ELSE range(len(toks) - 4) END) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (
+        |  SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN prev IS NULL THEN 5 ELSE least(5, pos - prev) END) AS dup_tokens
+        |  FROM hits GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CASE WHEN len(w.toks) IS NULL OR len(w.toks) = 0 THEN 0.0
+        |             ELSE CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / len(w.toks) END,
+        |        6) AS dup_frac
+        |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+        |ORDER BY w.doc_id""".stripMargin
     // q26_simhash_pairs (hamming radius of a seeded sketch),
     // q30_multimodal_features / q32_rolling_hash (xxhash64-derived values),
     // q33_ivf_topk (approximate by construction; recall gated in tests):

@@ -318,6 +318,43 @@ case class HashedNgrams(child: Expression, n: Int)
 }
 
 /**
+ * Word n-gram hashes in POSITIONAL order: element `i` is the hash of the
+ * gram starting at token `i`, duplicates kept — the shape span-level
+ * operators need (a gram's array index IS its token offset). Same
+ * tokenizer and gram hash chain as [[HashedNgrams]] (whose scaladoc
+ * explains why combining per-token XXH64 hashes matches string-gram
+ * equality), so the two expressions agree gram-for-gram. Fewer than `n`
+ * tokens → empty array; null input → null.
+ */
+case class PositionalHashedNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val (tokHashes, numToks) = TokenHashScan.scan(input.asInstanceOf[UTF8String])
+    if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = numToks - n + 1
+    val grams = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(tokHashes(g + j), h); j += 1 }
+      grams(g) = h
+      g += 1
+    }
+    new GenericArrayData(grams)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PositionalHashedNgrams =
+    copy(child = c)
+  override def prettyName: String = "positional_hashed_ngrams"
+}
+
+/**
  * Occurrence statistics of the word n-grams of a text: returns
  * `struct(total_grams int, max_gram_count int)` — total n-gram count
  * (with duplicates) and the multiplicity of the most repeated n-gram.
@@ -414,6 +451,8 @@ object SketchFunctions {
     Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
   def hashed_ngrams(text: Column, n: Int): Column =
     Bridge.column(HashedNgrams(Bridge.expression(text), n))
+  def positional_hashed_ngrams(text: Column, n: Int): Column =
+    Bridge.column(PositionalHashedNgrams(Bridge.expression(text), n))
   def any_in_long_set(arr: Column, set: Array[Long]): Column =
     Bridge.column(AnyInLongSet(Bridge.expression(arr), set))
   def gram_stats(text: Column, n: Int): Column =

@@ -504,6 +504,84 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /**
+   * Cross-document duplicate-span coverage — the substring-level dedup
+   * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+   * Models Better"): for each document, the fraction of its tokens covered
+   * by at least one word `n`-gram that also occurs in ANOTHER document.
+   * Docs built from boilerplate/templates score near 1.0 even when no
+   * whole-document or paragraph dedup fires; filtering on
+   * `dup_frac > threshold` (or feeding spans to a masker) is the standard
+   * curation step this signals.
+   *
+   * Returns `(idCol, dup_tokens bigint, dup_frac double)` for every input
+   * row (docs with no duplicated gram, fewer than `n` tokens, or null text
+   * score 0).
+   *
+   * Shape, built for the 100-TB corpus not the toy one:
+   *
+   *  1. one map pass emits positional gram hashes (native expression — the
+   *     gram's array index is its token offset; no gram strings built);
+   *  2. the gram frequency aggregation shuffles (gram, id) with map-side
+   *     partial min/max — within-partition repeats of a gram collapse
+   *     before the wire — and the membership semi-join either broadcasts
+   *     the dup-gram set (AQE, the common case: duplicated grams are a
+   *     small fraction of distinct grams) or sort-merges on the same
+   *     8-byte key. No stage's output exceeds its input, so AQE's
+   *     input-size parallelism is the right size here — unlike the
+   *     pair-emission stages, no explicit repartition is needed (a user
+   *     repartition here is actively harmful: `PushDownLeftSemiAntiJoin`
+   *     slides the semi-join beneath it, stranding a dead exchange
+   *     between the join and the window);
+   *  3. "duplicated" is decided with O(1) state per gram (`min(id) !=
+   *     max(id)` — appears in ≥2 distinct docs), never a count-distinct;
+   *  4. covered-token arithmetic is a lag window over each doc's surviving
+   *     gram starts: fixed-length intervals sorted by start overlap only
+   *     their predecessor, so union length is `n + Σ min(n, gap)` — no
+   *     interval lists materialize, and the following per-doc aggregation
+   *     reuses the window's partitioning.
+   *
+   * Only 8-byte gram hashes and (id, pos) ints ever shuffle; text stays in
+   * the map stage. Gram-hash collisions can only overcount coverage of one
+   * doc by one span (birthday at 2^64 — negligible at any corpus size).
+   */
+  def duplicateSpanCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val grams = df
+      .select(col(idCol).as("id"),
+        posexplode_outer(SketchFunctions.positional_hashed_ngrams(col(textCol), n))
+          .as(Seq("pos", "g")))
+      // outer + output-null filter: the non-outer generator trips
+      // InferFiltersFromGenerate into re-running the gram scan as a
+      // pushed-down `size(...) > 0` pre-filter (see q53's note).
+      .filter(col("pos").isNotNull)
+    val dup = grams.groupBy("g")
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("g")
+    val hits = grams.join(dup, Seq("g"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    val covered = hits
+      .withColumn("d", when(prev.isNull, lit(n)).otherwise(least(lit(n), col("pos") - prev)))
+      .groupBy("id").agg(sum("d").as("dup_tokens"))
+    df.select(col(idCol).as("id"), TextAnalysis.tokenCount(col(textCol)).as("toks"))
+      .join(covered, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        // round(6): the ratio feeds cross-engine comparison (oracle divides
+        // the same integers; last-ulp safety, same rule as q57).
+        round(
+          when(col("toks").isNull || col("toks") === 0, lit(0.0))
+            .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("toks")),
+          6).as("dup_frac"))
+  }
+
   /** Distinct word n-gram (shingle) set of a text column. */
   def ngramSet(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)

@@ -109,6 +109,67 @@ class PipelineSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("duplicate-span coverage: hand-computed fractions, span union, edges") {
+    val docs = Seq(
+      (0L, "a b c d e"),          // all 3-grams shared with doc 5 -> 1.0
+      (1L, "x a b c y"),          // only "a b c" (pos 1) duplicated -> 3/5
+      (2L, "z z z"),              // its one gram exists nowhere else -> 0
+      (3L, "q r"),                // fewer than n tokens -> 0
+      (4L, null.asInstanceOf[String]), // null text -> 0
+      (5L, "a b c d e"),          // exact dup of doc 0 -> 1.0
+      // dup grams at pos 0 ("a b c") and pos 7 ("c d e"); the within-doc
+      // repeat "m m m" does NOT count (min(doc)=max(doc)) -> (3+3)/10
+      (6L, "a b c m m m m c d e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) === ((5L, 1.0)))
+    assert(out(1L) === ((3L, 0.6)))
+    assert(out(2L) === ((0L, 0.0)))
+    assert(out(3L) === ((0L, 0.0)))
+    assert(out(4L) === ((0L, 0.0)))
+    assert(out(5L) === ((5L, 1.0)))
+    assert(out(6L) === ((6L, 0.6)))
+    assert(out.size === 7, "every input row must appear exactly once")
+  }
+
+  test("duplicate-span coverage matches a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val pool = Vector("a", "b", "c", "d", "e")
+    val n = 4
+    val docs = (0 until 60).map { i =>
+      val k = rnd.nextInt(12)
+      (i.toLong, (0 until k).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    // Reference: string grams, dup = in >=2 distinct docs, coverage = union
+    // of [p, p+n) intervals — computed with a plain per-position bitmap.
+    val gramDocs = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    def gramsOf(t: String): Seq[(Int, String)] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to toks.length - n).map(p => p -> toks.slice(p, p + n).mkString(" "))
+    }
+    docs.foreach { case (id, t) =>
+      gramsOf(t).foreach { case (_, g) =>
+        gramDocs.getOrElseUpdate(g, scala.collection.mutable.Set()) += id
+      }
+    }
+    val expected = docs.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val covered = new Array[Boolean](toks.length)
+      gramsOf(t).foreach { case (p, g) =>
+        if (gramDocs(g).size >= 2) (p until p + n).foreach(covered(_) = true)
+      }
+      val c = covered.count(identity)
+      id -> ((c.toLong,
+        if (toks.isEmpty) 0.0
+        else BigDecimal(c.toDouble / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Dedup.duplicateSpanCoverage(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+  }
+
   test("lsh auto-sizing row estimate needs no count() pass") {
     // In-memory relation: sizeInBytes = rowCount × (8 + Σ field defaultSize),
     // so the inversion is exact.
