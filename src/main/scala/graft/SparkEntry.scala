@@ -791,6 +791,14 @@ object SparkEntry {
       // (fixed-size intervals: union = n + sum(min(n, gap))). n=5 matches
       // the q50 gram size so planted dups light up at sf0.001 too.
       Dedup.duplicateSpanCoverage(t(s, d, "documents"), "doc_id", "text", 5)
+    }),
+
+    "q61_remove_dup_spans" -> ((s, d) => {
+      // ExactSubstr-cut companion to q60: tokens covered by a shared 5-gram
+      // are removed and docs rebuilt from the survivors in order. The
+      // oracle replays the same grams and a correlated interval test, then
+      // reassembles with string_agg ordered by token index.
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", 5)
     })
   )
 
@@ -1405,6 +1413,34 @@ object SparkEntry {
         |             ELSE CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / len(w.toks) END,
         |        6) AS dup_frac
         |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "q61_remove_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+        |  FROM w, UNNEST(CASE WHEN len(toks) < 5 THEN CAST([] AS BIGINT[])
+        |                      ELSE range(len(toks) - 4) END) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |tok AS (
+        |  SELECT doc_id, i AS idx, toks[i + 1] AS tok
+        |  FROM w, UNNEST(range(len(toks))) AS u(i)),
+        |survivors AS (
+        |  SELECT t.doc_id, t.idx, t.tok FROM tok t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM hits h
+        |    WHERE h.doc_id = t.doc_id AND t.idx BETWEEN h.pos AND h.pos + 4)),
+        |cleaned AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned
+        |  FROM survivors GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(c.cleaned, '') AS cleaned
+        |FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
         |ORDER BY w.doc_id""".stripMargin
     // q26_simhash_pairs (hamming radius of a seeded sketch),
     // q30_multimodal_features / q32_rolling_hash (xxhash64-derived values),

@@ -545,11 +545,12 @@ object Dedup extends org.apache.spark.internal.Logging {
    * the map stage. Gram-hash collisions can only overcount coverage of one
    * doc by one span (birthday at 2^64 — negligible at any corpus size).
    */
-  def duplicateSpanCoverage(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int = 8): DataFrame = {
+  /** (id, pos) of every gram start whose word `n`-gram occurs in >= 2
+   *  distinct documents — the shared front of the span-coverage and
+   *  span-removal operators (see [[duplicateSpanCoverage]]'s scaladoc for
+   *  the plan shape). */
+  private def dupGramHits(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
     val grams = df
       .select(col(idCol).as("id"),
@@ -563,7 +564,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       .agg(min("id").as("mn"), max("id").as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("g")
-    val hits = grams.join(dup, Seq("g"), "left_semi")
+    grams.join(dup, Seq("g"), "left_semi").select("id", "pos")
+  }
+
+  def duplicateSpanCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val hits = dupGramHits(df, idCol, textCol, n)
     val w = Window.partitionBy("id").orderBy("pos")
     val prev = lag(col("pos"), 1).over(w)
     val covered = hits
@@ -580,6 +589,62 @@ object Dedup extends org.apache.spark.internal.Logging {
           when(col("toks").isNull || col("toks") === 0, lit(0.0))
             .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("toks")),
           6).as("dup_frac"))
+  }
+
+  /**
+   * Cut the duplicated spans OUT of the text (the ExactSubstr-cut of Lee
+   * et al. 2022): every token covered by a word `n`-gram occurring in >= 2
+   * distinct documents is removed, and each document is rebuilt from its
+   * surviving tokens in original order. Returns `(idCol, cleaned)` for
+   * every input row (all-duplicate docs become empty strings, not dropped
+   * rows; whitespace normalizes to single spaces — the tokenizer's view is
+   * what's rebuilt).
+   *
+   * Removal is symmetric: a span shared by two documents is cut from BOTH
+   * (the operator targets boilerplate/template mass, where no copy is the
+   * "original"). To keep one representative of whole-duplicate documents
+   * instead, run [[exactDedup]]/[[minHashDedupPairs]] first — this is the
+   * scalpel after those hammers.
+   *
+   * Plan shape on top of the [[duplicateSpanCoverage]] front (one gram
+   * frequency shuffle + membership semi-join of compact hashed rows):
+   * surviving gram starts collapse to disjoint covered intervals with the
+   * same per-doc lag window (`gap > n` starts a new island, so interval
+   * lists never materialize), intervals explode to covered token indices
+   * (bounded by the doc's token count), and one anti-join on (id, index)
+   * drops covered tokens before the per-doc reassembly — the only stages
+   * that move token text, and both linear in corpus size (the reassembly
+   * mirror of [[dedupParagraphs]], with the same per-doc memory bound).
+   */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val hits = dupGramHits(df, idCol, textCol, n)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    val islands = hits
+      // pos <= prev + n touches/overlaps [prev, prev+n) — same island; the
+      // running sum of new-island flags numbers islands within the doc.
+      .withColumn("newi", when(prev.isNull || col("pos") - prev > n, 1).otherwise(0))
+      .withColumn("isl", sum("newi").over(w))
+      .groupBy("id", "isl")
+      .agg(min("pos").as("s"), (max("pos") + n - 1).as("e"))
+    val covered = islands
+      .select(col("id"), explode(sequence(col("s"), col("e"))).as("idx"))
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("idx", "tok")))
+      .filter(col("idx").isNotNull)
+    val rebuilt = toks
+      .join(covered, Seq("id", "idx"), "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x("tok"))).as("cleaned"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
   /** Distinct word n-gram (shingle) set of a text column. */

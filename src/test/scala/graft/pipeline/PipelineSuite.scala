@@ -170,6 +170,59 @@ class PipelineSuite extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("remove duplicate spans: cuts covered tokens, keeps order, edges") {
+    val docs = Seq(
+      (0L, "a b c d e"),          // whole doc covered (dup of 5) -> ""
+      (1L, "x a b c y"),          // "a b c" cut -> "x y"
+      (2L, "z z z"),              // nothing shared -> unchanged
+      (3L, "q r"),                // fewer than n tokens -> unchanged
+      (4L, null.asInstanceOf[String]), // null text -> ""
+      (5L, "a b c d e"),          // symmetric: the other copy empties too
+      (6L, "a b c m m m m c d e") // spans at both ends cut, middle survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "")
+    assert(out(1L) === "x y")
+    assert(out(2L) === "z z z")
+    assert(out(3L) === "q r")
+    assert(out(4L) === "")
+    assert(out(5L) === "")
+    assert(out(6L) === "m m m m")
+    assert(out.size === 7)
+  }
+
+  test("remove duplicate spans matches a sequential reference on random corpora") {
+    val rnd = new scala.util.Random(43)
+    val pool = Vector("a", "b", "c", "d", "e")
+    val n = 4
+    val docs = (0 until 60).map { i =>
+      val k = rnd.nextInt(12)
+      (i.toLong, (0 until k).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    val gramDocs = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    def gramsOf(t: String): Seq[(Int, String)] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to toks.length - n).map(p => p -> toks.slice(p, p + n).mkString(" "))
+    }
+    docs.foreach { case (id, t) =>
+      gramsOf(t).foreach { case (_, g) =>
+        gramDocs.getOrElseUpdate(g, scala.collection.mutable.Set()) += id
+      }
+    }
+    val expected = docs.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val covered = new Array[Boolean](toks.length)
+      gramsOf(t).foreach { case (p, g) =>
+        if (gramDocs(g).size >= 2) (p until p + n).foreach(covered(_) = true)
+      }
+      id -> toks.zipWithIndex.collect { case (tk, i) if !covered(i) => tk }.mkString(" ")
+    }.toMap
+    val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
   test("lsh auto-sizing row estimate needs no count() pass") {
     // In-memory relation: sizeInBytes = rowCount × (8 + Σ field defaultSize),
     // so the inversion is exact.
