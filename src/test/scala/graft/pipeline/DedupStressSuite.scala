@@ -147,4 +147,38 @@ class DedupStressSuite extends AnyFunSuite {
     assert(minKept >= 1L) // every eval doc dropped, nothing else
     assert(secs < 300.0, f"blew the wall-time bound: $secs%.1f s")
   }
+
+  test("span ops: 100k docs sharing one boilerplate prefix, exact cuts, bounded time", SlowTest) {
+    // The worst skew shape for the dup-gram decision: each of the 4
+    // boilerplate 5-grams occurs in EVERY doc, so without the map-side
+    // partial min/max one reducer would absorb 100k rows per gram.
+    // 8 boilerplate tokens + 6 unique-per-doc tail tokens: grams fully
+    // inside the prefix (starts 0-3) are corpus-wide dups; every gram
+    // touching the tail is unique. Covered span per doc = tokens [0, 8).
+    val n = 100000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        Seq("h1", "h2", "h3", "h4", "h5", "h6", "h7", "h8").map(lit(_)) ++
+          Seq("a", "b", "c", "d", "e", "f")
+            .map(p => concat(lit(p), col("id"))): _*).as("text"))
+    val t0 = System.nanoTime()
+    val cov = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", 5)
+      .agg(count(lit(1)), sum(col("dup_tokens")),
+        min(col("dup_frac")), max(col("dup_frac"))).head()
+    val covSecs = (System.nanoTime() - t0) / 1e9
+    assert(cov.getLong(0) === n)
+    assert(cov.getLong(1) === 8L * n)
+    assert(cov.getDouble(2) === cov.getDouble(3), "uniform corpus, uniform fraction")
+    val t1 = System.nanoTime()
+    val cut = Dedup.removeDuplicateSpans(docs, "doc_id", "text", 5)
+      .agg(count(lit(1)),
+        sum(size(split(col("cleaned"), " "))).as("toks")).head()
+    val cutSecs = (System.nanoTime() - t1) / 1e9
+    assert(cut.getLong(0) === n)
+    assert(cut.getLong(1) === 6L * n, "exactly the unique tails survive")
+    info(f"span stress: coverage $covSecs%.1f s, removal $cutSecs%.1f s over $n%d docs")
+    assert(covSecs < 300.0 && cutSecs < 300.0,
+      f"blew the wall-time bound: $covSecs%.1f / $cutSecs%.1f s")
+  }
 }

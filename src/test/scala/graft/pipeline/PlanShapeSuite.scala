@@ -55,6 +55,25 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("span operators: gram scan never re-runs in inferred filters, no stranded repartition") {
+    for (plan <- Seq(
+        physical(Dedup.duplicateSpanCoverage(docs, "doc_id", "text", 3)),
+        physical(Dedup.removeDuplicateSpans(docs, "doc_id", "text", 3)))) {
+      // outer-explode + output-null filter keeps InferFiltersFromGenerate
+      // from planting a pre-filter that re-runs the gram byte pass per row.
+      val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+      assert(filterLines.forall(l => !l.contains("positional_hashed_ngrams(")),
+        s"inferred filter re-runs the gram scan:\n${filterLines.mkString("\n")}")
+      // a user repartition here gets PushDownLeftSemiAntiJoin'd below the
+      // semi-join, stranding a dead exchange between join and window — the
+      // operators deliberately carry none (scaladoc).
+      assert(!plan.contains("REPARTITION_BY_NUM"), s"stranded repartition:\n$plan")
+      // "duplicated" must stay an O(1)-state min/max decision, never a
+      // count-distinct expansion.
+      assert(!plan.toLowerCase.contains("distinct"), s"count-distinct crept in:\n$plan")
+    }
+  }
+
   test("repetition and pii queries stay whole-stage map work: no exchange") {
     val rep = docs.select(
       TextAnalysis.duplicateLineFraction(col("text")),
