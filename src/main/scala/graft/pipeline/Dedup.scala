@@ -118,10 +118,16 @@ object Dedup extends org.apache.spark.internal.Logging {
    * law, 65536 as the ceiling (8 full waves on a 1000-executor × 8-core
    * fleet). `expandedRows ≤ 0` (no usable estimate) keeps the floor.
    */
-  private[pipeline] def expansionPartitions(expandedRows: Long, floor: Int): Int =
+  private[pipeline] def expansionPartitions(expandedRows: Long, floor: Int): Int = {
+    // Callers multiply row estimates by expansion factors; an extreme
+    // caller hint (nHint = Long.MaxValue) wraps the product negative. The
+    // corpus that overflows the estimate is exactly the one that needs the
+    // ceiling, not the silently-unscaled session floor.
+    val rows = if (expandedRows < 0) Long.MaxValue else expandedRows
     // Floor applied LAST: a session configured above the ceiling keeps its
     // own parallelism — the ceiling bounds our growth, never the user's.
-    math.max(floor.toLong, math.min(65536L, expandedRows / (1L << 20) + 1)).toInt
+    math.max(floor.toLong, math.min(65536L, rows / (1L << 20) + 1)).toInt
+  }
 
   /**
    * Order-of-magnitude row estimate from plan statistics alone — NEVER an
@@ -131,13 +137,9 @@ object Dedup extends org.apache.spark.internal.Logging {
    * partitions; underestimating serializes pair emission — so err low on
    * the divisor. Unknown (sentinel) sizes → 0, callers keep their floor.
    */
-  private[pipeline] def estimateRowsByStats(df: DataFrame): Long = {
-    val stats = df.queryExecution.optimizedPlan.stats
-    stats.rowCount.map(_.toLong).getOrElse {
-      val size = stats.sizeInBytes
-      if (size > 0 && size < (BigInt(1L) << 50)) (size / 512).toLong else 0L
-    }
-  }
+  private[pipeline] def estimateRowsByStats(df: DataFrame): Long =
+    PlanStats.rowCount(df).getOrElse(
+      PlanStats.boundedSizeInBytes(df).map(s => (s / 512).toLong).getOrElse(0L))
 
   /** The long-keyed operators compact ids to 8 bytes for their pair joins;
    *  a non-numeric id would cast to null and silently dedup NOTHING, so

@@ -142,10 +142,16 @@ object Sampling {
       if (skewThinFactor == 0) df
       else {
         val bound = skewThinFactor.toLong * maxPerKey
-        val heavy = broadcast(
+        // No broadcast() hint: one row per heavy key is usually tiny, and
+        // AQE will broadcast it from runtime stats — but "heavy" is
+        // unbounded (per-domain capping of a web corpus can flag 10^8+
+        // keys), and a forced broadcast of an unbounded build side is a
+        // driver-OOM/8-GB-limit cliff at exactly the scale this option
+        // exists for. A big heavy set degrades to a shuffled join instead.
+        val heavy =
           df.groupBy(col(keyCol).as("__thin_k"))
             .agg(count(lit(1)).as("__thin_n"))
-            .filter(col("__thin_n") > bound))
+            .filter(col("__thin_n") > bound)
         df.join(heavy, col(keyCol) <=> col("__thin_k"), "left")
           .filter(col("__thin_n").isNull || bucket.isNull ||
             bucket < ceil(lit(DefaultBuckets.toDouble) * bound / col("__thin_n")))

@@ -169,29 +169,29 @@ object Similarity {
       df: DataFrame, dim: Int, nHint: Long, allowCount: Boolean = true): Long = {
     if (nHint > 0) return nHint
     val plan = df.queryExecution.optimizedPlan
-    val stats = plan.stats
-    stats.rowCount match {
-      case Some(rc) => rc.toLong
+    PlanStats.rowCount(df) match {
+      case Some(rc) => rc
       case None =>
         // Unknown relations report the defaultSizeInBytes sentinel (huge) —
         // only then pay the count().
-        val size = stats.sizeInBytes
-        if (size > 0 && size < (BigInt(1L) << 50)) {
-          // The divisor must match how sizeInBytes was produced. In-memory
-          // relations (LocalRelation) compute it as rowCount × (8 + Σ field
-          // defaultSize), so inverting with the same width is exact. File
-          // scans report compressed on-disk bytes: there the float payload
-          // dominates (4·dim; random embeddings compress ≈1:1) and a 2×
-          // headroom covers codec gains — erring toward MORE rows costs at
-          // most one extra plane, and `tables` re-solves from recallTarget.
-          val inMemory = plan.collectLeaves().forall(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-          val est =
-            if (inMemory) size / (8L + df.schema.map(_.dataType.defaultSize.toLong).sum)
-            else size * 2 / math.max(16L, 4L * dim)
-          math.max(1L, est.toLong)
-        } else if (allowCount) df.count()
-        else 0L
+        PlanStats.boundedSizeInBytes(df) match {
+          case Some(size) =>
+            // The divisor must match how sizeInBytes was produced. In-memory
+            // relations (LocalRelation) compute it as rowCount × (8 + Σ field
+            // defaultSize), so inverting with the same width is exact. File
+            // scans report compressed on-disk bytes: there the float payload
+            // dominates (4·dim; random embeddings compress ≈1:1) and a 2×
+            // headroom covers codec gains — erring toward MORE rows costs at
+            // most one extra plane, and `tables` re-solves from recallTarget.
+            val inMemory = plan.collectLeaves().forall(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+            val est =
+              if (inMemory) size / (8L + df.schema.map(_.dataType.defaultSize.toLong).sum)
+              else size * 2 / math.max(16L, 4L * dim)
+            math.max(1L, est.toLong)
+          case None =>
+            if (allowCount) df.count() else 0L
+        }
     }
   }
 

@@ -115,9 +115,23 @@ private[graft] object StaxXmlGenerator {
         }
       }
     case (ArrayType(elementType, _), v: scala.collection.Seq[_]) =>
-      // Array directly inside an array: wrap items in the configured item tag.
-      v.foreach { item =>
-        writeChildElement(out, options.arrayElementName, elementType, item, options)
+      // Array directly inside an array: wrap items in the configured item
+      // tag. An item that is ITSELF an array must become ONE wrapped element
+      // carrying its own array body — delegating to writeChildElement's
+      // repeat-per-name convention would flatten the grouping at depth >= 3
+      // ([[1,2],[3]] and [[1],[2,3]] would serialize identically).
+      v.foreach {
+        case null =>
+          writeChildElement(out, options.arrayElementName, NullType, null, options)
+        case item =>
+          elementType match {
+            case innerArr: ArrayType =>
+              out.start(options.arrayElementName)
+              writeElementBody(out, innerArr, item, options)
+              out.end(options.arrayElementName)
+            case _ =>
+              writeChildElement(out, options.arrayElementName, elementType, item, options)
+          }
       }
     case (scalar, v) =>
       out.text(scalarText(scalar, v, options))

@@ -447,6 +447,23 @@ class XmlConformanceSuite extends AnyFunSuite {
     assert(thing.fieldNames.toSeq === Seq("foo"))
   }
 
+  test("depth-3 nested arrays keep their grouping on write") {
+    // [[1,2],[3]] and [[1],[2,3]] must not serialize identically: each
+    // array-valued item becomes ONE wrapped element with its own array
+    // body, recursively — not a flattened run of item tags.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-conf-deep").resolve("out").toString
+    Seq(Tuple1(Array(Array(Array(1, 2), Array(3))))).toDF("thing").repartition(1)
+      .write.format("graft.xml").option("rowTag", "ROW").save(dir)
+    val body = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.contains("part-") && !p.endsWith(".crc"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+      .mkString("").replaceAll(">\\s+<", "><")
+    assert(body.contains(
+      "<thing><item><item>1</item><item>2</item></item><item><item>3</item></item></thing>"),
+      body)
+  }
+
   test("inferSchema=false keeps every leaf a string (reference parity)") {
     // reference XmlSuite.scala: "test all string data type infer strategy" /
     // "test default data type infer strategy" — leading zeros survive only
