@@ -799,6 +799,15 @@ object SparkEntry {
       // oracle replays the same grams and a correlated interval test, then
       // reassembles with string_agg ordered by token index.
       Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", 5)
+    }),
+
+    "q62_quality_filter" -> ((s, d) => {
+      // Gopher/C4 composite gate with per-rule accounting: keep flag +
+      // comma-joined violated-rule tags for every doc. All map-side; the
+      // oracle recomputes each stat with the q21/q22/q54 formulations and
+      // replays the thresholds verbatim.
+      TextAnalysis.qualityFilter(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 20)
     })
   )
 
@@ -1441,7 +1450,41 @@ object SparkEntry {
         |  FROM survivors GROUP BY doc_id)
         |SELECT w.doc_id, coalesce(c.cleaned, '') AS cleaned
         |FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
-        |ORDER BY w.doc_id""".stripMargin
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "q62_quality_filter" ->
+      """WITH l AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |                x -> len(x) > 0) AS lines
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS tc,
+        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS mwl,
+        |    coalesce(CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END, 0.0) AS pr,
+        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], lower(t)))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS sr,
+        |    coalesce(CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 0.0) AS dlf
+        |  FROM l)
+        |SELECT doc_id,
+        |  (NOT (tc < 20 OR tc > 100000 OR mwl < 3.0 OR mwl > 10.0
+        |        OR pr > 0.2 OR sr < 0.02 OR dlf > 0.3)) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN tc < 20 THEN 'too_short' END,
+        |    CASE WHEN tc > 100000 THEN 'too_long' END,
+        |    CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len' END,
+        |    CASE WHEN pr > 0.2 THEN 'punct' END,
+        |    CASE WHEN sr < 0.02 THEN 'stopwords' END,
+        |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
+        |FROM s ORDER BY doc_id""".stripMargin
     // q26_simhash_pairs (hamming radius of a seeded sketch),
     // q30_multimodal_features / q32_rolling_hash (xxhash64-derived values),
     // q33_ivf_topk (approximate by construction; recall gated in tests):

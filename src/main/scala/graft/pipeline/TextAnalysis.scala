@@ -103,6 +103,53 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /**
+   * Gopher/C4-style composite quality gate: evaluates the classic web-text
+   * heuristics and returns `(idCol, keep boolean, reasons string)` for
+   * every input row — `reasons` is the comma-joined list of violated rules
+   * in declaration order (empty when `keep`), so a pipeline can both filter
+   * and account for WHY mass was dropped (the per-rule histogram is one
+   * `groupBy(reasons)` away). Rows are never dropped here: the caller
+   * filters on `keep`, keeping the decision auditable.
+   *
+   * Every signal is a map-side scalar over the text (no shuffle, no UDF);
+   * null text coalesces each stat to 0 so the empty-document rules fire
+   * deterministically instead of propagating null comparisons.
+   */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.02,
+      maxDupLineFraction: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    // Stats materialized in their own projection so each text pass runs
+    // once, then rules in the next (the topNgramFraction lesson).
+    val stats = df.select(
+      col(idCol).as("id"),
+      coalesce(tokenCount(t), lit(0)).as("tc"),
+      coalesce(meanWordLength(t), lit(0.0)).as("mwl"),
+      coalesce(punctRatio(t), lit(0.0)).as("pr"),
+      coalesce(stopwordRatio(t), lit(0.0)).as("sr"),
+      coalesce(duplicateLineFraction(t), lit(0.0)).as("dlf"))
+    val rules: Seq[(Column, String)] = Seq(
+      (col("tc") < minTokens) -> "too_short",
+      (col("tc") > maxTokens) -> "too_long",
+      (col("mwl") < minMeanWordLen || col("mwl") > maxMeanWordLen) -> "word_len",
+      (col("pr") > maxPunctRatio) -> "punct",
+      (col("sr") < minStopwordRatio) -> "stopwords",
+      (col("dlf") > maxDupLineFraction) -> "dup_lines")
+    stats.select(
+      col("id").as(idCol),
+      !rules.map(_._1).reduce(_ || _) as "keep",
+      concat_ws(",", rules.map { case (c, tag) => when(c, lit(tag)) }: _*).as("reasons"))
+  }
+
+  /**
    * Exact global top-k token frequencies — vocabulary building / heavy
    * hitters over a corpus. One explode + one hash aggregation with map-side
    * partial counts (the shuffle moves one row per distinct token per task,

@@ -338,6 +338,28 @@ class PipelineSuite extends AnyFunSuite {
     assert(fp.getString(0) === fp.getString(1))
   }
 
+  test("quality filter: each rule fires alone, reasons in order, keep is the conjunction") {
+    val longText = ("the dog ran to the big red house and sat " * 3).trim // 30 toks, stopwords, mwl ~3.2
+    val docs = Seq(
+      (0L, longText),                                    // passes all rules
+      (1L, "the cat sat"),                               // too_short (min 5 here)
+      (2L, ("zzzzzzzzzzzz " * 10).trim),                 // word_len high, stopwords gone
+      (3L, longText + " !!!???...,,,;;;:::!!!???...,,,;;;:::"), // punct
+      (4L, Seq.fill(8)("the dog ran to the big red house").mkString("\n")), // dup_lines
+      (5L, null.asInstanceOf[String])                    // empty: short+word_len+stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text",
+        minTokens = 5, maxTokens = 1000, minMeanWordLen = 2.0, maxMeanWordLen = 8.0,
+        maxPunctRatio = 0.1, minStopwordRatio = 0.05, maxDupLineFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(0L) === ((true, "")))
+    assert(out(1L) === ((false, "too_short")))
+    assert(out(2L) === ((false, "word_len,stopwords")))
+    assert(out(3L) === ((false, "punct")))
+    assert(out(4L) === ((false, "dup_lines")))
+    assert(out(5L) === ((false, "too_short,word_len,stopwords")))
+  }
+
   test("rolling hash: pinned golden vectors, independent reimpl, order-sensitive") {
     // q32's only gate (the value is an internal xxhash64 chain, not
     // SQL-expressible): pinned known vectors so the function can never

@@ -82,5 +82,7 @@ class PlanShapeSuite extends AnyFunSuite {
     val pii = docs.select(TextAnalysis.redactPii(col("text")),
       TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern))
     assert(!physical(pii).contains("Exchange"))
+    val qf = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+    assert(!physical(qf).contains("Exchange"))
   }
 }
