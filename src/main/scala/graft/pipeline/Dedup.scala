@@ -116,7 +116,10 @@ object Dedup extends org.apache.spark.internal.Logging {
    * through the same task count). Session value as the floor (right for
    * bench/local scale), one task per ~1M membership rows as the growth
    * law, 65536 as the ceiling (8 full waves on a 1000-executor × 8-core
-   * fleet). `expandedRows ≤ 0` (no usable estimate) keeps the floor.
+   * fleet). `expandedRows == 0` (no usable estimate) keeps the floor; a
+   * NEGATIVE value is treated as a caller-side multiplication overflow and
+   * saturates to the ceiling (the corpus that overflows the estimate is
+   * exactly the one that needs it).
    */
   private[pipeline] def expansionPartitions(expandedRows: Long, floor: Int): Int = {
     // Callers multiply row estimates by expansion factors; an extreme

@@ -12,6 +12,19 @@ class XmlConformanceSuite extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  /** All lines of a write's part files, with every handle closed. */
+  private def partFileLines(dir: String): Seq[String] = {
+    val stream = Files.list(java.nio.file.Paths.get(dir))
+    val parts =
+      try stream.toArray.map(_.toString)
+        .filter(p => p.contains("part-") && !p.endsWith(".crc")).toSeq
+      finally stream.close()
+    parts.flatMap { p =>
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().toList finally src.close()
+    }
+  }
+
   private def load(
       content: String,
       options: Map[String, String],
@@ -437,9 +450,7 @@ class XmlConformanceSuite extends AnyFunSuite {
     Seq(Tuple1(Array(Array(3, 4)))).toDF("thing").repartition(1)
       .write.format("graft.xml").option("arrayElementName", "foo")
       .option("rowTag", "ROW").save(dir)
-    val lines = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
-      .filter(p => p.contains("part-") && !p.endsWith(".crc"))
-      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    val lines = partFileLines(dir)
     assert(lines.count(_.contains("<foo>")) === 2, lines.mkString("\n"))
     // Read-back wraps the inner arrays in the default "item" field.
     val back = spark.read.format("graft.xml").option("rowTag", "ROW").load(dir)
@@ -455,10 +466,7 @@ class XmlConformanceSuite extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-conf-deep").resolve("out").toString
     Seq(Tuple1(Array(Array(Array(1, 2), Array(3))))).toDF("thing").repartition(1)
       .write.format("graft.xml").option("rowTag", "ROW").save(dir)
-    val body = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
-      .filter(p => p.contains("part-") && !p.endsWith(".crc"))
-      .flatMap(p => scala.io.Source.fromFile(p).getLines())
-      .mkString("").replaceAll(">\\s+<", "><")
+    val body = partFileLines(dir).mkString("").replaceAll(">\\s+<", "><")
     assert(body.contains(
       "<thing><item><item>1</item><item>2</item></item><item><item>3</item></item></thing>"),
       body)
