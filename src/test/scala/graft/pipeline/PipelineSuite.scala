@@ -589,6 +589,31 @@ class PipelineSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality filter runs on an unbounded stream, decisions equal the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (0L, ("the dog ran to the big red house and sat " * 3).trim),
+      (1L, "the cat sat"),
+      (2L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Long, String)]
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityFilter(df, "doc_id", "text", minTokens = 5)
+    val q = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qf_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qf_stream")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+      val batch = gate(rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+      assert(streamed === batch)
+      assert(streamed(0L)._1 === true)
+      assert(streamed(1L)._1 === false)
+    } finally q.stop()
+  }
+
   test("sampleByKeyFractions: per-key rates, nested across weight changes") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 2}")).toDF("id", "key")
     val kept = Sampling.sampleByKeyFractions(
