@@ -14,6 +14,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated query-name filter (exact keys) and timed-pass
+    // count — for isolated A/B timing of one or two queries without the
+    // full 60-query sweep. Defaults preserve the driver's contract.
+    val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timedPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val benched: Seq[(String, (SparkSession, String) => DataFrame)] =
+      onlyQueries match {
+        case Some(sel) => SparkEntry.queries.filter { case (n, _) => sel(n) }.toSeq
+        case None => SparkEntry.queries.toSeq
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,47 +47,49 @@ object Bench {
     // first timed query doesn't absorb JVM startup. Exceptions are swallowed
     // HERE ONLY because this pass isn't a gate — a query broken by a code
     // change still surfaces in the timed passes below as -1.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try sink(fn(spark, sfDir)) catch { case _: Throwable => () }
       dropLeakedBlocks()
     }
-    // Two timed passes, min per query: a single pass is hostage to host
-    // contention on a shared machine (round-6 driver numbers showed 2-3x
-    // one-off inflation on individual queries); the min of two runs is the
-    // cleanest estimate of the plan's cost. A failed query reports -1.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Two timed passes (configurable), min per query: a single pass is
+    // hostage to host contention on a shared machine (round-6 driver numbers
+    // showed 2-3x one-off inflation on individual queries); the min of the
+    // runs is the cleanest estimate of the plan's cost. A failed query
+    // reports -1.
+    def timedPass(): Map[String, Double] = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { sink(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       dropLeakedBlocks()
       name -> (if (ok) dt else -1.0)
-    }
-    val p1 = timedPass()
-    val p2 = timedPass()
+    }.toMap
+    val passes = (1 to timedPasses).map(_ => timedPass())
     // Min of the passes that SUCCEEDED: one transient failure (host OOM in
-    // a single pass) doesn't void a valid measurement from the other.
-    val results = p1.map { case (name, v1) =>
-      val v2 = p2(name)
-      val ok = Seq(v1, v2).filter(_ >= 0)
+    // a single pass) doesn't void a valid measurement from the others.
+    val results = passes.head.keys.map { name =>
+      val ok = passes.map(_(name)).filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failed queries are EXCLUDED from the total and listed: summing their
     // -1 sentinel would make a broken query look like a speedup.
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup + min of 2 timed passes, failures excluded from total (r7); totals not comparable to r1/r2 count()-sink numbers"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","note":"toRdd sink + untimed warmup + per-query leaked-block cleanup + min of $timedPasses timed passes, failures excluded from total (r7); totals not comparable to r1/r2 count()-sink numbers"}"""
     // stdout first — it must survive even if the file write fails. The
-    // on-disk copy exists because the driver's stdout tail truncated round
-    // 6's capture mid-JSON; losing BOTH to a full /tmp would be worse.
+    // on-disk copy exists because the driver's stdout tail truncated rounds
+    // 6 and 7 mid-JSON; it lives INSIDE the repo (not a fixed world-writable
+    // /tmp path another user could pre-create or symlink) so the round's
+    // end-of-round commit preserves the full result.
     println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: java.io.IOException =>
-        System.err.println(s"bench: could not write /tmp/graft_bench.json: $e")
+        System.err.println(s"bench: could not write $outPath: $e")
     }
     spark.stop()
   }

@@ -1376,6 +1376,27 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""").stripMargin,
 
+    // Full recomputation of the md5-polynomial rolling hash (round 8): token
+    // values from md5 hex chars 25..32, two 32-bit polynomial folds via
+    // list_reduce (0 prepended as the fold's init), packed to 63 bits. Every
+    // intermediate fits BIGINT — see Md5TokenPolyHash.
+    "q32_rolling_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE (list_reduce(list_prepend(0::BIGINT, vals),
+        |               (a, b) -> (a * 1000003 + b) % 4294967296) % 2147483648)
+        |            * 4294967296
+        |            + list_reduce(list_prepend(0::BIGINT, vals),
+        |                (a, b) -> (a * 1000033 + b) % 4294967296)
+        |  END AS rh
+        |FROM (
+        |  SELECT doc_id, text,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> ('0x' || substr(md5(t), 25, 8))::BIGINT) AS vals
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // Exact near-pair graph (the q28/q29-pinned threshold) → recursive-CTE
     // components → drop every non-min member; survivors are representatives
     // plus all singletons.
@@ -1486,7 +1507,7 @@ object SparkEntry {
         |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
         |FROM s ORDER BY doc_id""".stripMargin
     // q26_simhash_pairs (hamming radius of a seeded sketch),
-    // q30_multimodal_features / q32_rolling_hash (xxhash64-derived values),
+    // q30_multimodal_features (stubbed decode),
     // q33_ivf_topk (approximate by construction; recall gated in tests):
     // not SQL-expressible → rows-only check by the driver.
   )

@@ -1,0 +1,146 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Oracle-expressible text hashes: token-level hash chains built ONLY from
+ * primitives vanilla ANSI SQL engines share with Spark (md5 hex digits,
+ * 64-bit integer arithmetic), so the driver's DuckDB gate can recompute the
+ * full output instead of falling back to a rows-only check. The xxhash64
+ * family in [[SketchExpressions]] stays the default for the dedup hot paths
+ * (it is faster per byte); these exist for the operators whose VALUES are
+ * part of the correctness contract.
+ *
+ * Shared token pipeline, mirroring `TextAnalysis.tokens` exactly:
+ * Spark-`trim` semantics (ASCII space only, NOT Java `String.trim`'s
+ * control-char sweep), then Java `split("\\s+")` — the same split DuckDB's
+ * `string_split_regex(trim(text), '\s+')` produces (both keep a leading
+ * empty token after non-space leading whitespace, both drop trailing ones).
+ */
+private[graft] object TokenHashing {
+  private val Whitespace = Pattern.compile("\\s+")
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Spark trim(): strip ASCII ' ' only, then \s+ split; empty → no tokens. */
+  def tokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == e) Array.empty[String] else Whitespace.split(s.substring(b, e))
+  }
+
+  def md5Of(token: String): Array[Byte] =
+    digest.get().digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Unsigned 32-bit value of digest bytes [off, off+4) — hex chars
+   *  (2*off+1)..(2*off+8) 1-indexed, i.e. `substr(md5(t), 2*off+1, 8)`. */
+  def md5Bits32(token: String, off: Int): Long = {
+    val d = md5Of(token)
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+  }
+}
+
+/**
+ * Order-sensitive 63-bit token fingerprint: two independent 32-bit
+ * polynomial accumulators (bases 1000003 / 1000033, mod 2^32) over the
+ * md5-derived 32-bit token values `hex[25..32]` (digest bytes 12..15 — the
+ * same slice the established md5-bucket oracle arithmetic uses), packed as
+ * `(h1 mod 2^31) * 2^32 + h2` — always non-negative. Every step fits signed
+ * 64-bit (max accumulator product ≈ 2^32 × 1000033 ≈ 2^52), so DuckDB
+ * recomputes it exactly with `list_reduce` + BIGINT arithmetic and the
+ * driver's oracle hash-checks the full output (q32). Empty token list → 0;
+ * null text → null (null-intolerant unary).
+ */
+case class Md5TokenPolyHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TokenHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < toks.length) {
+      val v = TokenHashing.md5Bits32(toks(i), 12)
+      h1 = (h1 * 1000003L + v) & 0xffffffffL
+      h2 = (h2 * 1000033L + v) & 0xffffffffL
+      i += 1
+    }
+    ((h1 & 0x7fffffffL) << 32) | h2
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5TokenPolyHash =
+    copy(child = c)
+  override def prettyName: String = "md5_token_poly_hash"
+}
+
+/**
+ * 64-bit SimHash over the DISTINCT md5-derived token hashes (bit-vote
+ * sketch, ties → 0): per distinct token, a 64-bit value from md5 hex chars
+ * 1..16 (digest bytes 0..7); each sketch bit is 1 iff strictly more member
+ * hashes set that bit than clear it. Same sketch construction as
+ * [[SimHash64]] but with an oracle-recomputable token hash, so the full
+ * near-dup pair machinery (distinct-sketch collapse, pigeonhole chunk join,
+ * within/across emission) can be gated by a DuckDB oracle that rebuilds the
+ * sketches and all-pairs hamming distances (q26). Whitespace tokens like
+ * `TextAnalysis.tokens`; no tokens → 0 sketch; null text → null.
+ */
+case class Md5TokenSimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TokenHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val hi = TokenHashing.md5Bits32(t, 0)
+        val lo = TokenHashing.md5Bits32(t, 4)
+        val h = (hi << 32) | lo
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sketch |= (1L << b)
+      b += 1
+    }
+    sketch
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5TokenSimHash64 =
+    copy(child = c)
+  override def prettyName: String = "md5_token_simhash64"
+}
+
+object TextHashFunctions {
+  def md5_token_poly_hash(text: Column): Column =
+    Bridge.column(Md5TokenPolyHash(Bridge.expression(text)))
+  def md5_token_simhash64(text: Column): Column =
+    Bridge.column(Md5TokenSimHash64(Bridge.expression(text)))
+}

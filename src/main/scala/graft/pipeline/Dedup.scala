@@ -739,18 +739,25 @@ object Dedup extends org.apache.spark.internal.Logging {
         size(col("grams")).as("sz"), explode(col("grams")).as("g"))
       .join(freq, "g")
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    // Partitioned once by the join key: the self-join's two sides reuse a
-    // single exchange, and the explicit repartition pins the pair-emission
-    // parallelism against AQE's input-size coalescing (the index rows are
-    // compact; the join OUTPUT is the candidate set) — scaled from the
-    // corpus estimate like the minhash/LSH emission stages.
-    val prefix = exploded
+    val prefixRows = exploded
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("g"))))
       .filter(col("rk") <= prefixLen)
       .select("blk", "id", "sz", "g")
-      .repartition(expansionPartitions(estimateRowsByStats(df) * 4, parts),
-        col("blk"), col("g"))
+    // Estimate-conditional emission pin: above the session floor, an
+    // explicit repartition on the join key pins the pair-emission
+    // parallelism against AQE's input-size coalescing (the index rows are
+    // compact; the join OUTPUT is the candidate set) — scaled from the
+    // corpus estimate like the minhash/LSH emission stages, and the
+    // self-join's two sides reuse the single exchange. AT the floor the pin
+    // would buy zero parallelism (AQE can only coalesce below the floor
+    // when expansion work is small anyway) while costing a whole extra
+    // exchange — there the join plans its own hashpartitioning(blk, g)
+    // exchange, deduplicated across the two sides by ReuseExchange.
+    val expParts = expansionPartitions(estimateRowsByStats(df) * 4, parts)
+    val prefix =
+      if (expParts > parts) prefixRows.repartition(expParts, col("blk"), col("g"))
+      else prefixRows
 
     val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.g") === col("r.g") && col("l.blk") === col("r.blk") &&

@@ -95,12 +95,16 @@ object TextAnalysis {
       lit("utf-8")))
 
   /**
-   * 64-bit rolling hash over tokens — order-sensitive, unlike
-   * [[fingerprint]]: acc = xxhash64(acc, token). Chained hashing rather than
-   * a polynomial so it cannot overflow under ANSI mode.
+   * 63-bit rolling hash over tokens — order-sensitive, unlike
+   * [[fingerprint]]: two independent 32-bit polynomial accumulators over
+   * md5-derived token values, packed into one non-negative long (see
+   * [[graft.functions.Md5TokenPolyHash]]). Built from SQL-shared primitives
+   * on purpose: the driver's DuckDB oracle recomputes the full output
+   * (q32), where the previous xxhash64 chain could only be rows-only
+   * checked. Native single-pass expression, not an interpreted HOF fold.
    */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+    graft.functions.TextHashFunctions.md5_token_poly_hash(text)
 
   /**
    * Gopher/C4-style composite quality gate: evaluates the classic web-text

@@ -361,29 +361,35 @@ class PipelineSuite extends AnyFunSuite {
   }
 
   test("rolling hash: pinned golden vectors, independent reimpl, order-sensitive") {
-    // q32's only gate (the value is an internal xxhash64 chain, not
-    // SQL-expressible): pinned known vectors so the function can never
-    // drift silently, cross-checked against an independent driver-side
-    // fold of the same chain (seed 42, acc hashed as long, token as bytes).
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
+    // q32 is now FULLY oracle-gated (the md5-polynomial definition is
+    // recomputable in DuckDB — round 8); these vectors additionally pin the
+    // definition against silent drift, cross-checked against an independent
+    // driver-side fold: v = unsigned int of md5 digest bytes 12..15, two
+    // 32-bit polynomial accumulators (bases 1000003/1000033), packed
+    // (h1 mod 2^31) * 2^32 + h2.
     def independent(text: String): Long = {
-      val trimmed = text.trim
+      val trimmed = text.replaceAll("^ +| +$", "") // Spark trim: spaces only
       val toks = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
-      toks.foldLeft(0L) { (acc, t) =>
-        val seeded = XXH64.hashLong(acc, 42L)
-        val u = UTF8String.fromString(t)
-        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeded)
+      var h1 = 0L
+      var h2 = 0L
+      toks.foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val v = ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+          ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+        h1 = (h1 * 1000003L + v) & 0xffffffffL
+        h2 = (h2 * 1000033L + v) & 0xffffffffL
       }
+      ((h1 & 0x7fffffffL) << 32) | h2
     }
     val golden = Seq(
-      "the quick brown fox" -> 947478958966750507L,
-      "fox brown quick the" -> 3493948597149027918L, // same tokens, other order
-      "  padded   tokens  " -> 7469417338518264022L, // trim + run collapsing
-      "single" -> 7211103244229753867L,
+      "the quick brown fox" -> 7557574592762972848L,
+      "fox brown quick the" -> 1419787150097858992L, // same tokens, other order
+      "  padded   tokens  " -> 178894062121905373L, // trim + run collapsing
+      "single" -> 7282834878537782204L,
       "" -> 0L, // no tokens -> the fold's zero element
-      "a b" -> -4019523852482604890L,
-      "b a" -> -2347018189080029468L)
+      "a b" -> 501136450749391952L,
+      "b a" -> 8022299407655186832L)
     val got = golden.map(_._1).toDF("t")
       .select(col("t"), TextAnalysis.rollingHash(col("t")).as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -74,6 +74,40 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("ngram Jaccard emission pin is estimate-conditional") {
+    // Floor-scale corpus (8 rows): the explicit repartition would be a pure
+    // extra exchange — the join must plan its own, shared across the
+    // self-join's sides via ReuseExchange.
+    val small = physical(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.5))
+    assert(!small.contains("REPARTITION_BY_NUM"), s"pin present at floor scale:\n$small")
+    // With broadcast off (a big-corpus self-join is sort-merge), the two
+    // sides must share ONE planned exchange via ReuseExchange — dropping
+    // the pin must not double the shuffle work. AQE defers exchange reuse
+    // to runtime stage reuse (the initial adaptive plan never shows it),
+    // so the static-reuse check runs with AQE off.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val (prevT, prevA) = (spark.conf.get(thresholdKey), spark.conf.get(aqeKey))
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      val smj = physical(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.5))
+      assert(smj.contains("ReusedExchange"),
+        s"self-join sides no longer share one exchange:\n$smj")
+    } finally {
+      spark.conf.set(thresholdKey, prevT)
+      spark.conf.set(aqeKey, prevA)
+    }
+    // Large-estimate corpus (plan-only; nothing executes): the pin must be
+    // present so AQE cannot coalesce the pair-emission stage.
+    val big = spark.range(0, 100000000L)
+      .select(col("id").as("doc_id"), col("id").cast("string").as("text"),
+        (col("id") % 2).cast("string").as("source"))
+    val bigPlan = physical(Dedup.ngramJaccardPairs(big, "doc_id", "text", "source", 2, 0.5))
+    assert(bigPlan.contains("REPARTITION_BY_NUM"),
+      s"emission pin lost for a large-estimate corpus:\n$bigPlan")
+  }
+
   test("repetition and pii queries stay whole-stage map work: no exchange") {
     val rep = docs.select(
       TextAnalysis.duplicateLineFraction(col("text")),
