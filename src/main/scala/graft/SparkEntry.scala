@@ -598,7 +598,12 @@ object SparkEntry {
     }),
 
     "q26_simhash_pairs" -> ((s, d) => {
-      Dedup.simHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 3)
+      // md5 token-hash family: same collapse/pigeonhole/emission machinery
+      // as the xxh64 default, but every sketch is recomputable in DuckDB, so
+      // the driver hash-checks the operator's full output (round 8; this
+      // was rows-only while the sketch was xxhash64-seeded).
+      Dedup.simHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 3,
+        tokenHash = "md5")
     }),
 
     "q27_ann_topk" -> ((s, d) => {
@@ -1376,6 +1381,40 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""").stripMargin,
 
+    // Full recomputation of q26's md5-token SimHash pairs (round 8): rebuild
+    // every 64-bit sketch from md5 hex slices (bit-vote per position, split
+    // into two 32-bit halves so no sign-bit arithmetic is needed), then
+    // all-pairs hamming ≤ 3 — the exact answer the 4-chunk pigeonhole is
+    // guaranteed to produce at radius ≤ 3.
+    "q26_simhash_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM d WHERE len(trim(text)) > 0),
+        |th AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
+        |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_lo
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bb,
+        |    count(*) FILTER (WHERE (CASE WHEN bb >= 32 THEN (h_hi >> (bb - 32)) ELSE (h_lo >> bb) END) & 1 = 1) AS setc,
+        |    count(*) AS ntok
+        |  FROM th, (SELECT unnest(range(64)) AS bb)
+        |  GROUP BY doc_id, bb),
+        |sk0 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN 2 * setc > ntok AND bb >= 32 THEN (1::BIGINT << (bb - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN 2 * setc > ntok AND bb < 32 THEN (1::BIGINT << bb) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |sk AS (
+        |  SELECT d.doc_id, coalesce(s.hi, 0) AS hi, coalesce(s.lo, 0) AS lo
+        |  FROM d LEFT JOIN sk0 s USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
+
     // Full recomputation of the md5-polynomial rolling hash (round 8): token
     // values from md5 hex chars 25..32, two 32-bit polynomial folds via
     // list_reduce (0 prepended as the fold's init), packed to 63 bits. Every
@@ -1400,6 +1439,15 @@ object SparkEntry {
     // Exact near-pair graph (the q28/q29-pinned threshold) → recursive-CTE
     // components → drop every non-min member; survivors are representatives
     // plus all singletons.
+    // RECALL DEPENDENCY, stated plainly: the Spark side generates candidate
+    // pairs by sign-LSH (seed-fixed, tables/planes solved for a ≥0.95
+    // recall target), while this oracle computes EXACT all-pairs — the gate
+    // passes at sf0.001/sf0.01 because the fixed seed finds every ≥0.42
+    // pair there (verified by this hash equality each round). At another
+    // scale or seed a missed LSH pair would split a component and fail the
+    // hash gate; that is a recall shortfall surfacing, not an oracle bug.
+    // If this gate is ever run at larger SFs, prefer a recall-margin check
+    // (as q33 does) over exact hash equality.
     "q59_semantic_dedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1506,7 +1554,6 @@ object SparkEntry {
         |    CASE WHEN sr < 0.02 THEN 'stopwords' END,
         |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
         |FROM s ORDER BY doc_id""".stripMargin
-    // q26_simhash_pairs (hamming radius of a seeded sketch),
     // q30_multimodal_features (stubbed decode),
     // q33_ivf_topk (approximate by construction; recall gated in tests):
     // not SQL-expressible → rows-only check by the driver.

@@ -136,6 +136,53 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * 128-bit SimHash over pre-hashed tokens, as [word0, word1]: word0 votes
+ * over the token hash itself (bit-identical to [[SimHash64]] on the same
+ * input), word1 over XXH64.hashLong(h, 42) — the same derived-hash chain
+ * Spark's `xxhash64(h)` computes — giving 64 additional independent vote
+ * dimensions. The escape hatch for corpora whose DISTINCT sketch count
+ * approaches the 64-bit birthday/bucket ceiling (see
+ * [[graft.pipeline.Dedup.simHashDedupPairs]]): 8 pigeonhole chunks support
+ * hamming radius ≤ 7.
+ */
+case class SimHash128(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < n) {
+      val h0 = hashes.getLong(i)
+      val h1 = XXH64.hashLong(h0, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h0 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((h1 >>> j) & 1L) == 1L) votes(64 + j) += 1 else votes(64 + j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) w0 |= (1L << j)
+      if (votes(64 + j) > 0) w1 |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array(w0, w1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash128 = copy(child = c)
+  override def prettyName: String = "simhash128"
+}
+
+/**
  * Set-Jaccard of two string arrays: |A∩B| / |A∪B| over distinct elements
  * (0.0 when both are empty). One hash-set pass instead of
  * `array_intersect` + `array_union`, which each build their own hash
@@ -447,6 +494,8 @@ object SketchFunctions {
     Bridge.column(MinHashBandHashes(Bridge.expression(sig), bands))
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+  def simhash128(tokenHashes: Column): Column =
+    Bridge.column(SimHash128(Bridge.expression(tokenHashes)))
   def array_jaccard(a: Column, b: Column): Column =
     Bridge.column(ArrayJaccard(Bridge.expression(a), Bridge.expression(b)))
   def hashed_ngrams(text: Column, n: Int): Column =

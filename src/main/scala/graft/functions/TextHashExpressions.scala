@@ -138,9 +138,58 @@ case class Md5TokenSimHash64(child: Expression)
   override def prettyName: String = "md5_token_simhash64"
 }
 
+/**
+ * 128-bit SimHash over DISTINCT md5-derived token hashes, as [word0, word1]:
+ * the md5 digest IS 128 bits, so word0 votes over digest bytes 0..7 (making
+ * it bit-identical to [[Md5TokenSimHash64]] on the same text) and word1 over
+ * bytes 8..15. Fully oracle-recomputable from `md5()` hex slices.
+ */
+case class Md5TokenSimHash128(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TokenHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val h0 = (TokenHashing.md5Bits32(t, 0) << 32) | TokenHashing.md5Bits32(t, 4)
+        val h1 = (TokenHashing.md5Bits32(t, 8) << 32) | TokenHashing.md5Bits32(t, 12)
+        var b = 0
+        while (b < 64) {
+          if (((h0 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((h1 >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) w0 |= (1L << b)
+      if (votes(64 + b) > 0) w1 |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(w0, w1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5TokenSimHash128 =
+    copy(child = c)
+  override def prettyName: String = "md5_token_simhash128"
+}
+
 object TextHashFunctions {
   def md5_token_poly_hash(text: Column): Column =
     Bridge.column(Md5TokenPolyHash(Bridge.expression(text)))
   def md5_token_simhash64(text: Column): Column =
     Bridge.column(Md5TokenSimHash64(Bridge.expression(text)))
+  def md5_token_simhash128(text: Column): Column =
+    Bridge.column(Md5TokenSimHash128(Bridge.expression(text)))
 }

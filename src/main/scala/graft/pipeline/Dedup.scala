@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.SketchFunctions
+import graft.functions.{SketchFunctions, TextHashFunctions}
 
 /**
  * Deduplication operators for training-data pipelines, each designed around
@@ -342,15 +342,29 @@ object Dedup extends org.apache.spark.internal.Logging {
       struct(i.as("chunk"),
         (shiftrightunsigned_col(sim, i * 16) bitwiseAND lit(0xffffL)).as("val")))
 
+  /** The 16-bit chunks of a multi-word sketch: chunk c comes from word c/4,
+   *  bits (c%4)*16 .. +15. `words` is a Seq so 64-bit sketches keep their
+   *  single-column shape. */
+  private def sketchChunks(words: Seq[Column]): Column =
+    transform(sequence(lit(0), lit(words.length * 4 - 1)), i => {
+      val word = words.zipWithIndex.tail.foldLeft(words.head) {
+        case (acc, (w, wi)) => when(i >= wi * 4, w).otherwise(acc)
+      }
+      struct(i.as("chunk"),
+        (shiftrightunsigned_col(word, (i % 4) * 16) bitwiseAND lit(0xffffL)).as("val"))
+    })
+
   /** Index of the first (lowest) agreeing 16-bit chunk of two sketches,
-   *  from their XOR: 4 if no chunk agrees. Pure bit arithmetic — the
-   *  across-group pair dedup below is a filter, not a distinct() shuffle. */
-  private def firstAgreeingChunkOfXor(xor: Column): Column =
-    when((xor bitwiseAND lit(0xffffL)) === 0, lit(0))
-      .when((shiftrightunsigned(xor, 16) bitwiseAND lit(0xffffL)) === 0, lit(1))
-      .when((shiftrightunsigned(xor, 32) bitwiseAND lit(0xffffL)) === 0, lit(2))
-      .when((shiftrightunsigned(xor, 48) bitwiseAND lit(0xffffL)) === 0, lit(3))
-      .otherwise(lit(4))
+   *  from their per-word XORs: 4×words if no chunk agrees. Pure bit
+   *  arithmetic — the across-group pair dedup below is a filter, not a
+   *  distinct() shuffle. */
+  private def firstAgreeingChunkOfXors(xors: Seq[Column]): Column = {
+    val n = xors.length * 4
+    (0 until n).foldRight(lit(n): Column) { (c, acc) =>
+      when((shiftrightunsigned(xors(c / 4), (c % 4) * 16)
+        bitwiseAND lit(0xffffL)) === 0, lit(c)).otherwise(acc)
+    }
+  }
 
   /**
    * Near-duplicate pairs by SimHash with Hamming distance ≤ `maxHamming`
@@ -374,36 +388,65 @@ object Dedup extends org.apache.spark.internal.Logging {
    * count, and within-bucket candidate pairing goes quadratic somewhere
    * past d ≈ 10⁷–10⁸. Duplicates no longer count toward d, which keeps
    * real duplicate-heavy corpora inside the envelope; past it, widen the
-   * sketch (128-bit, 8 chunks) or pre-block on a content prefix (trading
-   * recall, stated). [[minHashDedupPairs]] is the preferred unbounded-scale
-   * near-dup path.
+   * sketch — `bits = 128` runs the same machinery over a two-word sketch
+   * (8 pigeonhole chunks, radius ≤ 7, and 2¹²⁸ sketch space pushes the
+   * distinct-sketch birthday ceiling out of reach) — or pre-block on a
+   * content prefix (trading recall, stated). [[minHashDedupPairs]] is the
+   * preferred unbounded-scale near-dup path.
+   *
+   * `tokenHash` selects the per-token hash family: `"xxh64"` (default —
+   * fastest per byte, the 100 TB hot path) or `"md5"`, which is slower but
+   * recomputable in vanilla SQL, so a DuckDB oracle can rebuild every
+   * sketch and all-pairs hamming distances and hash-check the operator's
+   * full output (q26). Both run the identical collapse/pigeonhole/emission
+   * machinery — the hash choice only changes the sketch values.
    */
   def simHashDedupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4-chunk pigeonhole guarantees recall only for radius 0..3")
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      tokenHash: String = "xxh64"): DataFrame = {
+    require(bits == 64 || bits == 128, "sketch width must be 64 or 128 bits")
+    val words = bits / 16 / 4
+    require(maxHamming >= 0 && maxHamming <= words * 4 - 1,
+      s"${words * 4}-chunk pigeonhole guarantees recall only for radius 0..${words * 4 - 1}")
     requireIntegralId(df, idCol, "simHashDedupPairs")
     val spark = df.sparkSession
     val floor = spark.sessionState.conf.numShufflePartitions
     // Group/emission parallelism grows with the corpus estimate (one
     // membership row per doc), floored at the session default.
     val parts = expansionPartitions(estimateRowsByStats(df), floor)
+    // The sketch is projected once as an array and the words extracted in a
+    // second projection (CollapseProject keeps a multiply-referenced
+    // non-cheap producer in its own projection, so the sketch computes once
+    // per row even for bits=128).
+    val sketchArr: Column = (bits, tokenHash) match {
+      case (64, "xxh64") => array(simHash(col(textCol)))
+      case (128, "xxh64") => SketchFunctions.simhash128(hashedNgramSet(col(textCol), 1))
+      case (64, "md5") => array(TextHashFunctions.md5_token_simhash64(col(textCol)))
+      case (128, "md5") => TextHashFunctions.md5_token_simhash128(col(textCol))
+      case _ => throw new IllegalArgumentException(
+        s"unknown tokenHash '$tokenHash' (supported: xxh64, md5)")
+    }
+    val wNames = (0 until words).map(i => s"sim$i")
+    val wCols = wNames.map(col)
     // Null sketches (null text) never pair — mirrors the join semantics the
     // chunk-equi-join had (NULL = NULL is not a match).
     val base = spreadInput(df, floor)
-      .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sim"))
-      .filter(col("sim").isNotNull)
+      .select(col(idCol).cast("long").as("id"), sketchArr.as("sk"))
+      .filter(col("sk").isNotNull)
+      .select(col("id") +: wNames.zipWithIndex.map { case (n, i) =>
+        col("sk").getItem(i).as(n) }: _*)
 
     // One row per distinct sketch, carrying its sorted member ids. The
     // explicit repartition pins parallelism for the pair-emission stages
     // below (AQE would coalesce the compact agg output onto a few tasks and
     // run the — potentially quadratic-sized — generator output there); the
     // groupBy on the same key reuses the exchange.
-    val groups = base.repartition(parts, col("sim"))
-      .groupBy(col("sim"))
+    val groups = base.repartition(parts, wCols: _*)
+      .groupBy(wCols: _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
 
     // hamming 0: all i<j pairs within one sketch group. Generators pipeline
@@ -419,24 +462,34 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
 
     // hamming 1..max: pigeonhole join over DISTINCT sketches only, then
-    // expand each qualifying sketch pair to its id cross-product. sim_a <
-    // sim_b makes each sketch pair canonical; ids live in exactly one
-    // group, so no id pair can repeat across sketch pairs.
-    val slim = groups.select(col("sim"))
+    // expand each qualifying sketch pair to its id cross-product. The
+    // lexicographic word order makes each sketch pair canonical; ids live
+    // in exactly one group, so no id pair can repeat across sketch pairs.
+    val slim = groups.select(wCols: _*)
     val chunked = slim
-      .select(col("sim"), explode(simHashChunks(col("sim"))).as("c"))
-      .select(col("sim"), col("c.chunk").as("chunk"), col("c.val").as("val"))
+      .select(wCols :+ explode(sketchChunks(wCols)).as("c"): _*)
+      .select(wCols :+ col("c.chunk").as("chunk") :+ col("c.val").as("val"): _*)
+    def w(side: String, i: Int): Column = col(s"$side.${wNames(i)}")
+    val lexLt = (0 until words).reverse.foldLeft(lit(false): Column) { (acc, i) =>
+      (w("l", i) < w("r", i)) || ((w("l", i) === w("r", i)) && acc)
+    }
+    val xors = (0 until words).map(i => w("l", i) bitwiseXOR w("r", i))
+    val hammingOf = xors.map(bit_count).reduce(_ + _)
     val simPairs = chunked.as("l")
       .join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") &&
-          col("l.sim") < col("r.sim"))
-      .filter(firstAgreeingChunkOfXor(col("l.sim") bitwiseXOR col("r.sim")) === col("l.chunk"))
-      .select(col("l.sim").as("sim_a"), col("r.sim").as("sim_b"),
-        bit_count(col("l.sim") bitwiseXOR col("r.sim")).as("hamming"))
+        col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") && lexLt)
+      .filter(firstAgreeingChunkOfXors(xors) === col("l.chunk"))
+      .select((0 until words).map(i => w("l", i).as(s"a_${wNames(i)}")) ++
+        (0 until words).map(i => w("r", i).as(s"b_${wNames(i)}")) :+
+        hammingOf.as("hamming"): _*)
       .filter(col("hamming") <= maxHamming)
+    val groupsA = groups.select(
+      wNames.map(n => col(n).as(s"a_$n")) :+ col("ids").as("ids_a"): _*)
+    val groupsB = groups.select(
+      wNames.map(n => col(n).as(s"b_$n")) :+ col("ids").as("ids_b"): _*)
     val across = simPairs
-      .join(groups.select(col("sim").as("sim_a"), col("ids").as("ids_a")), "sim_a")
-      .join(groups.select(col("sim").as("sim_b"), col("ids").as("ids_b")), "sim_b")
+      .join(groupsA, wNames.map(n => s"a_$n"))
+      .join(groupsB, wNames.map(n => s"b_$n"))
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
       // ia =!= ib guards the self-pair a COLLIDING surrogate id could
@@ -835,13 +888,44 @@ object Dedup extends org.apache.spark.internal.Logging {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    // NOTE: setCheckpointDir mutates SparkContext-global state (it stays in
-    // effect after this call), and Spark does not delete reliable
-    // checkpoint files when the RDDs are collected unless
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true — give each
-    // pipeline run its own directory and remove it afterwards (up to
-    // maxIter+1 edge-set snapshots accumulate per run).
+    // setCheckpointDir mutates SparkContext-global state; each call also
+    // creates a fresh UUID subdirectory, so concurrent runs sharing one
+    // user-supplied dir never collide on FILES (the remaining race is the
+    // global checkpoint-dir SETTING itself between interleaved runs on one
+    // context — unavoidable with the public API). The previous setting is
+    // restored on exit, and each round's snapshot is deleted as soon as the
+    // NEXT round's checkpoint is durable — so at most two snapshots exist
+    // at a time instead of maxIter+1. Only the LAST round's files survive
+    // the call (the returned frame still reads them lazily): delete the
+    // user dir after consuming the result.
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def restoreCheckpointDir(): Unit = if (checkpointDir.isDefined) {
+      // null resets the context to "no checkpoint dir" (Option(null) in the
+      // implementation); best-effort because non-local contexts touch the
+      // path argument before wrapping it.
+      try spark.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    var lastCheckpointFile: Option[String] = None
+    // Called right after the action that made `newlyDurable`'s checkpoint
+    // real: the superseded previous snapshot is dead lineage from here on.
+    def dropSupersededCheckpoint(newlyDurable: DataFrame): Unit =
+      if (checkpointDir.isDefined) {
+        val fresh = org.apache.spark.sql.graft.Bridge.checkpointFile(newlyDurable)
+        (lastCheckpointFile, fresh) match {
+          case (Some(old), Some(nw)) if old != nw =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(old)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                logWarning(s"could not delete superseded checkpoint $old: $e")
+            }
+          case _ => ()
+        }
+        if (fresh.isDefined) lastCheckpointFile = fresh
+      }
     // Both flavors stay lazy: the round's checksum action is the one job
     // that materializes the round. Reliable checkpoints write their files
     // in a SECOND internal job at the end of that action; the persist below
@@ -860,6 +944,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       roundCache.foreach(_.unpersist(blocking = false))
       roundCache = None
     }
+    try {
 
     // Canonical undirected edge list, self-loops dropped. Ids keep their
     // natural type — the algorithm only needs ordering and equality, so
@@ -886,6 +971,7 @@ object Dedup extends org.apache.spark.internal.Logging {
 
     var prev = checksum(edges)
     dropRoundCache()
+    dropSupersededCheckpoint(edges)
 
     // Small-graph short circuit: the O(log n) rounds exist for graphs that
     // cannot fit one task; below the threshold (the checksum already paid
@@ -929,6 +1015,7 @@ object Dedup extends org.apache.spark.internal.Logging {
 
       val cur = checksum(afterSmall)
       dropRoundCache()
+      dropSupersededCheckpoint(afterSmall)
       converged = cur == prev
       prev = cur
       edges = afterSmall
@@ -946,6 +1033,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
+    } finally restoreCheckpointDir()
   }
 
   /** External-type ordering for the id column matching Spark's own sort

@@ -52,6 +52,12 @@ import org.apache.spark.sql.types.StructType
  *    it set, seen-set and snapshot are O(files-per-age-window); without
  *    it, they grow with total file count — path strings only.
  *
+ * These bounds are spec'd at the 10⁵-file mark (XmlStreamingSuite,
+ * slow-tagged): after age eviction the snapshot holds only in-window
+ * entries and the log dir stays O(interval) files; discovery remains the
+ * only term that scales with corpus file count, exactly as in
+ * FileStreamSource.
+ *
  * The actual data read is executor-side and split-parallel via
  * [[XmlFile.read]].
  */

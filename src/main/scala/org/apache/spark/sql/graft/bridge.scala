@@ -21,6 +21,16 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Reliable-checkpoint file backing a `df.checkpoint()` result, if it has
+   *  been materialized: the checkpointed Dataset's plan is a `LogicalRDD`
+   *  (`private[sql]`) over the checkpointed RDD. Lets callers that manage a
+   *  checkpoint directory delete a round's files as soon as the next round
+   *  is durable, instead of letting maxIter snapshots accumulate. */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
   /** Streaming-flagged variant: micro-batch DataFrames returned from a v1
    *  `Source.getBatch` must carry `isStreaming=true` in their logical plan. */
   def internalCreateStreamingDataFrame(

@@ -96,6 +96,23 @@ class DedupStressSuite extends AnyFunSuite {
     assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
   }
 
+  test("simhash 128-bit: 100k all-duplicate docs, exact pair count, bounded time", SlowTest) {
+    // The wider sketch runs the identical collapse-first machinery over two
+    // words (8 pigeonhole chunks, radius up to 7) — the duplicate-heavy
+    // degenerate case must stay exactly as bounded as the 64-bit path.
+    val t0 = System.nanoTime()
+    val out = Dedup.simHashDedupPairs(grouped, "doc_id", "text", 7, bits = 128)
+    val (cnt, maxH) = {
+      val r = out.agg(count(lit(1)), max(col("hamming"))).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"simhash128 100k-doc all-dup stress: $cnt%d pairs in $secs%.1f s")
+    assert(cnt === expectedPairs)
+    assert(maxH === 0, "all-duplicate groups must pair at hamming 0")
+    assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
+  }
+
   test("simhash: one 20k-identical-doc group streams its 2x10^8-pair answer", SlowTest) {
     val n = 20000
     val degen = spark.range(n.toLong)

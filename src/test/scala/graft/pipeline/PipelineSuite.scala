@@ -498,14 +498,28 @@ class PipelineSuite extends AnyFunSuite {
     // Forced through the distributed rounds (the only path that checkpoints).
     val local = Dedup.connectedComponents(edges, "a", "b", localUnionFindEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val reliable = Dedup.connectedComponents(edges, "a", "b",
+    val dirBefore = spark.sparkContext.getCheckpointDir
+    val reliableDf = Dedup.connectedComponents(edges, "a", "b",
       localUnionFindEdges = 0, checkpointDir = Some(dir))
+    // The global checkpoint-dir setting is restored on return (round 8) —
+    // the call must not leave its own directory active on the context.
+    assert(spark.sparkContext.getCheckpointDir === dirBefore,
+      "connectedComponents leaked its checkpoint dir onto the SparkContext")
+    val reliable = reliableDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local)
-    // The reliable path actually wrote checkpoint files.
+    // The reliable path actually wrote checkpoint files, and superseded
+    // rounds were deleted eagerly: only the LAST round's rdd-* snapshot may
+    // remain (the returned frame reads it lazily).
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "reliable checkpoint left no files on disk")
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    assert(rddDirs <= 1,
+      s"superseded round snapshots not cleaned up: $rddDirs rdd-* dirs remain")
   }
 
   test("connected components: union-find path equals distributed rounds on random graphs") {

@@ -6,19 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.xml.SparkTestSession
 
 /**
- * Quality gate for the SimHash near-dup path (q26), which has no SQL oracle
- * (hamming over an internal hash seed isn't SQL-expressible). Two spec-level
- * bars instead:
+ * Quality gate for the SimHash near-dup path (q26). The md5 token-hash
+ * family is additionally hash-checked end-to-end by the driver's DuckDB
+ * oracle (round 8); the xxh64 default and the 128-bit width are gated here:
  *
  *  1. Recall floor: every oracle-verified exact token-set duplicate pair
  *     (the q36 query, hash-matched against DuckDB) has identical sketches,
- *     so it MUST appear in the hamming ≤ 3 output. Checked on the real
- *     sf0.001 documents table.
+ *     so it MUST appear in the hamming ≤ 3 output — at every width and
+ *     hash family. Checked on the real sf0.001 documents table.
  *  2. Metric sanity: planting k token replacements into a fixed document
  *     moves the sketch monotonically — mean hamming over many variants is
  *     non-decreasing in k, zero at k = 0, and clearly separates light from
  *     heavy edits. Everything is seed-fixed, so the assertion is
  *     deterministic.
+ *  3. Width consistency: word 0 of each 128-bit sketch is bit-identical to
+ *     the 64-bit sketch of the same text (both families), so widening the
+ *     sketch can only split 64-bit collisions, never lose true duplicates.
  */
 class SimHashQualitySuite extends AnyFunSuite {
 
@@ -29,12 +32,62 @@ class SimHashQualitySuite extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.simHashExactDupPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val near = Dedup.simHashDedupPairs(docs, "doc_id", "text", 3)
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain exact duplicates")
-    val missed = exact -- near
-    assert(missed.isEmpty, s"exact dups missing from near-dup output: ${missed.take(5)}")
+    // Every width × hash family must clear the same recall floor: identical
+    // token sets mean identical sketches at any width, so the radius bound
+    // never matters for exact dups.
+    for {
+      bits <- Seq(64, 128)
+      family <- Seq("xxh64", "md5")
+    } {
+      val maxH = if (bits == 128) 7 else 3
+      val near = Dedup.simHashDedupPairs(docs, "doc_id", "text", maxH, bits, family)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missed = exact -- near
+      assert(missed.isEmpty,
+        s"exact dups missing from $bits-bit $family near-dup output: ${missed.take(5)}")
+    }
+  }
+
+  test("128-bit sketch word 0 equals the 64-bit sketch; radius bounds enforced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(200)
+    val both = docs.select(
+        Dedup.simHash(col("text")).as("s64"),
+        graft.functions.SketchFunctions.simhash128(
+          Dedup.hashedNgramSet(col("text"), 1)).getItem(0).as("s128w0"),
+        graft.functions.TextHashFunctions.md5_token_simhash64(col("text")).as("m64"),
+        graft.functions.TextHashFunctions.md5_token_simhash128(col("text")).getItem(0).as("m128w0"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "xxh64: 128-bit word0 != 64-bit sketch")
+      assert(r.getLong(2) === r.getLong(3), "md5: 128-bit word0 != 64-bit sketch")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDedupPairs(docs, "doc_id", "text", 4, 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDedupPairs(docs, "doc_id", "text", 8, 128)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDedupPairs(docs, "doc_id", "text", 3, 96)
+    }
+  }
+
+  test("128-bit pairs at radius<=3 are a subset of 64-bit pairs (projection property)") {
+    // hamming128(a,b) >= hamming64(word0(a), word0(b)), so any pair within
+    // radius r at 128 bits is within r at 64 bits. The reverse direction is
+    // where the width buys collision-splitting.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(bits: Int) =
+      Dedup.simHashDedupPairs(docs, "doc_id", "text", 3, bits)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p128 = pairs(128)
+    val p64 = pairs(64)
+    assert(p128.nonEmpty, "128-bit output should be non-empty on the fixture")
+    assert((p128 -- p64).isEmpty, "128-bit radius-3 pair absent from 64-bit output")
   }
 
   test("planted token edits: mean hamming is monotone in edit size") {

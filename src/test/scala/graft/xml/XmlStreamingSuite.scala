@@ -254,6 +254,64 @@ class XmlStreamingSuite extends AnyFunSuite {
     assert(src2.loggedFiles(8L).map(_.split('/').last) === Seq("f100.xml"))
   }
 
+  test("xmlng stream source: 1e5-file corpus — log and seen-set stay bounded",
+      graft.pipeline.SlowTest) {
+    // The one streaming path whose DRIVER-side cost grows with corpus file
+    // count is discovery (one listing per trigger — the cost Spark's own
+    // FileStreamSource pays too). Everything else must stay bounded:
+    // compaction keeps the log dir at O(logCompactInterval) files and age
+    // eviction keeps the snapshot/seen-set at O(files-per-age-window), no
+    // matter how many files have ever streamed through. Proven here at the
+    // 10^5-file mark.
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-stream-scale")
+    val in = dir.resolve("in"); val meta = dir.resolve("meta")
+    Files.createDirectories(in)
+    val n = 100000
+    val record = "<rows><r><k>7</k></r></rows>".getBytes("UTF-8")
+    (0 until n).foreach { i =>
+      val f = in.resolve(f"f$i%06d.xml")
+      Files.write(f, record)
+      assert(f.toFile.setLastModified(1000000L + i))
+    }
+    val schema = StructType(Seq(StructField("k", LongType)))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val opts = Map("rowTag" -> "r", "logCompactInterval" -> "2",
+      "maxFileAgeMs" -> "100000")
+    val src = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString, schema, opts)
+    val t0 = System.nanoTime()
+    assert(src.getOffset.map(_.json) === Some("0"), "all files in one batch")
+    assert(src.loggedFiles(0L).size === n)
+    src.commit(LongOffset(0L))
+    // One newer file pushes the mtime watermark past every original file's
+    // age window; the compaction at batch 1 must evict all n committed aged
+    // entries from the snapshot.
+    val fresh = in.resolve("g000000.xml")
+    Files.write(fresh, record)
+    assert(fresh.toFile.setLastModified(1200000L))
+    assert(src.getOffset.map(_.json) === Some("1"))
+    src.commit(LongOffset(1L))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1e5-file discovery + compaction: $secs%.1f s")
+    val compactLines = Files.readString(meta.resolve("1.compact"))
+      .linesIterator.count(_.nonEmpty)
+    assert(compactLines <= 3,
+      s"snapshot must hold only in-window entries, found $compactLines lines")
+    val metaFiles = Files.list(meta).filter(p =>
+      !p.getFileName.toString.startsWith(".")).count()
+    assert(metaFiles <= 3,
+      s"log dir must stay O(interval) files, found $metaFiles")
+    // Restart at 10^5 listed-but-evicted files: no re-delivery, and a new
+    // in-window file still arrives.
+    val src2 = new XmlStreamSource(spark.sqlContext, meta.toString, in.toString, schema, opts)
+    assert(src2.getOffset.map(_.json) === Some("1"), "no new batch on restart")
+    val fresh2 = in.resolve("g000001.xml")
+    Files.write(fresh2, record)
+    assert(fresh2.toFile.setLastModified(1300000L))
+    assert(src2.getOffset.map(_.json) === Some("2"))
+    assert(src2.loggedFiles(2L).map(_.split('/').last) === Seq("g000001.xml"))
+  }
+
   test("xmlng stream source infers the schema from files present at start") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-stream-infer")
