@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, ImageCodec, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -667,12 +667,28 @@ object SparkEntry {
     }),
 
     "q30_multimodal_features" -> ((s, d) => {
+      // REAL image decode (round 8): each row plants a deterministic
+      // solid-color PNG fixture (dims and color are pure functions of
+      // doc_id), the batched kernel decodes it with javax.imageio, and the
+      // DuckDB oracle predicts the decoded dimensions and mean color from
+      // doc_id alone — so the gate passes only if the PNG encode∘decode
+      // roundtrip is faithful. The per-row UDF is fixture GENERATION, not
+      // the measured operator; production payloads arrive as binary columns.
+      val mkPng = udf((id: Long) => {
+        val w = 1 + (id % 8).toInt
+        val h = 1 + (id % 5).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        ImageCodec.encodePng(w, h, rgb)
+      })
       val docs = t(s, d, "documents")
-        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
-      Multimodal.withMediaColumns(docs, "payload", "stub/utf8", 8)
-        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
-          element_at(col("features"), 1).as("f0"),
-          length(col("thumb")).as("thumb_len"))
+        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      Multimodal.withBatchedFeatures(docs, "payload", 64, ImageCodec.decodeKernel)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("int").as("mean_r"),
+          element_at(col("features"), 4).cast("int").as("mean_g"),
+          element_at(col("features"), 5).cast("int").as("mean_b"))
         .orderBy("doc_id")
     }),
 
@@ -1381,6 +1397,20 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""").stripMargin,
 
+    // q30's planted-fixture prediction (round 8): the Spark side ENCODES a
+    // solid-color PNG per row and DECODES it with javax.imageio; dims and
+    // mean color are pure functions of doc_id, so the oracle predicts the
+    // decoded values without touching image bytes — equality holds only if
+    // the real encode∘decode roundtrip is faithful.
+    "q30_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(1 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Full recomputation of q26's md5-token SimHash pairs (round 8): rebuild
     // every 64-bit sketch from md5 hex slices (bit-vote per position, split
     // into two 32-bit halves so no sign-bit arithmetic is needed), then
@@ -1554,8 +1584,8 @@ object SparkEntry {
         |    CASE WHEN sr < 0.02 THEN 'stopwords' END,
         |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
         |FROM s ORDER BY doc_id""".stripMargin
-    // q30_multimodal_features (stubbed decode),
-    // q33_ivf_topk (approximate by construction; recall gated in tests):
-    // not SQL-expressible → rows-only check by the driver.
+    // q33_ivf_topk (approximate by construction; recall gated by a
+    // ≥0.95-recall@5 spec): not SQL-expressible → rows-only check by the
+    // driver. Every other query is fully oracle-checked.
   )
 }

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/**
+ * Real, JDK-only image codec for the multimodal pipeline: PNG and BMP
+ * encode/decode through `javax.imageio` — no native libraries, works
+ * headless. This replaces the stub for the image modality (q30 is gated by
+ * a full DuckDB oracle on planted fixtures whose dimensions and mean color
+ * are predictable from the row id — the gate passes only if the PNG
+ * encode∘decode roundtrip is faithful). Audio/video decode stays stubbed
+ * ([[Multimodal.stubBatchKernel]]): the JDK ships no codecs for them.
+ *
+ * The decode kernel has the exact batched signature
+ * [[Multimodal.withBatchedFeatures]] executes — swap-in shape for an ONNX
+ * or JNI extractor at scale. Decode cost is per-row map work; it scales
+ * linearly and never shuffles.
+ */
+object ImageCodec {
+
+  /** Feature vector layout produced by [[decodeKernel]]. */
+  val DecodeDim = 5
+
+  /** Deterministic solid-color fixture: `width × height`, every pixel the
+   *  packed 24-bit `rgb`. PNG is lossless, so decode recovers the exact
+   *  color — the property the q30 oracle leans on. */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] =
+    encode(width, height, rgb, "png")
+
+  def encodeBmp(width: Int, height: Int, rgb: Int): Array[Byte] =
+    encode(width, height, rgb, "bmp")
+
+  private def encode(width: Int, height: Int, rgb: Int, format: String): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad fixture dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no JDK ImageIO writer for '$format'")
+    bos.toByteArray
+  }
+
+  /**
+   * Real batched decode: payload bytes → `[width, height, meanR, meanG,
+   * meanB]` floats. One `ImageIO.read` per payload (the per-batch closure
+   * shape lets a real extractor amortize session setup; ImageIO itself
+   * needs none). An undecodable payload fails the task loudly — silently
+   * emitting garbage features would poison downstream similarity search;
+   * pre-filter undecodable rows with [[Multimodal.withBatchedFeatures]]'s
+   * null passthrough by nulling them out first.
+   */
+  def decodeKernel: Seq[Array[Byte]] => Seq[Array[Float]] = payloads =>
+    payloads.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a JDK-decodable image (png/bmp/gif/jpeg)")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L
+      var sg = 0L
+      var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
+    }
+}

@@ -913,4 +913,42 @@ class PipelineSuite extends AnyFunSuite {
     val f2 = out.filter(col("doc_id") === 2).head().getAs[scala.collection.Seq[Double]]("features")
     assert(feats === f2)
   }
+
+  test("image codec: png/bmp encode-decode roundtrip recovers dims and color exactly") {
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes =
+        if (fmt == "png") ImageCodec.encodePng(7, 3, 0xAB12CD)
+        else ImageCodec.encodeBmp(7, 3, 0xAB12CD)
+      val Seq(feats) = ImageCodec.decodeKernel(Seq(bytes))
+      assert(feats.toSeq === Seq(7f, 3f, 0xAB.toFloat, 0x12.toFloat, 0xCD.toFloat),
+        s"$fmt roundtrip drifted: ${feats.toSeq}")
+    }
+    // Undecodable payloads fail loudly — silent garbage features would
+    // poison downstream similarity search.
+    val ex = intercept[IllegalArgumentException] {
+      ImageCodec.decodeKernel(Seq("not an image".getBytes("UTF-8")))
+    }
+    assert(ex.getMessage.contains("not a JDK-decodable image"))
+  }
+
+  test("real image kernel through batched plumbing: batch-size independent, null-safe") {
+    val imgs = spark.range(0, 40)
+      .select(col("id"),
+        when(col("id") % 7 === 0, lit(null).cast("binary"))
+          .otherwise(udf((i: Long) => ImageCodec.encodePng(
+            1 + (i % 6).toInt, 1 + (i % 4).toInt,
+            ((i * 31) % (1 << 24)).toInt)).apply(col("id"))).as("payload"))
+    def run(bs: Int) = Multimodal
+      .withBatchedFeatures(imgs, "payload", bs, ImageCodec.decodeKernel)
+      .select(col("id"), col("features"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[scala.collection.Seq[Float]]("features")).map(_.toSeq))
+      .toMap
+    val a = run(1)
+    val b = run(64)
+    assert(a === b, "features must not depend on batch size")
+    assert(a(0L).isEmpty && a(7L).isEmpty, "null payloads pass through as null features")
+    assert(a(1L).get.take(2) === Seq(2f, 2f), "decoded dims disagree with fixture")
+  }
 }
