@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Decontaminate, Dedup, ImageCodec, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -829,6 +829,20 @@ object SparkEntry {
       // replays the thresholds verbatim.
       TextAnalysis.qualityFilter(t(s, d, "documents"), "doc_id", "text",
         minTokens = 20)
+    }),
+
+    "q63_pack_greedy" -> ((s, d) => {
+      // T5-style greedy no-split sequence packing into 128-token budgets,
+      // sharded by source: a doc joins the current sequence iff it fits.
+      // O(1)-state sorted-group scan; the oracle replays the same greedy
+      // recurrence with a recursive CTE.
+      Packing.packGreedy(t(s, d, "documents"), "doc_id", "text", "source", 128)
+    }),
+
+    "q64_pack_concat" -> ((s, d) => {
+      // GPT-style concat-and-chunk packing: per-shard token stream cut
+      // every 128 tokens, docs may span cuts. Pure window arithmetic.
+      Packing.packConcat(t(s, d, "documents"), "doc_id", "text", "source", 128)
     })
   )
 
@@ -1583,7 +1597,49 @@ object SparkEntry {
         |    CASE WHEN pr > 0.2 THEN 'punct' END,
         |    CASE WHEN sr < 0.02 THEN 'stopwords' END,
         |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Greedy no-split packing: the oracle replays the exact per-shard greedy
+    // recurrence (seq += 1 and used = tc whenever used + tc > budget, with
+    // used initialized past the budget so the first doc opens sequence 0)
+    // via a recursive CTE stepping one row_number per shard per level.
+    "q63_pack_greedy" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id AS id, source AS shard,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1)
+        |SELECT id, shard, n_tokens, seq_idx FROM g ORDER BY shard, id""".stripMargin,
+
+    // Concat-and-chunk packing: pure running-sum arithmetic, directly
+    // expressible as a window in both engines.
+    "q64_pack_concat" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, source AS shard,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id)
+        |             - n_tokens, 0) AS cum_before
+        |  FROM w)
+        |SELECT id, shard, n_tokens,
+        |  cum_before // 128 AS start_seq,
+        |  cum_before % 128 AS start_off,
+        |  CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 128
+        |       ELSE cum_before // 128 END AS end_seq
+        |FROM c ORDER BY shard, id""".stripMargin
     // q33_ivf_topk (approximate by construction; recall gated by a
     // ≥0.95-recall@5 spec): not SQL-expressible → rows-only check by the
     // driver. Every other query is fully oracle-checked.

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-sequence packing: the step between a cleaned document corpus and
+ * fixed-length model inputs. Both industry-standard variants, both
+ * deterministic (and therefore DuckDB-oracle-checkable) given a shard
+ * column and an id ordering:
+ *
+ *  - [[packConcat]] — concat-and-chunk (GPT-style pretraining): per shard,
+ *    documents concatenate into one token stream in id order and the stream
+ *    is cut every `budget` tokens; documents may SPAN sequence boundaries
+ *    (the attention mask, not the packing, separates them). Pure window
+ *    arithmetic — one shuffle on the shard key, no stateful scan.
+ *  - [[packGreedy]] — greedy no-split packing (T5/"packed examples" style):
+ *    a document joins the current sequence iff it fits, else opens a new
+ *    one; an oversized document (tokens > budget) gets a sequence of its
+ *    own. Inherently a sequential scan per shard — implemented as a
+ *    sorted-group stream with O(1) state, so a shard of any length packs
+ *    without materializing in memory.
+ *
+ * Scale shape: both variants shuffle once on `shardCol` and scan linearly.
+ * Shards are the parallelism unit — pick a key with enough cardinality for
+ * the cluster (a hash bucket of the id works); packing quality only needs
+ * shards big enough to amortize tail waste. Token counts use
+ * [[TextAnalysis.tokenCount]] (whitespace tokens; null text counts 0).
+ */
+object Packing {
+
+  private def tokenCountOf(textCol: String): Column =
+    coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0)).cast("long")
+
+  /**
+   * Concat-and-chunk packing. Returns one row per document:
+   * (id, shard, n_tokens, start_seq, start_off, end_seq) — the sequence
+   * index the document starts in, its token offset there, and the sequence
+   * it ends in (== start_seq unless it spans a cut; empty docs end where
+   * they start).
+   */
+  def packConcat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    // the window runs over the RENAMED projection below
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), col(shardCol).as("shard"),
+        tokenCountOf(textCol).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col("id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("start_seq"),
+        (col("cum_before") % budget).as("start_off"),
+        when(col("n_tokens") > 0,
+          expr(s"(cum_before + n_tokens - 1) div $budget"))
+          .otherwise(expr(s"cum_before div $budget")).as("end_seq"))
+  }
+
+  /**
+   * Greedy no-split packing. Returns (id, shard, n_tokens, seq_idx): the
+   * 0-based sequence index within the shard. The scan is
+   * `flatMapSortedGroups` over (shard → rows sorted by id): one shuffle,
+   * one pass, two longs of state per shard regardless of shard size.
+   */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(shardCol).cast("string").as("shard"), tokenCountOf(textCol).as("tc"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq_idx", org.apache.spark.sql.types.LongType)))
+    val shardIdx = 1
+    slim.groupByKey((r: Row) => r.getString(shardIdx))(Encoders.STRING)
+      .flatMapSortedGroups(col("id")) { (shard: String, rows: Iterator[Row]) =>
+        var seq = -1L
+        var used = budget + 1 // forces the first document to open sequence 0
+        rows.map { r =>
+          val tc = r.getLong(2)
+          if (used + tc > budget) {
+            seq += 1
+            used = 0L
+          }
+          used += tc
+          Row(r.getLong(0), shard, tc, seq)
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+class PackingSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // token counts per doc: "w w w ..." with exactly n tokens
+  private def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  private def fixture = Seq(
+    // shard a: 100, 28, 1 → greedy(128): [100+28], [1]; concat: cut at 128
+    (0L, doc(100), "a"),
+    (1L, doc(28), "a"),
+    (2L, doc(1), "a"),
+    // shard b: oversized 300 alone, then 128 exact fit, then 0-token doc
+    (3L, doc(300), "b"),
+    (4L, doc(128), "b"),
+    (5L, "", "b"),
+    (6L, doc(5), "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("greedy no-split: fit joins, overflow opens, oversized isolated") {
+    val out = Packing.packGreedy(fixture, "doc_id", "text", "source", 128)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // shard a: 100 fits seq 0; 28 fits (100+28 = 128, not > budget); 1 overflows
+    assert(out(0L) === (100L, 0L))
+    assert(out(1L) === (28L, 0L))
+    assert(out(2L) === (1L, 1L))
+    // shard b: oversized 300 opens seq 0 alone (next doc must overflow);
+    // 128 exact-fit opens seq 1; empty doc fits the full seq 1; 5 overflows
+    assert(out(3L) === (300L, 0L))
+    assert(out(4L) === (128L, 1L))
+    assert(out(5L) === (0L, 1L)) // zero tokens fit even a full sequence
+    assert(out(6L) === (5L, 2L))
+  }
+
+  test("greedy matches an independent sequential replay on varied sizes") {
+    // 200 docs over 4 shards with deterministic pseudo-random sizes,
+    // including zeros, exact fits, and oversized outliers
+    val rows = (0 until 200).map { i =>
+      val n = ((i * 2654435761L >>> 7) % 97).toInt match {
+        case m if m % 19 == 0 => 0
+        case m if m % 23 == 0 => 150 // oversized
+        case m => m
+      }
+      (i.toLong, doc(n), s"s${i % 4}")
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val got = Packing.packGreedy(df, "doc_id", "text", "source", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // replay the greedy recurrence per shard in plain Scala
+    val expect = rows.groupBy(_._3).flatMap { case (_, ds) =>
+      var seq = -1L; var used = 65L
+      ds.sortBy(_._1).map { case (id, text, _) =>
+        val tc = if (text.isEmpty) 0 else text.split("\\s+").length
+        if (used + tc > 64) { seq += 1; used = 0 }
+        used += tc
+        id -> seq
+      }
+    }
+    assert(got === expect)
+  }
+
+  test("concat-and-chunk: offsets, spans, and shard totals line up") {
+    val out = Packing.packConcat(fixture, "doc_id", "text", "source", 128)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // shard a stream: 100 | 28 | 1 → doc0 [0,100), doc1 [100,128), doc2 [128,129)
+    assert(out(0L) === (100L, 0L, 0L, 0L))
+    assert(out(1L) === (28L, 0L, 100L, 0L)) // ends exactly at the cut, no span
+    assert(out(2L) === (1L, 1L, 0L, 1L))
+    // shard b stream: 300 | 128 | 0 | 5 → doc3 spans seqs 0-2, doc4 [300..427]
+    // spans 2-3, doc5 empty at offset 428 in seq 3, doc6 [428,433) in seq 3
+    assert(out(3L) === (300L, 0L, 0L, 2L))
+    assert(out(4L) === (128L, 2L, 44L, 3L))
+    assert(out(5L) === (0L, 3L, 44L, 3L)) // empty: ends where it starts
+    assert(out(6L) === (5L, 3L, 44L, 3L))
+    // invariants over every row: offset inside budget, seqs ordered
+    out.values.foreach { case (_, sseq, soff, eseq) =>
+      assert(soff >= 0 && soff < 128 && sseq <= eseq)
+    }
+  }
+
+  test("both variants: one shuffle on the shard key, no extra exchange") {
+    // range-backed frame so ConvertToLocalRelation can't fold the plan away
+    val df = spark.range(1000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", typedLit(Seq.fill(7)("w"))).as("text"),
+      (col("id") % 8).cast("string").as("source"))
+    for (plan <- Seq(
+        Packing.packGreedy(df, "doc_id", "text", "source", 64),
+        Packing.packConcat(df, "doc_id", "text", "source", 64))) {
+      val physical = plan.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
+      assert(exchanges === 1, s"expected exactly one shuffle:\n$physical")
+    }
+  }
+
+  test("packing respects budget: greedy sequences never exceed it") {
+    val out = Packing.packGreedy(fixture, "doc_id", "text", "source", 128)
+      .groupBy("shard", "seq_idx").agg(sum("n_tokens").as("filled"),
+        count(lit(1)).as("n_docs"))
+      .collect()
+    out.foreach { r =>
+      val filled = r.getLong(2)
+      // a sequence over budget is only legal when it is one oversized doc
+      assert(filled <= 128 || r.getLong(3) === 1L,
+        s"overfull multi-doc sequence: $r")
+    }
+  }
+}
