@@ -153,7 +153,8 @@ private[graft] object XmlFile {
     }
   }
 
-  private def resolveCodec(name: String): Class[_ <: CompressionCodec] = {
+  /** Shared with the V2 write path (same option, same short names). */
+  private[graft] def resolveCodec(name: String): Class[_ <: CompressionCodec] = {
     val shortNames = Map(
       "gzip" -> "org.apache.hadoop.io.compress.GzipCodec",
       "bzip2" -> "org.apache.hadoop.io.compress.BZip2Codec",

@@ -13,9 +13,10 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,11 +43,13 @@ import graft.xml.{InferSchema, ParseMode, RawRecordFilter, StaxXmlParser, XmlFil
  *    + `SupportsPushDownRequiredColumns`) on the modern connector API that
  *    file sources are migrating to.
  *
- * Scope: batch read. Writes and streaming stay on the DSv1 provider
- * (`xmlng`), which remains the primary registration; `InsertableRelation`,
- * `StreamSourceProvider` and `StreamSinkProvider` have no stable public V2
- * equivalent for a third-party file format without internal APIs
- * (FileFormat / FileWrite are `private[sql]` in Spark 4.1).
+ * Scope: batch read AND batch write (round 8 — [[XmlBatchWrite]]: per-task
+ * staged files + rename-at-commit via Spark's output-commit coordinator,
+ * `SupportsTruncate` for overwrite; V2 `save` requires mode append or
+ * overwrite, the V2 contract for non-catalog providers). Streaming stays on
+ * the DSv1 provider (`xmlng`): `StreamSourceProvider`/`StreamSinkProvider`
+ * have no stable public V2 equivalent for a third-party file format without
+ * internal APIs (FileFormat / FileWrite are `private[sql]` in Spark 4.1).
  */
 class XmlDataSourceV2 extends TableProvider with DataSourceRegister {
 
@@ -90,20 +93,30 @@ private[v2] object XmlTable {
 private[v2] case class XmlTable(
     spark: SparkSession,
     tableProperties: Map[String, String],
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"xmlng2:${XmlTable.pathFor(tableProperties)}"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Scan options are the merge of table properties and per-read options;
     // per-read wins (mirrors how DataFrameReader threads options in V2).
     val merged = tableProperties ++ options.asCaseSensitiveMap().asScala
     new XmlScanBuilder(spark, merged, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = tableProperties ++ info.options.asCaseSensitiveMap().asScala
+    new XmlWriteBuilder(merged, info.schema(), info.queryId(),
+      new SerializableHadoopConf(
+        new Configuration(spark.sparkContext.hadoopConfiguration)))
   }
 }
 

@@ -1,0 +1,217 @@
+package graft.xml.v2
+
+import java.io.{BufferedOutputStream, OutputStream, OutputStreamWriter}
+import java.nio.charset.Charset
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.util.ReflectionUtils
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import graft.xml.{StaxXmlGenerator, XmlEmitter, XmlFile, XmlOptions}
+
+/**
+ * DataSource V2 batch write for the XML sink (`df.write.format("xmlng2")`),
+ * the executor-side-commit companion of the DSv1 `XmlFile.save` path. Same
+ * document layout — each part file is a complete, independently parseable
+ * XML document (declaration, `<rootTag>`, one `<rowTag>` element per row,
+ * `</rootTag>`) — but the commit protocol is the V2 one:
+ *
+ *  - every task writes to a uniquely-named file under a hidden staging
+ *    directory inside the destination (`.xmlng2-staging-<queryId>`; both
+ *    Hadoop's input listing and the xmlng stream source skip dot-names);
+ *  - Spark's output-commit coordinator (`useCommitCoordinator`, default on)
+ *    guarantees exactly one committed attempt per partition, so speculative
+ *    or retried attempts never double-publish;
+ *  - job `commit()` renames the committed files into place — a per-file
+ *    metadata operation, no data movement, no driver-side data — then
+ *    drops a `_SUCCESS` marker; `abort()` just deletes the staging
+ *    directory. On an object store this is the protocol you want at 100 TB:
+ *    task output becomes durable where it will be read, and the driver's
+ *    commit cost is O(files), not O(bytes).
+ *
+ * Overwrite (`SupportsTruncate`) deletes the previous contents at JOB COMMIT
+ * time, after every task output is durably staged — a failure anywhere
+ * before commit leaves the old data fully intact (the DSv1
+ * `InsertableRelation` path, like Hadoop's committer, deletes up front).
+ *
+ * Differences from DSv1 save, both deliberate: the configured `charset`
+ * is honored on output (DSv1 funnels through Hadoop `Text`, which is
+ * UTF-8-only), and empty partitions produce no file at all — except
+ * partition 0, which always writes the document skeleton so an empty
+ * DataFrame still round-trips as a readable zero-record corpus.
+ */
+private[v2] final class XmlWriteBuilder(
+    parameters: Map[String, String],
+    schema: StructType,
+    queryId: String,
+    hadoopConf: SerializableHadoopConf) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateOnCommit = false
+
+  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+
+  override def build(): Write =
+    new XmlBatchWrite(parameters, schema, queryId, truncateOnCommit, hadoopConf)
+}
+
+private[v2] final class XmlBatchWrite(
+    parameters: Map[String, String],
+    schema: StructType,
+    queryId: String,
+    truncateOnCommit: Boolean,
+    hadoopConf: SerializableHadoopConf) extends Write with BatchWrite with Logging {
+
+  private val destPath = XmlTable.pathFor(parameters)
+  private val stagingName = s".xmlng2-staging-$queryId"
+
+  override def toBatch: BatchWrite = this
+
+  override def description(): String =
+    s"xmlng2 write [$destPath]${if (truncateOnCommit) " truncate" else ""}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dest = new Path(destPath)
+    val fs = dest.getFileSystem(hadoopConf.value)
+    fs.mkdirs(new Path(dest, stagingName))
+    XmlDataWriterFactory(hadoopConf, parameters, schema, destPath, stagingName, queryId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new Path(destPath)
+    val fs = dest.getFileSystem(hadoopConf.value)
+    val staging = new Path(dest, stagingName)
+    try {
+      if (truncateOnCommit) {
+        // All new output is durably staged by now; clearing the old
+        // contents here (not before the job) means any pre-commit failure
+        // leaves the previous data untouched.
+        fs.listStatus(dest).foreach { st =>
+          if (st.getPath.getName != stagingName) fs.delete(st.getPath, true)
+        }
+      }
+      messages.foreach {
+        case XmlWriteTaskResult(Some((staged, finalName))) =>
+          val from = new Path(staged)
+          val to = new Path(dest, finalName)
+          if (!fs.rename(from, to)) {
+            throw new IllegalStateException(
+              s"xmlng2 write: failed to publish $from -> $to")
+          }
+        case _ => () // empty partition, nothing staged
+      }
+      fs.create(new Path(dest, "_SUCCESS"), true).close()
+    } finally {
+      // Uncommitted attempt files (failed/speculative attempts) die with
+      // the staging dir; on a commit exception Spark calls abort(), for
+      // which this delete is also the entire cleanup.
+      if (!fs.delete(staging, true) && fs.exists(staging)) {
+        logWarning(s"xmlng2 write: could not remove staging dir $staging")
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new Path(destPath)
+    val fs = dest.getFileSystem(hadoopConf.value)
+    fs.delete(new Path(dest, stagingName), true)
+  }
+}
+
+private[v2] case class XmlDataWriterFactory(
+    conf: SerializableHadoopConf,
+    parameters: Map[String, String],
+    schema: StructType,
+    destPath: String,
+    stagingName: String,
+    queryId: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new XmlDataWriter(
+      conf.value, parameters, schema, destPath, stagingName, queryId, partitionId, taskId)
+}
+
+/** `file` = (staged path, final name) for a partition that produced output;
+ *  None for an empty partition that staged nothing. */
+private[v2] case class XmlWriteTaskResult(file: Option[(String, String)])
+  extends WriterCommitMessage
+
+private[v2] final class XmlDataWriter(
+    conf: Configuration,
+    parameters: Map[String, String],
+    schema: StructType,
+    destPath: String,
+    stagingName: String,
+    queryId: String,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val options = XmlOptions(parameters)
+  // rootTag may carry inline attributes; only the name part closes the doc
+  private val rootTagName = options.rootTag.split(" ", 2)(0)
+  private val codec = options.codec.map { name =>
+    ReflectionUtils.newInstance(XmlFile.resolveCodec(name), conf)
+  }
+  private val ext = ".xml" + codec.map(_.getDefaultExtension).getOrElse("")
+  // Final name keyed by partitionId (+ the job's queryId so appends across
+  // jobs never collide); the staged name additionally carries taskId so
+  // concurrent attempts of one partition stage distinct files.
+  private val finalName = f"part-$partitionId%05d-$queryId$ext"
+  private val stagedPath =
+    new Path(new Path(destPath, stagingName), f"attempt-$taskId-part-$partitionId%05d$ext")
+
+  private val toRow = CatalystTypeConverters.createToScalaConverter(schema)
+  private val sb = new java.lang.StringBuilder(1 << 16)
+  private var out: OutputStreamWriter = _
+
+  /** File + document header materialize on the first row (or at commit for
+   *  partition 0), so empty partitions cost nothing. */
+  private def ensureOpen(): Unit = if (out == null) {
+    val fs = stagedPath.getFileSystem(conf)
+    val raw: OutputStream = fs.create(stagedPath, false)
+    val wrapped = codec.map(_.createOutputStream(raw)).getOrElse(raw)
+    out = new OutputStreamWriter(
+      new BufferedOutputStream(wrapped, 1 << 16), Charset.forName(options.charset))
+    if (options.declaration.nonEmpty) out.write(s"<?xml ${options.declaration}?>\n")
+    out.write(s"<${options.rootTag}>")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    sb.setLength(0)
+    val emitter = new XmlEmitter(sb, baseDepth = 1, compact = options.compactOutput)
+    StaxXmlGenerator.writeRow(schema, emitter, options)(toRow(row).asInstanceOf[Row])
+    // pretty mode emits its own leading newline; compact rows need one to
+    // land one-per-line, matching the DSv1 text layout byte for byte
+    if (options.compactOutput) out.write("\n")
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null && partitionId != 0) {
+      XmlWriteTaskResult(None)
+    } else {
+      ensureOpen() // partition 0 always emits the skeleton
+      out.write(s"\n</$rootTagName>\n")
+      out.close()
+      out = null
+      XmlWriteTaskResult(Some((stagedPath.toString, finalName)))
+    }
+  }
+
+  override def abort(): Unit = {
+    close()
+    try stagedPath.getFileSystem(conf).delete(stagedPath, false)
+    catch { case scala.util.control.NonFatal(_) => () } // staging dir cleanup catches it
+  }
+
+  override def close(): Unit = if (out != null) {
+    try out.close() catch { case scala.util.control.NonFatal(_) => () }
+    out = null
+  }
+}

@@ -110,4 +110,85 @@ class XmlV2Suite extends AnyFunSuite {
     val ids = q.select("_id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq === (0L until 1000L))
   }
+
+  // ---- V2 write path ----
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_v2w").resolve("out").toString
+
+  private def writeV2(df: DataFrame, out: String, mode: String,
+      extra: (String, String)*): Unit = {
+    var w = df.write.format("xmlng2")
+      .option("rowTag", "r").option("rootTag", "rows").mode(mode)
+    extra.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(out)
+  }
+
+  private def readBack(out: String): DataFrame =
+    spark.read.format("xmlng").option("rowTag", "r").schema(schema).load(out)
+
+  test("v2 write: append round-trips through both readers, with _SUCCESS") {
+    val out = freshDir()
+    writeV2(v1, out, "append")
+    val files = new java.io.File(out).listFiles.map(_.getName).sorted
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.contains("staging")), s"staging leaked: ${files.toSeq}")
+    val a = v1.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(readBack(out).collect().map(_.toSeq).sortBy(_.toString).toSeq === a)
+    val viaV2 = spark.read.format("xmlng2").option("rowTag", "r")
+      .schema(schema).load(out)
+    assert(viaV2.collect().map(_.toSeq).sortBy(_.toString).toSeq === a)
+  }
+
+  test("v2 write: overwrite truncates at commit, append accumulates") {
+    val out = freshDir()
+    writeV2(v1.limit(10), out, "append")
+    writeV2(v1.limit(15), out, "append")
+    assert(readBack(out).count() === 25) // two appends accumulate
+    writeV2(v1.limit(7), out, "overwrite")
+    assert(readBack(out).count() === 7) // overwrite replaced everything
+  }
+
+  test("v2 write: empty dataset still publishes a readable skeleton") {
+    val out = freshDir()
+    // several empty tasks: only partition 0 writes the document skeleton
+    writeV2(v1.limit(0).repartition(3), out, "append")
+    val parts = new java.io.File(out).listFiles
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(parts.length === 1, s"expected one skeleton file, got ${parts.toSeq}")
+    assert(readBack(out).count() === 0)
+  }
+
+  test("v2 write: task failure aborts cleanly, old data stays intact") {
+    val out = freshDir()
+    writeV2(v1.limit(10), out, "append")
+    val before = readBack(out).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bomb = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 500L) throw new RuntimeException("boom"); id
+    }
+    val failing = v1.withColumn("_id", bomb(col("_id")))
+    intercept[Exception] { writeV2(failing, out, "overwrite") }
+    // overwrite truncates only at commit, which never ran: data unchanged
+    assert(readBack(out).collect().map(_.toSeq).sortBy(_.toString).toSeq === before)
+    val leftover = new java.io.File(out).listFiles.map(_.getName)
+    assert(!leftover.exists(_.contains("staging")),
+      s"staging dir survived abort: ${leftover.toSeq}")
+  }
+
+  test("v2 write: gzip codec compresses parts that read back identically") {
+    val out = freshDir()
+    writeV2(v1.limit(50), out, "append", "codec" -> "gzip")
+    val parts = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".xml.gz")), s"${parts.toSeq}")
+    assert(readBack(out).count() === 50)
+  }
+
+  test("v2 write: default ErrorIfExists mode is rejected with guidance") {
+    // The V2 contract for non-catalog providers: only append/overwrite.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      v1.limit(1).write.format("xmlng2").option("rowTag", "r").save(freshDir())
+    }
+    assert(e.getMessage.toLowerCase.contains("errorifexists"))
+  }
 }
