@@ -86,12 +86,16 @@ object Packing {
     slim.groupByKey((r: Row) => r.getString(shardIdx))(Encoders.STRING)
       .flatMapSortedGroups(col("id")) { (shard: String, rows: Iterator[Row]) =>
         var seq = -1L
-        var used = budget + 1 // forces the first document to open sequence 0
+        var used = 0L
+        var first = true // the first document always opens sequence 0
         rows.map { r =>
           val tc = r.getLong(2)
-          if (used + tc > budget) {
+          // `used` never exceeds budget here, so `used + tc` cannot overflow
+          // for any budget a caller can satisfy with real token counts
+          if (first || used + tc > budget) {
             seq += 1
             used = 0L
+            first = false
           }
           used += tc
           Row(r.getLong(0), shard, tc, seq)

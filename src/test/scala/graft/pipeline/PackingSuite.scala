@@ -103,6 +103,13 @@ class PackingSuite extends AnyFunSuite {
     }
   }
 
+  test("greedy with an effectively unbounded budget packs one sequence per shard") {
+    val out = Packing.packGreedy(fixture, "doc_id", "text", "source", Long.MaxValue)
+      .select("shard", "seq_idx").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSet === Set("a" -> 0L, "b" -> 0L))
+  }
+
   test("packing respects budget: greedy sequences never exceed it") {
     val out = Packing.packGreedy(fixture, "doc_id", "text", "source", 128)
       .groupBy("shard", "seq_idx").agg(sum("n_tokens").as("filled"),
