@@ -843,6 +843,35 @@ object SparkEntry {
       // GPT-style concat-and-chunk packing: per-shard token stream cut
       // every 128 tokens, docs may span cuts. Pure window arithmetic.
       Packing.packConcat(t(s, d, "documents"), "doc_id", "text", "source", 128)
+    }),
+
+    "q65_image_resize" -> ((s, d) => {
+      // REAL image resize (round 8): q30's planted fixtures go through the
+      // javax.imageio resize kernel (longest side -> 4, integer-arithmetic
+      // target dims, aspect preserved; already-small payloads byte-identical
+      // passthrough), then through the real decode kernel — the oracle
+      // predicts post-resize dimensions with the same integer arithmetic
+      // and the solid-fixture colors unchanged, so the gate passes only if
+      // resize∘decode is faithful end to end.
+      val mkPng = udf((id: Long) => {
+        val w = 1 + (id % 8).toInt
+        val h = 1 + (id % 5).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        ImageCodec.encodePng(w, h, rgb)
+      })
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      val resized = Multimodal
+        .withBatchedBinary(docs, "payload", "resized", 64, ImageCodec.resizeKernel(4))
+        .select(col("doc_id"), col("resized").as("payload"))
+      Multimodal.withBatchedFeatures(resized, "payload", 64, ImageCodec.decodeKernel)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("int").as("mean_r"),
+          element_at(col("features"), 4).cast("int").as("mean_g"),
+          element_at(col("features"), 5).cast("int").as("mean_b"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1639,7 +1668,27 @@ object SparkEntry {
         |  cum_before % 128 AS start_off,
         |  CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 128
         |       ELSE cum_before // 128 END AS end_seq
-        |FROM c ORDER BY shard, id""".stripMargin
+        |FROM c ORDER BY shard, id""".stripMargin,
+
+    // Resize arithmetic mirrored exactly: integer target dims
+    // greatest(1, side*4 // longest) when the longest side exceeds 4, else
+    // unchanged; solid-color fixtures keep their exact mean color through
+    // PNG re-encode (lossless) regardless of scaling.
+    "q65_image_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 4 THEN w
+        |       ELSE greatest(1, w * 4 // greatest(w, h)) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 4 THEN h
+        |       ELSE greatest(1, h * 4 // greatest(w, h)) END AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
+        |FROM f ORDER BY doc_id""".stripMargin
     // q33_ivf_topk (approximate by construction; recall gated by a
     // ≥0.95-recall@5 spec): not SQL-expressible → rows-only check by the
     // driver. Every other query is fully oracle-checked.

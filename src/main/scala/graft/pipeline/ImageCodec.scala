@@ -58,6 +58,38 @@ object ImageCodec {
    * pre-filter undecodable rows with [[Multimodal.withBatchedFeatures]]'s
    * null passthrough by nulling them out first.
    */
+  /**
+   * Real batched resize: images whose longest side exceeds `maxDim` scale
+   * down to fit it (aspect preserved), re-encoded as PNG; already-small
+   * payloads pass through byte-identical. Target dimensions use INTEGER
+   * arithmetic — `max(1, side * maxDim / longest)` — so any oracle can
+   * reproduce them exactly without float-rounding hazards. Pixel sampling
+   * is `Graphics2D.drawImage`'s default (nearest); pass quality hints in a
+   * custom kernel if resampling quality ever matters more than determinism.
+   */
+  def resizeKernel(maxDim: Int): Seq[Array[Byte]] => Seq[Array[Byte]] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    payloads => payloads.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a JDK-decodable image (png/bmp/gif/jpeg)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val m = math.max(w, h)
+      if (m <= maxDim) bytes
+      else {
+        val nw = math.max(1, w * maxDim / m)
+        val nh = math.max(1, h * maxDim / m)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+        val bos = new ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(out, "png", bos), "no PNG writer")
+        bos.toByteArray
+      }
+    }
+  }
+
   def decodeKernel: Seq[Array[Byte]] => Seq[Array[Float]] = payloads =>
     payloads.map { bytes =>
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))

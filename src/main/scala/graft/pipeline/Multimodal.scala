@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
  * `binary` columns next to a typed metadata struct, and per-row feature
  * extraction is a map-side transform that never shuffles.
  *
- * The actual media *decode* is STUBBED — this container has no image/audio
- * codecs — as a clearly-marked deterministic fake
- * ([[stubDecodeFeatures]]); everything around it (schema shape, batch-safe
- * expressions, partition sizing guidance, frame sampling) is real and tested.
- * Swapping the stub for a real decoder means replacing one expression with a
- * `mapInPandas`/JNI kernel of the same signature: `binary → array<float>`.
+ * IMAGE decode and resize are REAL (JDK-only `javax.imageio` kernels in
+ * [[ImageCodec]], oracle-gated by q30/q65). Audio/video decode stays
+ * STUBBED — the JDK ships no codecs for them — as clearly-marked
+ * deterministic fakes ([[stubDecodeFeatures]], [[stubFrameSample]]);
+ * everything around the stubs (schema shape, batch-safe expressions,
+ * partition sizing guidance) is real and tested. Swapping a stub for a real
+ * decoder means replacing one kernel of the same batched signature.
  */
 object Multimodal {
 
@@ -90,23 +91,54 @@ object Multimodal {
       binCol: String,
       batchSize: Int,
       kernel: Seq[Array[Byte]] => Seq[Array[Float]]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    withBatchedColumn(df, binCol, "features",
+      ArrayType(FloatType, containsNull = false), batchSize,
+      payloads => kernel(payloads).map(_.toSeq))
+  }
+
+  /**
+   * Binary→binary variant of the batched runner (same batching, null
+   * passthrough, and purity contract): payloads in, transformed payloads
+   * out as `outCol binary`. The shape for resize/transcode/thumbnail
+   * kernels, where the output is another payload rather than features.
+   */
+  def withBatchedBinary(
+      df: DataFrame,
+      binCol: String,
+      outCol: String,
+      batchSize: Int,
+      kernel: Seq[Array[Byte]] => Seq[Array[Byte]]): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    withBatchedColumn(df, binCol, outCol, BinaryType, batchSize,
+      payloads => kernel(payloads))
+  }
+
+  /** Shared batched-kernel executor; `kernel` returns one CELL VALUE (in
+   *  `outType`'s external representation) per non-null payload. */
+  private def withBatchedColumn(
+      df: DataFrame,
+      binCol: String,
+      outCol: String,
+      outType: org.apache.spark.sql.types.DataType,
+      batchSize: Int,
+      kernel: Seq[Array[Byte]] => Seq[Any]): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
     val idx = df.schema.fieldIndex(binCol)
-    val outSchema = df.schema.add("features", ArrayType(FloatType, containsNull = false))
+    val outSchema = df.schema.add(outCol, outType)
     val enc = Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val payloads = batch.map(_.getAs[Array[Byte]](idx))
         val present = payloads.filter(_ != null)
-        val feats =
-          if (present.isEmpty) Seq.empty[Array[Float]] else kernel(present)
-        require(feats.length == present.length,
-          s"kernel returned ${feats.length} outputs for ${present.length} inputs")
-        val featIt = feats.iterator
+        val outs =
+          if (present.isEmpty) Seq.empty[Any] else kernel(present)
+        require(outs.length == present.length,
+          s"kernel returned ${outs.length} outputs for ${present.length} inputs")
+        val outIt = outs.iterator
         batch.lazyZip(payloads).map { (r, p) =>
-          Row.fromSeq(r.toSeq :+ (if (p == null) null else featIt.next().toSeq))
+          Row.fromSeq(r.toSeq :+ (if (p == null) null else outIt.next()))
         }
       }
     }(enc)

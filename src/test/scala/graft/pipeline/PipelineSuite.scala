@@ -951,4 +951,42 @@ class PipelineSuite extends AnyFunSuite {
     assert(a(0L).isEmpty && a(7L).isEmpty, "null payloads pass through as null features")
     assert(a(1L).get.take(2) === Seq(2f, 2f), "decoded dims disagree with fixture")
   }
+
+  test("resize kernel: integer-exact dims, aspect kept, small images untouched") {
+    // 8x3 scaled to longest side 4 -> (4, 3*4/8=1); solid color survives
+    val big = ImageCodec.encodePng(8, 3, 0x102030)
+    val Seq(resized) = ImageCodec.resizeKernel(4)(Seq(big))
+    val Seq(feats) = ImageCodec.decodeKernel(Seq(resized))
+    assert(feats.toSeq === Seq(4f, 1f, 0x10.toFloat, 0x20.toFloat, 0x30.toFloat))
+    // within-budget payloads pass through BYTE-identical (no re-encode)
+    val small = ImageCodec.encodePng(3, 4, 0xFFEEDD)
+    val Seq(same) = ImageCodec.resizeKernel(4)(Seq(small))
+    assert(same eq small, "already-small payload must not be re-encoded")
+    // extreme aspect never collapses to zero pixels: 100x1 -> 4x1
+    val line = ImageCodec.encodePng(100, 1, 0x010203)
+    val Seq(thin) = ImageCodec.decodeKernel(ImageCodec.resizeKernel(4)(Seq(line)))
+    assert(thin.take(2).toSeq === Seq(4f, 1f))
+  }
+
+  test("resize through batched binary plumbing: null-safe, batch-size independent") {
+    val imgs = spark.range(0, 30)
+      .select(col("id"),
+        when(col("id") % 5 === 0, lit(null).cast("binary"))
+          .otherwise(udf((i: Long) => ImageCodec.encodePng(
+            1 + (i % 9).toInt, 1 + (i % 6).toInt,
+            ((i * 31) % (1 << 24)).toInt)).apply(col("id"))).as("payload"))
+    def run(bs: Int) = Multimodal
+      .withBatchedBinary(imgs, "payload", "resized", bs, ImageCodec.resizeKernel(3))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[Array[Byte]]("resized")).map(_.toSeq))
+      .toMap
+    val a = run(1)
+    val b = run(50)
+    assert(a === b, "resized bytes must not depend on batch size")
+    assert(a(0L).isEmpty && a(5L).isEmpty, "null payloads stay null")
+    // spot-check one: id=1 is 2x2, within budget -> identical to input
+    val in1 = imgs.filter(col("id") === 1).head().getAs[Array[Byte]]("payload")
+    assert(a(1L).get === in1.toSeq)
+  }
 }
