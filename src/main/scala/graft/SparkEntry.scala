@@ -845,6 +845,15 @@ object SparkEntry {
       Packing.packConcat(t(s, d, "documents"), "doc_id", "text", "source", 128)
     }),
 
+    "q66_pack_sequences" -> ((s, d) => {
+      // Materialized greedy packing: the model-ready sequences themselves,
+      // emitted incrementally from the same one-shuffle sorted-group scan
+      // as q63 (text crosses the wire once; no assignment join-back). The
+      // oracle replays the recurrence (recursive CTE) then string_aggs the
+      // members in id order.
+      Packing.packSequences(t(s, d, "documents"), "doc_id", "text", "source", 128)
+    }),
+
     "q65_image_resize" -> ((s, d) => {
       // REAL image resize (round 8): q30's planted fixtures go through the
       // javax.imageio resize kernel (longest side -> 4, integer-arithmetic
@@ -1688,7 +1697,31 @@ object SparkEntry {
         |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Same greedy recurrence as q63, then the sequences materialize as
+    // id-ordered space-joined member text (null text joins as '').
+    "q66_pack_sequences" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id AS id, source AS shard, coalesce(text, '') AS text,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, shard, text, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.text, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1)
+        |SELECT shard, seq_idx,
+        |  string_agg(text, ' ' ORDER BY id) AS text,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY shard, seq_idx ORDER BY shard, seq_idx""".stripMargin
     // q33_ivf_topk (approximate by construction; recall gated by a
     // ≥0.95-recall@5 spec): not SQL-expressible → rows-only check by the
     // driver. Every other query is fully oracle-checked.

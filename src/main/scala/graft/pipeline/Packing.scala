@@ -62,6 +62,74 @@ object Packing {
   }
 
   /**
+   * Greedy no-split packing, materialized: the model-ready sequences
+   * themselves. Returns one row per packed sequence —
+   * (shard, seq_idx, text, n_tokens, n_docs) — where `text` is the
+   * member documents' text joined with single spaces in id order (null
+   * text joins as empty). Same single sorted-group scan as [[packGreedy]]:
+   * document text moves through exactly ONE shuffle and sequences emit
+   * incrementally from the stream, so task memory is O(one sequence), not
+   * O(shard) — the assignment never materializes separately and there is
+   * no join-back for the text.
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val slim = df.select(col(idCol).cast("long").as("id"),
+      col(shardCol).cast("string").as("shard"),
+      coalesce(col(textCol).cast("string"), lit("")).as("text"),
+      tokenCountOf(textCol).as("tc"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq_idx", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType)))
+    slim.groupByKey((r: Row) => r.getString(1))(Encoders.STRING)
+      .flatMapSortedGroups(col("id")) { (shard: String, rows: Iterator[Row]) =>
+        new Iterator[Row] {
+          private var seqIdx = -1L
+          private var used = 0L
+          private var docs = 0L
+          private val sb = new java.lang.StringBuilder
+          private var pending: Row = _
+          override def hasNext: Boolean = pending != null || rows.hasNext || docs > 0
+          override def next(): Row = {
+            var emitted: Row = null
+            while (emitted == null && (pending != null || rows.hasNext)) {
+              val r = if (pending != null) pending else rows.next()
+              pending = null
+              val tc = r.getLong(3)
+              if (docs == 0 || used + tc <= budget) {
+                if (docs > 0) sb.append(' ')
+                sb.append(r.getString(2))
+                used += tc
+                docs += 1
+                if (seqIdx < 0) seqIdx = 0
+              } else {
+                // overflow: close the current sequence, replay r next call
+                emitted = Row(shard, seqIdx, sb.toString, used, docs)
+                pending = r
+                sb.setLength(0); used = 0L; docs = 0L; seqIdx += 1
+              }
+            }
+            if (emitted != null) emitted
+            else if (docs > 0) { // stream drained: flush the open sequence
+              val last = Row(shard, seqIdx, sb.toString, used, docs)
+              sb.setLength(0); used = 0L; docs = 0L
+              last
+            } else throw new NoSuchElementException("group exhausted")
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /**
    * Greedy no-split packing. Returns (id, shard, n_tokens, seq_idx): the
    * 0-based sequence index within the shard. The scan is
    * `flatMapSortedGroups` over (shard → rows sorted by id): one shuffle,

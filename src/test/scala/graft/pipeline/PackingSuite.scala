@@ -110,6 +110,25 @@ class PackingSuite extends AnyFunSuite {
     assert(out.toSet === Set("a" -> 0L, "b" -> 0L))
   }
 
+  test("packSequences materializes exactly packGreedy's assignment") {
+    val assign = Packing.packGreedy(fixture, "doc_id", "text", "source", 128)
+      .collect().map(r => (r.getString(1), r.getLong(3)) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val seqs = Packing.packSequences(fixture, "doc_id", "text", "source", 128)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(seqs.keySet === assign.keySet) // same sequences exist
+    // shard a seq 0 = docs 0+1 (100+28 tokens), joined in id order
+    assert(seqs(("a", 0L)) === ((doc(100) + " " + doc(28), 128L, 2L)))
+    assert(seqs(("a", 1L)) === ((doc(1), 1L, 1L)))
+    // shard b: oversized alone; exact-fit + empty doc join; 5 alone
+    assert(seqs(("b", 0L)) === ((doc(300), 300L, 1L)))
+    assert(seqs(("b", 1L)) === ((doc(128) + " ", 128L, 2L))) // empty doc joins
+    assert(seqs(("b", 2L)) === ((doc(5), 5L, 1L)))
+    // doc counts agree with the assignment
+    assign.foreach { case (k, ids) => assert(seqs(k)._3 === ids.length.toLong) }
+  }
+
   test("packing respects budget: greedy sequences never exceed it") {
     val out = Packing.packGreedy(fixture, "doc_id", "text", "source", 128)
       .groupBy("shard", "seq_idx").agg(sum("n_tokens").as("filled"),
