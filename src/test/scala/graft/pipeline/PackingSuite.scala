@@ -88,7 +88,7 @@ class PackingSuite extends AnyFunSuite {
     }
   }
 
-  test("both variants: one shuffle on the shard key, no extra exchange") {
+  test("all packing variants: one shuffle on the shard key, no extra exchange") {
     // range-backed frame so ConvertToLocalRelation can't fold the plan away
     val df = spark.range(1000).select(
       col("id").as("doc_id"),
@@ -96,7 +96,8 @@ class PackingSuite extends AnyFunSuite {
       (col("id") % 8).cast("string").as("source"))
     for (plan <- Seq(
         Packing.packGreedy(df, "doc_id", "text", "source", 64),
-        Packing.packConcat(df, "doc_id", "text", "source", 64))) {
+        Packing.packConcat(df, "doc_id", "text", "source", 64),
+        Packing.packSequences(df, "doc_id", "text", "source", 64))) {
       val physical = plan.queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).length
       assert(exchanges === 1, s"expected exactly one shuffle:\n$physical")
