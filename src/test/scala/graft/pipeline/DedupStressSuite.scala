@@ -198,4 +198,29 @@ class DedupStressSuite extends AnyFunSuite {
     assert(covSecs < 300.0 && cutSecs < 300.0,
       f"blew the wall-time bound: $covSecs%.1f / $cutSecs%.1f s")
   }
+
+  test("packing: 200k docs in ONE shard stream through the sorted-group scan", SlowTest) {
+    // The degenerate parallelism case: a single shard forces one task to
+    // scan every row. The design claim is O(one sequence) task state — this
+    // proves it at volume: 200k × 9-token docs → 2M tokens → 20k full
+    // sequences at budget 100 (9 docs × 9 + the 10th overflows ... exactly:
+    // floor(100/9)=11 docs per sequence, 200000/11 = 18182 sequences), plus
+    // materialized text per sequence, without task-memory blowup.
+    val n = 200000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 9).map(i => concat(lit(s"t$i"), col("id") % 100)): _*)
+        .as("text"),
+      lit("one-shard").as("source"))
+    val t0 = System.nanoTime()
+    val agg = Packing.packSequences(docs, "doc_id", "text", "source", 100)
+      .agg(count(lit(1)).as("seqs"), sum("n_tokens").as("toks"),
+        sum("n_docs").as("docs"), max("n_tokens").as("maxTok")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"packSequences 1-shard stress: ${agg.getLong(0)}%d seqs in $secs%.1f s")
+    assert(agg.getLong(0) === (n + 10) / 11) // ceil(200000/11) sequences
+    assert(agg.getLong(1) === 9L * n) // every token lands exactly once
+    assert(agg.getLong(2) === n)
+    assert(agg.getLong(3) === 99L) // 11 × 9 tokens — never over budget
+    assert(secs < 300.0, f"blew the wall-time bound: $secs%.1f s")
+  }
 }

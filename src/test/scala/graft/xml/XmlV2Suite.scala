@@ -184,6 +184,18 @@ class XmlV2Suite extends AnyFunSuite {
     assert(readBack(out).count() === 50)
   }
 
+  test("v2 write: 64 partitions publish 64 parts, every row exactly once") {
+    val out = freshDir()
+    writeV2(v1.repartition(64), out, "append")
+    val parts = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("part-")).sorted
+    assert(parts.length === 64, s"${parts.length} parts")
+    // names carry the zero-padded partition id: stable, collision-free
+    assert(parts.head.startsWith("part-00000-") && parts.last.startsWith("part-00063-"))
+    val ids = readBack(out).select("_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 1000L))
+  }
+
   test("v2 write: default ErrorIfExists mode is rejected with guidance") {
     // The V2 contract for non-catalog providers: only append/overwrite.
     val e = intercept[org.apache.spark.sql.AnalysisException] {
