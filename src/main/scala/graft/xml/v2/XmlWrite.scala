@@ -56,8 +56,14 @@ private[v2] final class XmlWriteBuilder(
 
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
 
-  override def build(): Write =
+  override def build(): Write = {
+    // Fail-fast on the driver at plan time: a bad charset or codec name
+    // should never surface as N identical task failures deep in the job.
+    val options = XmlOptions(parameters)
+    java.nio.charset.Charset.forName(options.charset)
+    options.codec.foreach(XmlFile.resolveCodec)
     new XmlBatchWrite(parameters, schema, queryId, truncateOnCommit, hadoopConf)
+  }
 }
 
 private[v2] final class XmlBatchWrite(

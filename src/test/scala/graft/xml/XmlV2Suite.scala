@@ -196,6 +196,17 @@ class XmlV2Suite extends AnyFunSuite {
     assert(ids.toSeq === (0L until 1000L))
   }
 
+  test("v2 write: bad charset/codec fail on the driver at plan time") {
+    val e1 = intercept[Exception] {
+      writeV2(v1.limit(1), freshDir(), "append", "charset" -> "no-such-charset")
+    }
+    assert(e1.toString.toLowerCase.contains("charset"), e1.toString)
+    val e2 = intercept[Exception] {
+      writeV2(v1.limit(1), freshDir(), "append", "codec" -> "no.such.Codec")
+    }
+    assert(e2.toString.contains("no.such.Codec"), e2.toString)
+  }
+
   test("v2 write: default ErrorIfExists mode is rejected with guidance") {
     // The V2 contract for non-catalog providers: only append/overwrite.
     val e = intercept[org.apache.spark.sql.AnalysisException] {
