@@ -101,15 +101,29 @@ private[v2] final class XmlBatchWrite(
           if (st.getPath.getName != stagingName) fs.delete(st.getPath, true)
         }
       }
-      messages.foreach {
-        case XmlWriteTaskResult(Some((staged, finalName))) =>
-          val from = new Path(staged)
-          val to = new Path(dest, finalName)
-          if (!fs.rename(from, to)) {
-            throw new IllegalStateException(
-              s"xmlng2 write: failed to publish $from -> $to")
-          }
-        case _ => () // empty partition, nothing staged
+      val staged = messages.collect {
+        case XmlWriteTaskResult(Some(pair)) => pair // empty partitions stage nothing
+      }
+      // Publish renames in parallel: serially, a 100k-task write is 100k
+      // driver-side metadata round-trips (tens of ms each on an object
+      // store). Bounded pool; the first failure propagates and aborts.
+      if (staged.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, staged.length))
+        try {
+          staged.map { case (stagedPath, finalName) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val from = new Path(stagedPath)
+                val to = new Path(dest, finalName)
+                if (!fs.rename(from, to)) {
+                  throw new IllegalStateException(
+                    s"xmlng2 write: failed to publish $from -> $to")
+                }
+              }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdownNow()
       }
       fs.create(new Path(dest, "_SUCCESS"), true).close()
     } finally {
