@@ -40,6 +40,18 @@ private[graft] object InferSchema {
     val merged = spread
       .mapPartitions { iter =>
         val validator = options.rowValidationXSDPath.map(ValidatorUtil.forPath)
+        // Shape dedup: `compatibleType` is idempotent (merge(a, a) == a), so
+        // each DISTINCT record shape needs to reach the lattice merge only
+        // once per partition. Real corpora have a handful of shapes across
+        // millions of records; the merge allocates (LinkedHashMap + new
+        // StructType per step) while the set probe just hashes (StructType
+        // caches its hashCode). Keeps per-record merge cost O(1) regardless
+        // of schema width — the flat-corpus time is dominated by the leaf
+        // probes (see TypeCast's exception-free predicates), but a
+        // 1000-field schema merged per record would dominate without this.
+        // Memory is bounded by shapes actually distinct, the same bound the
+        // merged result itself carries.
+        val seen = mutable.HashSet.empty[DataType]
         iter.flatMap { record =>
           try {
             validator.foreach(ValidatorUtil.validate(_, record))
@@ -52,7 +64,7 @@ private[graft] object InferSchema {
                 case _ => None
               }
           }
-        }
+        }.filter(seen.add)
       }
       .treeAggregate(zero)(compatibleType(options), compatibleType(options))
 

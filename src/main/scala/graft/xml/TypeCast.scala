@@ -169,21 +169,53 @@ private[graft] object TypeCast {
   def isBoolean(value: String): Boolean =
     value == "true" || value == "false"
 
+  // The inference predicates run once per leaf per record, so a corpus-scale
+  // inference pass calls them hundreds of millions of times. They must reject
+  // non-matching values WITHOUT throwing: an exception-per-probe turns a
+  // string-heavy corpus into an exception storm (measured: the storm, not the
+  // parse or the lattice merge, dominated full-corpus inference cost).
+
   def isLong(value: String): Boolean = {
-    val v = if (value.startsWith("+")) value.substring(1) else value
-    v.nonEmpty && allCatch.opt(v.toLong).isDefined
+    val len = value.length
+    if (len == 0) return false
+    val c0 = value.charAt(0)
+    val start = if (c0 == '+' || c0 == '-') 1 else 0
+    if (len == start) return false
+    var i = start
+    while (i < len && value.charAt(i).isDigit) i += 1
+    if (i < len) false // non-digit present: reject with no exception
+    else if (len - start <= 18) true // within Long range by construction
+    else { // 19+ digits: only the boundary needs a real parse
+      val v = if (c0 == '+') value.substring(1) else value
+      allCatch.opt(v.toLong).isDefined
+    }
   }
 
   def isDouble(value: String): Boolean = {
     val v = if (value.startsWith("+")) value.substring(1) else value
-    // Reject Java-isms the XML data model shouldn't infer as numbers.
+    // Reject Java-isms the XML data model shouldn't infer as numbers, and
+    // digit-less fragments ("-", ".", "/"), before attempting a parse.
     v.nonEmpty && !v.exists(c => c.isLetter && c != 'E' && c != 'e') &&
-      allCatch.opt(v.toDouble).isDefined
+      v.exists(_.isDigit) && allCatch.opt(v.toDouble).isDefined
   }
 
+  /** Every built-in temporal format (ISO instant/offset/local, `yyyy-MM-dd
+   *  [HH:mm:ss]`) starts with a year — optionally signed — followed by `-`;
+   *  values without that head can only parse under a user-supplied format. */
+  private def maybeBuiltInTemporal(v: String): Boolean =
+    v.length >= 8 && {
+      val s = if (v.charAt(0) == '-') 1 else 0
+      v.length > s + 4 &&
+        v.charAt(s).isDigit && v.charAt(s + 1).isDigit &&
+        v.charAt(s + 2).isDigit && v.charAt(s + 3).isDigit &&
+        v.charAt(s + 4) == '-'
+    }
+
   def isTimestamp(value: String, options: XmlOptions): Boolean =
-    allCatch.opt(parseXmlTimestamp(value, options)).isDefined
+    (maybeBuiltInTemporal(value) || options.timestampFormat.isDefined) &&
+      allCatch.opt(parseXmlTimestamp(value, options)).isDefined
 
   def isDate(value: String, options: XmlOptions): Boolean =
-    allCatch.opt(parseXmlDate(value, options)).isDefined
+    (maybeBuiltInTemporal(value) || options.dateFormat.isDefined) &&
+      allCatch.opt(parseXmlDate(value, options)).isDefined
 }
