@@ -113,20 +113,36 @@ private[graft] object TypeCast {
       .toFormatter
   )
 
+  /** Index of the last built-in format that parsed successfully. A corpus
+   *  uses one timestamp shape in practice; starting each parse at the format
+   *  that worked last turns "N-1 thrown-and-caught exceptions per value"
+   *  into zero after the first row. Safe to share racily across tasks (any
+   *  stale value only costs extra attempts), and safe for correctness: the
+   *  built-in formats are mutually exclusive except ISO_INSTANT/ISO_OFFSET
+   *  on `...Z` values, where both yield the same instant. */
+  private val lastHitTimestampFormat = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[xml] def parseXmlTimestamp(value: String, options: XmlOptions): Timestamp = {
     def fromInstant(i: Instant): Timestamp = Timestamp.from(i)
     val zone = options.timezone.map(ZoneId.of).getOrElse(ZoneOffset.UTC)
 
-    val builtIn = builtInTimestampFormats.view.flatMap { fmt =>
-      allCatch.opt {
-        val parsed = fmt.parse(value)
+    val n = builtInTimestampFormats.length
+    val start = lastHitTimestampFormat.get()
+    var builtIn: Option[Timestamp] = None
+    var i = 0
+    while (i < n && builtIn.isEmpty) {
+      val idx = (start + i) % n
+      builtIn = allCatch.opt {
+        val parsed = builtInTimestampFormats(idx).parse(value)
         if (parsed.isSupported(ChronoField.OFFSET_SECONDS)) {
           fromInstant(Instant.from(parsed))
         } else {
           fromInstant(LocalDateTime.from(parsed).atZone(zone).toInstant)
         }
       }
-    }.headOption
+      if (builtIn.isDefined && idx != start) lastHitTimestampFormat.lazySet(idx)
+      i += 1
+    }
 
     builtIn.orElse {
       options.timestampFormat.flatMap { pattern =>
