@@ -70,4 +70,26 @@ class TypeCastSuite extends AnyFunSuite {
     assert(TypeCast.isDate("2020-01-01", opts) && !TypeCast.isDate("20200101x", opts))
     assert(TypeCast.isTimestamp("2020-01-01T00:00:00Z", opts))
   }
+
+  test("inference predicates: exception-free reject paths keep exact boundaries") {
+    // Long boundary: 19-digit values take the real parse, overflow rejects
+    assert(TypeCast.isLong("-42") && TypeCast.isLong(Long.MaxValue.toString))
+    assert(TypeCast.isLong(Long.MinValue.toString))
+    assert(!TypeCast.isLong("9223372036854775808")) // MaxValue + 1
+    assert(!TypeCast.isLong("") && !TypeCast.isLong("+") && !TypeCast.isLong("-"))
+    assert(!TypeCast.isLong("12 3") && !TypeCast.isLong("0x10"))
+    // digit-less fragments reject without a parse attempt
+    assert(!TypeCast.isDouble("-") && !TypeCast.isDouble(".") && !TypeCast.isDouble("e"))
+    assert(TypeCast.isDouble("-.5") && TypeCast.isDouble("1e5"))
+    // the structural yyyy- gate does not lose signed years or space format
+    assert(TypeCast.isTimestamp("2020-01-01 10:15:30", opts))
+    assert(!TypeCast.isTimestamp("N", opts) && !TypeCast.isTimestamp("10:15:30", opts))
+    assert(TypeCast.isDate("-0044-03-15", opts)) // negative year keeps parsing
+    // a user format without the yyyy- head still takes the full parse path
+    val userFmt = XmlOptions(Map(
+      "timestampFormat" -> "dd/MM/yyyy HH:mm", "dateFormat" -> "dd.MM.yyyy"))
+    assert(TypeCast.isTimestamp("03/12/2011 10:15", userFmt))
+    assert(TypeCast.isDate("07.06.2020", userFmt))
+    assert(!TypeCast.isTimestamp("03/12/2011 10:15", opts)) // no format, no match
+  }
 }
