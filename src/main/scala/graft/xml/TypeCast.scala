@@ -215,10 +215,11 @@ private[graft] object TypeCast {
       v.exists(_.isDigit) && allCatch.opt(v.toDouble).isDefined
   }
 
-  /** Every built-in temporal format (ISO instant/offset/local, `yyyy-MM-dd
-   *  [HH:mm:ss]`) starts with a year — optionally signed — followed by `-`;
-   *  values without that head can only parse under a user-supplied format. */
-  private def maybeBuiltInTemporal(v: String): Boolean =
+  /** The ISO-family built-in formats (instant/offset/local, `yyyy-MM-dd
+   *  [HH:mm:ss]`) all start with a year — optionally signed — followed by
+   *  `-`; values without that head can only parse as RFC 1123 or under a
+   *  user-supplied format. */
+  private def maybeIsoTemporal(v: String): Boolean =
     v.length >= 8 && {
       val s = if (v.charAt(0) == '-') 1 else 0
       v.length > s + 4 &&
@@ -227,11 +228,24 @@ private[graft] object TypeCast {
         v.charAt(s + 4) == '-'
     }
 
+  /** RFC 1123 heads: `EEE, d MMM yyyy …` (3-letter day + comma) or, with
+   *  the optional day-of-week omitted, a 1-2 digit day then a space. Admits
+   *  some non-temporal strings (they just pay the parse attempt); rejects
+   *  plain words and ordinary sentences without throwing. */
+  private def maybeRfc1123(v: String): Boolean =
+    v.length >= 14 && {
+      val c0 = v.charAt(0)
+      (c0.isLetter && v.charAt(3) == ',') ||
+        (c0.isDigit && (v.charAt(1) == ' ' ||
+          (v.charAt(1).isDigit && v.charAt(2) == ' ')))
+    }
+
   def isTimestamp(value: String, options: XmlOptions): Boolean =
-    (maybeBuiltInTemporal(value) || options.timestampFormat.isDefined) &&
+    (maybeIsoTemporal(value) || maybeRfc1123(value) ||
+      options.timestampFormat.isDefined) &&
       allCatch.opt(parseXmlTimestamp(value, options)).isDefined
 
   def isDate(value: String, options: XmlOptions): Boolean =
-    (maybeBuiltInTemporal(value) || options.dateFormat.isDefined) &&
+    (maybeIsoTemporal(value) || options.dateFormat.isDefined) &&
       allCatch.opt(parseXmlDate(value, options)).isDefined
 }

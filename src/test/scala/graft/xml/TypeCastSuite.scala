@@ -85,6 +85,13 @@ class TypeCastSuite extends AnyFunSuite {
     assert(TypeCast.isTimestamp("2020-01-01 10:15:30", opts))
     assert(!TypeCast.isTimestamp("N", opts) && !TypeCast.isTimestamp("10:15:30", opts))
     assert(TypeCast.isDate("-0044-03-15", opts)) // negative year keeps parsing
+    // RFC 1123 is a built-in format whose head is NOT yyyy-: both shapes
+    // (with and without the optional day-of-week) must survive the gate
+    assert(TypeCast.isTimestamp("Tue, 3 Jun 2008 11:05:30 GMT", opts))
+    assert(TypeCast.isTimestamp("3 Jun 2008 11:05:30 GMT", opts))
+    assert(TypeCast.isTimestamp("13 Jun 2008 11:05:30 GMT", opts))
+    // a plain sentence neither matches nor pays a parse attempt
+    assert(!TypeCast.isTimestamp("the quick brown fox jumps", opts))
     // a user format without the yyyy- head still takes the full parse path
     val userFmt = XmlOptions(Map(
       "timestampFormat" -> "dd/MM/yyyy HH:mm", "dateFormat" -> "dd.MM.yyyy"))
