@@ -20,6 +20,8 @@ object Bench {
     val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    require(timedPasses >= 1, // fail fast, BEFORE the minutes-long warmup sweep
+      s"SPARK_GRAFT_PASSES must be >= 1, got $timedPasses")
     val benched: Seq[(String, (SparkSession, String) => DataFrame)] =
       onlyQueries match {
         case Some(sel) => SparkEntry.queries.filter { case (n, _) => sel(n) }.toSeq

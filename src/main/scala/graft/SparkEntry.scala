@@ -674,12 +674,7 @@ object SparkEntry {
       // doc_id alone — so the gate passes only if the PNG encode∘decode
       // roundtrip is faithful. The per-row UDF is fixture GENERATION, not
       // the measured operator; production payloads arrive as binary columns.
-      val mkPng = udf((id: Long) => {
-        val w = 1 + (id % 8).toInt
-        val h = 1 + (id % 5).toInt
-        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
-        ImageCodec.encodePng(w, h, rgb)
-      })
+      val mkPng = fixturePng
       val docs = t(s, d, "documents")
         .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
       Multimodal.withBatchedFeatures(docs, "payload", 64, ImageCodec.decodeKernel)
@@ -862,12 +857,7 @@ object SparkEntry {
       // predicts post-resize dimensions with the same integer arithmetic
       // and the solid-fixture colors unchanged, so the gate passes only if
       // resize∘decode is faithful end to end.
-      val mkPng = udf((id: Long) => {
-        val w = 1 + (id % 8).toInt
-        val h = 1 + (id % 5).toInt
-        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
-        ImageCodec.encodePng(w, h, rgb)
-      })
+      val mkPng = fixturePng
       val docs = t(s, d, "documents")
         .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
       val resized = Multimodal
@@ -883,6 +873,16 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** Planted-image fixture shared by q30 and q65: dims and color are pure
+    * functions of the row id, and BOTH DuckDB oracles replay exactly these
+    * formulas — change them only together. */
+  private lazy val fixturePng = udf((id: Long) => {
+    val w = 1 + (id % 8).toInt
+    val h = 1 + (id % 5).toInt
+    val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+    ImageCodec.encodePng(w, h, rgb)
+  })
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -433,10 +433,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     val wNames = (0 until words).map(i => s"sim$i")
     val wCols = wNames.map(col)
     // Null sketches (null text) never pair — mirrors the join semantics the
-    // chunk-equi-join had (NULL = NULL is not a match).
+    // chunk-equi-join had (NULL = NULL is not a match). The 64-bit arms wrap
+    // the scalar sketch in array(), and array(null) is a NON-null array of
+    // one null — so the element must be tested too, or null-text docs would
+    // collapse into one "hamming 0" group and emit as false duplicates.
     val base = spreadInput(df, floor)
       .select(col(idCol).cast("long").as("id"), sketchArr.as("sk"))
-      .filter(col("sk").isNotNull)
+      .filter(col("sk").isNotNull && col("sk").getItem(0).isNotNull)
       .select(col("id") +: wNames.zipWithIndex.map { case (n, i) =>
         col("sk").getItem(i).as(n) }: _*)
 
@@ -898,14 +901,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     // at a time instead of maxIter+1. Only the LAST round's files survive
     // the call (the returned frame still reads them lazily): delete the
     // user dir after consuming the result.
-    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    // Save/restore goes through Bridge, NOT setCheckpointDir: the public
+    // setter appends a fresh UUID subdir per call, so restoring a saved
+    // value through it would leave the context one level deeper (and mkdir
+    // it) every time — a caller that already had a checkpoint dir would see
+    // it drift.
+    val prevCheckpointDir =
+      org.apache.spark.sql.graft.Bridge.rawCheckpointDir(spark.sparkContext)
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def restoreCheckpointDir(): Unit = if (checkpointDir.isDefined) {
-      // null resets the context to "no checkpoint dir" (Option(null) in the
-      // implementation); best-effort because non-local contexts touch the
-      // path argument before wrapping it.
-      try spark.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
-      catch { case scala.util.control.NonFatal(_) => () }
+      org.apache.spark.sql.graft.Bridge
+        .restoreCheckpointDir(spark.sparkContext, prevCheckpointDir)
     }
     var lastCheckpointFile: Option[String] = None
     // Called right after the action that made `newlyDurable`'s checkpoint

@@ -47,8 +47,12 @@ object Packing {
       shardCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
-    // the window runs over the RENAMED projection below
+    // The window runs over the RENAMED projection below. Explicit ROWS
+    // frame: the default RANGE frame includes all PEERS of the current id,
+    // so duplicate ids within a shard would double-count each other's
+    // tokens in cum_before instead of concatenating in some order.
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).as("id"), col(shardCol).as("shard"),
         tokenCountOf(textCol).as("n_tokens"))
       .withColumn("cum_before",

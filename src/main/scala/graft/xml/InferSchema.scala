@@ -49,8 +49,12 @@ private[graft] object InferSchema {
         // of schema width — the flat-corpus time is dominated by the leaf
         // probes (see TypeCast's exception-free predicates), but a
         // 1000-field schema merged per record would dominate without this.
-        // Memory is bounded by shapes actually distinct, the same bound the
-        // merged result itself carries.
+        // The set is CAPPED: k optional fields can produce up to 2^k
+        // distinct record shapes, so an unbounded set could hold
+        // combinatorially more than the merged schema. Past the cap, known
+        // shapes still dedup and novel ones flow straight to the merge —
+        // memory stays O(cap × shape), correctness is unaffected either way.
+        val maxTrackedShapes = 4096
         val seen = mutable.HashSet.empty[DataType]
         iter.flatMap { record =>
           try {
@@ -64,7 +68,13 @@ private[graft] object InferSchema {
                 case _ => None
               }
           }
-        }.filter(seen.add)
+        }.filter { dt =>
+          if (seen.contains(dt)) false
+          else {
+            if (seen.size < maxTrackedShapes) seen.add(dt)
+            true
+          }
+        }
       }
       .treeAggregate(zero)(compatibleType(options), compatibleType(options))
 

@@ -216,17 +216,19 @@ private[graft] object TypeCast {
   }
 
   /** The ISO-family built-in formats (instant/offset/local, `yyyy-MM-dd
-   *  [HH:mm:ss]`) all start with a year — optionally signed — followed by
-   *  `-`; values without that head can only parse as RFC 1123 or under a
-   *  user-supplied format. */
-  private def maybeIsoTemporal(v: String): Boolean =
-    v.length >= 8 && {
-      val s = if (v.charAt(0) == '-') 1 else 0
-      v.length > s + 4 &&
-        v.charAt(s).isDigit && v.charAt(s + 1).isDigit &&
-        v.charAt(s + 2).isDigit && v.charAt(s + 3).isDigit &&
-        v.charAt(s + 4) == '-'
-    }
+   *  [HH:mm:ss]`) all start with a year — optionally `+`/`-`-signed, 4 or
+   *  more digits (ISO-8601 writes years beyond 9999 with a mandatory `+`) —
+   *  followed by `-`; values without that head can only parse as RFC 1123
+   *  or under a user-supplied format. */
+  private def maybeIsoTemporal(v: String): Boolean = {
+    val len = v.length
+    if (len < 8) return false
+    val c0 = v.charAt(0)
+    val s = if (c0 == '-' || c0 == '+') 1 else 0
+    var i = s
+    while (i < len && v.charAt(i).isDigit) i += 1
+    i - s >= 4 && i < len && v.charAt(i) == '-'
+  }
 
   /** RFC 1123 heads: `EEE, d MMM yyyy …` (3-letter day + comma) or, with
    *  the optional day-of-week omitted, a 1-2 digit day then a space. Admits

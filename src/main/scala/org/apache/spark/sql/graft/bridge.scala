@@ -31,6 +31,17 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.flatMap(_.getCheckpointFile)
 
+  /** Exact save/restore of `SparkContext.checkpointDir`: the public
+   *  `setCheckpointDir` always appends a fresh UUID subdirectory and mkdirs
+   *  it, so "restoring" a saved value through it would nest one level deeper
+   *  (and create a directory) per round trip. The underlying var is
+   *  `private[spark]`, which this package can reach. */
+  def rawCheckpointDir(sc: org.apache.spark.SparkContext): Option[String] =
+    sc.checkpointDir
+
+  def restoreCheckpointDir(sc: org.apache.spark.SparkContext, dir: Option[String]): Unit =
+    sc.checkpointDir = dir
+
   /** Streaming-flagged variant: micro-batch DataFrames returned from a v1
    *  `Source.getBatch` must carry `isStreaming=true` in their logical plan. */
   def internalCreateStreamingDataFrame(

@@ -505,6 +505,23 @@ class PipelineSuite extends AnyFunSuite {
     // the call must not leave its own directory active on the context.
     assert(spark.sparkContext.getCheckpointDir === dirBefore,
       "connectedComponents leaked its checkpoint dir onto the SparkContext")
+    // Exact restore when a dir was ALREADY set: the public setter nests a
+    // fresh UUID per call, so a naive save/restore would drift one level
+    // deeper; the Bridge-based restore must return the identical value.
+    val preset = java.nio.file.Files.createTempDirectory("graft_cc_prev").toString
+    spark.sparkContext.setCheckpointDir(preset)
+    val presetResolved = spark.sparkContext.getCheckpointDir
+    try {
+      // separate dir: the snapshot-count assertion below audits `dir`
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_cc_ckpt2").toString
+      Dedup.connectedComponents(edges, "a", "b",
+        localUnionFindEdges = 0, checkpointDir = Some(dir2)).collect()
+      assert(spark.sparkContext.getCheckpointDir === presetResolved,
+        "pre-existing checkpoint dir drifted across the call")
+    } finally {
+      org.apache.spark.sql.graft.Bridge
+        .restoreCheckpointDir(spark.sparkContext, dirBefore)
+    }
     val reliable = reliableDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local)

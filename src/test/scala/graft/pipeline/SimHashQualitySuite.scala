@@ -120,4 +120,23 @@ class SimHashQualitySuite extends AnyFunSuite {
     assert(means(32) > means(1) + 5.0,
       s"heavy edits should separate clearly from light ones: ${means.toSeq.sortBy(_._1)}")
   }
+  test("null-text documents never pair, at every width and hash family") {
+    // array(null) is a NON-null single-element array: the 64-bit arms wrap
+    // the scalar sketch, so a naive isNotNull filter would let null-text
+    // docs collapse into one hamming-0 group and emit as false duplicates.
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]),
+      (3L, "some actual text content here"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    for {
+      bits <- Seq(64, 128)
+      fam <- Seq("xxh64", "md5")
+    } {
+      val pairs = Dedup.simHashDedupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = bits, tokenHash = fam).collect()
+      assert(pairs.isEmpty, s"bits=$bits fam=$fam emitted null-text pairs: ${pairs.toSeq}")
+    }
+  }
 }
