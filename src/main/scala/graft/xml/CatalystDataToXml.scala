@@ -1,7 +1,6 @@
 package graft.xml
 
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -42,8 +41,7 @@ case class CatalystDataToXml(
   @transient private lazy val rowSchema: StructType =
     child.dataType.asInstanceOf[StructType]
 
-  @transient private lazy val toScala =
-    CatalystTypeConverters.createToScalaConverter(rowSchema)
+  @transient private lazy val generator = new StaxXmlGenerator(rowSchema, xmlOptions)
 
   @transient private lazy val sb = new java.lang.StringBuilder(1 << 10)
 
@@ -57,10 +55,9 @@ case class CatalystDataToXml(
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val row = toScala(input).asInstanceOf[Row]
     sb.setLength(0)
     val emitter = new XmlEmitter(sb, baseDepth = 0, compact = xmlOptions.compactOutput)
-    StaxXmlGenerator.writeRow(rowSchema, emitter, xmlOptions)(row)
+    generator.write(emitter, input.asInstanceOf[InternalRow])
     // Pretty mode opens with the emitter's leading newline; a scalar string
     // value starts at '<'.
     val start = if (sb.length > 0 && sb.charAt(0) == '\n') 1 else 0

@@ -112,10 +112,13 @@ private[graft] object XmlFile {
     val codecClass: Option[Class[_ <: CompressionCodec]] = options.codec.map { name =>
       resolveCodec(name)
     }
-    val rendered = df.rdd.mapPartitions { rows =>
+    // Serialize from InternalRow directly: the external `df.rdd` conversion
+    // (boxing every numeric, decoding every string) dominated write cost.
+    val rendered = df.queryExecution.toRdd.mapPartitions { rows =>
       // One reusable builder per partition; each next() yields one text line
       // block (header, row, or row+footer) for saveAsTextFile.
       val sb = new java.lang.StringBuilder(1 << 16)
+      val gen = new StaxXmlGenerator(schema, options)
       new Iterator[String] {
         private var begun = false
         private var ended = false
@@ -133,7 +136,7 @@ private[graft] object XmlFile {
           } else if (rows.hasNext) {
             sb.setLength(0)
             val emitter = new XmlEmitter(sb, baseDepth = 1, compact = options.compactOutput)
-            StaxXmlGenerator.writeRow(schema, emitter, options)(rows.next())
+            gen.write(emitter, rows.next())
             if (!rows.hasNext) {
               ended = true
               sb.append('\n').append("</").append(rootTagName).append('>')

@@ -8,8 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.util.ReflectionUtils
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
@@ -185,7 +184,7 @@ private[v2] final class XmlDataWriter(
   private val stagedPath =
     new Path(new Path(destPath, stagingName), f"attempt-$taskId-part-$partitionId%05d$ext")
 
-  private val toRow = CatalystTypeConverters.createToScalaConverter(schema)
+  private val gen = new StaxXmlGenerator(schema, options)
   private val sb = new java.lang.StringBuilder(1 << 16)
   private var out: OutputStreamWriter = _
 
@@ -205,7 +204,7 @@ private[v2] final class XmlDataWriter(
     ensureOpen()
     sb.setLength(0)
     val emitter = new XmlEmitter(sb, baseDepth = 1, compact = options.compactOutput)
-    StaxXmlGenerator.writeRow(schema, emitter, options)(toRow(row).asInstanceOf[Row])
+    gen.write(emitter, row)
     // pretty mode emits its own leading newline; compact rows need one to
     // land one-per-line, matching the DSv1 text layout byte for byte
     if (options.compactOutput) out.write("\n")
