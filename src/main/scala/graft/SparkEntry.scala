@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Decontaminate, Dedup, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -871,8 +871,81 @@ object SparkEntry {
           element_at(col("features"), 4).cast("int").as("mean_g"),
           element_at(col("features"), 5).cast("int").as("mean_b"))
         .orderBy("doc_id")
+    }),
+
+    "q67_audio_features" -> ((s, d) => {
+      // REAL audio decode (round 8): planted WAV PCM16 fixtures whose
+      // sample values are integer functions of the row id go through the
+      // byte-layout RIFF parser and the integer feature kernel (energy,
+      // peak, zero crossings, integer-division duration). The oracle
+      // regenerates the samples from doc_id alone and recomputes every
+      // feature in exact integer arithmetic — a one-sample decode error
+      // fails the hash gate. The per-row UDF is fixture GENERATION, not the
+      // measured operator; production payloads arrive as binary columns.
+      val mkWav = fixtureWav
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+      Multimodal.withBatchedStruct(
+          docs, "payload", "af", AudioCodec.FeatureSchema, 64,
+          AudioCodec.featureKernel)
+        .select(col("doc_id"), col("af.sample_rate"), col("af.n_samples"),
+          col("af.duration_ms"), col("af.sum_sq"), col("af.peak"),
+          col("af.zero_crossings"))
+    }),
+
+    "q68_video_frames" -> ((s, d) => {
+      // REAL container demux + REAL per-frame decode (round 8): planted
+      // GFV1 containers (length-prefixed PNG frames, dims/colors integer
+      // functions of doc_id and frame index) are demuxed by the byte-layout
+      // parser, every 2nd frame kept, then each kept frame goes through the
+      // javax.imageio decode kernel. The oracle replays the fixture
+      // formulas for exactly the kept frame indices — a mis-sliced frame
+      // boundary or off-by-one stride fails the hash gate.
+      val mkVid = fixtureGfv
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), mkVid(col("doc_id")).as("payload"))
+      val sampled = Multimodal.withBatchedFrames(
+          docs, "payload", "frames", 64, VideoCodec.frameSampleKernel(2))
+        // posexplode_outer + null-filter: the non-outer generate trips
+        // InferFiltersFromGenerate into re-running the generator input
+        .select(col("doc_id"), posexplode_outer(col("frames")).as(Seq("pos", "frame")))
+        .filter(col("frame").isNotNull)
+      Multimodal.withBatchedFeatures(sampled, "frame", 64, ImageCodec.decodeKernel)
+        .select(col("doc_id"),
+          (col("pos") * 2).cast("long").as("frame_k"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("mean_r"),
+          element_at(col("features"), 4).cast("long").as("mean_g"),
+          element_at(col("features"), 5).cast("long").as("mean_b"))
     })
   )
+
+  /** Planted-video fixture for q68: frame count, dims and colors are pure
+    * integer functions of (doc_id, frame index), replayed exactly by the
+    * DuckDB oracle — change them only together. */
+  private lazy val fixtureGfv = udf((id: Long) => {
+    val n = 1 + (id % 4).toInt
+    VideoCodec.encodeGfv((0 until n).map { k =>
+      val w = 1 + ((id + k) % 6).toInt
+      val h = 1 + ((id + k) % 3).toInt
+      val rgb = ((((id * 5 + k * 11) % 256) << 16) |
+        (((id * 3 + k * 7) % 256) << 8) | ((id + k * 13) % 256)).toInt
+      ImageCodec.encodePng(w, h, rgb)
+    })
+  })
+
+  /** Planted-audio fixture for q67: rate and samples are pure integer
+    * functions of the row id, replayed exactly by the DuckDB oracle —
+    * change them only together. */
+  private lazy val fixtureWav = udf((id: Long) => {
+    val rate = 8000 + (id % 4).toInt * 4000
+    val n = 100 + (id % 50).toInt
+    val samples = Array.tabulate(n) { i =>
+      (((id * 31 + i * 17) % 65536) - 32768).toShort
+    }
+    AudioCodec.encodeWavPcm16(rate, samples)
+  })
 
   /** Planted-image fixture shared by q30 and q65: dims and color are pure
     * functions of the row id, and BOTH DuckDB oracles replay exactly these
@@ -1721,7 +1794,58 @@ object SparkEntry {
         |  string_agg(text, ' ' ORDER BY id) AS text,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS n_docs
-        |FROM g GROUP BY shard, seq_idx ORDER BY shard, seq_idx""".stripMargin
+        |FROM g GROUP BY shard, seq_idx ORDER BY shard, seq_idx""".stripMargin,
+
+    // q67: regenerate the planted WAV samples from doc_id (same integer
+    // formulas as `fixtureWav`) and recompute every feature exactly —
+    // duration via integer division, energy/peak/crossings as integers, so
+    // the comparison has no float-rounding escape hatch.
+    "q67_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |         100 + (doc_id % 50) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, u.i,
+        |         ((d.doc_id * 31 + u.i * 17) % 65536) - 32768 AS v
+        |  FROM d, UNNEST(range(d.n)) AS u(i)),
+        |w AS (
+        |  SELECT doc_id, i, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s),
+        |a AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |         CAST(max(abs(v)) AS BIGINT) AS peak,
+        |         CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS zero_crossings
+        |  FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.sample_rate AS BIGINT) AS sample_rate,
+        |       a.n_samples,
+        |       CAST(a.n_samples * 1000 // d.sample_rate AS BIGINT) AS duration_ms,
+        |       a.sum_sq, a.peak, a.zero_crossings
+        |FROM d JOIN a USING (doc_id)""".stripMargin,
+
+    // q68: replay the planted GFV1 fixture formulas (same integer
+    // arithmetic as `fixtureGfv`) for exactly the stride-2 kept frames —
+    // the comparison is exact integers end to end.
+    "q68_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + (doc_id % 4) AS n FROM documents),
+        |f AS (
+        |  SELECT d.doc_id, u.k
+        |  FROM d, UNNEST(range(d.n)) AS u(k)
+        |  WHERE u.k % 2 = 0)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS frame_k,
+        |       CAST(1 + ((doc_id + k) % 6) AS BIGINT) AS width,
+        |       CAST(1 + ((doc_id + k) % 3) AS BIGINT) AS height,
+        |       CAST((doc_id * 5 + k * 11) % 256 AS BIGINT) AS mean_r,
+        |       CAST((doc_id * 3 + k * 7) % 256 AS BIGINT) AS mean_g,
+        |       CAST((doc_id + k * 13) % 256 AS BIGINT) AS mean_b
+        |FROM f""".stripMargin
     // q33_ivf_topk (approximate by construction; recall gated by a
     // ≥0.95-recall@5 spec): not SQL-expressible → rows-only check by the
     // driver. Every other query is fully oracle-checked.

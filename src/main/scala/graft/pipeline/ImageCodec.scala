@@ -8,8 +8,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * headless. This replaces the stub for the image modality (q30 is gated by
  * a full DuckDB oracle on planted fixtures whose dimensions and mean color
  * are predictable from the row id — the gate passes only if the PNG
- * encode∘decode roundtrip is faithful). Audio/video decode stays stubbed
- * ([[Multimodal.stubBatchKernel]]): the JDK ships no codecs for them.
+ * encode∘decode roundtrip is faithful). Audio decode is also real
+ * ([[AudioCodec]], WAV PCM16); video stays stubbed
+ * ([[Multimodal.stubFrameSample]]): the JDK ships no video codec.
  *
  * The decode kernel has the exact batched signature
  * [[Multimodal.withBatchedFeatures]] executes — swap-in shape for an ONNX

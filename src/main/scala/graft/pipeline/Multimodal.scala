@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
  * extraction is a map-side transform that never shuffles.
  *
  * IMAGE decode and resize are REAL (JDK-only `javax.imageio` kernels in
- * [[ImageCodec]], oracle-gated by q30/q65). Audio/video decode stays
- * STUBBED — the JDK ships no codecs for them — as clearly-marked
- * deterministic fakes ([[stubDecodeFeatures]], [[stubFrameSample]]);
- * everything around the stubs (schema shape, batch-safe expressions,
- * partition sizing guidance) is real and tested. Swapping a stub for a real
- * decoder means replacing one kernel of the same batched signature.
+ * [[ImageCodec]], oracle-gated by q30/q65), and AUDIO decode is REAL
+ * (byte-layout RIFF/WAVE PCM16 parsing in [[AudioCodec]], oracle-gated by
+ * q67). Video decode stays STUBBED — the JDK ships no video codec — as a
+ * clearly-marked deterministic fake ([[stubFrameSample]]); everything
+ * around the stub (schema shape, batch-safe expressions, partition sizing
+ * guidance) is real and tested. Swapping a stub for a real decoder means
+ * replacing one kernel of the same batched signature.
  */
 object Multimodal {
 
@@ -111,6 +112,43 @@ object Multimodal {
       kernel: Seq[Array[Byte]] => Seq[Array[Byte]]): DataFrame = {
     import org.apache.spark.sql.types.BinaryType
     withBatchedColumn(df, binCol, outCol, BinaryType, batchSize,
+      payloads => kernel(payloads))
+  }
+
+  /**
+   * Struct-output variant of the batched runner (same batching, null
+   * passthrough, and purity contract): payloads in, one `Row` matching
+   * `outSchema` out per payload, attached as `outCol struct<...>`. The
+   * shape for metadata/feature extractors whose outputs are heterogeneous
+   * scalars (e.g. [[AudioCodec.featureKernel]]) rather than one vector.
+   */
+  def withBatchedStruct(
+      df: DataFrame,
+      binCol: String,
+      outCol: String,
+      outSchema: org.apache.spark.sql.types.StructType,
+      batchSize: Int,
+      kernel: Seq[Array[Byte]] => Seq[org.apache.spark.sql.Row]): DataFrame =
+    withBatchedColumn(df, binCol, outCol, outSchema, batchSize,
+      payloads => kernel(payloads))
+
+  /**
+   * Frames variant of the batched runner (same batching, null passthrough,
+   * and purity contract): payloads in, the sampled frames out per payload
+   * as `outCol array<binary>` — explode downstream for per-frame work
+   * (decode, resize, feature-extract), which parallelizes frame-wise with
+   * no shuffle. The shape for [[VideoCodec.frameSampleKernel]] and any real
+   * demuxer with the same signature.
+   */
+  def withBatchedFrames(
+      df: DataFrame,
+      binCol: String,
+      outCol: String,
+      batchSize: Int,
+      kernel: Seq[Array[Byte]] => Seq[Seq[Array[Byte]]]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    withBatchedColumn(df, binCol, outCol,
+      ArrayType(BinaryType, containsNull = false), batchSize,
       payloads => kernel(payloads))
   }
 

@@ -1006,4 +1006,128 @@ class PipelineSuite extends AnyFunSuite {
     val in1 = imgs.filter(col("id") === 1).head().getAs[Array[Byte]]("payload")
     assert(a(1L).get === in1.toSeq)
   }
+
+  test("audio codec: WAV PCM16 encode-decode roundtrip, chunk walk, loud failures") {
+    val samples = Array[Short](3, -2, 0, 5, -5, 32767, -32768)
+    val bytes = AudioCodec.encodeWavPcm16(16000, samples)
+    val (rate, back) = AudioCodec.decodeWavPcm16(bytes)
+    assert(rate === 16000 && back.toSeq === samples.toSeq)
+    // chunk walk: an unknown odd-sized chunk (with pad byte) before `data`
+    // must be skipped, not break sample alignment
+    val data = bytes.drop(36) // "data" + size + samples
+    val fmtChunk = bytes.slice(12, 36)
+    val oddChunk = "junk".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val body = fmtChunk ++ oddChunk ++ data
+    val riff = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte]((body.length + 4).toByte, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val (rate2, back2) = AudioCodec.decodeWavPcm16(riff)
+    assert(rate2 === 16000 && back2.toSeq === samples.toSeq,
+      "unknown chunk with pad byte broke the walk")
+    // malformed payloads fail loudly — silent garbage features would poison
+    // downstream quality filtering
+    val notWav = intercept[IllegalArgumentException] {
+      AudioCodec.decodeWavPcm16("definitely not audio".getBytes("UTF-8"))
+    }
+    assert(notWav.getMessage.contains("not a WAV"))
+    val stereo = bytes.clone()
+    stereo(22) = 2 // channels field
+    val unsupported = intercept[IllegalArgumentException] {
+      AudioCodec.decodeWavPcm16(stereo)
+    }
+    assert(unsupported.getMessage.contains("only PCM16 mono"))
+  }
+
+  test("audio feature kernel: integer-exact energy, peak, crossings, duration") {
+    // hand-computed: sum_sq = 9+4+0+25+25 = 63; peak = 5; strict sign
+    // changes (3,-2) and (5,-5) = 2 (zero never crosses); 5 samples at
+    // 8 kHz -> 0 ms by integer division
+    val bytes = AudioCodec.encodeWavPcm16(8000, Array[Short](3, -2, 0, 5, -5))
+    val Seq(row) = AudioCodec.featureKernel(Seq(bytes))
+    assert(row === org.apache.spark.sql.Row(8000L, 5L, 0L, 63L, 5L, 2L),
+      s"feature drift: $row")
+    // duration rounds down: 12000 samples at 8 kHz = 1500 ms exactly
+    val longer = AudioCodec.encodeWavPcm16(8000, Array.fill[Short](12000)(1))
+    assert(AudioCodec.featureKernel(Seq(longer)).head.getLong(2) === 1500L)
+  }
+
+  test("real audio kernel through batched struct plumbing: batch-size independent, null-safe") {
+    val wavs = spark.range(0, 40)
+      .select(col("id"),
+        when(col("id") % 6 === 0, lit(null).cast("binary"))
+          .otherwise(udf((i: Long) => AudioCodec.encodeWavPcm16(
+            8000 + (i % 3).toInt * 4000,
+            Array.tabulate(10 + (i % 5).toInt)(j =>
+              (((i * 31 + j * 17) % 65536) - 32768).toShort)))
+            .apply(col("id"))).as("payload"))
+    def run(bs: Int) = Multimodal
+      .withBatchedStruct(wavs, "payload", "af", AudioCodec.FeatureSchema, bs,
+        AudioCodec.featureKernel)
+      .select(col("id"), col("af"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[org.apache.spark.sql.Row]("af")).map(_.toSeq))
+      .toMap
+    val a = run(1)
+    val b = run(64)
+    assert(a === b, "audio features must not depend on batch size")
+    assert(a(0L).isEmpty && a(6L).isEmpty, "null payloads pass through as null struct")
+    assert(a(1L).get.head === 12000L, "sample rate disagrees with fixture formula")
+  }
+
+  test("video container: demux roundtrip, stride sampling, loud failures") {
+    val frames = Seq(
+      ImageCodec.encodePng(2, 3, 0x112233),
+      ImageCodec.encodePng(4, 1, 0x445566),
+      ImageCodec.encodePng(1, 2, 0x778899))
+    val vid = VideoCodec.encodeGfv(frames)
+    val back = VideoCodec.decodeGfv(vid)
+    assert(back.length === 3)
+    assert(back.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq },
+      "frame bytes must survive the container byte-identical")
+    // stride 2 keeps frames 0 and 2
+    val Seq(kept) = VideoCodec.frameSampleKernel(2)(Seq(vid))
+    assert(kept.length === 2)
+    assert(kept(0).toSeq == frames(0).toSeq && kept(1).toSeq == frames(2).toSeq)
+    // empty container is legal (0 frames)
+    assert(VideoCodec.decodeGfv(VideoCodec.encodeGfv(Seq.empty)).isEmpty)
+    // malformed containers fail loudly
+    val bad = intercept[IllegalArgumentException] {
+      VideoCodec.decodeGfv("not a container at all!!".getBytes("UTF-8"))
+    }
+    assert(bad.getMessage.contains("bad magic"))
+    val truncated = intercept[IllegalArgumentException] {
+      VideoCodec.decodeGfv(vid.dropRight(5))
+    }
+    assert(truncated.getMessage.contains("corrupt GFV1"))
+  }
+
+  test("frame sampling through batched plumbing + real per-frame decode") {
+    val vids = spark.range(0, 24)
+      .select(col("id"),
+        when(col("id") % 8 === 0, lit(null).cast("binary"))
+          .otherwise(udf((i: Long) => VideoCodec.encodeGfv(
+            (0 until (1 + (i % 3).toInt)).map(k =>
+              ImageCodec.encodePng(1 + k, 2, ((i * 31 + k) % (1 << 24)).toInt))))
+            .apply(col("id"))).as("payload"))
+    def run(bs: Int) = Multimodal
+      .withBatchedFrames(vids, "payload", "frames", bs, VideoCodec.frameSampleKernel(2))
+      .select(col("id"), col("frames"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[scala.collection.Seq[Array[Byte]]]("frames"))
+          .map(_.map(_.toSeq)))
+      .toMap
+    val a = run(1)
+    val b = run(64)
+    assert(a === b, "sampled frames must not depend on batch size")
+    assert(a(0L).isEmpty && a(8L).isEmpty, "null payloads stay null")
+    // id=2 has 3 frames, stride 2 keeps 0 and 2; decode the kept frames
+    assert(a(2L).get.length === 2)
+    val dims = ImageCodec.decodeKernel(a(2L).get.toSeq.map(_.toArray))
+      .map(_.take(2).toSeq)
+    assert(dims === Seq(Seq(1f, 2f), Seq(3f, 2f)),
+      s"kept-frame dims disagree with fixture: $dims")
+  }
 }
