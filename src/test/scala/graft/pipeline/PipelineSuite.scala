@@ -1130,4 +1130,33 @@ class PipelineSuite extends AnyFunSuite {
     assert(dims === Seq(Seq(1f, 2f), Seq(3f, 2f)),
       s"kept-frame dims disagree with fixture: $dims")
   }
+
+  test("binary parser fuzz: corrupt WAV/GFV1 payloads fail cleanly, never hang") {
+    // At corpus scale some payloads WILL be truncated or bit-flipped; the
+    // parsers must either decode (flips inside sample data are undetectable
+    // without checksums, by design) or throw the documented
+    // IllegalArgumentException — anything else (hang, OOM, array error)
+    // would kill a 100k-task job on one bad file.
+    val rnd = new scala.util.Random(42)
+    val wav = AudioCodec.encodeWavPcm16(16000,
+      Array.tabulate(64)(i => (i * 7 - 200).toShort))
+    val vid = VideoCodec.encodeGfv(Seq(
+      ImageCodec.encodePng(3, 2, 0xABCDEF), ImageCodec.encodePng(1, 4, 0x0F0F0F)))
+    def corrupt(base: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
+      case 0 => base.take(rnd.nextInt(base.length)) // truncate
+      case 1 => // flip 1-4 bytes anywhere (header or data)
+        val b = base.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        b
+      case 2 => Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte) // garbage
+    }
+    (1 to 500).foreach { i =>
+      try { AudioCodec.decodeWavPcm16(corrupt(wav)); () }
+      catch { case _: IllegalArgumentException => () }
+      try { VideoCodec.decodeGfv(corrupt(vid)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
 }

@@ -119,4 +119,31 @@ class PlanShapeSuite extends AnyFunSuite {
     val qf = TextAnalysis.qualityFilter(docs, "doc_id", "text")
     assert(!physical(qf).contains("Exchange"))
   }
+
+  test("modality pipelines are shuffle-free map work end to end") {
+    // audio: binary -> batched struct decode; video: demux -> explode ->
+    // per-frame decode. Both must stay Exchange-free — at 100 TB the decode
+    // stage is pure per-partition CPU, and any shuffle here would move the
+    // payload bytes itself.
+    val wav = udf((i: Long) =>
+      AudioCodec.encodeWavPcm16(8000, Array.tabulate(8)(j => (j - 4).toShort)))
+    val audio = Multimodal.withBatchedStruct(
+      spark.range(0, 8).select(col("id"), wav(col("id")).as("payload")),
+      "payload", "af", AudioCodec.FeatureSchema, 4, AudioCodec.featureKernel)
+      .select(col("id"), col("af.sum_sq"))
+    assert(!physical(audio).contains("Exchange"),
+      s"audio decode must not shuffle:\n${physical(audio)}")
+
+    val vid = udf((i: Long) => VideoCodec.encodeGfv(
+      Seq(ImageCodec.encodePng(2, 2, 0x123456), ImageCodec.encodePng(1, 1, 1))))
+    val sampled = Multimodal.withBatchedFrames(
+        spark.range(0, 8).select(col("id"), vid(col("id")).as("payload")),
+        "payload", "frames", 4, VideoCodec.frameSampleKernel(2))
+      .select(col("id"), posexplode_outer(col("frames")).as(Seq("pos", "frame")))
+      .filter(col("frame").isNotNull)
+    val video = Multimodal.withBatchedFeatures(
+      sampled, "frame", 4, ImageCodec.decodeKernel)
+    assert(!physical(video).contains("Exchange"),
+      s"frame pipeline must not shuffle:\n${physical(video)}")
+  }
 }
