@@ -2,7 +2,7 @@ package graft.xml
 
 import java.nio.charset.Charset
 
-import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.io.{LongWritable, NullWritable, Text}
 import org.apache.hadoop.io.compress.CompressionCodec
 import org.apache.spark.SparkContext
 import org.apache.spark.rdd.RDD
@@ -114,16 +114,40 @@ private[graft] object XmlFile {
     }
     // Serialize from InternalRow directly: the external `df.rdd` conversion
     // (boxing every numeric, decoding every string) dominated write cost.
+    // The sink mirrors saveAsTextFile (same old-API TextOutputFormat, same
+    // NullWritable-key value-plus-newline layout, same reused Text) but
+    // fills the Text bytes straight from the builder — all-ASCII rows (the
+    // common case for XML) never materialize a per-row String, rows with
+    // non-ASCII text fall back to the JDK encoder for exact parity.
     val rendered = df.queryExecution.toRdd.mapPartitions { rows =>
-      // One reusable builder per partition; each next() yields one text line
-      // block (header, row, or row+footer) for saveAsTextFile.
+      // One reusable builder + Text per partition; each next() yields one
+      // text line block (header, row, or row+footer).
       val sb = new java.lang.StringBuilder(1 << 16)
       val gen = new StaxXmlGenerator(schema, options)
-      new Iterator[String] {
+      val text = new Text()
+      var buf = new Array[Byte](1 << 16)
+      // Fill `text` with the UTF-8 encoding of sb[from..sb.length).
+      def fillText(from: Int): Unit = {
+        val len = sb.length
+        if (buf.length < len - from) {
+          buf = new Array[Byte](Integer.highestOneBit(len - from) << 1)
+        }
+        var i = from
+        var bi = 0
+        var ascii = true
+        while (ascii && i < len) {
+          val c = sb.charAt(i)
+          if (c < 0x80) { buf(bi) = c.toByte; bi += 1; i += 1 }
+          else ascii = false
+        }
+        if (ascii) text.set(buf, 0, bi)
+        else text.set(sb.substring(from)) // JDK-exact encode for non-ASCII
+      }
+      new Iterator[(NullWritable, Text)] {
         private var begun = false
         private var ended = false
         override def hasNext: Boolean = !ended
-        override def next(): String = {
+        override def next(): (NullWritable, Text) = {
           if (!begun) {
             begun = true
             val header = new StringBuilder
@@ -132,7 +156,7 @@ private[graft] object XmlFile {
             }
             header ++= s"<${options.rootTag}>"
             if (!rows.hasNext) { ended = true; header ++= s"\n</$rootTagName>" }
-            header.result()
+            text.set(header.result())
           } else if (rows.hasNext) {
             sb.setLength(0)
             val emitter = new XmlEmitter(sb, baseDepth = 1, compact = options.compactOutput)
@@ -141,18 +165,22 @@ private[graft] object XmlFile {
               ended = true
               sb.append('\n').append("</").append(rootTagName).append('>')
             }
-            // Pretty mode: strip the emitter's leading newline —
-            // saveAsTextFile adds one per record. Compact rows start at '<'.
-            if (options.compactOutput) sb.toString else sb.substring(1)
+            // Pretty mode: strip the emitter's leading newline — the sink
+            // writes one per record. Compact rows start at '<'.
+            fillText(if (options.compactOutput) 0 else 1)
           } else {
             throw new NoSuchElementException("exhausted")
           }
+          (NullWritable.get(), text)
         }
       }
     }
+    val outFmt = classOf[org.apache.hadoop.mapred.TextOutputFormat[NullWritable, Text]]
     codecClass match {
-      case Some(c) => rendered.saveAsTextFile(path, c)
-      case None => rendered.saveAsTextFile(path)
+      case Some(c) =>
+        rendered.saveAsHadoopFile(path, classOf[NullWritable], classOf[Text], outFmt, c)
+      case None =>
+        rendered.saveAsHadoopFile(path, classOf[NullWritable], classOf[Text], outFmt)
     }
   }
 
