@@ -25,6 +25,22 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec3(c: Column): Column = c.cast(DecimalType(18, 3))
 
+  /**
+   * `events` with `ts` normalized to TIMESTAMP (session tz = UTC), whatever
+   * physical type the generated parquet used: TIMESTAMP(NANOS) columns read
+   * as long nanoseconds under `spark.sql.legacy.parquet.nanosAsLong` and are
+   * truncated to µs; TIMESTAMP(MICROS) without tz reads as TIMESTAMP_NTZ and
+   * casts wall-time-identically under the UTC session zone.
+   */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   /** Writes `df` as XML and reads it back through the graft source. */
   private def xmlRoundtrip(
       s: SparkSession,
@@ -106,10 +122,7 @@ object SparkEntry {
     }),
 
     "q06_events_hourly" -> ((s, d) => {
-      // events.ts is parquet TIMESTAMP(NANOS) — read as long ns
-      // (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs.
-      t(s, d, "events")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(dec3(col("value"))).cast("double").as("sum_value"))
@@ -641,9 +654,7 @@ object SparkEntry {
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
-      val events = t(s, d, "events")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      Sessionize.sessions(events, "user_id", "ts", "30 minutes",
+      Sessionize.sessions(events(s, d), "user_id", "ts", "30 minutes",
         Seq("sum_value" -> sum(dec3(col("value"))).cast("double")))
     }),
 
