@@ -1725,12 +1725,15 @@ object SparkEntry {
     // recurrence (seq += 1 and used = tc whenever used + tc > budget, with
     // used initialized past the budget so the first doc opens sequence 0)
     // via a recursive CTE stepping one row_number per shard per level.
+    // ORDER BY doc_id, md5(text) mirrors Packing's deterministic
+    // duplicate-id tiebreak (both engines agree on md5's lowercase hex).
     "q63_pack_greedy" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id AS id, source AS shard,
         |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
-        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id, md5(coalesce(text, ''))) AS rn
         |  FROM documents),
         |g AS (
         |  SELECT id, shard, n_tokens, rn,
@@ -1744,16 +1747,21 @@ object SparkEntry {
         |SELECT id, shard, n_tokens, seq_idx FROM g ORDER BY shard, id""".stripMargin,
 
     // Concat-and-chunk packing: pure running-sum arithmetic, directly
-    // expressible as a window in both engines.
+    // expressible as a window in both engines. The (id, md5(text)) window
+    // order and explicit ROWS frame mirror Packing.packConcat exactly —
+    // without them, duplicate ids would make cum_before either
+    // peer-double-counted (RANGE default) or tie-order-dependent.
     "q64_pack_concat" ->
       """WITH w AS (
         |  SELECT doc_id AS id, source AS shard,
         |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    md5(coalesce(text, '')) AS tb
         |  FROM documents),
         |c AS (
         |  SELECT id, shard, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id)
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id, tb
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |             - n_tokens, 0) AS cum_before
         |  FROM w)
         |SELECT id, shard, n_tokens,
@@ -1783,14 +1791,16 @@ object SparkEntry {
         |  CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
         |FROM f ORDER BY doc_id""".stripMargin,
 
-    // Same greedy recurrence as q63, then the sequences materialize as
-    // id-ordered space-joined member text (null text joins as '').
+    // Same greedy recurrence as q63 (same duplicate-id md5 tiebreak), then
+    // the sequences materialize as scan-ordered space-joined member text
+    // (null text joins as ''); string_agg orders by rn, the scan order.
     "q66_pack_sequences" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id AS id, source AS shard, coalesce(text, '') AS text,
         |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
-        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id, md5(coalesce(text, ''))) AS rn
         |  FROM documents),
         |g AS (
         |  SELECT id, shard, text, n_tokens, rn,
@@ -1802,7 +1812,7 @@ object SparkEntry {
         |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
         |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1)
         |SELECT shard, seq_idx,
-        |  string_agg(text, ' ' ORDER BY id) AS text,
+        |  string_agg(text, ' ' ORDER BY rn) AS text,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM g GROUP BY shard, seq_idx ORDER BY shard, seq_idx""".stripMargin,

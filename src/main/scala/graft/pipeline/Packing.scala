@@ -27,11 +27,27 @@ import org.apache.spark.sql.functions._
  * the cluster (a hash bucket of the id works); packing quality only needs
  * shards big enough to amortize tail waste. Token counts use
  * [[TextAnalysis.tokenCount]] (whitespace tokens; null text counts 0).
+ *
+ * Determinism: every variant orders documents within a shard by
+ * `(id, md5(text))` — the digest tiebreak makes the output well-defined
+ * even when a shard holds DUPLICATE ids (without it, the scan/window peer
+ * order is whatever the sort happened to produce, so sequence assignment
+ * could differ run to run on legal input). Rows that tie on BOTH id and
+ * text are interchangeable — either order yields the same output rows —
+ * so the result is deterministic as a multiset in every case. md5 is used
+ * (not xxhash64) because the DuckDB oracles must replay the exact same
+ * order, and both engines agree on md5's lowercase-hex string form.
  */
 object Packing {
 
   private def tokenCountOf(textCol: String): Column =
     coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0)).cast("long")
+
+  /** Stable within-id tiebreak; see class doc. Null text ties with empty
+    * text — both count 0 tokens and contribute "" to packed output, so the
+    * ambiguity is harmless. */
+  private def tiebreakOf(textCol: String): Column =
+    md5(coalesce(col(textCol).cast("string"), lit("")))
 
   /**
    * Concat-and-chunk packing. Returns one row per document:
@@ -50,11 +66,13 @@ object Packing {
     // The window runs over the RENAMED projection below. Explicit ROWS
     // frame: the default RANGE frame includes all PEERS of the current id,
     // so duplicate ids within a shard would double-count each other's
-    // tokens in cum_before instead of concatenating in some order.
-    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    // tokens in cum_before. The md5 tiebreak (class doc) then pins which
+    // of two same-id documents concatenates first, making cum_before a
+    // pure function of the input multiset rather than of sort luck.
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"), col("tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).as("id"), col(shardCol).as("shard"),
-        tokenCountOf(textCol).as("n_tokens"))
+        tokenCountOf(textCol).as("n_tokens"), tiebreakOf(textCol).as("tb"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .select(col("id"), col("shard"), col("n_tokens"),
@@ -86,7 +104,7 @@ object Packing {
     val slim = df.select(col(idCol).cast("long").as("id"),
       col(shardCol).cast("string").as("shard"),
       coalesce(col(textCol).cast("string"), lit("")).as("text"),
-      tokenCountOf(textCol).as("tc"))
+      tokenCountOf(textCol).as("tc"), tiebreakOf(textCol).as("tb"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("seq_idx", org.apache.spark.sql.types.LongType),
@@ -94,7 +112,7 @@ object Packing {
       org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType)))
     slim.groupByKey((r: Row) => r.getString(1))(Encoders.STRING)
-      .flatMapSortedGroups(col("id")) { (shard: String, rows: Iterator[Row]) =>
+      .flatMapSortedGroups(col("id"), col("tb")) { (shard: String, rows: Iterator[Row]) =>
         new Iterator[Row] {
           private var seqIdx = -1L
           private var used = 0L
@@ -148,7 +166,8 @@ object Packing {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
     val spark = df.sparkSession
     val slim = df.select(col(idCol).cast("long").as("id"),
-      col(shardCol).cast("string").as("shard"), tokenCountOf(textCol).as("tc"))
+      col(shardCol).cast("string").as("shard"), tokenCountOf(textCol).as("tc"),
+      tiebreakOf(textCol).as("tb"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
@@ -156,7 +175,7 @@ object Packing {
       org.apache.spark.sql.types.StructField("seq_idx", org.apache.spark.sql.types.LongType)))
     val shardIdx = 1
     slim.groupByKey((r: Row) => r.getString(shardIdx))(Encoders.STRING)
-      .flatMapSortedGroups(col("id")) { (shard: String, rows: Iterator[Row]) =>
+      .flatMapSortedGroups(col("id"), col("tb")) { (shard: String, rows: Iterator[Row]) =>
         var seq = -1L
         var used = 0L
         var first = true // the first document always opens sequence 0

@@ -130,6 +130,46 @@ class PackingSuite extends AnyFunSuite {
     assign.foreach { case (k, ids) => assert(seqs(k)._3 === ids.length.toLong) }
   }
 
+  test("duplicate (shard, id): all variants deterministic via md5(text) tiebreak") {
+    // Two documents share (shard a, id 1) with DIFFERENT texts and token
+    // counts — without the tiebreak their relative order (and therefore
+    // every downstream sequence assignment) would be sort luck. The
+    // expected order is (id, md5(text)): the spec computes the digests
+    // itself rather than hardcoding which text wins.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val tBig = doc(100) // 100 tokens
+    val tSmall = doc(50) // 50 tokens
+    val rows = Seq((1L, tBig, "a"), (1L, tSmall, "a"), (2L, doc(10), "a"))
+    // scan order under the tiebreak: the two id-1 docs by md5, then id 2
+    val dup = Seq(tBig, tSmall).sortBy(md5hex)
+    val ordered = dup.map(t => (1L, t)) :+ (2L -> doc(10))
+    def tc(t: String) = t.split("\\s+").length.toLong
+    // run each variant over the natural AND a scrambled/reversed layout —
+    // a tie broken by partition order instead of the digest would differ
+    for (df <- Seq(rows.toDF("doc_id", "text", "source"),
+        rows.reverse.toDF("doc_id", "text", "source").repartition(7))) {
+      // greedy budget 128: first dup opens seq 0; 100+50 and 50+100 both
+      // overflow, so the second dup opens seq 1; doc 2 (10 tokens) joins it
+      val greedy = Packing.packGreedy(df, "doc_id", "text", "source", 128)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(greedy === Set((1L, tc(ordered(0)._2), 0L),
+        (1L, tc(ordered(1)._2), 1L), (2L, 10L, 1L)))
+      // concat: cum_before = 0, tc(first), tc(first)+tc(second) in md5 order
+      val concat = Packing.packConcat(df, "doc_id", "text", "source", 128)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val c1 = tc(ordered(0)._2)
+      assert(concat === Set((1L, c1, 0L, 0L), (1L, 150L - c1, c1 / 128, c1 % 128),
+        (2L, 10L, 150L / 128, 150L % 128)))
+      // materialized sequences: member text joins in the SAME digest order
+      val seqs = Packing.packSequences(df, "doc_id", "text", "source", 128)
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(seqs === Map(0L -> ordered(0)._2,
+        1L -> (ordered(1)._2 + " " + doc(10))))
+    }
+  }
+
   test("packing respects budget: greedy sequences never exceed it") {
     val out = Packing.packGreedy(fixture, "doc_id", "text", "source", 128)
       .groupBy("shard", "seq_idx").agg(sum("n_tokens").as("filled"),
