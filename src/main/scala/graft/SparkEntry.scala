@@ -642,9 +642,12 @@ object SparkEntry {
 
     "q33_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      // Approximate by construction (rows-only check); recall vs q27 is the
-      // quality metric (gated >= 0.95 in PipelineSuite at these parameters),
-      // cell-join cost is the scale win. replicas=3 multi-assignment buys
+      // Full oracle since round 9: the DuckDB SQL (see `ivfOracleSql`)
+      // replays the ENTIRE pipeline — strided seeding, 10 Lloyd
+      // iterations, replica-3 assignment, 12-probe search, exact rerank —
+      // so these parameters and the oracle's constants must only change
+      // together. Recall vs q27 stays gated >= 0.95 in PipelineSuite;
+      // cell-join cost is the scale win, replicas=3 multi-assignment buys
       // back cell-boundary recall without widening every probe set.
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "vec_id", "embedding", 5, nlist = 32, nprobe = 12, replicas = 3)
@@ -1866,9 +1869,87 @@ object SparkEntry {
         |       CAST((doc_id * 5 + k * 11) % 256 AS BIGINT) AS mean_r,
         |       CAST((doc_id * 3 + k * 7) % 256 AS BIGINT) AS mean_g,
         |       CAST((doc_id + k * 13) % 256 AS BIGINT) AS mean_b
-        |FROM f""".stripMargin
-    // q33_ivf_topk (approximate by construction; recall gated by a
-    // ≥0.95-recall@5 spec): not SQL-expressible → rows-only check by the
-    // driver. Every other query is fully oracle-checked.
+        |FROM f""".stripMargin,
+
+    "q33_ivf_topk" -> ivfOracleSql
   )
+
+  /**
+   * Full DuckDB replay of q33's IVF pipeline, closing the last no-oracle
+   * row: deterministic k-means (id-ordered 4096 sample, evenly-strided
+   * seeding, 10 Lloyd iterations UNROLLED as chained CTEs — recursive CTEs
+   * can't re-aggregate), then replica-3 corpus assignment, 12-probe query
+   * expansion, and exact cosine rerank to top-5 (sim desc, id asc; max()
+   * dedups pairs that meet in several probed cells, mirroring the
+   * distinct-ids heap). Mirrors `Similarity.ivfTopK`/`kmeansCentroids`
+   * arithmetic: float->double widening is exact in both engines, and the
+   * output is pure integer ids, so the ulp-level summation-order noise
+   * between engines would have to land a vector EXACTLY on an argmax
+   * boundary to flip a row (verified exact at sf0.001/0.01/0.1).
+   * MATERIALIZED pins each chained CTE — inlining would re-evaluate each
+   * level once per reference, going exponential over 10 iterations.
+   * Constants here mirror q33's call: nlist=32, nprobe=12, replicas=3,
+   * k=5, budget cap 4096, dim<=4096.
+   */
+  private def ivfOracleSql: String = {
+    val iters = 10
+    def step(n: Int): String = s"""
+      |a$n AS MATERIALIZED (
+      |  SELECT rn, v, cell FROM (
+      |    SELECT s.rn, s.v, c.cell,
+      |      row_number() OVER (PARTITION BY s.rn
+      |        ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.cell) AS rk
+      |    FROM samp s CROSS JOIN c$n c) WHERE rk = 1),
+      |m$n AS MATERIALIZED (
+      |  SELECT cell, i, avg(v[i]) AS mv
+      |  FROM a$n, range(1, 4097) AS r(i), par
+      |  WHERE i <= par.dim
+      |  GROUP BY cell, i),
+      |c${n + 1} AS MATERIALIZED (
+      |  SELECT c.cell, coalesce(g.cv, c.cv) AS cv
+      |  FROM c$n c LEFT JOIN (
+      |    SELECT cell, list(mv ORDER BY i) AS cv FROM m$n GROUP BY cell) g
+      |  USING (cell))""".stripMargin
+    val steps = (0 until iters).map(step).mkString(",")
+    s"""WITH emb AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |samp AS MATERIALIZED (
+      |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS rn
+      |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 4096)),
+      |par AS (
+      |  SELECT count(*) AS n, least(32, count(*)) AS k,
+      |         greatest(1, count(*) // 32) AS stride,
+      |         max(len(v)) AS dim
+      |  FROM samp),
+      |c0 AS MATERIALIZED (
+      |  SELECT r.c AS cell, s.v AS cv
+      |  FROM par, range(32) AS r(c)
+      |  JOIN samp s ON s.rn = least(r.c * par.stride, par.n - 1)
+      |  WHERE r.c < par.k),$steps,
+      |assigned AS MATERIALIZED (
+      |  SELECT id AS c_id, v AS c_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN c$iters c) WHERE rk <= 3),
+      |probes AS MATERIALIZED (
+      |  SELECT id AS query_id, v AS q_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN c$iters c WHERE e.id < 10) WHERE rk <= 12),
+      |scored AS (
+      |  SELECT p.query_id, a.c_id,
+      |    max(list_cosine_similarity(p.q_v, a.c_v)) AS sim
+      |  FROM assigned a JOIN probes p USING (cell)
+      |  WHERE p.query_id <> a.c_id
+      |  GROUP BY p.query_id, a.c_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, c_id) AS INT) AS rank,
+      |  c_id AS neighbor_id
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
 }
