@@ -32,6 +32,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Same session tz as Verify: the events() TIMESTAMP_NTZ->TIMESTAMP
+      // normalization must not depend on the host JVM default timezone.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Iterative operators localCheckpoint intermediates; those blocks are
@@ -85,13 +88,29 @@ object Bench {
     // /tmp path another user could pre-create or symlink) so the round's
     // end-of-round commit preserves the full result.
     println(json)
+    // Two on-disk copies: the stable BENCH_full.json name, and the round
+    // artifact BENCH_r{NN}.json the judge reads — the driver's stdout tail
+    // truncated mid-JSON three rounds running, so the round file must not
+    // depend on the tail. The round number is one past the highest
+    // BENCH_r*/CORRECTNESS_r* already on disk (whichever the driver has
+    // written so far this round).
+    // A filtered run is an A/B probe, not the round's bench — it must
+    // never overwrite the round artifact.
+    val roundFile = if (onlyQueries.isDefined) None else Some {
+      val rx = "(?:BENCH|CORRECTNESS)_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        .collect { case rx(n) => n.toInt }
+      f"BENCH_r${seen.foldLeft(0)(math.max) + 1}%02d.json"
+    }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"bench: could not write $outPath: $e")
+    for (path <- (Seq(outPath) ++ roundFile).distinct) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"bench: could not write $path: $e")
+      }
     }
     spark.stop()
   }

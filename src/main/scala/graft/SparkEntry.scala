@@ -31,6 +31,10 @@ object SparkEntry {
    * as long nanoseconds under `spark.sql.legacy.parquet.nanosAsLong` and are
    * truncated to µs; TIMESTAMP(MICROS) without tz reads as TIMESTAMP_NTZ and
    * casts wall-time-identically under the UTC session zone.
+   *
+   * `ts DIV 1000` truncates toward zero, which matches DuckDB's ns→µs floor
+   * only for POST-EPOCH timestamps — the generated data is all ≥ 1970, so
+   * the assumption holds; a pre-epoch corpus would need FLOOR division here.
    */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")

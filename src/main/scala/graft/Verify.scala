@@ -44,7 +44,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Under a filter, restrict oracle_sql.json to the selected queries —
+    // otherwise a DuckDB compare over an outDir holding an earlier full
+    // dump would silently mix stale parquet with fresh oracle SQL.
+    val oracles = only match {
+      case Some(sel) => SparkEntry.oracleSql.filter { case (n, _) => sel(n) }
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
