@@ -690,11 +690,9 @@ object SparkEntry {
       // doc_id), the batched kernel decodes it with javax.imageio, and the
       // DuckDB oracle predicts the decoded dimensions and mean color from
       // doc_id alone — so the gate passes only if the PNG encode∘decode
-      // roundtrip is faithful. The per-row UDF is fixture GENERATION, not
-      // the measured operator; production payloads arrive as binary columns.
-      val mkPng = fixturePng
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      // roundtrip is faithful. Fixtures come from a one-time materialized
+      // parquet table (see fixtureTable) so the timed plan is scan+decode.
+      val docs = fixtureTable(s, d, "png", fixturePng(_))
       Multimodal.withBatchedFeatures(docs, "payload", 64, ImageCodec.decodeKernel)
         .select(col("doc_id"),
           element_at(col("features"), 1).cast("int").as("width"),
@@ -874,10 +872,9 @@ object SparkEntry {
       // passthrough), then through the real decode kernel — the oracle
       // predicts post-resize dimensions with the same integer arithmetic
       // and the solid-fixture colors unchanged, so the gate passes only if
-      // resize∘decode is faithful end to end.
-      val mkPng = fixturePng
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      // resize∘decode is faithful end to end. Fixtures from the shared
+      // materialized q30 table — the timed plan is scan+resize+decode.
+      val docs = fixtureTable(s, d, "png", fixturePng(_))
       val resized = Multimodal
         .withBatchedBinary(docs, "payload", "resized", 64, ImageCodec.resizeKernel(4))
         .select(col("doc_id"), col("resized").as("payload"))
@@ -898,11 +895,9 @@ object SparkEntry {
       // peak, zero crossings, integer-division duration). The oracle
       // regenerates the samples from doc_id alone and recomputes every
       // feature in exact integer arithmetic — a one-sample decode error
-      // fails the hash gate. The per-row UDF is fixture GENERATION, not the
-      // measured operator; production payloads arrive as binary columns.
-      val mkWav = fixtureWav
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+      // fails the hash gate. Fixtures from a one-time materialized parquet
+      // table (fixtureTable) so the timed plan is scan+decode.
+      val docs = fixtureTable(s, d, "wav", fixtureWav(_))
       Multimodal.withBatchedStruct(
           docs, "payload", "af", AudioCodec.FeatureSchema, 64,
           AudioCodec.featureKernel)
@@ -918,10 +913,10 @@ object SparkEntry {
       // parser, every 2nd frame kept, then each kept frame goes through the
       // javax.imageio decode kernel. The oracle replays the fixture
       // formulas for exactly the kept frame indices — a mis-sliced frame
-      // boundary or off-by-one stride fails the hash gate.
-      val mkVid = fixtureGfv
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), mkVid(col("doc_id")).as("payload"))
+      // boundary or off-by-one stride fails the hash gate. Fixtures from a
+      // one-time materialized parquet table (fixtureTable) so the timed
+      // plan is scan+demux+decode.
+      val docs = fixtureTable(s, d, "gfv", fixtureGfv(_))
       val sampled = Multimodal.withBatchedFrames(
           docs, "payload", "frames", 64, VideoCodec.frameSampleKernel(2))
         // posexplode_outer + null-filter: the non-outer generate trips
@@ -938,6 +933,31 @@ object SparkEntry {
           element_at(col("features"), 5).cast("long").as("mean_b"))
     })
   )
+
+  /**
+   * Materializes a planted-fixture (doc_id, payload) table to parquet once
+   * per (sf dir, kind) and reads it back — so the multimodal queries time
+   * the decode/resize/demux KERNEL, not per-row fixture synthesis (which
+   * previously billed UDF generation cost to q30/q65/q67/q68 bench times).
+   * Production payloads arrive as binary columns from real storage; the
+   * parquet read is the honest stand-in for that scan. The version segment
+   * is the cache key: bump it whenever a fixture formula changes (the
+   * DuckDB oracles replay the formulas, so they change together).
+   */
+  private def fixtureTable(
+      s: SparkSession, dir: String, kind: String,
+      mk: Column => Column): DataFrame = {
+    val sfName = new java.io.File(dir).getName
+    val path = s"/tmp/graft_fixtures/$sfName/${kind}_v1"
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        t(s, dir, "documents")
+          .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
 
   /** Planted-video fixture for q68: frame count, dims and colors are pure
     * integer functions of (doc_id, frame index), replayed exactly by the
