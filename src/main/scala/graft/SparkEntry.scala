@@ -931,6 +931,30 @@ object SparkEntry {
           element_at(col("features"), 3).cast("long").as("mean_r"),
           element_at(col("features"), 4).cast("long").as("mean_g"),
           element_at(col("features"), 5).cast("long").as("mean_b"))
+    }),
+
+    "q69_avi_frames" -> ((s, d) => {
+      // REAL-WORLD container demux (round 9): planted MJPEG-in-AVI files —
+      // the RIFF layout every player reads — are demuxed by the honest AVI
+      // walk (VideoCodec.decodeAviMjpeg), every 2nd frame kept, each kept
+      // frame decoded by javax.imageio's real JPEG decoder. Frames are
+      // solid GRAY at JPEG quality 1.0, the subspace that roundtrips
+      // exactly (see ImageCodec.encodeJpegGray), so the oracle can replay
+      // the fixture formulas to the last pixel-mean bit. Same batched
+      // plumbing and explode shape as q68.
+      val docs = fixtureTable(s, d, "avi", fixtureAvi(_))
+      val sampled = Multimodal.withBatchedFrames(
+          docs, "payload", "frames", 64, VideoCodec.aviFrameSampleKernel(2))
+        .select(col("doc_id"), posexplode_outer(col("frames")).as(Seq("pos", "frame")))
+        .filter(col("frame").isNotNull)
+      Multimodal.withBatchedFeatures(sampled, "frame", 64, ImageCodec.decodeKernel)
+        .select(col("doc_id"),
+          (col("pos") * 2).cast("long").as("frame_k"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("mean_r"),
+          element_at(col("features"), 4).cast("long").as("mean_g"),
+          element_at(col("features"), 5).cast("long").as("mean_b"))
     })
   )
 
@@ -971,6 +995,20 @@ object SparkEntry {
         (((id * 3 + k * 7) % 256) << 8) | ((id + k * 13) % 256)).toInt
       ImageCodec.encodePng(w, h, rgb)
     })
+  })
+
+  /** Planted-video fixture for q69: a real MJPEG-in-AVI file per doc.
+    * Frame count, stream dims and per-frame GRAY level are pure integer
+    * functions of (doc_id, frame index), replayed exactly by the DuckDB
+    * oracle — change them only together. Dims are per-doc (an AVI stream
+    * declares them once); gray survives JPEG quality 1.0 exactly. */
+  private lazy val fixtureAvi = udf((id: Long) => {
+    val n = 1 + (id % 4).toInt
+    val w = 1 + (id % 6).toInt
+    val h = 1 + (id % 3).toInt
+    VideoCodec.encodeAviMjpeg((0 until n).map { k =>
+      ImageCodec.encodeJpegGray(w, h, ((id * 7 + k * 29) % 256).toInt)
+    }, w, h)
   })
 
   /** Planted-audio fixture for q67: rate and samples are pure integer
@@ -1893,6 +1931,28 @@ object SparkEntry {
         |       CAST((doc_id * 5 + k * 11) % 256 AS BIGINT) AS mean_r,
         |       CAST((doc_id * 3 + k * 7) % 256 AS BIGINT) AS mean_g,
         |       CAST((doc_id + k * 13) % 256 AS BIGINT) AS mean_b
+        |FROM f""".stripMargin,
+
+    // q69: replay the AVI fixture formulas for the kept (even) frame
+    // indices — gray survives JPEG q=1.0 exactly, so mean_r=g=b=gray.
+    "q69_avi_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         1 + (doc_id % 4) AS n,
+        |         1 + (doc_id % 6) AS w,
+        |         1 + (doc_id % 3) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, u.k
+        |  FROM d, UNNEST(range(d.n)) AS u(k)
+        |  WHERE u.k % 2 = 0)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS frame_k,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST((doc_id * 7 + k * 29) % 256 AS BIGINT) AS mean_r,
+        |       CAST((doc_id * 7 + k * 29) % 256 AS BIGINT) AS mean_g,
+        |       CAST((doc_id * 7 + k * 29) % 256 AS BIGINT) AS mean_b
         |FROM f""".stripMargin,
 
     "q33_ivf_topk" -> ivfOracleSql

@@ -9,8 +9,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * a full DuckDB oracle on planted fixtures whose dimensions and mean color
  * are predictable from the row id — the gate passes only if the PNG
  * encode∘decode roundtrip is faithful). Audio decode is also real
- * ([[AudioCodec]], WAV PCM16); video stays stubbed
- * ([[Multimodal.stubFrameSample]]): the JDK ships no video codec.
+ * ([[AudioCodec]], WAV PCM16), and video demuxes from a real container
+ * ([[VideoCodec]]: MJPEG-in-AVI, plus the GFV1 fixture container).
  *
  * The decode kernel has the exact batched signature
  * [[Multimodal.withBatchedFeatures]] executes — swap-in shape for an ONNX
@@ -30,6 +30,44 @@ object ImageCodec {
 
   def encodeBmp(width: Int, height: Int, rgb: Int): Array[Byte] =
     encode(width, height, rgb, "bmp")
+
+  /**
+   * Solid-GRAY JPEG fixture at compression quality 1.0. Unlike arbitrary
+   * colors, a uniform gray survives JPEG EXACTLY: r=g=b maps to
+   * (Y=gray, Cb=Cr=128), a solid block is DC-only so the max-quality
+   * quantizer stores it losslessly, chroma subsampling of a constant plane
+   * is the identity, and the YCbCr→RGB inverse lands back on the integer.
+   * Verified exact for all 256 grays across the fixture dim range — the
+   * property the q69 AVI oracle leans on (q30's PNG lean is the lossless
+   * format itself; this one is a measured property of the gray subspace).
+   */
+  def encodeJpegGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad fixture dims ${width}x$height")
+    require(gray >= 0 && gray <= 255, s"gray out of range: $gray")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
 
   private def encode(width: Int, height: Int, rgb: Int, format: String): Array[Byte] = {
     require(width > 0 && height > 0, s"bad fixture dims ${width}x$height")

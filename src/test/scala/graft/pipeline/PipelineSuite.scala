@@ -1103,6 +1103,64 @@ class PipelineSuite extends AnyFunSuite {
     assert(truncated.getMessage.contains("corrupt GFV1"))
   }
 
+  test("AVI container: real RIFF demux roundtrip, stride, junk tolerance, loud failures") {
+    val frames = Seq(
+      ImageCodec.encodeJpegGray(4, 2, 17),
+      ImageCodec.encodeJpegGray(4, 2, 101),
+      ImageCodec.encodeJpegGray(4, 2, 240))
+    val avi = VideoCodec.encodeAviMjpeg(frames, 4, 2)
+    // the envelope is a real RIFF 'AVI ' file
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    val back = VideoCodec.decodeAviMjpeg(avi)
+    assert(back.length === 3)
+    assert(back.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq },
+      "frame bytes must survive the container byte-identical")
+    val Seq(kept) = VideoCodec.aviFrameSampleKernel(2)(Seq(avi))
+    assert(kept.length === 2)
+    assert(kept(0).toSeq == frames(0).toSeq && kept(1).toSeq == frames(2).toSeq)
+    // a foreign writer's JUNK chunk between hdrl and movi must be skipped
+    // (the walk follows declared sizes, not this writer's own layout)
+    val junkAt = {
+      // find the 'LIST....movi' header position
+      val movi = "movi".getBytes("US-ASCII")
+      (0 until avi.length - 12).find(i =>
+        avi(i) == 'L' && avi(i + 1) == 'I' && avi(i + 2) == 'S' && avi(i + 3) == 'T' &&
+          avi.slice(i + 8, i + 12).sameElements(movi)).get
+    }
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ Array.fill[Byte](6)('x')
+    val spliced = avi.take(junkAt) ++ junk ++ avi.drop(junkAt)
+    // fix the RIFF size field for the inserted bytes
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + junk.length)
+    val viaJunk = VideoCodec.decodeAviMjpeg(spliced)
+    assert(viaJunk.length === 3 && viaJunk.head.toSeq == frames.head.toSeq)
+    // malformed files fail loudly
+    val notRiff = intercept[IllegalArgumentException] {
+      VideoCodec.decodeAviMjpeg("definitely not a RIFF file".getBytes("UTF-8"))
+    }
+    assert(notRiff.getMessage.contains("RIFF"))
+    val truncated = intercept[IllegalArgumentException] {
+      VideoCodec.decodeAviMjpeg(avi.dropRight(20))
+    }
+    assert(truncated.getMessage.contains("corrupt AVI"))
+  }
+
+  test("solid gray survives JPEG q=1.0 exactly across the fixture domain") {
+    // The q69 oracle's load-bearing property: decoded mean_r/g/b == gray,
+    // for EVERY gray value and every (w, h) the fixture formulas emit.
+    val kernel = ImageCodec.decodeKernel
+    for (g <- 0 until 256) {
+      val w = 1 + g % 6
+      val h = 1 + g % 3
+      val Seq(f) = kernel(Seq(ImageCodec.encodeJpegGray(w, h, g)))
+      assert(f(0) === w.toFloat && f(1) === h.toFloat)
+      assert(f(2) === g.toFloat && f(3) === g.toFloat && f(4) === g.toFloat,
+        s"gray $g did not survive JPEG at ${w}x$h: got (${f(2)}, ${f(3)}, ${f(4)})")
+    }
+  }
+
   test("frame sampling through batched plumbing + real per-frame decode") {
     val vids = spark.range(0, 24)
       .select(col("id"),
