@@ -99,4 +99,43 @@ class TypeCastSuite extends AnyFunSuite {
     assert(TypeCast.isDate("07.06.2020", userFmt))
     assert(!TypeCast.isTimestamp("03/12/2011 10:15", opts)) // no format, no match
   }
+
+  test("probe cost stays far below parse-attempt cost on a string-heavy corpus (budget)") {
+    // Regression pin for the exception-free probe rework (6.2 -> 1.07 s
+    // full-corpus inference): the predicates must reject non-matching
+    // values by SCANNING, not by throwing-and-catching inside a parser.
+    // The gate is relative — probe passes vs the pre-rework control flow
+    // (blind parse attempts under allCatch) measured in the same JVM — so
+    // host speed and JIT state cancel out. If exception-driven rejection
+    // sneaks back into the predicates, the two sides converge and the 4x
+    // margin fails. (Both sides warm up first; min-of-3 discards pauses.)
+    import scala.util.control.Exception.allCatch
+    val corpus: Array[String] = Array.tabulate(20000) { i =>
+      (i % 5) match {
+        case 0 => s"word soup value number $i"
+        case 1 => s"SKU-$i-ALPHA"
+        case 2 => s"https://example.com/path/$i"
+        case 3 => s"mixed${i}text"
+        case _ => "NULL"
+      }
+    }
+    def timeNs(f: => Unit): Long = {
+      val t0 = System.nanoTime(); f; System.nanoTime() - t0
+    }
+    def probes(): Unit = corpus.foreach { v =>
+      TypeCast.isBoolean(v); TypeCast.isLong(v); TypeCast.isDouble(v)
+      TypeCast.isTimestamp(v, opts); TypeCast.isDate(v, opts)
+    }
+    def stormReference(): Unit = corpus.foreach { v =>
+      allCatch.opt(TypeCast.parseXmlTimestamp(v, opts))
+      allCatch.opt(TypeCast.parseXmlDate(v, opts))
+    }
+    probes(); stormReference() // JIT warmup for both sides
+    val probeNs = (1 to 3).map(_ => timeNs(probes())).min
+    val stormNs = (1 to 3).map(_ => timeNs(stormReference())).min
+    assert(probeNs * 4 < stormNs,
+      f"probe pass ${probeNs / 1e6}%.1f ms is not well under the " +
+        f"exception-storm reference ${stormNs / 1e6}%.1f ms — " +
+        "exception-driven rejection has crept back into the predicates")
+  }
 }
