@@ -34,10 +34,20 @@ import graft.xml.{StaxXmlGenerator, XmlEmitter, XmlFile, XmlOptions}
  *    task output becomes durable where it will be read, and the driver's
  *    commit cost is O(files), not O(bytes).
  *
- * Overwrite (`SupportsTruncate`) deletes the previous contents at JOB COMMIT
- * time, after every task output is durably staged — a failure anywhere
- * before commit leaves the old data fully intact (the DSv1
- * `InsertableRelation` path, like Hadoop's committer, deletes up front).
+ * Overwrite (`SupportsOverwrite`/`SupportsTruncate`) deletes the previous
+ * contents at JOB COMMIT time, after every task output is durably staged —
+ * a failure anywhere before commit leaves the old data fully intact (the
+ * DSv1 `InsertableRelation` path, like Hadoop's committer, deletes up
+ * front). Filter-based overwrite accepts only the always-true predicate
+ * (≡ truncate): an unpartitioned XML directory has no metadata to prune
+ * files by, so a selective overwrite would have to read-and-rewrite — a
+ * different operator, rejected loudly at plan time rather than silently
+ * degraded to full truncation.
+ *
+ * `maxRecordsPerFile` rolls each task's output to a fresh staged file
+ * every N records; every rolled file is a complete XML document. At 100 TB
+ * this bounds the largest single object a downstream reader must handle —
+ * without it one skewed partition can produce an arbitrarily large file.
  *
  * Differences from DSv1 save, both deliberate: the configured `charset`
  * is honored on output (DSv1 funnels through Hadoop `Text`, which is
@@ -49,11 +59,25 @@ private[v2] final class XmlWriteBuilder(
     parameters: Map[String, String],
     schema: StructType,
     queryId: String,
-    hadoopConf: SerializableHadoopConf) extends WriteBuilder with SupportsTruncate {
+    hadoopConf: SerializableHadoopConf) extends WriteBuilder with SupportsOverwrite {
 
   private var truncateOnCommit = false
 
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    // Only the always-true predicate maps onto this sink (== truncate);
+    // anything selective needs file-level metadata an XML directory
+    // doesn't have. Reject at plan time, never degrade silently.
+    val selective = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (selective.nonEmpty) {
+      throw new UnsupportedOperationException(
+        "xmlng2 write: overwrite by filter supports only the always-true " +
+          s"predicate (truncate); got ${selective.mkString(", ")}")
+    }
+    truncateOnCommit = true
+    this
+  }
 
   override def build(): Write = {
     // Fail-fast on the driver at plan time: a bad charset or codec name
@@ -101,8 +125,8 @@ private[v2] final class XmlBatchWrite(
         }
       }
       val staged = messages.collect {
-        case XmlWriteTaskResult(Some(pair)) => pair // empty partitions stage nothing
-      }
+        case XmlWriteTaskResult(files) => files // empty partitions stage nothing
+      }.flatten
       // Publish renames in parallel: serially, a 100k-task write is 100k
       // driver-side metadata round-trips (tens of ms each on an object
       // store). Bounded pool; the first failure propagates and aborts.
@@ -155,9 +179,10 @@ private[v2] case class XmlDataWriterFactory(
       conf.value, parameters, schema, destPath, stagingName, queryId, partitionId, taskId)
 }
 
-/** `file` = (staged path, final name) for a partition that produced output;
- *  None for an empty partition that staged nothing. */
-private[v2] case class XmlWriteTaskResult(file: Option[(String, String)])
+/** `files` = (staged path, final name) per file the partition produced —
+ *  several under `maxRecordsPerFile` rolling, one otherwise, none for an
+ *  empty partition that staged nothing. */
+private[v2] case class XmlWriteTaskResult(files: Seq[(String, String)])
   extends WriterCommitMessage
 
 private[v2] final class XmlDataWriter(
@@ -177,27 +202,47 @@ private[v2] final class XmlDataWriter(
     ReflectionUtils.newInstance(XmlFile.resolveCodec(name), conf)
   }
   private val ext = ".xml" + codec.map(_.getDefaultExtension).getOrElse("")
-  // Final name keyed by partitionId (+ the job's queryId so appends across
-  // jobs never collide); the staged name additionally carries taskId so
-  // concurrent attempts of one partition stage distinct files.
-  private val finalName = f"part-$partitionId%05d-$queryId$ext"
-  private val stagedPath =
-    new Path(new Path(destPath, stagingName), f"attempt-$taskId-part-$partitionId%05d$ext")
+  private val maxRecords = options.maxRecordsPerFile
 
   private val gen = new StaxXmlGenerator(schema, options)
   private val sb = new java.lang.StringBuilder(1 << 16)
   private var out: OutputStreamWriter = _
+  // Rolling state: `seq` numbers the files this task produced; closed
+  // files accumulate (staged path, final name) pairs in reverse.
+  private var seq = -1
+  private var recordsInFile = 0L
+  private var currentStaged: Path = _
+  private var filesWritten: List[(String, String)] = Nil
+
+  // Final names carry partitionId + file seq (+ the job's queryId so
+  // appends across jobs never collide); staged names additionally carry
+  // taskId so concurrent attempts of one partition stage distinct files.
+  private def finalName(s: Int): String = f"part-$partitionId%05d-c$s%03d-$queryId$ext"
 
   /** File + document header materialize on the first row (or at commit for
    *  partition 0), so empty partitions cost nothing. */
   private def ensureOpen(): Unit = if (out == null) {
-    val fs = stagedPath.getFileSystem(conf)
-    val raw: OutputStream = fs.create(stagedPath, false)
+    seq += 1
+    currentStaged = new Path(new Path(destPath, stagingName),
+      f"attempt-$taskId-part-$partitionId%05d-c$seq%03d$ext")
+    val fs = currentStaged.getFileSystem(conf)
+    val raw: OutputStream = fs.create(currentStaged, false)
     val wrapped = codec.map(_.createOutputStream(raw)).getOrElse(raw)
     out = new OutputStreamWriter(
       new BufferedOutputStream(wrapped, 1 << 16), Charset.forName(options.charset))
     if (options.declaration.nonEmpty) out.write(s"<?xml ${options.declaration}?>\n")
     out.write(s"<${options.rootTag}>")
+  }
+
+  /** Closes the open document (footer + stream) and records its publish
+   *  pair. No-op when nothing is open — e.g. a roll landed exactly on the
+   *  last record of the partition. */
+  private def closeCurrent(): Unit = if (out != null) {
+    out.write(s"\n</$rootTagName>\n")
+    out.close()
+    out = null
+    filesWritten ::= (currentStaged.toString, finalName(seq))
+    recordsInFile = 0L
   }
 
   override def write(row: InternalRow): Unit = {
@@ -209,24 +254,30 @@ private[v2] final class XmlDataWriter(
     // land one-per-line, matching the DSv1 text layout byte for byte
     if (options.compactOutput) out.write("\n")
     out.write(sb.toString)
+    recordsInFile += 1
+    // roll AFTER the record: every file holds at least one row, so a
+    // pathological maxRecordsPerFile=1 still yields valid documents
+    if (maxRecords.exists(recordsInFile >= _)) closeCurrent()
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out == null && partitionId != 0) {
-      XmlWriteTaskResult(None)
+    if (out == null && filesWritten.isEmpty && partitionId != 0) {
+      XmlWriteTaskResult(Nil)
     } else {
-      ensureOpen() // partition 0 always emits the skeleton
-      out.write(s"\n</$rootTagName>\n")
-      out.close()
-      out = null
-      XmlWriteTaskResult(Some((stagedPath.toString, finalName)))
+      // partition 0 with no rows still emits the document skeleton
+      if (out == null && filesWritten.isEmpty) ensureOpen()
+      closeCurrent()
+      XmlWriteTaskResult(filesWritten.reverse)
     }
   }
 
   override def abort(): Unit = {
     close()
-    try stagedPath.getFileSystem(conf).delete(stagedPath, false)
-    catch { case scala.util.control.NonFatal(_) => () } // staging dir cleanup catches it
+    val paths = Option(currentStaged).map(_.toString).toList ++ filesWritten.map(_._1)
+    try {
+      val fs = new Path(destPath).getFileSystem(conf)
+      paths.foreach(p => fs.delete(new Path(p), false))
+    } catch { case scala.util.control.NonFatal(_) => () } // staging dir cleanup catches it
   }
 
   override def close(): Unit = if (out != null) {

@@ -196,6 +196,29 @@ class XmlV2Suite extends AnyFunSuite {
     assert(ids.toSeq === (0L until 1000L))
   }
 
+  test("v2 write: maxRecordsPerFile rolls complete documents, no row lost") {
+    val out = freshDir()
+    // 1000 rows over 4 tasks, 100-record roll: 250 per task → 3 files each
+    writeV2(v1.repartition(4), out, "append", "maxRecordsPerFile" -> "100")
+    val parts = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("part-")).sorted
+    assert(parts.length === 12, s"expected 12 rolled files, got ${parts.toSeq}")
+    // per-partition file seq is part of the name: part-PPPPP-cSSS-...
+    assert(parts.count(_.startsWith("part-00000-c")) === 3)
+    // every rolled file is a complete, independently parseable document
+    val one = spark.read.format("xmlng").option("rowTag", "r")
+      .schema(schema).load(new java.io.File(out, parts.head).toString)
+    assert(one.count() === 100)
+    val ids = readBack(out).select("_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 1000L))
+    // rolling composes with overwrite-at-commit
+    writeV2(v1.limit(10), out, "overwrite", "maxRecordsPerFile" -> "3")
+    assert(readBack(out).count() === 10)
+    val after = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("part-"))
+    assert(after.length === 4, s"ceil(10/3) = 4 files, got ${after.toSeq}")
+  }
+
   test("v2 write: bad charset/codec fail on the driver at plan time") {
     val e1 = intercept[Exception] {
       writeV2(v1.limit(1), freshDir(), "append", "charset" -> "no-such-charset")
