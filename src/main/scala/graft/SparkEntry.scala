@@ -474,6 +474,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "q70_bloom_decontaminate" -> ((s, d) => {
+      // Bloom-filter decontamination: same eval split and 5-gram window as
+      // q50, but membership through a FIXED 16 KiB md5-bit Bloom bitmap
+      // (m=2^17, k=4) instead of the exact gram table — constant state no
+      // matter how large the eval set grows; errors only over-drop. The
+      // oracle replays the exact bit arithmetic, false positives included.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      Decontaminate.bloomDecontaminate(docs, "text", bench, "text", 5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "q51_source_cap" -> ((s, d) => {
       // Per-domain frequency cap: at most 15 docs per source, winners
       // chosen by deterministic md5 rank so the kept set is identical on
@@ -1275,6 +1287,38 @@ object SparkEntry {
         |  WHERE gram IN (SELECT gram FROM g WHERE doc_id % 37 = 0))
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q70: exact replay of the Bloom bit arithmetic — position j of a gram
+    // is md5 hex chars (8j+1)..(8j+8) mod 2^17; the eval split's positions
+    // form the bit set, and a doc is dropped iff some gram finds all 4 of
+    // its positions present (cross-gram bit collisions — the Bloom's false
+    // positives — drop docs in BOTH engines identically).
+    "q70_bloom_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |pos AS (
+        |  SELECT doc_id, gram, r.j,
+        |    ('0x' || substr(md5(gram), 1 + 8 * r.j, 8))::BIGINT % 131072 AS p
+        |  FROM g, range(4) AS r(j)),
+        |bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 37 = 0),
+        |hit AS (
+        |  SELECT doc_id FROM pos
+        |  WHERE p IN (SELECT p FROM bits)
+        |  GROUP BY doc_id, gram
+        |  HAVING count(*) = 4)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM hit)
         |ORDER BY d.doc_id""".stripMargin,
 
     "q51_source_cap" ->

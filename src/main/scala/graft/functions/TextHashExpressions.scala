@@ -185,6 +185,60 @@ case class Md5TokenSimHash128(child: Expression)
   override def prettyName: String = "md5_token_simhash128"
 }
 
+/**
+ * Bloom-filter membership over an array of gram strings: true iff ANY gram
+ * has ALL `k` of its md5-derived bit positions set in `words` (an
+ * `mBits`-bit bitmap packed into longs). Position `j` of a gram is hex
+ * chars `(8j+1)..(8j+8)` of its md5 — `('0x' || substr(md5(gram),
+ * 1 + 8*j, 8))::BIGINT % mBits` in DuckDB — so an oracle replays the
+ * EXACT bit arithmetic, false positives included: they are part of the
+ * operator's semantics, not noise. The bitmap ships inside the serialized
+ * expression (kilobytes — the broadcast-equivalent for model-sized state,
+ * same pattern as [[graft.pipeline.Similarity]]'s centroid expressions).
+ * Null array → null; null/absent grams can't match (skipped).
+ */
+case class AnyGramInMd5Bloom(child: Expression, words: Array[Long], mBits: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(mBits >= 64 && k >= 1 && k <= 4, s"need mBits >= 64, k in [1,4]; got $mBits, $k")
+  require(words.length == (mBits + 63) / 64,
+    s"bitmap has ${words.length} words for $mBits bits")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+
+  @inline private def isSet(p: Long): Boolean =
+    (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = arr.getUTF8String(i).toString
+        val d = TokenHashing.md5Of(g)
+        var j = 0
+        var all = true
+        while (j < k && all) {
+          val off = 4 * j
+          val p = (((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+            ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)) % mBits
+          all = isSet(p)
+          j += 1
+        }
+        if (all) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(c: Expression): AnyGramInMd5Bloom =
+    copy(child = c)
+  override def prettyName: String = "any_gram_in_md5_bloom"
+}
+
 object TextHashFunctions {
   def md5_token_poly_hash(text: Column): Column =
     Bridge.column(Md5TokenPolyHash(Bridge.expression(text)))
@@ -192,4 +246,6 @@ object TextHashFunctions {
     Bridge.column(Md5TokenSimHash64(Bridge.expression(text)))
   def md5_token_simhash128(text: Column): Column =
     Bridge.column(Md5TokenSimHash128(Bridge.expression(text)))
+  def any_gram_in_md5_bloom(grams: Column, words: Array[Long], mBits: Int, k: Int): Column =
+    Bridge.column(AnyGramInMd5Bloom(Bridge.expression(grams), words, mBits, k))
 }

@@ -128,6 +128,64 @@ object Decontaminate {
       .distinct()
   }
 
+  /**
+   * Bloom-filter variant of the eval-set bitmap: the benchmark's grams set
+   * `k` md5-derived bits each in an `mBits`-bit map, and a document is
+   * dropped iff any of its grams finds ALL its `k` bits set. The contract
+   * difference from [[decontaminate]]'s exact table: state is a FIXED
+   * `mBits/8` bytes no matter how large the benchmark grows (the exact
+   * table grows 8 bytes per distinct gram), at the price of a tunable
+   * false-positive rate ≈ (1 − e^(−k·|grams|/mBits))^k — and Bloom errors
+   * only ever OVER-drop, never keep a contaminated document, the safe
+   * direction for training hygiene. Build never collects grams: only the
+   * DISTINCT BIT POSITIONS come back to the driver, bounded by `mBits`
+   * regardless of benchmark size. The md5 bit family is shared with the
+   * DuckDB oracle, which replays the exact arithmetic — false positives
+   * are part of the verified output, not an excuse for a weaker check.
+   */
+  def bloomDecontaminate(
+      df: DataFrame,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      mBits: Int = 1 << 17,
+      k: Int = 4): DataFrame = {
+    require(!benchmark.isStreaming,
+      "the benchmark side must be a batch frame (its bitmap is built once)")
+    val words = bloomBits(benchmark, benchTextCol, n, mBits, k)
+    df.filter(!coalesce(
+      graft.functions.TextHashFunctions.any_gram_in_md5_bloom(
+        wordGrams(col(textCol), n), words, mBits, k),
+      lit(false)))
+  }
+
+  /** The benchmark side's Bloom bitmap. Positions are computed with
+   *  codegen'd built-ins (`md5`/`substring`/`conv`) and only the distinct
+   *  positions (≤ `mBits` values) are collected — the benchmark's gram
+   *  volume never reaches the driver. */
+  def bloomBits(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      mBits: Int,
+      k: Int): Array[Long] = {
+    require(mBits >= 64 && k >= 1 && k <= 4, s"need mBits >= 64, k in [1,4]; got $mBits, $k")
+    val posCols = (0 until k).map { j =>
+      (F.conv(F.substring(F.md5(col("gram")), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % mBits).cast("long")
+    }
+    val positions = benchmark
+      .select(explode(wordGrams(col(benchTextCol), n)).as("gram"))
+      .select(explode(array(posCols: _*)).as("p"))
+      .distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    val words = new Array[Long]((mBits + 63) / 64)
+    positions.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+    words
+  }
+
   /** `df` minus every document overlapping `benchmark` by an n-gram.
    *  Zero-shuffle map filter when the eval gram table fits locally (the
    *  common case); broadcast-semi-join + anti-join otherwise. Streaming

@@ -602,6 +602,37 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("bloom decontaminate: exact-equivalent at ample m, over-drops only as m shrinks") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta different tail here"),
+      (2L, "totally unrelated content in this row"),
+      (3L, "short doc"),
+      (4L, "ALPHA BETA GAMMA DELTA EPSILON suffix"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq("x alpha beta gamma delta epsilon y").toDF("text")
+    def keptAt(m: Int, k: Int = 4): Seq[Long] =
+      Decontaminate.bloomDecontaminate(corpus, "text", bench, "text", 5, m, k)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // With 2^17 bits and a handful of eval grams, the collision odds are
+    // ~(12/131072)^4 per gram: the Bloom equals the exact operator here.
+    val exact = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptAt(1 << 17) === exact)
+    // Bloom errors are one-sided: any m keeps a SUBSET of the exact kept
+    // set (false positives over-drop; a contaminated doc can never return)
+    for (m <- Seq(64, 256, 4096)) {
+      val kept = keptAt(m)
+      assert(kept.toSet.subsetOf(exact.toSet), s"m=$m kept extra docs: $kept")
+      assert(kept.contains(5L), "null text can never be contaminated")
+      assert(kept.contains(3L), "docs shorter than the window have no grams")
+    }
+    // the bitmap is positions-bounded: building from a benchmark never
+    // returns more words than the bitmap size regardless of eval volume
+    assert(Decontaminate.bloomBits(bench, "text", 5, 1 << 17, 4).length === (1 << 17) / 64)
+  }
+
   test("decontaminate runs on an unbounded stream (stateless map filter)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
