@@ -427,6 +427,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q71_dedup_keep_best" -> ((s, d) => {
+      // Exact dedup that keeps the BEST copy, not the first seen: each doc
+      // is planted as 1-3 copies (copy k of doc d has id 10d+k and score
+      // (7d+31k) mod 50); per identical-text group the survivor is the
+      // score-argmax, ties to the lowest id. The oracle replays the same
+      // planted formulas and window pick.
+      val docs = t(s, d, "documents")
+      val corpus = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), (col("doc_id") % 3).cast("int"))).as("k"))
+        .select((col("doc_id") * 10 + col("k")).as("copy_id"), col("text"),
+          ((col("doc_id") * 7 + col("k") * 31) % 50).as("score"))
+      Dedup.bestExactRepresentatives(corpus, "copy_id", "text", col("score"))
+        .select(col("copy_id"), col("score"), col("dup_count"))
+        .orderBy("copy_id")
+    }),
+
     "q21_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -1224,6 +1241,24 @@ object SparkEntry {
       """SELECT l_orderkey AS o_orderkey, count(*) AS item_cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q71: replay the planted copy formulas, then the same
+    // (score desc, id asc) window pick per md5(text) group.
+    "q71_dedup_keep_best" ->
+      """WITH c AS (
+        |  SELECT doc_id * 10 + u.k AS copy_id, text,
+        |         (doc_id * 7 + u.k * 31) % 50 AS score
+        |  FROM documents, UNNEST(range(1 + doc_id % 3)) AS u(k)),
+        |r AS (
+        |  SELECT copy_id, score,
+        |    count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY score DESC, copy_id) AS rn
+        |  FROM c)
+        |SELECT CAST(copy_id AS BIGINT) AS copy_id,
+        |       CAST(score AS BIGINT) AS score,
+        |       CAST(dup_count AS BIGINT) AS dup_count
+        |FROM r WHERE rn = 1 ORDER BY copy_id""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS dup_count

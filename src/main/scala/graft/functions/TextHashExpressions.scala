@@ -186,49 +186,59 @@ case class Md5TokenSimHash128(child: Expression)
 }
 
 /**
- * Bloom-filter membership over an array of gram strings: true iff ANY gram
- * has ALL `k` of its md5-derived bit positions set in `words` (an
+ * Bloom-filter membership over a document's word `n`-grams in ONE native
+ * pass: tokenize (input arrives already lowercased), slide the n-window
+ * building each gram string, md5 it, and return true on the first gram
+ * with ALL `k` of its md5-derived bit positions set in `words` (an
  * `mBits`-bit bitmap packed into longs). Position `j` of a gram is hex
  * chars `(8j+1)..(8j+8)` of its md5 — `('0x' || substr(md5(gram),
  * 1 + 8*j, 8))::BIGINT % mBits` in DuckDB — so an oracle replays the
  * EXACT bit arithmetic, false positives included: they are part of the
- * operator's semantics, not noise. The bitmap ships inside the serialized
- * expression (kilobytes — the broadcast-equivalent for model-sized state,
- * same pattern as [[graft.pipeline.Similarity]]'s centroid expressions).
- * Null array → null; null/absent grams can't match (skipped).
+ * operator's semantics, not noise. Fused here rather than composed over
+ * `wordGrams` because the interpreted transform/slice/array_join gram
+ * chain dominated the corpus-side cost 10× (the same lesson as
+ * [[graft.functions.SketchExpressions HashedNgrams]]); md5-per-gram is
+ * the irreducible oracle-parity cost. The bitmap ships inside the
+ * serialized expression (kilobytes — the broadcast-equivalent for
+ * model-sized state). Null text → null (never contaminated); fewer than
+ * `n` tokens → false.
  */
-case class AnyGramInMd5Bloom(child: Expression, words: Array[Long], mBits: Int, k: Int)
+case class AnyGramInMd5Bloom(child: Expression, n: Int, words: Array[Long], mBits: Int, k: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
+  require(n >= 1, s"n must be >= 1, got $n")
   require(mBits >= 64 && k >= 1 && k <= 4, s"need mBits >= 64, k in [1,4]; got $mBits, $k")
   require(words.length == (mBits + 63) / 64,
     s"bitmap has ${words.length} words for $mBits bits")
 
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = BooleanType
 
-  @inline private def isSet(p: Long): Boolean =
-    (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L
-
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = arr.numElements()
+    val toks = TokenHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) return false
+    val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val g = arr.getUTF8String(i).toString
-        val d = TokenHashing.md5Of(g)
-        var j = 0
-        var all = true
-        while (j < k && all) {
-          val off = 4 * j
-          val p = (((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
-            ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)) % mBits
-          all = isSet(p)
-          j += 1
-        }
-        if (all) return true
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
       }
+      val d = TokenHashing.md5Of(sb.toString)
+      var j = 0
+      var all = true
+      while (j < k && all) {
+        val off = 4 * j
+        val p = (((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+          ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)) % mBits
+        all = (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L
+        j += 1
+      }
+      if (all) return true
       i += 1
     }
     false
@@ -246,6 +256,7 @@ object TextHashFunctions {
     Bridge.column(Md5TokenSimHash64(Bridge.expression(text)))
   def md5_token_simhash128(text: Column): Column =
     Bridge.column(Md5TokenSimHash128(Bridge.expression(text)))
-  def any_gram_in_md5_bloom(grams: Column, words: Array[Long], mBits: Int, k: Int): Column =
-    Bridge.column(AnyGramInMd5Bloom(Bridge.expression(grams), words, mBits, k))
+  def any_gram_in_md5_bloom(
+      loweredText: Column, n: Int, words: Array[Long], mBits: Int, k: Int): Column =
+    Bridge.column(AnyGramInMd5Bloom(Bridge.expression(loweredText), n, words, mBits, k))
 }

@@ -154,9 +154,12 @@ object Decontaminate {
     require(!benchmark.isStreaming,
       "the benchmark side must be a batch frame (its bitmap is built once)")
     val words = bloomBits(benchmark, benchTextCol, n, mBits, k)
+    // lower() stays a Spark built-in (same UTF8String casefold the exact
+    // path and the oracles already agree on); tokenize+gram+md5+bit-test
+    // fuse into one native pass inside the expression.
     df.filter(!coalesce(
       graft.functions.TextHashFunctions.any_gram_in_md5_bloom(
-        wordGrams(col(textCol), n), words, mBits, k),
+        lower(col(textCol)), n, words, mBits, k),
       lit(false)))
   }
 

@@ -183,6 +183,32 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Exact dedup keeping the BEST copy per identical-content group: the
+   * winner maximizes `score`, ties broken by lowest id — the curation
+   * shape when the same page arrives from several crawls/sources with
+   * different metadata quality, and "first seen" would keep an arbitrary
+   * copy. Adds `dup_count` (group size) to the surviving row. Same single
+   * digest shuffle as [[exactDedup]]: both windows share the md5 content
+   * key, so the group count and the ranked pick ride one exchange.
+   */
+  def bestExactRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: Column): DataFrame = {
+    // The digest projects ONCE and both windows partition by that same
+    // attribute — two inline md5(...) keys would be distinct expressions
+    // to the planner and cost a second exchange.
+    val withKey = df.withColumn("__key", md5(to_binary(col(textCol), lit("utf-8"))))
+    val grp = Window.partitionBy(col("__key"))
+    val w = grp.orderBy(score.desc, col(idCol))
+    withKey.withColumn("dup_count", count(lit(1)).over(grp))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__key")
+  }
+
+  /**
    * MinHash signature (length `numHashes`) over the distinct-token set.
    * The i-th hash function is XXH64 re-keyed by the seed index — an
    * independent-enough family with no arithmetic that can overflow under

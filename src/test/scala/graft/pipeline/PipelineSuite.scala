@@ -575,6 +575,27 @@ class PipelineSuite extends AnyFunSuite {
     assert(kept === Seq(0L, 3L, 4L))
   }
 
+  test("keep-best exact dedup: score argmax survives, ties to lowest id") {
+    val corpus = Seq(
+      (1L, "same text", 5L), // group A: id 3 wins on score
+      (2L, "same text", 9L),
+      (3L, "same text", 9L), // ...but ties with id 2 → 2 survives
+      (4L, "other text", 0L), // singleton survives regardless of score
+      (5L, null.asInstanceOf[String], 1L), // null-text docs group together
+      (6L, null.asInstanceOf[String], 7L)
+    ).toDF("id", "text", "score")
+    val kept = Dedup.bestExactRepresentatives(corpus, "id", "text", col("score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(kept === Map(
+      2L -> (9L, 3L), // score 9, tie → id 2, group of 3
+      4L -> (0L, 1L),
+      6L -> (7L, 2L))) // null group: best score wins
+    // single shuffle: the count and the ranked pick share the digest key
+    val physical = Dedup.bestExactRepresentatives(corpus, "id", "text", col("score"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(physical).length === 1, physical)
+  }
+
   test("decontaminate drops n-gram overlap with the benchmark, keeps the rest") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram with bench
