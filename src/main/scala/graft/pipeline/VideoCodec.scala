@@ -181,7 +181,9 @@ object VideoCodec {
       while (p + 8 <= end) {
         val id = buf.getInt(p)
         val size = buf.getInt(p + 4)
-        require(size >= 0 && p + 8 + size <= end,
+        // long arithmetic: a hostile size near Int.MaxValue must not wrap
+        // the bound check negative and pass
+        require(size >= 0 && p + 8L + size <= end,
           s"corrupt AVI: chunk at $p claims $size bytes, ${end - p - 8} remain")
         // stream-0 video data: compressed '00dc' or uncompressed '00db'
         if (id == fourCC("00dc") || id == fourCC("00db")) {
@@ -196,7 +198,7 @@ object VideoCodec {
     while (p + 8 <= riffEnd) {
       val id = buf.getInt(p)
       val size = buf.getInt(p + 4)
-      require(size >= 0 && p + 8 + size <= riffEnd,
+      require(size >= 0 && p + 8L + size <= riffEnd,
         s"corrupt AVI: chunk at $p claims $size bytes, ${riffEnd - p - 8} remain")
       if (id == fourCC("LIST") && size >= 4 && buf.getInt(p + 8) == fourCC("movi"))
         walkMovi(p + 12, p + 8 + size)

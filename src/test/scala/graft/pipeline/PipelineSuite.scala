@@ -1199,6 +1199,28 @@ class PipelineSuite extends AnyFunSuite {
     assert(truncated.getMessage.contains("corrupt AVI"))
   }
 
+  test("AVI demux fuzz: mutated and truncated containers parse or fail loudly") {
+    // Byte mutations can hit size fields with values near Int.MaxValue —
+    // the bound checks must use long arithmetic or a wrapped comparison
+    // would admit a 2 GB allocation. Accepted outcomes: a parse (the
+    // mutation hit frame bytes or a skipped chunk) or
+    // IllegalArgumentException — never OOM, wrap, or index errors.
+    val avi = VideoCodec.encodeAviMjpeg(
+      Seq(ImageCodec.encodeJpegGray(3, 2, 50), ImageCodec.encodeJpegGray(3, 2, 200)), 3, 2)
+    val rnd = new scala.util.Random(12345)
+    for (_ <- 0 until 1000) {
+      val mutated = avi.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { VideoCodec.decodeAviMjpeg(mutated); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    for (len <- 0 until avi.length) {
+      try { VideoCodec.decodeAviMjpeg(avi.take(len)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("solid gray survives JPEG q=1.0 exactly across the fixture domain") {
     // The q69 oracle's load-bearing property: decoded mean_r/g/b == gray,
     // for EVERY gray value and every (w, h) the fixture formulas emit.
