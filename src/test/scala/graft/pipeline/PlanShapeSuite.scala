@@ -37,6 +37,25 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(plan.contains("any_in_long_set"), s"membership filter missing:\n$plan")
   }
 
+  test("bloom decontaminate corpus side is a pure map filter: no exchange, no join") {
+    val bench = docs.limit(1).select(col("text"))
+    val plan = physical(
+      Decontaminate.bloomDecontaminate(docs, "text", bench, "text", 3, 1 << 10, 4))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(plan.contains("any_gram_in_md5_bloom"), s"bloom filter missing:\n$plan")
+  }
+
+  test("keep-best dedup ranks with WindowGroupLimit (partial top-1 per task)") {
+    // Without the group-limit pushdown every duplicate copy crosses the
+    // exchange; with it each map task forwards at most one candidate per
+    // content group it sees.
+    val plan = physical(
+      Dedup.bestExactRepresentatives(docs, "doc_id", "text", col("doc_id") % 7))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pushdown lost — every copy would reach the window exchange:\n$plan")
+  }
+
   test("capPerKey ranks with WindowGroupLimit pushdown (partial top-k per task)") {
     val plan = physical(Sampling.capPerKey(docs, "source", 1, "doc_id"))
     assert(plan.contains("WindowGroupLimit"),
