@@ -444,6 +444,14 @@ object SparkEntry {
         .orderBy("copy_id")
     }),
 
+    "q72_corpus_report" -> ((s, d) => {
+      // Per-(source, lang) corpus panel: volumes, distinct-content count,
+      // short-doc tail. Integer-only aggregates so the report hashes
+      // identically on any engine and any partition layout.
+      TextAnalysis.corpusReport(t(s, d, "documents"), "text", Seq("source", "lang"))
+        .orderBy("source", "lang")
+    }),
+
     "q21_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -1263,6 +1271,20 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q72_corpus_report" ->
+      """WITH s AS (
+        |  SELECT source, lang, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents)
+        |SELECT source, lang,
+        |  count(*) AS n_docs,
+        |  CAST(coalesce(sum(tc), 0) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+        |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id,

@@ -320,6 +320,29 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /**
+   * Per-group corpus report — the first panel a data engineer asks of a
+   * new corpus: document/token/char volume, distinct-content count (the
+   * exact-dup-rate signal), and the short-doc tail, grouped by the given
+   * columns (source, language, ...). One aggregation shuffle with map-side
+   * partial aggregation; every measure is INTEGER arithmetic on purpose —
+   * a float sum's value depends on addition order across partitions, and a
+   * cross-engine-reproducible report must not (ratios divide out of the
+   * integer columns downstream). Null text counts toward `n_docs` only.
+   */
+  def corpusReport(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport needs at least one group column")
+    val t = col(textCol)
+    val tc = tokenCount(t).cast("long")
+    // coalesce: a group of only-null texts must report 0 volume, not NULL
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(tc), lit(0L)).as("total_tokens"),
+      coalesce(sum(length(t).cast("long")), lit(0L)).as("total_chars"),
+      count_distinct(md5(to_binary(t, lit("utf-8")))).as("n_distinct_texts"),
+      sum(when(tc < 20, 1L).otherwise(0L)).as("n_short_docs"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -575,6 +575,23 @@ class PipelineSuite extends AnyFunSuite {
     assert(kept === Seq(0L, 3L, 4L))
   }
 
+  test("corpus report: integer measures, null text counts docs only") {
+    val df = Seq(
+      ("a", "w w w"), // 3 tokens
+      ("a", "w w w"), // exact dup of the first
+      ("a", Seq.fill(25)("t").mkString(" ")), // not short
+      ("b", null.asInstanceOf[String])
+    ).toDF("source", "text")
+    val got = TextAnalysis.corpusReport(df, "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // source a: 3 docs, 3+3+25 tokens, 5+5+49 chars, 2 distinct texts,
+    // 2 short (< 20 tokens)
+    assert(got("a") === ((3L, 31L, 59L, 2L, 2L)))
+    // null text: doc counted; token/char/distinct/short all skip it
+    assert(got("b") === ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("keep-best exact dedup: score argmax survives, ties to lowest id") {
     val corpus = Seq(
       (1L, "same text", 5L), // group A: id 3 wins on score
