@@ -78,6 +78,28 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Streaming near-duplicate suppression: the first document per 64-bit
+   * SimHash sketch (within `horizonMs` of event time) survives; later
+   * documents with an IDENTICAL sketch — the [[simHashExactDupPairs]]
+   * near-duplicate family, same distinct-token bit votes — are dropped.
+   * The sketch is map-side; state is one boolean per seen sketch with
+   * event-time expiry, so an unbounded stream holds a bounded seen-set.
+   * The same code runs in batch (no watermark → no expiry). Approximate in
+   * both directions exactly the way q36's batch operator is: a sketch
+   * collision can drop a non-duplicate (2⁻⁶⁴-grade), and near-dups whose
+   * sketches differ in one bit survive — use the batch LSH operators when
+   * recall matters more than state size.
+   */
+  def dropNearDuplicatesStateful(
+      df: DataFrame,
+      textCol: String,
+      tsCol: String,
+      horizonMs: Long): DataFrame =
+    dropDuplicatesStateful(
+      df.withColumn("__sketch", simHash(col(textCol))), "__sketch", tsCol, horizonMs)
+      .drop("__sketch")
+
+  /**
    * Ensures the expensive map-side sketch computation has enough input
    * partitions WHEN that matters: a large unsplittable input (a multi-GB
    * gzip dump, one giant parquet row group) would otherwise serialize

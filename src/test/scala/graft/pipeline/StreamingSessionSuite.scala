@@ -54,6 +54,41 @@ class StreamingSessionSuite extends AnyFunSuite {
     }
   }
 
+  test("stateful NEAR-dup suppression drops same-sketch docs across micro-batches") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft-neardedup")
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    // doc 2 repeats doc 1's tokens REORDERED with duplicates: a different
+    // string, the same distinct-token set, therefore the same sketch.
+    Files.writeString(in.resolve("b1.csv"),
+      """1,alpha beta gamma delta,2024-01-01T00:00:00Z
+        |2,delta gamma beta alpha alpha,2024-01-01T00:00:05Z
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val docs = spark.readStream.schema(schema).csv(in.toString)
+      .withWatermark("ts", "10 seconds")
+    val out = Dedup.dropNearDuplicatesStateful(docs, "text", "ts", 3600L * 1000)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "ts"), "helper column must not leak")
+    val query = out.writeStream
+      .format("memory").queryName("neardedup_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      Files.writeString(in.resolve("b2.csv"),
+        """3,beta alpha delta gamma,2024-01-01T00:01:00Z
+          |4,completely different words here,2024-01-01T00:01:05Z
+          |""".stripMargin)
+      query.processAllAvailable()
+      val ids = spark.table("neardedup_out").collect().map(_.getLong(0)).sorted
+      // 2 (same batch) and 3 (later batch) share doc 1's sketch → dropped
+      assert(ids.toSeq === Seq(1L, 4L))
+    } finally {
+      query.stop()
+    }
+  }
+
   test("stateful dedup also runs on a batch frame") {
     val spark = SparkTestSession.spark
     import spark.implicits._
