@@ -95,9 +95,15 @@ object Bench {
     // BENCH_r*/CORRECTNESS_r* already on disk (whichever the driver has
     // written so far this round).
     // A filtered run is an A/B probe, not the round's bench — it must
-    // never overwrite the round artifact.
+    // never overwrite the round artifact. The round number keys off
+    // CORRECTNESS files ONLY: counting BENCH_r files too would let an
+    // earlier full run THIS round (which already wrote BENCH_r{N}) push
+    // the driver's own end-of-round bench to BENCH_r{N+1}, stranding the
+    // judge's BENCH_r{N} on the truncated stdout tail. CORRECTNESS_r{N}
+    // is driver-written exactly once per round, so max+1 is stable
+    // whether this bench runs before or after it.
     val roundFile = if (onlyQueries.isDefined) None else Some {
-      val rx = "(?:BENCH|CORRECTNESS)_r(\\d+)\\.json".r
+      val rx = "CORRECTNESS_r(\\d+)\\.json".r
       val seen = Option(new java.io.File(".").list()).getOrElse(Array.empty)
         .collect { case rx(n) => n.toInt }
       f"BENCH_r${seen.foldLeft(0)(math.max) + 1}%02d.json"
