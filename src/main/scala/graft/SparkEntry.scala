@@ -452,6 +452,15 @@ object SparkEntry {
         .orderBy("source", "lang")
     }),
 
+    "q73_token_quantiles" -> ((s, d) => {
+      // Exact token-count quantiles (type-1): the length distribution that
+      // tunes a packing budget. Distinct-count histogram first, so the
+      // global window never sees per-document rows; quantiles in integer
+      // permille so the ceil threshold has no float seam between engines.
+      TextAnalysis.tokenCountQuantiles(t(s, d, "documents"), "text",
+        Seq(250, 500, 750, 900, 990, 1000))
+    }),
+
     "q21_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -1285,6 +1294,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
         |  CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
         |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // q73: same type-1 quantile — smallest tc whose cumulative doc count
+    // reaches ceil(p*n), computed as (p*n + 999) // 1000 in pure integer
+    // arithmetic (permille quantiles: no float seam between engines) —
+    // over the identical token-count formula.
+    "q73_token_quantiles" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT tc, count(*) AS c FROM t GROUP BY tc),
+        |cum AS (
+        |  SELECT tc, sum(c) OVER (ORDER BY tc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(c) FROM h) AS n
+        |  FROM h)
+        |SELECT CAST(p AS BIGINT) AS p_permille,
+        |       CAST(min(tc) AS BIGINT) AS token_count
+        |FROM cum, (SELECT unnest([250, 500, 750, 900, 990, 1000]) AS p) ps
+        |WHERE cum >= (p * n + 999) // 1000
+        |GROUP BY p ORDER BY p""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id,

@@ -343,6 +343,48 @@ object TextAnalysis {
       sum(when(tc < 20, 1L).otherwise(0L)).as("n_short_docs"))
   }
 
+  /**
+   * EXACT token-count quantiles (type-1 / lower discontinuous: the
+   * smallest value whose cumulative count reaches ⌈p·n⌉) — the length
+   * distribution that tunes a packing budget or a truncation threshold.
+   * Exact and integer-only, so any engine reproduces it bit-for-bit —
+   * unlike `percentile_approx`, whose sketch merges are layout-dependent.
+   *
+   * Scale shape: the corpus aggregates to one row per DISTINCT token
+   * count first (map-side partial counts; thousands of rows however many
+   * documents), and the cumulative window + per-quantile pick run on that
+   * tiny table — the unpartitioned window is a deliberate single-task
+   * step over the distinct-count table, never over documents. Null text
+   * is excluded (it has no length, and counting it as 0 would skew every
+   * low quantile).
+   */
+  def tokenCountQuantiles(
+      df: DataFrame, textCol: String, permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000),
+      s"quantiles must be permille in (0, 1000], got $permille")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(tokenCount(col(textCol)).cast("long").as("tc"))
+      .filter(col("tc").isNotNull)
+      .groupBy("tc").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("tc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(counts.select(sum(col("c")).as("n"))))
+    val pDf = df.sparkSession.createDataFrame(
+      permille.map(p => Tuple1(p.toLong)).distinct).toDF("p_permille")
+    // ⌈p·n⌉ in pure INTEGER arithmetic: (p·n + 999) div 1000. Quantiles
+    // arrive as permille on purpose — ceil(0.9 * n) in binary doubles
+    // rounds UP off the exact multiple (0.9·500 → 450.0000…011 → 451),
+    // and whether another engine agrees depends on its decimal/double
+    // choice. Integers have no such seam.
+    cum.crossJoin(broadcast(pDf))
+      .filter(col("cum") >= expr("(p_permille * n + 999) div 1000"))
+      .groupBy("p_permille").agg(min(col("tc")).as("token_count"))
+      .orderBy("p_permille")
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -592,6 +592,17 @@ class PipelineSuite extends AnyFunSuite {
     assert(got("b") === ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("token-count quantiles: exact type-1 picks, null text excluded") {
+    // 10 docs with token counts 1..10 (plus a null-text doc that must not
+    // count): p-permille k picks the smallest count covering ceil(k*n/1000)
+    val df = ((1 to 10).map(i => Seq.fill(i)("w").mkString(" ")) :+
+      null.asInstanceOf[String]).toDF("text")
+    val got = TextAnalysis.tokenCountQuantiles(df, "text", Seq(100, 250, 500, 901, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=10: ceil thresholds 1, 3, 5, 10, 10 → counts 1, 3, 5, 10, 10
+    assert(got === Map(100L -> 1L, 250L -> 3L, 500L -> 5L, 901L -> 10L, 1000L -> 10L))
+  }
+
   test("keep-best exact dedup: score argmax survives, ties to lowest id") {
     val corpus = Seq(
       (1L, "same text", 5L), // group A: id 3 wins on score
