@@ -461,6 +461,24 @@ object SparkEntry {
         Seq(250, 500, 750, 900, 990, 1000))
     }),
 
+    "q74_incremental_dedup" -> ((s, d) => {
+      // Incremental ingestion: the curated corpus holds every doc_id%3==0
+      // document; the incoming batch replays ALL documents as two copies
+      // each (ids 2d and 2d+1). Only content absent from the corpus
+      // survives the digest anti-join, then the batch dedups internally
+      // (min copy id, batch-side dup_count). The corpus contributes only
+      // distinct digests — its text never crosses the wire.
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(1))).as("k"))
+        .select((col("doc_id") * 2 + col("k")).as("copy_id"), col("text"))
+      Dedup.incrementalExactDedup(batch, corpus, "copy_id", "text")
+        .select(col("copy_id"), col("dup_count"))
+        .orderBy("copy_id")
+    }),
+
     "q21_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -1315,6 +1333,29 @@ object SparkEntry {
         |FROM cum, (SELECT unnest([250, 500, 750, 900, 990, 1000]) AS p) ps
         |WHERE cum >= (p * n + 999) // 1000
         |GROUP BY p ORDER BY p""".stripMargin,
+
+    // q74: replay the planted corpus/batch split and the digest anti-join;
+    // the explicit IS NULL arm mirrors Spark left_anti semantics (a null
+    // key never matches, so null-text rows survive) against NOT IN's
+    // three-valued logic.
+    "q74_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id * 2 + u.k AS copy_id, md5(text) AS dg
+        |  FROM documents, UNNEST([0, 1]) AS u(k)),
+        |fresh AS (
+        |  SELECT copy_id, dg FROM batch
+        |  WHERE dg IS NULL
+        |     OR dg NOT IN (SELECT dg FROM corpus WHERE dg IS NOT NULL)),
+        |r AS (
+        |  SELECT copy_id,
+        |    count(*) OVER (PARTITION BY dg) AS dup_count,
+        |    row_number() OVER (PARTITION BY dg ORDER BY copy_id) AS rn
+        |  FROM fresh)
+        |SELECT CAST(copy_id AS BIGINT) AS copy_id,
+        |       CAST(dup_count AS BIGINT) AS dup_count
+        |FROM r WHERE rn = 1 ORDER BY copy_id""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id,

@@ -27,6 +27,31 @@ class PipelineSuite extends AnyFunSuite {
     assert(Dedup.exactDedup(docs, "doc_id", "text").count() === 4)
   }
 
+  test("incremental dedup: corpus content dropped, batch dedups internally, nulls survive") {
+    val corpus = Seq((100L, "already curated content"), (101L, "more curated text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already curated content"),  // exists in corpus -> dropped
+      (2L, "genuinely new document"),   // new, duplicated in-batch
+      (5L, "genuinely new document"),   // in-batch dup of 2
+      (3L, "another new one"),
+      (4L, null.asInstanceOf[String])   // null text: never matches corpus
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id", "dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("incremental dedup against an empty corpus equals plain exact dedup") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val viaIncremental = Dedup.incrementalExactDedup(docs, empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaExact = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaIncremental === viaExact)
+  }
+
   test("minhash finds near-dup and exact pairs, not unrelated ones") {
     val pairs = Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

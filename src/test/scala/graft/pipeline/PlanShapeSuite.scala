@@ -56,6 +56,21 @@ class PlanShapeSuite extends AnyFunSuite {
       s"rank pushdown lost — every copy would reach the window exchange:\n$plan")
   }
 
+  test("incremental dedup: digest anti-join, corpus text never shuffles") {
+    // The corpus side must reduce to DISTINCT digests BEFORE its exchange
+    // (partial HashAggregate) and only digests may cross the wire — at
+    // 100 TB the corpus text column in that shuffle would be the bottleneck.
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val plan = physical(Dedup.incrementalExactDedup(docs, corpus, "doc_id", "text"))
+    assert(plan.contains("LeftAnti"), s"anti-join missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
+    // No Exchange line may carry the corpus text column — digests only.
+    val shuffledText = plan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("text"))
+    assert(!shuffledText, s"corpus/batch text crosses an exchange:\n$plan")
+  }
+
   test("capPerKey ranks with WindowGroupLimit pushdown (partial top-k per task)") {
     val plan = physical(Sampling.capPerKey(docs, "source", 1, "doc_id"))
     assert(plan.contains("WindowGroupLimit"),
