@@ -479,6 +479,19 @@ object SparkEntry {
         .orderBy("copy_id")
     }),
 
+    "q75_temperature_mixture" -> ((s, d) => {
+      // Temperature mixture (α = 1/2): per-source keep rates ∝ sqrt(n)/n
+      // normalized to half the corpus, all thresholds in exact integer
+      // arithmetic (isqrt + BigInt) so the kept set is engine- and
+      // layout-independent. id_sum pins exact membership, not just counts.
+      val docs = t(s, d, "documents")
+      Sampling.sampleByTemperature(docs, "source", "doc_id",
+          budgetPermille = 500, salt = "temp1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     "q21_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -1356,6 +1369,33 @@ object SparkEntry {
         |SELECT CAST(copy_id AS BIGINT) AS copy_id,
         |       CAST(dup_count AS BIGINT) AS dup_count
         |FROM r WHERE rn = 1 ORDER BY copy_id""".stripMargin,
+
+    // q75: replay the integer temperature arithmetic exactly — corrected
+    // isqrt, HUGEINT products, one floor division per source — then the
+    // same salted md5 bucket membership.
+    "q75_temperature_mixture" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |w0 AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w0 FROM n),
+        |w AS (SELECT source, n,
+        |        CASE WHEN w0 * w0 > n THEN w0 - 1
+        |             WHEN (w0 + 1) * (w0 + 1) <= n THEN w0 + 1
+        |             ELSE w0 END AS w
+        |      FROM w0),
+        |s AS (SELECT sum(w) AS sw, sum(n) AS total FROM w),
+        |t AS (SELECT source,
+        |        least(CAST(1000000 AS HUGEINT),
+        |          (CAST(total AS HUGEINT) * 500 // 1000) * w * 1000000
+        |            // (CAST(sw AS HUGEINT) * n)) AS thr
+        |      FROM w, s),
+        |b AS (SELECT source, doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'temp1'), 25, 8))::BIGINT
+        |          % 1000000 AS bucket
+        |      FROM documents)
+        |SELECT b.source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM b JOIN t ON b.source = t.source
+        |WHERE b.bucket < t.thr
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id,

@@ -162,4 +162,77 @@ object Sampling {
       .filter(col("__rank") <= maxPerKey)
       .drop("__rank")
   }
+
+  /** Exact integer square root: floor(sqrt(n)), corrected so the result is
+   * exact even where a double sqrt would misround near perfect squares.
+   * Comparisons go through division (`w > n/w` ⟺ `w² > n` for w ≥ 1) so
+   * the correction never squares a candidate — `(w+1)²` overflows Long
+   * when n approaches Long.MaxValue. */
+  private[pipeline] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var w = math.floor(math.sqrt(n.toDouble)).toLong.min(3037000499L).max(0L)
+    while (w > 0 && w > n / w) w -= 1
+    while (w + 1 <= n / (w + 1)) w += 1
+    w
+  }
+
+  /**
+   * Temperature-weighted mixture sampling: keep fractions per key
+   * proportional to `n_key^α / n_key` with α = 1/2, normalized so the
+   * expected kept volume is `budgetPermille/1000` of the corpus — the
+   * standard multilingual/multi-source LM reweighting (upweight small
+   * sources, damp giant ones) with the temperature fixed at the sqrt
+   * point. Every threshold is computed in EXACT integer arithmetic
+   * (integer sqrt, BigInt products, one floor division), so the kept set
+   * is bit-reproducible on any engine, any partition layout, any
+   * summation order — no float pow, no float sum over sources.
+   *
+   * Execution shape: one map-side-combined count per key collects to the
+   * driver (|keys| rows — mixture keys are languages/sources/domains
+   * groups, expected ≤ thousands; same bounded-collect convention as the
+   * eval-gram table). Small key sets fold into a codegen'd when-chain;
+   * larger ones ride a broadcast threshold table. Membership is the same
+   * salt-keyed md5 bucket as [[sampleByHash]], so kept sets are NESTED
+   * across budget changes for one salt. Null keys drop (threshold 0).
+   */
+  def sampleByTemperature(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      budgetPermille: Int = 500,
+      salt: String = ""): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0,1000], got $budgetPermille")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df.filter(lit(false))
+    val m = BigInt(DefaultBuckets)
+    val total = counts.map(_._2).sum
+    val budget = BigInt(total) * budgetPermille / 1000
+    val weights = counts.map { case (k, n) => (k, n, BigInt(isqrt(n))) }
+    val sw = weights.map(_._3).sum
+    val thresholds: Array[(String, Long)] = weights.map { case (k, n, w) =>
+      val thr = (budget * w * m / (sw * BigInt(n))) min m
+      k -> thr.toLong
+    }
+    val bucket = hashBucket(col(idCol), DefaultBuckets, salt)
+    if (thresholds.length <= 64) {
+      val cut = thresholds.foldLeft(Option.empty[Column]) { case (acc, (k, thr)) =>
+        val cond = col(keyCol).cast("string") === lit(k)
+        Some(acc.fold(when(cond, lit(thr)))(_.when(cond, lit(thr))))
+      }.get.otherwise(lit(0L))
+      df.filter(bucket < cut)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val thrDf = broadcast(thresholds.toSeq.toDF("__k", "__thr"))
+      df.join(thrDf, col(keyCol).cast("string") === col("__k"), "inner")
+        .filter(bucket < col("__thr"))
+        .drop("__k", "__thr")
+    }
+  }
 }

@@ -778,6 +778,68 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("isqrt is exact, including near-perfect-square adjacency") {
+    for (n <- 0L to 1000L) {
+      val w = Sampling.isqrt(n)
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt($n) = $w")
+    }
+    // The doubles-would-misround band: k^2 - 1 for huge k.
+    for (k <- Seq(67108864L, 94906265L, 3037000499L)) {
+      assert(Sampling.isqrt(k * k) === k)
+      assert(Sampling.isqrt(k * k - 1) === k - 1)
+    }
+    assert(Sampling.isqrt(Long.MaxValue) === 3037000499L)
+  }
+
+  test("temperature mixture: sqrt reweighting upweights small sources, nested, deterministic") {
+    // src0: 1600 docs, src1: 100 docs. α = 1/2 weights 40:10, so src1's
+    // keep RATE must exceed src0's by ~4x even though its volume is 16x
+    // smaller; total kept ≈ half the corpus.
+    val df = (0L until 1700L)
+      .map(i => (i, if (i < 1600L) "src0" else "src1")).toDF("id", "key")
+    val kept = Sampling.sampleByTemperature(df, "key", "id", 500, salt = "t1")
+    val byKey = kept.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate0 = byKey("src0").toDouble / 1600
+    val rate1 = byKey("src1").toDouble / 100
+    assert(rate1 > 2 * rate0, s"expected sqrt upweighting, got $rate0 vs $rate1")
+    val total = byKey.values.sum
+    assert(total > 600 && total < 1100, s"expected ~850 kept, got $total")
+    // Same salt, bigger budget → nested membership; same call → identical.
+    val ids = kept.select("id").collect().map(_.getLong(0)).toSet
+    val more = Sampling.sampleByTemperature(df, "key", "id", 800, salt = "t1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(more))
+    assert(Sampling.sampleByTemperature(df.repartition(7), "key", "id", 500, salt = "t1")
+      .select("id").collect().map(_.getLong(0)).toSet === ids)
+    // Null keys drop; degenerate budgets behave.
+    val withNull = df.withColumn("key",
+      when(col("id") === 0L, lit(null: String)).otherwise(col("key")))
+    assert(!Sampling.sampleByTemperature(withNull, "key", "id", 1000, salt = "t1")
+      .select("id").collect().map(_.getLong(0)).contains(0L))
+    assert(Sampling.sampleByTemperature(df, "key", "id", 0).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByTemperature(df, "key", "id", 1001)
+    }
+  }
+
+  test("temperature mixture broadcast path (>64 keys) matches driver-side thresholds") {
+    val keys = 100
+    val df = (0L until 5000L).map(i => (i, s"k${i % keys}")).toDF("id", "key")
+    val kept = Sampling.sampleByTemperature(df, "key", "id", 500, salt = "t2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // Replay the arithmetic: uniform 50-doc sources, w = isqrt(50) = 7.
+    val n = 5000L / keys
+    val thr = (BigInt(5000L * 500 / 1000) * Sampling.isqrt(n) * 1000000 /
+      (BigInt(Sampling.isqrt(n)) * keys * n)).min(BigInt(1000000)).toLong
+    val expected = (0L until 5000L).filter { id =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}t2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5hex.substring(24), 16) % 1000000 < thr
+    }.toSet
+    assert(kept === expected)
+  }
+
   test("capPerKey keeps at most k per key, deterministically across layouts") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "key")
     val kept = Sampling.capPerKey(df, "key", 10, "id", salt = "s1")
