@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.KmvFunctions
 import graft.pipeline.{AudioCodec, Decontaminate, Dedup, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis, VideoCodec}
 
 /**
@@ -489,6 +490,20 @@ object SparkEntry {
           budgetPermille = 500, salt = "temp1")
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
+    "q76_kmv_distinct" -> ((s, d) => {
+      // Mergeable KMV distinct sketch vs exact distinct, per source: the
+      // sketch ships O(k) longs per group through the exchange where exact
+      // distinct ships every distinct text digest. Estimate is a pure
+      // integer function of the distinct hash set, so the oracle replays
+      // it exactly in SQL.
+      val docs = t(s, d, "documents")
+      docs.groupBy("source").agg(
+          KmvFunctions.kmv_distinct(KmvFunctions.md5Hash60(col("text")), 64)
+            .as("kmv_distinct"),
+          countDistinct(col("text")).as("exact_distinct"))
         .orderBy("source")
     }),
 
@@ -1396,6 +1411,34 @@ object SparkEntry {
         |FROM b JOIN t ON b.source = t.source
         |WHERE b.bucket < t.thr
         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+
+    // q76: replay the sketch exactly — distinct 60-bit md5 hashes, the
+    // 64th smallest per group, (k-1)*2^60 // h_k in HUGEINT; exact count
+    // below k. LEFT JOIN keeps sources whose texts are all NULL (kmv 0).
+    "q76_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM h),
+        |est AS (
+        |  SELECT source,
+        |    CASE WHEN max(cnt) < 64 THEN max(cnt)
+        |         ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |                // max(CASE WHEN rn = 64 THEN hv END) AS BIGINT)
+        |    END AS kmv
+        |  FROM r GROUP BY source),
+        |ex AS (SELECT source, count(DISTINCT text) AS exact_distinct
+        |       FROM documents GROUP BY source)
+        |SELECT ex.source,
+        |       CAST(coalesce(est.kmv, 0) AS BIGINT) AS kmv_distinct,
+        |       CAST(exact_distinct AS BIGINT) AS exact_distinct
+        |FROM ex LEFT JOIN est ON ex.source = est.source
+        |ORDER BY ex.source""".stripMargin,
 
     "q21_text_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/**
+ * KMV (k-minimum-values / bottom-k θ-sketch) distinct-count aggregate over a
+ * pre-hashed `long` column in [0, 2⁶⁰): each group keeps its k smallest
+ * DISTINCT hash values; the estimate is exact below k and
+ * `(k-1) · 2⁶⁰ / h_k` at or above it (h_k = the k-th smallest hash). As a
+ * `TypedImperativeAggregate` it partially aggregates map-side, so the
+ * exchange moves O(tasks × k) longs per group instead of one row per
+ * distinct value — the property that makes distinct-volume accounting
+ * affordable at 100 TB, where exact distinct must shuffle every distinct
+ * value. Sketches merge by set-union-keep-k-smallest, so the same operator
+ * serves re-aggregation across days/partitions of a corpus.
+ *
+ * Unlike HyperLogLog the state is a plain sorted set of hash values, which
+ * keeps the estimate a pure integer function of the distinct input SET —
+ * order- and partitioning-independent, and bit-exactly replayable by any
+ * engine that can sort (the correctness oracle recomputes it in SQL).
+ * Standard error ≈ 1/√(k−2) (~12.7% at k=64, ~3.1% at k=1024).
+ */
+case class KmvDistinct(
+    hash: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = hash.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  private def add(buf: mutable.TreeSet[Long], v: Long): Unit = {
+    if (buf.size < k) buf += v
+    else {
+      val worst = buf.last
+      if (v < worst && !buf.contains(v)) { buf -= worst; buf += v }
+    }
+  }
+
+  override def merge(a: mutable.TreeSet[Long], b: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b.foreach(add(a, _))
+    a
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else {
+      val hk = buf.last
+      if (hk <= 0L) buf.size.toLong
+      else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hk)).toLong
+    }
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinct =
+    copy(hash = newChildren(0))
+  override def prettyName: String = "kmv_distinct"
+}
+
+object KmvFunctions {
+  import org.apache.spark.sql.functions._
+
+  /** 60-bit md5-derived hash of a column, the KMV input domain — chosen so
+   * any SQL engine can recompute it (`('0x' || substr(md5(v),1,15))::BIGINT`). */
+  def md5Hash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Approximate distinct count of the pre-hashed `hash` column (domain
+   * [0, 2⁶⁰), e.g. [[md5Hash60]]); exact below k. */
+  def kmv_distinct(hash: Column, k: Int): Column =
+    Bridge.column(KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
+}

@@ -840,6 +840,29 @@ class PipelineSuite extends AnyFunSuite {
     assert(kept === expected)
   }
 
+  test("kmv distinct sketch: exact below k, calibrated above, layout-invariant") {
+    import graft.functions.KmvFunctions._
+    // Below k the sketch IS the distinct set: exact, duplicates ignored.
+    val small = (0L until 90L).flatMap(i => Seq(i, i, i))
+      .toDF("v").select(kmv_distinct(md5Hash60(col("v")), 128).as("d"))
+    assert(small.head().getLong(0) === 90L)
+    // Above k: 10,000 distinct values at k=256 (stderr ~6.3%) must land
+    // within 4 sigma, and the estimate must be bit-identical on any
+    // partition layout and under duplication (pure function of the set).
+    val big = (0L until 10000L).toDF("v")
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(kmv_distinct(md5Hash60(col("v")), 256).as("d")).head().getLong(0)
+    val e = est(big)
+    assert(e > 7500 && e < 12500, s"estimate $e out of band for 10000")
+    assert(est(big.repartition(17)) === e)
+    assert(est(big.union(big)) === e)
+    // Null hashes are skipped, not counted.
+    val withNull = big.select(when(col("v") < 5000, col("v")).as("v"))
+    val eNull = withNull.select(
+      kmv_distinct(md5Hash60(col("v")), 256).as("d")).head().getLong(0)
+    assert(eNull > 3750 && eNull < 6250, s"null-skipping estimate $eNull")
+  }
+
   test("capPerKey keeps at most k per key, deterministically across layouts") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "key")
     val kept = Sampling.capPerKey(df, "key", 10, "id", salt = "s1")
