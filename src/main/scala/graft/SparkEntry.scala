@@ -697,6 +697,24 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 3, 0.3)
     }),
 
+    "q77_containment_pairs" -> ((s, d) => {
+      // Asymmetric containment (|A∩B|/|A| >= 0.8): finds docs mostly
+      // embedded in a longer doc — the quote/snippet/partial-copy class a
+      // symmetric Jaccard pass structurally misses. Every 17th doc with
+      // >= 12 tokens plants a leading-12-token snippet (id + 10^7, same
+      // source); the operator must recover each snippet's containers.
+      // Probe-side prefix filter, full-block gram index, exact
+      // integer-overlap verification.
+      val docs = t(s, d, "documents")
+      val tokens = split(trim(col("text")), "\\s+")
+      val snippets = docs
+        .filter(col("doc_id") % 17 === 0 && size(tokens) >= 12)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(tokens, 1, 12), " ").as("text"), col("source"))
+      Dedup.containmentPairs(docs.select("doc_id", "text", "source").union(snippets),
+        "doc_id", "text", "source", 3, 0.8)
+    }),
+
     "q46_dup_components" -> ((s, d) => {
       // Pairs → duplicate clusters: large-star/small-star connected
       // components over the (exact-verified) MinHash pair graph. One row per
@@ -1775,6 +1793,34 @@ object SparkEntry {
         |WHERE CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
         |           ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |                len(list_distinct(list_concat(a.grams, b.grams))) END >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q77: same gram construction as q25, asymmetric measure — intersection
+    // over |A|'s distinct grams, every ordered (a, b) pair within a block;
+    // the planted leading-12-token snippets replayed verbatim.
+    "q77_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 12), ' ') AS text,
+        |    source
+        |  FROM documents
+        |  WHERE doc_id % 17 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 12),
+        |t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+        |    ELSE list_distinct(list_transform(
+        |      range(len(string_split_regex(trim(text), '\s+')) - 2),
+        |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i + 1, i + 3), ' ')))
+        |    END AS grams
+        |  FROM corpus)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams)
+        |    AS containment
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |WHERE len(a.grams) > 0
+        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q27_ann_topk" ->

@@ -273,6 +273,48 @@ case class SortedLongJaccard(left: Expression, right: Expression)
 }
 
 /**
+ * Distinct-intersection size of two SORTED long arrays (same merge pass as
+ * [[SortedLongJaccard]], counting only the overlap). The integer primitive
+ * behind asymmetric set measures — containment `|A∩B|/|A|` cannot be
+ * recovered exactly from the Jaccard double, so verification joins that
+ * need it read the count directly.
+ */
+case class SortedLongOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        inter += 1
+        do i += 1 while (i < na && a.getLong(i) == x)
+        do j += 1 while (j < nb && b.getLong(j) == y)
+      } else if (x < y) {
+        do i += 1 while (i < na && a.getLong(i) == x)
+      } else {
+        do j += 1 while (j < nb && b.getLong(j) == y)
+      }
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongOverlap =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_long_overlap"
+}
+
+/**
  * Sorted distinct hashed word n-grams of a text column, in one primitive pass
  * over the UTF-8 bytes — no token strings, no gram strings, no boxed
  * intermediates. Token semantics mirror `split(trim(text), "\s+")` exactly:
@@ -488,6 +530,8 @@ case class AnyInLongSet(child: Expression, set: Array[Long])
 object SketchFunctions {
   def sorted_long_jaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
+  def sorted_long_overlap(a: Column, b: Column): Column =
+    Bridge.column(SortedLongOverlap(Bridge.expression(a), Bridge.expression(b)))
   def minhash_signature(tokenHashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokenHashes), numHashes))
   def minhash_band_hashes(sig: Column, bands: Int): Column =

@@ -923,6 +923,90 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Asymmetric containment pairs: emit (id_a, id_b, containment) where
+   * `containment = |grams(A) ∩ grams(B)| / |grams(A)| >= threshold` — doc A
+   * is mostly CONTAINED in doc B. This is the measure Jaccard structurally
+   * misses: a quote, snippet, or article embedded in a longer page has
+   * near-1 containment but arbitrarily low Jaccard (the union is dominated
+   * by the container), and a symmetric near-dup pass leaves every such
+   * partial copy in the corpus. Blocked by `blockCol` like
+   * [[ngramJaccardPairs]].
+   *
+   * Prefix filtering still applies, but only on the CONTAINED side: if
+   * containment >= t then B must hold one of A's `|A| - ceil(t*|A|) + 1`
+   * rarest grams, so A-prefix rows join against the FULL gram index of the
+   * block (the container side admits no prefix bound — containment ignores
+   * |B|, so every container gram must be probeable). The index is linear in
+   * corpus grams (8-byte hashes); rarest-first probe ordering keeps the
+   * equi-join fan-out tracking true containment rather than shared stop
+   * phrases. The only containment-specific length prune is one-sided
+   * (`|B| >= t*|A|`); survivors verify with the exact merge-pass overlap
+   * count (the integer [[graft.functions.SortedLongOverlap]] — containment
+   * cannot be recovered exactly from the Jaccard double).
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    requireIntegralId(df, idCol, "containmentPairs")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = spreadInput(df, parts).select(
+      col(blockCol).as("blk"), col(idCol).cast("long").as("id"),
+      hashedNgramSet(col(textCol), n).as("grams"))
+
+    val freq = base.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+
+    val exploded = base.select(col("blk"), col("id"),
+        size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+      .join(freq, "g")
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val probe = exploded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("blk"), col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val index = exploded.select(col("blk"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("g"))
+
+    val expParts = expansionPartitions(estimateRowsByStats(df) * 4, parts)
+    val (probeIn, indexIn) =
+      if (expParts > parts)
+        (probe.repartition(expParts, col("blk"), col("g")),
+          index.repartition(expParts, col("blk"), col("g")))
+      else (probe, index)
+
+    val candidates = probeIn.as("l").join(indexIn.as("r"),
+        col("l.g") === col("r.g") && col("l.blk") === col("r.blk") &&
+          col("l.id_a") =!= col("r.id_b") &&
+          col("r.sz_b") >= lit(threshold) * col("l.sz_a"))
+      .select(col("l.id_a"), col("r.id_b"))
+      .distinct()
+
+    // Same melt as ngramJaccardPairs: gram sets resolve through ONE join.
+    val sides = candidates.select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(lit(0).as("side"), col("id_a").as("id")),
+          struct(lit(1).as("side"), col("id_b").as("id")))).as("s"))
+      .select(col("id_a"), col("id_b"), col("s.side").as("side"), col("s.id").as("id"))
+    sides.join(base.select(col("id"), col("grams")), "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === 0, col("grams")), ignoreNulls = true).as("grams_a"),
+        first(when(col("side") === 1, col("grams")), ignoreNulls = true).as("grams_b"))
+      .filter(size(col("grams_a")) > 0)
+      .withColumn("containment",
+        SketchFunctions.sorted_long_overlap(col("grams_a"), col("grams_b"))
+          .cast("double") / size(col("grams_a")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
+  /**
    * Connected components over a near-duplicate pair graph: the step between
    * "pairs above threshold" and "keep one representative per duplicate
    * cluster". Returns one row per node that appears in `pairs`:

@@ -80,6 +80,35 @@ class PipelineSuite extends AnyFunSuite {
     assert(cnt === n.toLong * (n - 1) / 2)
   }
 
+  test("containment pairs: catches snippets Jaccard misses, asymmetric, blocked") {
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val container = snippet + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq(
+      (1L, snippet, "a"),          // 4 trigrams, all inside container
+      (2L, container, "a"),
+      (3L, snippet, "b"),          // same text, different block: no pair
+      (4L, "totally unrelated content stream here", "a")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", "source", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 ⊂ 2 at containment 1.0; the reverse direction is far below 0.8;
+    // block b isolates doc 3; doc 4 pairs with nothing.
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    // Sanity: symmetric Jaccard at the same threshold misses the pair.
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source", 3, 0.8)
+    assert(!jac.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containment pairs: exact duplicates contain each other both ways") {
+    val df = Seq(
+      (1L, "one two three four five six seven", "a"),
+      (2L, "one two three four five six seven", "a")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", "source", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   test("ngram prefix join matches the quadratic exact join") {
     val extra = Seq(
       (5L, "one two three four five six seven eight nine ten", "a"),
