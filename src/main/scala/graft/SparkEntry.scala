@@ -768,6 +768,15 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
     }),
 
+    "q78_cluster_assign" -> ((s, d) => {
+      // Corpus clustering for mixture analysis: the q33 centroid fit, then
+      // a zero-shuffle map-side argmax assigns every vector a cluster. The
+      // oracle replays the full Lloyd chain (shared CTE prefix with q33)
+      // and the same (sim desc, cell asc) argmax tie-break.
+      Similarity.clusterAssign(t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 32)
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2256,7 +2265,8 @@ object SparkEntry {
         |       CAST((doc_id * 7 + k * 29) % 256 AS BIGINT) AS mean_b
         |FROM f""".stripMargin,
 
-    "q33_ivf_topk" -> ivfOracleSql
+    "q33_ivf_topk" -> ivfOracleSql,
+    "q78_cluster_assign" -> clusterOracleSql
   )
 
   /**
@@ -2276,7 +2286,9 @@ object SparkEntry {
    * Constants here mirror q33's call: nlist=32, nprobe=12, replicas=3,
    * k=5, budget cap 4096, dim<=4096.
    */
-  private def ivfOracleSql: String = {
+  /** Shared k-means centroid CTE chain (through `c10`) for the q33/q78
+   * oracles — one arithmetic replay, two query tails. */
+  private def kmeansOracleCtes: String = {
     val iters = 10
     def step(n: Int): String = s"""
       |a$n AS MATERIALIZED (
@@ -2296,7 +2308,7 @@ object SparkEntry {
       |    SELECT cell, list(mv ORDER BY i) AS cv FROM m$n GROUP BY cell) g
       |  USING (cell))""".stripMargin
     val steps = (0 until iters).map(step).mkString(",")
-    s"""WITH emb AS (
+    s"""emb AS (
       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),
       |samp AS MATERIALIZED (
@@ -2311,19 +2323,33 @@ object SparkEntry {
       |  SELECT r.c AS cell, s.v AS cv
       |  FROM par, range(32) AS r(c)
       |  JOIN samp s ON s.rn = least(r.c * par.stride, par.n - 1)
-      |  WHERE r.c < par.k),$steps,
+      |  WHERE r.c < par.k),$steps""".stripMargin
+  }
+
+  /** q78 oracle: same centroid replay, single nearest-cell assignment. */
+  private def clusterOracleSql: String =
+    s"""WITH $kmeansOracleCtes
+      |SELECT id AS vec_id, CAST(cell AS INT) AS cluster FROM (
+      |  SELECT e.id, c.cell,
+      |    row_number() OVER (PARTITION BY e.id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |  FROM emb e CROSS JOIN c10 c) WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
+  private def ivfOracleSql: String = {
+    s"""WITH $kmeansOracleCtes,
       |assigned AS MATERIALIZED (
       |  SELECT id AS c_id, v AS c_v, cell FROM (
       |    SELECT e.id, e.v, c.cell,
       |      row_number() OVER (PARTITION BY e.id
       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
-      |    FROM emb e CROSS JOIN c$iters c) WHERE rk <= 3),
+      |    FROM emb e CROSS JOIN c10 c) WHERE rk <= 3),
       |probes AS MATERIALIZED (
       |  SELECT id AS query_id, v AS q_v, cell FROM (
       |    SELECT e.id, e.v, c.cell,
       |      row_number() OVER (PARTITION BY e.id
       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
-      |    FROM emb e CROSS JOIN c$iters c WHERE e.id < 10) WHERE rk <= 12),
+      |    FROM emb e CROSS JOIN c10 c WHERE e.id < 10) WHERE rk <= 12),
       |scored AS (
       |  SELECT p.query_id, a.c_id,
       |    max(list_cosine_similarity(p.q_v, a.c_v)) AS sim

@@ -304,6 +304,25 @@ object Similarity {
   }
 
   /**
+   * Corpus clustering: every vector assigned to its nearest k-means
+   * centroid (cosine). The same bounded deterministic centroid fit as IVF
+   * (id-ordered sample, strided seeding, Lloyd); assignment is then a
+   * ZERO-SHUFFLE map-side argmax over the broadcast-sized centroid matrix —
+   * the way a 100 TB corpus gets topic/domain buckets for mixture analysis
+   * without a single wide stage. Output: (vec_id, cluster).
+   */
+  def clusterAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 10): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, nlist, iters = iters)
+    df.select(col(idCol).as("vec_id"),
+      CentroidFunctions.nearest_centroid(col(vecCol), cents).as("cluster"))
+  }
+
+  /**
    * Exact all-pairs cosine ≥ threshold (for oracle-checkable small inputs or
    * within-block verification). Quadratic; block before calling at scale.
    */

@@ -71,6 +71,23 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!shuffledText, s"corpus/batch text crosses an exchange:\n$plan")
   }
 
+  test("cluster assignment is zero-shuffle map work after the centroid fit") {
+    val vecs = spark.range(0, 64)
+      .select(col("id").as("vec_id"),
+        array((0 until 4).map(i => (col("id") * (i + 1) % 7).cast("float")): _*)
+          .as("embedding"))
+    val assigned = Similarity.clusterAssign(vecs, "vec_id", "embedding", nlist = 4)
+    val plan = physical(assigned)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val rows = assigned.collect()
+    assert(rows.length === 64)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4))
+    // Pure function of the vector: layout must not change any assignment.
+    val re = Similarity.clusterAssign(vecs.repartition(13), "vec_id", "embedding", nlist = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getInt(1)).toMap === re)
+  }
+
   test("capPerKey ranks with WindowGroupLimit pushdown (partial top-k per task)") {
     val plan = physical(Sampling.capPerKey(docs, "source", 1, "doc_id"))
     assert(plan.contains("WindowGroupLimit"),
