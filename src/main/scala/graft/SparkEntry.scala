@@ -961,6 +961,29 @@ object SparkEntry {
         minTokens = 20)
     }),
 
+    "q79_stream_quality" -> ((s, d) => {
+      // The quality gate on the streaming surface: documents drain through
+      // the xmlng stream source with the Gopher/C4 composite applied per
+      // micro-batch — every signal is a stateless map-side scalar, so the
+      // same operator is safe on an unbounded stream. Gated by the batch
+      // oracle (streaming survivors must equal q62's keep set).
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/stream_quality"
+      docs.write.format("graft.xml").mode("overwrite")
+        .option("rowTag", "doc").save(path)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(docs.schema).load(path)
+      val gated = TextAnalysis.qualityFilter(stream, "doc_id", "text",
+        minTokens = 20).filter(col("keep"))
+      val sinkName = "q79_sink_" + sfName.replace('.', '_')
+      val q = gated.select("doc_id")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("doc_id")
+    }),
+
     "q63_pack_greedy" -> ((s, d) => {
       // T5-style greedy no-split sequence packing into 128-token budgets,
       // sharded by source: a doc joins the current sequence iff it fits.
@@ -2062,39 +2085,12 @@ object SparkEntry {
         |FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
         |ORDER BY w.doc_id""".stripMargin,
 
-    "q62_quality_filter" ->
-      """WITH l AS (
-        |  SELECT doc_id, text,
-        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-        |                x -> len(x) > 0) AS lines
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS tc,
-        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0.0
-        |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
-        |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS mwl,
-        |    coalesce(CASE WHEN len(text) = 0 THEN 0.0
-        |         ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END, 0.0) AS pr,
-        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0.0
-        |         ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], lower(t)))) AS DOUBLE)
-        |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS sr,
-        |    coalesce(CASE WHEN len(lines) = 0 THEN 0.0
-        |         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 0.0) AS dlf
-        |  FROM l)
-        |SELECT doc_id,
-        |  (NOT (tc < 20 OR tc > 100000 OR mwl < 3.0 OR mwl > 10.0
-        |        OR pr > 0.2 OR sr < 0.02 OR dlf > 0.3)) AS keep,
-        |  concat_ws(',',
-        |    CASE WHEN tc < 20 THEN 'too_short' END,
-        |    CASE WHEN tc > 100000 THEN 'too_long' END,
-        |    CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len' END,
-        |    CASE WHEN pr > 0.2 THEN 'punct' END,
-        |    CASE WHEN sr < 0.02 THEN 'stopwords' END,
-        |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "q62_quality_filter" -> qualityOracleSql,
+
+    // q79: the q62 gate's kept rows, drained through the streaming path.
+    "q79_stream_quality" ->
+      s"""WITH q AS ($qualityOracleSql)
+        |SELECT doc_id FROM q WHERE keep ORDER BY doc_id""".stripMargin,
 
     // Greedy no-split packing: the oracle replays the exact per-shard greedy
     // recurrence (seq += 1 and used = tc whenever used + tc > budget, with
@@ -2286,6 +2282,41 @@ object SparkEntry {
    * Constants here mirror q33's call: nlist=32, nprobe=12, replicas=3,
    * k=5, budget cap 4096, dim<=4096.
    */
+  /** q62's full oracle, shared with q79's streaming wrapper. */
+  private val qualityOracleSql: String =
+      """WITH l AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |                x -> len(x) > 0) AS lines
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS tc,
+        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS mwl,
+        |    coalesce(CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END, 0.0) AS pr,
+        |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], lower(t)))) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS sr,
+        |    coalesce(CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 0.0) AS dlf
+        |  FROM l)
+        |SELECT doc_id,
+        |  (NOT (tc < 20 OR tc > 100000 OR mwl < 3.0 OR mwl > 10.0
+        |        OR pr > 0.2 OR sr < 0.02 OR dlf > 0.3)) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN tc < 20 THEN 'too_short' END,
+        |    CASE WHEN tc > 100000 THEN 'too_long' END,
+        |    CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len' END,
+        |    CASE WHEN pr > 0.2 THEN 'punct' END,
+        |    CASE WHEN sr < 0.02 THEN 'stopwords' END,
+        |    CASE WHEN dlf > 0.3 THEN 'dup_lines' END) AS reasons
+        |FROM s ORDER BY doc_id""".stripMargin
+
   /** Shared k-means centroid CTE chain (through `c10`) for the q33/q78
    * oracles — one arithmetic replay, two query tails. */
   private def kmeansOracleCtes: String = {
