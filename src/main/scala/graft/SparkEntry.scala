@@ -777,6 +777,17 @@ object SparkEntry {
         nlist = 32)
     }),
 
+    "q80_quantize_int8" -> ((s, d) => {
+      // Symmetric int8 quantization: the 4x memory path for ANN indexes.
+      // All per-element double arithmetic, so the oracle replays every
+      // quantized value bit-for-bit.
+      val q = Similarity.quantizeInt8(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), q.getField("scale").as("scale"),
+          q.getField("q").as("q"))
+        .orderBy("vec_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2262,7 +2273,23 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     "q33_ivf_topk" -> ivfOracleSql,
-    "q78_cluster_assign" -> clusterOracleSql
+    "q78_cluster_assign" -> clusterOracleSql,
+
+    // q80: float->double widening is exact and both engines round half
+    // away from zero, so every quantized element replays bit-for-bit.
+    "q80_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0
+        |       THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
+        |FROM m ORDER BY vec_id""".stripMargin
   )
 
   /**

@@ -323,6 +323,31 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization of an embedding: `scale = max|v| / 127`,
+   * `q_i = round(v_i / scale)` — 4× smaller than float32, which is the
+   * difference between an ANN index that fits executor memory at 100 TB
+   * and one that doesn't (rerank the shortlist against the float originals
+   * to recover exactness). Pure per-element map-side arithmetic — float→
+   * double widening is exact and round-half-away-from-zero is the SQL
+   * standard, so the quantized vectors are bit-reproducible on any engine.
+   * Zero vectors quantize to zeros with scale 0. Returns
+   * `struct<scale: double, q: array<int>>`.
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val q = when(scale === 0.0,
+        transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x / scale).cast("int")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `q_i * scale`, lossy by design. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      x => x.cast("double") * quantized.getField("scale"))
+
+  /**
    * Exact all-pairs cosine ≥ threshold (for oracle-checkable small inputs or
    * within-block verification). Quadratic; block before calling at scale.
    */

@@ -892,6 +892,29 @@ class PipelineSuite extends AnyFunSuite {
     assert(eNull > 3750 && eNull < 6250, s"null-skipping estimate $eNull")
   }
 
+  test("int8 quantization: bounded values, faithful roundtrip, zero/null safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // zero vector
+      (3L, Array(127.0f, -127.0f, 63.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = df.withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+        Similarity.dequantizeInt8(col("qz")).as("deq"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2), r.getSeq[Double](3), r.getSeq[Double](4))).toMap
+    // Max-magnitude element always lands on ±127; all |q| <= 127.
+    assert(out(1L)._2 === Seq(64, -127, 32, 0))
+    assert(out(3L)._2(0) === 127 && out(3L)._2(1) === -127)
+    assert(out.values.forall(_._2.forall(q => q >= -127 && q <= 127)))
+    // Zero vector: scale 0, all-zero codes, exact roundtrip.
+    assert(out(2L)._1 === 0.0 && out(2L)._2.forall(_ == 0))
+    // Dequantized reconstruction within half a step of the original.
+    for ((_, (scale, _, deq, v)) <- out; (d, o) <- deq.zip(v))
+      assert(math.abs(d - o) <= scale / 2 + 1e-12, s"$d vs $o at scale $scale")
+  }
+
   test("capPerKey keeps at most k per key, deterministically across layouts") {
     val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "key")
     val kept = Sampling.capPerKey(df, "key", 10, "id", salt = "s1")
