@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -786,6 +786,47 @@ object SparkEntry {
         .select(col("vec_id"), q.getField("scale").as("scale"),
           q.getField("q").as("q"))
         .orderBy("vec_id")
+    }),
+
+    "q81_heavy_hitters" -> ((s, d) => {
+      // Exact heavy hitters at sketch cost: a mergeable Misra-Gries sketch
+      // consumes token ARRAYS map-side (never exploding the corpus before
+      // the exchange), proves candidate completeness via its error bound,
+      // then an exact confirm pass counts only candidate hits. The oracle
+      // is the brute-force count the sketch path must reproduce exactly.
+      HeavyHitters.heavyHitters(t(s, d, "documents"), "text",
+        threshold = 100L, capacity = 1024)
+        .orderBy("token")
+    }),
+
+    "q82_boilerplate_lines" -> ((s, d) => {
+      // Corpus-frequency boilerplate removal over a deterministic two-line
+      // corpus: each doc = own text + the text of doc (id % 10). The second
+      // line repeats across ~n/10 docs (boilerplate); the first is unique —
+      // except for ids < 10, whose own line IS a boilerplate line and must
+      // vanish from every document including its own (the semantics that
+      // separate this from keep-first paragraph dedup).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val d2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val corpus = docs.join(d2, col("id2") === col("doc_id") % 10)
+        .select(col("doc_id"), concat(col("text"), lit("\n"), col("t2")).as("text"))
+      TextAnalysis.removeBoilerplateLines(corpus, "doc_id", "text", maxDocs = 30)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q83_source_overlap" -> ((s, d) => {
+      // Cross-source contamination matrix over a deterministic shared
+      // corpus: every doc carries the text of doc (id % 39) — 39 is coprime
+      // with the 20-source layout (source = src(id % 20)), so each of the
+      // 39 contents spans many sources. Digests, not texts, cross the
+      // shuffle; per-content source sets expand to sorted pairs with no
+      // corpus self-join.
+      val docs = t(s, d, "documents")
+      val d2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val corpus = docs.join(d2, col("id2") === col("doc_id") % 39)
+        .select(col("doc_id"), col("source"), col("t2").as("text"))
+      Dedup.sourceOverlapMatrix(corpus, "text", "source")
+        .orderBy("src_a", "src_b")
     }),
 
     "q40_sessionize" -> ((s, d) => {
@@ -2289,7 +2330,60 @@ object SparkEntry {
         |  CASE WHEN scale = 0
         |       THEN list_transform(v, x -> 0)
         |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
-        |FROM m ORDER BY vec_id""".stripMargin
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    // q81: brute-force token count with threshold — the exact result the
+    // sketch+confirm path must reproduce. Empty/whitespace-only texts yield
+    // no tokens on the Spark side; the WHERE mirrors that (DuckDB's
+    // string_split_regex('') returns [''], not []).
+    "q81_heavy_hitters" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |GROUP BY token HAVING count(*) >= 100
+        |ORDER BY token""".stripMargin,
+
+    // q82: line-level replay — doc-frequency over DISTINCT (doc, trimmed
+    // line), drop lines with df > 30, rebuild in original order; docs left
+    // with nothing rebuild to ''.
+    "q82_boilerplate_lines" ->
+      """WITH corpus AS (
+        |  SELECT d1.doc_id, d1.text || chr(10) || d2.text AS text
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id % 10
+        |), parts AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+        |), lines AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |         unnest(ls) AS line
+        |  FROM parts
+        |), freq AS (
+        |  SELECT tl FROM (
+        |    SELECT DISTINCT doc_id, trim(line, ' ' || chr(9)) AS tl FROM lines
+        |    WHERE trim(line, ' ' || chr(9)) <> '')
+        |  GROUP BY tl HAVING count(*) > 30
+        |), kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l LEFT JOIN freq f ON trim(l.line, ' ' || chr(9)) = f.tl
+        |  WHERE f.tl IS NULL
+        |)
+        |SELECT c.doc_id,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS cleaned
+        |FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
+        |GROUP BY c.doc_id""".stripMargin,
+
+    // q83: digest-level replay of the overlap matrix via a distinct
+    // (source, digest) self-join — the quadratic shape the Spark side
+    // deliberately avoids, fine as an oracle at verify scale.
+    "q83_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT d1.doc_id, d1.source, d2.text
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id % 39
+        |), d AS (
+        |  SELECT DISTINCT source, md5(text) AS h FROM corpus
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_contents
+        |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /**

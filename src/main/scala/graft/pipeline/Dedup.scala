@@ -263,6 +263,37 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Cross-source contamination matrix: for every pair of sources, how many
+   * DISTINCT contents (md5 digests) they share. The panel that answers "is
+   * src_a a mirror of src_b?" before mixture weights are assigned.
+   *
+   * Shape at scale: texts leave the scan as fixed 32-byte digests; one
+   * distinct on (digest, source); one digest-keyed aggregate collecting the
+   * per-content source SET (small — bounded by the number of sources, not
+   * by data); pair expansion is pure array arithmetic on that set (no
+   * self-join of the corpus, which would shuffle the digest table twice
+   * and explode on hot contents); the final pair count aggregates over at
+   * most |sources|² keys. Pairs are emitted sorted (src_a < src_b) so the
+   * matrix is a deterministic upper triangle.
+   */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val bySource = df
+      .select(md5(to_binary(col(textCol), lit("utf-8"))).as("__digest"),
+        col(srcCol).as("__src"))
+      .distinct()
+      .groupBy("__digest").agg(sort_array(collect_set(col("__src"))).as("srcs"))
+      .where(size(col("srcs")) > 1)
+    val pairs = flatten(transform(
+      sequence(lit(0), size(col("srcs")) - 2),
+      i => transform(
+        slice(col("srcs"), i + 2, size(col("srcs"))),
+        b => struct(get(col("srcs"), i).as("src_a"), b.as("src_b")))))
+    bySource.select(explode(pairs).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_contents"))
+  }
+
+  /**
    * MinHash signature (length `numHashes`) over the distinct-token set.
    * The i-th hash function is XXH64 re-keyed by the seed index — an
    * independent-enough family with no arithmetic that can overflow under

@@ -385,6 +385,53 @@ object TextAnalysis {
       .orderBy("p_permille")
   }
 
+  /**
+   * Corpus-frequency boilerplate removal: drop every line whose trimmed
+   * content appears in MORE than `maxDocs` distinct documents (nav bars,
+   * cookie banners, license headers), keeping all other lines in original
+   * order. Unlike [[graft.pipeline.Dedup.dedupParagraphs]] (keep-first),
+   * boilerplate is removed from EVERY document including the first — a
+   * line either is boilerplate corpus-wide or it isn't.
+   *
+   * Shape at scale: posexplode lines once; the doc-frequency aggregate runs
+   * with map-side partial aggregation on the trimmed line; the frequent set
+   * is inherently small (≤ total_lines / maxDocs entries), so the anti-join
+   * broadcasts under AQE; the rebuild groups by doc id with an array_sort
+   * on (pos, line) structs — one shuffle keyed by the id. The anti-join key
+   * is the trimmed line ITSELF, not a hash: a hash collision here would
+   * silently delete a real line, and the frequent side is small enough that
+   * exactness costs nothing. Empty/whitespace-only lines are structural and
+   * never counted or removed. Docs whose every line is boilerplate (or
+   * whose text is empty) survive with `cleaned = ""` via the final left
+   * join against the input ids.
+   */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    // Explicit space+tab trim: Spark's default trim() strips spaces only,
+    // and the line key must normalize identically on any engine replaying
+    // it (DuckDB mirror: trim(line, ' ' || chr(9))).
+    def lineKey(c: Column): Column = trim(c, " \t")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val frequent = lines
+      .where(length(lineKey(col("line"))) > 0)
+      .select(col("id"), lineKey(col("line")).as("tl")).distinct()
+      .groupBy("tl").agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocs)
+      .select("tl")
+    val kept = lines.join(frequent, lineKey(lines("line")) === frequent("tl"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("cleaned"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+class CorpusAnalyticsSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- removeBoilerplateLines ----
+
+  private def boiler = Seq(
+    (0L, "unique zero\ncookie banner\nmore zero"),
+    (1L, "unique one\ncookie banner"),
+    (2L, "unique two\ncookie banner"),
+    (3L, "cookie banner\n\n  \nunique three"),  // empty + blank lines survive
+    (4L, "only unique content here"),
+    (5L, "")                                     // empty doc -> cleaned ""
+  ).toDF("doc_id", "text")
+
+  test("boilerplate lines vanish everywhere; order, blanks, empty docs survive") {
+    val out = TextAnalysis.removeBoilerplateLines(boiler, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "unique zero\nmore zero")
+    assert(out(1L) === "unique one")
+    assert(out(2L) === "unique two")
+    assert(out(3L) === "\n  \nunique three") // blank/whitespace lines kept
+    assert(out(4L) === "only unique content here")
+    assert(out(5L) === "")
+  }
+
+  test("boilerplate threshold is strict: df == maxDocs is kept") {
+    val out = TextAnalysis.removeBoilerplateLines(boiler, "doc_id", "text", maxDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "unique one\ncookie banner") // df=4, not > 4
+  }
+
+  test("boilerplate match is on trimmed content but emits the original line") {
+    val docs = Seq(
+      (0L, "  padded banner  \nkeep me"),
+      (1L, "padded banner\nother"),
+      (2L, "\tpadded banner\nmore")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(0L -> "keep me", 1L -> "other", 2L -> "more"))
+  }
+
+  test("doc repeating a boilerplate line many times counts once toward df") {
+    val docs = Seq(
+      (0L, "spam\nspam\nspam\nreal"),   // 3 occurrences, 1 doc
+      (1L, "alpha"),
+      (2L, "beta")
+    ).toDF("doc_id", "text")
+    // df(spam)=1, not 3: must survive maxDocs=2
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "spam\nspam\nspam\nreal")
+  }
+
+  // ---- sourceOverlapMatrix ----
+
+  test("source overlap counts distinct shared contents per sorted pair") {
+    val docs = Seq(
+      (0L, "shared alpha", "a"),
+      (1L, "shared alpha", "b"),   // alpha: a,b
+      (2L, "shared alpha", "b"),   // duplicate within b: counted once
+      (3L, "shared beta", "a"),
+      (4L, "shared beta", "c"),    // beta: a,c
+      (5L, "shared gamma", "a"),
+      (6L, "shared gamma", "b"),
+      (7L, "shared gamma", "c"),   // gamma: a,b,c -> three pairs
+      (8L, "lonely", "a")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("a", "b") -> 2L,  // alpha, gamma
+      ("a", "c") -> 2L,  // beta, gamma
+      ("b", "c") -> 1L)) // gamma
+  }
+
+  test("source overlap is empty when no content crosses sources") {
+    val docs = Seq(
+      (0L, "x", "a"), (1L, "y", "b"), (2L, "z", "c")
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.sourceOverlapMatrix(docs, "text", "source").count() === 0)
+  }
+}
