@@ -829,6 +829,31 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    "q84_normalize_text" -> ((s, d) => {
+      // Canonical text form (NFC + ROOT lowercase + whitespace collapse +
+      // trim) as a codegen'd unary expression. The plant prepends a
+      // DECOMPOSED accent (e + U+0301) and mixed whitespace so the gate
+      // fails unless the NFC pass, the case fold, and the collapse all
+      // replay exactly in DuckDB's utf8proc-based mirror.
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextPolicyFunctions.normalize_text(
+          concat(lit("CAFÉ  "), upper(col("text")), lit("\tEND")))
+          .as("normalized"))
+        .orderBy("doc_id")
+    }),
+
+    "q85_banned_phrases" -> ((s, d) => {
+      // Policy blocklist screening: one Aho-Corasick pass per document
+      // (cost independent of blocklist size), emitted as a per-doc verdict.
+      // The oracle replays the same semantics as a contains() chain — the
+      // O(text x N) shape the automaton exists to avoid at scale.
+      val phrases = Seq("slow scan", "fast merge", "window table", "hash join")
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextPolicyFunctions.contains_any_phrase(col("text"), phrases)
+          .as("banned"))
+        .orderBy("doc_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2383,7 +2408,27 @@ object SparkEntry {
         |)
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_contents
         |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q84: utf8proc-based replay of the canonical form — NFC, lowercase,
+    // explicit [ \t\n\r\f] whitespace class (Java \s would also eat U+000B;
+    // RE2/utf8proc engines don't), space-trim of the collapsed result.
+    "q84_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |         lower(nfc_normalize('CAFE' || chr(769) || '  ' || upper(text)
+        |                             || chr(9) || 'END')),
+        |         '[ \t\n\r\f]+', ' ', 'g'), ' ') AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q85: the contains() chain the automaton replaces — identical verdict,
+    // quadratic shape, fine as an oracle.
+    "q85_banned_phrases" ->
+      """SELECT doc_id,
+        |  (contains(text, 'slow scan') OR contains(text, 'fast merge')
+        |   OR contains(text, 'window table') OR contains(text, 'hash join'))
+        |    AS banned
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /**
