@@ -854,6 +854,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q86_image_phash_dedup" -> ((s, d) => {
+      // Image near-dup keying: average-hash (aHash) over decoded pixels —
+      // integer luma, 8x8 floor-bounds block average, >=mean bits — then
+      // exact dedup groups on the 64-bit key (emitted as hex; rep_id = min
+      // doc_id per hash). Fixtures are two-tone PNGs whose hash the oracle
+      // derives from (doc_id) alone, so the gate fails unless decode,
+      // downsample, mean and bit packing all replay exactly.
+      val docs = fixtureTable(s, d, "png_2tone", fixtureTwoTonePng(_))
+      val hashed = Multimodal.withBatchedStruct(docs, "payload", "ph",
+        StructType(Seq(StructField("ahash", StringType))), 64,
+        ImageCodec.aHashKernel)
+        .select(col("doc_id"), col("ph.ahash").as("ahash"))
+      hashed
+        .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ahash")))
+        .orderBy("doc_id")
+    }),
+
+    "q87_token_budget_select" -> ((s, d) => {
+      // Curriculum selection: the longest prefix of the (token_count DESC,
+      // doc_id ASC) ordering whose cumulative tokens fit a 15k budget,
+      // found on the per-score histogram instead of a single-task global
+      // window. The oracle replays the naive global window — identical
+      // keep set, the shape the operator exists to avoid.
+      val d0 = t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tc"))
+        .where(col("tc") > 0)
+      Sampling.selectByTokenBudget(d0, "doc_id", "tc", "tc", budget = 15000L)
+        .select("doc_id", "tc")
+        .orderBy("doc_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -1240,6 +1271,20 @@ object SparkEntry {
       (((id * 31 + i * 17) % 65536) - 32768).toShort
     }
     AudioCodec.encodeWavPcm16(rate, samples)
+  })
+
+  /** Planted two-tone fixture for q86: dims, split column and the two
+    * grays are pure integer functions of the row id, replayed exactly by
+    * the DuckDB oracle — change them only together. Grays cycle with
+    * period 10 (vs 5/7 for dims/split), so the aHash tuple repeats every
+    * lcm(5,7,10)=70 ids and plants real duplicate groups. */
+  private lazy val fixtureTwoTonePng = udf((id: Long) => {
+    val w = 8 + (id % 5).toInt
+    val h = 8 + (id % 3).toInt
+    val split = 1 + (id % 7).toInt
+    val grayA = (((id % 10) * 13 + 7) % 256).toInt
+    val grayB = (((id % 10) * 29 + 3) % 256).toInt
+    ImageCodec.encodeTwoTonePng(w, h, split, grayA, grayB)
   })
 
   /** Planted-image fixture shared by q30 and q65: dims and color are pure
@@ -2428,7 +2473,61 @@ object SparkEntry {
         |  (contains(text, 'slow scan') OR contains(text, 'fast merge')
         |   OR contains(text, 'window table') OR contains(text, 'hash join'))
         |    AS banned
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q86: pure-integer replay of the aHash pipeline from the fixture
+    // formulas. Columns are vertically uniform, so per-block averages
+    // reduce to per-column-block arithmetic (floor(k*a/(k*b)) = floor(a/b))
+    // and the 8 row-block bytes of the hash all equal the column mask.
+    "q86_image_phash_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 5 AS w,
+        |    1 + doc_id % 7 AS s,
+        |    ((doc_id % 10) * 13 + 7) % 256 AS ga,
+        |    ((doc_id % 10) * 29 + 3) % 256 AS gb
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id, j, (j * w) // 8 AS x0, ((j + 1) * w) // 8 AS x1,
+        |         s, ga, gb
+        |  FROM p, (SELECT unnest(range(8)) AS j)
+        |), avgs AS (
+        |  SELECT doc_id, j,
+        |    (greatest(0, least(x1, s) - x0) * ga +
+        |     (x1 - x0 - greatest(0, least(x1, s) - x0)) * gb) // (x1 - x0)
+        |      AS a
+        |  FROM blocks
+        |), m AS (
+        |  SELECT doc_id, sum(a) // 8 AS mean FROM avgs GROUP BY doc_id
+        |), masks AS (
+        |  SELECT avgs.doc_id,
+        |    sum(CASE WHEN avgs.a >= m.mean THEN 1 << avgs.j ELSE 0 END)
+        |      AS colmask
+        |  FROM avgs JOIN m ON avgs.doc_id = m.doc_id
+        |  GROUP BY avgs.doc_id
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    repeat(printf('%02x', CAST(colmask AS BIGINT)), 8) AS ahash
+        |  FROM masks
+        |)
+        |SELECT doc_id, ahash,
+        |  min(doc_id) OVER (PARTITION BY ahash) AS rep_id
+        |FROM hashes ORDER BY doc_id""".stripMargin,
+
+    // q87: the naive single-task global window the histogram plan avoids —
+    // identical keep set by construction.
+    "q87_token_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS tc
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), r AS (
+        |  SELECT doc_id, tc,
+        |    sum(tc) OVER (ORDER BY tc DESC, doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d WHERE tc > 0
+        |)
+        |SELECT doc_id, tc FROM r WHERE cum <= 15000 ORDER BY doc_id""".stripMargin
   )
 
   /**

@@ -129,6 +129,89 @@ object ImageCodec {
     }
   }
 
+  /**
+   * Two-tone fixture: columns `[0, split)` are `grayA`, the rest `grayB`
+   * (both painted as r=g=b gray so integer luma recovers them exactly).
+   * Gives [[aHashHex]] a non-degenerate, exactly-replayable bit pattern.
+   */
+  def encodeTwoTonePng(width: Int, height: Int, split: Int, grayA: Int, grayB: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad fixture dims ${width}x$height")
+    require(split >= 0 && split <= width, s"split $split out of [0,$width]")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = if (x < split) grayA else grayB
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /**
+   * Average-hash (aHash) perceptual fingerprint, the classic near-dup key
+   * for image dedup: decode, integer luma `(r+g+b)/3` per pixel, 8×8
+   * block-average downsample with floor block bounds (`x0 = j*w/8`,
+   * `x1 = (j+1)*w/8`; needs w,h ≥ 8 so every block is non-empty),
+   * `bit(i,j) = blockAvg >= mean` with `mean = floor(Σavg/64)`, bit index
+   * `i*8+j` from the LSB. ALL arithmetic is integer floor division, so any
+   * SQL engine replays the hash bit-for-bit from known pixel layouts.
+   *
+   * Emitted as 16-char lowercase hex rather than a signed 64-bit value:
+   * hashes with bit 63 set would need unsigned semantics the oracle side
+   * can't express without overflow.
+   */
+  def aHashHex(bytes: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a JDK-decodable image (png/bmp/gif/jpeg)")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8, s"aHash needs an image >= 8x8, got ${w}x$h")
+    val avg = new Array[Long](64)
+    var i = 0
+    while (i < 8) {
+      val y0 = i * h / 8
+      val y1 = (i + 1) * h / 8
+      var j = 0
+      while (j < 8) {
+        val x0 = j * w / 8
+        val x1 = (j + 1) * w / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        avg(i * 8 + j) = sum / ((y1 - y0).toLong * (x1 - x0))
+        j += 1
+      }
+      i += 1
+    }
+    val mean = avg.sum / 64
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (avg(k) >= mean) hash |= (1L << k)
+      k += 1
+    }
+    f"$hash%016x"
+  }
+
+  /** Batched aHash kernel for [[Multimodal.withBatchedStruct]]. */
+  def aHashKernel: Seq[Array[Byte]] => Seq[org.apache.spark.sql.Row] = payloads =>
+    payloads.map(b => org.apache.spark.sql.Row(aHashHex(b)))
+
   def decodeKernel: Seq[Array[Byte]] => Seq[Array[Float]] = payloads =>
     payloads.map { bytes =>
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))

@@ -235,4 +235,66 @@ object Sampling {
         .drop("__k", "__thr")
     }
   }
+
+  /**
+   * Curriculum/budget selection: admit documents in (`scoreCol` DESC,
+   * `idCol` ASC) order while the running token total stays within
+   * `budget` — i.e. the longest prefix of the quality ordering whose
+   * cumulative `tokenCol` ≤ budget. The stage that turns "best 10B tokens"
+   * into a concrete keep set.
+   *
+   * The naive plan — a global `sum(tokens) OVER (ORDER BY score DESC, id)`
+   * — funnels the whole corpus through ONE task (an unpartitioned window
+   * collapses to a single partition). Instead the prefix boundary is found
+   * on the per-score histogram:
+   *
+   *   1. aggregate tokens per distinct score (map-side combined; the
+   *      histogram is |distinct scores| rows, data-scale-independent);
+   *   2. running totals over that small table locate the single boundary
+   *      score class where the prefix crosses the budget (1-row result,
+   *      broadcast back via the established 1-row crossJoin convention);
+   *   3. classes strictly above the boundary admit wholly with NO window
+   *      at all; the within-class cumulative sum that settles the boundary
+   *      class runs under `partitionBy(score)` — parallel across scores,
+   *      and only the boundary class's result is ever used.
+   *
+   * Scores and tokens must be integral (exact thresholds, engine-portable);
+   * the per-class tiebreak by `idCol` makes the kept set run-deterministic
+   * under duplicate scores — provided `idCol` is unique (duplicate
+   * (score, id) pairs would make the boundary-class cut tie-order-
+   * dependent, the exact defect the packing operators guard against). Total ≤ budget → everything admits (boundary
+   * null). Skew note: step 3's shuffle keys by score — a corpus where one
+   * score class dominates inherits that class's skew, but only rank
+   * arithmetic (no text) crosses the wire.
+   */
+  def selectByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      scoreCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(tokenCol)).as("__t"))
+    val wDesc = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = hist
+      .withColumn("__cum", sum(col("__t")).over(wDesc))
+      .withColumn("__before", col("__cum") - col("__t"))
+      .agg(
+        max(when(col("__before") <= budget && col("__cum") > budget, col("__s")))
+          .as("__b_score"),
+        max(when(col("__before") <= budget && col("__cum") > budget, col("__before")))
+          .as("__b_base"))
+    val wClass = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.crossJoin(broadcast(boundary))
+      .withColumn("__run", sum(col(tokenCol)).over(wClass))
+      .where(col("__b_score").isNull ||
+        col(scoreCol) > col("__b_score") ||
+        (col(scoreCol) === col("__b_score") &&
+          col("__run") <= lit(budget) - col("__b_base")))
+      .drop("__b_score", "__b_base", "__run")
+  }
 }
