@@ -885,6 +885,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q88_image_near_dup" -> ((s, d) => {
+      // Image NEAR-duplicate pairs: aHash the quadrant fixtures, then the
+      // banded hex-hash LSH join (4x16-bit bands, first-agreeing-band
+      // emission, radius 3 = the pigeonhole-complete bound). The oracle
+      // recomputes every 64-bit hash from the fixture formulas and replays
+      // the band-collision + Hamming logic over all pairs quadratically.
+      val docs = fixtureTable(s, d, "png_quad", fixtureQuadPng(_))
+      val hashed = Multimodal.withBatchedStruct(docs, "payload", "ph",
+        StructType(Seq(StructField("ahash", StringType))), 64,
+        ImageCodec.aHashKernel)
+        .select(col("doc_id"), col("ph.ahash").as("ahash"))
+      Dedup.hexHashNearDupPairs(hashed, "doc_id", "ahash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -1271,6 +1286,22 @@ object SparkEntry {
       (((id * 31 + i * 17) % 65536) - 32768).toShort
     }
     AudioCodec.encodeWavPcm16(rate, samples)
+  })
+
+  /** Planted quadrant fixture for q88: 8x8 (so blocks are single pixels),
+    * split point and the four grays are pure integer functions of the row
+    * id, replayed exactly by the DuckDB oracle — change them only
+    * together. Top-gray period 14 vs bottom-gray period 10 makes partial
+    * band agreement (not just exact dups) occur; the full tuple repeats
+    * every lcm(7,5,14,10)=70 ids, planting exact-dup pairs too. */
+  private lazy val fixtureQuadPng = udf((id: Long) => {
+    val sx = 1 + (id % 7).toInt
+    val sy = 1 + (id % 5).toInt
+    val gA = (((id % 14) * 17 + 5) % 256).toInt
+    val gB = (((id % 14) * 23 + 11) % 256).toInt
+    val gC = (((id % 10) * 29 + 1) % 256).toInt
+    val gD = (((id % 10) * 31 + 2) % 256).toInt
+    ImageCodec.encodeQuadrantPng(8, 8, sx, sy, gA, gB, gC, gD)
   })
 
   /** Planted two-tone fixture for q86: dims, split column and the two
@@ -2527,7 +2558,51 @@ object SparkEntry {
         |                  ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM d WHERE tc > 0
         |)
-        |SELECT doc_id, tc FROM r WHERE cum <= 15000 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, tc FROM r WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    // q88: full replay — derive each 8x8 fixture's 64 aHash bits from the
+    // quadrant formulas (blocks are single pixels at 8x8), pack them into
+    // the same %08x%08x hex, then evaluate band collision + Hamming over
+    // all pairs quadratically (the shape the banded join avoids).
+    "q88_image_near_dup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 7 AS sx, 1 + doc_id % 5 AS sy,
+        |    ((doc_id % 14) * 17 + 5) % 256 AS ga,
+        |    ((doc_id % 14) * 23 + 11) % 256 AS gb,
+        |    ((doc_id % 10) * 29 + 1) % 256 AS gc,
+        |    ((doc_id % 10) * 31 + 2) % 256 AS gd
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, i, j,
+        |    CASE WHEN j < sx THEN CASE WHEN i < sy THEN ga ELSE gc END
+        |         ELSE CASE WHEN i < sy THEN gb ELSE gd END END AS g
+        |  FROM p, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j)
+        |), m AS (
+        |  SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY doc_id
+        |), bits AS (
+        |  SELECT px.doc_id, i, j,
+        |    CASE WHEN px.g >= m.mean THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN m ON px.doc_id = m.doc_id
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i * 8 + j >= 32
+        |                  THEN b * (1 << (i * 8 + j - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i * 8 + j < 32
+        |                  THEN b * (1 << (i * 8 + j)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id
+        |), hx AS (
+        |  SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash, hi, lo FROM hs
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+        |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |WHERE (substring(a.ahash, 1, 4) = substring(b.ahash, 1, 4)
+        |    OR substring(a.ahash, 5, 4) = substring(b.ahash, 5, 4)
+        |    OR substring(a.ahash, 9, 4) = substring(b.ahash, 9, 4)
+        |    OR substring(a.ahash, 13, 4) = substring(b.ahash, 13, 4))
+        |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /**

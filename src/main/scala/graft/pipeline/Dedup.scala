@@ -294,6 +294,58 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Near-duplicate pairs over a PRECOMPUTED 64-bit hash carried as a
+   * 16-char lowercase hex column — e.g. [[ImageCodec.aHashHex]] perceptual
+   * hashes, giving image near-dup at corpus scale. Banded LSH: the hex
+   * splits into four 16-bit bands; docs join only inside (band index, band
+   * value) buckets, so no corpus self-join ever forms. By pigeonhole, a
+   * pair within Hamming radius ≤ 3 differs in at most 3 bands and MUST
+   * collide on the remaining one — recall is exactly 1.0 for
+   * `maxHamming ≤ 3`, which the signature therefore enforces (the SimHash
+   * path documents the same words×4 bound).
+   *
+   * Each colliding pair is emitted ONCE, by its first agreeing band (the
+   * established first-agreeing-band convention): the filter recomputes
+   * band equality from the two full hashes carried through the join, so
+   * no second shuffle is needed to dedup emissions. Hamming distance is
+   * two `bit_count` xors on the 32-bit hex halves — codegen'd, exact, and
+   * replayable by any SQL engine from the same hex.
+   */
+  def hexHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole guarantees recall only for radius 0..3, got $maxHamming")
+    requireIntegralId(df, idCol, "hexHashNearDupPairs")
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("hx"))
+      .filter(col("hx").isNotNull)
+    def band(c: Column, k: Int): Column = substring(c, k * 4 + 1, 4)
+    val banded = base.select(col("id"), col("hx"),
+      posexplode(array((0 until 4).map(k => band(col("hx"), k)): _*))
+        .as(Seq("bandIdx", "key")))
+    val l = banded.select(col("bandIdx"), col("key"),
+      col("id").as("id_a"), col("hx").as("hx_a"))
+    val r = banded.select(col("bandIdx"), col("key"),
+      col("id").as("id_b"), col("hx").as("hx_b"))
+    def half(c: Column, off: Int): Column =
+      conv(substring(c, off, 8), 16, 10).cast("long")
+    val hamming =
+      bit_count(half(col("hx_a"), 1).bitwiseXOR(half(col("hx_b"), 1))) +
+        bit_count(half(col("hx_a"), 9).bitwiseXOR(half(col("hx_b"), 9)))
+    val firstAgreeing = (0 until 4).foldRight(lit(-1)) { (k, rest) =>
+      when(band(col("hx_a"), k) === band(col("hx_b"), k), lit(k)).otherwise(rest)
+    }
+    l.join(r, Seq("bandIdx", "key"))
+      .where(col("id_a") < col("id_b"))
+      .where(col("bandIdx") === firstAgreeing)
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
    * MinHash signature (length `numHashes`) over the distinct-token set.
    * The i-th hash function is XXH64 re-keyed by the seed index — an
    * independent-enough family with no arithmetic that can overflow under

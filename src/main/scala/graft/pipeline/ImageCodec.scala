@@ -155,6 +155,35 @@ object ImageCodec {
   }
 
   /**
+   * Quadrant fixture: the four (column < sx) × (row < sy) regions get the
+   * four grays (again painted r=g=b). Unlike the two-tone stripe this has
+   * ROW structure, so the aHash row-block bytes differ and banded near-dup
+   * joins see partial band agreement — the case they exist for.
+   */
+  def encodeQuadrantPng(
+      width: Int, height: Int, sx: Int, sy: Int,
+      gA: Int, gB: Int, gC: Int, gD: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad fixture dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g =
+          if (x < sx) { if (y < sy) gA else gC }
+          else { if (y < sy) gB else gD }
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /**
    * Average-hash (aHash) perceptual fingerprint, the classic near-dup key
    * for image dedup: decode, integer luma `(r+g+b)/3` per pixel, 8×8
    * block-average downsample with floor block bounds (`x0 = j*w/8`,

@@ -82,6 +82,38 @@ class CorpusAnalyticsSuite extends AnyFunSuite {
       ("b", "c") -> 1L)) // gamma
   }
 
+  // ---- hexHashNearDupPairs ----
+
+  test("hex-hash near-dup pairs equal quadratic brute force at radius <= 3") {
+    val rnd = new scala.util.Random(17)
+    // 60 base hashes; half get 0-3 random bit flips applied to a clone, so
+    // near pairs at every radius 0..3 (and far pairs) all occur.
+    val bases = Seq.fill(60)(rnd.nextLong())
+    val rows = bases.zipWithIndex.flatMap { case (h, i) =>
+      val mutated = (0 until rnd.nextInt(4)).foldLeft(h)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      Seq((i.toLong * 2, f"$h%016x"), (i.toLong * 2 + 1, f"$mutated%016x"))
+    }
+    val df = rows.toDF("id", "hx")
+    val got = Dedup.hexHashNearDupPairs(df, "id", "hx", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      ham = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(ha, 16) ^ java.lang.Long.parseUnsignedLong(hb, 16))
+      if ham <= 3 // radius <= 3 always band-collides (pigeonhole)
+    } yield (a, b, ham)).toSet
+    assert(got === brute)
+    assert(brute.exists(_._3 > 0), "fixture should contain true NEAR (nonzero) pairs")
+  }
+
+  test("hex-hash near-dup: each pair emitted exactly once despite multi-band collisions") {
+    // identical hashes collide on all 4 bands; emission must still be single
+    val df = Seq((1L, "00ff00ff00ff00ff"), (2L, "00ff00ff00ff00ff"), (3L, "00ff00ff00ff00ff"))
+      .toDF("id", "hx")
+    val out = Dedup.hexHashNearDupPairs(df, "id", "hx", maxHamming = 0).collect()
+    assert(out.length === 3) // (1,2),(1,3),(2,3) once each
+  }
+
   test("source overlap is empty when no content crosses sources") {
     val docs = Seq(
       (0L, "x", "a"), (1L, "y", "b"), (2L, "z", "c")
