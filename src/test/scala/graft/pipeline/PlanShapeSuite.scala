@@ -197,4 +197,55 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!physical(video).contains("Exchange"),
       s"frame pipeline must not shuffle:\n${physical(video)}")
   }
+
+  test("boilerplate removal: broadcast anti-join on the line, raw text never shuffles") {
+    val plan = physical(TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", 2))
+    // The frequent set is small by construction; the anti-join must build
+    // on it, not shuffle the exploded corpus lines by line value.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"frequent-line anti-join is not broadcast:\n$plan")
+    // Only trimmed line keys may ride a hash exchange — never the document
+    // text column itself.
+    val textShuffled = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).exists(_.contains("text#"))
+    assert(!textShuffled, s"document text crosses an exchange:\n$plan")
+  }
+
+  test("source overlap matrix: pair expansion is a generator, never a self-join") {
+    val plan = physical(Dedup.sourceOverlapMatrix(docs, "text", "source"))
+    assert(!plan.contains("Join"), s"corpus self-join crept in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
+    val textShuffled = plan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("text#"))
+    assert(!textShuffled, s"raw text crosses an exchange (digests only):\n$plan")
+  }
+
+  test("token-budget selection: corpus window is score-partitioned; single-partition only for the histogram") {
+    val d2 = docs.select(col("doc_id"), (col("doc_id") % 3 + 1).as("tc"),
+      (col("doc_id") % 2).as("score"))
+    val plan = physical(Sampling.selectByTokenBudget(d2, "doc_id", "tc", "score", 100L))
+    // The corpus-side running sum must be partitioned by the score class —
+    // an unpartitioned window here would funnel the corpus into one task.
+    assert(plan.contains("windowspecdefinition(score"),
+      s"corpus window lost its score partitioning:\n$plan")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1,
+      s"more than one single-partition exchange (histogram only expected):\n$plan")
+  }
+
+  test("hex-hash near-dup joins inside band buckets, no nested-loop fallback") {
+    val hx = docs.select(col("doc_id"), lpad(hex(col("doc_id")), 16, "0").as("ahash"))
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1") // force the at-scale shuffle-join shape
+      val plan = physical(Dedup.hexHashNearDupPairs(hx, "doc_id", "ahash", 3))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"pair generation fell back to a product join:\n$plan")
+      assert(plan.contains("hashpartitioning(bandIdx"),
+        s"join is not keyed by (band, value) buckets:\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
 }
