@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -898,6 +898,32 @@ object SparkEntry {
         .select(col("doc_id"), col("ph.ahash").as("ahash"))
       Dedup.hexHashNearDupPairs(hashed, "doc_id", "ahash", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q89_shuffle_order" -> ((s, d) => {
+      // Deterministic epoch shuffle: salt-keyed md5 total order with an
+      // explicit rank, computed via the 256-bucket histogram + partitioned
+      // window (no global-order single-task window). The oracle IS that
+      // naive global window — identical positions by construction.
+      Sampling.shuffleOrder(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", "epoch0")
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    }),
+
+    "q90_salted_join" -> ((s, d) => {
+      // Salted skew join: lineitem (large, possibly hot orderkeys) against
+      // orders replicated over 8 salt sub-keys; result must equal the
+      // plain join exactly — the oracle runs the unsalted shape.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec2(col("l_extendedprice")).as("px"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedEquiJoin(li, ord, "l_orderkey", "l_linenumber", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("px")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
     }),
 
     "q40_sessionize" -> ((s, d) => {
@@ -2602,7 +2628,23 @@ object SparkEntry {
         |    OR substring(a.ahash, 9, 4) = substring(b.ahash, 9, 4)
         |    OR substring(a.ahash, 13, 4) = substring(b.ahash, 13, 4))
         |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q89: the naive global-order window the bucket-histogram plan avoids —
+    // identical positions by construction.
+    "q89_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q90: the plain (unsalted) join — salting must not change a single row.
+    "q90_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 
   /**

@@ -237,6 +237,40 @@ object Sampling {
   }
 
   /**
+   * Deterministic pre-training corpus shuffle: a total order (and explicit
+   * `shuffle_pos` rank) from the salt-keyed md5 of the document id —
+   * reproducible across runs, partition layouts and engines, unlike
+   * `orderBy(rand())`. Different salts give independent epoch orders.
+   *
+   * The rank is computed WITHOUT a global-order window (which would funnel
+   * the corpus through one task): rows bucket by the md5's first two hex
+   * chars (256 buckets, aligned with the full-key order since the prefix
+   * is the key's high byte); a 256-row cumulative histogram gives each
+   * bucket's global offset (broadcast back); ranks within a bucket come
+   * from a `partitionBy(bucket)` window — parallel across 256 buckets,
+   * each holding ~1/256 of the corpus. `shuffle_pos = offset + rank − 1`,
+   * exactly `row_number() OVER (ORDER BY key, id) − 1`. Ties on the full
+   * key (duplicate ids) break by `idCol`, keeping the order
+   * run-deterministic on any input.
+   */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val keyed = df.withColumn("__k", key)
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val hist = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__offset")
+    val wb = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(hist), Seq("__b"))
+      .withColumn("shuffle_pos", col("__offset") + row_number().over(wb) - 1)
+      .drop("__k", "__b", "__offset")
+  }
+
+  /**
    * Curriculum/budget selection: admit documents in (`scoreCol` DESC,
    * `idCol` ASC) order while the running token total stays within
    * `budget` — i.e. the longest prefix of the quality ordering whose
