@@ -886,12 +886,12 @@ object SparkEntry {
     }),
 
     "q88_image_near_dup" -> ((s, d) => {
-      // Image NEAR-duplicate pairs: aHash the quadrant fixtures, then the
+      // Image NEAR-duplicate pairs: aHash the gradient fixtures, then the
       // banded hex-hash LSH join (4x16-bit bands, first-agreeing-band
       // emission, radius 3 = the pigeonhole-complete bound). The oracle
       // recomputes every 64-bit hash from the fixture formulas and replays
       // the band-collision + Hamming logic over all pairs quadratically.
-      val docs = fixtureTable(s, d, "png_quad", fixtureQuadPng(_))
+      val docs = fixtureTable(s, d, "png_grad", fixtureGradPng(_))
       val hashed = Multimodal.withBatchedStruct(docs, "payload", "ph",
         StructType(Seq(StructField("ahash", StringType))), 64,
         ImageCodec.aHashKernel)
@@ -924,6 +924,22 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum(col("px")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    "q91_pair_set_eval" -> ((s, d) => {
+      // Retrieval QA: precision/recall of a candidate pair set vs exact
+      // truth. The predicted set is DELIBERATELY degraded from the exact
+      // near-pairs (every (a+b)%5==0 pair dropped, fake out-of-corpus
+      // pairs planted), so tp/fp/fn are all nonzero and the oracle checks
+      // the metric arithmetic itself, not a trivial all-match.
+      val truth = Similarity.bruteForceNearPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.42)
+        .select("id_a", "id_b")
+      val degraded = truth.where((col("id_a") + col("id_b")) % 5 =!= 0)
+      val fakes = t(s, d, "embeddings")
+        .where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 100000L).as("id_b"))
+      graft.pipeline.Eval.pairSetMetrics(degraded.union(fakes), truth)
     }),
 
     "q40_sessionize" -> ((s, d) => {
@@ -1314,20 +1330,33 @@ object SparkEntry {
     AudioCodec.encodeWavPcm16(rate, samples)
   })
 
-  /** Planted quadrant fixture for q88: 8x8 (so blocks are single pixels),
-    * split point and the four grays are pure integer functions of the row
-    * id, replayed exactly by the DuckDB oracle — change them only
-    * together. Top-gray period 14 vs bottom-gray period 10 makes partial
-    * band agreement (not just exact dups) occur; the full tuple repeats
-    * every lcm(7,5,14,10)=70 ids, planting exact-dup pairs too. */
-  private lazy val fixtureQuadPng = udf((id: Long) => {
-    val sx = 1 + (id % 7).toInt
-    val sy = 1 + (id % 5).toInt
-    val gA = (((id % 14) * 17 + 5) % 256).toInt
-    val gB = (((id % 14) * 23 + 11) % 256).toInt
-    val gC = (((id % 10) * 29 + 1) % 256).toInt
-    val gD = (((id % 10) * 31 + 2) % 256).toInt
-    ImageCodec.encodeQuadrantPng(8, 8, sx, sy, gA, gB, gC, gD)
+  /** Planted hash-noise fixture for q88: 8x8 per-pixel gray from a
+    * Knuth multiplicative hash of the SQUARED pixel index (quadratic in base, see fixture comment) with `base = (id/2) % 600`, so
+    * bit patterns are effectively uniform 64-bit and band buckets stay
+    * BOUNDED as the corpus scales, like real image hashes. (Two earlier
+    * plants — quadrants, then linear gradients — collapsed to a few
+    * hundred patterns, because aHash thresholding erases flat regions and
+    * an additive gradient intercept cancels against the mean; the banded
+    * join then benched fixture degeneracy, not the operator.) Odd ids
+    * perturb ONE pixel of their even sibling's image by +128, planting
+    * true NEAR pairs at small Hamming radii; base repetition every 1200
+    * ids plants exact dups. All formulas replay exactly in the oracle —
+    * change them only together. */
+  private lazy val fixtureGradPng = udf((id: Long) => {
+    val base = ((id / 2) % 600).toInt
+    val px = base % 8
+    val py = (base / 8) % 8
+    val parity = (id % 2).toInt
+    val pixels = Array.tabulate(8, 8) { (y, x) =>
+      val n = base * 64L + y * 8L + x
+      // n^2 before the multiply: any pixel value of the form
+      // F(C_base + G(idx)) collapses to ~256 rotational bit patterns
+      // under aHash's own-mean threshold; the quadratic cross term makes
+      // per-pixel increments base-dependent. Max n^2*K ~ 3.9e18 < 2^63.
+      val g = (((n * n * 2654435761L) % 4294967296L) / 16777216L).toInt
+      if (parity == 1 && x == px && y == py) (g + 128) % 256 else g
+    }
+    ImageCodec.encodeGrayPixelsPng(pixels)
   })
 
   /** Planted two-tone fixture for q86: dims, split column and the two
@@ -2586,24 +2615,26 @@ object SparkEntry {
         |)
         |SELECT doc_id, tc FROM r WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
 
-    // q88: full replay — derive each 8x8 fixture's 64 aHash bits from the
-    // quadrant formulas (blocks are single pixels at 8x8), pack them into
-    // the same %08x%08x hex, then evaluate band collision + Hamming over
-    // all pairs quadratically (the shape the banded join avoids).
+    // q88: full replay — single-pixel blocks at 8x8, per-pixel hash-noise
+    // gray with the odd-parity one-pixel perturbation, packed into the
+    // same %08x%08x hex, then band collision + Hamming over all pairs
+    // quadratically (the shape the banded join avoids).
     "q88_image_near_dup" ->
       """WITH p AS (
-        |  SELECT doc_id,
-        |    1 + doc_id % 7 AS sx, 1 + doc_id % 5 AS sy,
-        |    ((doc_id % 14) * 17 + 5) % 256 AS ga,
-        |    ((doc_id % 14) * 23 + 11) % 256 AS gb,
-        |    ((doc_id % 10) * 29 + 1) % 256 AS gc,
-        |    ((doc_id % 10) * 31 + 2) % 256 AS gd
+        |  SELECT doc_id, (doc_id // 2) % 600 AS base, doc_id % 2 AS parity
         |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, parity, base,
+        |    base % 8 AS px, (base // 8) % 8 AS py
+        |  FROM p
         |), px AS (
         |  SELECT doc_id, i, j,
-        |    CASE WHEN j < sx THEN CASE WHEN i < sy THEN ga ELSE gc END
-        |         ELSE CASE WHEN i < sy THEN gb ELSE gd END END AS g
-        |  FROM p, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j)
+        |    CASE WHEN parity = 1 AND j = q.px AND i = q.py
+        |         THEN (((base * 64 + i * 8 + j) * (base * 64 + i * 8 + j)
+        |                * 2654435761) % 4294967296 // 16777216 + 128) % 256
+        |         ELSE ((base * 64 + i * 8 + j) * (base * 64 + i * 8 + j)
+        |               * 2654435761) % 4294967296 // 16777216 END AS g
+        |  FROM q, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j)
         |), m AS (
         |  SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY doc_id
         |), bits AS (
@@ -2644,7 +2675,33 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q91: exact truth + the same deterministic degradation, metrics as
+    // set counts; quotients of exact longs replay bit-for-bit.
+    "q91_pair_set_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), truth AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |), pred AS (
+        |  SELECT id_a, id_b FROM truth WHERE (id_a + id_b) % 5 <> 0
+        |  UNION ALL
+        |  SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings
+        |  WHERE vec_id % 50 = 0
+        |), m AS (
+        |  SELECT
+        |    (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS tp,
+        |    (SELECT count(*) FROM pred ANTI JOIN truth USING (id_a, id_b)) AS fp,
+        |    (SELECT count(*) FROM truth ANTI JOIN pred USING (id_a, id_b)) AS fn
+        |)
+        |SELECT tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+        |FROM m""".stripMargin
   )
 
   /**

@@ -183,6 +183,30 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Arbitrary grayscale fixture from a row-major pixel matrix
+   *  (`pixels(y)(x)`, each 0..255 painted r=g=b). */
+  def encodeGrayPixelsPng(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    require(h > 0 && pixels(0).length > 0, "empty pixel matrix")
+    val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      require(pixels(y).length == w, "ragged pixel matrix")
+      var x = 0
+      while (x < w) {
+        val g = pixels(y)(x)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
   /**
    * Average-hash (aHash) perceptual fingerprint, the classic near-dup key
    * for image dedup: decode, integer luma `(r+g+b)/3` per pixel, 8×8

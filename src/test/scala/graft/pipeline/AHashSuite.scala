@@ -41,6 +41,23 @@ class AHashSuite extends AnyFunSuite {
     assert(hex === "f0f0f0f0f0f0f0f0")
   }
 
+  test("aHash matches the reference on quadrant fixtures at varied dims") {
+    for (id <- 0L until 120L) {
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 3).toInt
+      val sx = 1 + (id % 7).toInt
+      val sy = 1 + (id % 5).toInt
+      val ga = (((id % 98) * 17 + 5) % 256).toInt
+      val gb = (((id % 98) * 23 + 11) % 256).toInt
+      val gc = (((id % 50) * 29 + 1) % 256).toInt
+      val gd = (((id % 50) * 31 + 2) % 256).toInt
+      val bytes = ImageCodec.encodeQuadrantPng(w, h, sx, sy, ga, gb, gc, gd)
+      val expected = referenceHash(w, h, (x, y) =>
+        if (x < sx) { if (y < sy) ga else gc } else { if (y < sy) gb else gd })
+      assert(ImageCodec.aHashHex(bytes) === expected, s"id=$id")
+    }
+  }
+
   test("aHash refuses images smaller than 8x8") {
     val tiny = ImageCodec.encodePng(4, 4, 0x123456)
     val e = intercept[IllegalArgumentException](ImageCodec.aHashHex(tiny))
