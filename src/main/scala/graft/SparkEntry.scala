@@ -942,6 +942,33 @@ object SparkEntry {
       graft.pipeline.Eval.pairSetMetrics(degraded.union(fakes), truth)
     }),
 
+    "q92_score_calibration" -> ((s, d) => {
+      // Cross-source score calibration: raw token-count "quality" becomes
+      // an integer permille percentile WITHIN each source, so one global
+      // threshold means the same thing for every source. Integer DIV
+      // arithmetic end to end — no float seam for the oracle to trip on.
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("tc"))
+      graft.pipeline.Eval.percentileCalibrate(scored, "source", "tc")
+        .orderBy("doc_id")
+    }),
+
+    "q93_audio_near_dup" -> ((s, d) => {
+      // Audio NEAR-duplicate pairs: energy-delta fingerprints over real
+      // WAV decodes, then the SAME banded hex-hash LSH join as images —
+      // one near-dup engine, three modalities. Odd ids replace one frame
+      // of their even sibling's signal, planting radius-0..2 pairs; the
+      // oracle recomputes every fingerprint from the sample formulas.
+      val docs = fixtureTable(s, d, "wav_fp", fixtureFpWav(_))
+      val printed = Multimodal.withBatchedStruct(docs, "payload", "fp",
+        StructType(Seq(StructField("fhash", StringType))), 64,
+        AudioCodec.fingerprintKernel)
+        .select(col("doc_id"), col("fp.fhash").as("fhash"))
+      Dedup.hexHashNearDupPairs(printed, "doc_id", "fhash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -1316,6 +1343,27 @@ object SparkEntry {
     VideoCodec.encodeAviMjpeg((0 until n).map { k =>
       ImageCodec.encodeJpegGray(w, h, ((id * 7 + k * 29) % 256).toInt)
     }, w, h)
+  })
+
+  /** Planted-audio fixture for q93: base signal from the squared-index
+    * Knuth hash (same nonlinearity rationale as the q88 image fixture —
+    * linear-in-index signals collapse to rotational fingerprint families);
+    * odd ids REPLACE one frame's samples with a constant, planting true
+    * near pairs. Formulas replay exactly in the oracle — change them only
+    * together. Max (base*200+i)^2 * 40503 ≈ 5.8e14, well inside Long. */
+  private lazy val fixtureFpWav = udf((id: Long) => {
+    val base = ((id / 2) % 600).toInt
+    val n = 100 + base % 40
+    val pf = base % 64
+    val parity = (id % 2).toInt
+    val samples = Array.tabulate(n) { i =>
+      if (parity == 1 && (i * 65) / n == pf) 32000.toShort
+      else {
+        val m = base * 200L + i
+        (((m * m * 40503L) % 4294967296L) / 256L % 65536L - 32768L).toShort
+      }
+    }
+    AudioCodec.encodeWavPcm16(16000, samples)
   })
 
   /** Planted-audio fixture for q67: rate and samples are pure integer
@@ -2701,7 +2749,69 @@ object SparkEntry {
         |SELECT tp, fp, fn,
         |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q93: fingerprint replay from the sample formulas — striped frame
+    // assignment, abs-energy sums, delta bits, %08x%08x packing — then
+    // band collision + Hamming over all pairs quadratically.
+    "q93_audio_near_dup" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id // 2) % 600 AS base, doc_id % 2 AS parity
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, parity, base,
+        |    100 + base % 40 AS n, base % 64 AS pf
+        |  FROM p
+        |), sm0 AS (
+        |  SELECT doc_id, parity, base, n, pf, unnest(range(n)) AS i FROM q
+        |), sm AS (
+        |  SELECT doc_id, (i * 65) // n AS k,
+        |    CASE WHEN parity = 1 AND (i * 65) // n = pf THEN 32000
+        |         ELSE (((base * 200 + i) * (base * 200 + i) * 40503)
+        |               % 4294967296) // 256 % 65536 - 32768 END AS v
+        |  FROM sm0
+        |), e AS (
+        |  SELECT doc_id, k, sum(abs(v)) AS en FROM sm GROUP BY doc_id, k
+        |), bits AS (
+        |  SELECT cur.doc_id, cur.k AS k,
+        |    CASE WHEN nxt.en >= cur.en THEN 1 ELSE 0 END AS b
+        |  FROM e cur JOIN e nxt
+        |    ON nxt.doc_id = cur.doc_id AND nxt.k = cur.k + 1
+        |  WHERE cur.k < 64
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN k >= 32 THEN b * (1 << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN b * (1 << k) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id
+        |), hx AS (
+        |  SELECT doc_id, printf('%08x%08x', hi, lo) AS fhash, hi, lo FROM hs
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+        |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |WHERE (substring(a.fhash, 1, 4) = substring(b.fhash, 1, 4)
+        |    OR substring(a.fhash, 5, 4) = substring(b.fhash, 5, 4)
+        |    OR substring(a.fhash, 9, 4) = substring(b.fhash, 9, 4)
+        |    OR substring(a.fhash, 13, 4) = substring(b.fhash, 13, 4))
+        |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q92: same rank()/count() windows and integer DIV permille.
+    "q92_score_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, tc,
+        |  ((rank() OVER (PARTITION BY source ORDER BY tc NULLS FIRST) - 1)
+        |   * 1000)
+        |    // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+        |    AS score_permille
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 
   /**

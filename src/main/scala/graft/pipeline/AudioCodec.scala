@@ -104,6 +104,40 @@ object AudioCodec {
   }
 
   /**
+   * Audio perceptual fingerprint (chromaprint-style energy-delta bits):
+   * decode PCM16, stripe samples into 65 frames (`frame(i) = i*65 div n` —
+   * every frame non-empty for n ≥ 65), per-frame energy `Σ|v|`, and
+   * `bit k = E[k+1] >= E[k]` for k = 0..63 — a 64-bit key whose bits
+   * survive volume-preserving edits that shift absolute levels but not the
+   * LOUDER/QUIETER shape between neighboring frames. Packed as the same
+   * 16-char lowercase hex [[ImageCodec.aHashHex]] uses (bit k from the
+   * LSB), so [[Dedup.hexHashNearDupPairs]] gives audio near-dup directly.
+   * Pure integer arithmetic end to end — exactly replayable in SQL.
+   */
+  def fingerprintHex(bytes: Array[Byte]): String = {
+    val (_, samples) = decodeWavPcm16(bytes)
+    val n = samples.length
+    require(n >= 65, s"fingerprint needs >= 65 samples, got $n")
+    val energy = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      energy((i * 65) / n) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k + 1) >= energy(k)) hash |= (1L << k)
+      k += 1
+    }
+    f"$hash%016x"
+  }
+
+  /** Batched fingerprint kernel for [[Multimodal.withBatchedStruct]]. */
+  def fingerprintKernel: Seq[Array[Byte]] => Seq[Row] = payloads =>
+    payloads.map(b => Row(fingerprintHex(b)))
+
+  /**
    * Real batched feature extraction: WAV bytes → `(sample_rate, n_samples,
    * duration_ms, sum_sq, peak, zero_crossings)`, all integers:
    * `duration_ms = n_samples * 1000 / rate` (integer division), `sum_sq` the

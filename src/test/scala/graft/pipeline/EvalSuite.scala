@@ -31,6 +31,23 @@ class EvalSuite extends AnyFunSuite {
     assert(noTruth.isNullAt(4)) // recall undefined
   }
 
+  test("percentileCalibrate: permille ranks per group, ties share, singleton is 0") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L), ("a", 5L, 50L),
+      ("b", 6L, 7L)
+    ).toDF("src", "id", "score")
+    val out = Eval.percentileCalibrate(df, "src", "score")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // group a: n=5, rank0 of 10->0, 20->1 (both), 40->3, 50->4; x1000 div 4
+    assert(out === Map(1L -> 0L, 2L -> 250L, 3L -> 250L, 4L -> 750L,
+      5L -> 1000L, 6L -> 0L))
+    // layout invariance
+    val re = Eval.percentileCalibrate(df.repartition(7), "src", "score")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(re === out)
+  }
+
   test("perfect prediction scores 1.0 both ways") {
     val s = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     val r = Eval.pairSetMetrics(s, s).collect().head
