@@ -969,6 +969,44 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q94_curation_audit" -> ((s, d) => {
+      // Per-document curation lineage: the FIRST stage of the q55 pipeline
+      // that drops each doc ('lang' -> 'quality' -> 'duplicate' ->
+      // 'contaminated' -> 'capped'), else 'kept'. The observability face
+      // of the same operators: every drop is attributable, and the oracle
+      // replays the identical stage chain per doc. Survivor-id sets ride
+      // id-only left joins — no text crosses a join exchange.
+      // Corpus = documents plus a planted copy of every 20th doc (id +
+      // 100000), so the 'duplicate' verdict branch is exercised too.
+      val base = t(s, d, "documents")
+      val docs = base.unionByName(base.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+      val langOk = TextAnalysis.langId(col("text")) === "en"
+      val qualOk = TextAnalysis.tokenCount(col("text")) >= 30 &&
+        TextAnalysis.punctRatio(col("text")) < 0.1
+      val filtered = docs.filter(langOk && qualOk)
+      val deduped = Dedup.exactDedup(filtered, "doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val clean = Decontaminate.decontaminate(deduped, "doc_id", "text", bench, "text", 5)
+      val capped = Sampling.capPerKey(clean, "source", 10, "doc_id", salt = "cap6")
+      val ddIds = deduped.select(col("doc_id")).withColumn("__dd", lit(1))
+      val clIds = clean.select(col("doc_id")).withColumn("__cl", lit(1))
+      val cpIds = capped.select(col("doc_id")).withColumn("__cp", lit(1))
+      docs.select(col("doc_id"), langOk.as("__lang"), qualOk.as("__qual"))
+        .join(ddIds, Seq("doc_id"), "left")
+        .join(clIds, Seq("doc_id"), "left")
+        .join(cpIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("__lang"), "lang")
+            .when(!col("__qual"), "quality")
+            .when(col("__dd").isNull, "duplicate")
+            .when(col("__cl").isNull, "contaminated")
+            .when(col("__cp").isNull, "capped")
+            .otherwise("kept").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2797,6 +2835,73 @@ object SparkEntry {
         |    OR substring(a.fhash, 13, 4) = substring(b.fhash, 13, 4))
         |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q94: same stage CTEs as q55, emitted as a per-doc first-drop CASE.
+    "q94_curation_audit" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, source FROM documents
+        |  WHERE doc_id % 20 = 0
+        |), tok AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END AS pr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['the','and','of','to','is','a'], t))) AS en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['el','la','los','las','es','y'], t))) AS es,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['le','la','les','est','et','une'], t))) AS fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> list_contains(['der','die','das','ist','und','ein'], t))) AS de
+        |  FROM corpus),
+        |f AS (
+        |  SELECT doc_id, text, source, tc FROM tok
+        |  WHERE en >= es AND en >= fr AND en >= de AND en > 0
+        |    AND tc >= 30 AND pr < 0.1),
+        |dd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT f.doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM f)
+        |  WHERE rn = 1),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM corpus),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE gram IN (SELECT gram FROM g WHERE doc_id % 37 = 0)),
+        |clean AS (
+        |  SELECT dd.doc_id, f.source FROM dd JOIN f USING (doc_id)
+        |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM bad)),
+        |capped AS (
+        |  SELECT doc_id FROM (
+        |    SELECT clean.doc_id, row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap6'), 25, 8))::BIGINT
+        |                  % 1000000,
+        |               doc_id) AS rk
+        |    FROM clean)
+        |  WHERE rk <= 10)
+        |SELECT t.doc_id,
+        |  CASE WHEN NOT (t.en >= t.es AND t.en >= t.fr AND t.en >= t.de AND t.en > 0)
+        |         THEN 'lang'
+        |       WHEN NOT (t.tc >= 30 AND t.pr < 0.1) THEN 'quality'
+        |       WHEN dd.doc_id IS NULL THEN 'duplicate'
+        |       WHEN clean.doc_id IS NULL THEN 'contaminated'
+        |       WHEN capped.doc_id IS NULL THEN 'capped'
+        |       ELSE 'kept' END AS verdict
+        |FROM tok t
+        |LEFT JOIN dd ON dd.doc_id = t.doc_id
+        |LEFT JOIN clean ON clean.doc_id = t.doc_id
+        |LEFT JOIN capped ON capped.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q92: same rank()/count() windows and integer DIV permille.
     "q92_score_calibration" ->
