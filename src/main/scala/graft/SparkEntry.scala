@@ -1214,6 +1214,34 @@ object SparkEntry {
       s.table(sinkName).orderBy("doc_id")
     }),
 
+    "q95_stream_trending" -> ((s, d) => {
+      // Trending tokens on the streaming surface: event-time windowed
+      // token counts (1h tumbling, epoch-aligned) as a STATEFUL streaming
+      // aggregation over the xmlng source — the operator shape behind any
+      // "what's spiking this hour" corpus monitor. Complete output mode
+      // drains every window; the batch oracle recomputes the identical
+      // windowed counts, so streaming state must agree with batch exactly.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/stream_trending"
+      docs.write.format("graft.xml").mode("overwrite")
+        .option("rowTag", "doc").save(path)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(docs.schema).load(path)
+      val counts = stream
+        .withColumn("ts", timestamp_seconds(lit(1600000000L) + col("doc_id") * 60))
+        .select(col("ts"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(window(col("ts"), "1 hour"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 100)
+        .select(col("window.start").as("wstart"), col("token"), col("cnt"))
+      val sinkName = "q95_sink_" + sfName.replace('.', '_')
+      val q = counts.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("wstart", "token")
+    }),
+
     "q63_pack_greedy" -> ((s, d) => {
       // T5-style greedy no-split sequence packing into 128-token budgets,
       // sharded by source: a doc joins the current sequence iff it fits.
@@ -2835,6 +2863,19 @@ object SparkEntry {
         |    OR substring(a.fhash, 13, 4) = substring(b.fhash, 13, 4))
         |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q95: identical epoch-aligned hourly windows + counts in batch SQL —
+    // streaming state must reproduce them exactly.
+    "q95_stream_trending" ->
+      """SELECT
+        |  make_timestamp((((1600000000 + doc_id * 60) // 3600) * 3600)
+        |                 * 1000000) AS wstart,
+        |  token, count(*) AS cnt
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |GROUP BY 1, 2 HAVING count(*) >= 100
+        |ORDER BY 1, 2""".stripMargin,
 
     // q94: same stage CTEs as q55, emitted as a per-doc first-drop CASE.
     "q94_curation_audit" ->
