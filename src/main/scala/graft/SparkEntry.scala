@@ -1007,6 +1007,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q96_token_rarity" -> ((s, d) => {
+      // Rarity-calibrated novelty signal: vocabulary ranked rare-high in
+      // integer permille, per-doc mean. The global window only ever sees
+      // the vocabulary, never the corpus.
+      TextAnalysis.tokenRarityScore(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q97_hash_embed" -> ((s, d) => {
+      // Feature-hashing embeddings: model-free 32-dim signed bucket counts
+      // per doc, one map pass, no explode. Emitted as an ordered CSV
+      // string plus the exact L2^2 so the oracle compare is
+      // element-ORDER-sensitive (the harness sorts list cells before
+      // hashing, which would wash out element order).
+      val emb = Similarity.hashEmbed(col("text"), 32)
+      t(s, d, "documents")
+        .select(col("doc_id"), emb.as("e"))
+        .select(col("doc_id"),
+          concat_ws(",", col("e")).as("emb_csv"),
+          aggregate(col("e"), lit(0L), (a, x) => a + x * x).as("norm_sq"))
+        .orderBy("doc_id")
+    }),
+
+    "q98_within_doc_dedup" -> ((s, d) => {
+      // WITHIN-doc line dedup (keep first, in order) over the q42-style
+      // planted corpus: own text + text of doc (id % 10) + own text again
+      // — the third line always drops, the second only for ids where
+      // id % 10 == id. Pure map expression, zero shuffle.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val d2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val corpus = docs.join(d2, col("id2") === col("doc_id") % 10)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("t2"), lit("\n"), col("text")).as("text"))
+      corpus.select(col("doc_id"),
+        TextAnalysis.dedupLinesWithinDoc(col("text")).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2876,6 +2915,79 @@ object SparkEntry {
         |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |GROUP BY 1, 2 HAVING count(*) >= 100
         |ORDER BY 1, 2""".stripMargin,
+
+    // q96: vocabulary rank permille + per-doc integer mean, replayed with
+    // the same rank()/DIV arithmetic.
+    "q96_token_rarity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), vocab AS (
+        |  SELECT token, count(*) AS cf FROM tk GROUP BY token
+        |), ranked AS (
+        |  SELECT token,
+        |    ((rank() OVER (ORDER BY cf DESC) - 1) * 1000)
+        |      // greatest(count(*) OVER () - 1, 1) AS rarity_permille
+        |  FROM vocab
+        |), scored AS (
+        |  SELECT tk.doc_id,
+        |    CAST(sum(r.rarity_permille) // count(*) AS BIGINT)
+        |      AS mean_rarity_permille
+        |  FROM tk JOIN ranked r ON tk.token = r.token
+        |  GROUP BY tk.doc_id
+        |)
+        |SELECT d.doc_id, s.mean_rarity_permille
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q97: explode + signed bucket sums + grid reassembly in bucket order,
+    // same md5 arithmetic.
+    "q97_hash_embed" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), tb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM tk
+        |), sums AS (
+        |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+        |  FROM tb GROUP BY doc_id, bucket
+        |), grid AS (
+        |  SELECT d.doc_id, g.j, coalesce(s.v, 0) AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(32)) AS j) g
+        |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = g.j
+        |)
+        |SELECT doc_id,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS emb_csv,
+        |  CAST(sum(v * v) AS BIGINT) AS norm_sq
+        |FROM grid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q98: keep-first line dedup replayed with ordinality windows (DuckDB
+    // list_distinct does not preserve order, so the oracle can't use it).
+    "q98_within_doc_dedup" ->
+      """WITH corpus AS (
+        |  SELECT d1.doc_id,
+        |    d1.text || chr(10) || d2.text || chr(10) || d1.text AS text
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id % 10
+        |), parts AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+        |), lines AS (
+        |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+        |         unnest(ls) AS line
+        |  FROM parts
+        |), firsts AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |FROM firsts WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q94: same stage CTEs as q55, emitted as a per-doc first-drop CASE.
     "q94_curation_audit" ->

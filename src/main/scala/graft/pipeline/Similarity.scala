@@ -348,6 +348,32 @@ object Similarity {
       x => x.cast("double") * quantized.getField("scale"))
 
   /**
+   * Feature-hashing document embedding (the "hashing trick"): each token
+   * lands in bucket `md5₃₂(token) mod dim` with sign ± from the digest's
+   * next hex digit; the embedding is the signed bucket count vector
+   * (`array<long>`). Model-free, vocabulary-free, integer-exact — the
+   * cheap dense representation that lets the ANN/near-dup machinery run on
+   * corpora with no trained embedder, at one map pass per document (the
+   * per-token fold is `aggregate` over the token array — NO explode, no
+   * shuffle; O(tokens × dim) integer adds per doc). md5-derived buckets,
+   * not xxhash, so any SQL engine replays every element exactly.
+   */
+  def hashEmbed(text: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val toks = graft.pipeline.TextAnalysis.tokens(text)
+    aggregate(
+      toks,
+      array_repeat(lit(0L), dim),
+      (acc, t) => {
+        val bucket = (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).cast("int")
+        val sign = when(
+          conv(substring(md5(t), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L))
+        transform(acc, (v, j) => when(j === bucket, v + sign).otherwise(v))
+      })
+  }
+
+  /**
    * Exact all-pairs cosine ≥ threshold (for oracle-checkable small inputs or
    * within-block verification). Quadratic; block before calling at scale.
    */

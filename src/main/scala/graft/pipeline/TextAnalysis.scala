@@ -432,6 +432,50 @@ object TextAnalysis {
       .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /**
+   * WITHIN-document line dedup: keep each line's first occurrence, in
+   * order (the per-doc counterpart of corpus-level
+   * [[graft.pipeline.Dedup.dedupParagraphs]] — no corpus state, so this
+   * is a PURE map expression: `array_distinct` preserves first-occurrence
+   * order in Spark, zero shuffle at any scale). Empty lines dedup like
+   * any other line: the first survives, later ones drop.
+   */
+  def dedupLinesWithinDoc(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
+  /**
+   * Mean token-rarity score in integer permille: rank the corpus
+   * vocabulary by frequency (rarest = 1000), then average each document's
+   * token rarity. A rarity-calibrated quality/novelty signal with NO float
+   * seam — `rank()` ties share, all division is integer DIV — so the score
+   * replays exactly on any engine.
+   *
+   * Shape: one token-count aggregate builds the vocabulary (map-side
+   * combined; |vocab| rows), ranked with a single-partition window THAT
+   * ONLY EVER SEES THE VOCABULARY (data-scale-independent, same
+   * convention as the q73/q87 histograms), broadcast back to the exploded
+   * corpus, one id-keyed aggregate for the per-doc mean. Tokenless docs
+   * (empty/whitespace text) score null.
+   */
+  def tokenRarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cf"))
+    val v = Window.partitionBy()
+    val ranked = vocab
+      .withColumn("__rank0", (rank().over(Window.orderBy(col("cf").desc)) - 1).cast("long"))
+      .withColumn("__v", count(lit(1)).over(v))
+      .withColumn("rarity_permille",
+        expr("(__rank0 * 1000) DIV greatest(__v - 1, 1)"))
+      .select("token", "rarity_permille")
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(ranked), Seq("token"))
+      .groupBy("id")
+      .agg(expr("sum(rarity_permille) DIV count(1)").as("mean_rarity_permille"))
+      .join(df.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id"), col("mean_rarity_permille"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
