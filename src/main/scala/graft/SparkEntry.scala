@@ -1046,6 +1046,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q99_bucketed_join" -> ((s, d) => {
+      // Co-located join via bucketing: both sides written CLUSTERED BY the
+      // join key into the same bucket count, so repeated joins on that key
+      // read pre-partitioned data and plan NO exchange on either side
+      // (BucketedJoinSuite pins the plan with broadcast disabled) — the
+      // amortize-the-shuffle-once pattern for fact tables joined daily at
+      // 100 TB. Results must equal the plain join, which is the oracle.
+      val sfName = new java.io.File(d).getName.replace('.', '_')
+      val root = s"/tmp/graft_bucketed/$sfName"
+      val liName = s"graft_li_b_$sfName"
+      val ordName = s"graft_ord_b_$sfName"
+      SparkEntry.synchronized {
+        if (!s.catalog.tableExists(liName)) {
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), dec2(col("l_extendedprice")).as("px"))
+            .write.format("parquet").bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey").option("path", s"$root/li")
+            .mode("overwrite").saveAsTable(liName)
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .write.format("parquet").bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey").option("path", s"$root/ord")
+            .mode("overwrite").saveAsTable(ordName)
+        }
+      }
+      s.table(liName)
+        .join(s.table(ordName), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("px")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2915,6 +2948,13 @@ object SparkEntry {
         |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |GROUP BY 1, 2 HAVING count(*) >= 100
         |ORDER BY 1, 2""".stripMargin,
+
+    // q99: the plain join — bucketing changes the plan, never the rows.
+    "q99_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // q96: vocabulary rank permille + per-doc integer mean, replayed with
     // the same rank()/DIV arithmetic.

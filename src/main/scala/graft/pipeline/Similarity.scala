@@ -361,16 +361,19 @@ object Similarity {
   def hashEmbed(text: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val toks = graft.pipeline.TextAnalysis.tokens(text)
+    // Hash once per TOKEN, in a separate materialized array stage: an
+    // expression referenced inside the fold's `transform` lambda would
+    // re-evaluate per (token, j) — dim×2 md5 calls per token (measured
+    // 6× slower on the whole query at sf0.1) instead of one.
+    val pairs = transform(transform(toks, t => md5(t)), h => struct(
+      (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int").as("b"),
+      when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, lit(1L))
+        .otherwise(lit(-1L)).as("s")))
     aggregate(
-      toks,
+      pairs,
       array_repeat(lit(0L), dim),
-      (acc, t) => {
-        val bucket = (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim).cast("int")
-        val sign = when(
-          conv(substring(md5(t), 9, 1), 16, 10).cast("long") % 2 === 0,
-          lit(1L)).otherwise(lit(-1L))
-        transform(acc, (v, j) => when(j === bucket, v + sign).otherwise(v))
-      })
+      (acc, p) => transform(acc, (v, j) =>
+        when(j === p.getField("b"), v + p.getField("s")).otherwise(v)))
   }
 
   /**
