@@ -1079,6 +1079,28 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q100_image_dedup_e2e" -> ((s, d) => {
+      // The whole IMAGE dedup pipeline end to end: real PNG decode ->
+      // aHash perceptual keys -> banded near-dup pairs (radius 3) ->
+      // connected components -> a canonical representative per image
+      // (min id of its duplicate cluster; itself when unpaired). Every
+      // stage is an audited operator; the oracle replays hash formulas,
+      // band/Hamming pair logic, and a recursive-CTE transitive closure.
+      val docs = fixtureTable(s, d, "png_grad", fixtureGradPng(_))
+      val hashed = Multimodal.withBatchedStruct(docs, "payload", "ph",
+        StructType(Seq(StructField("ahash", StringType))), 64,
+        ImageCodec.aHashKernel)
+        .select(col("doc_id"), col("ph.ahash").as("ahash"))
+      val pairs = Dedup.hexHashNearDupPairs(hashed, "doc_id", "ahash", 3)
+        .select("id_a", "id_b")
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      hashed.select(col("doc_id"))
+        .join(comps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2948,6 +2970,60 @@ object SparkEntry {
         |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |GROUP BY 1, 2 HAVING count(*) >= 100
         |ORDER BY 1, 2""".stripMargin,
+
+    // q100: q88's hash + pair replay, then the q46-style recursive-CTE
+    // transitive closure and a min-id representative per image.
+    "q100_image_dedup_e2e" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, (doc_id // 2) % 600 AS base, doc_id % 2 AS parity
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, parity, base,
+        |    base % 8 AS px, (base // 8) % 8 AS py
+        |  FROM p
+        |), px AS (
+        |  SELECT doc_id, i, j,
+        |    CASE WHEN parity = 1 AND j = q.px AND i = q.py
+        |         THEN (((base * 64 + i * 8 + j) * (base * 64 + i * 8 + j)
+        |                * 2654435761) % 4294967296 // 16777216 + 128) % 256
+        |         ELSE ((base * 64 + i * 8 + j) * (base * 64 + i * 8 + j)
+        |               * 2654435761) % 4294967296 // 16777216 END AS g
+        |  FROM q, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(8)) AS j)
+        |), m AS (
+        |  SELECT doc_id, sum(g) // 64 AS mean FROM px GROUP BY doc_id
+        |), bits AS (
+        |  SELECT px.doc_id, i, j,
+        |    CASE WHEN px.g >= m.mean THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN m ON px.doc_id = m.doc_id
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i * 8 + j >= 32
+        |                  THEN b * (1 << (i * 8 + j - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i * 8 + j < 32
+        |                  THEN b * (1 << (i * 8 + j)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id
+        |), hx AS (
+        |  SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash, hi, lo FROM hs
+        |), pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |  WHERE (substring(a.ahash, 1, 4) = substring(b.ahash, 1, 4)
+        |      OR substring(a.ahash, 5, 4) = substring(b.ahash, 5, 4)
+        |      OR substring(a.ahash, 9, 4) = substring(b.ahash, 9, 4)
+        |      OR substring(a.ahash, 13, 4) = substring(b.ahash, 13, 4))
+        |    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep_id
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q99: the plain join — bucketing changes the plan, never the rows.
     "q99_bucketed_join" ->
