@@ -322,14 +322,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     val base = df
       .select(col(idCol).cast("long").as("id"), col(hashCol).as("hx"))
       .filter(col("hx").isNotNull)
+    // Distinct-hash collapse (the same defense the SimHash path carries):
+    // one node per DISTINCT hash with its sorted member ids, so the banded
+    // join's bucket sizes are bounded by distinct-hash counts — a corpus of
+    // 100k byte-identical images contributes ONE row per band, not 100k
+    // rows whose bucket would self-join quadratically.
+    val nodes = base.groupBy(col("hx"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
     def band(c: Column, k: Int): Column = substring(c, k * 4 + 1, 4)
-    val banded = base.select(col("id"), col("hx"),
-      posexplode(array((0 until 4).map(k => band(col("hx"), k)): _*))
-        .as(Seq("bandIdx", "key")))
-    val l = banded.select(col("bandIdx"), col("key"),
-      col("id").as("id_a"), col("hx").as("hx_a"))
-    val r = banded.select(col("bandIdx"), col("key"),
-      col("id").as("id_b"), col("hx").as("hx_b"))
     def half(c: Column, off: Int): Column =
       conv(substring(c, off, 8), 16, 10).cast("long")
     val hamming =
@@ -338,11 +338,36 @@ object Dedup extends org.apache.spark.internal.Logging {
     val firstAgreeing = (0 until 4).foldRight(lit(-1)) { (k, rest) =>
       when(band(col("hx_a"), k) === band(col("hx_b"), k), lit(k)).otherwise(rest)
     }
-    l.join(r, Seq("bandIdx", "key"))
-      .where(col("id_a") < col("id_b"))
+    val banded = nodes.select(col("hx"), col("ids"),
+      posexplode(array((0 until 4).map(k => band(col("hx"), k)): _*))
+        .as(Seq("bandIdx", "key")))
+    val l = banded.select(col("bandIdx"), col("key"),
+      col("hx").as("hx_a"), col("ids").as("ids_a"))
+    val r = banded.select(col("bandIdx"), col("key"),
+      col("hx").as("hx_b"), col("ids").as("ids_b"))
+    // Cross-group pairs: hash-level candidates first (strict hx order
+    // dedups the hash pair; first-agreeing band dedups multi-band
+    // collisions), then member expansion through two CHAINED generators —
+    // Spark streams Generate output row by row, so a huge duplicate group
+    // expands lazily without materializing a quadratic array (same
+    // contract the degenerate-corpus stress suite pins for MinHash).
+    val cross = l.join(r, Seq("bandIdx", "key"))
+      .where(col("hx_a") < col("hx_b"))
       .where(col("bandIdx") === firstAgreeing)
-      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      .where(hamming <= maxHamming)
+      .select(col("ids_a"), col("ids_b"), hamming.cast("int").as("hamming"))
+      .select(explode(col("ids_a")).as("ida"), col("ids_b"), col("hamming"))
+      .select(col("ida"), explode(col("ids_b")).as("idb"), col("hamming"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    // Within-group pairs are Hamming 0 by definition: i < j over the
+    // sorted member list, again via chained lazy generators.
+    val within = nodes.where(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"), col("i"), posexplode(col("ids")).as(Seq("j", "id_b")))
+      .where(col("j") > col("i"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /**

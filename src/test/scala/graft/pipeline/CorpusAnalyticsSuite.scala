@@ -114,6 +114,14 @@ class CorpusAnalyticsSuite extends AnyFunSuite {
     assert(out.length === 3) // (1,2),(1,3),(2,3) once each
   }
 
+  test("hex-hash near-dup: all-identical corpus pairs stream through the collapse") {
+    // 5000 byte-identical hashes: the banded join sees ONE node; the
+    // 12,497,500 output pairs stream from chained generators.
+    val df = spark.range(0, 5000).selectExpr("id", "'00ff00ff00ff00ff' AS hx")
+    val n = Dedup.hexHashNearDupPairs(df, "id", "hx", 0).count()
+    assert(n === 5000L * 4999 / 2)
+  }
+
   test("source overlap is empty when no content crosses sources") {
     val docs = Seq(
       (0L, "x", "a"), (1L, "y", "b"), (2L, "z", "c")
