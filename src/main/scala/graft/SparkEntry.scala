@@ -1101,6 +1101,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q101_partitioned_layout" -> ((s, d) => {
+      // Hive-style partitioned XML layout end to end: one-pass partitioned
+      // write (source=<v>/ directories, each part file a complete XML
+      // document), partition-discovery read with values rebuilt from the
+      // path, and a partition filter that PRUNES non-matching directories
+      // out of the plan via constant folding (XmlPartitionedSuite pins the
+      // plan). Oracle: plain SQL over the same two sources.
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/partitioned_v1"
+      val docs = t(s, d, "documents").select("doc_id", "text", "lang", "source")
+      SparkEntry.synchronized {
+        if (!new java.io.File(path).exists()) {
+          graft.xml.XmlPartitioned.write(docs, path, Seq("source"),
+            Map("rowTag" -> "doc"))
+        }
+      }
+      val dataSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType)))
+      graft.xml.XmlPartitioned.read(s, path, Map("rowTag" -> "doc"), Some(dataSchema))
+        .where(col("source").isin("src3", "src7"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+        .orderBy("source")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -2970,6 +2997,15 @@ object SparkEntry {
         |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |GROUP BY 1, 2 HAVING count(*) >= 100
         |ORDER BY 1, 2""".stripMargin,
+
+    // q101: plain SQL over the two surviving partitions.
+    "q101_partitioned_layout" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |    AS tokens
+        |FROM documents WHERE source IN ('src3', 'src7')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // q100: q88's hash + pair replay, then the q46-style recursive-CTE
     // transitive closure and a min-id representative per image.
