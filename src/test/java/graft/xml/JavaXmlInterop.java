@@ -57,4 +57,21 @@ public final class JavaXmlInterop {
         + "OPTIONS (path '" + xmlPath + "', rowTag 'nation')");
     return spark.sql("SELECT n_name FROM java_nation").count();
   }
+
+  /**
+   * The pipeline operators are Scala objects, whose methods surface to Java
+   * as static forwarders — this drives exact dedup, the quality gate, and
+   * hash embeddings from plain Java and returns the surviving row count.
+   */
+  public static long pipelineFromJava(Dataset<Row> docs) {
+    Dataset<Row> deduped = graft.pipeline.Dedup.exactDedup(docs, "doc_id", "text");
+    Dataset<Row> gated = graft.pipeline.TextAnalysis
+        .qualityFilter(deduped, "doc_id", "text",
+            1, 100000, 0.0, 100.0, 1.0, 0.0, 1.0)
+        .filter("keep"); // (doc_id, keep, reasons)
+    Dataset<Row> kept = deduped.join(gated.select("doc_id"), "doc_id");
+    return kept.select(
+        graft.pipeline.Similarity.hashEmbed(kept.col("text"), 8).alias("e"))
+        .count();
+  }
 }

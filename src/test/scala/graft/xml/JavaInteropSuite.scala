@@ -29,4 +29,14 @@ class JavaInteropSuite extends AnyFunSuite {
   test("java schema inference") {
     assert(JavaXmlInterop.inferredDdl(spark) === "a BIGINT,b STRING")
   }
+
+  test("pipeline operators drive from plain Java via static forwarders") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"), // exact dup -> collapses
+      (3L, "another document body")
+    ).toDF("doc_id", "text")
+    assert(JavaXmlInterop.pipelineFromJava(docs) === 2L)
+  }
 }
