@@ -148,8 +148,14 @@ object XmlPartitioned {
         }
       }
     }
-    rendered.saveAsHadoopFile(basePath, classOf[Text], classOf[Text],
-      classOf[XmlPartitionedOutputFormat])
+    opts.codec.map(XmlFile.resolveCodec) match {
+      case Some(c) =>
+        rendered.saveAsHadoopFile(basePath, classOf[Text], classOf[Text],
+          classOf[XmlPartitionedOutputFormat], c)
+      case None =>
+        rendered.saveAsHadoopFile(basePath, classOf[Text], classOf[Text],
+          classOf[XmlPartitionedOutputFormat])
+    }
   }
 
   /**

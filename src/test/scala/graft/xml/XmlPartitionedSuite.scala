@@ -68,6 +68,19 @@ class XmlPartitionedSuite extends AnyFunSuite {
       (3L, "c", Some("s=2%"), "de")))
   }
 
+  test("gzip-compressed partitioned layout roundtrips (stream codec, whole-file splits)") {
+    val dir = tmp()
+    val df = (0L until 30L).map(i => (i, s"body$i", s"g${i % 3}")).toDF("id", "t", "src")
+    XmlPartitioned.write(df, dir, Seq("src"),
+      Map("rowTag" -> "doc", "codec" -> "gzip"))
+    val parts = new java.io.File(dir, "src=g0").listFiles()
+      .filter(_.getName.startsWith("part")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".gz")), parts.mkString(","))
+    val back = XmlPartitioned.read(spark, dir, Map("rowTag" -> "doc"))
+    assert(back.count() === 30)
+    assert(back.filter(col("src") === "g1").count() === 10)
+  }
+
   test("write rejects empty or unknown partition columns") {
     val df = Seq((1L, "x", "s")).toDF("id", "t", "src")
     intercept[IllegalArgumentException](
