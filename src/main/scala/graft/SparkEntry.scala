@@ -214,8 +214,9 @@ object SparkEntry {
       val base = s"/tmp/graft_xml/$sfName"
       val sup = t(s, d, "supplier")
       val nat = t(s, d, "nation")
-      sup.write.format("graft.xml").mode("overwrite").option("rowTag", "s").save(s"$base/v2sup")
-      nat.write.format("graft.xml").mode("overwrite").option("rowTag", "n").save(s"$base/v2nat")
+      // input fixtures: setup, not the measured V2 scan (write-once)
+      xmlInputOnce(sup, s"$base/v2sup", "s")
+      xmlInputOnce(nat, s"$base/v2nat", "n")
       val supV2 = s.read.format("xmlng2").option("rowTag", "s").schema(sup.schema).load(s"$base/v2sup")
       val natV2 = s.read.format("xmlng2").option("rowTag", "n").schema(nat.schema).load(s"$base/v2nat")
       supV2.filter(col("s_acctbal") >= 0)
@@ -318,8 +319,7 @@ object SparkEntry {
       val schema = graft.xml.XSDToSchema.read(xsd)("nation").dataType.asInstanceOf[StructType]
       val sfName = new java.io.File(d).getName
       val path = s"/tmp/graft_xml/$sfName/xsd_nation"
-      t(s, d, "nation").write.format("graft.xml").mode("overwrite")
-        .option("rowTag", "nation").save(path)
+      xmlInputOnce(t(s, d, "nation"), path, "nation")
       s.read.format("graft.xml").option("rowTag", "nation").schema(schema).load(path)
         .orderBy("n_nationkey")
     }),
