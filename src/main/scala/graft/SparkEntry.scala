@@ -1140,6 +1140,27 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q102_kmv_ledger" -> ((s, d) => {
+      // Sketch LIFECYCLE: per-(lang, source) bottom-k sketches persisted to
+      // a parquet ledger, read back, re-aggregated per lang with kmv_merge,
+      // and the estimate compared against running the one-shot aggregate
+      // directly over the corpus — store daily, merge later, same answer
+      // (the set rule is associative), no corpus rescan.
+      val docs = t(s, d, "documents")
+      def h = KmvFunctions.md5Hash60(col("text"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/ledger"
+      docs.groupBy("lang", "source")
+        .agg(KmvFunctions.kmv_sketch(h, 64).as("sk"))
+        .write.mode("overwrite").parquet(path)
+      val merged = s.read.parquet(path).groupBy("lang")
+        .agg(KmvFunctions.kmv_estimate(KmvFunctions.kmv_merge(col("sk"), 64), 64)
+          .as("merged_distinct"))
+      val direct = docs.groupBy("lang")
+        .agg(KmvFunctions.kmv_distinct(h, 64).as("direct_distinct"))
+      merged.join(direct, Seq("lang")).orderBy("lang")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -3005,6 +3026,29 @@ object SparkEntry {
         |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |GROUP BY 1, 2 HAVING count(*) >= 100
         |ORDER BY 1, 2""".stripMargin,
+
+    // q102: the per-lang bottom-64 rule once; merged and direct must both
+    // equal it (the sketch set rule is associative).
+    "q102_kmv_ledger" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM h),
+        |est AS (
+        |  SELECT lang,
+        |    CASE WHEN max(cnt) < 64 THEN max(cnt)
+        |         ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |                // max(CASE WHEN rn = 64 THEN hv END) AS BIGINT)
+        |    END AS v
+        |  FROM r GROUP BY lang)
+        |SELECT lang, CAST(v AS BIGINT) AS merged_distinct,
+        |       CAST(v AS BIGINT) AS direct_distinct
+        |FROM est ORDER BY lang""".stripMargin,
 
     // q101: plain SQL over the two surviving partitions.
     "q101_partitioned_layout" ->

@@ -98,6 +98,159 @@ case class KmvDistinct(
   override def prettyName: String = "kmv_distinct"
 }
 
+/**
+ * The PERSISTABLE face of the KMV sketch: [[KmvSketch]] emits the bottom-k
+ * set itself as `binary` (int count + sorted longs), [[KmvMerge]] re-
+ * aggregates stored sketches by set-union-keep-k-smallest, and
+ * [[KmvEstimate]] turns either output into the distinct-count estimate.
+ * Together they give the store-daily / merge-later lifecycle a 100-TB
+ * corpus ledger needs — per-shard sketches written once to a table, any
+ * slice's distinct volume answered later WITHOUT rescanning the corpus —
+ * with estimates identical to running [[KmvDistinct]] directly over the
+ * union (same set rule, proven by spec and the q102 oracle).
+ */
+case class KmvSketch(
+    hash: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = hash.eval(input)
+    if (v != null) KmvSet.add(buf, v.asInstanceOf[Long], k)
+    buf
+  }
+
+  override def merge(a: mutable.TreeSet[Long], b: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b.foreach(KmvSet.add(a, _, k))
+    a
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any = KmvSet.toBytes(buf)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = KmvSet.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = KmvSet.fromBytes(bytes)
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(hash = newChildren(0))
+  override def prettyName: String = "kmv_sketch"
+}
+
+/** Re-aggregates serialized [[KmvSketch]] values (union, keep k smallest). */
+case class KmvMerge(
+    sketch: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = sketch.eval(input)
+    if (v != null) {
+      KmvSet.fromBytes(v.asInstanceOf[Array[Byte]]).foreach(KmvSet.add(buf, _, k))
+    }
+    buf
+  }
+
+  override def merge(a: mutable.TreeSet[Long], b: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b.foreach(KmvSet.add(a, _, k))
+    a
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any = KmvSet.toBytes(buf)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = KmvSet.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = KmvSet.fromBytes(bytes)
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMerge =
+    copy(sketch = newChildren(0))
+  override def prettyName: String = "kmv_merge"
+}
+
+/** Distinct-count estimate of a serialized sketch (exact below k). */
+case class KmvEstimateExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    KmvSet.estimate(KmvSet.fromBytes(input.asInstanceOf[Array[Byte]]), k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.KmvSet.estimateBytes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimateExpr =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_estimate"
+}
+
+/** Shared bottom-k set mechanics (same rules as [[KmvDistinct]]). */
+object KmvSet {
+  def add(buf: mutable.TreeSet[Long], v: Long, k: Int): Unit = {
+    if (buf.size < k) buf += v
+    else {
+      val worst = buf.last
+      if (v < worst && !buf.contains(v)) { buf -= worst; buf += v }
+    }
+  }
+
+  def toBytes(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  def estimate(buf: mutable.TreeSet[Long], k: Int): Long =
+    if (buf.size < k) buf.size.toLong
+    else {
+      val hk = buf.last
+      if (hk <= 0L) buf.size.toLong
+      else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hk)).toLong
+    }
+
+  /** Codegen entry point: estimate straight from serialized bytes. */
+  def estimateBytes(bytes: Array[Byte], k: Int): Long = estimate(fromBytes(bytes), k)
+}
+
 object KmvFunctions {
   import org.apache.spark.sql.functions._
 
@@ -110,4 +263,16 @@ object KmvFunctions {
    * [0, 2⁶⁰), e.g. [[md5Hash60]]); exact below k. */
   def kmv_distinct(hash: Column, k: Int): Column =
     Bridge.column(KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
+
+  /** Serialized bottom-k sketch of the pre-hashed column — persistable. */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    Bridge.column(KmvSketch(Bridge.expression(hash), k).toAggregateExpression())
+
+  /** Union of serialized sketches (keep k smallest), itself persistable. */
+  def kmv_merge(sketch: Column, k: Int): Column =
+    Bridge.column(KmvMerge(Bridge.expression(sketch), k).toAggregateExpression())
+
+  /** Distinct-count estimate of a serialized sketch; exact below k. */
+  def kmv_estimate(sketch: Column, k: Int): Column =
+    Bridge.column(KmvEstimateExpr(Bridge.expression(sketch), k))
 }
