@@ -1161,6 +1161,27 @@ object SparkEntry {
       merged.join(direct, Seq("lang")).orderBy("lang")
     }),
 
+    "q103_incremental_minhash" -> ((s, d) => {
+      // Incremental near-dup: even-id docs form the curated index (built
+      // once, persisted to parquet), odd-id docs arrive as the new batch
+      // and probe it — signatures for the index are NOT recomputed. The
+      // oracle is the exact cross-parity Jaccard join at the same
+      // threshold, i.e. the banding must lose nothing.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/minhash_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      val index = s.read.parquet(path)
+      Dedup.minHashPairsAgainstIndex(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", index, 0.9)
+        .orderBy("batch_id", "index_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -3026,6 +3047,19 @@ object SparkEntry {
         |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |GROUP BY 1, 2 HAVING count(*) >= 100
         |ORDER BY 1, 2""".stripMargin,
+
+    // q103: exact cross-parity Jaccard — the banded probe must find every
+    // pair at the threshold.
+    "q103_incremental_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+        |SELECT b.doc_id AS batch_id, a.doc_id AS index_id,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY batch_id, index_id""".stripMargin,
 
     // q102: the per-lang bottom-64 rule once; merged and direct must both
     // equal it (the sketch set rule is associative).

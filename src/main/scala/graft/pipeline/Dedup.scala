@@ -294,6 +294,64 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Persistable MinHash INDEX rows for [[minHashPairsAgainstIndex]]:
+   * `(id, toks, bands)` — the sorted hashed-token set (verification needs
+   * it; 8-byte elements, never strings) and the band-bucket hashes.
+   * Written once per corpus snapshot (parquet), probed by every later
+   * batch; building it is one map pass, no shuffle.
+   */
+  def minHashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    requireIntegralId(df, idCol, "minHashIndex")
+    df.select(col(idCol).cast("long").as("id"),
+        hashedNgramSet(col(textCol), 1).as("toks"))
+      .select(col("id"), col("toks"),
+        SketchFunctions.minhash_band_hashes(
+          SketchFunctions.minhash_signature(col("toks"), numHashes), bands)
+          .as("bands"))
+  }
+
+  /**
+   * Incremental NEAR-duplicate detection: a new batch probed against a
+   * stored [[minHashIndex]] — the daily-ingest shape where the curated
+   * corpus's signatures are computed ONCE and every later batch pays only
+   * its own signatures plus a band join against the index. Candidates are
+   * (band, bucket) collisions deduped on the compact id pair (the
+   * probe-side distinct is proportional to batch collisions, not corpus
+   * size); token sets join back by id for the exact merge-pass Jaccard
+   * verify, so emitted pairs carry the TRUE similarity, same contract as
+   * [[minHashDedupPairs]]. Within-batch duplicates are a separate concern
+   * — run minHashDedupPairs on the batch for those.
+   */
+  def minHashPairsAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val probe = minHashIndex(batch, idCol, textCol, numHashes, bands)
+    val pb = probe.select(col("id").as("batch_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val ib = index.select(col("id").as("index_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cand = pb.join(ib, Seq("band", "bucket"))
+      .select("batch_id", "index_id").distinct()
+    cand
+      .join(probe.select(col("id").as("batch_id"), col("toks").as("btoks")), "batch_id")
+      .join(index.select(col("id").as("index_id"), col("toks").as("itoks")), "index_id")
+      .withColumn("jaccard",
+        SketchFunctions.sorted_long_jaccard(col("btoks"), col("itoks")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("index_id"), col("jaccard"))
+  }
+
+  /**
    * Near-duplicate pairs over a PRECOMPUTED 64-bit hash carried as a
    * 16-char lowercase hex column — e.g. [[ImageCodec.aHashHex]] perceptual
    * hashes, giving image near-dup at corpus scale. Banded LSH: the hex

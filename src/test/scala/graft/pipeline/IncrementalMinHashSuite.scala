@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+class IncrementalMinHashSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("probe against a stored index equals the cross-subset of the full pair run") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (3L, "completely different words entirely here now"),
+      (4L, "completely different words entirely here too"), // near-dup of 3
+      (5L, "yet another unrelated document about trains")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    val incr = Dedup.minHashPairsAgainstIndex(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", index, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossOnly = full.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+    }
+    assert(incr === crossOnly)
+    assert(incr.contains((1L, 0L)) && incr.contains((1L, 2L))) // true cross pairs found
+  }
+
+  test("index survives a parquet roundtrip and probes identically") {
+    val docs = (0L until 60L).map(i => (i, s"shared body text variant ${i % 9}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString + "/idx"
+    Dedup.minHashIndex(docs.where(col("doc_id") < 30), "doc_id", "text")
+      .write.parquet(dir)
+    val direct = Dedup.minHashPairsAgainstIndex(
+        docs.where(col("doc_id") >= 30), "doc_id", "text",
+        Dedup.minHashIndex(docs.where(col("doc_id") < 30), "doc_id", "text"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDisk = Dedup.minHashPairsAgainstIndex(
+        docs.where(col("doc_id") >= 30), "doc_id", "text",
+        spark.read.parquet(dir), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDisk === direct && direct.nonEmpty)
+  }
+}
