@@ -304,6 +304,72 @@ object Similarity {
   }
 
   /**
+   * Persist an IVF index: the centroid table (`cell, centroid`) and the
+   * cell-assigned corpus (`cell, c_id, c_v`, multi-assigned under
+   * `replicas`) written as parquet under `path`. Built ONCE per corpus
+   * snapshot; every later query batch pays only its own probe join — the
+   * build/query split any serving-adjacent ANN deployment runs (the
+   * one-shot [[ivfTopK]] refits per call). Deterministic by construction
+   * (same fit as ivfTopK), so index rebuilds are reproducible.
+   */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      vecCol: String,
+      path: String,
+      nlist: Int = 16,
+      replicas: Int = 1): Unit = {
+    require(replicas >= 1 && replicas <= nlist, "replicas must be in [1, nlist]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, corpusIdCol, vecCol, nlist)
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val slim = corpus.select(col(corpusIdCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned =
+      if (replicas == 1) {
+        slim.withColumn("cell", CentroidFunctions.nearest_centroid(col("c_v"), cents))
+      } else {
+        slim.withColumn("cell",
+          explode(CentroidFunctions.nearest_cells(col("c_v"), cents, replicas)))
+      }
+    assigned.write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /**
+   * Top-k cosine neighbors from a PERSISTED [[buildIvfIndex]] index: load
+   * the (tiny, nlist-row) centroid table to the driver, probe the stored
+   * cell assignments — the corpus is never re-embedded, re-fit, or
+   * re-assigned. Same probe/rerank shape and semantics as [[ivfTopK]].
+   */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      distinctIds: Boolean = true): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect() // nlist rows — bounded by construction
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = spark.read.parquet(s"$path/cells")
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("q_v"))
+      .withColumn("cell",
+        explode(CentroidFunctions.nearest_cells(col("q_v"), cents, nprobe)))
+    val grouped = assigned.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("c_id"))
+      .groupBy("query_id")
+      .agg(TopKFunctions.topk_by_score(
+        cosine(col("q_v"), col("c_v")), col("c_id"), k,
+        distinctIds = distinctIds).as("topk"))
+    explodeTopK(grouped)
+  }
+
+  /**
    * Corpus clustering: every vector assigned to its nearest k-means
    * centroid (cosine). The same bounded deterministic centroid fit as IVF
    * (id-ordered sample, strided seeding, Lloyd); assignment is then a

@@ -33,6 +33,22 @@ class IncrementalMinHashSuite extends AnyFunSuite {
     assert(incr.contains((1L, 0L)) && incr.contains((1L, 2L))) // true cross pairs found
   }
 
+  test("IVF: persisted index serves identical top-k to the one-shot path") {
+    val vecs = spark.range(0, 200)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 7), i -> CAST((id * (i + 3)) % 13 AS FLOAT)) AS embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val oneShot = Similarity.ivfTopK(queries, vecs, "vec_id", "vec_id",
+        "embedding", 4, nlist = 8, nprobe = 3, replicas = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", dir, nlist = 8, replicas = 2)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", 4, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndex === oneShot && oneShot.nonEmpty)
+  }
+
   test("index survives a parquet roundtrip and probes identically") {
     val docs = (0L until 60L).map(i => (i, s"shared body text variant ${i % 9}"))
       .toDF("doc_id", "text")
