@@ -81,6 +81,18 @@ class XmlPartitionedSuite extends AnyFunSuite {
     assert(back.filter(col("src") === "g1").count() === 10)
   }
 
+  test("escape/unescape roundtrips arbitrary unicode values; escaped form is path-safe") {
+    val rnd = new scala.util.Random(31)
+    val alphabet = "ab/=%. -_\t\n日本語é€" + (0 until 16).map(_ => rnd.nextPrintableChar()).mkString
+    (0 until 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val esc = XmlPartitioned.escape(s)
+      assert(XmlPartitioned.unescape(esc) === s, s"value='$s'")
+      assert(esc.forall(c => c.isLetterOrDigit && c < 0x80 || "._-%".contains(c)),
+        s"unsafe char survives escaping: '$esc'")
+    }
+  }
+
   test("write rejects empty or unknown partition columns") {
     val df = Seq((1L, "x", "s")).toDF("id", "t", "src")
     intercept[IllegalArgumentException](
