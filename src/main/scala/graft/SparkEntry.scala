@@ -1183,10 +1183,11 @@ object SparkEntry {
 
     "q103_incremental_minhash" -> ((s, d) => {
       // Incremental near-dup: even-id docs form the curated index (built
-      // once, persisted to parquet), odd-id docs arrive as the new batch
-      // and probe it — signatures for the index are NOT recomputed. The
-      // oracle is the exact cross-parity Jaccard join at the same
-      // threshold, i.e. the banding must lose nothing.
+      // once, persisted to parquet); a bounded batch of odd-id docs (< 500
+      // — the probe contract is batch MUCH SMALLER than corpus, the daily-
+      // ingest shape) probes it without recomputing index signatures. The
+      // oracle is the exact cross Jaccard join at the same threshold, i.e.
+      // the banding must lose nothing.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
       val path = s"/tmp/graft_kmv/$sfName/minhash_index"
@@ -1198,8 +1199,50 @@ object SparkEntry {
       }
       val index = s.read.parquet(path)
       Dedup.minHashPairsAgainstIndex(
-        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", index, 0.9)
+        docs.where(col("doc_id") % 2 === 1 && col("doc_id") < 500),
+        "doc_id", "text", index, 0.9)
         .orderBy("batch_id", "index_id")
+    }),
+
+    "q105_stream_index_probe" -> ((s, d) => {
+      // Streaming ingest meets the persisted near-dup index: odd-id docs
+      // stream through the xmlng source; each micro-batch probes the
+      // stored even-id MinHash index via foreachBatch (the probe is the
+      // BATCH operator — stateless per batch against a static index, so
+      // no streaming-side aggregation state at all), flagged pairs land
+      // in a parquet sink. Every doc arrives in exactly one batch, so the
+      // drained union equals q103's batch probe — gated by the same exact
+      // cross-parity oracle.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val ipath = s"/tmp/graft_kmv/$sfName/minhash_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
+          Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+            .write.mode("overwrite").parquet(ipath)
+        }
+      }
+      val index = s.read.parquet(ipath)
+      val xin = s"/tmp/graft_xml/$sfName/stream_probe_in_v1"
+      val batchIn = docs
+        .where(col("doc_id") % 2 === 1 && col("doc_id") < 500)
+        .select("doc_id", "text")
+      xmlInputOnce(batchIn, xin, "doc")
+      val base = s"/tmp/graft_xml/$sfName/stream_probe_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(batchIn.schema).load(xin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Dedup.minHashPairsAgainstIndex(bdf, "doc_id", "text", index, 0.9)
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("batch_id", "index_id")
     }),
 
     "q40_sessionize" -> ((s, d) => {
@@ -3079,7 +3122,20 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |  len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
         |FROM t a JOIN t b
-        |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND b.doc_id < 500
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY batch_id, index_id""".stripMargin,
+
+    // q105: the same exact cross-parity Jaccard as q103 — streaming
+    // micro-batch probes must drain to the identical pair set.
+    "q105_stream_index_probe" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+        |SELECT b.doc_id AS batch_id, a.doc_id AS index_id,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND b.doc_id < 500
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY batch_id, index_id""".stripMargin,

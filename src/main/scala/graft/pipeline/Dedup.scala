@@ -336,6 +336,16 @@ object Dedup extends org.apache.spark.internal.Logging {
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
     val probe = minHashIndex(batch, idCol, textCol, numHashes, bands)
+    // Candidate generation: compact (band, bucket, id) rows join, then a
+    // distinct on the bare id pair. A near-dup pair collides on most of
+    // its bands, so the distinct absorbs ~bands× duplicates — measured the
+    // best of three shapes on a duplicate-heavy corpus (first-agreeing
+    // filtering or shape-collapsed joins drag band/member arrays through
+    // the hot-bucket product and lose 7-15×; the compact rows let AQE
+    // skew-split the hot buckets). The probe contract is batch ≪ corpus —
+    // candidate volume scales with the BATCH's collisions; for
+    // corpus × corpus near-dup use [[minHashDedupPairs]], whose group
+    // machinery owns that regime.
     val pb = probe.select(col("id").as("batch_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val ib = index.select(col("id").as("index_id"),
