@@ -1245,6 +1245,40 @@ object SparkEntry {
       s.read.parquet(s"$base/out").orderBy("batch_id", "index_id")
     }),
 
+    "q106_script_profile" -> ((s, d) => {
+      // Encoding/script health profile: the synthetic corpus is ASCII, so
+      // each doc plants a deterministic suffix keyed by doc_id — cyrillic,
+      // CJK, arabic, or a replacement-char + control-char mojibake tail —
+      // and docs with doc_id % 8 >= 4 are suffix-ONLY, so every counter,
+      // every dominant-script branch (incl. 'none'), and the damage flag
+      // all fire. Explicit codepoint ranges make every count an integer
+      // the oracle replays exactly. No orderBy: order-insensitive gate; a
+      // sort's sampling pass would run the regex chain twice.
+      val m4 = col("doc_id") % 4
+      val suffix = when(m4 === 0, lit("Привет мир"))
+        .when(m4 === 1, lit("你好世界"))
+        .when(m4 === 2, lit("مرحبا بالعالم"))
+        .otherwise(concat(lit("�"), expr("chr(7)"), lit(".")))
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 8 < 4, concat(col("text"), lit(" "), suffix))
+          .otherwise(suffix).as("text"))
+      TextAnalysis.withScriptProfile(planted, "text")
+        .select(col("doc_id"), col("latin_cnt"), col("cyrillic_cnt"),
+          col("cjk_cnt"), col("arabic_cnt"), col("ascii_printable_cnt"),
+          col("control_cnt"), col("replacement_cnt"), col("char_cnt"),
+          col("dominant_script"), col("mojibake"))
+    }),
+
+    "q107_bigram_lm" -> ((s, d) => {
+      // Corpus-self-trained bigram LM quality score (the CCNet filter
+      // shape): add-one-smoothed bigram log-probs in integer micro-nats,
+      // per-doc mean. The one ln() in the plan is rounded once per
+      // DISTINCT bigram before anything sums it, so per-doc aggregation
+      // is exact integer arithmetic and replays on any engine.
+      TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q40_sessionize" -> ((s, d) => {
       // Gap-based sessionization via session_window (same operator runs in
       // Structured Streaming with a watermark; see StreamingSessionSuite).
@@ -3139,6 +3173,75 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY batch_id, index_id""".stripMargin,
+
+    // q106: every count replayed over the identically planted text via the
+    // same explicit codepoint ranges (RE2 \x{...} spellings of the Java
+    // class literals); dominant/mojibake are the same CASE over them.
+    "q106_script_profile" ->
+      """WITH sfx AS (
+        |  SELECT doc_id, text,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'Привет мир'
+        |      WHEN 1 THEN '你好世界'
+        |      WHEN 2 THEN 'مرحبا بالعالم'
+        |      ELSE '�' || chr(7) || '.' END AS sfx
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 < 4 THEN text || ' ' || sfx ELSE sfx END AS text
+        |  FROM sfx),
+        |prof AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS INTEGER) AS latin_cnt,
+        |    CAST(length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) AS INTEGER) AS cyrillic_cnt,
+        |    CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS INTEGER) AS cjk_cnt,
+        |    CAST(length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g')) AS INTEGER) AS arabic_cnt,
+        |    CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS INTEGER) AS ascii_printable_cnt,
+        |    CAST(length(regexp_replace(text, '[^\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g')) AS INTEGER) AS control_cnt,
+        |    CAST(length(regexp_replace(text, '[^\x{FFFD}]', '', 'g')) AS INTEGER) AS replacement_cnt,
+        |    CAST(length(text) AS INTEGER) AS char_cnt
+        |  FROM planted)
+        |SELECT doc_id, latin_cnt, cyrillic_cnt, cjk_cnt, arabic_cnt,
+        |  ascii_printable_cnt, control_cnt, replacement_cnt, char_cnt,
+        |  CASE WHEN greatest(latin_cnt, cyrillic_cnt, cjk_cnt, arabic_cnt) = 0 THEN 'none'
+        |       WHEN latin_cnt >= cyrillic_cnt AND latin_cnt >= cjk_cnt AND latin_cnt >= arabic_cnt THEN 'latin'
+        |       WHEN cyrillic_cnt >= cjk_cnt AND cyrillic_cnt >= arabic_cnt THEN 'cyrillic'
+        |       WHEN cjk_cnt >= arabic_cnt THEN 'cjk'
+        |       ELSE 'arabic' END AS dominant_script,
+        |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
+        |FROM prof""".stripMargin,
+
+    // q107: the whole bigram model replayed — occurrence lists, add-one
+    // smoothed per-distinct-bigram micro-nat terms (same round-before-sum
+    // convention as q57's rank seam), integer mean via truncating //
+    // (DuckDB // truncates toward zero for integers, matching Spark DIV).
+    "q107_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tk WHERE len(toks) >= 2),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bi AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
+        |score AS (
+        |  SELECT bg,
+        |    CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS term_micro
+        |  FROM bi JOIN uni ON uni.w = split_part(bi.bg, ' ', 1) CROSS JOIN v),
+        |doc AS (
+        |  SELECT occ.doc_id,
+        |    CAST(sum(term_micro) // count(*) AS BIGINT) AS lm_score_micronats,
+        |    count(*) AS n_bigrams
+        |  FROM occ JOIN score USING (bg) GROUP BY occ.doc_id)
+        |SELECT d.doc_id, doc.lm_score_micronats, doc.n_bigrams
+        |FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id""".stripMargin,
 
     // q102: the per-lang bottom-64 rule once; merged and direct must both
     // equal it (the sketch set rule is associative).

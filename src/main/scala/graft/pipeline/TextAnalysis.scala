@@ -476,6 +476,128 @@ object TextAnalysis {
       .select(col("id"), col("mean_rarity_permille"))
   }
 
+  // --- Encoding / script health -------------------------------------------
+
+  /**
+   * Count of characters inside an EXPLICIT codepoint-range character class
+   * (a Java-regex class body like `"A-Za-zÀ-ɏ"`). Deliberately
+   * range-based rather than `\p{script=...}`: library script tables track
+   * the engine's Unicode version, so two engines can legitimately disagree
+   * on a character's script — explicit ranges are versionless and replay
+   * exactly anywhere. Counting is by CODEPOINT on both sides of the oracle
+   * (Spark's `length` counts UTF-8 codepoints, as does DuckDB's).
+   * Null text → null, empty → 0.
+   */
+  def charClassCount(text: Column, classBody: String): Column =
+    length(regexp_replace(text, "[^" + classBody + "]", ""))
+
+  /** Latin letters: ASCII plus Latin-1/Extended-A/B supplements. */
+  val LatinClass = "A-Za-zÀ-ɏ"
+  /** Cyrillic block. */
+  val CyrillicClass = "Ѐ-ӿ"
+  /** CJK Unified Ideographs (base block). */
+  val CjkClass = "一-鿿"
+  /** Arabic block. */
+  val ArabicClass = "؀-ۿ"
+  /** Printable ASCII (space..tilde). */
+  val AsciiPrintableClass = " -~"
+  /** C0 controls except \t\n\r, plus DEL — never legitimate in clean text. */
+  val ControlClass = "\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F"
+  /** U+FFFD — the decoder's "this byte sequence was broken" marker. */
+  val ReplacementClass = "\uFFFD"
+
+  /**
+   * Encoding/script health profile — the standard mojibake and
+   * wrong-charset signals a web-scale ingest pass screens on: per-document
+   * counts over explicit codepoint ranges (major scripts, printable ASCII,
+   * stray control characters, U+FFFD replacement characters), a
+   * dominant-script label, and a damage flag. All counts are integers and
+   * every classification is a deterministic CASE over them, so the whole
+   * profile replays exactly on any engine. Pure map-side codegen'd work —
+   * zero shuffles at any scale. Ties in the dominant-script vote resolve
+   * in fixed priority order (latin > cyrillic > cjk > arabic); documents
+   * with no script characters at all label 'none'.
+   */
+  def withScriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val out = df
+      .withColumn("latin_cnt", charClassCount(t, LatinClass))
+      .withColumn("cyrillic_cnt", charClassCount(t, CyrillicClass))
+      .withColumn("cjk_cnt", charClassCount(t, CjkClass))
+      .withColumn("arabic_cnt", charClassCount(t, ArabicClass))
+      .withColumn("ascii_printable_cnt", charClassCount(t, AsciiPrintableClass))
+      .withColumn("control_cnt", charClassCount(t, ControlClass))
+      .withColumn("replacement_cnt", charClassCount(t, ReplacementClass))
+      .withColumn("char_cnt", length(t))
+    val (la, cy, cj, ar) =
+      (col("latin_cnt"), col("cyrillic_cnt"), col("cjk_cnt"), col("arabic_cnt"))
+    out
+      .withColumn("dominant_script",
+        when(la.isNull, lit(null).cast("string"))
+          .when(greatest(la, cy, cj, ar) === 0, lit("none"))
+          .when(la >= cy && la >= cj && la >= ar, lit("latin"))
+          .when(cy >= cj && cy >= ar, lit("cyrillic"))
+          .when(cj >= ar, lit("cjk"))
+          .otherwise(lit("arabic")))
+      .withColumn("mojibake",
+        col("replacement_cnt") > 0 || col("control_cnt") > 0)
+  }
+
+  // --- Corpus-trained bigram LM scoring -----------------------------------
+
+  /**
+   * CCNet-style language-model quality score, self-trained on the corpus:
+   * an add-one-smoothed bigram model — term(w1,w2) = ln((c2(w1,w2) + 1) /
+   * (c1(w1) + V)) — scored as each document's mean bigram log-probability.
+   * Fluent, corpus-typical text scores high; token salad and boilerplate
+   * score low. (CCNet proper uses a pretrained KenLM; the corpus-trained
+   * model is the model-free variant with the same plan shape — swapping in
+   * external counts changes nothing structural.)
+   *
+   * Float seam handled the q57 way, but for SUMS rather than ranks: each
+   * DISTINCT bigram's log term is rounded once to integer MICRO-NATS
+   * (round(ln·10⁶)), so per-document aggregation is exact integer
+   * arithmetic — a double sum's value depends on addition order across
+   * partitions, an integer sum's does not, and JVM `Math.log` vs libm `ln`
+   * can differ only in the last ulp, far below the rounding grain.
+   *
+   * Shape at scale: two vocabulary aggregates (map-side combined — one row
+   * per distinct unigram/bigram per task crosses the wire), V as a 1-row
+   * broadcast (no driver action), the score table joined once per corpus
+   * bigram occurrence (AQE broadcasts it when small; shuffle-joins scale
+   * when it isn't), then one id-keyed aggregate of (long, 1) pairs.
+   * Documents with fewer than two tokens score null.
+   */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val occ = base.where(size(col("toks")) >= 2)
+      .select(col("id"), explode(bigrams).as("bg"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    // Per-DISTINCT-bigram score table: c1 keyed by the bigram's first
+    // token, V folded in, the one ln() in the whole plan — rounded here,
+    // before anything sums it.
+    val scoreTable = bi
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term_micro", expr(
+        "CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+      .select("bg", "term_micro")
+    occ.join(scoreTable, "bg")
+      .groupBy("id")
+      .agg(expr("sum(term_micro) DIV count(1)").as("lm_score_micronats"),
+        count(lit(1)).as("n_bigrams"))
+      .join(base.select("id"), Seq("id"), "right")
+      .select(col("id"), col("lm_score_micronats"), col("n_bigrams"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

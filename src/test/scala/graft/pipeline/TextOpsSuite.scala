@@ -64,4 +64,57 @@ class TextOpsSuite extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(re === got)
   }
+
+  test("withScriptProfile counts explicit ranges exactly, zero shuffle") {
+    val df = Seq(
+      (0L, "hello Привет"),          // latin 5, cyrillic 6 -> latin tie-priority? 6>5 -> cyrillic
+      (1L, "你好 ok"),                // cjk 2, latin 2 -> latin wins ties
+      (2L, "مرحبا"),                  // arabic only
+      (3L, "bad �" + 7.toChar), // replacement + control -> mojibake
+      (4L, "12345 ,,,"),             // no script chars at all -> none
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withScriptProfile(df, "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    def n(id: Long, c: String) = rows(id).getAs[Int](c)
+    def s(id: Long, c: String) = rows(id).getAs[String](c)
+    assert(n(0L, "latin_cnt") === 5 && n(0L, "cyrillic_cnt") === 6)
+    assert(s(0L, "dominant_script") === "cyrillic")
+    assert(n(1L, "cjk_cnt") === 2 && n(1L, "latin_cnt") === 2)
+    assert(s(1L, "dominant_script") === "latin") // fixed tie priority
+    assert(n(2L, "arabic_cnt") === 5 && s(2L, "dominant_script") === "arabic")
+    assert(n(3L, "replacement_cnt") === 1 && n(3L, "control_cnt") === 1)
+    assert(rows(3L).getAs[Boolean]("mojibake"))
+    assert(!rows(0L).getAs[Boolean]("mojibake"))
+    assert(s(4L, "dominant_script") === "none")
+    assert(n(4L, "ascii_printable_cnt") === 9 && n(4L, "char_cnt") === 9)
+    assert(n(5L, "char_cnt") === 0 && s(5L, "dominant_script") === "none")
+  }
+
+  test("bigramLmScore matches a hand-computed add-one bigram model") {
+    // uni: a:3 b:3 z:1, V=3; bigrams: "a b":3, "b a":1
+    val docs = Seq(
+      (0L, "a b a b"), (1L, "a b"), (2L, "z"), (3L, "")
+    ).toDF("doc_id", "text")
+    // Spark's round() is HALF_UP — mirror it, not Math.round (floor(x+.5)),
+    // which differs on negative halves.
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ab = micro(math.log((3 + 1) / (3 + 3).toDouble))
+    val ba = micro(math.log((1 + 1) / (3 + 3).toDouble))
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> (
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }.toMap
+    assert(out(0L) === (Some((ab + ba + ab) / 3), Some(3L)))
+    assert(out(1L) === (Some(ab), Some(1L)))       // n=1 -> the term itself
+    assert(out(2L) === (None, None))               // single token: no bigram
+    assert(out(3L) === (None, None))               // empty text
+    // The fluency ordering the score exists for: the corpus-typical
+    // bigram outscores the rare one.
+    assert(ab > ba)
+  }
 }
