@@ -1269,6 +1269,20 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q108_corpus_diff" -> ((s, d) => {
+      // Corpus refresh diff: v1 drops every 10th doc; v2 drops every 7th
+      // and EDITS every 5th's text — a deterministic re-crawl with drops,
+      // adds, and modifications (an edit counts as removed + added, the
+      // content-keyed semantics). Per-source add/remove/retain panel.
+      val docs = t(s, d, "documents")
+      val v1 = docs.where(col("doc_id") % 10 =!= 0)
+      val v2 = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(v1, v2, "text", Seq("source")).orderBy("source")
+    }),
+
     "q107_bigram_lm" -> ((s, d) => {
       // Corpus-self-trained bigram LM quality score (the CCNet filter
       // shape): add-one-smoothed bigram log-probs in integer micro-nats,
@@ -3210,6 +3224,25 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q108: distinct (source, md5) sets per version, full-outer classify —
+    // the same edit/drop filters replayed verbatim.
+    "q108_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT DISTINCT source, md5(text) AS dg FROM documents
+        |  WHERE doc_id % 10 <> 0 AND text IS NOT NULL),
+        |v2 AS (
+        |  SELECT DISTINCT source,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS dg
+        |  FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source, a.dg AS adg, b.dg AS bdg
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.source = b.source AND a.dg = b.dg)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN adg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |  CAST(sum(CASE WHEN bdg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+        |  CAST(sum(CASE WHEN adg IS NOT NULL AND bdg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // q107: the whole bigram model replayed — occurrence lists, add-one
     // smoothed per-distinct-bigram micro-nat terms (same round-before-sum

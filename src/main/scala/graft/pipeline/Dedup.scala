@@ -294,6 +294,44 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * Snapshot diff between two corpus versions by CONTENT: per group
+   * (source, lang, ...), how many DISTINCT contents were added, removed,
+   * and retained from `oldDf` to `newDf` — the release-notes panel for a
+   * corpus refresh, and the guard that catches "the new crawl silently
+   * dropped half of source X" before a training run does. Content-keyed on
+   * purpose: doc ids are not stable across re-crawls, text is.
+   *
+   * Shape at scale: each side leaves its scan as distinct
+   * (group, 32-byte digest) rows (map-side partial distinct — text never
+   * crosses the wire), one full-outer join on those compact keys, one
+   * group aggregate. Rows with null text are excluded up front: a null
+   * digest would never equi-join, so each side's nulls would double-count
+   * as added AND removed.
+   */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusDiff needs at least one group column")
+    def sideKeys(df: DataFrame, marker: String): DataFrame =
+      df.where(col(textCol).isNotNull)
+        .select(groupCols.map(col) :+
+          md5(to_binary(col(textCol), lit("utf-8"))).as("__digest"): _*)
+        .distinct()
+        .withColumn(marker, lit(1))
+    val keys = groupCols :+ "__digest"
+    sideKeys(oldDf, "__in_old")
+      .join(sideKeys(newDf, "__in_new"), keys, "full_outer")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__in_old").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("__in_new").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("__in_old").isNotNull && col("__in_new").isNotNull, 1L)
+          .otherwise(0L)).as("retained"))
+  }
+
+  /**
    * Persistable MinHash INDEX rows for [[minHashPairsAgainstIndex]]:
    * `(id, toks, bands)` — the sorted hashed-token set (verification needs
    * it; 8-byte elements, never strings) and the band-bucket hashes.

@@ -122,6 +122,43 @@ class CorpusAnalyticsSuite extends AnyFunSuite {
     assert(n === 5000L * 4999 / 2)
   }
 
+  // ---- corpusDiff ----
+
+  test("corpusDiff classifies added/removed/retained distinct contents per group") {
+    val v1 = Seq(
+      (0L, "kept", "a"),
+      (1L, "kept", "a"),      // duplicate content within a side: distinct
+      (2L, "dropped", "a"),
+      (3L, "edited v1", "a"),
+      (4L, "mover", "a"),     // moves a -> b: removed from a, added to b
+      (5L, null.asInstanceOf[String], "a"), // null text excluded
+      (6L, "gone group", "c") // group only in old
+    ).toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (10L, "kept", "a"),
+      (11L, "edited v2", "a"),
+      (12L, "brand new", "a"),
+      (13L, "mover", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.corpusDiff(v1, v2, "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: added = edited v2 + brand new; removed = dropped + edited v1 +
+    // mover; retained = kept
+    assert(out("a") === (2L, 3L, 1L))
+    assert(out("b") === (1L, 0L, 0L))
+    assert(out("c") === (0L, 1L, 0L))
+  }
+
+  test("corpusDiff of a corpus against itself retains everything") {
+    val docs = Seq((0L, "x", "a"), (1L, "y", "a"), (2L, "x", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.corpusDiff(docs, docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map("a" -> (0L, 0L, 2L), "b" -> (0L, 0L, 1L)))
+  }
+
   test("source overlap is empty when no content crosses sources") {
     val docs = Seq(
       (0L, "x", "a"), (1L, "y", "b"), (2L, "z", "c")
