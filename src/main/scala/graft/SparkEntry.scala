@@ -1269,6 +1269,36 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q109_eval_overlap" -> ((s, d) => {
+      // Contamination AUDIT panel behind q50's drop decision: per-doc
+      // distinct 5-gram count, eval-set overlap count, and the overlap
+      // fraction in integer permille — the WMT-style graded threshold
+      // input. Same zero-shuffle table-rides-with-task shape as q50;
+      // equals the string-gram oracle absent a 64-bit collision.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      Decontaminate.overlapStats(docs, "doc_id", "text", bench, "text", 5)
+    }),
+
+    "q110_json_props" -> ((s, d) => {
+      // Semi-structured metadata extraction: events.props is a JSON string
+      // column; from_json (native JsonToStructs, no UDF) parses it once
+      // per row, then a per-type aggregate over the extracted field —
+      // the metadata-sidecar shape (image EXIF, crawl headers) at corpus
+      // scale: parse map-side, aggregate on compact extracted values.
+      events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     "q108_corpus_diff" -> ((s, d) => {
       // Corpus refresh diff: v1 drops every 10th doc; v2 drops every 7th
       // and EDITS every 5th's text — a deterministic re-crawl with drops,
@@ -3224,6 +3254,43 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q109: the q50 string-gram machinery, counting instead of deciding —
+    // per-doc distinct grams, eval hits, and exact integer permille.
+    "q109_eval_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM g WHERE doc_id % 37 = 0)
+        |             THEN 1 ELSE 0 END) AS INTEGER) AS overlap_grams
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(c.n_grams, 0) AS n_grams,
+        |  coalesce(c.overlap_grams, 0) AS overlap_grams,
+        |  CASE WHEN c.n_grams IS NULL THEN NULL
+        |       ELSE CAST(c.overlap_grams * 1000 // c.n_grams AS BIGINT) END
+        |    AS overlap_permille
+        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id""".stripMargin,
+
+    // q110: json_extract_string replays the from_json field extraction.
+    "q110_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q108: distinct (source, md5) sets per version, full-outer classify —
     // the same edit/drop filters replayed verbatim.

@@ -527,6 +527,40 @@ case class AnyInLongSet(child: Expression, set: Array[Long])
   override def prettyName: String = "any_in_long_set"
 }
 
+/**
+ * Number of elements of the child long array present in `set` (sorted,
+ * distinct) — [[AnyInLongSet]]'s counting sibling, for overlap REPORTS
+ * rather than drop decisions. Over a distinct input array (the
+ * [[HashedNgrams]] contract) the result is the distinct-overlap
+ * cardinality. Same execution pattern: the table rides with the task
+ * binary, one binary search per element, zero shuffles.
+ */
+case class CountInLongSet(child: Expression, set: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) {
+        c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInLongSet =
+    copy(child = c)
+  override def prettyName: String = "count_in_long_set"
+}
+
 object SketchFunctions {
   def sorted_long_jaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
@@ -548,6 +582,8 @@ object SketchFunctions {
     Bridge.column(PositionalHashedNgrams(Bridge.expression(text), n))
   def any_in_long_set(arr: Column, set: Array[Long]): Column =
     Bridge.column(AnyInLongSet(Bridge.expression(arr), set))
+  def count_in_long_set(arr: Column, set: Array[Long]): Column =
+    Bridge.column(CountInLongSet(Bridge.expression(arr), set))
   def gram_stats(text: Column, n: Int): Column =
     Bridge.column(GramStats(Bridge.expression(text), n))
 }

@@ -220,4 +220,40 @@ object Decontaminate {
           "left_anti")
     }
   }
+
+  /**
+   * Per-document overlap REPORT against the eval set — the audit panel
+   * behind [[decontaminate]]'s drop decision: how many of the document's
+   * distinct n-grams appear in the benchmark, and the overlap fraction in
+   * integer permille (exact integer arithmetic, no float seam). A
+   * contamination threshold other than "any gram" (e.g. WMT's 30% rule)
+   * is one filter on `overlap_permille` away. Same execution shape as the
+   * decision path: the eval gram table rides with the task binary, each
+   * document pays one map-side counting pass ([[graft.functions
+   * .CountInLongSet]]) — zero shuffles, streaming-safe. Documents with no
+   * grams (shorter than the window, or null text) report 0 grams and a
+   * null permille.
+   */
+  def overlapStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      maxLocalGrams: Int = MaxLocalGramsDefault): DataFrame = {
+    require(!benchmark.isStreaming,
+      "the benchmark side must be a batch frame (it is collected once)")
+    val table = benchmarkGramTable(benchmark, benchTextCol, n, maxLocalGrams)
+    df.select(col(idCol),
+        coalesce(hashedGrams(col(textCol), n),
+          array().cast("array<long>")).as("__grams"))
+      .select(col(idCol),
+        size(col("__grams")).as("n_grams"),
+        SketchFunctions.count_in_long_set(col("__grams"), table)
+          .as("overlap_grams"))
+      .withColumn("overlap_permille",
+        when(col("n_grams") === 0, lit(null).cast("long"))
+          .otherwise(expr("overlap_grams * 1000L DIV n_grams")))
+  }
 }

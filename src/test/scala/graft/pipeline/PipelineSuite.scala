@@ -705,6 +705,28 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("overlapStats counts exact distinct-gram overlap in integer permille, zero shuffle") {
+    val corpus = Seq(
+      (0L, "a b c d e f"),       // grams: abcde, bcdef -> 1 of 2 overlap
+      (1L, "a b c d e"),         // exactly the bench gram -> 1000 permille
+      (2L, "u v w x y z"),       // no overlap
+      (3L, "tiny"),              // shorter than n -> 0 grams, null permille
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d e").toDF("text")
+    val out = Decontaminate.overlapStats(corpus, "doc_id", "text", bench, "text", 5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map { r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toMap
+    assert(m(0L) === (2, 1, Some(500L)))
+    assert(m(1L) === (1, 1, Some(1000L)))
+    assert(m(2L) === (2, 0, Some(0L)))
+    assert(m(3L) === (0, 0, None))
+    assert(m(4L) === (0, 0, None))
+  }
+
   test("bloom decontaminate: exact-equivalent at ample m, over-drops only as m shrinks") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
