@@ -71,6 +71,18 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!shuffledText, s"corpus/batch text crosses an exchange:\n$plan")
   }
 
+  test("corpusDiff: both sides reduce to digests before any exchange") {
+    // Each version must leave its scan as distinct (group, md5) rows —
+    // at 100 TB a version's text column in the diff join's shuffle would
+    // dwarf the diff itself.
+    val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+    val plan = physical(Dedup.corpusDiff(docs, v2, "text", Seq("source")))
+    assert(plan.contains("FullOuter"), s"full-outer classify missing:\n$plan")
+    val shuffledText = plan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("text"))
+    assert(!shuffledText, s"version text crosses an exchange:\n$plan")
+  }
+
   test("cluster assignment is zero-shuffle map work after the centroid fit") {
     val vecs = spark.range(0, 64)
       .select(col("id").as("vec_id"),
