@@ -1269,6 +1269,32 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q111_packing_report" -> ((s, d) => {
+      // Packing efficiency panel over the q66 greedy assignment: per
+      // shard, sequence count, packed docs/tokens, and overall fill in
+      // integer permille of the sequence budget — the number that says
+      // whether the packing budget fits the corpus's length distribution.
+      val packed = Packing.packGreedy(
+        t(s, d, "documents"), "doc_id", "text", "source", 128L)
+      packed.groupBy("shard")
+        .agg(count_distinct(col("seq_idx")).as("n_seqs"),
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"))
+        .withColumn("fill_permille",
+          expr("sum_tokens * 1000 DIV (n_seqs * 128)"))
+        .orderBy("shard")
+    }),
+
+    "q112_source_quantiles" -> ((s, d) => {
+      // Per-source token-count quantiles: the q73 exact-integer histogram
+      // rule partitioned by source — the panel that sets per-source
+      // packing budgets and length filters. Windows see only the
+      // histogram, never per-doc rows.
+      TextAnalysis.tokenCountQuantilesBy(t(s, d, "documents"), "text",
+        Seq("source"), Seq(250, 500, 750, 900))
+        .orderBy("source", "p_permille")
+    }),
+
     "q109_eval_overlap" -> ((s, d) => {
       // Contamination AUDIT panel behind q50's drop decision: per-doc
       // distinct 5-gram count, eval-set overlap count, and the overlap
@@ -3254,6 +3280,51 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q111: the q66 recursive greedy replay, aggregated per shard.
+    "q111_packing_report" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id AS id, source AS shard,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id, md5(coalesce(text, ''))) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1)
+        |SELECT shard,
+        |  CAST(count(DISTINCT seq_idx) AS BIGINT) AS n_seqs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_tokens) * 1000 // (count(DISTINCT seq_idx) * 128) AS BIGINT)
+        |    AS fill_permille
+        |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q112: the q73 histogram quantile rule with PARTITION BY source.
+    "q112_source_quantiles" ->
+      """WITH t AS (
+        |  SELECT source, CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT source, tc, count(*) AS c FROM t GROUP BY source, tc),
+        |cum AS (
+        |  SELECT source, tc,
+        |    sum(c) OVER (PARTITION BY source ORDER BY tc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM h)
+        |SELECT source, CAST(p AS BIGINT) AS p_permille,
+        |       CAST(min(tc) AS BIGINT) AS token_count
+        |FROM cum, (SELECT unnest([250, 500, 750, 900]) AS p) ps
+        |WHERE cum >= (p * n + 999) // 1000
+        |GROUP BY source, p ORDER BY source, p""".stripMargin,
 
     // q109: the q50 string-gram machinery, counting instead of deciding —
     // per-doc distinct grams, eval hits, and exact integer permille.

@@ -386,6 +386,42 @@ object TextAnalysis {
   }
 
   /**
+   * [[tokenCountQuantiles]] per group (source, lang, ...): the
+   * length-distribution panel that decides per-source packing budgets and
+   * length filters. Same exact-integer type-1 quantile rule, same
+   * scale convention — the windows run over the distinct-count HISTOGRAM
+   * (one row per distinct (group, token count)), partitioned by group, so
+   * no single-task global window and no per-document rows past the first
+   * aggregate. Groups with only null-text docs produce no rows.
+   */
+  def tokenCountQuantilesBy(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      permille: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000),
+      s"quantiles must be permille in (0, 1000], got $permille")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(groupCols.map(col) :+
+        tokenCount(col(textCol)).cast("long").as("tc"): _*)
+      .filter(col("tc").isNotNull)
+      .groupBy((groupCols :+ "tc").map(col): _*).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("tc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(groupCols.map(col): _*)))
+    val pDf = df.sparkSession.createDataFrame(
+      permille.map(p => Tuple1(p.toLong)).distinct).toDF("p_permille")
+    cum.crossJoin(broadcast(pDf))
+      .filter(col("cum") >= expr("(p_permille * n + 999) div 1000"))
+      .groupBy((groupCols :+ "p_permille").map(col): _*)
+      .agg(min(col("tc")).as("token_count"))
+  }
+
+  /**
    * Corpus-frequency boilerplate removal: drop every line whose trimmed
    * content appears in MORE than `maxDocs` distinct documents (nav bars,
    * cookie banners, license headers), keeping all other lines in original

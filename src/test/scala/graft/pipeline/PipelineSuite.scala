@@ -657,6 +657,27 @@ class PipelineSuite extends AnyFunSuite {
     assert(got === Map(100L -> 1L, 250L -> 3L, 500L -> 5L, 901L -> 10L, 1000L -> 10L))
   }
 
+  test("grouped token-count quantiles equal the global rule applied per group") {
+    // Group g has counts 1..10, group h has counts 5..8 (plus a null-text
+    // row in each, excluded). Per-group results must equal running the
+    // global operator on each group's slice alone.
+    val rows =
+      (1 to 10).map(i => ("g", Seq.fill(i)("w").mkString(" "))) ++
+      (5 to 8).map(i => ("h", Seq.fill(i)("w").mkString(" "))) ++
+      Seq(("g", null.asInstanceOf[String]), ("h", null.asInstanceOf[String]))
+    val df = rows.toDF("source", "text")
+    val ps = Seq(250, 500, 901, 1000)
+    val grouped = TextAnalysis.tokenCountQuantilesBy(df, "text", Seq("source"), ps)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (src <- Seq("g", "h")) {
+      val solo = TextAnalysis.tokenCountQuantiles(
+          df.filter(col("source") === src), "text", ps)
+        .collect().map(r => (src, r.getLong(0)) -> r.getLong(1)).toMap
+      solo.foreach { case (k, v) => assert(grouped(k) === v, s"key $k") }
+    }
+    assert(grouped.size === 8)
+  }
+
   test("keep-best exact dedup: score argmax survives, ties to lowest id") {
     val corpus = Seq(
       (1L, "same text", 5L), // group A: id 3 wins on score
