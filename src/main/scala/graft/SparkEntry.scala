@@ -1269,6 +1269,28 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q113_lm_from_model" -> ((s, d) => {
+      // Persisted-LM lifecycle (the q103/q104 convention applied to a
+      // model): even-id docs train the add-one bigram LM ONCE (stored as
+      // parquet); odd-id docs score against the stored table with no
+      // refit — exact bigram term, unseen-bigram unigram fallback, or
+      // vocabulary default, all pre-rounded micro-nats so a stored model
+      // can never drift from a recomputed one.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/bigram_lm"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          TextAnalysis.bigramLmModel(docs.where(col("doc_id") % 2 === 0), "text")
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      val model = s.read.parquet(path)
+      TextAnalysis.bigramLmScoreWithModel(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q111_packing_report" -> ((s, d) => {
       // Packing efficiency panel over the q66 greedy assignment: per
       // shard, sequence count, packed docs/tokens, and overall fill in
@@ -3280,6 +3302,52 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q113: the stored-model scoring replayed — train-side counts from the
+    // even split only, back-off via coalesce over the same three tiers.
+    "q113_lm_from_model" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |occ_t AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tk WHERE doc_id % 2 = 0 AND len(toks) >= 2),
+        |bi AS (SELECT bg, count(*) AS c2 FROM occ_t GROUP BY bg),
+        |bscore AS (
+        |  SELECT bg,
+        |    CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_bg
+        |  FROM bi JOIN uni ON uni.w = split_part(bi.bg, ' ', 1) CROSS JOIN v),
+        |uscore AS (
+        |  SELECT w,
+        |    CAST(round(ln(1.0 / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_w1
+        |  FROM uni CROSS JOIN v),
+        |dflt AS (
+        |  SELECT CAST(round(ln(1.0 / CAST(v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_def
+        |  FROM v),
+        |pocc AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tk WHERE doc_id % 2 = 1 AND len(toks) >= 2),
+        |terms AS (
+        |  SELECT p.doc_id, coalesce(b.t_bg, u.t_w1, d.t_def) AS t
+        |  FROM pocc p
+        |  LEFT JOIN bscore b USING (bg)
+        |  LEFT JOIN uscore u ON u.w = split_part(p.bg, ' ', 1)
+        |  CROSS JOIN dflt d),
+        |doc AS (
+        |  SELECT doc_id, CAST(sum(t) // count(*) AS BIGINT) AS lm_score_micronats,
+        |    count(*) AS n_bigrams
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, doc.lm_score_micronats, doc.n_bigrams
+        |FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
+        |WHERE d.doc_id % 2 = 1""".stripMargin,
 
     // q111: the q66 recursive greedy replay, aggregated per shard.
     "q111_packing_report" ->

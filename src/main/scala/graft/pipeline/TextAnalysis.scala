@@ -634,6 +634,94 @@ object TextAnalysis {
       .select(col("id"), col("lm_score_micronats"), col("n_bigrams"))
   }
 
+  /**
+   * The TRAINED form of [[bigramLmScore]]'s model, as one persistable
+   * table — the real CCNet shape: fit the LM on a reference corpus once,
+   * store it, score every later batch against the stored table with no
+   * refit (the q102/q103/q104 persisted-artifact lifecycle, applied to a
+   * model). Rows are `(kind, key, term_micro)`:
+   *  - `bigram` — ln((c2+1)/(c1+V)) for every observed bigram,
+   *  - `unigram` — the smoothed UNSEEN-bigram fallback ln(1/(c1+V)) for
+   *    every observed first token,
+   *  - `default` — ln(1/V), for bigrams whose first token the training
+   *    corpus never saw.
+   * Together the three kinds make the model total: any bigram of any
+   * future batch gets exactly the add-one probability the one-shot scorer
+   * would assign if that bigram had c2=0. All terms are pre-rounded
+   * micro-nats (the one ln() happens at FIT time), so scoring is pure
+   * integer arithmetic — and a stored model can never drift from a
+   * recomputed one.
+   */
+  def bigramLmModel(df: DataFrame, textCol: String): DataFrame = {
+    val base = df.select(tokens(col(textCol)).as("toks"))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    val biRows = bi
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(lit("bigram").as("kind"), col("bg").as("key"), expr(
+        "CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT)")
+        .as("term_micro"))
+    val uniRows = uni.crossJoin(broadcast(vocab))
+      .select(lit("unigram").as("kind"), col("w").as("key"), expr(
+        "CAST(round(ln(1.0 / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT)")
+        .as("term_micro"))
+    val defaultRow = vocab
+      .select(lit("default").as("kind"), lit(null).cast("string").as("key"),
+        expr("CAST(round(ln(1.0 / CAST(v AS DOUBLE)) * 1e6, 0) AS BIGINT)")
+          .as("term_micro"))
+    biRows.unionByName(uniRows).unionByName(defaultRow)
+  }
+
+  /**
+   * Score a batch against a STORED [[bigramLmModel]] — no refit, no
+   * training-corpus rescan. Per-bigram back-off: exact bigram term when
+   * the model saw it, the first token's unseen-bigram fallback otherwise,
+   * the vocabulary default when even that token is new. Two left joins on
+   * compact string keys + the 1-row default broadcast, then the same
+   * exact-integer per-doc mean as the one-shot scorer; scoring a corpus
+   * against its OWN model reproduces [[bigramLmScore]] exactly (every
+   * observed bigram hits the bigram table) — spec-pinned.
+   */
+  def bigramLmScoreWithModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val occ = base.where(size(col("toks")) >= 2)
+      .select(col("id"), explode(bigrams).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bi = model.filter(col("kind") === "bigram")
+      .select(col("key").as("bg"), col("term_micro").as("t_bg"))
+    val un = model.filter(col("kind") === "unigram")
+      .select(col("key").as("w1"), col("term_micro").as("t_w1"))
+    val dflt = model.filter(col("kind") === "default")
+      .select(col("term_micro").as("t_def"))
+    occ.join(bi, Seq("bg"), "left")
+      .join(un, Seq("w1"), "left")
+      .crossJoin(broadcast(dflt))
+      .withColumn("term_micro", coalesce(col("t_bg"), col("t_w1"), col("t_def")))
+      .groupBy("id")
+      .agg(expr("sum(term_micro) DIV count(1)").as("lm_score_micronats"),
+        count(lit(1)).as("n_bigrams"))
+      .join(base.select("id"), Seq("id"), "right")
+      .select(col("id"), col("lm_score_micronats"), col("n_bigrams"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

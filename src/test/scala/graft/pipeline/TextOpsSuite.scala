@@ -92,6 +92,37 @@ class TextOpsSuite extends AnyFunSuite {
     assert(n(5L, "char_cnt") === 0 && s(5L, "dominant_script") === "none")
   }
 
+  test("stored bigram LM reproduces the one-shot scorer; back-off tiers fire; parquet-stable") {
+    val train = Seq((0L, "a b a b"), (1L, "a b"), (2L, "z")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLmModel(train, "text")
+    // Self-scoring parity: every observed bigram hits the bigram table.
+    val oneShot = TextAnalysis.bigramLmScore(train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val viaModel = TextAnalysis
+      .bigramLmScoreWithModel(train, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaModel === oneShot)
+    // Back-off: "a z" unseen bigram but both tokens known -> unigram
+    // fallback for w1=a; "q r" w1 unseen -> default; uni: a:3 b:3 z:1, V=3.
+    def micro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val probe = Seq((10L, "a z"), (11L, "q r")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScoreWithModel(probe, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) === micro(math.log(1.0 / (3 + 3))))
+    assert(got(11L) === micro(math.log(1.0 / 3)))
+    // The stored artifact is the contract: parquet roundtrip changes nothing.
+    val dir = java.nio.file.Files.createTempDirectory("lmroundtrip").toString
+    model.write.mode("overwrite").parquet(dir)
+    val back = TextAnalysis
+      .bigramLmScoreWithModel(train, "doc_id", "text", spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(back === oneShot)
+  }
+
   test("bigramLmScore matches a hand-computed add-one bigram model") {
     // uni: a:3 b:3 z:1, V=3; bigrams: "a b":3, "b a":1
     val docs = Seq(
