@@ -1269,6 +1269,20 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q114_suite_contamination" -> ((s, d) => {
+      // Which eval suite does the contamination hit? The q50 eval split
+      // (doc_id % 37 == 0) divided into three suites by doc_id % 3; the
+      // report counts corpus docs sharing a 5-gram with EACH suite. The
+      // benchmark reduces to distinct (suite, gram) rows and broadcasts;
+      // only matched (suite, id) pairs reach an exchange.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .withColumn("suite", concat(lit("suite"), (col("doc_id") % 3).cast("string")))
+      Decontaminate.contaminationBySuite(
+        docs, "doc_id", "text", bench, "text", "suite", 5)
+        .orderBy("suite")
+    }),
+
     "q113_lm_from_model" -> ((s, d) => {
       // Persisted-LM lifecycle (the q103/q104 convention applied to a
       // model): even-id docs train the add-one bigram LM ONCE (stored as
@@ -3302,6 +3316,30 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q114: the q50 string-gram machinery with suite labels — distinct
+    // (suite, doc) matches counted per suite.
+    "q114_suite_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |bench AS (
+        |  SELECT DISTINCT 'suite' || CAST(doc_id % 3 AS VARCHAR) AS suite, gram
+        |  FROM g WHERE doc_id % 37 = 0),
+        |hits AS (
+        |  SELECT DISTINCT b.suite, g.doc_id
+        |  FROM g JOIN bench b USING (gram))
+        |SELECT suite, CAST(count(*) AS BIGINT) AS contaminated_docs
+        |FROM hits GROUP BY suite ORDER BY suite""".stripMargin,
 
     // q113: the stored-model scoring replayed — train-side counts from the
     // even split only, back-off via coalesce over the same three tiers.

@@ -222,6 +222,40 @@ object Decontaminate {
   }
 
   /**
+   * Per-SUITE contamination counts: the benchmark side carries a suite
+   * label (MMLU, GSM8K, ... — here any grouping column) and the report
+   * says how many corpus documents share an n-gram with EACH suite — the
+   * panel that tells you which eval set a contaminated crawl actually
+   * compromises. Join-path shape (suite labels preclude the single local
+   * table): the benchmark reduces to distinct (suite, gram-hash) rows and
+   * broadcasts; the corpus explodes grams once, map-side joins, and only
+   * matched (suite, id) pairs — not the corpus — reach the distinct's
+   * exchange. A document counts once per suite however many grams match.
+   */
+  def contaminationBySuite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      suiteCol: String,
+      n: Int = 8): DataFrame = {
+    require(!benchmark.isStreaming,
+      "the benchmark side must be a batch frame")
+    val benchGrams = broadcast(
+      benchmark
+        .select(col(suiteCol).as("suite"),
+          explode(hashedGrams(col(benchTextCol), n)).as("gram"))
+        .distinct())
+    df.select(col(idCol).as("__id"), explode(hashedGrams(col(textCol), n)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .select("suite", "__id")
+      .distinct()
+      .groupBy("suite")
+      .agg(count(lit(1)).as("contaminated_docs"))
+  }
+
+  /**
    * Per-document overlap REPORT against the eval set — the audit panel
    * behind [[decontaminate]]'s drop decision: how many of the document's
    * distinct n-grams appear in the benchmark, and the overlap fraction in

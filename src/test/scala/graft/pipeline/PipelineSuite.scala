@@ -726,6 +726,24 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("contaminationBySuite: per-suite distinct-doc counts, multi-gram docs count once") {
+    val corpus = Seq(
+      (0L, "a b c d e tail one"),     // hits suite x (twice via 2 grams) -> once
+      (1L, "a b c d e f"),            // hits suite x
+      (2L, "p q r s t other"),        // hits suite y
+      (3L, "nothing shared here at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      ("x", "z a b c d e tail"),      // grams incl. "a b c d e" and "b c d e tail"
+      ("y", "p q r s t")
+    ).toDF("suite", "text")
+    val out = Decontaminate.contaminationBySuite(
+        corpus, "doc_id", "text", bench, "text", "suite", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("overlapStats counts exact distinct-gram overlap in integer permille, zero shuffle") {
     val corpus = Seq(
       (0L, "a b c d e f"),       // grams: abcde, bcdef -> 1 of 2 overlap
