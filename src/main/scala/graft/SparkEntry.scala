@@ -1269,6 +1269,24 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q115_split_leakage" -> ((s, d) => {
+      // Split-hygiene check: id-keyed train/val/test assignment LEAKS
+      // duplicate content across splits (a val doc whose exact text is in
+      // train evaluates nothing). The corpus plants id-shifted copies of
+      // every 11th doc — the copies draw fresh buckets, so some land in a
+      // different split than their original — and the leakage matrix is
+      // the existing source-overlap operator with split as the label.
+      // Content-keyed assignment has zero leakage by construction
+      // (spec-pinned in PipelineSuite).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val assigned = Sampling.assignSplits(docs.unionByName(copies), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "seed42")
+      Dedup.sourceOverlapMatrix(assigned, "text", "split")
+        .orderBy("src_a", "src_b")
+    }),
+
     "q114_suite_contamination" -> ((s, d) => {
       // Which eval suite does the contamination hit? The q50 eval split
       // (doc_id % 37 == 0) divided into three suites by doc_id % 3; the
@@ -3316,6 +3334,30 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q115: the q49 bucket arithmetic assigns the planted corpus, then the
+    // q83 overlap shape counts distinct contents shared across splits.
+    "q115_split_leakage" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'seed42'), 25, 8))::BIGINT
+        |      % 1000000 AS bucket
+        |  FROM docs2),
+        |a AS (
+        |  SELECT text,
+        |    CASE WHEN bucket < 800000 THEN 'train'
+        |         WHEN bucket < 900000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b),
+        |d AS (SELECT DISTINCT split, md5(text) AS dg FROM a WHERE text IS NOT NULL)
+        |SELECT x.split AS src_a, y.split AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_contents
+        |FROM d x JOIN d y ON x.dg = y.dg AND x.split < y.split
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q114: the q50 string-gram machinery with suite labels — distinct
     // (suite, doc) matches counted per suite.

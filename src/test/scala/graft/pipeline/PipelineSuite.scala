@@ -726,6 +726,24 @@ class PipelineSuite extends AnyFunSuite {
     }
   }
 
+  test("split leakage: id-keyed splits leak duplicate content, content-keyed never do") {
+    // 40 distinct texts, each duplicated under a shifted id — the classic
+    // id-keyed split mistake.
+    val docs = (0 until 40).flatMap(i =>
+      Seq((i.toLong, s"text number $i"), (i + 1000L, s"text number $i")))
+      .toDF("doc_id", "text")
+    val byId = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.5), "s")
+    val leakedById = Dedup.sourceOverlapMatrix(byId, "text", "split").count()
+    assert(leakedById > 0, "planted id-keyed duplicates should leak")
+    // Keying the split by a content digest sends every copy of a text to
+    // the same split — zero leakage by construction.
+    val byContent = Sampling.assignSplits(
+      docs.withColumn("ckey", md5(to_binary(col("text"), lit("utf-8")))),
+      "ckey", Seq("train" -> 0.5, "val" -> 0.5), "s")
+    assert(Dedup.sourceOverlapMatrix(byContent, "text", "split").count() === 0)
+  }
+
   test("contaminationBySuite: per-suite distinct-doc counts, multi-gram docs count once") {
     val corpus = Seq(
       (0L, "a b c d e tail one"),     // hits suite x (twice via 2 grams) -> once
