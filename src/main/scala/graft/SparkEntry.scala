@@ -1269,6 +1269,17 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q116_padding_waste" -> ((s, d) => {
+      // Padding-waste report: per source, batches of 16 docs padded to the
+      // batch max under arrival (id) order vs length-sorted order. The gap
+      // between the two rows is the token volume a fixed-shape training
+      // step burns on padding when the loader does not length-bucket —
+      // the measurement that justifies the packing operators (q63-q66).
+      Packing.paddingWasteReport(t(s, d, "documents"),
+          "doc_id", "text", "source", 16)
+        .orderBy("shard", "strategy")
+    }),
+
     "q115_split_leakage" -> ((s, d) => {
       // Split-hygiene check: id-keyed train/val/test assignment LEAKS
       // duplicate content across splits (a val doc whose exact text is in
@@ -3334,6 +3345,45 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q116: both batch assignments replayed as row_number windows over the
+    // identical (id, md5) tie order, then the same per-batch max·count
+    // padding arithmetic in exact integers.
+    "q116_padding_waste" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, source AS shard,
+        |    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    md5(coalesce(text, '')) AS tb
+        |  FROM documents),
+        |a AS (
+        |  SELECT shard, n_tokens,
+        |    (row_number() OVER (PARTITION BY shard ORDER BY id, tb) - 1) // 16 AS batch
+        |  FROM base),
+        |s AS (
+        |  SELECT shard, n_tokens,
+        |    (row_number() OVER (PARTITION BY shard ORDER BY n_tokens, id, tb) - 1) // 16 AS batch
+        |  FROM base),
+        |ab AS (SELECT shard, batch, count(*) AS bn, sum(n_tokens) AS bt,
+        |         max(n_tokens) AS bm FROM a GROUP BY shard, batch),
+        |sb AS (SELECT shard, batch, count(*) AS bn, sum(n_tokens) AS bt,
+        |         max(n_tokens) AS bm FROM s GROUP BY shard, batch),
+        |u AS (
+        |  SELECT shard, 'arrival' AS strategy, sum(bn) AS n_docs,
+        |    count(*) AS n_batches, sum(bt) AS total_tokens,
+        |    sum(bm * bn) AS padded_tokens
+        |  FROM ab GROUP BY shard
+        |  UNION ALL
+        |  SELECT shard, 'sorted', sum(bn), count(*), sum(bt), sum(bm * bn)
+        |  FROM sb GROUP BY shard)
+        |SELECT shard, strategy, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_batches AS BIGINT) AS n_batches,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(padded_tokens AS BIGINT) AS padded_tokens,
+        |  CAST(CASE WHEN padded_tokens = 0 THEN 0
+        |       ELSE (padded_tokens - total_tokens) * 1000 // padded_tokens
+        |       END AS BIGINT) AS waste_permille
+        |FROM u ORDER BY shard, strategy""".stripMargin,
 
     // q115: the q49 bucket arithmetic assigns the planted corpus, then the
     // q83 overlap shape counts distinct contents shared across splits.

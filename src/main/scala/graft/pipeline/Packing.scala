@@ -194,4 +194,57 @@ object Packing {
       }(Encoders.row(outSchema))
       .toDF()
   }
+
+  /**
+   * Padding-waste report: the cost of NOT length-bucketing. Per shard,
+   * documents batch `batchSize` at a time under two orderings — `arrival`
+   * (id order, what a naive loader does) and `sorted` (token-count order,
+   * length-bucketed) — and every batch pads each member to the batch max,
+   * the way a fixed-shape training step does. One output row per
+   * (shard, strategy): document/batch counts, real token volume, padded
+   * volume, and waste in integer permille of the padded volume (exact
+   * integer division — no float seam between engines). The gap between the
+   * two rows is the padding reclaimed by length-bucketing alone; the
+   * packing operators ([[packGreedy]]/[[packConcat]]) reclaim the rest.
+   *
+   * Scale shape: one shuffle on the shard key per strategy (the two
+   * windows sort differently, so they cannot share one exchange's sort
+   * order), each feeding a streaming `row_number` and two compact
+   * aggregates — per-batch then per-shard rows only, never text. Ordering
+   * ties break by the class-doc `(id, md5(text))` rule, so both batch
+   * assignments are well-defined functions of the input multiset.
+   */
+  def paddingWasteReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(col(idCol).as("id"), col(shardCol).as("shard"),
+      tokenCountOf(textCol).as("n_tokens"), tiebreakOf(textCol).as("tb"))
+    def strategyReport(strategy: String, order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("bn"), sum(col("n_tokens")).as("bt"),
+          max(col("n_tokens")).as("bm"))
+        .groupBy(col("shard"))
+        .agg(sum(col("bn")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("bt")).as("total_tokens"),
+          sum(col("bm") * col("bn")).as("padded_tokens"))
+        .withColumn("strategy", lit(strategy))
+    }
+    strategyReport("arrival", Seq(col("id"), col("tb")))
+      .unionByName(strategyReport("sorted",
+        Seq(col("n_tokens"), col("id"), col("tb"))))
+      .withColumn("waste_permille",
+        when(col("padded_tokens") === 0, lit(0L))
+          .otherwise(expr("(padded_tokens - total_tokens) * 1000 div padded_tokens")))
+      .select(col("shard"), col("strategy"), col("n_docs"), col("n_batches"),
+        col("total_tokens"), col("padded_tokens"), col("waste_permille"))
+  }
 }

@@ -182,4 +182,37 @@ class PackingSuite extends AnyFunSuite {
         s"overfull multi-doc sequence: $r")
     }
   }
+
+  test("padding waste: hand-computed batches, both strategies") {
+    val df = Seq(
+      (0L, doc(10), "a"), (1L, doc(2), "a"), (2L, doc(8), "a"), (3L, doc(4), "a")
+    ).toDF("doc_id", "text", "source")
+    val out = Packing.paddingWasteReport(df, "doc_id", "text", "source", 2)
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    // arrival (id order): [10,2] [8,4] → padded 10·2 + 8·2 = 36, total 24
+    assert(out("arrival") === ((4L, 2L, 24L, 36L, 12L * 1000 / 36)))
+    // sorted (length order): [2,4] [8,10] → padded 4·2 + 10·2 = 28
+    assert(out("sorted") === ((4L, 2L, 24L, 28L, 4L * 1000 / 28)))
+  }
+
+  test("padding waste: sorted never wastes more than arrival; empties are safe") {
+    // varied pseudo-random lengths across 3 shards, plus an all-empty shard
+    val rows = (0L until 97L).map { i =>
+      (i, doc(((i * 37 + 11) % 50).toInt), s"s${i % 3}")
+    } ++ Seq((200L, "", "z"), (201L, null.asInstanceOf[String], "z"))
+    val out = Packing.paddingWasteReport(
+        rows.toDF("doc_id", "text", "source"), "doc_id", "text", "source", 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(4), r.getLong(6)))
+      .toMap
+    Seq("s0", "s1", "s2").foreach { sh =>
+      assert(out((sh, "sorted"))._2 <= out((sh, "arrival"))._2,
+        s"length-bucketing must not increase waste on $sh")
+    }
+    // all-empty shard: padded volume 0 → waste 0 by convention, not a crash
+    assert(out(("z", "arrival")) === ((0L, 0L)))
+    assert(out(("z", "sorted")) === ((0L, 0L)))
+  }
 }
