@@ -1269,6 +1269,14 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q117_lexical_diversity" -> ((s, d) => {
+      // Per-source lexical-diversity panel: token and bigram type-token
+      // ratios in integer permille. Template spam and dedup failures show
+      // up as a collapsing bigram TTR before any human reads a document.
+      TextAnalysis.lexicalDiversity(t(s, d, "documents"), "text", Seq("source"))
+        .orderBy("source")
+    }),
+
     "q116_padding_waste" -> ((s, d) => {
       // Padding-waste report: per source, batches of 16 docs padded to the
       // batch max under arrival (id) order vs length-sorted order. The gap
@@ -3345,6 +3353,34 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q117: tokens and consecutive bigrams unnested per source, distinct
+    // and total counts, same integer-permille DIV arithmetic.
+    "q117_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |tok AS (SELECT source, unnest(l) AS v FROM t),
+        |bg AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i + 1])) AS v
+        |  FROM t),
+        |ta AS (SELECT source, count(*) AS total_tokens,
+        |         count(DISTINCT v) AS distinct_tokens FROM tok GROUP BY source),
+        |ba AS (SELECT source, count(*) AS total_bigrams,
+        |         count(DISTINCT v) AS distinct_bigrams FROM bg GROUP BY source)
+        |SELECT ta.source,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+        |  CAST(distinct_tokens * 1000 // total_tokens AS BIGINT) AS ttr_permille,
+        |  CAST(total_bigrams AS BIGINT) AS total_bigrams,
+        |  CAST(distinct_bigrams AS BIGINT) AS distinct_bigrams,
+        |  CAST(distinct_bigrams * 1000 // total_bigrams AS BIGINT)
+        |    AS bigram_ttr_permille
+        |FROM ta LEFT JOIN ba ON ta.source = ba.source
+        |ORDER BY ta.source""".stripMargin,
 
     // q116: both batch assignments replayed as row_number windows over the
     // identical (id, md5) tie order, then the same per-batch max·count

@@ -742,6 +742,53 @@ object TextAnalysis {
       .drop("__gram_stats")
   }
 
+  /**
+   * Lexical-diversity report per group: total and distinct token counts
+   * with a type-token ratio in integer permille, and the same pair for
+   * word bigrams. Template spam, boilerplate floods, and dedup failures
+   * all show up as a falling TTR (especially the bigram one) long before
+   * anyone reads the documents — this is the per-source panel that flags
+   * them. Exact integer arithmetic end to end, so the report hashes
+   * identically on any engine.
+   *
+   * Scale shape: tokens explode ONCE into a (group, token) partial-count
+   * aggregate — map-side combining collapses repeats before the exchange,
+   * so shuffle volume is the distinct-(group, token) set, not the corpus
+   * token stream — then a per-group rollup of that compact table; same
+   * two-level shape for bigrams (no `countDistinct` expand: each explode
+   * is aggregated separately and the two group-level tables join at
+   * group cardinality). Groups whose documents have no tokens at all
+   * carry no signal and are absent from the report; a group with tokens
+   * but no bigrams (all single-token docs) reports a null bigram TTR.
+   */
+  def lexicalDiversity(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val gs = groupCols.map(col)
+    val toks = tokens(col(textCol))
+    // bigram i joins slice element i (= token i+1, 1-based) with its successor
+    val bgs = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => concat_ws(" ", t, element_at(toks, i + 2))))
+    def twoLevel(values: Column, totalName: String, distinctName: String) =
+      df.select(gs :+ explode(values).as("__v"): _*)
+        .groupBy(gs :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(gs: _*)
+        .agg(sum(col("__c")).as(totalName), count(lit(1)).as(distinctName))
+    twoLevel(toks, "total_tokens", "distinct_tokens")
+      .join(twoLevel(bgs, "total_bigrams", "distinct_bigrams"), groupCols, "left")
+      .withColumn("ttr_permille",
+        expr("distinct_tokens * 1000 div total_tokens"))
+      .withColumn("bigram_ttr_permille",
+        expr("distinct_bigrams * 1000 div total_bigrams"))
+      .select((gs :+ col("total_tokens") :+ col("distinct_tokens") :+
+        col("ttr_permille") :+ col("total_bigrams") :+ col("distinct_bigrams") :+
+        col("bigram_ttr_permille")): _*)
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

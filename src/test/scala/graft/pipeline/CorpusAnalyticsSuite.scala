@@ -165,4 +165,40 @@ class CorpusAnalyticsSuite extends AnyFunSuite {
     ).toDF("doc_id", "text", "source")
     assert(Dedup.sourceOverlapMatrix(docs, "text", "source").count() === 0)
   }
+
+  // ---- lexicalDiversity ----
+
+  test("lexical diversity: hand-computed tokens, bigrams, permille ratios") {
+    val docs = Seq(
+      (0L, "the cat sat", "a"),   // bigrams: "the cat", "cat sat"
+      (1L, "the cat ran", "a"),   // bigrams: "the cat", "cat ran"
+      (2L, "solo", "b"),          // one token, zero bigrams
+      (3L, "", "c"),              // tokenless -> group c absent
+      (4L, null.asInstanceOf[String], "c")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lexicalDiversity(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a", "b"))
+    val a = out("a")
+    // a: 6 tokens, 4 distinct (the, cat, sat, ran); 4 bigrams, 3 distinct
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((6L, 4L, 4000L / 6)))
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) === ((4L, 3L, 750L)))
+    val b = out("b")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) === ((1L, 1L, 1000L)))
+    // single-token group: no bigram signal -> nulls, not zeros-div-crash
+    assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6))
+  }
+
+  test("lexical diversity: a duplicated corpus halves token TTR, keeps totals additive") {
+    val base = (0L until 20L).map(i => (i, s"w$i x${i % 5} common", "s"))
+    val doubled = base ++ base.map { case (i, t, s) => (i + 100, t, s) }
+    def row(rows: Seq[(Long, String, String)]) =
+      TextAnalysis.lexicalDiversity(rows.toDF("doc_id", "text", "source"),
+        "text", Seq("source")).collect().head
+    val (one, two) = (row(base), row(doubled))
+    assert(two.getLong(1) === 2 * one.getLong(1))     // total tokens double
+    assert(two.getLong(2) === one.getLong(2))         // distinct unchanged
+    assert(two.getLong(3) === one.getLong(3) / 2 ||
+      two.getLong(3) === (one.getLong(2) * 1000) / two.getLong(1))
+  }
 }
