@@ -1269,6 +1269,15 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q118_oov_coverage" -> ((s, d) => {
+      // Vocabulary-coverage audit: the corpus's own top-500 token
+      // vocabulary, then each source's out-of-vocabulary token rate —
+      // which sources a fixed tokenizer vocab will shred into fallbacks.
+      // The vocab rides as a sorted hash table (zero-shuffle scoring).
+      TextAnalysis.oovReport(t(s, d, "documents"), "text", Seq("source"), 500)
+        .orderBy("source")
+    }),
+
     "q117_lexical_diversity" -> ((s, d) => {
       // Per-source lexical-diversity panel: token and bigram type-token
       // ratios in integer permille. Template spam and dedup failures show
@@ -3353,6 +3362,25 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q118: the same (freq DESC, token ASC) top-500 vocabulary replayed,
+    // then per-source OOV occurrence counts on token strings (Spark tests
+    // membership on 60-bit md5 hashes — equal up to md5 collisions).
+    "q118_oov_coverage" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (
+        |  SELECT v FROM tok GROUP BY v
+        |  ORDER BY count(*) DESC, v LIMIT 500)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) FILTER (WHERE v NOT IN (SELECT v FROM vocab))
+        |    AS BIGINT) AS oov_tokens,
+        |  CAST(count(*) FILTER (WHERE v NOT IN (SELECT v FROM vocab)) * 1000
+        |    // count(*) AS BIGINT) AS oov_permille
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     // q117: tokens and consecutive bigrams unnested per source, distinct
     // and total counts, same integer-permille DIV arithmetic.

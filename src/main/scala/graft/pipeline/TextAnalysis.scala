@@ -789,6 +789,55 @@ object TextAnalysis {
         col("bigram_ttr_permille")): _*)
   }
 
+  /**
+   * Vocabulary-coverage (OOV) report: fit the corpus's own top-`vocabSize`
+   * token vocabulary (the [[topTokens]] rule — frequency desc, token asc
+   * ties, so the fit is deterministic on any engine), then report per
+   * group how much of the token stream falls OUTSIDE it — total tokens,
+   * OOV occurrences, and the OOV rate in integer permille. The panel that
+   * says which sources a fixed tokenizer vocabulary will shred into
+   * fallback bytes, before any tokenizer is trained.
+   *
+   * Scale shape: the fit is one map-side-combined (token, count) aggregate
+   * plus a bounded top-k collect (`vocabSize` rows); scoring is a ZERO-
+   * shuffle map pass — the vocabulary rides with the task binary as a
+   * sorted 60-bit md5 hash table and each document pays one
+   * [[graft.functions.CountInLongSet]] membership scan over its hashed
+   * token array (no corpus explode, no join) — then one compact per-group
+   * aggregate. Membership is by 60-bit hash: a non-vocab token can only
+   * miscount as covered on an md5 collision (odds ~ distinct-tokens ×
+   * vocabSize / 2⁶⁰ — negligible, same convention as the q50 gram table).
+   * Groups with no tokens report 0/0 and a null rate.
+   */
+  def oovReport(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      vocabSize: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    import graft.functions.{KmvFunctions, SketchFunctions}
+    // hashed with the engine's own md5 expression, so the scoring pass
+    // below tests membership on the exact same bits
+    val vocabHashes: Array[Long] = topTokens(df, textCol, vocabSize)
+      .select(KmvFunctions.md5Hash60(col("token")).as("h"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    java.util.Arrays.sort(vocabHashes)
+    val gs = groupCols.map(col)
+    val toks = tokens(col(textCol))
+    val hashes = transform(toks, t => KmvFunctions.md5Hash60(t))
+    df.select(gs :+ coalesce(size(toks), lit(0)).cast("long").as("__n") :+
+        coalesce(SketchFunctions.count_in_long_set(hashes, vocabHashes), lit(0))
+          .cast("long").as("__in"): _*)
+      .groupBy(gs: _*)
+      .agg(sum(col("__n")).as("total_tokens"),
+        sum(col("__n") - col("__in")).as("oov_tokens"))
+      .withColumn("oov_permille",
+        when(col("total_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("oov_tokens * 1000 div total_tokens")))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

@@ -148,4 +148,30 @@ class TextOpsSuite extends AnyFunSuite {
     // bigram outscores the rare one.
     assert(ab > ba)
   }
+
+  test("oovReport: top-k vocab fit, per-group OOV counts, tokenless group null") {
+    val docs = Seq(
+      // "aa" x5, "bb" x4 are the vocab at k=2; "cc" x3, "dd" x1 fall out
+      (0L, "aa aa aa bb bb", "g1"),
+      (1L, "aa aa bb bb cc", "g1"),
+      (2L, "cc cc dd", "g2"),
+      (3L, "", "g3"),
+      (4L, null.asInstanceOf[String], "g3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.oovReport(docs, "text", Seq("source"), 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out("g1") === ((10L, 1L, Some(100L))))   // one "cc" is OOV
+    assert(out("g2") === ((3L, 3L, Some(1000L))))   // nothing in vocab
+    assert(out("g3") === ((0L, 0L, None)))          // no tokens, null rate
+  }
+
+  test("oovReport vocab boundary ties break by token order, like topTokens") {
+    // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
+    val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.oovReport(docs, "text", Seq("source"), 2)
+      .collect().head
+    assert((out.getLong(1), out.getLong(2)) === ((7L, 2L))) // both "y"s OOV
+  }
 }
