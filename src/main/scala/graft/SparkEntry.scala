@@ -1269,6 +1269,18 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q119_stratified_sample" -> ((s, d) => {
+      // Exact stratified sample: a global budget of 100 docs apportioned
+      // across languages by largest remainder (bases + top-up seats, ties
+      // by key), winners by the salted-md5 capPerKey rule. id_sum pins
+      // exact membership, not just the per-stratum counts.
+      val docs = t(s, d, "documents")
+      Sampling.sampleProportional(docs, "lang", "doc_id", 100, salt = "alloc1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     "q118_oov_coverage" -> ((s, d) => {
       // Vocabulary-coverage audit: the corpus's own top-500 token
       // vocabulary, then each source's out-of-vocabulary token rate —
@@ -3362,6 +3374,41 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q119: the Hamilton apportionment replayed in HUGEINT arithmetic —
+    // floor quotas, largest-remainder top-ups with key-asc ties — then the
+    // same salted md5-bucket window rank picks the winners.
+    "q119_stratified_sample" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |tot AS (SELECT sum(n) AS nt FROM n),
+        |q AS (
+        |  SELECT lang, n,
+        |    (100::HUGEINT * n) // nt AS base, (100::HUGEINT * n) % nt AS rem
+        |  FROM n, tot),
+        |r AS (
+        |  SELECT lang, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    (SELECT 100 - sum(base) FROM q) AS leftover
+        |  FROM q),
+        |a AS (
+        |  SELECT lang,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        |  FROM r),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'alloc1'), 25, 8))::BIGINT
+        |                  % 1000000,
+        |               doc_id) AS rnk
+        |  FROM documents)
+        |SELECT ranked.lang,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM ranked JOIN a ON ranked.lang = a.lang
+        |WHERE rnk <= alloc
+        |GROUP BY ranked.lang ORDER BY ranked.lang""".stripMargin,
 
     // q118: the same (freq DESC, token ASC) top-500 vocabulary replayed,
     // then per-source OOV occurrence counts on token strings (Spark tests

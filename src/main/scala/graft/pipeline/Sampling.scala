@@ -271,6 +271,73 @@ object Sampling {
   }
 
   /**
+   * Largest-remainder (Hamilton) apportionment: split an EXACT global
+   * sample `budget` across the values of `keyCol` proportionally to
+   * stratum size. Each stratum gets `floor(budget·n/N)` seats; the
+   * leftover seats (< number of strata) go to the largest fractional
+   * remainders, ties broken by key ascending — so the table sums to
+   * exactly `budget` whenever `budget ≤ N`, which hash-fraction sampling
+   * ([[sampleByHash]]) cannot promise. All arithmetic is exact — the
+   * `budget·n` products run in DECIMAL(38,0), division is integral — so
+   * the allocation is engine- and layout-independent.
+   *
+   * Returns one row per stratum: (key, n, alloc). Execution: one
+   * map-side-combined count per key, then window/rollup arithmetic over
+   * that |keys|-row table only (strata are languages/sources/domains —
+   * the global window never sees corpus rows; same convention as the
+   * vocabulary and histogram operators). Null keys are excluded.
+   */
+  def proportionalAllocation(
+      df: DataFrame,
+      keyCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__N"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("__q", expr(s"CAST($budget AS DECIMAL(38,0)) * n"))
+      .withColumn("base", expr("__q div __N"))
+      .withColumn("__rem", expr("CAST(__q % __N AS BIGINT)"))
+    val wRank = Window.orderBy(col("__rem").desc, col("key").asc)
+    val ranked = quotas.withColumn("__rk", row_number().over(wRank))
+    val baseSum = ranked.agg(sum(col("base")).as("__SB"))
+    ranked.crossJoin(broadcast(baseSum))
+      .withColumn("alloc", col("base") +
+        when(col("__rk") <= lit(budget) - col("__SB"), 1L).otherwise(0L))
+      .select(col("key"), col("n"), col("alloc"))
+  }
+
+  /**
+   * Exact stratified sample: keep precisely [[proportionalAllocation]]'s
+   * per-stratum seat count, winners chosen by the [[capPerKey]] ranking
+   * rule (salted md5 bucket, then `idCol`) — deterministic, layout-
+   * independent, and a different `salt` draws an independent sample.
+   * Exactly `budget` rows survive whenever `budget ≤` corpus size and ids
+   * are unique per stratum. One broadcast of the |keys|-row allocation
+   * table plus one window shuffle on `keyCol`; rows with null keys drop
+   * (they were never allocated seats).
+   */
+  def sampleProportional(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      budget: Long,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = proportionalAllocation(df, keyCol, budget)
+      .select(col("key").as("__ak"), col("alloc").as("__alloc"))
+    val bucket = hashBucket(col(idCol), DefaultBuckets, salt)
+    val w = Window.partitionBy(col(keyCol)).orderBy(bucket, col(idCol))
+    df.join(broadcast(alloc), col(keyCol).cast("string") === col("__ak"), "inner")
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= col("__alloc"))
+      .drop("__ak", "__alloc", "__rank")
+  }
+
+  /**
    * Curriculum/budget selection: admit documents in (`scoreCol` DESC,
    * `idCol` ASC) order while the running token total stays within
    * `budget` — i.e. the longest prefix of the quality ordering whose

@@ -1013,6 +1013,43 @@ class PipelineSuite extends AnyFunSuite {
     assert(Sampling.capPerKey(df, "key", 100, "id").count() === 100L)
   }
 
+  test("largest-remainder allocation: hand-computed seats, sums to budget exactly") {
+    // strata sizes 5/3/2, budget 7: quotas 3.5/2.1/1.4 -> bases 3/2/1,
+    // one leftover seat goes to the largest remainder (a, rem .5)
+    val df = ((0 until 5).map(i => (i.toLong, "a")) ++
+      (10 until 13).map(i => (i.toLong, "b")) ++
+      (20 until 22).map(i => (i.toLong, "c"))).toDF("id", "key")
+    val alloc = Sampling.proportionalAllocation(df, "key", 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(alloc === Map("a" -> (5L, 4L), "b" -> (3L, 2L), "c" -> (2L, 1L)))
+    // remainder ties break by key ascending: sizes 3/3/3, budget 7 ->
+    // bases 2/2/2, remainder 1/3 everywhere, seat goes to "a"
+    val tied = (0 until 9).map(i => (i.toLong, s"${('a' + i % 3).toChar}"))
+      .toDF("id", "key")
+    val ta = Sampling.proportionalAllocation(tied, "key", 7)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ta === Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("sampleProportional: exact counts per stratum, layout-independent winners") {
+    val df = (0L until 120L).map(i => (i, s"k${i % 5}")).toDF("id", "key")
+    val kept = Sampling.sampleProportional(df, "key", "id", 37, salt = "p1")
+    assert(kept.count() === 37L)
+    val byKey = kept.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5 equal strata of 24, budget 37: bases 7 (35/5... 37*24/120 = 7.4)
+    // -> base 7 each, 2 leftover seats to the first two keys
+    assert(byKey === Map("k0" -> 8L, "k1" -> 8L, "k2" -> 7L, "k3" -> 7L, "k4" -> 7L))
+    // identical winners on a different layout; different salt, same counts
+    val kept2 = Sampling.sampleProportional(df.repartition(11), "key", "id", 37, salt = "p1")
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      kept2.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    val kept3 = Sampling.sampleProportional(df, "key", "id", 37, salt = "p2")
+    assert(kept3.count() === 37L)
+    assert(kept3.select("id").collect().map(_.getLong(0)).sorted.toSeq !==
+      kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("expansion parallelism grows with corpus estimate, session floor at bench scale") {
     // Plan-only: read the user-pinned repartition's partition count out of
     // the logical plan; nothing executes.
