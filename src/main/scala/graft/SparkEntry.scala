@@ -1269,6 +1269,40 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q120_link_domains" -> ((s, d) => {
+      // Link extraction → per-domain mix: every doc gets 1-2 planted URLs
+      // (the q52 PII-planting convention), hosts come from the native
+      // parse_url expression, and the panel reports link and doc volumes
+      // per domain — what a crawl pipeline watches to spot a host flooding
+      // the mix. Map-side explode + one compact (domain, doc) aggregate.
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://host"), (col("doc_id") % 7).cast("string"),
+          lit(".example"), (col("doc_id") % 3).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" and http://mirror"), (col("doc_id") % 5).cast("string"),
+              lit(".example.org/x"))).otherwise(lit(""))).as("text"))
+      TextAnalysis.extractLinkDomains(planted, "doc_id", "text")
+        .groupBy("domain", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("domain")
+        .agg(sum("c").as("n_links"), count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    "q121_dup_cluster_sizes" -> ((s, d) => {
+      // Duplicate-cluster size distribution: the report every dedup run
+      // ships — how many near-dup clusters of each size exist. Reuses the
+      // exact-verified MinHash pair graph and the large-star/small-star
+      // components, then two compact aggregates over (component) rows.
+      val pairs = Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 0.9)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), sum("cluster_size").as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     "q119_stratified_sample" -> ((s, d) => {
       // Exact stratified sample: a global budget of 100 docs apportioned
       // across languages by largest remainder (bases + top-up seats, ties
@@ -3374,6 +3408,51 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q120: the same planted URLs, whitespace-bounded extraction, and a
+    // host regex equivalent to parse_url's authority parse on them.
+    "q120_link_domains" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |              THEN ' and http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+        |                   || '.example.org/x'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM p),
+        |h AS (
+        |  SELECT doc_id, regexp_extract(url, '^https?://([^/?#]+)', 1) AS domain
+        |  FROM u),
+        |g AS (SELECT domain, doc_id, count(*) AS c FROM h GROUP BY 1, 2)
+        |SELECT domain, CAST(sum(c) AS BIGINT) AS n_links,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q121: the q46 recursive-CTE transitive closure, aggregated into the
+    // cluster-size histogram.
+    "q121_dup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+        |c AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |s AS (SELECT component, count(*) AS cluster_size FROM c GROUP BY component)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM s GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // q119: the Hamilton apportionment replayed in HUGEINT arithmetic —
     // floor quotas, largest-remainder top-ups with key-asc ties — then the

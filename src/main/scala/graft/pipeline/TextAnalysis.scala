@@ -838,6 +838,21 @@ object TextAnalysis {
           .otherwise(expr("oov_tokens * 1000 div total_tokens")))
   }
 
+  /**
+   * Extracted http(s) link hosts per document: one output row per link
+   * occurrence with its registered host, taken by the native codegen'd
+   * `parse_url` expression over a whitespace-bounded URL match. Pure
+   * map-side explode — no shuffle; this is the domain-mix input a crawl
+   * pipeline aggregates (per-domain volumes, cap lists, blocklists).
+   * Links whose authority `parse_url` cannot parse yield a null domain
+   * rather than dropping silently.
+   */
+  def extractLinkDomains(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(expr(s"regexp_extract_all($textCol, 'https?://[^\\\\s]+', 0)"))
+          .as("url"))
+      .select(col(idCol), expr("parse_url(url, 'HOST')").as("domain"), col("url"))
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

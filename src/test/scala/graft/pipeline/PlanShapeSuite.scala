@@ -247,6 +247,33 @@ class PlanShapeSuite extends AnyFunSuite {
       s"more than one single-partition exchange (histogram only expected):\n$plan")
   }
 
+  test("oovReport scoring pass: membership scan, no corpus explode/join before the group agg") {
+    val plan = physical(TextAnalysis.oovReport(docs, "text", Seq("source"), 4))
+    assert(!plan.contains("Join"), s"vocab must ride as a hash table, not a join:\n$plan")
+    assert(!plan.contains("Generate"), s"corpus token stream must not explode:\n$plan")
+    assert(plan.contains("count_in_long_set"), s"membership scan missing:\n$plan")
+    // one exchange total: the final per-group aggregate
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"scoring should shuffle only the group agg:\n$plan")
+  }
+
+  test("lexicalDiversity: no countDistinct expand; shuffles carry (group, value) partials") {
+    val plan = physical(TextAnalysis.lexicalDiversity(docs, "text", Seq("source")))
+    assert(!plan.contains("Expand"), s"countDistinct expand crept in:\n$plan")
+  }
+
+  test("sampleProportional broadcasts the allocation table; corpus shuffles once by key") {
+    val df = spark.range(0, 64)
+      .select(col("id"), (col("id") % 4).cast("string").as("key"))
+    val plan = physical(Sampling.sampleProportional(df, "key", "id", 16, "s"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("BroadcastExchange"),
+      s"allocation table should broadcast, not shuffle the corpus:\n$plan")
+    // the corpus-side exchanges: one hashpartitioning by key for the window
+    val corpusShuffles = "Exchange hashpartitioning\\(key".r.findAllIn(plan).length
+    assert(corpusShuffles <= 1, s"corpus must shuffle once on the key:\n$plan")
+  }
+
   test("hex-hash near-dup joins inside band buckets, no nested-loop fallback") {
     val hx = docs.select(col("doc_id"), lpad(hex(col("doc_id")), 16, "0").as("ahash"))
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"

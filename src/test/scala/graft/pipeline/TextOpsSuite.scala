@@ -167,6 +167,20 @@ class TextOpsSuite extends AnyFunSuite {
     assert(out("g3") === ((0L, 0L, None)))          // no tokens, null rate
   }
 
+  test("extractLinkDomains: hosts per link occurrence, linkless/null docs drop") {
+    val docs = Seq(
+      (0L, "intro https://a.example.com/x then http://b.example.org/y?q=1 done"),
+      (1L, "same host twice https://a.example.com/1 https://a.example.com/2"),
+      (2L, "no links here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.extractLinkDomains(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq === Seq(
+      (0L, "a.example.com"), (0L, "b.example.org"),
+      (1L, "a.example.com"), (1L, "a.example.com")))
+  }
+
   test("oovReport vocab boundary ties break by token order, like topTokens") {
     // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
     val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
