@@ -1269,6 +1269,19 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q122_near_dup_keep_best" -> ((s, d) => {
+      // The full fuzzy-dedup decision: MinHash pairs → verified clusters →
+      // one survivor per cluster by score argmax (ties to lowest id), with
+      // singletons surviving untouched. Score is planted as (7·id) mod 100
+      // (the q71 convention) so the oracle can replay the pick.
+      val docs = t(s, d, "documents")
+        .withColumn("score", (col("doc_id") * 7) % 100)
+      Dedup.bestNearDupRepresentatives(docs, "doc_id", "text", 0.9, col("score"))
+        .select(col("doc_id").as("rep_id"), col("component"),
+          col("cluster_size"), col("score"))
+        .orderBy("component")
+    }),
+
     "q120_link_domains" -> ((s, d) => {
       // Link extraction → per-domain mix: every doc gets 1-2 planted URLs
       // (the q52 PII-planting convention), hosts come from the native
@@ -3408,6 +3421,34 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q122: the q46 closure, singletons re-attached by left join, then the
+    // same (score DESC, id) survivor window.
+    "q122_near_dup_keep_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+        |c AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |allc AS (
+        |  SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component,
+        |    (d.doc_id * 7) % 100 AS score
+        |  FROM documents d LEFT JOIN c ON d.doc_id = c.id),
+        |r AS (
+        |  SELECT id, component, score,
+        |    row_number() OVER (PARTITION BY component ORDER BY score DESC, id) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS cluster_size
+        |  FROM allc)
+        |SELECT CAST(id AS BIGINT) AS rep_id, CAST(component AS BIGINT) AS component,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
 
     // q120: the same planted URLs, whitespace-bounded extraction, and a
     // host regex equivalent to parse_url's authority parse on them.

@@ -231,6 +231,44 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * The whole fuzzy-dedup decision in one operator: MinHash near-dup pairs
+   * → exact-verified clusters ([[connectedComponents]]) → ONE survivor per
+   * cluster, the `score` argmax (quality, length, recency — caller's
+   * choice) with ties to the lowest id. Documents in no near-dup pair are
+   * their own singleton cluster and always survive. Output rows are the
+   * survivors with their `component` and `cluster_size` attached — what a
+   * curation pipeline writes back as the deduplicated corpus.
+   *
+   * Scale shape: inherits the audited pair-generation and component
+   * rounds; the membership table (id, component) covers only PAIRED ids,
+   * so the join back is keyed by unique ids (no skew) and AQE can
+   * broadcast it when small. The survivor pick shuffles (id, score,
+   * component) rows once by component; a pathological giant cluster
+   * serializes only its own compact rows through one window task (the
+   * capPerKey caveat, minus the text).
+   */
+  def bestNearDupRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minHashDedupPairs(df, idCol, textCol, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__cid"), col("component"))
+    val joined = df.join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("__cid")
+    val grp = Window.partitionBy(col("component"))
+    val w = grp.orderBy(score.desc, col(idCol))
+    joined.withColumn("cluster_size", count(lit(1)).over(grp))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
    * Incremental exact dedup: admit only the rows of a newly-ingested
    * `batch` whose content does not already exist in the curated `corpus`,
    * then dedup the survivors among themselves (min-id representative, with

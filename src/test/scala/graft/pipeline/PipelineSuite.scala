@@ -1013,6 +1013,22 @@ class PipelineSuite extends AnyFunSuite {
     assert(Sampling.capPerKey(df, "key", 100, "id").count() === 100L)
   }
 
+  test("near-dup keep-best: score argmax per cluster, singletons survive themselves") {
+    val docs = Seq(
+      // cluster {0,1,2}: exact dup texts; scores 5, 9, 9 -> id 1 wins (tie to low id)
+      (0L, "alpha beta gamma delta epsilon", 5L),
+      (1L, "alpha beta gamma delta epsilon", 9L),
+      (2L, "alpha beta gamma delta epsilon", 9L),
+      // singleton: unrelated text, survives as its own component
+      (3L, "zeta eta theta iota kappa", 1L)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.bestNearDupRepresentatives(docs, "doc_id", "text", 0.9, col("score"))
+      .select("doc_id", "component", "cluster_size", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(out.toSeq === Seq((1L, 0L, 3L, 9L), (3L, 3L, 1L, 1L)))
+  }
+
   test("largest-remainder allocation: hand-computed seats, sums to budget exactly") {
     // strata sizes 5/3/2, budget 7: quotas 3.5/2.1/1.4 -> bases 3/2/1,
     // one leftover seat goes to the largest remainder (a, rem .5)
