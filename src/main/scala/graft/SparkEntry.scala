@@ -1269,6 +1269,17 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q123_cdc_chunks" -> ((s, d) => {
+      // Content-defined chunking: gear rolling hash (every constant
+      // md5-derived), cuts at h mod 32 == 0 past 16 code points, forced at
+      // 128. The per-source panel is sub-document dedup pressure — the
+      // storage/transfer-dedup view a fixed-width blocker cannot give
+      // (its blocks all shift on any edit).
+      TextAnalysis.cdcChunkReport(t(s, d, "documents"), "text", Seq("source"),
+          maskBits = 5, minLen = 16, maxLen = 128)
+        .orderBy("source")
+    }),
+
     "q122_near_dup_keep_best" -> ((s, d) => {
       // The full fuzzy-dedup decision: MinHash pairs → verified clusters →
       // one survivor per cluster by score argmax (ties to lowest id), with
@@ -3421,6 +3432,51 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q123: the gear recursion replayed code point by code point — same
+    // md5-derived gear constants, same 2h+g mod 2^60 roll with reset-at-cut,
+    // same (>=16 and h mod 32 = 0) or =128 cut rule — then md5 of each
+    // chunk substring and the same two-level duplication arithmetic.
+    "q123_cdc_chunks" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, source, text, length(text) AS n
+        |      FROM documents WHERE text IS NOT NULL),
+        |step(doc_id, pos, h, start, cut) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(1 AS BIGINT), false
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, pos, hh, st,
+        |         (pos - st + 1 >= 16 AND hh % 32 = 0) OR pos - st + 1 = 128
+        |  FROM (
+        |    SELECT s.doc_id AS doc_id, s.pos + 1 AS pos,
+        |      ((CASE WHEN s.cut THEN 0 ELSE s.h END) * 2 +
+        |        ('0x' || substr(md5('gear' ||
+        |           CAST(unicode(substr(d.text, CAST(s.pos AS INTEGER) + 1, 1)) AS VARCHAR)),
+        |           1, 15))::BIGINT) % 1152921504606846976 AS hh,
+        |      CASE WHEN s.cut THEN s.pos + 1 ELSE s.start END AS st
+        |    FROM step s JOIN d ON s.doc_id = d.doc_id
+        |    WHERE s.pos < d.n) x),
+        |ch AS (
+        |  SELECT doc_id, start, pos FROM step WHERE cut
+        |  UNION ALL
+        |  SELECT s.doc_id, s.start, s.pos
+        |  FROM step s JOIN d ON s.doc_id = d.doc_id
+        |  WHERE s.pos = d.n AND NOT s.cut AND d.n > 0),
+        |hx AS (
+        |  SELECT d.source, pos - start + 1 AS len,
+        |    md5(substr(d.text, CAST(start AS INTEGER),
+        |               CAST(pos - start + 1 AS INTEGER))) AS hash
+        |  FROM ch JOIN d ON ch.doc_id = d.doc_id),
+        |lvl1 AS (
+        |  SELECT source, hash, count(*) AS c, sum(len) AS ls
+        |  FROM hx GROUP BY source, hash)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS distinct_chunks,
+        |  CAST(sum(ls) AS BIGINT) AS total_cps,
+        |  CAST((sum(c) - count(*)) * 1000 // sum(c) AS BIGINT) AS dup_chunk_permille
+        |FROM lvl1 GROUP BY source ORDER BY source""".stripMargin,
 
     // q122: the q46 closure, singletons re-attached by left join, then the
     // same (score DESC, id) survivor window.

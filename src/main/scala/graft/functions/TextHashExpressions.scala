@@ -249,6 +249,114 @@ case class AnyGramInMd5Bloom(child: Expression, n: Int, words: Array[Long], mBit
   override def prettyName: String = "any_gram_in_md5_bloom"
 }
 
+/**
+ * Content-defined chunking (gear-style rolling hash): cut the text at
+ * CONTENT-determined boundaries so an insertion or deletion only perturbs
+ * the chunks around the edit — the primitive behind storage/transfer dedup
+ * and sub-document duplicate detection. Chunk boundaries downstream of an
+ * edit re-align within about one chunk, where any fixed-width blocking
+ * scheme shifts every later block.
+ *
+ * Definition, over Unicode CODE POINTS with every constant md5-derived so
+ * any SQL engine replays it exactly:
+ *
+ *   gear(c) = first 15 md5 hex digits of "gear" ++ decimal(c), as a 60-bit int
+ *   h_i     = (2·h_{i−1} + gear(c_i)) mod 2⁶⁰,  h resets to 0 at each cut
+ *   cut after position i when the running chunk holds ≥ `minLen` code
+ *   points and h_i mod 2^`maskBits` == 0, or exactly at `maxLen`; the
+ *   final partial chunk always emits.
+ *
+ * Returns `array<struct<idx int, len int, hash string>>` — chunk index,
+ * code-point length, and the md5 hex of the chunk substring. Empty text →
+ * empty array; null → null. Mean chunk length ≈ `minLen + 2^maskBits`.
+ * Per-row cost is one table lookup + shift-add per code point and one md5
+ * per chunk — map-side, no state across rows; gear values cache process-
+ * wide (the alphabet is tiny relative to the corpus).
+ */
+case class CdcChunks(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(maskBits >= 1 && maskBits <= 30, s"maskBits must be in [1,30], got $maskBits")
+  require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+  require(maxLen >= minLen, s"maxLen ($maxLen) must be >= minLen ($minLen)")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", StringType, nullable = false))), containsNull = false)
+
+  private val mask: Long = (1L << maskBits) - 1L
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var chunkStartChar = 0 // char offset of the running chunk's start
+    var chunkLen = 0       // code points in the running chunk
+    var idx = 0
+    var ci = 0             // char offset of the next code point
+    def emit(endChar: Int): Unit = {
+      val hex = CdcChunks.md5Hex(s.substring(chunkStartChar, endChar))
+      out += new GenericInternalRow(
+        Array[Any](idx, chunkLen, UTF8String.fromString(hex)))
+      idx += 1
+      chunkStartChar = endChar
+      chunkLen = 0
+      h = 0L
+    }
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      ci += Character.charCount(cp)
+      h = ((h << 1) + CdcChunks.gear(cp)) & CdcChunks.Mask60
+      chunkLen += 1
+      if ((chunkLen >= minLen && (h & mask) == 0L) || chunkLen == maxLen) emit(ci)
+    }
+    if (chunkLen > 0) emit(ci)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunks {
+  val Mask60: Long = (1L << 60) - 1L
+  private val gearCache = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  /** 60-bit gear constant for a code point: `('0x' || substr(md5('gear' ||
+   *  c), 1, 15))::BIGINT` in any SQL engine. */
+  def gear(cp: Int): Long = {
+    val cached = gearCache.get(cp)
+    if (cached != null) cached.longValue()
+    else {
+      val d = TokenHashing.md5Of("gear" + cp.toString)
+      // first 15 hex digits = high 7.5 bytes of the digest
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      gearCache.putIfAbsent(cp, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
+  def md5Hex(s: String): String = {
+    val d = TokenHashing.md5Of(s)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 object TextHashFunctions {
   def md5_token_poly_hash(text: Column): Column =
     Bridge.column(Md5TokenPolyHash(Bridge.expression(text)))
@@ -259,4 +367,6 @@ object TextHashFunctions {
   def any_gram_in_md5_bloom(
       loweredText: Column, n: Int, words: Array[Long], mBits: Int, k: Int): Column =
     Bridge.column(AnyGramInMd5Bloom(Bridge.expression(loweredText), n, words, mBits, k))
+  def cdc_chunks(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), maskBits, minLen, maxLen))
 }

@@ -853,6 +853,45 @@ object TextAnalysis {
           .as("url"))
       .select(col(idCol), expr("parse_url(url, 'HOST')").as("domain"), col("url"))
 
+  /**
+   * Content-defined-chunk duplication report per group: chunk every
+   * document with the gear-hash CDC expression ([[graft.functions
+   * .CdcChunks]] — boundaries re-align around edits, unlike fixed-width
+   * blocks), then report corpus-level chunk volumes, distinct chunk
+   * content, total code points, and the duplicated-chunk rate in integer
+   * permille. This is sub-document dedup pressure: two near-identical
+   * documents share most chunk hashes even when no whole paragraph
+   * repeats verbatim — the storage/transfer-dedup view of the corpus.
+   *
+   * Scale shape: chunking is map-side (one shift-add per code point, one
+   * md5 per ~`minLen + 2^maskBits` code points); the explode feeds a
+   * two-level (group, hash) partial-count aggregate, so shuffle volume is
+   * the distinct chunk-hash set per group, never the text.
+   */
+  def cdcChunkReport(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val gs = groupCols.map(col)
+    val chunks = graft.functions.TextHashFunctions
+      .cdc_chunks(col(textCol), maskBits, minLen, maxLen)
+    df.select(gs :+ explode(chunks).as("__c"): _*)
+      .select(gs :+ col("__c.hash").as("__h") :+
+        col("__c.len").cast("long").as("__l"): _*)
+      .groupBy(gs :+ col("__h"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__ls"))
+      .groupBy(gs: _*)
+      .agg(sum(col("__n")).as("n_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("__ls")).as("total_cps"))
+      .withColumn("dup_chunk_permille",
+        expr("(n_chunks - distinct_chunks) * 1000 div n_chunks"))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
