@@ -1269,6 +1269,22 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q124_cdc_transfer_diff" -> ((s, d) => {
+      // Chunk-level re-crawl bill: the q108 v1/v2 planting (drops + tail
+      // edits), but measured in CDC chunks — an edited doc reuses every
+      // chunk except the ones around its edit, the savings a doc-level
+      // diff cannot see. Per-source reuse panel in integer permille.
+      val docs = t(s, d, "documents")
+      val v1 = docs.where(col("doc_id") % 10 =!= 0)
+      val v2 = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      TextAnalysis.cdcTransferDiff(v1, v2, "text", Seq("source"),
+          maskBits = 5, minLen = 16, maxLen = 128)
+        .orderBy("source")
+    }),
+
     "q123_cdc_chunks" -> ((s, d) => {
       // Content-defined chunking: gear rolling hash (every constant
       // md5-derived), cuts at h mod 32 == 0 past 16 code points, forced at
@@ -3432,6 +3448,64 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q124: the q123 gear recursion run over BOTH planted versions at once
+    // (state keyed by (ver, doc)), then the distinct-v1 / aggregated-v2
+    // join and the same reuse arithmetic.
+    "q124_cdc_transfer_diff" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT 'v1' AS ver, doc_id, source, text, length(text) AS n
+        |  FROM base WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'v2', doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+        |    length(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+        |  FROM base WHERE doc_id % 7 <> 0),
+        |step(ver, doc_id, pos, h, start, cut) AS (
+        |  SELECT ver, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(1 AS BIGINT), false
+        |  FROM d
+        |  UNION ALL
+        |  SELECT ver, doc_id, pos, hh, st,
+        |         (pos - st + 1 >= 16 AND hh % 32 = 0) OR pos - st + 1 = 128
+        |  FROM (
+        |    SELECT s.ver AS ver, s.doc_id AS doc_id, s.pos + 1 AS pos,
+        |      ((CASE WHEN s.cut THEN 0 ELSE s.h END) * 2 +
+        |        ('0x' || substr(md5('gear' ||
+        |           CAST(unicode(substr(d.text, CAST(s.pos AS INTEGER) + 1, 1)) AS VARCHAR)),
+        |           1, 15))::BIGINT) % 1152921504606846976 AS hh,
+        |      CASE WHEN s.cut THEN s.pos + 1 ELSE s.start END AS st
+        |    FROM step s JOIN d ON s.ver = d.ver AND s.doc_id = d.doc_id
+        |    WHERE s.pos < d.n) x),
+        |ch AS (
+        |  SELECT ver, doc_id, start, pos FROM step WHERE cut
+        |  UNION ALL
+        |  SELECT s.ver, s.doc_id, s.start, s.pos
+        |  FROM step s JOIN d ON s.ver = d.ver AND s.doc_id = d.doc_id
+        |  WHERE s.pos = d.n AND NOT s.cut AND d.n > 0),
+        |hx AS (
+        |  SELECT ch.ver, d.source, pos - start + 1 AS len,
+        |    md5(substr(d.text, CAST(start AS INTEGER),
+        |               CAST(pos - start + 1 AS INTEGER))) AS hash
+        |  FROM ch JOIN d ON ch.ver = d.ver AND ch.doc_id = d.doc_id),
+        |olds AS (SELECT DISTINCT source, hash FROM hx WHERE ver = 'v1'),
+        |newa AS (SELECT source, hash, count(*) AS c, sum(len) AS ls
+        |         FROM hx WHERE ver = 'v2' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT n.source, n.c, n.ls, (o.hash IS NOT NULL) AS reused
+        |  FROM newa n LEFT JOIN olds o
+        |    ON n.source = o.source AND n.hash = o.hash)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN reused THEN c ELSE 0 END) AS BIGINT) AS reused_chunks,
+        |  CAST(sum(ls) AS BIGINT) AS total_cps,
+        |  CAST(sum(CASE WHEN reused THEN ls ELSE 0 END) AS BIGINT) AS reused_cps,
+        |  CAST(sum(c) - sum(CASE WHEN reused THEN c ELSE 0 END) AS BIGINT) AS new_chunks,
+        |  CAST(sum(CASE WHEN reused THEN ls ELSE 0 END) * 1000 // sum(ls) AS BIGINT)
+        |    AS reuse_permille
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // q123: the gear recursion replayed code point by code point — same
     // md5-derived gear constants, same 2h+g mod 2^60 roll with reset-at-cut,

@@ -892,6 +892,54 @@ object TextAnalysis {
         expr("(n_chunks - distinct_chunks) * 1000 div n_chunks"))
   }
 
+  /**
+   * CDC transfer diff: how much of a NEW corpus version is genuinely new
+   * bytes, chunk-wise, against the previous version. Both sides chunk with
+   * [[graft.functions.CdcChunks]]; a v2 chunk instance is "reused" when a
+   * chunk with the same md5 exists anywhere in the group's v1 — which CDC's
+   * edit locality makes common even for edited documents (only the chunks
+   * around each edit change). Per group: chunk instance counts, reused vs
+   * new, code-point volumes, and the reuse rate in integer permille — the
+   * storage/transfer bill of a re-crawl, which a doc-level diff
+   * ([[Dedup.corpusDiff]]) cannot see because it counts an edited document
+   * as wholly new.
+   *
+   * Scale shape: each side reduces map-side to compact (group, hash[,
+   * count, len-sum]) rows — the old side to its DISTINCT chunk set — so
+   * the one join moves hash-table-sized keys, never text.
+   */
+  def cdcTransferDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val gs = groupCols.map(col)
+    def chunked(df: DataFrame) =
+      df.select(gs :+ explode(graft.functions.TextHashFunctions
+          .cdc_chunks(col(textCol), maskBits, minLen, maxLen)).as("__c"): _*)
+        .select(gs :+ col("__c.hash").as("__h") :+
+          col("__c.len").cast("long").as("__l"): _*)
+    val oldSet = chunked(oldDf).select(gs :+ col("__h"): _*).distinct()
+      .withColumn("__old", lit(1))
+    chunked(newDf)
+      .groupBy(gs :+ col("__h"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__ls"))
+      .join(oldSet, groupCols :+ "__h", "left")
+      .groupBy(gs: _*)
+      .agg(sum(col("__n")).as("n_chunks"),
+        sum(when(col("__old").isNotNull, col("__n")).otherwise(0L))
+          .as("reused_chunks"),
+        sum(col("__ls")).as("total_cps"),
+        sum(when(col("__old").isNotNull, col("__ls")).otherwise(0L))
+          .as("reused_cps"))
+      .withColumn("new_chunks", col("n_chunks") - col("reused_chunks"))
+      .withColumn("reuse_permille", expr("reused_cps * 1000 div total_cps"))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

@@ -100,6 +100,28 @@ class CdcChunkSuite extends AnyFunSuite {
     }
   }
 
+  test("cdcTransferDiff: identical is fully reused, disjoint fully new, edits partial") {
+    val t = synth(400, 9)
+    val u = synth(400, 10)
+    val v1 = Seq((0L, t, "s")).toDF("doc_id", "text", "source")
+    def diff(newTexts: Seq[String]) = {
+      val v2 = newTexts.zipWithIndex.map { case (x, i) => (i.toLong, x, "s") }
+        .toDF("doc_id", "text", "source")
+      TextAnalysis.cdcTransferDiff(v1, v2, "text", Seq("source"),
+        maskBits = 4, minLen = 8, maxLen = 64).collect().head
+    }
+    val same = diff(Seq(t))
+    assert(same.getLong(2) === same.getLong(1))      // all chunks reused
+    assert(same.getLong(6) === 1000L)                // full permille reuse
+    val disjoint = diff(Seq(u))
+    assert(disjoint.getLong(2) === 0L && disjoint.getLong(6) === 0L)
+    // a tail edit: CDC locality keeps the untouched prefix's chunks reused
+    val edited = diff(Seq(t + " edited tail"))
+    assert(edited.getLong(2) > 0L, "prefix chunks should re-align and reuse")
+    assert(edited.getLong(5) > 0L, "the edited tail must produce new chunks")
+    assert(edited.getLong(6) > 0L && edited.getLong(6) < 1000L)
+  }
+
   test("cdcChunkReport: hand-checked duplication arithmetic") {
     // two identical docs + one unique: the identical pair's chunks all
     // duplicate, so n_chunks = 2·k + m, distinct = k + m
