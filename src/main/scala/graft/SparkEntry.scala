@@ -1269,6 +1269,46 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q125_stream_cdc_probe" -> ((s, d) => {
+      // Streaming ingest meets the persisted CHUNK ledger: even-id docs'
+      // distinct CDC chunk hashes are stored once as parquet; odd-id docs
+      // stream through the xmlng source and each micro-batch probes the
+      // static ledger with the ZERO-shuffle per-doc reuse scan (no joins,
+      // no streaming state — the q105 convention one level below the
+      // document). Each doc arrives in exactly one batch and the probe is
+      // per-doc independent, so the drained union equals the batch run.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val lpath = s"/tmp/graft_kmv/$sfName/cdc_ledger"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$lpath/_SUCCESS").exists()) {
+          TextAnalysis.cdcChunkLedger(docs.where(col("doc_id") % 2 === 0), "text")
+            .write.mode("overwrite").parquet(lpath)
+        }
+      }
+      val ledger = TextAnalysis.cdcLedgerHashes(s.read.parquet(lpath))
+      val xin = s"/tmp/graft_xml/$sfName/stream_cdc_in_v1"
+      val batchIn = docs
+        .where(col("doc_id") % 2 === 1 && col("doc_id") < 500)
+        .select("doc_id", "text")
+      xmlInputOnce(batchIn, xin, "doc")
+      val base = s"/tmp/graft_xml/$sfName/stream_cdc_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(batchIn.schema).load(xin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextAnalysis.cdcReuseAgainstLedger(bdf, "doc_id", "text", ledger)
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("doc_id")
+    }),
+
     "q124_cdc_transfer_diff" -> ((s, d) => {
       // Chunk-level re-crawl bill: the q108 v1/v2 planting (drops + tail
       // edits), but measured in CDC chunks — an edited doc reuses every
@@ -3448,6 +3488,61 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q125: the gear recursion over ledger (even ids) and probe (odd ids
+    // < 500) halves at once; reused = chunk hash IN the ledger's distinct
+    // set (string equality — Spark's 60-bit prefix test differs only on
+    // md5-prefix collisions, the documented convention).
+    "q125_stream_cdc_probe" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT 'led' AS ver, doc_id, text, length(text) AS n
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'new', doc_id, text, length(text)
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 2 = 1 AND doc_id < 500),
+        |step(ver, doc_id, pos, h, start, cut) AS (
+        |  SELECT ver, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(1 AS BIGINT), false
+        |  FROM d
+        |  UNION ALL
+        |  SELECT ver, doc_id, pos, hh, st,
+        |         (pos - st + 1 >= 16 AND hh % 32 = 0) OR pos - st + 1 = 128
+        |  FROM (
+        |    SELECT s.ver AS ver, s.doc_id AS doc_id, s.pos + 1 AS pos,
+        |      ((CASE WHEN s.cut THEN 0 ELSE s.h END) * 2 +
+        |        ('0x' || substr(md5('gear' ||
+        |           CAST(unicode(substr(d.text, CAST(s.pos AS INTEGER) + 1, 1)) AS VARCHAR)),
+        |           1, 15))::BIGINT) % 1152921504606846976 AS hh,
+        |      CASE WHEN s.cut THEN s.pos + 1 ELSE s.start END AS st
+        |    FROM step s JOIN d ON s.ver = d.ver AND s.doc_id = d.doc_id
+        |    WHERE s.pos < d.n) x),
+        |ch AS (
+        |  SELECT ver, doc_id, start, pos FROM step WHERE cut
+        |  UNION ALL
+        |  SELECT s.ver, s.doc_id, s.start, s.pos
+        |  FROM step s JOIN d ON s.ver = d.ver AND s.doc_id = d.doc_id
+        |  WHERE s.pos = d.n AND NOT s.cut AND d.n > 0),
+        |hx AS (
+        |  SELECT ch.ver, ch.doc_id,
+        |    md5(substr(d.text, CAST(start AS INTEGER),
+        |               CAST(pos - start + 1 AS INTEGER))) AS hash
+        |  FROM ch JOIN d ON ch.ver = d.ver AND ch.doc_id = d.doc_id),
+        |led AS (SELECT DISTINCT hash FROM hx WHERE ver = 'led'),
+        |probe AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    count(*) FILTER (WHERE hash IN (SELECT hash FROM led)) AS reused
+        |  FROM hx WHERE ver = 'new' GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(reused, 0) AS BIGINT) AS reused_chunks,
+        |  CAST(CASE WHEN coalesce(n_chunks, 0) = 0 THEN NULL
+        |       ELSE reused * 1000 // n_chunks END AS BIGINT) AS reuse_permille
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id % 2 = 1 AND doc_id < 500) p
+        |LEFT JOIN probe ON p.doc_id = probe.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // q124: the q123 gear recursion run over BOTH planted versions at once
     // (state keyed by (ver, doc)), then the distinct-v1 / aggregated-v2

@@ -940,6 +940,77 @@ object TextAnalysis {
       .withColumn("reuse_permille", expr("reused_cps * 1000 div total_cps"))
   }
 
+  /**
+   * The corpus's distinct CDC chunk-hash ledger: one row per distinct md5
+   * chunk hash (hex string), persistable as parquet and probed later by
+   * [[cdcReuseAgainstLedger]] without re-chunking the curated corpus —
+   * the sub-document analogue of the MinHash signature index. Map-side
+   * chunking, distinct collapses partially before the one exchange.
+   */
+  def cdcChunkLedger(
+      df: DataFrame,
+      textCol: String,
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 128): DataFrame =
+    df.select(explode(graft.functions.TextHashFunctions
+        .cdc_chunks(col(textCol), maskBits, minLen, maxLen)).as("__c"))
+      .select(col("__c.hash").as("hash"))
+      .distinct()
+
+  /** Ledger hashes as a sorted 60-bit table for the zero-shuffle probe:
+   *  `('0x' || substr(hash, 1, 15))::BIGINT` — the established md5-prefix
+   *  arithmetic, recomputable by any engine. Bounded collect (the ledger
+   *  is the CURATED side); fails loudly past `maxLocal` like the eval
+   *  gram table. */
+  def cdcLedgerHashes(ledger: DataFrame, maxLocal: Int = 4000000): Array[Long] = {
+    val arr = ledger
+      .select(conv(substring(col("hash"), 1, 15), 16, 10).cast("long").as("h"))
+      .limit(maxLocal + 1)
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    require(arr.length <= maxLocal,
+      s"chunk ledger exceeds $maxLocal entries; probe via a join instead")
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /**
+   * Per-document chunk-reuse probe against a (pre-collected) ledger table:
+   * how much of each incoming document's content already exists in the
+   * curated corpus, chunk-wise. ZERO-shuffle, stateless map work — chunk
+   * hashes test membership with one [[graft.functions.CountInLongSet]]
+   * scan per document — so it runs unchanged inside a streaming
+   * micro-batch (no aggregation state, no join). A chunk can only
+   * miscount as reused on a 60-bit md5-prefix collision (the documented
+   * gram-table convention). Chunkless documents (empty/null text) report
+   * 0 chunks and a null permille.
+   */
+  def cdcReuseAgainstLedger(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ledgerHashes: Array[Long],
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 128): DataFrame = {
+    // chunks materialized in their own projection so the (CodegenFallback)
+    // chunker runs once per row, not once per field reference — the same
+    // rule as withTextStats' gram pass
+    val hashes = transform(col("__ch"),
+      c => conv(substring(c.getField("hash"), 1, 15), 16, 10).cast("long"))
+    df.select(col(idCol), graft.functions.TextHashFunctions
+        .cdc_chunks(col(textCol), maskBits, minLen, maxLen).as("__ch"))
+      .select(col(idCol),
+        coalesce(size(col("__ch")), lit(0)).cast("long").as("n_chunks"),
+        coalesce(graft.functions.SketchFunctions
+          .count_in_long_set(hashes, ledgerHashes), lit(0))
+          .cast("long").as("reused_chunks"))
+      .withColumn("reuse_permille",
+        when(col("n_chunks") === 0, lit(null).cast("long"))
+          .otherwise(expr("reused_chunks * 1000 div n_chunks")))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

@@ -122,6 +122,29 @@ class CdcChunkSuite extends AnyFunSuite {
     assert(edited.getLong(6) > 0L && edited.getLong(6) < 1000L)
   }
 
+  test("cdcReuseAgainstLedger: zero-shuffle probe matches ledger membership") {
+    val t = synth(400, 13)
+    val u = synth(400, 14)
+    val corpus = Seq((0L, t)).toDF("id", "text")
+    val ledger = TextAnalysis.cdcLedgerHashes(
+      TextAnalysis.cdcChunkLedger(corpus, "text", 4, 8, 64))
+    val probe = Seq((10L, t), (11L, u), (12L, t + " tail edit"), (13L, ""))
+      .toDF("id", "text")
+    val out = TextAnalysis.cdcReuseAgainstLedger(probe, "id", "text", ledger, 4, 8, 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val k = chunksOf(t).length
+    assert(out(10L) === ((k.toLong, k.toLong, Some(1000L))))  // identical: all reused
+    assert(out(11L)._2 === 0L)                                 // unrelated: none
+    assert(out(12L)._2 > 0L && out(12L)._2 < out(12L)._1)      // edit: partial
+    assert(out(13L) === ((0L, 0L, None)))                      // chunkless: null rate
+    // the probe is a pure map plan: no exchange, no join
+    val plan = TextAnalysis.cdcReuseAgainstLedger(probe, "id", "text", ledger, 4, 8, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"probe must stay map-side:\n$plan")
+  }
+
   test("cdcChunkReport: hand-checked duplication arithmetic") {
     // two identical docs + one unique: the identical pair's chunks all
     // duplicate, so n_chunks = 2·k + m, distinct = k + m
