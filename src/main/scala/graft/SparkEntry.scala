@@ -1269,6 +1269,29 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q126_training_prep" -> ((s, d) => {
+      // The training-prep counterpart of q55's curation chain, ONE
+      // composed plan: temperature mixture (α=1/2, integer-exact
+      // thresholds) → greedy no-split packing per source → sequence-level
+      // deterministic epoch shuffle. Output is the epoch plan a trainer
+      // consumes: per packed sequence its fill and its reproducible
+      // shuffle position. Every stage is an audited operator; the oracle
+      // replays the chain stage for stage (threshold chain, greedy
+      // recursion, md5 total order).
+      val docs = t(s, d, "documents")
+      val kept = Sampling.sampleByTemperature(docs, "source", "doc_id",
+        budgetPermille = 500, salt = "prep1")
+      val packed = Packing.packGreedy(kept, "doc_id", "text", "source", 128)
+      val seqs = packed.groupBy(col("shard"), col("seq_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .withColumn("seq_key",
+          concat_ws("#", col("shard"), col("seq_idx").cast("string")))
+      Sampling.shuffleOrder(seqs, "seq_key", "epoch0")
+        .select(col("shard"), col("seq_idx"), col("n_docs"),
+          col("seq_tokens"), col("shuffle_pos"))
+        .orderBy("shard", "seq_idx")
+    }),
+
     "q125_stream_cdc_probe" -> ((s, d) => {
       // Streaming ingest meets the persisted CHUNK ledger: even-id docs'
       // distinct CDC chunk hashes are stored once as parquet; odd-id docs
@@ -3488,6 +3511,60 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q126: the q75 threshold chain (salt prep1) → the q66 greedy
+    // recursion over the kept docs → the q89 md5 total order over
+    // sequence keys, chained as CTEs.
+    "q126_training_prep" ->
+      """WITH RECURSIVE
+        |n AS (SELECT source, count(*) AS n FROM documents
+        |      WHERE source IS NOT NULL GROUP BY source),
+        |w0 AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w0 FROM n),
+        |w AS (SELECT source, n,
+        |        CASE WHEN w0 * w0 > n THEN w0 - 1
+        |             WHEN (w0 + 1) * (w0 + 1) <= n THEN w0 + 1
+        |             ELSE w0 END AS w
+        |      FROM w0),
+        |sww AS (SELECT sum(w) AS sw, sum(n) AS total FROM w),
+        |thr AS (SELECT source,
+        |          least(CAST(1000000 AS HUGEINT),
+        |            (CAST(total AS HUGEINT) * 500 // 1000) * w * 1000000
+        |              // (CAST(sw AS HUGEINT) * n)) AS thr
+        |        FROM w, sww),
+        |kept AS (
+        |  SELECT d.doc_id, d.source, d.text
+        |  FROM documents d JOIN thr ON d.source = thr.source
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'prep1'), 25, 8))::BIGINT
+        |          % 1000000 < thr.thr),
+        |tok AS (
+        |  SELECT doc_id AS id, source AS shard,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id, md5(coalesce(text, ''))) AS rn
+        |  FROM kept),
+        |g AS (
+        |  SELECT id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1),
+        |seqs AS (
+        |  SELECT shard, seq_idx, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM g GROUP BY shard, seq_idx),
+        |r AS (
+        |  SELECT shard, seq_idx, n_docs, seq_tokens,
+        |    row_number() OVER (ORDER BY
+        |      md5('epoch0' || '|' || shard || '#' || CAST(seq_idx AS VARCHAR)),
+        |      shard || '#' || CAST(seq_idx AS VARCHAR)) - 1 AS shuffle_pos
+        |  FROM seqs)
+        |SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, n_docs, seq_tokens,
+        |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos
+        |FROM r ORDER BY shard, seq_idx""".stripMargin,
 
     // q125: the gear recursion over ledger (even ids) and probe (odd ids
     // < 500) halves at once; reused = chunk hash IN the ledger's distinct
