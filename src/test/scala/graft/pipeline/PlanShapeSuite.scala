@@ -83,6 +83,18 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!shuffledText, s"version text crosses an exchange:\n$plan")
   }
 
+  test("cdcTransferDiff: both sides reduce to chunk hashes before any exchange") {
+    // The re-crawl bill joins (group, hash) rows; shuffling either
+    // version's text column would move the corpus to compare hashes.
+    val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+    val plan = physical(
+      TextAnalysis.cdcTransferDiff(docs, v2, "text", Seq("source"), 4, 8, 64))
+    val shuffledText = plan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("text"))
+    assert(!shuffledText, s"version text crosses an exchange:\n$plan")
+    assert(plan.contains("cdc_chunks"), s"chunker missing from the scan stage:\n$plan")
+  }
+
   test("cluster assignment is zero-shuffle map work after the centroid fit") {
     val vecs = spark.range(0, 64)
       .select(col("id").as("vec_id"),
