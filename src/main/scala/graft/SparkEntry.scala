@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Sampling, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -1267,6 +1267,16 @@ object SparkEntry {
           col("cjk_cnt"), col("arabic_cnt"), col("ascii_printable_cnt"),
           col("control_cnt"), col("replacement_cnt"), col("char_cnt"),
           col("dominant_script"), col("mojibake"))
+    }),
+
+    "q127_table_profile" -> ((s, d) => {
+      // One-pass table profile over orders: rows, nulls, exact distincts,
+      // native-typed min/max per column — one scan, one aggregate, where
+      // a per-column profiler loop would scan the table five times.
+      Profile.tableProfile(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_orderdate"))
+        .orderBy("col_name")
     }),
 
     "q126_training_prep" -> ((s, d) => {
@@ -3511,6 +3521,42 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q127: one UNION branch per column replays the same counts and the
+    // native-then-string min/max rendering.
+    "q127_table_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  min_value, max_value
+        |FROM p ORDER BY col_name""".stripMargin,
 
     // q126: the q75 threshold chain (salt prep1) → the q66 greedy
     // recursion over the kept docs → the q89 md5 total order over

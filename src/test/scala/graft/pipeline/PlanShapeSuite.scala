@@ -83,6 +83,25 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!shuffledText, s"version text crosses an exchange:\n$plan")
   }
 
+  test("tableProfile: hand-computed panel from ONE scan of the table") {
+    val df = spark.range(0, 6).select(
+      col("id"),
+      when(col("id") < 4, col("id") % 2).as("dup"),      // 2 nulls, 2 distinct
+      when(col("id") === 0, lit("z")).otherwise(lit("a")).as("s"))
+    val out = Profile.tableProfile(df, Seq("id", "dup", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out("id") === ((6L, 0L, 6L, "0", "5")))
+    assert(out("dup") === ((6L, 2L, 2L, "0", "1")))
+    assert(out("s") === ((6L, 0L, 2L, "a", "z")))
+    // one scan: a per-column profiler loop would read the table N times
+    val plan = Profile.tableProfile(df, Seq("id", "dup", "s"))
+      .queryExecution.executedPlan.toString
+    assert("Range \\(".r.findAllIn(plan).length == 1,
+      s"profile must scan its input exactly once:\n$plan")
+  }
+
   test("cdcTransferDiff: both sides reduce to chunk hashes before any exchange") {
     // The re-crawl bill joins (group, hash) rows; shuffling either
     // version's text column would move the corpus to compare hashes.
