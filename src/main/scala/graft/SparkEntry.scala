@@ -1269,6 +1269,16 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q128_event_funnel" -> ((s, d) => {
+      // Strict sequential funnel over the event stream: view → click →
+      // purchase, each stage requiring an event at or after the user's
+      // earliest qualifying previous-stage event (out-of-order events
+      // don't count). Conversion vs stage 1 in integer permille.
+      Sessionize.funnel(events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+
     "q127_table_profile" -> ((s, d) => {
       // One-pass table profile over orders: rows, nulls, exact distincts,
       // native-typed min/max per column — one scan, one aggregate, where
@@ -3521,6 +3531,32 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q128: the same stage-chained min-timestamp joins; only counts leave
+    // the chain, so timestamp representation differences cannot surface.
+    "q128_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN v ON e.user_id = v.u
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN c ON e.user_id = c.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t GROUP BY e.user_id),
+        |s AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |         (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_users * 1000 //
+        |    (SELECT n_users FROM s WHERE stage_idx = 1) AS BIGINT)
+        |    AS permille_of_first
+        |FROM s ORDER BY stage_idx""".stripMargin,
 
     // q127: one UNION branch per column replays the same counts and the
     // native-then-string min/max rendering.

@@ -37,4 +37,53 @@ object Sessionize {
         col("events") +:
         extraAggs.map { case (n, _) => col(n) }: _*)
   }
+
+  /**
+   * Strict sequential funnel: how many users reach each stage IN ORDER.
+   * A user reaches stage k when an event of stage k's type occurs at or
+   * after that user's earliest qualifying stage-(k−1) event — an
+   * out-of-order event (a click before the first view) does not count,
+   * which a naive per-type EXISTS would get wrong. One output row per
+   * stage: index, name, users reached, and conversion vs the first stage
+   * in integer permille.
+   *
+   * Scale shape: each stage is a filtered min-timestamp aggregate keyed by
+   * user plus an equi-join to the previous stage's compact (user, ts)
+   * table — every shuffle is on the user key, every joined row is two
+   * columns wide, event payloads never move. Stage subplans nest (stage k
+   * re-derives 1..k−1); for deep funnels over huge event logs, persist
+   * intermediate stages — at the typical 3-5 stages the optimizer's
+   * reused exchange keeps the cost linear in practice.
+   */
+  def funnel(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    require(stages.distinct.length == stages.length, "funnel stages must be distinct")
+    var cur: DataFrame = null
+    val stageCounts = stages.zipWithIndex.map { case (st, i) =>
+      cur =
+        if (i == 0) {
+          df.filter(col(typeCol) === st)
+            .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+        } else {
+          val prev = cur.select(col("__u").as("__pu"), col("__t").as("__pt"))
+          df.filter(col(typeCol) === st)
+            .join(prev, col(userCol) === col("__pu"))
+            .where(col(tsCol) >= col("__pt"))
+            .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+        }
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }
+    val out = stageCounts.reduce(_ unionByName _)
+    val base = out.where(col("stage_idx") === 1)
+      .select(col("n_users").as("__base"))
+    out.crossJoin(broadcast(base))
+      .withColumn("permille_of_first", expr("n_users * 1000 div __base"))
+      .drop("__base")
+  }
 }

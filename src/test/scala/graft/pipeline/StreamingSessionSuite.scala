@@ -100,6 +100,34 @@ class StreamingSessionSuite extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 2L))
   }
 
+  test("funnel: ordered stages count, out-of-order events do not") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: view(1) -> click(2) -> purchase(3): reaches all stages
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: click BEFORE first view, purchase after -> stops at view
+      // (the purchase cannot qualify: no click at/after the first view)
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      // user 3: view only
+      (3L, "view", ts(5)),
+      // user 4: click/purchase but never views -> counts nowhere
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)),
+      // user 5: view(1), click(2), second click(4), purchase(3) -> the
+      // purchase at 3 is at/after the FIRST qualifying click (2): reaches all
+      (5L, "view", ts(1)), (5L, "click", ts(2)), (5L, "click", ts(4)),
+      (5L, "purchase", ts(3))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Sessionize.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1) === (("view", 4L, 1000L)))      // users 1, 2, 3, 5
+    assert(out(2) === (("click", 2L, 500L)))      // users 1, 5
+    assert(out(3) === (("purchase", 2L, 500L)))   // users 1, 5
+  }
+
   test("session_window sessionization runs incrementally with a watermark") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-sessions")
