@@ -1269,6 +1269,15 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q129_retention_cohorts" -> ((s, d) => {
+      // Retention triangle: users cohort by the epoch week of their first
+      // event; each cell counts distinct cohort users active k weeks
+      // later (k ≤ 12). Weeks are days-since-1970 div 7 — integer
+      // arithmetic, no locale-dependent week-of-year.
+      Sessionize.retentionCohorts(events(s, d), "user_id", "ts", 12)
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q128_event_funnel" -> ((s, d) => {
       // Strict sequential funnel over the event stream: view → click →
       // purchase, each stage requiring an event at or after the user's
@@ -3531,6 +3540,26 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q129: the same epoch-week integer arithmetic and first-event join.
+    "q129_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id AS u, min(ts) AS t0 FROM events GROUP BY user_id),
+        |fw AS (
+        |  SELECT u, date_diff('day', DATE '1970-01-01', CAST(t0 AS DATE)) // 7 AS w0
+        |  FROM f),
+        |e AS (
+        |  SELECT user_id AS u,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+        |  FROM events),
+        |j AS (
+        |  SELECT e.u, fw.w0, e.w - fw.w0 AS woff
+        |  FROM e JOIN fw ON e.u = fw.u
+        |  WHERE e.w - fw.w0 BETWEEN 0 AND 12)
+        |SELECT CAST(w0 AS BIGINT) AS cohort_week,
+        |  CAST(woff AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |FROM j GROUP BY w0, woff ORDER BY cohort_week, week_offset""".stripMargin,
 
     // q128: the same stage-chained min-timestamp joins; only counts leave
     // the chain, so timestamp representation differences cannot surface.

@@ -55,6 +55,38 @@ object Sessionize {
    * intermediate stages — at the typical 3-5 stages the optimizer's
    * reused exchange keeps the cost linear in practice.
    */
+  /**
+   * Retention cohort matrix: users cohort by the epoch week of their FIRST
+   * event; each (cohort_week, week_offset) cell counts the distinct users
+   * of that cohort active `offset` weeks later — the standard retention
+   * triangle. Weeks are days-since-1970 `div` 7 (pure integer arithmetic,
+   * identical on any engine; calendar week-of-year functions are a locale
+   * trap). Offsets beyond `maxWeeks` drop, bounding the matrix.
+   *
+   * Scale shape: one min-timestamp aggregate keyed by user, one user-keyed
+   * equi-join moving only (user, week) pairs, one distinct-count aggregate
+   * on (cohort, offset) — payloads never move, and the join reuses the
+   * user-hash partitioning the aggregate just produced.
+   */
+  def retentionCohorts(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxWeeks: Int): DataFrame = {
+    require(maxWeeks >= 0, s"maxWeeks must be >= 0, got $maxWeeks")
+    def week(inner: String): Column =
+      expr(s"CAST(datediff(to_date($inner), DATE'1970-01-01') AS BIGINT) div 7")
+    val firsts = df.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__t0"))
+      .select(col("__u"), week("__t0").as("__w0"))
+    df.select(col(userCol).as("__u2"), week(tsCol).as("__w"))
+      .join(firsts, col("__u2") === col("__u"))
+      .withColumn("week_offset", col("__w") - col("__w0"))
+      .where(col("week_offset") >= 0 && col("week_offset") <= maxWeeks)
+      .groupBy(col("__w0").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
+
   def funnel(
       df: DataFrame,
       userCol: String,

@@ -128,6 +128,31 @@ class StreamingSessionSuite extends AnyFunSuite {
     assert(out(3) === (("purchase", 2L, 500L)))   // users 1, 5
   }
 
+  test("retention cohorts: epoch-week matrix, offsets bounded, distinct users") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // epoch weeks run Thu-Wed (day 0, 1970-01-01, was a Thursday):
+    // 2024-01-01 -> epoch day 19723 div 7 = week 2817
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-02")), // same week: offset 0 once
+      (1L, ts("2024-01-08")),                          // offset 1
+      (1L, ts("2024-01-25")),                          // epoch day 19747 -> offset 4
+      (2L, ts("2024-01-03")),                          // cohort week 0 only
+      (3L, ts("2024-01-10")), (3L, ts("2024-04-20"))   // later cohort; offset 15 drops
+    ).toDF("user_id", "ts")
+    val out = Sessionize.retentionCohorts(ev, "user_id", "ts", 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay / 7
+    assert(out((w0, 0L)) === 2L)      // users 1 and 2 active in their first week
+    assert(out((w0, 1L)) === 1L)      // user 1 returns
+    assert(out((w0, 4L)) === 1L)
+    val w1 = java.time.LocalDate.of(2024, 1, 10).toEpochDay / 7
+    assert(out((w1, 0L)) === 1L)      // user 3's own cohort
+    assert(!out.keys.exists(_._2 > 12L), "offsets past maxWeeks must drop")
+    assert(out.size === 4)
+  }
+
   test("session_window sessionization runs incrementally with a watermark") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("graft-sessions")
