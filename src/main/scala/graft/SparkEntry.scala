@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Profile, Sampling, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -1267,6 +1267,29 @@ object SparkEntry {
           col("cjk_cnt"), col("arabic_cnt"), col("ascii_printable_cnt"),
           col("control_cnt"), col("replacement_cnt"), col("char_cnt"),
           col("dominant_script"), col("mojibake"))
+    }),
+
+    "q130_inverted_search" -> ((s, d) => {
+      // Persisted inverted index (distinct posting ROWS, never per-token
+      // arrays) built once; a conjunctive query answers from the stored
+      // postings with no corpus rescan. Query terms are data-derived and
+      // deterministic: vocabulary ranks 20-21 under the (freq DESC,
+      // token ASC) rule — low-frequency in this 31-token synthetic
+      // vocabulary, so the AND is selective.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val ipath = s"/tmp/graft_kmv/$sfName/inverted_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
+          Search.buildInvertedIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(ipath)
+        }
+      }
+      val index = s.read.parquet(ipath)
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(19, 21).toSeq
+      Search.searchConjunctive(index, terms).orderBy("id")
     }),
 
     "q129_retention_cohorts" -> ((s, d) => {
@@ -3540,6 +3563,27 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q130: the same (freq DESC, token ASC) rank-20/21 term pick, then
+    // distinct per-doc tokens filtered to the terms and a hits==2 gate.
+    "q130_inverted_search" ->
+      """WITH allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 2 OFFSET 19),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |m AS (
+        |  SELECT doc_id, count(*) AS hits
+        |  FROM tok WHERE token IN (SELECT v FROM terms)
+        |  GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS id
+        |FROM m WHERE hits = 2 ORDER BY id""".stripMargin,
 
     // q129: the same epoch-week integer arithmetic and first-event join.
     "q129_retention_cohorts" ->

@@ -181,6 +181,30 @@ class TextOpsSuite extends AnyFunSuite {
       (1L, "a.example.com"), (1L, "a.example.com")))
   }
 
+  test("inverted index: posting rows, document frequencies, conjunctive search") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta beta"),      // repeated token posts once
+      (2L, "alpha delta"),
+      (3L, ""),                     // tokenless: no postings
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val idx = Search.buildInvertedIndex(docs, "doc_id", "text")
+    val posts = idx.collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(posts === Set(("alpha", 0L), ("beta", 0L), ("gamma", 0L),
+      ("alpha", 1L), ("beta", 1L), ("alpha", 2L), ("delta", 2L)))
+    val dfc = Search.documentFrequencies(idx).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfc === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L))
+    val hits = Search.searchConjunctive(idx, Seq("alpha", "beta", "beta"))
+      .collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq === Seq(0L, 1L))     // duplicate query terms dedupe
+    assert(Search.searchConjunctive(idx, Seq("alpha", "zzz")).count() === 0L)
+    // posting rows, never per-token arrays: no collect_list in the plan
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"array postings are the skew trap:\n$plan")
+  }
+
   test("oovReport vocab boundary ties break by token order, like topTokens") {
     // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
     val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
