@@ -1066,6 +1066,68 @@ class PipelineSuite extends AnyFunSuite {
       kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("largest-remainder allocation matches an independent reference on varied strata") {
+    // independent reimplementation: BigInt quotas, remainder sort, top-ups
+    def reference(sizes: Map[String, Long], budget: Long): Map[String, Long] = {
+      val n = sizes.values.sum
+      val base = sizes.map { case (k, s) => k -> (BigInt(budget) * s / n).toLong }
+      val rem = sizes.map { case (k, s) => k -> (BigInt(budget) * s % n) }
+      val leftover = budget - base.values.sum
+      val winners = rem.toSeq.sortBy { case (k, r) => (-r, k) }.take(leftover.toInt).map(_._1).toSet
+      base.map { case (k, b) => k -> (b + (if (winners(k)) 1L else 0L)) }
+    }
+    // varied pseudo-random strata sizes, several budgets
+    val sizes = Map("a" -> 17L, "b" -> 3L, "c" -> 41L, "d" -> 9L, "e" -> 1L)
+    val rows = sizes.toSeq.flatMap { case (k, n) =>
+      (0L until n).map(i => (i * 31 + k.hashCode.toLong.abs % 97, k))
+    }.zipWithIndex.map { case ((_, k), i) => (i.toLong, k) }
+    val df = rows.toDF("id", "key")
+    Seq(1L, 7L, 23L, 42L, 71L).foreach { budget =>
+      val got = Sampling.proportionalAllocation(df, "key", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got === reference(sizes, budget), s"budget $budget")
+      assert(got.values.sum === budget, s"budget $budget must be hit exactly")
+    }
+  }
+
+  test("funnel matches an independent per-user sequential scan on random event logs") {
+    // independent reference: walk each user's time-sorted events with a
+    // stage pointer (ties at equal ts resolved the same way min-ts does)
+    def reference(ev: Seq[(Long, String, Int)], stages: Seq[String]): Seq[Long] = {
+      val byUser = ev.groupBy(_._1)
+      val reached = Array.fill(stages.length)(0L)
+      byUser.values.foreach { es =>
+        var stage = 0
+        var lastT = Int.MinValue
+        while (stage < stages.length) {
+          val nxt = es.filter(e => e._2 == stages(stage) && e._3 >= lastT)
+          if (nxt.isEmpty) stage = stages.length + 1 // dead
+          else {
+            lastT = nxt.map(_._3).min
+            reached(stage) += 1
+            stage += 1
+          }
+        }
+      }
+      reached.toSeq
+    }
+    val types = Seq("view", "click", "purchase", "other")
+    val ev = (0 until 400).map { i =>
+      val u = (i * 7919 % 37).toLong
+      val t = types((i * 104729) % types.length)
+      val m = (i * 15485863) % 50
+      (u, t, m)
+    }
+    val df = ev.map { case (u, t, m) =>
+      (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"))
+    }.toDF("user_id", "event_type", "ts")
+    val got = Sessionize.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val want = reference(ev, Seq("view", "click", "purchase"))
+    assert(Seq(got(1), got(2), got(3)) === want)
+  }
+
   test("expansion parallelism grows with corpus estimate, session floor at bench scale") {
     // Plan-only: read the user-pinned repartition's partition count out of
     // the logical plan; nothing executes.
