@@ -1269,6 +1269,19 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q131_ranked_search" -> ((s, d) => {
+      // Ranked retrieval over the weighted posting index: top-10 docs by
+      // Σ tf·idf with idf in integer micro-nats (rounded once per term —
+      // the q107 seam rule), ties to the lowest id. Query = vocabulary
+      // ranks 18-21, so scores mix rare and common term contributions.
+      val docs = t(s, d, "documents")
+      val widx = Search.buildWeightedIndex(docs, "doc_id", "text")
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(17, 21).toSeq
+      Search.searchRanked(widx, terms, 10).orderBy("id")
+    }),
+
     "q130_inverted_search" -> ((s, d) => {
       // Persisted inverted index (distinct posting ROWS, never per-token
       // arrays) built once; a conjunctive query answers from the stored
@@ -3563,6 +3576,31 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q131: tf table + the same micro-nat idf rounding + the same
+    // (score DESC, id) top-10 gate.
+    "q131_ranked_search" ->
+      """WITH allt AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 4 OFFSET 17),
+        |tf AS (SELECT doc_id, v AS token, count(*) AS tf
+        |       FROM allt GROUP BY doc_id, v),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |idf AS (
+        |  SELECT token,
+        |    CAST(round(ln(CAST(n AS DOUBLE) / count(DISTINCT doc_id)) * 1000000)
+        |      AS BIGINT) AS idfm
+        |  FROM tf, nn
+        |  WHERE token IN (SELECT v FROM terms)
+        |  GROUP BY token, n),
+        |sc AS (
+        |  SELECT doc_id, sum(tf * idfm) AS score
+        |  FROM tf JOIN idf USING (token) GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS id, CAST(score AS BIGINT) AS score_micro
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // q130: the same (freq DESC, token ASC) rank-20/21 term pick, then
     // distinct per-doc tokens filtered to the terms and a hits==2 gate.

@@ -31,6 +31,45 @@ object Search {
   def documentFrequencies(index: DataFrame): DataFrame =
     index.groupBy("token").agg(count(lit(1)).as("df_count"))
 
+  /** Weighted posting rows (token, id, tf) — term frequency per document,
+   *  the ranked-retrieval side of the index. Same skew-safe row shape. */
+  def buildWeightedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * TF-IDF ranked retrieval: top-`k` documents by `Σ_t tf(t,d)·idf(t)`
+   * over the query terms, with idf = ln(N/df) rounded ONCE per distinct
+   * term to integer micro-nats before any aggregation (the bigram-LM seam
+   * rule, q107) — so per-document sums are exact integer arithmetic and
+   * the ranking replays identically on any engine. Ties break by id
+   * ascending, making the top-k set deterministic.
+   *
+   * Scale shape: the posting filter keeps only the query terms' rows; the
+   * idf table is |terms| rows (broadcast); one id-keyed aggregate and a
+   * bounded top-k (`TakeOrdered`) — no corpus rescan, no full sort.
+   */
+  def searchRanked(weighted: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "at least one search term required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nRow = weighted.agg(countDistinct(col("id")).as("__N"))
+    val idf = weighted.filter(col("token").isin(ts: _*))
+      .groupBy(col("token")).agg(countDistinct(col("id")).as("__df"))
+      .crossJoin(broadcast(nRow))
+      .select(col("token"),
+        expr("CAST(round(ln(CAST(__N AS DOUBLE) / __df) * 1000000) AS BIGINT)")
+          .as("__idfm"))
+    weighted.filter(col("token").isin(ts: _*))
+      .join(broadcast(idf), Seq("token"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf") * col("__idfm")).as("score_micro"))
+      .orderBy(desc("score_micro"), asc("id"))
+      .limit(k)
+  }
+
   /**
    * Conjunctive (AND) query: ids whose documents contain EVERY term.
    * The filter keeps only the query terms' posting rows — data volume is

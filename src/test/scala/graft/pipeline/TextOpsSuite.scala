@@ -205,6 +205,31 @@ class TextOpsSuite extends AnyFunSuite {
     assert(!plan.contains("collect_list"), s"array postings are the skew trap:\n$plan")
   }
 
+  test("ranked search: integer micro-nat tf-idf, rare terms dominate, ties by id") {
+    val docs = Seq(
+      (0L, "rare rare common"),     // tf(rare)=2
+      (1L, "rare common common"),   // tf(rare)=1
+      (2L, "common common common"),
+      (3L, "other words only")
+    ).toDF("doc_id", "text")
+    val widx = Search.buildWeightedIndex(docs, "doc_id", "text")
+    val out = Search.searchRanked(widx, Seq("rare", "common"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // N=4; idf(rare)=round(ln(4/2)*1e6)=693147, idf(common)=round(ln(4/3)*1e6)=287682
+    val rare = math.round(math.log(4.0 / 2) * 1e6)
+    val common = math.round(math.log(4.0 / 3) * 1e6)
+    val want = Map(0L -> (2 * rare + common), 1L -> (rare + 2 * common),
+      2L -> 3 * common)
+    assert(out.toMap === want)
+    // ranking: doc 0 (two rares) > doc 1 > doc 2; doc 3 matches nothing
+    assert(out.sortBy(x => (-x._2, x._1)).map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(!out.exists(_._1 == 3L))
+    // k bounds the result by (score DESC, id ASC)
+    val top1 = Search.searchRanked(widx, Seq("rare", "common"), 1)
+      .collect().map(_.getLong(0))
+    assert(top1.toSeq === Seq(0L))
+  }
+
   test("oovReport vocab boundary ties break by token order, like topTokens") {
     // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
     val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
