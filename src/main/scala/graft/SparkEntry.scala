@@ -1269,6 +1269,24 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q132_phrase_search" -> ((s, d) => {
+      // Exact phrase query over positional postings: the corpus's most
+      // frequent bigram (count DESC, bigram ASC — deterministic) searched
+      // as a consecutive-position join chain. No corpus text is scanned
+      // at query time.
+      val docs = t(s, d, "documents")
+      val pidx = Search.buildPositionalIndex(docs, "doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val phrase = docs.select(
+          explode(when(size(toks) < 2, array().cast("array<string>"))
+            .otherwise(transform(slice(toks, lit(1), size(toks) - 1),
+              (tk, i) => concat_ws(" ", tk, element_at(toks, i + 2))))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("bg")).limit(1)
+        .collect().head.getString(0)
+      Search.searchPhrase(pidx, phrase.split(" ").toSeq).orderBy("id")
+    }),
+
     "q131_ranked_search" -> ((s, d) => {
       // Ranked retrieval over the weighted posting index: top-10 docs by
       // Σ tf·idf with idf in integer micro-nats (rounded once per term —
@@ -3576,6 +3594,24 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q132: the same (count DESC, bigram ASC) top-bigram pick, membership
+    // via the reconstructed consecutive-bigram list.
+    "q132_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |bgs AS (
+        |  SELECT unnest(list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg
+        |  FROM t),
+        |top AS (SELECT bg FROM bgs GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1)
+        |SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+        |FROM t, top
+        |WHERE list_contains(
+        |  list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]), top.bg)
+        |ORDER BY id""".stripMargin,
 
     // q131: tf table + the same micro-nat idf rounding + the same
     // (score DESC, id) top-10 gate.

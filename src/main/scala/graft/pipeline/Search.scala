@@ -70,6 +70,33 @@ object Search {
       .limit(k)
   }
 
+  /** Positional posting rows (token, id, pos) — 0-based token position,
+   *  one row per occurrence; the phrase-query side of the index. */
+  def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .select(col("token"), col("id"), col("pos").cast("long").as("pos"))
+
+  /**
+   * Exact phrase query: ids whose documents contain the terms CONSECUTIVELY
+   * in order. Each term's postings filter down first (volume = the matched
+   * posting lists); term i joins term i−1 on (id, pos = prev_pos + 1) — an
+   * equi-join on compact keys, chained once per phrase word, never a scan
+   * of the corpus text. Single-term phrases degrade to a distinct lookup.
+   */
+  def searchPhrase(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val first = positional.filter(col("token") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (term, i)) =>
+      val next = positional.filter(col("token") === term)
+        .select(col("id").as("__id"), col("pos").as("__pos"))
+      acc.join(next, acc("id") === col("__id") && col("__pos") === acc("pos") + i)
+        .select(acc("id"), acc("pos"))
+    }
+    matched.select(col("id")).distinct()
+  }
+
   /**
    * Conjunctive (AND) query: ids whose documents contain EVERY term.
    * The filter keeps only the query terms' posting rows — data volume is

@@ -230,6 +230,27 @@ class TextOpsSuite extends AnyFunSuite {
     assert(top1.toSeq === Seq(0L))
   }
 
+  test("phrase search: consecutive positions only, order matters, repeats handled") {
+    val docs = Seq(
+      (0L, "a b c"),        // contains "a b" and "b c"
+      (1L, "b a c"),        // has both tokens but NOT the phrase "a b"
+      (2L, "x a b y a b"),  // phrase twice -> one id
+      (3L, "a a a"),        // "a a" via overlapping positions
+      (4L, "a")             // single token, no bigram
+    ).toDF("doc_id", "text")
+    val pidx = Search.buildPositionalIndex(docs, "doc_id", "text")
+    def ids(phrase: String) =
+      Search.searchPhrase(pidx, phrase.split(" ").toSeq)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("a b") === Seq(0L, 2L))
+    assert(ids("b a") === Seq(1L))
+    assert(ids("a a") === Seq(3L))
+    assert(ids("a b y") === Seq(2L))      // 3-word phrase chains the join
+    assert(ids("c a") === Seq())          // tokens exist, adjacency doesn't
+    assert(ids("z") === Seq())            // absent single term
+    assert(ids("a") === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("oovReport vocab boundary ties break by token order, like topTokens") {
     // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
     val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
