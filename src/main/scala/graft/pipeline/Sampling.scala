@@ -316,7 +316,11 @@ object Sampling {
    * rule (salted md5 bucket, then `idCol`) — deterministic, layout-
    * independent, and a different `salt` draws an independent sample.
    * Exactly `budget` rows survive whenever `budget ≤` corpus size and ids
-   * are unique per stratum. One broadcast of the |keys|-row allocation
+   * are unique per stratum. Determinism requires that uniqueness: rows
+   * DUPLICATING an id tie on the full ranking key, so which of them takes
+   * a boundary seat is sort-order luck — the packing-operator defect
+   * class; dedup ids first (or fold a content digest into `idCol`) if the
+   * input can hold duplicates. One broadcast of the |keys|-row allocation
    * table plus one window shuffle on `keyCol`; rows with null keys drop
    * (they were never allocated seats).
    */
