@@ -1269,6 +1269,20 @@ object SparkEntry {
           col("dominant_script"), col("mojibake"))
     }),
 
+    "q133_fuzzy_lookup" -> ((s, d) => {
+      // SymSpell fuzzy term lookup: the rank-20 vocabulary token with its
+      // first character dropped (a deterministic "typo") matched against
+      // the vocabulary via deletion-variant join + levenshtein verify —
+      // the oracle does the brute-force levenshtein scan the index avoids.
+      val docs = t(s, d, "documents")
+      val vocab = Search.documentFrequencies(
+        Search.buildInvertedIndex(docs, "doc_id", "text"))
+      val term = TextAnalysis.topTokens(docs, "text", 20)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).last
+      Search.fuzzyTermLookup(vocab, term.drop(1)).orderBy("token")
+    }),
+
     "q132_phrase_search" -> ((s, d) => {
       // Exact phrase query over positional postings: the corpus's most
       // frequent bigram (count DESC, bigram ASC — deterministic) searched
@@ -3594,6 +3608,29 @@ object SparkEntry {
         |       ELSE 'arabic' END AS dominant_script,
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
+
+    // q133: the same rank-20 term pick, then the naive levenshtein scan
+    // over per-doc-distinct token frequencies.
+    "q133_fuzzy_lookup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT token, count(*) AS df_count FROM tok GROUP BY token),
+        |allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |freq AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |term AS (
+        |  SELECT substr(v, 2) AS q
+        |  FROM (SELECT v, row_number() OVER (ORDER BY f DESC, v) AS rk FROM freq)
+        |  WHERE rk = 20)
+        |SELECT vocab.token, CAST(df_count AS BIGINT) AS df_count
+        |FROM vocab, term
+        |WHERE levenshtein(vocab.token, term.q) <= 1
+        |ORDER BY vocab.token""".stripMargin,
 
     // q132: the same (count DESC, bigram ASC) top-bigram pick, membership
     // via the reconstructed consecutive-bigram list.

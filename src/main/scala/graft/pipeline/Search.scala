@@ -97,6 +97,37 @@ object Search {
     matched.select(col("id")).distinct()
   }
 
+  /** The term plus every single-character-deletion variant — the SymSpell
+   *  neighborhood key set. */
+  private def deletionVariants(t: org.apache.spark.sql.Column) =
+    array_union(array(t),
+      transform(sequence(lit(1), length(t)),
+        i => concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t)))))
+
+  /**
+   * Fuzzy (edit-distance ≤ 1) term lookup, SymSpell-style: vocabulary
+   * terms and the query each expand to their single-deletion variants;
+   * two strings within one edit ALWAYS share a variant (equal, or a
+   * substitution's common deletion, or one being the other's deletion),
+   * so candidates come from an equi-join on compact variant keys — O(|q|)
+   * probe keys against |vocab|·(len+1) index rows — instead of a
+   * levenshtein scan of the whole vocabulary. A final codegen'd
+   * `levenshtein` pass kills the false candidates two different
+   * deletions can collide into. Returns matched (token, df_count),
+   * distinct, for query planning or "did you mean".
+   */
+  def fuzzyTermLookup(vocab: DataFrame, query: String): DataFrame = {
+    require(query.nonEmpty, "query term must be non-empty")
+    val qVariants = (query +:
+      query.indices.map(i => query.take(i) + query.drop(i + 1))).distinct
+    vocab.select(col("token"), col("df_count"),
+        explode(deletionVariants(col("token"))).as("__v"))
+      .filter(col("__v").isin(qVariants: _*))
+      .filter(levenshtein(col("token"), lit(query)) <= 1)
+      .select(col("token"), col("df_count"))
+      .distinct()
+  }
+
   /**
    * Conjunctive (AND) query: ids whose documents contain EVERY term.
    * The filter keeps only the query terms' posting rows — data volume is

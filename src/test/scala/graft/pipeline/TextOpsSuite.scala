@@ -251,6 +251,27 @@ class TextOpsSuite extends AnyFunSuite {
     assert(ids("a") === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("fuzzy lookup: every edit-1 class matches, distance-2 collisions filtered") {
+    val docs = Seq(
+      (0L, "spark spork sparkk park sprk stark total"),
+      (1L, "spark zzz")
+    ).toDF("doc_id", "text")
+    val vocab = Search.documentFrequencies(
+      Search.buildInvertedIndex(docs, "doc_id", "text"))
+    val out = Search.fuzzyTermLookup(vocab, "spark")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact (df 2), substitution (spork/stark), insertion (sparkk),
+    // deletion (park, sprk); "total" shares no variant; "zzz" unrelated
+    assert(out === Map("spark" -> 2L, "spork" -> 1L, "stark" -> 1L,
+      "sparkk" -> 1L, "park" -> 1L, "sprk" -> 1L))
+    // a distance-2 word whose deletion variants collide is verified away
+    val v2 = Search.documentFrequencies(Search.buildInvertedIndex(
+      Seq((0L, "ab ba")).toDF("doc_id", "text"), "doc_id", "text"))
+    val hits = Search.fuzzyTermLookup(v2, "ab")
+      .collect().map(_.getString(0)).sorted
+    assert(hits.toSeq === Seq("ab"), "levenshtein(ab,ba)=2 must be filtered")
+  }
+
   test("oovReport vocab boundary ties break by token order, like topTokens") {
     // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
     val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
