@@ -812,11 +812,28 @@ object SparkEntry {
     "q80_quantize_int8" -> ((s, d) => {
       // Symmetric int8 quantization: the 4x memory path for ANN indexes.
       // All per-element double arithmetic, so the oracle replays every
-      // quantized value bit-for-bit.
+      // quantized value bit-for-bit. The gate emits SCALAR digests of the
+      // quantized vector (length, sum, min, max, and a position-weighted
+      // dot with 1..n) rather than the array itself: the driver's compare
+      // sorts rows by every output column, and an array-typed column
+      // crashes that sort (pandas cannot factorize ndarrays — the r9
+      // q80 driver error). The digest set still pins every element: the
+      // 1..n dot catches any permutation or single-element drift the sum
+      // alone would miss.
       val q = Similarity.quantizeInt8(col("embedding"))
+      val qa = col("qa")
       t(s, d, "embeddings")
         .select(col("vec_id"), q.getField("scale").as("scale"),
-          q.getField("q").as("q"))
+          q.getField("q").as("qa"))
+        .select(col("vec_id"), col("scale"),
+          size(qa).cast("long").as("q_len"),
+          aggregate(qa, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(qa).as("q_min"),
+          array_max(qa).as("q_max"),
+          aggregate(
+            zip_with(qa, sequence(lit(1), size(qa)),
+              (x, i) => x.cast("long") * i),
+            lit(0L), (acc, x) => acc + x).as("q_dot"))
         .orderBy("vec_id")
     }),
 
@@ -3110,6 +3127,11 @@ object SparkEntry {
     // order and explicit ROWS frame mirror Packing.packConcat exactly —
     // without them, duplicate ids would make cum_before either
     // peer-double-counted (RANGE default) or tie-order-dependent.
+    // cum_before is CAST back to BIGINT: DuckDB's windowed sum(BIGINT)
+    // returns HUGEINT, which fetchdf converts to float64, so the derived
+    // start_seq/start_off/end_seq arrived driver-side as 4.0 vs Spark's 4
+    // — value-equal but dtype-different, which the driver's hash rejects
+    // (the r8/r9 q64 red row).
     "q64_pack_concat" ->
       """WITH w AS (
         |  SELECT doc_id AS id, source AS shard,
@@ -3119,9 +3141,9 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT id, shard, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id, tb
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id, tb
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |             - n_tokens, 0) AS cum_before
+        |             - n_tokens, 0) AS BIGINT) AS cum_before
         |  FROM w)
         |SELECT id, shard, n_tokens,
         |  cum_before // 128 AS start_seq,
@@ -3256,7 +3278,12 @@ object SparkEntry {
     "q78_cluster_assign" -> clusterOracleSql,
 
     // q80: float->double widening is exact and both engines round half
-    // away from zero, so every quantized element replays bit-for-bit.
+    // away from zero, so every quantized element replays bit-for-bit; the
+    // scalar digests (len/sum/min/max/1..n-dot — see the query comment)
+    // replay over those same elements. Integer digests are CAST to BIGINT:
+    // DuckDB's list_sum over integers returns HUGEINT, which fetchdf turns
+    // into float64 and the driver's dtype-sensitive hash then rejects
+    // (the q64 lesson).
     "q80_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3264,12 +3291,20 @@ object SparkEntry {
         |m AS (
         |  SELECT vec_id, v,
         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        |  FROM e)
+        |  FROM e),
+        |qq AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
+        |  FROM m)
         |SELECT vec_id, scale,
-        |  CASE WHEN scale = 0
-        |       THEN list_transform(v, x -> 0)
-        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
-        |FROM m ORDER BY vec_id""".stripMargin,
+        |  CAST(len(q) AS BIGINT) AS q_len,
+        |  CAST(coalesce(list_sum(list_transform(q, x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min,
+        |  list_max(q) AS q_max,
+        |  CAST(coalesce(list_sum(list_transform(q, (x, i) -> CAST(x AS BIGINT) * i)), 0) AS BIGINT) AS q_dot
+        |FROM qq ORDER BY vec_id""".stripMargin,
 
     // q81: brute-force token count with threshold — the exact result the
     // sketch+confirm path must reproduce. Empty/whitespace-only texts yield

@@ -30,6 +30,41 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_kind(dt) -> str:
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "ts"
+    return "obj"
+
+
+def driver_hazards(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
+    """Checks the DRIVER's comparator enforces but the value compare below
+    would hide. (a) dtype-KIND mismatch: the driver's hash stringifies
+    values dtype-sensitively, so Spark int64 `4` vs a DuckDB
+    HUGEINT→float64 `4.0` hash-mismatches even when every value is equal
+    (the r8/r9 q64 red row — cast oracle sums to BIGINT). (b) array-typed
+    output columns: the driver sorts rows by every column and pandas cannot
+    factorize ndarrays, so an array column crashes the whole compare (the
+    r9 q80 error — emit scalar digests instead)."""
+    problems = []
+    for c in set(got.columns) & set(want.columns):
+        gk, wk = dtype_kind(got[c].dtype), dtype_kind(want[c].dtype)
+        if gk != wk:
+            problems.append(f"dtype kind mismatch on {c}: spark={got[c].dtype} oracle={want[c].dtype}")
+    for side, df in (("spark", got), ("oracle", want)):
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and isinstance(
+                    df[c].dropna().iloc[0] if df[c].notna().any() else None,
+                    (list, np.ndarray)):
+                problems.append(f"array-typed column {c} in {side} output (driver sort would crash)")
+    return problems
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -47,6 +82,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        hazards = driver_hazards(name, got, want)
+        if hazards:
+            for h in hazards:
+                print(f"[FAIL] {name}: {h}")
             failures += 1
             continue
         g, w = norm(got), norm(want)
