@@ -1294,9 +1294,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val vocab = Search.documentFrequencies(
         Search.buildInvertedIndex(docs, "doc_id", "text"))
+      // Deepest-ranked top-20 token of length >= 2: dropping the first
+      // character of a single-character token would yield an empty query
+      // and abort the run on fuzzyTermLookup's require.
       val term = TextAnalysis.topTokens(docs, "text", 20)
         .orderBy(desc("freq"), asc("token"))
-        .collect().map(_.getString(0)).last
+        .collect().map(_.getString(0)).filter(_.length >= 2).last
       Search.fuzzyTermLookup(vocab, term.drop(1)).orderBy("token")
     }),
 
@@ -3644,8 +3647,8 @@ object SparkEntry {
         |  (replacement_cnt > 0 OR control_cnt > 0) AS mojibake
         |FROM prof""".stripMargin,
 
-    // q133: the same rank-20 term pick, then the naive levenshtein scan
-    // over per-doc-distinct token frequencies.
+    // q133: the same deepest-ranked length>=2 top-20 term pick, then the
+    // naive levenshtein scan over per-doc-distinct token frequencies.
     "q133_fuzzy_lookup" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -3661,7 +3664,8 @@ object SparkEntry {
         |term AS (
         |  SELECT substr(v, 2) AS q
         |  FROM (SELECT v, row_number() OVER (ORDER BY f DESC, v) AS rk FROM freq)
-        |  WHERE rk = 20)
+        |  WHERE rk <= 20 AND len(v) >= 2
+        |  ORDER BY rk DESC LIMIT 1)
         |SELECT vocab.token, CAST(df_count AS BIGINT) AS df_count
         |FROM vocab, term
         |WHERE levenshtein(vocab.token, term.q) <= 1

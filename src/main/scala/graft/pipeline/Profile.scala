@@ -22,25 +22,33 @@ object Profile {
 
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
-    val perCol: Seq[Column] = cols.flatMap { c =>
+    // Internal aggregate names are INDEX-based and the unpivot is pure
+    // Column API (explode of an array of structs — same Expand-free plan
+    // shape as stack()): a user column named `a"b` or `a``b` can never
+    // break a generated SQL parse because no user name is ever
+    // interpolated into SQL text.
+    val perCol: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+        count(col(c)).as(s"__nn_$i"),
+        countDistinct(col(c)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__mn_$i"),
+        max(col(c)).cast("string").as(s"__mx_$i"))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), perCol: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`"
-    }.mkString(", ")
-    row.select(col("n_rows"),
-        expr(s"stack(${cols.length}, $stackArgs) AS " +
-          "(cname, n_nonnull, n_distinct, min_value, max_value)"))
-      .select(col("cname").as("col_name"),
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("cname"),
+        col(s"__nn_$i").as("n_nonnull"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_value"),
+        col(s"__mx_$i").as("max_value"))
+    }
+    row.select(col("n_rows"), explode(array(entries: _*)).as("__p"))
+      .select(col("__p.cname").as("col_name"),
         col("n_rows"),
-        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"),
-        col("min_value"),
-        col("max_value"))
+        (col("n_rows") - col("__p.n_nonnull")).as("n_nulls"),
+        col("__p.n_distinct").as("n_distinct"),
+        col("__p.min_value").as("min_value"),
+        col("__p.max_value").as("max_value"))
   }
 }

@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
 object Search {
 
   /** Distinct (token, id) posting rows. One explode + one distinct whose
-   *  partial aggregation collapses repeats map-side. */
-  def buildInvertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+   *  partial aggregation collapses repeats map-side. Like Dedup's id-keyed
+   *  operators, refuses non-integral ids up front: the long cast would turn
+   *  a UUID-string id into null and silently collapse every posting onto
+   *  id=null. */
+  def buildInvertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "buildInvertedIndex")
     df.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
       .distinct()
+  }
 
   /** Per-token document frequencies of a posting table — the statistics
    *  side of the index (stopword caps, rarest-first query planning). */
@@ -33,11 +38,13 @@ object Search {
 
   /** Weighted posting rows (token, id, tf) — term frequency per document,
    *  the ranked-retrieval side of the index. Same skew-safe row shape. */
-  def buildWeightedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def buildWeightedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "buildWeightedIndex")
     df.select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("id"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /**
    * TF-IDF ranked retrieval: top-`k` documents by `Σ_t tf(t,d)·idf(t)`
@@ -72,10 +79,12 @@ object Search {
 
   /** Positional posting rows (token, id, pos) — 0-based token position,
    *  one row per occurrence; the phrase-query side of the index. */
-  def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "buildPositionalIndex")
     df.select(col(idCol).cast("long").as("id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
       .select(col("token"), col("id"), col("pos").cast("long").as("pos"))
+  }
 
   /**
    * Exact phrase query: ids whose documents contain the terms CONSECUTIVELY

@@ -39,23 +39,6 @@ object Sessionize {
   }
 
   /**
-   * Strict sequential funnel: how many users reach each stage IN ORDER.
-   * A user reaches stage k when an event of stage k's type occurs at or
-   * after that user's earliest qualifying stage-(k−1) event — an
-   * out-of-order event (a click before the first view) does not count,
-   * which a naive per-type EXISTS would get wrong. One output row per
-   * stage: index, name, users reached, and conversion vs the first stage
-   * in integer permille.
-   *
-   * Scale shape: each stage is a filtered min-timestamp aggregate keyed by
-   * user plus an equi-join to the previous stage's compact (user, ts)
-   * table — every shuffle is on the user key, every joined row is two
-   * columns wide, event payloads never move. Stage subplans nest (stage k
-   * re-derives 1..k−1); for deep funnels over huge event logs, persist
-   * intermediate stages — at the typical 3-5 stages the optimizer's
-   * reused exchange keeps the cost linear in practice.
-   */
-  /**
    * Retention cohort matrix: users cohort by the epoch week of their FIRST
    * event; each (cohort_week, week_offset) cell counts the distinct users
    * of that cohort active `offset` weeks later — the standard retention
@@ -74,12 +57,16 @@ object Sessionize {
       tsCol: String,
       maxWeeks: Int): DataFrame = {
     require(maxWeeks >= 0, s"maxWeeks must be >= 0, got $maxWeeks")
+    // week() only ever sees INTERNAL column names — the user's tsCol is
+    // projected to __ts first, so a quote/backtick in the name can't break
+    // the expr() parse.
     def week(inner: String): Column =
       expr(s"CAST(datediff(to_date($inner), DATE'1970-01-01') AS BIGINT) div 7")
     val firsts = df.groupBy(col(userCol).as("__u"))
       .agg(min(col(tsCol)).as("__t0"))
       .select(col("__u"), week("__t0").as("__w0"))
-    df.select(col(userCol).as("__u2"), week(tsCol).as("__w"))
+    df.select(col(userCol).as("__u2"), col(tsCol).as("__ts"))
+      .select(col("__u2"), week("__ts").as("__w"))
       .join(firsts, col("__u2") === col("__u"))
       .withColumn("week_offset", col("__w") - col("__w0"))
       .where(col("week_offset") >= 0 && col("week_offset") <= maxWeeks)
@@ -87,6 +74,23 @@ object Sessionize {
       .agg(countDistinct(col("__u")).as("n_users"))
   }
 
+  /**
+   * Strict sequential funnel: how many users reach each stage IN ORDER.
+   * A user reaches stage k when an event of stage k's type occurs at or
+   * after that user's earliest qualifying stage-(k−1) event — an
+   * out-of-order event (a click before the first view) does not count,
+   * which a naive per-type EXISTS would get wrong. One output row per
+   * stage: index, name, users reached, and conversion vs the first stage
+   * in integer permille.
+   *
+   * Scale shape: each stage is a filtered min-timestamp aggregate keyed by
+   * user plus an equi-join to the previous stage's compact (user, ts)
+   * table — every shuffle is on the user key, every joined row is two
+   * columns wide, event payloads never move. Stage subplans nest (stage k
+   * re-derives 1..k−1); for deep funnels over huge event logs, persist
+   * intermediate stages — at the typical 3-5 stages the optimizer's
+   * reused exchange keeps the cost linear in practice.
+   */
   def funnel(
       df: DataFrame,
       userCol: String,
