@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, HeavyHitters, ImageCodec, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, Graph, HeavyHitters, ImageCodec, Joins, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -1301,6 +1301,70 @@ object SparkEntry {
         .orderBy(desc("freq"), asc("token"))
         .collect().map(_.getString(0)).filter(_.length >= 2).last
       Search.fuzzyTermLookup(vocab, term.drop(1)).orderBy("token")
+    }),
+
+    "q134_asof_join" -> ((s, d) => {
+      // As-of join: each click matches the latest view AT OR BEFORE it
+      // per user (the quote-to-trade join shape). Union-and-window — one
+      // key shuffle, |clicks|+|views| rows, no pair blow-up, vs DuckDB's
+      // NATIVE ASOF JOIN as the oracle. Unmatched sentinels are -1 (not
+      // null) so the integer columns stay int64 through both engines'
+      // pandas conversion.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      Joins.asofJoin(clicks, views, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"),
+          coalesce(col("matched_value"), lit(-1.0)).as("matched_value"))
+        .orderBy("event_id")
+    }),
+
+    "q135_range_join" -> ((s, d) => {
+      // Point-in-interval range join: purchases inside any signup's
+      // 1-hour attribution window, WITHOUT an equi key — the shape
+      // Catalyst plans as BroadcastNestedLoopJoin. The bucket rewrite
+      // (30-min buckets ≈ half the interval) restores a shuffled hash
+      // join; each pair meets in exactly one bucket (the point's), so
+      // the output needs no dedup. Oracle: DuckDB's plain inequality
+      // join — the quadratic formulation the bucket join must equal.
+      val ev = events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + lit(3600L * 1000000L))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pt"))
+      Joins.rangeJoinByBucket(purchases, "pt", signups, "lo", "hi",
+          bucketWidth = 1800L * 1000000L)
+        .select(col("signup_id"), col("purchase_id"))
+        .orderBy("signup_id", "purchase_id")
+    }),
+
+    "q136_domain_pagerank" -> ((s, d) => {
+      // Damped PageRank over the source→linked-domain graph (the q120
+      // planted URLs): the host-standing signal web-corpus curation
+      // weights documents by. All-integer parts-per-1e12 arithmetic with
+      // truncating div at every seam, so five DuckDB iteration CTEs
+      // replay every rank bit-for-bit.
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" see https://host"), (col("doc_id") % 7).cast("string"),
+          lit(".example"), (col("doc_id") % 3).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" and http://mirror"), (col("doc_id") % 5).cast("string"),
+              lit(".example.org/x"))).otherwise(lit(""))).as("text"))
+      val edges = TextAnalysis.extractLinkDomains(planted, "doc_id", "text")
+        .join(planted.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source").as("src"), col("domain").as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
     }),
 
     "q132_phrase_search" -> ((s, d) => {
@@ -3670,6 +3734,100 @@ object SparkEntry {
         |FROM vocab, term
         |WHERE levenshtein(vocab.token, term.q) <= 1
         |ORDER BY vocab.token""".stripMargin,
+
+    // q134: DuckDB's NATIVE ASOF JOIN is the oracle — the union-and-window
+    // Spark plan must reproduce it row for row. -1 sentinels keep the
+    // nullable match columns int64/float64 on both sides.
+    "q134_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  coalesce(epoch_us(v.ts), -1) AS matched_ts,
+        |  coalesce(v.value, -1.0) AS matched_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // q135: the plain quadratic inequality join the bucket rewrite must
+    // equal exactly.
+    "q135_range_join" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 3600000000 AS hi
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT signup_id, purchase_id
+        |FROM s, p WHERE p.pt >= s.lo AND p.pt <= s.hi
+        |ORDER BY signup_id, purchase_id""".stripMargin,
+
+    // q136: the same planted URLs and host parse as q120, then five
+    // explicit iteration CTEs replaying the integer parts-per-1e12
+    // recurrence (sums CAST back to BIGINT at every seam — HUGEINT would
+    // leak to float64 driver-side, the q64 lesson).
+    "q136_domain_pagerank" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |              THEN ' and http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+        |                   || '.example.org/x'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM p),
+        |ed AS (
+        |  SELECT DISTINCT source AS src,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst
+        |  FROM u),
+        |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        |       FROM ed GROUP BY 1),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, cn),
+        |i1 AS (
+        |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+        |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+        |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+        |    FROM r0 pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+        |    GROUP BY ed.dst) s ON s.node = nx.node),
+        |i2 AS (
+        |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+        |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+        |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+        |    FROM i1 pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+        |    GROUP BY ed.dst) s ON s.node = nx.node),
+        |i3 AS (
+        |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+        |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+        |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+        |    FROM i2 pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+        |    GROUP BY ed.dst) s ON s.node = nx.node),
+        |i4 AS (
+        |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+        |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+        |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+        |    FROM i3 pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+        |    GROUP BY ed.dst) s ON s.node = nx.node),
+        |i5 AS (
+        |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+        |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+        |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+        |    FROM i4 pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+        |    GROUP BY ed.dst) s ON s.node = nx.node)
+        |SELECT node, r AS rank_ppt FROM i5 ORDER BY node""".stripMargin,
 
     // q132: the same (count DESC, bigram ASC) top-bigram pick, membership
     // via the reconstructed consecutive-bigram list.

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph centrality for corpus curation: web-scale training sets
+ * weight documents by the standing of their host (the CommonCrawl
+ * harmonic/PageRank-centrality signal), and a crawler's frontier
+ * prioritizes by it. This is the batch fixed-point computation, done the
+ * Spark way: ranks and degrees are DataFrames keyed by node, one
+ * edge-keyed equi-join + one dst aggregate per iteration — never an
+ * adjacency matrix, never driver-side state.
+ *
+ * Determinism: all arithmetic is INTEGER (rank mass in parts-per-1e12,
+ * damping in permille, truncating `div` at every seam — the q107
+ * micro-nat seam rule applied to a fixed point). Float PageRank differs
+ * across engines in the last ulps; this one replays bit-for-bit in any
+ * engine with 64-bit integers, so a DuckDB chain of per-iteration CTEs
+ * can gate it. Truncation loss stays in the dropped remainders (bounded
+ * by one unit per node per iteration) — acceptable for a ranking signal,
+ * and exactly reproducible.
+ *
+ * Scale shape per iteration: contributions = ranks ⋈ edges on src (hash
+ * join on the edge key), one aggregate on dst, one left join back to the
+ * node table for sinks — compact (node, long) rows only. Fixed small
+ * iteration counts (5-10, the practical PageRank regime) keep the plan
+ * depth modest; for larger counts, localCheckpoint between rounds the
+ * way [[Dedup.connectedComponents]] does.
+ */
+object Graph {
+
+  private val Total = 1000000000000L // rank mass: parts per 1e12
+
+  /**
+   * Fixed-iteration damped PageRank over a directed edge list. Returns
+   * (node, rank_ppt) — rank in parts per 1e12 of the total mass. Edges
+   * are deduplicated (parallel edges count once, like the classic
+   * formulation on the link GRAPH); self-loops participate like any
+   * edge. Dangling (sink) mass is DROPPED, not redistributed — the
+   * variant with the simplest exact replay — so ranks sum to slightly
+   * under the total; comparisons between nodes (the use case) are
+   * unaffected.
+   *
+   * rank_0(v) = Total div N
+   * rank_{k+1}(v) = (dampingPermille' * (Total div N)) div 1000
+   *               + (dampingPermille * Σ_{u→v} (rank_k(u) div outdeg(u))) div 1000
+   * with dampingPermille' = 1000 - dampingPermille.
+   */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dampingPermille: Int = 850): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+    val outdeg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__outdeg"))
+    // The per-node base is (1000 - d) permille of the INITIAL equal share
+    // — a 1-row subquery both engines fold to a constant.
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    val base = broadcast(nRow.select(
+      expr(s"(${1000 - dampingPermille} * (${Total}L div __n)) div 1000")
+        .as("__base"),
+      expr(s"${Total}L div __n").as("__r0")))
+
+    var ranks = nodes.crossJoin(base)
+      .select(col("node"), col("__r0").as("rank_ppt"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(outdeg, "node")
+        .select(col("node"), expr("rank_ppt div __outdeg").as("__c"))
+        .join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = nodes.crossJoin(base)
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"__base + ($dampingPermille * coalesce(__in, 0L)) div 1000")
+            .as("rank_ppt"))
+    }
+    ranks
+  }
+}

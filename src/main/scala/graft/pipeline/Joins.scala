@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/**
+ * Temporal joins Spark's built-in operators don't express directly:
+ *
+ *  - [[asofJoin]] — each probe row matches the LATEST build row at or
+ *    before its timestamp (per key). The naive formulations are a
+ *    correctness-or-scale trap: an inequality theta-join plans as a
+ *    broadcast-nested-loop (quadratic), and a "join then keep max ts"
+ *    materializes every candidate pair before pruning. This
+ *    implementation is the union-and-window form: tag both sides, union,
+ *    ONE hash shuffle on the key, one per-key time-ordered scan in which
+ *    `last(..., ignoreNulls)` carries the most recent build values
+ *    forward into each probe row. Volume through the shuffle is
+ *    |probe| + |build| rows — no pair blow-up, no nested loop.
+ *
+ *  - [[rangeJoinByBucket]] — point-in-interval joins as an EQUI-join on
+ *    a time bucket: intervals explode to the buckets they cover, points
+ *    hash-join on their single containing bucket, and the residual
+ *    lo <= pt <= hi filter runs post-join. Each qualifying pair meets in
+ *    exactly one bucket (the point's), so no dedup pass is needed.
+ *    Catalyst plans the naive inequality join as BroadcastNestedLoopJoin
+ *    — fine when one side broadcasts, quadratic disaster otherwise;
+ *    bucketing restores a shuffled hash join whose cost is linear in
+ *    rows + interval-spans. Pick `bucketWidth` near the typical interval
+ *    length: explode factor ≈ interval/width + 1, while a too-wide
+ *    bucket inflates the residual-filtered candidate set.
+ *
+ * Scale notes (100 TB): both shapes shuffle compact key/ts/value rows
+ * once and never move document payloads. asofJoin's per-key scan means a
+ * single pathologically hot key serializes into one task — for that key
+ * shape, pre-split by a coarse time bucket and carry each bucket's
+ * closing build row forward (two windows: bucket-local, then one tiny
+ * per-key pass over bucket summaries). rangeJoinByBucket's explode is
+ * bounded and map-side; AQE handles residual skew like any hash join.
+ */
+object Joins {
+
+  /**
+   * As-of (backward) join. For every probe row, the build row with the
+   * greatest `buildTsCol` <= the probe's `probeTsCol`, matched per equal
+   * `keyCols`; probe rows with no qualifying build row keep nulls
+   * (left-join semantics). Output = every probe column, plus
+   * `matched_ts` and `matched_<c>` for each requested build value
+   * column.
+   *
+   * Ties: a build row and probe row at the SAME timestamp match
+   * (inclusive, the ASOF `>=` convention). Among several build rows
+   * tying on (key, ts), the one with the greatest md5 digest of its
+   * value columns wins — an arbitrary but DETERMINISTIC total order, so
+   * the join is a pure function of the input multisets (the same rule
+   * that pins [[Packing]]'s duplicate-id order). With `toleranceMicros`,
+   * matches older than the tolerance are nulled out — the stale-quote
+   * guard of financial as-of joins.
+   */
+  def asofJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      buildTsCol: String,
+      buildValueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(buildValueCols.nonEmpty, "at least one build value column required")
+    toleranceMicros.foreach(t =>
+      require(t >= 0, s"toleranceMicros must be >= 0, got $t"))
+    val probeCols = probe.columns.toSeq
+
+    def tsAsLong(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
+
+    // Build rows sort BEFORE probe rows at equal ts (inclusive match);
+    // equal-(key, ts) build rows order by their value digest — last wins.
+    val buildSide = build.select(
+      keyCols.map(col) ++ Seq(
+        tsAsLong(build, buildTsCol).as("__ts"),
+        lit(0).as("__side"),
+        md5(concat_ws("", buildValueCols.map(c => col(c).cast("string")): _*))
+          .as("__tb"),
+        lit(null).cast(probe.select(struct(probeCols.map(col): _*)).schema.head.dataType)
+          .as("__probe")) ++
+        buildValueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val probeSide = probe.select(
+      keyCols.map(col) ++ Seq(
+        tsAsLong(probe, probeTsCol).as("__ts"),
+        lit(1).as("__side"),
+        lit("").as("__tb"),
+        struct(probeCols.map(col): _*).as("__probe")) ++
+        buildValueCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__v_$c")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = buildSide.unionByName(probeSide)
+      .withColumn("__m_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .select(
+        Seq(col("__side"), col("__ts"), col("__probe"), col("__m_ts")) ++
+          buildValueCols.map(c =>
+            last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__m_$c")): _*)
+      .where(col("__side") === 1)
+
+    val fresh = toleranceMicros match {
+      case Some(tol) => col("__m_ts").isNotNull && (col("__ts") - col("__m_ts") <= tol)
+      case None => col("__m_ts").isNotNull
+    }
+    carried.select(
+      probeCols.map(c => col(s"__probe.$c").as(c)) ++
+        Seq(when(fresh, col("__m_ts")).as("matched_ts")) ++
+        buildValueCols.map(c => when(fresh, col(s"__m_$c")).as(s"matched_$c")): _*)
+  }
+
+  /**
+   * Point-in-interval range join via bucket equi-join. Returns the inner
+   * join of `points` and `intervals` where
+   * `loCol <= ptCol <= hiCol` (inclusive bounds), with every column of
+   * both inputs. `ptCol`/`loCol`/`hiCol` must be numeric (cast
+   * timestamps to epoch micros first — `unix_micros`); `extraKeyCols`
+   * adds equality predicates (same names on both sides) that ride the
+   * same hash join key.
+   *
+   * Malformed intervals (hi < lo, or null bounds) match nothing, like
+   * the predicate itself. Floor division handles negative coordinates
+   * correctly (Spark's `div`/`pmod` pair, not `/`+`%`).
+   */
+  def rangeJoinByBucket(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long,
+      extraKeyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // Floor division in pure LONG arithmetic ((x - pmod) div w): a double
+    // floor() would silently lose precision past 2^53 (epoch micros get
+    // there in 2255), and bare `div` truncates toward zero on negatives.
+    // The expr() only ever sees internal names and a numeric literal.
+    def floorDiv(inner: String): Column =
+      expr(s"($inner - pmod($inner, ${bucketWidth}L)) div ${bucketWidth}L")
+    // sequence() of covered buckets: explode factor = span/width + 1.
+    val expl = intervals
+      .where(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(hiCol) >= col(loCol))
+      .withColumn("__lo_l", col(loCol).cast("long"))
+      .withColumn("__hi_l", col(hiCol).cast("long"))
+      .withColumn("__bucket",
+        explode(sequence(floorDiv("__lo_l"), floorDiv("__hi_l"))))
+      .drop("__lo_l", "__hi_l")
+    val pts = points
+      .withColumn("__pt_l", col(ptCol).cast("long"))
+      .withColumn("__bucket", floorDiv("__pt_l"))
+      .drop("__pt_l")
+    pts.join(expl, Seq("__bucket") ++ extraKeyCols)
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

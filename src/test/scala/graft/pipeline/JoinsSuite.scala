@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+class JoinsSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- asofJoin -----------------------------------------------------------
+
+  private def probeDf = Seq(
+    (1L, "k1", 100L),
+    (2L, "k1", 250L),
+    (3L, "k1", 50L), // before any build row
+    (4L, "k2", 500L),
+    (5L, "k3", 10L) // key with no build rows at all
+  ).toDF("pid", "key", "pts")
+
+  private def buildDf = Seq(
+    ("k1", 100L, 10.0), // ties probe 1's ts exactly (inclusive match)
+    ("k1", 200L, 20.0),
+    ("k2", 400L, 40.0),
+    ("k2", 600L, 60.0) // after probe 4 — must not match
+  ).toDF("key", "bts", "v")
+
+  test("asof: latest build row at or before each probe ts, per key") {
+    val out = Joins.asofJoin(probeDf, buildDf, Seq("key"), "pts", "bts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === (Some(100L), Some(10.0))) // inclusive: equal ts matches
+    assert(out(2L) === (Some(200L), Some(20.0)))
+    assert(out(3L) === (None, None)) // nothing at or before 50
+    assert(out(4L) === (Some(400L), Some(40.0))) // 600 is in the future
+    assert(out(5L) === (None, None)) // key never built
+  }
+
+  test("asof: every probe row and column survives, schema as documented") {
+    val out = Joins.asofJoin(probeDf, buildDf, Seq("key"), "pts", "bts", Seq("v"))
+    assert(out.columns.toSeq ===
+      Seq("pid", "key", "pts", "matched_ts", "matched_v"))
+    assert(out.count() === probeDf.count())
+  }
+
+  test("asof: tolerance nulls out stale matches") {
+    val out = Joins.asofJoin(probeDf, buildDf, Seq("key"), "pts", "bts",
+        Seq("v"), toleranceMicros = Some(60L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(1L) === Some(10.0)) // age 0 <= 60
+    assert(out(2L) === Some(20.0)) // age 50 <= 60
+    assert(out(4L) === None) // age 100 > 60: stale
+  }
+
+  test("asof: duplicate build ts resolves by greatest value digest, deterministically") {
+    val probe = Seq((1L, "k", 10L)).toDF("pid", "key", "pts")
+    // two build rows tie exactly on (key, ts) — md5("7.0") > md5("3.0")
+    // decides, not input order
+    val buildA = Seq(("k", 10L, 3.0), ("k", 10L, 7.0)).toDF("key", "bts", "v")
+    val buildB = Seq(("k", 10L, 7.0), ("k", 10L, 3.0)).toDF("key", "bts", "v")
+    def pick(b: org.apache.spark.sql.DataFrame): Double =
+      Joins.asofJoin(probe, b, Seq("key"), "pts", "bts", Seq("v"))
+        .head().getAs[Double]("matched_v")
+    val a = pick(buildA)
+    assert(a === pick(buildB)) // pure function of the input multiset
+    val expected = Seq("3.0", "7.0").maxBy(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(a === expected.toDouble)
+  }
+
+  test("asof: brute-force equivalence on a randomized mixed workload") {
+    val rnd = new scala.util.Random(42)
+    val probes = (1L to 200L).map(i =>
+      (i, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+    val builds = (1 to 300).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, rnd.nextInt(50).toDouble))
+    val out = Joins.asofJoin(probes.toDF("pid", "key", "pts"),
+        builds.toDF("key", "bts", "v"), Seq("key"), "pts", "bts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    probes.foreach { case (pid, key, pts) =>
+      val cands = builds.filter(b => b._1 == key && b._2 <= pts)
+      val expected =
+        if (cands.isEmpty) None
+        else {
+          val maxTs = cands.map(_._2).max
+          // the same digest tie rule the operator documents
+          Some(cands.filter(_._2 == maxTs).map(_._3).maxBy(v =>
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(v.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString))
+        }
+      assert(out(pid) === expected, s"probe $pid ($key, $pts)")
+    }
+  }
+
+  test("asof: timestamp-typed columns work and matched_ts is epoch micros") {
+    val probe = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:10")))
+      .toDF("pid", "key", "pts")
+    val build = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 1.5))
+      .toDF("key", "bts", "v")
+    val r = Joins.asofJoin(probe, build, Seq("key"), "pts", "bts", Seq("v")).head()
+    assert(r.getAs[Long]("matched_ts") ===
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:05").getTime * 1000L)
+    assert(r.getAs[Double]("matched_v") === 1.5)
+  }
+
+  // ---- rangeJoinByBucket --------------------------------------------------
+
+  private def naiveRange(
+      points: Seq[(Long, Long)], intervals: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (pid, pt) <- points
+      (iid, lo, hi) <- intervals
+      if lo <= pt && pt <= hi
+    } yield (pid, iid)).toSet
+
+  test("range: bucket join equals the naive quadratic join, no duplicate pairs") {
+    val rnd = new scala.util.Random(7)
+    val points = (1L to 300L).map(i => (i, rnd.nextInt(2000).toLong - 500))
+    val intervals = (1L to 80L).map { i =>
+      val lo = rnd.nextInt(2000).toLong - 500
+      (i, lo, lo + rnd.nextInt(300))
+    }
+    for (width <- Seq(1L, 50L, 1000L)) {
+      val rows = Joins.rangeJoinByBucket(
+          points.toDF("pid", "pt"), "pt",
+          intervals.toDF("iid", "lo", "hi"), "lo", "hi", width)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.size === rows.toSet.size, s"width $width emitted duplicates")
+      assert(rows.toSet === naiveRange(points, intervals), s"width $width")
+    }
+  }
+
+  test("range: inclusive bounds, negative coordinates, malformed intervals drop") {
+    val points = Seq((1L, -10L), (2L, 0L), (3L, 10L)).toDF("pid", "pt")
+    val intervals = Seq(
+      (1L, -10L, -10L), // degenerate single-point interval, negative coord
+      (2L, 0L, 10L), // inclusive both ends
+      (3L, 5L, 4L) // hi < lo: matches nothing
+    ).toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoinByBucket(points, "pt", intervals, "lo", "hi", 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("range: extra equi keys restrict matches") {
+    val points = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("pid", "pt", "grp")
+    val intervals = Seq((10L, 0L, 10L, "a")).toDF("iid", "lo", "hi", "grp")
+    val got = Joins.rangeJoinByBucket(points, "pt", intervals, "lo", "hi", 4L,
+        extraKeyCols = Seq("grp"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("range: plans as a hash join on the bucket key, not a nested loop") {
+    val points = spark.range(100).select(col("id").as("pid"), (col("id") * 3).as("pt"))
+    val intervals = spark.range(20).select(col("id").as("iid"),
+      (col("id") * 10).as("lo"), (col("id") * 10 + 15).as("hi"))
+    val plan = Joins.rangeJoinByBucket(points, "pt", intervals, "lo", "hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
