@@ -1323,6 +1323,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q137_asof_bucketed" -> ((s, d) => {
+      // The SAME as-of join as q134 through the skew-proof bucketed
+      // operator (6-hour time buckets): a hot user's scan splits across
+      // buckets, the carry-in window sees only per-bucket closing
+      // summaries. Identical semantics ⇒ the identical native-ASOF
+      // oracle gates it.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      Joins.asofJoinBucketed(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("value"), bucketWidthMicros = 6L * 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"),
+          coalesce(col("matched_value"), lit(-1.0)).as("matched_value"))
+        .orderBy("event_id")
+    }),
+
     "q135_range_join" -> ((s, d) => {
       // Point-in-interval range join: purchases inside any signup's
       // 1-hour attribution window, WITHOUT an equi key — the shape
@@ -3737,18 +3757,11 @@ object SparkEntry {
 
     // q134: DuckDB's NATIVE ASOF JOIN is the oracle — the union-and-window
     // Spark plan must reproduce it row for row. -1 sentinels keep the
-    // nullable match columns int64/float64 on both sides.
-    "q134_asof_join" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        |v AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
-        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
-        |  coalesce(epoch_us(v.ts), -1) AS matched_ts,
-        |  coalesce(v.value, -1.0) AS matched_value
-        |FROM c ASOF LEFT JOIN v
-        |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY c.event_id""".stripMargin,
+    // nullable match columns int64/float64 on both sides. q137 runs the
+    // SAME join through the bucketed skew-proof operator, so the
+    // identical oracle gates it (the q33/q104 convention).
+    "q134_asof_join" -> asofOracleSql,
+    "q137_asof_bucketed" -> asofOracleSql,
 
     // q135: the plain quadratic inequality join the bucket rewrite must
     // equal exactly.
@@ -4958,6 +4971,18 @@ object SparkEntry {
       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
       |  FROM emb e CROSS JOIN c10 c) WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
+
+  private def asofOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+      |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+      |  coalesce(epoch_us(v.ts), -1) AS matched_ts,
+      |  coalesce(v.value, -1.0) AS matched_value
+      |FROM c ASOF LEFT JOIN v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id""".stripMargin
 
   private def ivfOracleSql: String = {
     s"""WITH $kmeansOracleCtes,

@@ -84,7 +84,7 @@ object Joins {
       keyCols.map(col) ++ Seq(
         tsAsLong(build, buildTsCol).as("__ts"),
         lit(0).as("__side"),
-        md5(concat_ws("", buildValueCols.map(c => col(c).cast("string")): _*))
+        md5(concat_ws("\u0001", buildValueCols.map(c => col(c).cast("string")): _*))
           .as("__tb"),
         lit(null).cast(probe.select(struct(probeCols.map(col): _*)).schema.head.dataType)
           .as("__probe")) ++
@@ -117,6 +117,134 @@ object Joins {
       probeCols.map(c => col(s"__probe.$c").as(c)) ++
         Seq(when(fresh, col("__m_ts")).as("matched_ts")) ++
         buildValueCols.map(c => when(fresh, col(s"__m_$c")).as(s"matched_$c")): _*)
+  }
+
+  /**
+   * Skew-proof as-of join: identical semantics to [[asofJoin]] (the
+   * equivalence is spec-pinned on randomized workloads), but the per-key
+   * scan splits into TIME BUCKETS so a single hot key parallelizes
+   * instead of serializing into one task's sort:
+   *
+   *  1. the union windows within (key, bucket) — each bucket's rows sort
+   *     independently, so a key's work spreads over #buckets tasks;
+   *  2. each bucket's CLOSING build row reduces to one summary row via a
+   *     plain `max(struct(ts, digest, values))` aggregate (lexicographic
+   *     struct order IS the documented tie rule), and a second window
+   *     over those summaries — |buckets| rows per key, not |rows| —
+   *     computes every bucket's carry-in (the latest build row of any
+   *     EARLIER bucket);
+   *  3. probe rows left-join their bucket's carry-in and coalesce:
+   *     in-bucket match wins, else the carry-in.
+   *
+   * Pick `bucketWidthMicros` so a hot key's per-bucket row count fits a
+   * task comfortably; the summary window stays tiny as long as
+   * #buckets per key is moderate (a day of micros-stamped quotes at
+   * 1-minute buckets is 1 440 summary rows).
+   */
+  def asofJoinBucketed(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      buildTsCol: String,
+      buildValueCols: Seq[String],
+      bucketWidthMicros: Long,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(buildValueCols.nonEmpty, "at least one build value column required")
+    require(bucketWidthMicros >= 1,
+      s"bucketWidthMicros must be >= 1, got $bucketWidthMicros")
+    toleranceMicros.foreach(t =>
+      require(t >= 0, s"toleranceMicros must be >= 0, got $t"))
+    val probeCols = probe.columns.toSeq
+
+    def tsAsLong(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
+    val bucketCol =
+      expr(s"(__ts - pmod(__ts, ${bucketWidthMicros}L)) div ${bucketWidthMicros}L")
+
+    val buildSide = build.select(
+      keyCols.map(col) ++ Seq(
+        tsAsLong(build, buildTsCol).as("__ts"),
+        lit(0).as("__side"),
+        md5(concat_ws("\u0001", buildValueCols.map(c => col(c).cast("string")): _*))
+          .as("__tb"),
+        lit(null).cast(probe.select(struct(probeCols.map(col): _*)).schema.head.dataType)
+          .as("__probe")) ++
+        buildValueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val probeSide = probe.select(
+      keyCols.map(col) ++ Seq(
+        tsAsLong(probe, probeTsCol).as("__ts"),
+        lit(1).as("__side"),
+        lit("").as("__tb"),
+        struct(probeCols.map(col): _*).as("__probe")) ++
+        buildValueCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__v_$c")): _*)
+    val tagged = buildSide.unionByName(probeSide).withColumn("__bucket", bucketCol)
+
+    // Phase 1: in-bucket carry — the window partitions by (key, bucket).
+    val wLocal = Window.partitionBy((keyCols :+ "__bucket").map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged
+      .withColumn("__l_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(wLocal))
+      .select(
+        keyCols.map(col) ++
+          Seq(col("__side"), col("__ts"), col("__bucket"), col("__probe"), col("__l_ts")) ++
+          buildValueCols.map(c =>
+            last(col(s"__v_$c"), ignoreNulls = true).over(wLocal).as(s"__l_$c")): _*)
+      .where(col("__side") === 1)
+
+    // Phase 2: per-(key, bucket) closing build row — ONE summary row per
+    // bucket via max(struct(ts, digest, ts-again, values)): lexicographic
+    // struct comparison applies exactly the (ts, digest) tie rule, no
+    // window over the raw rows. Then the carry-in window runs over the
+    // compact summaries only, strictly before the current bucket.
+    val closings = buildSide.withColumn("__bucket", bucketCol)
+      .groupBy((keyCols :+ "__bucket").map(col): _*)
+      .agg(max(struct(
+        Seq(col("__ts"), col("__tb"), col("__ts").as("__c_ts")) ++
+          buildValueCols.map(c => col(s"__v_$c").as(s"__c_$c")): _*)).as("__close"))
+      .select(
+        keyCols.map(col) ++
+          Seq(col("__bucket"), col("__close.__c_ts").as("__c_ts")) ++
+          buildValueCols.map(c => col(s"__close.__c_$c").as(s"__c_$c")): _*)
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Carry-ins must exist for every bucket that holds a PROBE row, not
+    // just buckets with build rows — and each (key, bucket) must appear
+    // EXACTLY ONCE in the carry window's input: a duplicate summary row
+    // would tie on the ordering key and put the current bucket's own
+    // closing inside the "strictly earlier" frame. Distinct buckets from
+    // both sides, then a left join attaches the closings.
+    val allBuckets = closings.select((keyCols :+ "__bucket").map(col): _*)
+      .unionByName(probeSide.withColumn("__bucket", bucketCol)
+        .select((keyCols :+ "__bucket").map(col): _*))
+      .distinct()
+    val carry = allBuckets
+      .join(closings, keyCols :+ "__bucket", "left")
+      .select(
+        keyCols.map(col) ++ Seq(col("__bucket"),
+          last(col("__c_ts"), ignoreNulls = true).over(wCarry).as("__p_ts")) ++
+          buildValueCols.map(c =>
+            last(col(s"__c_$c"), ignoreNulls = true).over(wCarry).as(s"__p_$c")): _*)
+
+    // Phase 3: coalesce in-bucket and carry-in matches.
+    val joined = local.join(carry, keyCols :+ "__bucket", "left")
+      .withColumn("__m_ts", coalesce(col("__l_ts"), col("__p_ts")))
+    val fresh = toleranceMicros match {
+      case Some(tol) => col("__m_ts").isNotNull && (col("__ts") - col("__m_ts") <= tol)
+      case None => col("__m_ts").isNotNull
+    }
+    joined.select(
+      probeCols.map(c => col(s"__probe.$c").as(c)) ++
+        Seq(when(fresh, col("__m_ts")).as("matched_ts")) ++
+        buildValueCols.map(c =>
+          when(fresh, coalesce(col(s"__l_$c"), col(s"__p_$c"))).as(s"matched_$c")): _*)
   }
 
   /**

@@ -108,6 +108,48 @@ class JoinsSuite extends AnyFunSuite {
     assert(r.getAs[Double]("matched_v") === 1.5)
   }
 
+  test("asof bucketed: equals the single-window join across bucket widths") {
+    val rnd = new scala.util.Random(99)
+    // duplicate timestamps on both sides, build rows tying on (key, ts),
+    // keys with no build rows — everything the tie rule covers
+    val probes = (1L to 150L).map(i =>
+      (i, s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+    val builds = (1 to 200).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(500).toLong, rnd.nextInt(20).toDouble))
+    val p = probes.toDF("pid", "key", "pts")
+    val b = builds.toDF("key", "bts", "v")
+    val reference = Joins.asofJoin(p, b, Seq("key"), "pts", "bts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    for (width <- Seq(1L, 7L, 100L, 10000L)) {
+      val got = Joins.asofJoinBucketed(p, b, Seq("key"), "pts", "bts", Seq("v"),
+          bucketWidthMicros = width)
+        .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+      assert(got === reference, s"width $width")
+    }
+  }
+
+  test("asof bucketed: carry-in crosses empty buckets and respects tolerance") {
+    // build at t=0 only; probes far away in later, build-free buckets
+    val p = Seq((1L, "k", 5L), (2L, "k", 95L), (3L, "k", 250L))
+      .toDF("pid", "key", "pts")
+    val b = Seq(("k", 0L, 42.0)).toDF("key", "bts", "v")
+    val plain = Joins.asofJoinBucketed(p, b, Seq("key"), "pts", "bts", Seq("v"), 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(plain === Map(1L -> Some(42.0), 2L -> Some(42.0), 3L -> Some(42.0)))
+    val tol = Joins.asofJoinBucketed(p, b, Seq("key"), "pts", "bts", Seq("v"), 10L,
+        toleranceMicros = Some(100L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(tol === Map(1L -> Some(42.0), 2L -> Some(42.0), 3L -> None))
+  }
+
+  test("asof bucketed: a build row in the probe's own bucket beats the carry-in") {
+    val p = Seq((1L, "k", 25L), (2L, "k", 21L)).toDF("pid", "key", "pts")
+    val b = Seq(("k", 5L, 1.0), ("k", 23L, 2.0)).toDF("key", "bts", "v")
+    val got = Joins.asofJoinBucketed(p, b, Seq("key"), "pts", "bts", Seq("v"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("matched_v")).toMap
+    assert(got === Map(1L -> 2.0, 2L -> 1.0)) // probe 2 precedes the in-bucket build row
+  }
+
   // ---- rangeJoinByBucket --------------------------------------------------
 
   private def naiveRange(
