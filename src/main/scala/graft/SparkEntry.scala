@@ -1343,6 +1343,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q138_centroid_drift" -> ((s, d) => {
+      // Distribution-shift monitor: per-label centroid L1/L∞ drift
+      // between the even-id and odd-id halves of the embedding corpus —
+      // the check a pipeline runs between crawl snapshots. All-integer
+      // micro arithmetic (quantize once, truncating div), so DuckDB
+      // replays every distance exactly.
+      val emb = t(s, d, "embeddings")
+      Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+        .orderBy("group")
+    }),
+
     "q135_range_join" -> ((s, d) => {
       // Point-in-interval range join: purchases inside any signup's
       // 1-hour attribution window, WITHOUT an equi key — the shape
@@ -3762,6 +3776,29 @@ object SparkEntry {
     // identical oracle gates it (the q33/q104 convention).
     "q134_asof_join" -> asofOracleSql,
     "q137_asof_bucketed" -> asofOracleSql,
+
+    // q138: the same quantize-once/truncating-div centroid chain via
+    // DuckDB's indexed lambda (i is 1-based); integer sums CAST back to
+    // BIGINT (HUGEINT→float64 driver hazard, the q64 lesson).
+    "q138_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS t,
+        |    unnest(list_transform(embedding, (x, i) ->
+        |      {'dim': i - 1,
+        |       'q': CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT label, u.dim AS dim,
+        |    CAST(sum(CASE WHEN t = 0 THEN u.q END) AS BIGINT) AS sa,
+        |    count(CASE WHEN t = 0 THEN 1 END) AS na,
+        |    CAST(sum(CASE WHEN t = 1 THEN u.q END) AS BIGINT) AS sb,
+        |    count(CASE WHEN t = 1 THEN 1 END) AS nb
+        |  FROM e GROUP BY label, u.dim),
+        |dd AS (
+        |  SELECT label, na, nb, abs(sa // na - sb // nb) AS d FROM p)
+        |SELECT label AS "group", max(na) AS n_a, max(nb) AS n_b,
+        |  CAST(sum(d) AS BIGINT) AS l1_micro, max(d) AS linf_micro
+        |FROM dd GROUP BY label ORDER BY "group"""".stripMargin,
 
     // q135: the plain quadratic inequality join the bucket rewrite must
     // equal exactly.

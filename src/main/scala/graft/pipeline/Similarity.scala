@@ -490,4 +490,52 @@ object Similarity {
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
+
+  /**
+   * Per-group embedding centroid drift between two corpus slices — the
+   * distribution-shift monitor a training pipeline runs between crawl
+   * snapshots or data-mix revisions ("did source X's embedding mass
+   * move?"). Returns one row per group present in EITHER slice:
+   * (group, n_a, n_b, l1_micro, linf_micro) — the L1 and L∞ distances
+   * between the two slices' per-group centroids, in micro units; null
+   * distances when a side has no vectors (nothing to compare against).
+   *
+   * All arithmetic is integer: elements quantize ONCE to micro units
+   * (round(x·1e6), float→double widening is exact, both engines round
+   * half away from zero), centroids are truncating `div` of micro sums
+   * (Spark `div` and DuckDB `//` agree on toward-zero), so every
+   * distance replays bit-for-bit. Float centroids would differ by
+   * summation order — useless as an equality gate AND as a cross-run
+   * drift baseline.
+   *
+   * Scale shape: one posexplode to (group, dim, micro) rows — 3 compact
+   * longs, map-side combined immediately — a single (group, dim)
+   * aggregate holding both slices' partial sums (the slices are tagged
+   * and unioned, so ONE scan each, one shuffle total), then a |groups|-
+   * row aggregate. No per-vector state, no arrays through the exchange.
+   */
+  def centroidDrift(
+      sliceA: DataFrame,
+      sliceB: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(groupCol).as("group"), lit(tag).as("__t"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .select(col("group"), col("__t"), col("dim"),
+          round(col("x") * lit(1000000.0)).cast("long").as("q"))
+    val perDim = side(sliceA, 0).unionByName(side(sliceB, 1))
+      .groupBy(col("group"), col("dim"))
+      .agg(
+        sum(when(col("__t") === 0, col("q"))).as("sa"),
+        count(when(col("__t") === 0, lit(1))).as("na"),
+        sum(when(col("__t") === 1, col("q"))).as("sb"),
+        count(when(col("__t") === 1, lit(1))).as("nb"))
+      .select(col("group"), col("na"), col("nb"),
+        when(col("na") > 0 && col("nb") > 0,
+          abs(expr("sa div na") - expr("sb div nb"))).as("d"))
+    perDim.groupBy(col("group"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("d")).as("l1_micro"), max(col("d")).as("linf_micro"))
+  }
 }
