@@ -305,6 +305,47 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(corpusShuffles <= 1, s"corpus must shuffle once on the key:\n$plan")
   }
 
+  test("asof join: one corpus exchange on the key, no join operator at all") {
+    val probe = spark.range(0, 64).select(col("id").as("pid"),
+      (col("id") % 4).cast("string").as("key"), (col("id") * 10).as("pts"))
+    val build = spark.range(0, 32).select(
+      (col("id") % 4).cast("string").as("key"), (col("id") * 17).as("bts"),
+      col("id").cast("double").as("v"))
+    val plan = physical(
+      Joins.asofJoin(probe, build, Seq("key"), "pts", "bts", Seq("v")))
+    // union-and-window: the ONLY exchange is the window's hashpartitioning
+    // on the key — a Join node would mean the pair-materializing shape
+    assert(!plan.contains("Join"), s"asof must not materialize pairs:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly one key exchange:\n$plan")
+  }
+
+  test("asof bucketed: windows partition by (key, bucket); carry joins summaries only") {
+    val probe = spark.range(0, 64).select(col("id").as("pid"),
+      (col("id") % 4).cast("string").as("key"), (col("id") * 10).as("pts"))
+    val build = spark.range(0, 32).select(
+      (col("id") % 4).cast("string").as("key"), (col("id") * 17).as("bts"),
+      col("id").cast("double").as("v"))
+    val plan = physical(Joins.asofJoinBucketed(
+      probe, build, Seq("key"), "pts", "bts", Seq("v"), 100L))
+    // the hot-key fix: the big window's partitioning must include __bucket
+    assert(plan.contains("hashpartitioning(key") && plan.contains("__bucket"),
+      s"in-bucket window lost its bucket split:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"carry join fell back to a product:\n$plan")
+  }
+
+  test("pageRank iteration moves compact rows: no product joins, no Expand") {
+    val edges = spark.range(0, 32).select(
+      (col("id") % 7).cast("string").as("src"),
+      ((col("id") + 3) % 7).cast("string").as("dst"))
+    val plan = physical(Graph.pageRank(edges, "src", "dst", 2))
+    assert(!plan.contains("CartesianProduct"),
+      s"rank-edge join fell back to a product:\n$plan")
+    // the only broadcasts are the 1-row base/n table
+    assert(!plan.contains("Expand"), s"unexpected expand:\n$plan")
+  }
+
   test("hex-hash near-dup joins inside band buckets, no nested-loop fallback") {
     val hx = docs.select(col("doc_id"), lpad(hex(col("doc_id")), 16, "0").as("ahash"))
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
