@@ -1343,6 +1343,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q139_substring_search" -> ((s, d) => {
+      // Trigram-indexed substring search (the pg_trgm shape): candidates
+      // hold ALL the needle's trigrams via conjunctive posting lookup,
+      // then a contains() verify over only the candidates kills
+      // false positives. The needle is the first 8 chars of the lowest-id
+      // document of length >= 8 — deterministic, and guaranteed to match
+      // at least that document. Oracle: the full contains() corpus scan
+      // the index avoids.
+      val docs = t(s, d, "documents")
+      val needle = docs.filter(length(col("text")) >= 8)
+        .orderBy("doc_id").select(substring(col("text"), 1, 8))
+        .head().getString(0)
+      val idx = Search.buildTrigramIndex(docs, "doc_id", "text")
+      Search.searchSubstring(idx, docs, "doc_id", "text", needle)
+        .orderBy("id")
+    }),
+
     "q138_centroid_drift" -> ((s, d) => {
       // Distribution-shift monitor: per-label centroid L1/L∞ drift
       // between the even-id and odd-id halves of the embedding corpus —
@@ -3776,6 +3793,18 @@ object SparkEntry {
     // identical oracle gates it (the q33/q104 convention).
     "q134_asof_join" -> asofOracleSql,
     "q137_asof_bucketed" -> asofOracleSql,
+
+    // q139: the same deterministic needle pick, then the naive full
+    // contains() scan the trigram index exists to avoid.
+    "q139_substring_search" ->
+      """WITH n AS (
+        |  SELECT substr(text, 1, 8) AS needle
+        |  FROM documents WHERE len(text) >= 8
+        |  ORDER BY doc_id LIMIT 1)
+        |SELECT doc_id AS id
+        |FROM documents, n
+        |WHERE text IS NOT NULL AND contains(text, needle)
+        |ORDER BY id""".stripMargin,
 
     // q138: the same quantize-once/truncating-div centroid chain via
     // DuckDB's indexed lambda (i is 1-based); integer sums CAST back to

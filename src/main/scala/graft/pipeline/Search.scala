@@ -138,6 +138,60 @@ object Search {
   }
 
   /**
+   * Distinct (trigram, id) posting rows over raw CHARACTERS — the
+   * substring-search side of the index (tokens can't answer "grep for
+   * `ion w`"). Trigram extraction is pure column arithmetic
+   * (`transform` over a position sequence + `substring`), no UDF; the
+   * per-doc `array_distinct` keeps the explode at one row per DISTINCT
+   * trigram before the global distinct's map-side partial aggregation.
+   * Docs shorter than 3 chars contribute no postings (they can only
+   * match sub-trigram queries, which the search path refuses anyway).
+   */
+  def buildTrigramIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "buildTrigramIndex")
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= 3)
+      .select(col("id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("__t")) - 2),
+          i => col("__t").substr(i, lit(3)))))
+          .as("trigram"))
+      .distinct()
+  }
+
+  /**
+   * Substring ("grep") query: ids whose documents contain `needle` as a
+   * raw substring. Candidates are docs holding ALL of the needle's
+   * distinct trigrams — a conjunctive posting lookup, volume = the
+   * matched posting lists — and a final `contains` pass over ONLY the
+   * candidates' text kills false positives (trigram presence does not
+   * imply adjacency). The corpus is scanned for candidate verification
+   * via an id equi-join, never fully: the classic pg_trgm shape.
+   * Needles shorter than 3 characters are refused (no trigram can
+   * narrow them; a caller that wants them pays for the full scan
+   * explicitly).
+   */
+  def searchSubstring(
+      trigramIndex: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      needle: String): DataFrame = {
+    require(needle.length >= 3,
+      s"needle must be at least 3 chars, got '${needle}'")
+    val grams = needle.sliding(3).toSeq.distinct
+    val candidates = trigramIndex.filter(col("trigram").isin(grams: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === grams.length)
+      .select(col("id"))
+    corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .join(candidates, "id")
+      .where(col("__t").contains(needle))
+      .select(col("id"))
+  }
+
+  /**
    * Conjunctive (AND) query: ids whose documents contain EVERY term.
    * The filter keeps only the query terms' posting rows — data volume is
    * the sum of the matched posting lists, not the corpus — then one

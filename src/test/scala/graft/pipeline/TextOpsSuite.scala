@@ -272,6 +272,41 @@ class TextOpsSuite extends AnyFunSuite {
     assert(hits.toSeq === Seq("ab"), "levenshtein(ab,ba)=2 must be filtered")
   }
 
+  test("substring search: literal grep semantics, cross-token, trigram FPs verified away") {
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "quickly browsing"),
+      (2L, "own fox den"),
+      (3L, "fo"), // shorter than a trigram: no postings, still legal corpus row
+      (4L, "xof nworb kciuq") // same trigram CHARACTERS reversed: no match
+    ).toDF("doc_id", "text")
+    val idx = Search.buildTrigramIndex(docs, "doc_id", "text")
+    def hits(n: String): Seq[Long] =
+      Search.searchSubstring(idx, docs, "doc_id", "text", n)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits("quick") === Seq(0L, 1L)) // prefix of "quickly" too
+    assert(hits("own fox") === Seq(0L, 2L)) // crosses a token boundary
+    assert(hits("brown fox") === Seq(0L))
+    assert(hits("zebra") === Seq())
+    intercept[IllegalArgumentException](hits("ab")) // sub-trigram refused
+  }
+
+  test("substring search equals the naive contains scan on randomized corpora") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd "
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(30)(alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val idx = Search.buildTrigramIndex(df, "doc_id", "text")
+    (1 to 10).foreach { _ =>
+      val needle = Seq.fill(4)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = Search.searchSubstring(idx, df, "doc_id", "text", needle)
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.filter(_._2.contains(needle)).map(_._1).toSet
+      assert(got === want, s"needle '$needle'")
+    }
+  }
+
   test("oovReport vocab boundary ties break by token order, like topTokens") {
     // "x" and "y" tie at 2 occurrences for the last vocab slot -> "x" wins
     val docs = Seq((0L, "top top top x x y y", "g")).toDF("doc_id", "text", "source")
