@@ -1343,6 +1343,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q140_pps_sample" -> ((s, d) => {
+      // Systematic PPS sampling: exactly 100 draws over the corpus with
+      // per-doc expectation proportional to token count — the
+      // token-weighted draw behind mixture construction. Multiplicity
+      // reported for units heavier than W/k (classic with-replacement
+      // PPS). Exact integer weight-line arithmetic; the oracle replays
+      // the salt-shuffled order and ceil arithmetic verbatim.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)).as("ntok"))
+      Sampling.systematicPpsSample(docs, "doc_id", "ntok", 100L, "r10")
+        .orderBy("id")
+    }),
+
     "q139_substring_search" -> ((s, d) => {
       // Trigram-indexed substring search (the pg_trgm shape): candidates
       // hold ALL the needle's trigrams via conjunctive posting lookup,
@@ -3793,6 +3806,33 @@ object SparkEntry {
     // identical oracle gates it (the q33/q104 convention).
     "q134_asof_join" -> asofOracleSql,
     "q137_asof_bucketed" -> asofOracleSql,
+
+    // q140: the same salt-shuffled weight line and ceil arithmetic as a
+    // global window (fine at oracle scale; the operator's bucket
+    // histogram avoids it); cumulative sums CAST back to BIGINT.
+    "q140_pps_sample" ->
+      """WITH w0 AS (
+        |  SELECT doc_id AS id,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS weight
+        |  FROM documents),
+        |w AS (
+        |  SELECT id, weight, md5('r10|' || CAST(id AS VARCHAR)) AS k
+        |  FROM w0 WHERE weight > 0),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+        |c AS (
+        |  SELECT id, weight,
+        |    CAST(coalesce(sum(weight) OVER (ORDER BY k, CAST(id AS VARCHAR)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - weight, 0) AS BIGINT) AS cb
+        |  FROM w),
+        |m AS (
+        |  SELECT id, weight,
+        |    CAST(((cb + weight) * 100 + W - 1) // W
+        |       - (cb * 100 + W - 1) // W AS BIGINT) AS multiplicity
+        |  FROM c, t)
+        |SELECT id, weight, multiplicity FROM m
+        |WHERE multiplicity > 0 ORDER BY id""".stripMargin,
 
     // q139: the same deterministic needle pick, then the naive full
     // contains() scan the trigram index exists to avoid.

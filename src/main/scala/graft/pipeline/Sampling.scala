@@ -402,4 +402,68 @@ object Sampling {
           col("__run") <= lit(budget) - col("__b_base")))
       .drop("__b_score", "__b_base", "__run")
   }
+
+  /**
+   * Systematic PPS (probability-proportional-to-size) sampling: draw
+   * EXACTLY `k` units (with multiplicity) where each unit's expected draw
+   * count is `k·w/W` — the token-weighted corpus draw ("sample documents
+   * proportional to token count") behind mixture construction and
+   * weighted eval subsets. Classic systematic PPS: lay the units on a
+   * 0..W weight line in a salt-shuffled deterministic order, take the k
+   * positions `p_m = (m·W) div k` (m = 0..k−1), and a unit is drawn once
+   * per position inside its [cum, cum+w) span. A unit heavier than W/k
+   * can be drawn multiple times — that's the with-replacement semantics
+   * of classic PPS, reported in `multiplicity` rather than hidden.
+   *
+   * Returns the sampled rows only: (id, weight, multiplicity ≥ 1), with
+   * Σ multiplicity = k exactly (the positions partition among spans —
+   * spec-pinned). All arithmetic is integer; the `cum·k` products run in
+   * DECIMAL(38,0), so the sample is exact and engine-replayable at any
+   * W·k magnitude.
+   *
+   * Scale shape: the weight line is the [[shuffleOrder]] trick — 256
+   * md5-prefix buckets, per-bucket weight totals → broadcast prefix
+   * offsets → in-bucket cumulative window — so no single-task global
+   * window ever sees the corpus. Zero-weight units are excluded (they
+   * can never be drawn). Determinism caveat (the [[sampleProportional]]
+   * convention): duplicate ids with DIFFERENT weights make the span
+   * order tie-dependent; keep ids unique.
+   */
+  def systematicPpsSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Long,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
+      .where(col("weight") > 0)
+      .withColumn("__k", md5(concat_ws("|", lit(salt), col("id").cast("string"))))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val buckets = keyed.groupBy("__b").agg(sum(col("weight")).as("__bw"))
+    val hist = buckets
+      .withColumn("__offset",
+        coalesce(sum(col("__bw")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__offset")
+    val total = buckets.agg(sum(col("__bw")).as("__W"))
+    val wb = Window.partitionBy(col("__b"))
+      .orderBy(col("__k"), col("id").cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(hist), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cb", col("__offset") + sum(col("weight")).over(wb) - col("weight"))
+      .withColumn("__ce", col("__cb") + col("weight"))
+      // #positions in [cb, ce): ceil(ce·k/W) − ceil(cb·k/W), exact in
+      // DECIMAL(38,0); ce ≤ W caps the upper term at k by construction
+      .withColumn("multiplicity", expr(
+        s"""CAST((CAST(__ce AS DECIMAL(38,0)) * $k + __W - 1) div __W
+           |   - (CAST(__cb AS DECIMAL(38,0)) * $k + __W - 1) div __W
+           | AS BIGINT)""".stripMargin))
+      .where(col("multiplicity") > 0)
+      .select(col("id"), col("weight"), col("multiplicity"))
+  }
 }

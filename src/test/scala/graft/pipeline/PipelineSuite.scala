@@ -1066,6 +1066,49 @@ class PipelineSuite extends AnyFunSuite {
       kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("systematic PPS: exactly k draws, heavy units multi-drawn, layout-independent") {
+    val df = (0L until 50L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val out = Sampling.systematicPpsSample(df, "id", "w", 20L, "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum === 20L) // Σ multiplicity == k exactly
+    assert(out.forall(_._3 >= 1L))
+    // layout independence: identical draws on a different partitioning
+    val out2 = Sampling.systematicPpsSample(df.repartition(13), "id", "w", 20L, "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+    // a unit heavier than W/k MUST be drawn multiple times
+    val skew = (Seq((999L, 1000L)) ++ (0L until 10L).map(i => (i, 1L)))
+      .toDF("id", "w") // W=1010, k=10 -> step 101, heavy unit spans ~9 draws
+    val heavy = Sampling.systematicPpsSample(skew, "id", "w", 10L, "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(heavy(999L) >= 9L)
+    assert(heavy.values.sum === 10L)
+  }
+
+  test("systematic PPS: replay of the weight-line recurrence; zero weights excluded") {
+    val rows = (0L until 40L).map(i => (i, i % 5)) // some zero weights
+    val df = rows.toDF("id", "w")
+    val k = 12L
+    // independent replay: md5-ordered weight line + ceil counting
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val line = rows.filter(_._2 > 0)
+      .sortBy { case (id, _) => (md5hex(s"sx|$id"), id.toString) }
+    val totalW = line.map(_._2).sum
+    var cum = 0L
+    val expected = line.flatMap { case (id, w) =>
+      val cb = cum; cum += w
+      val m = ((cb + w) * k + totalW - 1) / totalW - (cb * k + totalW - 1) / totalW
+      if (m > 0) Some(id -> (w, m)) else None
+    }.toMap
+    val got = Sampling.systematicPpsSample(df, "id", "w", k, "sx")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    val weightOf = rows.toMap
+    assert(!got.keySet.exists(id => weightOf(id) == 0L)) // zero-weight never drawn
+  }
+
   test("largest-remainder allocation matches an independent reference on varied strata") {
     // independent reimplementation: BigInt quotas, remainder sort, top-ups
     def reference(sizes: Map[String, Long], budget: Long): Map[String, Long] = {
