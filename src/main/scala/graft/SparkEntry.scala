@@ -1343,6 +1343,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q141_token_entropy" -> ((s, d) => {
+      // Per-source token Shannon entropy in integer micro-nats (the q107
+      // ln-seam rule: one rounded ln per distinct count, exact integer
+      // sums, truncating division) with the uniform ln(distinct) ceiling
+      // alongside — the concentration panel that separates template
+      // spam from prose.
+      TextAnalysis.tokenEntropyByGroup(t(s, d, "documents"), "text",
+          Seq("source"))
+        .orderBy("source")
+    }),
+
     "q140_pps_sample" -> ((s, d) => {
       // Systematic PPS sampling: exactly 100 draws over the corpus with
       // per-doc expectation proportional to token count — the
@@ -3806,6 +3817,28 @@ object SparkEntry {
     // identical oracle gates it (the q33/q104 convention).
     "q134_asof_join" -> asofOracleSql,
     "q137_asof_bucketed" -> asofOracleSql,
+
+    // q141: the same two-level counts, one micro-nat-rounded ln per
+    // distinct (count, total), integer weighted sum, truncating division.
+    "q141_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    count(*) AS distinct_tokens
+        |  FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT c.source, c.c, t.total_tokens, t.distinct_tokens,
+        |    CAST(round(ln(CAST(t.total_tokens AS DOUBLE) / c.c) * 1e6, 0) AS BIGINT) AS term
+        |  FROM c JOIN t ON c.source = t.source)
+        |SELECT source, max(total_tokens) AS total_tokens,
+        |  max(distinct_tokens) AS distinct_tokens,
+        |  CAST(sum(c * term) AS BIGINT) // max(total_tokens) AS entropy_micro_nats,
+        |  CAST(round(ln(CAST(max(distinct_tokens) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |    AS max_entropy_micro_nats
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // q140: the same salt-shuffled weight line and ceil arithmetic as a
     // global window (fine at oracle scale; the operator's bucket

@@ -790,6 +790,52 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group token Shannon entropy — the distribution-concentration
+   * panel ("is source X a thousand templates or real prose?") next to
+   * [[lexicalDiversity]]'s TTR. H = Σ (c/T)·ln(T/c) over the group's
+   * token distribution, reported in integer MICRO-NATS via the q107 seam
+   * rule: the one ln() per DISTINCT (count, total) evaluates once and
+   * rounds to micro-nats BEFORE the weighted sum, the sum runs in exact
+   * integers, and the final per-group division truncates — so the panel
+   * replays bit-for-bit on any engine that agrees on ln to 1e-6 (both
+   * do; the q107/q113/q131 gates already stand on it). Output per group:
+   * (group..., total_tokens, distinct_tokens, entropy_micro_nats,
+   * max_entropy_micro_nats = ln(distinct) in micro-nats, the uniform
+   * ceiling a reader compares against).
+   *
+   * Scale shape: one token explode into a two-level aggregate — the
+   * (group, token) partial counts collapse map-side, the shuffle carries
+   * the distinct set; the entropy arithmetic then runs on (group, token)
+   * COUNT rows only, never the stream. Same cost envelope as
+   * [[lexicalDiversity]].
+   */
+  def tokenEntropyByGroup(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val gs = groupCols.map(col)
+    val counts = df.select(gs :+ explode(tokens(col(textCol))).as("__w"): _*)
+      .groupBy(gs :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(gs: _*)
+      .agg(sum(col("__c")).as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"))
+    counts.join(totals, groupCols)
+      .withColumn("__term",
+        expr("CAST(round(ln(CAST(total_tokens AS DOUBLE) / __c) * 1e6, 0) AS BIGINT)"))
+      .groupBy(gs: _*)
+      .agg(max(col("total_tokens")).as("total_tokens"),
+        max(col("distinct_tokens")).as("distinct_tokens"),
+        sum(col("__c") * col("__term")).as("__wsum"))
+      .withColumn("entropy_micro_nats", expr("__wsum div total_tokens"))
+      .withColumn("max_entropy_micro_nats",
+        expr("CAST(round(ln(CAST(distinct_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+      .select((gs :+ col("total_tokens") :+ col("distinct_tokens") :+
+        col("entropy_micro_nats") :+ col("max_entropy_micro_nats")): _*)
+  }
+
+  /**
    * Vocabulary-coverage (OOV) report: fit the corpus's own top-`vocabSize`
    * token vocabulary (the [[topTokens]] rule — frequency desc, token asc
    * ties, so the fit is deterministic on any engine), then report per

@@ -189,6 +189,45 @@ class CorpusAnalyticsSuite extends AnyFunSuite {
     assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6))
   }
 
+  // ---- tokenEntropyByGroup ----
+
+  test("token entropy: degenerate is zero, uniform hits the ln(distinct) ceiling") {
+    val docs = Seq(
+      (0L, "aaa aaa aaa aaa", "mono"), // one distinct token -> H = 0
+      (1L, "a b c d", "uni"), // 4 equiprobable -> H = ln 4 exactly
+      (2L, "a a a b", "skew") // concentrated -> strictly below ceiling
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenEntropyByGroup(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("mono") === (4L, 1L, 0L, 0L))
+    val uni = out("uni")
+    assert(uni._1 === 4L && uni._2 === 4L)
+    assert(uni._3 === uni._4) // uniform: entropy == max entropy
+    assert(uni._4 === math.round(math.log(4.0) * 1e6)) // ln 4 micro-nats
+    val skew = out("skew")
+    assert(skew._3 > 0L && skew._3 < skew._4)
+  }
+
+  test("token entropy: matches the seam-rule replay on a randomized corpus") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 50L).map(i =>
+      (i, Seq.fill(12)(s"t${rnd.nextInt(9)}").mkString(" "), s"s${i % 3}"))
+    val got = TextAnalysis.tokenEntropyByGroup(
+        docs.toDF("doc_id", "text", "source"), "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = docs.groupBy(_._3).map { case (src, rows) =>
+      val toks = rows.flatMap(_._2.split(" "))
+      val total = toks.size.toLong
+      val wsum = toks.groupBy(identity).values.map { g =>
+        val c = g.size.toLong
+        c * math.round(math.log(total.toDouble / c) * 1e6)
+      }.sum
+      src -> wsum / total
+    }
+    assert(got === want)
+  }
+
   test("lexical diversity: a duplicated corpus halves token TTR, keeps totals additive") {
     val base = (0L until 20L).map(i => (i, s"w$i x${i % 5} common", "s"))
     val doubled = base ++ base.map { case (i, t, s) => (i + 100, t, s) }
