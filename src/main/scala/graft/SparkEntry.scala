@@ -1309,12 +1309,17 @@ object SparkEntry {
       // key shuffle, |clicks|+|views| rows, no pair blow-up, vs DuckDB's
       // NATIVE ASOF JOIN as the oracle. Unmatched sentinels are -1 (not
       // null) so the integer columns stay int64 through both engines'
-      // pandas conversion.
+      // pandas conversion. Views pre-aggregate to ONE row per
+      // (user_id, ts) — max value — so the gate never depends on which
+      // row an engine picks among (key, ts) ties: DuckDB's native ASOF
+      // breaks ties arbitrarily, the operator by value digest, and a
+      // data regen must not be able to make the two disagree.
       val ev = events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
       Joins.asofJoin(clicks, views, Seq("user_id"), "ts", "ts", Seq("value"))
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
@@ -1328,12 +1333,14 @@ object SparkEntry {
       // operator (6-hour time buckets): a hot user's scan splits across
       // buckets, the carry-in window sees only per-bucket closing
       // summaries. Identical semantics ⇒ the identical native-ASOF
-      // oracle gates it.
+      // oracle gates it (with the same tie-proof view pre-aggregation
+      // as q134).
       val ev = events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
       Joins.asofJoinBucketed(clicks, views, Seq("user_id"), "ts", "ts",
           Seq("value"), bucketWidthMicros = 6L * 3600L * 1000000L)
         .select(col("event_id"), col("user_id"),
@@ -5115,7 +5122,8 @@ object SparkEntry {
     """WITH c AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |v AS (
-      |  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+      |  SELECT user_id, ts, max(value) AS value
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
       |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
       |  coalesce(epoch_us(v.ts), -1) AS matched_ts,
       |  coalesce(v.value, -1.0) AS matched_value

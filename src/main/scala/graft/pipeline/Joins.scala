@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 /**
  * Temporal joins Spark's built-in operators don't express directly:
@@ -15,9 +15,16 @@ import org.apache.spark.sql.types.TimestampType
  *    materializes every candidate pair before pruning. This
  *    implementation is the union-and-window form: tag both sides, union,
  *    ONE hash shuffle on the key, one per-key time-ordered scan in which
- *    `last(..., ignoreNulls)` carries the most recent build values
+ *    `last(struct, ignoreNulls)` carries the most recent build ROW
  *    forward into each probe row. Volume through the shuffle is
  *    |probe| + |build| rows — no pair blow-up, no nested loop.
+ *
+ *  - [[asofJoinForward]] / [[asofJoinNearest]] — the other two shapes
+ *    event pipelines ask for ("next event at or after", "closest event
+ *    either way"), expressed THROUGH the backward machinery (forward =
+ *    backward on negated timestamps; nearest = backward + forward, pick
+ *    the closer). Both accept `bucketWidthMicros` to ride the skew-proof
+ *    bucketed variant.
  *
  *  - [[rangeJoinByBucket]] — point-in-interval joins as an EQUI-join on
  *    a time bucket: intervals explode to the buckets they cover, points
@@ -31,15 +38,47 @@ import org.apache.spark.sql.types.TimestampType
  *    length: explode factor ≈ interval/width + 1, while a too-wide
  *    bucket inflates the residual-filtered candidate set.
  *
+ * Whole-row semantics: the matched build row travels as ONE struct —
+ * `matched_ts` and every `matched_<c>` always come from the SAME build
+ * row, even when that row holds NULLs in some value columns (a struct
+ * with NULL fields is itself non-null, so `last(..., ignoreNulls)`
+ * carries it intact instead of reaching back to an older row per
+ * column — the column-tearing hazard of per-column carries).
+ *
+ * NULL keys: equi-join convention — a NULL key never matches anything.
+ * Build rows with any NULL key are dropped before the union (a window's
+ * `partitionBy` would otherwise group NULL keys together and hand
+ * NULL-key probes a match DuckDB's `ON c.k = v.k` would not produce);
+ * NULL-key probe rows survive with null match columns, like any
+ * unmatched left-join row.
+ *
  * Scale notes (100 TB): both shapes shuffle compact key/ts/value rows
  * once and never move document payloads. asofJoin's per-key scan means a
  * single pathologically hot key serializes into one task — for that key
- * shape, pre-split by a coarse time bucket and carry each bucket's
- * closing build row forward (two windows: bucket-local, then one tiny
- * per-key pass over bucket summaries). rangeJoinByBucket's explode is
- * bounded and map-side; AQE handles residual skew like any hash join.
+ * shape use [[asofJoinBucketed]]: pre-split by a coarse time bucket and
+ * carry each bucket's closing build row forward (two windows:
+ * bucket-local, then one tiny per-key pass over bucket summaries).
+ * rangeJoinByBucket's explode is bounded and map-side; AQE handles
+ * residual skew like any hash join.
  */
 object Joins {
+
+  private def tsAsLong(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+
+  /** Drops build rows carrying a NULL in any join key — the documented
+   *  equi-join convention (NULL matches nothing). */
+  private def nonNullKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** The matched-row payload struct: (__f_ts, __f_<c>...) — one value
+   *  whose fields all come from the same build row. */
+  private def payloadType(build: DataFrame, buildValueCols: Seq[String]): StructType =
+    StructType(StructField("__f_ts", LongType) +:
+      buildValueCols.map(c => StructField(s"__f_$c", build.schema(c).dataType)))
 
   /**
    * As-of (backward) join. For every probe row, the build row with the
@@ -47,7 +86,7 @@ object Joins {
    * `keyCols`; probe rows with no qualifying build row keep nulls
    * (left-join semantics). Output = every probe column, plus
    * `matched_ts` and `matched_<c>` for each requested build value
-   * column.
+   * column — all taken from the single matched build row.
    *
    * Ties: a build row and probe row at the SAME timestamp match
    * (inclusive, the ASOF `>=` convention). Among several build rows
@@ -72,51 +111,45 @@ object Joins {
       require(t >= 0, s"toleranceMicros must be >= 0, got $t"))
     val probeCols = probe.columns.toSeq
 
-    def tsAsLong(df: DataFrame, c: String): Column =
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case _ => col(c).cast("long")
-      }
-
     // Build rows sort BEFORE probe rows at equal ts (inclusive match);
     // equal-(key, ts) build rows order by their value digest — last wins.
-    val buildSide = build.select(
+    // The whole matched row rides ONE struct (__bv), so ts and values can
+    // never tear apart.
+    val buildSide = nonNullKeys(build, keyCols).select(
       keyCols.map(col) ++ Seq(
         tsAsLong(build, buildTsCol).as("__ts"),
         lit(0).as("__side"),
         md5(concat_ws("\u0001", buildValueCols.map(c => col(c).cast("string")): _*))
           .as("__tb"),
         lit(null).cast(probe.select(struct(probeCols.map(col): _*)).schema.head.dataType)
-          .as("__probe")) ++
-        buildValueCols.map(c => col(c).as(s"__v_$c")): _*)
+          .as("__probe"),
+        struct(tsAsLong(build, buildTsCol).as("__f_ts") +:
+          buildValueCols.map(c => col(c).as(s"__f_$c")): _*).as("__bv")): _*)
     val probeSide = probe.select(
       keyCols.map(col) ++ Seq(
         tsAsLong(probe, probeTsCol).as("__ts"),
         lit(1).as("__side"),
         lit("").as("__tb"),
-        struct(probeCols.map(col): _*).as("__probe")) ++
-        buildValueCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__v_$c")): _*)
+        struct(probeCols.map(col): _*).as("__probe"),
+        lit(null).cast(payloadType(build, buildValueCols)).as("__bv")): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = buildSide.unionByName(probeSide)
-      .withColumn("__m_ts",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
-      .select(
-        Seq(col("__side"), col("__ts"), col("__probe"), col("__m_ts")) ++
-          buildValueCols.map(c =>
-            last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__m_$c")): _*)
+      .select(col("__side"), col("__ts"), col("__probe"),
+        last(col("__bv"), ignoreNulls = true).over(w).as("__m"))
       .where(col("__side") === 1)
 
     val fresh = toleranceMicros match {
-      case Some(tol) => col("__m_ts").isNotNull && (col("__ts") - col("__m_ts") <= tol)
-      case None => col("__m_ts").isNotNull
+      case Some(tol) =>
+        col("__m").isNotNull && (col("__ts") - col("__m.__f_ts") <= tol)
+      case None => col("__m").isNotNull
     }
     carried.select(
       probeCols.map(c => col(s"__probe.$c").as(c)) ++
-        Seq(when(fresh, col("__m_ts")).as("matched_ts")) ++
-        buildValueCols.map(c => when(fresh, col(s"__m_$c")).as(s"matched_$c")): _*)
+        Seq(when(fresh, col("__m.__f_ts")).as("matched_ts")) ++
+        buildValueCols.map(c => when(fresh, col(s"__m.__f_$c")).as(s"matched_$c")): _*)
   }
 
   /**
@@ -128,13 +161,14 @@ object Joins {
    *  1. the union windows within (key, bucket) — each bucket's rows sort
    *     independently, so a key's work spreads over #buckets tasks;
    *  2. each bucket's CLOSING build row reduces to one summary row via a
-   *     plain `max(struct(ts, digest, values))` aggregate (lexicographic
+   *     plain `max(struct(ts, digest, payload))` aggregate (lexicographic
    *     struct order IS the documented tie rule), and a second window
    *     over those summaries — |buckets| rows per key, not |rows| —
    *     computes every bucket's carry-in (the latest build row of any
    *     EARLIER bucket);
-   *  3. probe rows left-join their bucket's carry-in and coalesce:
-   *     in-bucket match wins, else the carry-in.
+   *  3. probe rows left-join their bucket's carry-in and coalesce the
+   *     WHOLE payload struct: in-bucket match wins, else the carry-in —
+   *     never a per-column mix of the two.
    *
    * Pick `bucketWidthMicros` so a hot key's per-bucket row count fits a
    * task comfortably; the summary window stays tiny as long as
@@ -157,61 +191,50 @@ object Joins {
     toleranceMicros.foreach(t =>
       require(t >= 0, s"toleranceMicros must be >= 0, got $t"))
     val probeCols = probe.columns.toSeq
-
-    def tsAsLong(df: DataFrame, c: String): Column =
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case _ => col(c).cast("long")
-      }
     val bucketCol =
       expr(s"(__ts - pmod(__ts, ${bucketWidthMicros}L)) div ${bucketWidthMicros}L")
 
-    val buildSide = build.select(
+    val buildSide = nonNullKeys(build, keyCols).select(
       keyCols.map(col) ++ Seq(
         tsAsLong(build, buildTsCol).as("__ts"),
         lit(0).as("__side"),
         md5(concat_ws("\u0001", buildValueCols.map(c => col(c).cast("string")): _*))
           .as("__tb"),
         lit(null).cast(probe.select(struct(probeCols.map(col): _*)).schema.head.dataType)
-          .as("__probe")) ++
-        buildValueCols.map(c => col(c).as(s"__v_$c")): _*)
+          .as("__probe"),
+        struct(tsAsLong(build, buildTsCol).as("__f_ts") +:
+          buildValueCols.map(c => col(c).as(s"__f_$c")): _*).as("__bv")): _*)
     val probeSide = probe.select(
       keyCols.map(col) ++ Seq(
         tsAsLong(probe, probeTsCol).as("__ts"),
         lit(1).as("__side"),
         lit("").as("__tb"),
-        struct(probeCols.map(col): _*).as("__probe")) ++
-        buildValueCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__v_$c")): _*)
+        struct(probeCols.map(col): _*).as("__probe"),
+        lit(null).cast(payloadType(build, buildValueCols)).as("__bv")): _*)
     val tagged = buildSide.unionByName(probeSide).withColumn("__bucket", bucketCol)
 
-    // Phase 1: in-bucket carry — the window partitions by (key, bucket).
+    // Phase 1: in-bucket carry — the window partitions by (key, bucket);
+    // probe rows hold a null payload, so last(..., ignoreNulls) skips them.
     val wLocal = Window.partitionBy((keyCols :+ "__bucket").map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = tagged
-      .withColumn("__l_ts",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(wLocal))
       .select(
         keyCols.map(col) ++
-          Seq(col("__side"), col("__ts"), col("__bucket"), col("__probe"), col("__l_ts")) ++
-          buildValueCols.map(c =>
-            last(col(s"__v_$c"), ignoreNulls = true).over(wLocal).as(s"__l_$c")): _*)
+          Seq(col("__side"), col("__ts"), col("__bucket"), col("__probe"),
+            last(col("__bv"), ignoreNulls = true).over(wLocal).as("__l")): _*)
       .where(col("__side") === 1)
 
     // Phase 2: per-(key, bucket) closing build row — ONE summary row per
-    // bucket via max(struct(ts, digest, ts-again, values)): lexicographic
-    // struct comparison applies exactly the (ts, digest) tie rule, no
-    // window over the raw rows. Then the carry-in window runs over the
-    // compact summaries only, strictly before the current bucket.
+    // bucket via max(struct(ts, digest, payload)): lexicographic struct
+    // comparison applies exactly the (ts, digest) tie rule, no window
+    // over the raw rows. Then the carry-in window runs over the compact
+    // summaries only, strictly before the current bucket.
     val closings = buildSide.withColumn("__bucket", bucketCol)
       .groupBy((keyCols :+ "__bucket").map(col): _*)
-      .agg(max(struct(
-        Seq(col("__ts"), col("__tb"), col("__ts").as("__c_ts")) ++
-          buildValueCols.map(c => col(s"__v_$c").as(s"__c_$c")): _*)).as("__close"))
-      .select(
-        keyCols.map(col) ++
-          Seq(col("__bucket"), col("__close.__c_ts").as("__c_ts")) ++
-          buildValueCols.map(c => col(s"__close.__c_$c").as(s"__c_$c")): _*)
+      .agg(max(struct(col("__ts"), col("__tb"), col("__bv").as("__p"))).as("__close"))
+      .select(keyCols.map(col) ++
+        Seq(col("__bucket"), col("__close.__p").as("__c")): _*)
     val wCarry = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -227,24 +250,102 @@ object Joins {
       .distinct()
     val carry = allBuckets
       .join(closings, keyCols :+ "__bucket", "left")
-      .select(
-        keyCols.map(col) ++ Seq(col("__bucket"),
-          last(col("__c_ts"), ignoreNulls = true).over(wCarry).as("__p_ts")) ++
-          buildValueCols.map(c =>
-            last(col(s"__c_$c"), ignoreNulls = true).over(wCarry).as(s"__p_$c")): _*)
+      .select(keyCols.map(col) ++
+        Seq(col("__bucket"),
+          last(col("__c"), ignoreNulls = true).over(wCarry).as("__p")): _*)
 
-    // Phase 3: coalesce in-bucket and carry-in matches.
+    // Phase 3: coalesce in-bucket and carry-in matches — whole struct,
+    // so the matched row can't mix the two sources.
     val joined = local.join(carry, keyCols :+ "__bucket", "left")
-      .withColumn("__m_ts", coalesce(col("__l_ts"), col("__p_ts")))
+      .withColumn("__m", coalesce(col("__l"), col("__p")))
     val fresh = toleranceMicros match {
-      case Some(tol) => col("__m_ts").isNotNull && (col("__ts") - col("__m_ts") <= tol)
-      case None => col("__m_ts").isNotNull
+      case Some(tol) =>
+        col("__m").isNotNull && (col("__ts") - col("__m.__f_ts") <= tol)
+      case None => col("__m").isNotNull
     }
     joined.select(
       probeCols.map(c => col(s"__probe.$c").as(c)) ++
-        Seq(when(fresh, col("__m_ts")).as("matched_ts")) ++
+        Seq(when(fresh, col("__m.__f_ts")).as("matched_ts")) ++
+        buildValueCols.map(c => when(fresh, col(s"__m.__f_$c")).as(s"matched_$c")): _*)
+  }
+
+  /**
+   * As-of FORWARD join: for every probe row, the build row with the
+   * SMALLEST `buildTsCol` >= the probe's timestamp (inclusive), per key
+   * — "the next event at or after". Expressed as the backward join on
+   * NEGATED epoch-micros timestamps (min-future = max-past under
+   * negation), so it inherits every backward property verbatim: whole-
+   * row struct carry, the greatest-value-digest tie rule among equal-
+   * (key, ts) build rows, NULL-key convention, left-join nulls, and —
+   * with `bucketWidthMicros` — the skew-proof bucketed machinery.
+   * `toleranceMicros` bounds how far in the FUTURE the match may be.
+   * `matched_ts` is epoch micros of the matched (future) build row.
+   */
+  def asofJoinForward(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      buildTsCol: String,
+      buildValueCols: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      bucketWidthMicros: Option[Long] = None): DataFrame = {
+    val p2 = probe.withColumn("__neg_ts", -tsAsLong(probe, probeTsCol))
+    val b2 = build.withColumn("__neg_ts", -tsAsLong(build, buildTsCol))
+    val joined = bucketWidthMicros match {
+      case Some(w) => asofJoinBucketed(p2, b2, keyCols, "__neg_ts", "__neg_ts",
+        buildValueCols, w, toleranceMicros)
+      case None => asofJoin(p2, b2, keyCols, "__neg_ts", "__neg_ts",
+        buildValueCols, toleranceMicros)
+    }
+    joined.withColumn("matched_ts", -col("matched_ts")).drop("__neg_ts")
+  }
+
+  /**
+   * As-of NEAREST join: the build row closest in time to each probe row,
+   * either direction, per key — backward and forward runs composed, then
+   * ONE boolean picks a side for ALL matched columns (no cross-side
+   * tearing). Equal distances resolve BACKWARD (the "prefer what already
+   * happened" convention). `toleranceMicros` bounds the distance both
+   * ways; `bucketWidthMicros` routes both runs through the bucketed
+   * machinery. Cost = two of the backward join's single-shuffle passes.
+   */
+  def asofJoinNearest(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      buildTsCol: String,
+      buildValueCols: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      bucketWidthMicros: Option[Long] = None): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val backward = bucketWidthMicros match {
+      case Some(w) => asofJoinBucketed(probe, build, keyCols, probeTsCol,
+        buildTsCol, buildValueCols, w, toleranceMicros)
+      case None => asofJoin(probe, build, keyCols, probeTsCol, buildTsCol,
+        buildValueCols, toleranceMicros)
+    }
+    val renamed = ("matched_ts" -> "__bk_ts") +:
+      buildValueCols.map(c => s"matched_$c" -> s"__bk_$c")
+    val bwd = renamed.foldLeft(backward) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    // The forward pass's probe is the backward OUTPUT (probe columns plus
+    // the renamed backward match) — rows line up by construction, no
+    // synthetic row id needed.
+    val both = asofJoinForward(bwd, build, keyCols, probeTsCol, buildTsCol,
+      buildValueCols, toleranceMicros, bucketWidthMicros)
+    val pts = tsAsLong(both, probeTsCol)
+    val useB = col("__bk_ts").isNotNull &&
+      (col("matched_ts").isNull ||
+        (pts - col("__bk_ts") <= col("matched_ts") - pts))
+    both.select(
+      probeCols.map(col) ++
+        Seq(when(useB, col("__bk_ts")).otherwise(col("matched_ts")).as("matched_ts")) ++
         buildValueCols.map(c =>
-          when(fresh, coalesce(col(s"__l_$c"), col(s"__p_$c"))).as(s"matched_$c")): _*)
+          when(useB, col(s"__bk_$c")).otherwise(col(s"matched_$c"))
+            .as(s"matched_$c")): _*)
   }
 
   /**

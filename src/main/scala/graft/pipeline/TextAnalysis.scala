@@ -827,7 +827,11 @@ object TextAnalysis {
       .groupBy(gs: _*)
       .agg(max(col("total_tokens")).as("total_tokens"),
         max(col("distinct_tokens")).as("distinct_tokens"),
-        sum(col("__c") * col("__term")).as("__wsum"))
+        // c·term products run in DECIMAL(38,0) (the systematicPpsSample
+        // rule): at ~1e12 tokens per group the int64 product would
+        // silently wrap under non-ANSI Spark. IntegralDivide returns the
+        // result as BIGINT, so the output schema is unchanged.
+        sum(col("__c").cast("decimal(38,0)") * col("__term")).as("__wsum"))
       .withColumn("entropy_micro_nats", expr("__wsum div total_tokens"))
       .withColumn("max_entropy_micro_nats",
         expr("CAST(round(ln(CAST(distinct_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)"))

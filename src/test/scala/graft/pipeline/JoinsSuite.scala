@@ -150,6 +150,167 @@ class JoinsSuite extends AnyFunSuite {
     assert(got === Map(1L -> 2.0, 2L -> 1.0)) // probe 2 precedes the in-bucket build row
   }
 
+  test("asof: a NULL value in the matched row stays NULL — no column tearing") {
+    // latest build row has v2 = NULL; an older row has v2 = 9.0. The
+    // matched output must be the latest row INTACT (v = 5.0, v2 = null),
+    // never a mix of the two rows.
+    val probe = Seq((1L, "k", 100L)).toDF("pid", "key", "pts")
+    val build = Seq(
+      ("k", 10L, 1.0, Some(9.0)),
+      ("k", 50L, 5.0, None: Option[Double])
+    ).toDF("key", "bts", "v", "v2")
+    val r = Joins.asofJoin(probe, build, Seq("key"), "pts", "bts", Seq("v", "v2"))
+      .head()
+    assert(r.getAs[Long]("matched_ts") === 50L)
+    assert(r.getAs[Double]("matched_v") === 5.0)
+    assert(r.isNullAt(r.fieldIndex("matched_v2"))) // the matched row's own NULL
+    val rb = Joins.asofJoinBucketed(probe, build, Seq("key"), "pts", "bts",
+      Seq("v", "v2"), bucketWidthMicros = 30L).head()
+    assert(rb.getAs[Long]("matched_ts") === 50L)
+    assert(rb.isNullAt(rb.fieldIndex("matched_v2")))
+    // carry-in path too: probe in a later, build-free bucket
+    val far = Seq((1L, "k", 500L)).toDF("pid", "key", "pts")
+    val rc = Joins.asofJoinBucketed(far, build, Seq("key"), "pts", "bts",
+      Seq("v", "v2"), bucketWidthMicros = 30L).head()
+    assert(rc.getAs[Long]("matched_ts") === 50L)
+    assert(rc.isNullAt(rc.fieldIndex("matched_v2")))
+  }
+
+  test("asof: NULL keys never match — equi-join convention") {
+    val probe = Seq((1L, Some("k"), 100L), (2L, None: Option[String], 100L))
+      .toDF("pid", "key", "pts")
+    val build = Seq((Some("k"), 10L, 1.0), (None: Option[String], 10L, 2.0))
+      .toDF("key", "bts", "v")
+    for (df <- Seq(
+        Joins.asofJoin(probe, build, Seq("key"), "pts", "bts", Seq("v")),
+        Joins.asofJoinBucketed(probe, build, Seq("key"), "pts", "bts", Seq("v"), 50L))) {
+      val out = df.collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      assert(out(1L) === Some(1.0)) // non-null key matches normally
+      assert(out(2L) === None) // NULL-key probe survives, unmatched
+      assert(df.count() === 2)
+    }
+  }
+
+  // ---- asofJoinForward / asofJoinNearest ----------------------------------
+
+  test("asof forward: earliest build row at or after each probe ts, per key") {
+    val out = Joins.asofJoinForward(probeDf, buildDf, Seq("key"), "pts", "bts", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === (Some(100L), Some(10.0))) // inclusive: equal ts matches
+    assert(out(2L) === (None, None)) // nothing at or after 250 for k1
+    assert(out(3L) === (Some(100L), Some(10.0))) // next event after 50
+    assert(out(4L) === (Some(600L), Some(60.0))) // 400 is in the past
+    assert(out(5L) === (None, None)) // key never built
+  }
+
+  test("asof forward: schema, tolerance, and bucketed equivalence") {
+    val out = Joins.asofJoinForward(probeDf, buildDf, Seq("key"), "pts", "bts", Seq("v"))
+    assert(out.columns.toSeq === Seq("pid", "key", "pts", "matched_ts", "matched_v"))
+    // tolerance bounds how far in the FUTURE the match may be
+    val tol = Joins.asofJoinForward(probeDf, buildDf, Seq("key"), "pts", "bts",
+        Seq("v"), toleranceMicros = Some(60L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(tol(1L) === Some(10.0)) // distance 0
+    assert(tol(3L) === Some(10.0)) // distance 50 <= 60
+    assert(tol(4L) === None) // distance 100 > 60
+    val rnd = new scala.util.Random(17)
+    val p = (1L to 150L).map(i => (i, s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+      .toDF("pid", "key", "pts")
+    val b = (1 to 200).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(500).toLong, rnd.nextInt(20).toDouble))
+      .toDF("key", "bts", "v")
+    val plain = Joins.asofJoinForward(p, b, Seq("key"), "pts", "bts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    for (width <- Seq(1L, 7L, 100L)) {
+      val got = Joins.asofJoinForward(p, b, Seq("key"), "pts", "bts", Seq("v"),
+          bucketWidthMicros = Some(width))
+        .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+      assert(got === plain, s"width $width")
+    }
+  }
+
+  test("asof forward: brute-force equivalence with the digest tie rule") {
+    val rnd = new scala.util.Random(23)
+    val probes = (1L to 200L).map(i =>
+      (i, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+    val builds = (1 to 300).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, rnd.nextInt(50).toDouble))
+    val out = Joins.asofJoinForward(probes.toDF("pid", "key", "pts"),
+        builds.toDF("key", "bts", "v"), Seq("key"), "pts", "bts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    probes.foreach { case (pid, key, pts) =>
+      val cands = builds.filter(b => b._1 == key && b._2 >= pts)
+      val expected =
+        if (cands.isEmpty) None
+        else {
+          val minTs = cands.map(_._2).min
+          Some(cands.filter(_._2 == minTs).map(_._3).maxBy(v =>
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(v.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString))
+        }
+      assert(out(pid) === expected, s"probe $pid ($key, $pts)")
+    }
+  }
+
+  test("asof nearest: closest build row either way, ties resolve backward") {
+    val p = Seq(
+      (1L, "k", 100L), // equidistant: build at 90 and 110 — backward wins
+      (2L, "k", 95L), // closer to 90
+      (3L, "k", 106L), // closer to 110
+      (4L, "k", 10L), // only future rows qualify
+      (5L, "z", 10L) // key never built
+    ).toDF("pid", "key", "pts")
+    val b = Seq(("k", 90L, 9.0), ("k", 110L, 11.0)).toDF("key", "bts", "v")
+    val out = Joins.asofJoinNearest(p, b, Seq("key"), "pts", "bts", Seq("v"))
+    assert(out.columns.toSeq === Seq("pid", "key", "pts", "matched_ts", "matched_v"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(m(1L) === Some(90L)) // tie -> backward
+    assert(m(2L) === Some(90L))
+    assert(m(3L) === Some(110L))
+    assert(m(4L) === Some(90L))
+    assert(m(5L) === None)
+    // tolerance bounds the distance both ways
+    val tol = Joins.asofJoinNearest(p, b, Seq("key"), "pts", "bts", Seq("v"),
+        toleranceMicros = Some(6L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(tol(2L) === Some(90L)) // distance 5 <= 6
+    assert(tol(3L) === Some(110L)) // distance 4
+    assert(tol(4L) === None) // distance 80 > 6
+  }
+
+  test("asof nearest: brute-force equivalence, plain and bucketed") {
+    val rnd = new scala.util.Random(31)
+    val probes = (1L to 150L).map(i =>
+      (i, s"k${rnd.nextInt(4)}", rnd.nextInt(600).toLong))
+    val builds = (1 to 250).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(600).toLong, rnd.nextInt(40).toDouble))
+    val p = probes.toDF("pid", "key", "pts")
+    val b = builds.toDF("key", "bts", "v")
+    def expected(pid: Long, key: String, pts: Long): Option[Long] = {
+      val past = builds.filter(x => x._1 == key && x._2 <= pts).map(_._2)
+      val fut = builds.filter(x => x._1 == key && x._2 >= pts).map(_._2)
+      (past.sorted.lastOption, fut.sorted.headOption) match {
+        case (None, None) => None
+        case (Some(bk), None) => Some(bk)
+        case (None, Some(fw)) => Some(fw)
+        case (Some(bk), Some(fw)) =>
+          if (pts - bk <= fw - pts) Some(bk) else Some(fw)
+      }
+    }
+    for (width <- Seq(None, Some(25L))) {
+      val out = Joins.asofJoinNearest(p, b, Seq("key"), "pts", "bts", Seq("v"),
+          bucketWidthMicros = width)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      probes.foreach { case (pid, key, pts) =>
+        assert(out(pid) === expected(pid, key, pts), s"probe $pid ($key, $pts) width $width")
+      }
+    }
+  }
+
   // ---- rangeJoinByBucket --------------------------------------------------
 
   private def naiveRange(
