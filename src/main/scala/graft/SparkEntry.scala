@@ -72,6 +72,24 @@ object SparkEntry {
     if (inferSchema) reader.load(path) else reader.schema(df.schema).load(path)
   }
 
+  /** The q120/q136/q142 planted source→linked-domain graph: every doc
+    * links host<id%7>.example<id%3>.com (and even ids a mirror domain),
+    * then edges are (source, domain) — deterministic, replayable in SQL. */
+  private def plantedDomainEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val planted = docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" see https://host"), (col("doc_id") % 7).cast("string"),
+        lit(".example"), (col("doc_id") % 3).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" and http://mirror"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/x"))).otherwise(lit(""))).as("text"))
+    TextAnalysis.extractLinkDomains(planted, "doc_id", "text")
+      .join(planted.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source").as("src"), col("domain").as("dst"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1350,6 +1368,93 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q143_fuzzy_indexed" -> ((s, d) => {
+      // The SymSpell lifecycle done right: the deletion-variant index
+      // builds ONCE from the vocabulary and persists as parquet; TWO
+      // different typo queries then probe the SAME stored rows — no
+      // per-query variant rebuild (the q133 one-shot's documented
+      // weakness). Queries: the deepest-ranked and top-ranked length>=2
+      // top-20 tokens, with the first/last character dropped. Oracle:
+      // the brute-force levenshtein scan for both queries.
+      val docs = t(s, d, "documents")
+      val top = TextAnalysis.topTokens(docs, "text", 20)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).filter(_.length >= 2)
+      val qa = top.last.drop(1)
+      val qb = top.head.dropRight(1)
+      val dpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/deletion_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$dpath/_SUCCESS").exists()) {
+          Search.buildDeletionIndex(Search.documentFrequencies(
+              Search.buildInvertedIndex(docs, "doc_id", "text")))
+            .write.mode("overwrite").parquet(dpath)
+        }
+      }
+      val idx = s.read.parquet(dpath)
+      Search.fuzzyLookupIndexed(idx, qa).withColumn("query", lit(qa))
+        .unionByName(Search.fuzzyLookupIndexed(idx, qb).withColumn("query", lit(qb)))
+        .select(col("query"), col("token"), col("df_count"))
+        .orderBy("query", "token")
+    }),
+
+    "q144_asof_forward" -> ((s, d) => {
+      // As-of FORWARD join: each click matches the NEXT view at or after
+      // it per user (time-to-next-impression attribution) — the backward
+      // machinery on negated timestamps, routed through the skew-proof
+      // bucketed path (6-hour buckets). Oracle: DuckDB native ASOF with
+      // the comparison flipped (c.ts <= v.ts). Same tie-proof view
+      // pre-aggregation and -1 sentinels as q134.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      Joins.asofJoinForward(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("value"), bucketWidthMicros = Some(6L * 3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"),
+          coalesce(col("matched_value"), lit(-1.0)).as("matched_value"))
+        .orderBy("event_id")
+    }),
+
+    "q145_asof_nearest" -> ((s, d) => {
+      // As-of NEAREST join: each click matches its closest view in TIME,
+      // either direction, ties resolving backward — the sensor-alignment
+      // shape. Composition of the backward and forward passes with one
+      // boolean picking a side for every matched column. Oracle: two
+      // DuckDB native ASOF joins combined by the same distance rule.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      Joins.asofJoinNearest(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"),
+          coalesce(col("matched_value"), lit(-1.0)).as("matched_value"))
+        .orderBy("event_id")
+    }),
+
+    "q146_token_js_divergence" -> ((s, d) => {
+      // Token-distribution drift monitor: per-source Jensen–Shannon
+      // divergence between the even-id and odd-id halves of the corpus
+      // (the between-snapshots check, text side) in integer micro-nats —
+      // one rounded ln per (token, side), DECIMAL-exact weighted sums,
+      // truncating division. The KL halves ship alongside for
+      // direction-of-drift reads.
+      val docs = t(s, d, "documents")
+      TextAnalysis.tokenJsDivergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", Seq("source"))
+        .orderBy("source")
+    }),
+
     "q141_token_entropy" -> ((s, d) => {
       // Per-source token Shannon entropy in integer micro-nats (the q107
       // ln-seam rule: one rounded ln per distinct count, exact integer
@@ -1381,13 +1486,21 @@ object SparkEntry {
       // false positives. The needle is the first 8 chars of the lowest-id
       // document of length >= 8 — deterministic, and guaranteed to match
       // at least that document. Oracle: the full contains() corpus scan
-      // the index avoids.
+      // the index avoids. The index follows the persisted convention
+      // (q130): built ONCE to parquet, every query served from the
+      // stored posting rows.
       val docs = t(s, d, "documents")
       val needle = docs.filter(length(col("text")) >= 8)
         .orderBy("doc_id").select(substring(col("text"), 1, 8))
         .head().getString(0)
-      val idx = Search.buildTrigramIndex(docs, "doc_id", "text")
-      Search.searchSubstring(idx, docs, "doc_id", "text", needle)
+      val ipath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/trigram_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
+          Search.buildTrigramIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(ipath)
+        }
+      }
+      Search.searchSubstring(s.read.parquet(ipath), docs, "doc_id", "text", needle)
         .orderBy("id")
     }),
 
@@ -1433,19 +1546,18 @@ object SparkEntry {
       // weights documents by. All-integer parts-per-1e12 arithmetic with
       // truncating div at every seam, so five DuckDB iteration CTEs
       // replay every rank bit-for-bit.
-      val docs = t(s, d, "documents")
-      val planted = docs.select(col("doc_id"), col("source"),
-        concat(col("text"),
-          lit(" see https://host"), (col("doc_id") % 7).cast("string"),
-          lit(".example"), (col("doc_id") % 3).cast("string"),
-          lit(".com/p/"), col("doc_id").cast("string"),
-          when(col("doc_id") % 2 === 0,
-            concat(lit(" and http://mirror"), (col("doc_id") % 5).cast("string"),
-              lit(".example.org/x"))).otherwise(lit(""))).as("text"))
-      val edges = TextAnalysis.extractLinkDomains(planted, "doc_id", "text")
-        .join(planted.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source").as("src"), col("domain").as("dst"))
-      Graph.pageRank(edges, "src", "dst", iterations = 5)
+      Graph.pageRank(plantedDomainEdges(s, d), "src", "dst", iterations = 5)
+        .orderBy("node")
+    }),
+
+    "q142_pagerank_redistribute" -> ((s, d) => {
+      // The standard (mass-conserving) PageRank: dangling mass
+      // redistributes equally each round — one extra 1-row sink-mass
+      // aggregate per iteration, same integer parts-per-1e12 seams, so
+      // the DuckDB iteration CTEs (now with a dangling term) still
+      // replay bit-for-bit. Same planted graph as q136.
+      Graph.pageRankRedistributing(plantedDomainEdges(s, d), "src", "dst",
+          iterations = 5)
         .orderBy("node")
     }),
 
@@ -1453,9 +1565,17 @@ object SparkEntry {
       // Exact phrase query over positional postings: the corpus's most
       // frequent bigram (count DESC, bigram ASC — deterministic) searched
       // as a consecutive-position join chain. No corpus text is scanned
-      // at query time.
+      // at query time; the positional index persists once (the q130
+      // convention) and the query reads the stored posting rows.
       val docs = t(s, d, "documents")
-      val pidx = Search.buildPositionalIndex(docs, "doc_id", "text")
+      val ppath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/positional_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
+          Search.buildPositionalIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(ppath)
+        }
+      }
+      val pidx = s.read.parquet(ppath)
       val toks = TextAnalysis.tokens(col("text"))
       val phrase = docs.select(
           explode(when(size(toks) < 2, array().cast("array<string>"))
@@ -1472,8 +1592,17 @@ object SparkEntry {
       // Σ tf·idf with idf in integer micro-nats (rounded once per term —
       // the q107 seam rule), ties to the lowest id. Query = vocabulary
       // ranks 18-21, so scores mix rare and common term contributions.
+      // The weighted index persists once (the q130 convention); the
+      // query serves from the stored (token, id, tf) rows.
       val docs = t(s, d, "documents")
-      val widx = Search.buildWeightedIndex(docs, "doc_id", "text")
+      val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$wpath/_SUCCESS").exists()) {
+          Search.buildWeightedIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(wpath)
+        }
+      }
+      val widx = s.read.parquet(wpath)
       val terms = TextAnalysis.topTokens(docs, "text", 21)
         .orderBy(desc("freq"), asc("token"))
         .collect().map(_.getString(0)).slice(17, 21).toSeq
@@ -3825,6 +3954,122 @@ object SparkEntry {
     "q134_asof_join" -> asofOracleSql,
     "q137_asof_bucketed" -> asofOracleSql,
 
+    // q143: the same top-20 rank picks (deepest and first length>=2
+    // token, first/last char dropped), then the brute-force levenshtein
+    // scan over the vocabulary for BOTH queries — the scan the persisted
+    // deletion index exists to avoid.
+    "q143_fuzzy_indexed" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT token, count(*) AS df_count FROM tok GROUP BY token),
+        |allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |freq AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |el AS (
+        |  SELECT v, rk
+        |  FROM (SELECT v, row_number() OVER (ORDER BY f DESC, v) AS rk FROM freq)
+        |  WHERE rk <= 20 AND len(v) >= 2),
+        |ta AS (SELECT substr(v, 2) AS q FROM el ORDER BY rk DESC LIMIT 1),
+        |tb AS (SELECT substr(v, 1, len(v) - 1) AS q FROM el ORDER BY rk ASC LIMIT 1),
+        |qs AS (SELECT q FROM ta UNION ALL SELECT q FROM tb)
+        |SELECT qs.q AS query, vocab.token, CAST(df_count AS BIGINT) AS df_count
+        |FROM vocab, qs
+        |WHERE levenshtein(vocab.token, qs.q) <= 1
+        |ORDER BY query, token""".stripMargin,
+
+    // q144: DuckDB's native ASOF with the comparison flipped — the
+    // forward ("next at or after") direction, same tie-proof view
+    // pre-aggregation.
+    "q144_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  coalesce(epoch_us(v.ts), -1) AS matched_ts,
+        |  coalesce(v.value, -1.0) AS matched_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // q145: backward and forward native ASOF joins combined by the
+    // distance rule (ties backward) — the nearest-neighbor-in-time
+    // oracle.
+    "q145_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, ts, max(value) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT c.event_id, epoch_us(v.ts) AS bts, v.value AS bval
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (
+        |  SELECT c.event_id, epoch_us(v.ts) AS fts, v.value AS fval
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.ts <= v.ts)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+        |            OR epoch_us(c.ts) - b.bts <= f.fts - epoch_us(c.ts))
+        |       THEN b.bts ELSE coalesce(f.fts, -1) END AS matched_ts,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+        |            OR epoch_us(c.ts) - b.bts <= f.fts - epoch_us(c.ts))
+        |       THEN bval ELSE coalesce(fval, -1.0) END AS matched_value
+        |FROM c
+        |JOIN b ON c.event_id = b.event_id
+        |JOIN f ON c.event_id = f.event_id
+        |ORDER BY c.event_id""".stripMargin,
+
+    // q146: the same aligned count table (FILTER replaces the full-outer
+    // join), one rounded ln per (token, side) on all-double products,
+    // HUGEINT-exact weighted sums CAST back, truncating `//` at every
+    // seam (DuckDB `//` ≡ Spark `div`: both truncate toward zero, which
+    // matters here — rounded KL sums can dip below zero).
+    "q146_token_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id % 2 AS side,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |c AS (
+        |  SELECT source, w,
+        |    CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS b
+        |  FROM tok GROUP BY source, w),
+        |t AS (
+        |  SELECT source, CAST(sum(a) AS BIGINT) AS ta,
+        |    CAST(sum(b) AS BIGINT) AS tb
+        |  FROM c GROUP BY source),
+        |j AS (
+        |  SELECT c.source, a, b, ta, tb,
+        |    CASE WHEN a > 0 AND ta > 0 AND tb > 0 THEN
+        |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)) /
+        |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+        |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |      ELSE 0 END AS terma,
+        |    CASE WHEN b > 0 AND ta > 0 AND tb > 0 THEN
+        |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)) /
+        |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+        |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |      ELSE 0 END AS termb
+        |  FROM c JOIN t ON c.source = t.source),
+        |g AS (
+        |  SELECT source, max(ta) AS tokens_a, max(tb) AS tokens_b,
+        |    CASE WHEN max(ta) > 0 AND max(tb) > 0
+        |         THEN CAST(sum(a * terma) AS BIGINT) // max(ta) END AS kl_a_micro_nats,
+        |    CASE WHEN max(ta) > 0 AND max(tb) > 0
+        |         THEN CAST(sum(b * termb) AS BIGINT) // max(tb) END AS kl_b_micro_nats
+        |  FROM j GROUP BY source)
+        |SELECT source, tokens_a, tokens_b, kl_a_micro_nats, kl_b_micro_nats,
+        |  (kl_a_micro_nats + kl_b_micro_nats) // 2 AS jsd_micro_nats
+        |FROM g ORDER BY source""".stripMargin,
+
     // q141: the same two-level counts, one micro-nat-rounded ln per
     // distinct (count, total), integer weighted sum, truncating division.
     "q141_token_entropy" ->
@@ -3987,6 +4232,10 @@ object SparkEntry {
         |    FROM i4 pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
         |    GROUP BY ed.dst) s ON s.node = nx.node)
         |SELECT node, r AS rank_ppt FROM i5 ORDER BY node""".stripMargin,
+
+    // q142: the q136 replay plus a dangling-mass CTE per iteration —
+    // sink mass sums exactly, every node receives its truncated share.
+    "q142_pagerank_redistribute" -> pagerankRedistOracleSql,
 
     // q132: the same (count DESC, bigram ASC) top-bigram pick, membership
     // via the reconstructed consecutive-bigram list.
@@ -5117,6 +5366,54 @@ object SparkEntry {
       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
       |  FROM emb e CROSS JOIN c10 c) WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
+
+  /** q142 oracle: the q136 planted-graph CTEs, then per iteration a
+    * dangling-mass CTE (exact sink sum over the previous ranks) feeding
+    * the rank recurrence's `+ d div n` term — generated as a chain so
+    * the iteration count stays in one place. */
+  private def pagerankRedistOracleSql: String = {
+    val prefix =
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |              THEN ' and http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+        |                   || '.example.org/x'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM p),
+        |ed AS (
+        |  SELECT DISTINCT source AS src,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst
+        |  FROM u),
+        |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        |       FROM ed GROUP BY 1),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, cn)""".stripMargin
+    val iterations = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s""",
+         |d${k - 1} AS (
+         |  SELECT CAST(coalesce(sum(pr.r), 0) AS BIGINT) AS d
+         |  FROM $prev pr LEFT JOIN od ON pr.node = od.node
+         |  WHERE od.node IS NULL),
+         |i$k AS (
+         |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+         |    + (850 * (coalesce(s.acc, 0) + d${k - 1}.d // cn.n)) // 1000 AS r
+         |  FROM nodes nx CROSS JOIN cn CROSS JOIN d${k - 1} LEFT JOIN (
+         |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+         |    FROM $prev pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+         |    GROUP BY ed.dst) s ON s.node = nx.node)""".stripMargin
+    }.mkString
+    prefix + iterations +
+      "\nSELECT node, r AS rank_ppt FROM i5 ORDER BY node"
+  }
 
   private def asofOracleSql: String =
     """WITH c AS (

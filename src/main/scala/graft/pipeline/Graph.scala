@@ -23,14 +23,26 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape per iteration: contributions = ranks ⋈ edges on src (hash
  * join on the edge key), one aggregate on dst, one left join back to the
- * node table for sinks — compact (node, long) rows only. Fixed small
- * iteration counts (5-10, the practical PageRank regime) keep the plan
- * depth modest; for larger counts, localCheckpoint between rounds the
- * way [[Dedup.connectedComponents]] does.
+ * node table for sinks — compact (node, long) rows only. Plan depth is
+ * O(iterations); `checkpointInterval` truncates the lineage with a
+ * `localCheckpoint` every k rounds (the [[Dedup.connectedComponents]]
+ * discipline), so a 50-iteration run doesn't hand Catalyst a 50-deep
+ * plan to re-analyze per action.
  */
 object Graph {
 
   private val Total = 1000000000000L // rank mass: parts per 1e12
+
+  /** Deduplicated non-null edge list as (__src, __dst). */
+  private def cleanEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+
+  private def checkpointEvery(
+      ranks: DataFrame, iter: Int, interval: Int): DataFrame =
+    if (interval > 0 && iter % interval == 0) ranks.localCheckpoint(eager = false)
+    else ranks
 
   /**
    * Fixed-iteration damped PageRank over a directed edge list. Returns
@@ -40,25 +52,31 @@ object Graph {
    * edge. Dangling (sink) mass is DROPPED, not redistributed — the
    * variant with the simplest exact replay — so ranks sum to slightly
    * under the total; comparisons between nodes (the use case) are
-   * unaffected.
+   * unaffected. For the standard redistributing formulation use
+   * [[pageRankRedistributing]].
    *
    * rank_0(v) = Total div N
    * rank_{k+1}(v) = (dampingPermille' * (Total div N)) div 1000
    *               + (dampingPermille * Σ_{u→v} (rank_k(u) div outdeg(u))) div 1000
    * with dampingPermille' = 1000 - dampingPermille.
+   *
+   * `checkpointInterval` = k > 0 localCheckpoints the rank frame every k
+   * iterations (0 = off, fine for the practical 5-10 regime); results
+   * are identical either way — only the lineage depth changes.
    */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      dampingPermille: Int = 850): DataFrame = {
+      dampingPermille: Int = 850,
+      checkpointInterval: Int = 0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
+    require(checkpointInterval >= 0,
+      s"checkpointInterval must be >= 0, got $checkpointInterval")
+    val e = cleanEdges(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
@@ -74,18 +92,86 @@ object Graph {
 
     var ranks = nodes.crossJoin(base)
       .select(col("node"), col("__r0").as("rank_ppt"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ranks
         .join(outdeg, "node")
         .select(col("node"), expr("rank_ppt div __outdeg").as("__c"))
         .join(e, col("node") === col("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
-      ranks = nodes.crossJoin(base)
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"__base + ($dampingPermille * coalesce(__in, 0L)) div 1000")
-            .as("rank_ppt"))
+      ranks = checkpointEvery(
+        nodes.crossJoin(base)
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"__base + ($dampingPermille * coalesce(__in, 0L)) div 1000")
+              .as("rank_ppt")),
+        i, checkpointInterval)
+    }
+    ranks
+  }
+
+  /**
+   * The standard PageRank formulation: dangling (sink) mass is
+   * REDISTRIBUTED equally to every node each iteration instead of
+   * dropped, so total mass is conserved up to truncation remainders.
+   * Same integer seam discipline — the dangling sum is an exact int64
+   * aggregate and every node's share is one truncating `div` — so an
+   * engine replaying the recurrence agrees bit-for-bit.
+   *
+   * rank_{k+1}(v) = (dampingPermille' * (Total div N)) div 1000
+   *   + (dampingPermille *
+   *      (Σ_{u→v} (rank_k(u) div outdeg(u)) + dangling_k div N)) div 1000
+   * with dangling_k = Σ_{sinks u} rank_k(u).
+   *
+   * Cost vs [[pageRank]]: one extra tiny aggregate per iteration (the
+   * sink-mass sum — a broadcast 1-row frame), nothing else changes
+   * shape.
+   */
+  def pageRankRedistributing(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dampingPermille: Int = 850,
+      checkpointInterval: Int = 0): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    require(checkpointInterval >= 0,
+      s"checkpointInterval must be >= 0, got $checkpointInterval")
+    val e = cleanEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+    val outdeg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__outdeg"))
+    val base = broadcast(nodes.agg(count(lit(1)).as("__n")).select(
+      col("__n"),
+      expr(s"(${1000 - dampingPermille} * (${Total}L div __n)) div 1000")
+        .as("__base"),
+      expr(s"${Total}L div __n").as("__r0")))
+
+    var ranks = nodes.crossJoin(base)
+      .select(col("node"), col("__r0").as("rank_ppt"))
+    for (i <- 1 to iterations) {
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val contribs = withDeg.where(col("__outdeg").isNotNull)
+        .select(col("node"), expr("rank_ppt div __outdeg").as("__c"))
+        .join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      // Sink mass: one exact int64 sum over the rank frame — a 1-row
+      // broadcast, like the base constants.
+      val dangling = broadcast(withDeg.where(col("__outdeg").isNull)
+        .agg(coalesce(sum(col("rank_ppt")), lit(0L)).as("__dang")))
+      ranks = checkpointEvery(
+        nodes.crossJoin(base).crossJoin(dangling)
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"__base + ($dampingPermille * " +
+              "(coalesce(__in, 0L) + __dang div __n)) div 1000")
+              .as("rank_ppt")),
+        i, checkpointInterval)
     }
     ranks
   }

@@ -114,28 +114,53 @@ object Search {
         i => concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t)))))
 
   /**
+   * The SymSpell deletion-variant index: one row per (variant, token,
+   * df_count) where `variant` ranges over the term and its
+   * single-character deletions. SymSpell's whole win is precomputing
+   * this neighborhood ONCE — build it from the vocabulary, persist as
+   * parquet (the q130 lifecycle), and answer every later lookup from
+   * the stored rows via [[fuzzyLookupIndexed]]; a per-query rebuild
+   * would be an O(|vocab|·len) scan each call, exactly what the
+   * algorithm exists to avoid. Row count = Σ (len+1) over vocabulary
+   * terms — posting-row shape, no per-variant arrays, no skew traps.
+   */
+  def buildDeletionIndex(vocab: DataFrame): DataFrame =
+    vocab.select(col("token"), col("df_count"),
+      explode(deletionVariants(col("token"))).as("variant"))
+
+  /**
+   * Probe a stored deletion-variant index for terms within edit
+   * distance 1 of `query`: the query expands to its own deletion
+   * variants DRIVER-SIDE (|q|+1 literal keys), candidates come from the
+   * variant equi-filter — volume = the matched posting lists — and a
+   * final codegen'd `levenshtein` pass kills the false candidates two
+   * different deletions can collide into. Returns matched
+   * (token, df_count), distinct.
+   */
+  def fuzzyLookupIndexed(index: DataFrame, query: String): DataFrame = {
+    require(query.nonEmpty, "query term must be non-empty")
+    val qVariants = (query +:
+      query.indices.map(i => query.take(i) + query.drop(i + 1))).distinct
+    index.filter(col("variant").isin(qVariants: _*))
+      .filter(levenshtein(col("token"), lit(query)) <= 1)
+      .select(col("token"), col("df_count"))
+      .distinct()
+  }
+
+  /**
    * Fuzzy (edit-distance ≤ 1) term lookup, SymSpell-style: vocabulary
    * terms and the query each expand to their single-deletion variants;
    * two strings within one edit ALWAYS share a variant (equal, or a
    * substitution's common deletion, or one being the other's deletion),
    * so candidates come from an equi-join on compact variant keys — O(|q|)
    * probe keys against |vocab|·(len+1) index rows — instead of a
-   * levenshtein scan of the whole vocabulary. A final codegen'd
-   * `levenshtein` pass kills the false candidates two different
-   * deletions can collide into. Returns matched (token, df_count),
-   * distinct, for query planning or "did you mean".
+   * levenshtein scan of the whole vocabulary. One-shot convenience
+   * composing [[buildDeletionIndex]] + [[fuzzyLookupIndexed]]; a caller
+   * issuing repeated lookups should persist the built index and probe
+   * it directly.
    */
-  def fuzzyTermLookup(vocab: DataFrame, query: String): DataFrame = {
-    require(query.nonEmpty, "query term must be non-empty")
-    val qVariants = (query +:
-      query.indices.map(i => query.take(i) + query.drop(i + 1))).distinct
-    vocab.select(col("token"), col("df_count"),
-        explode(deletionVariants(col("token"))).as("__v"))
-      .filter(col("__v").isin(qVariants: _*))
-      .filter(levenshtein(col("token"), lit(query)) <= 1)
-      .select(col("token"), col("df_count"))
-      .distinct()
-  }
+  def fuzzyTermLookup(vocab: DataFrame, query: String): DataFrame =
+    fuzzyLookupIndexed(buildDeletionIndex(vocab), query)
 
   /**
    * Distinct (trigram, id) posting rows over raw CHARACTERS — the

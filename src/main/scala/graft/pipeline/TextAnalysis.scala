@@ -840,6 +840,83 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group Jensen–Shannon divergence between two corpus slices' token
+   * distributions — the text-side complement of the embedding centroid
+   * drift monitor ("did source X's language shift between snapshots?").
+   * For each group: P = slice A's token distribution, Q = slice B's,
+   * M = (P+Q)/2, and
+   *
+   *   KL(P||M) = Σ_t (a_t/A)·ln(2·a_t·B / (a_t·B + b_t·A))
+   *   JSD = (KL(P||M) + KL(Q||M)) / 2
+   *
+   * reported in integer MICRO-NATS via the q107 seam rule: each token's
+   * ln evaluates ONCE on exact-integer-derived doubles and rounds to
+   * micro-nats, the weighted sums run in DECIMAL(38,0) (counts × signed
+   * micro-nat terms — int64 could wrap at ~1e12 tokens/group), and every
+   * division truncates toward zero (Spark `div` ≡ DuckDB `//`), so any
+   * engine agreeing on ln to 1e-6 replays the panel bit-for-bit. Range:
+   * 0 (identical) to ln 2 ≈ 693 147 micro-nats (disjoint vocabularies).
+   *
+   * Groups missing from EITHER slice report NULL divergences — a single
+   * slice is not a distribution pair, and a monitor should alert on the
+   * absence, not fold it into a number.
+   *
+   * Scale shape: one token explode per slice into (group, token) partial
+   * counts that collapse map-side; a full-outer equi-join on
+   * (group, token) aligns the two count tables (one shuffle each); the
+   * divergence arithmetic then runs on count rows only, never the
+   * stream. Same cost envelope as two [[tokenEntropyByGroup]] passes.
+   */
+  def tokenJsDivergence(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val gs = groupCols.map(col)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(gs :+ explode(tokens(col(textCol))).as("__w"): _*)
+        .groupBy(gs :+ col("__w"): _*)
+        .agg(count(lit(1)).as(out))
+    val ca = counts(dfA, "__a")
+    val cb = counts(dfB, "__b")
+    val aligned = ca.join(cb, groupCols :+ "__w", "full_outer")
+      .select(gs ++ Seq(col("__w"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b")): _*)
+    val totals = aligned.groupBy(gs: _*)
+      .agg(sum(col("__a")).as("__ta"), sum(col("__b")).as("__tb"))
+    // One micro-nat-rounded ln per (token, side); products/sums exact.
+    val lnArg =
+      "(CAST(2 AS DOUBLE) * CAST(%s AS DOUBLE) * CAST(%s AS DOUBLE)) / " +
+        "(CAST(__a AS DOUBLE) * CAST(__tb AS DOUBLE) + " +
+        "CAST(__b AS DOUBLE) * CAST(__ta AS DOUBLE))"
+    val termed = aligned.join(totals, groupCols)
+      .withColumn("__terma",
+        when(col("__a") > 0 && col("__ta") > 0 && col("__tb") > 0,
+          expr(s"CAST(round(ln(${lnArg.format("__a", "__tb")}) * 1e6, 0) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("__termb",
+        when(col("__b") > 0 && col("__ta") > 0 && col("__tb") > 0,
+          expr(s"CAST(round(ln(${lnArg.format("__b", "__ta")}) * 1e6, 0) AS BIGINT)"))
+          .otherwise(lit(0L)))
+    termed.groupBy(gs: _*)
+      .agg(max(col("__ta")).as("tokens_a"),
+        max(col("__tb")).as("tokens_b"),
+        sum(col("__a").cast("decimal(38,0)") * col("__terma")).as("__sa"),
+        sum(col("__b").cast("decimal(38,0)") * col("__termb")).as("__sb"))
+      .withColumn("kl_a_micro_nats",
+        when(col("tokens_a") > 0 && col("tokens_b") > 0, expr("__sa div tokens_a")))
+      .withColumn("kl_b_micro_nats",
+        when(col("tokens_a") > 0 && col("tokens_b") > 0, expr("__sb div tokens_b")))
+      .withColumn("jsd_micro_nats",
+        expr("(kl_a_micro_nats + kl_b_micro_nats) div 2"))
+      .select(gs :+ col("tokens_a") :+ col("tokens_b") :+
+        col("kl_a_micro_nats") :+ col("kl_b_micro_nats") :+
+        col("jsd_micro_nats"): _*)
+  }
+
+  /**
    * Vocabulary-coverage (OOV) report: fit the corpus's own top-`vocabSize`
    * token vocabulary (the [[topTokens]] rule — frequency desc, token asc
    * ties, so the fit is deterministic on any engine), then report per

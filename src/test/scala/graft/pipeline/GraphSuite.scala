@@ -78,5 +78,73 @@ class GraphSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", 0))
     intercept[IllegalArgumentException](
       Graph.pageRank(e, "src", "dst", 1, dampingPermille = 1001))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", 1, checkpointInterval = -1))
+    intercept[IllegalArgumentException](
+      Graph.pageRankRedistributing(e, "src", "dst", 0))
+  }
+
+  /** Scala replay of the redistributing recurrence (dangling mass shared). */
+  private def replayRedist(
+      edges: Seq[(String, String)], iterations: Int, damping: Int = 850): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size.toLong
+    val r0 = Total / n
+    val base = ((1000 - damping) * r0) / 1000
+    var ranks = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iterations) {
+      val dang = nodes.filterNot(outdeg.contains).map(ranks).sum
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => ranks(src) / outdeg(src) }.sum
+      }
+      ranks = nodes.map(v =>
+        v -> (base + (damping * (in.getOrElse(v, 0L) + dang / n)) / 1000)).toMap
+    }
+    ranks
+  }
+
+  private def runRedist(edges: Seq[(String, String)], iterations: Int,
+      checkpointInterval: Int = 0): Map[String, Long] =
+    Graph.pageRankRedistributing(edges.toDF("src", "dst"), "src", "dst",
+        iterations, checkpointInterval = checkpointInterval)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("redistributing variant matches its recurrence replay, sinks included") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a",
+      "d" -> "a", "e" -> "sink", "a" -> "sink") // sink holds dangling mass
+    for (iters <- Seq(1, 3, 5)) {
+      assert(runRedist(edges, iters) === replayRedist(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("redistributing variant conserves mass up to truncation remainders") {
+    val edges = Seq("a" -> "sink", "b" -> "sink", "sink2" -> "a", "b" -> "sink2")
+    val iters = 5
+    val total = runRedist(edges, iters).values.sum
+    val nodes = 4L
+    // each node loses < 1 unit per div per iteration: base div, contrib
+    // divs, dangling div — bound loosely by 3 units/node/iteration
+    assert(total <= Total)
+    assert(total > Total - 3 * nodes * iters, s"total=$total")
+  }
+
+  test("without sinks, both variants agree exactly") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "b")
+    assert(run(edges, 4) === runRedist(edges, 4))
+  }
+
+  test("20 iterations with checkpointInterval runs and matches the replay") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a", "a" -> "d", "e" -> "sink")
+    val got = runRedist(edges, 20, checkpointInterval = 5)
+    assert(got === replayRedist(edges, 20))
+    // plain variant too: checkpointing must not change values
+    val plain = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 20,
+        checkpointInterval = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain === replay(edges, 20))
   }
 }

@@ -346,6 +346,41 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"unexpected expand:\n$plan")
   }
 
+  test("asof forward: inherits the single-exchange no-join shape") {
+    val probe = spark.range(0, 64).select(col("id").as("pid"),
+      (col("id") % 4).cast("string").as("key"), (col("id") * 10).as("pts"))
+    val build = spark.range(0, 32).select(
+      (col("id") % 4).cast("string").as("key"), (col("id") * 17).as("bts"),
+      col("id").cast("double").as("v"))
+    val plan = physical(
+      Joins.asofJoinForward(probe, build, Seq("key"), "pts", "bts", Seq("v")))
+    assert(!plan.contains("Join"), s"forward asof must not materialize pairs:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly one key exchange:\n$plan")
+  }
+
+  test("redistributing pageRank: dangling aggregate broadcasts, no products") {
+    val edges = spark.range(0, 32).select(
+      (col("id") % 7).cast("string").as("src"),
+      ((col("id") + 3) % 7).cast("string").as("dst"))
+    val plan = physical(Graph.pageRankRedistributing(edges, "src", "dst", 2))
+    assert(!plan.contains("CartesianProduct"),
+      s"rank-edge join fell back to a product:\n$plan")
+    assert(!plan.contains("Expand"), s"unexpected expand:\n$plan")
+  }
+
+  test("token JS divergence: count tables align on one (group, token) join, no Expand") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val plan = physical(
+      TextAnalysis.tokenJsDivergence(a, b, "text", Seq("source")))
+    // no countDistinct Expand, no product: partial counts collapse
+    // map-side, the outer join rides hash exchanges
+    assert(!plan.contains("Expand"), s"unexpected expand:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"alignment join fell back to a product:\n$plan")
+  }
+
   test("hex-hash near-dup joins inside band buckets, no nested-loop fallback") {
     val hx = docs.select(col("doc_id"), lpad(hex(col("doc_id")), 16, "0").as("ahash"))
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"

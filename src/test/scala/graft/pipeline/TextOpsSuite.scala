@@ -272,6 +272,77 @@ class TextOpsSuite extends AnyFunSuite {
     assert(hits.toSeq === Seq("ab"), "levenshtein(ab,ba)=2 must be filtered")
   }
 
+  test("fuzzy lookup: a stored deletion index serves many queries without rebuild") {
+    val docs = Seq(
+      (0L, "spark spork sparkk park sprk stark total"),
+      (1L, "spark zzz")
+    ).toDF("doc_id", "text")
+    val vocab = Search.documentFrequencies(
+      Search.buildInvertedIndex(docs, "doc_id", "text"))
+    val idx = Search.buildDeletionIndex(vocab)
+    // index shape: posting rows, one per (token, DISTINCT variant) —
+    // repeated characters collapse coincident deletions (zzz → zz once)
+    assert(idx.columns.sorted.toSeq === Seq("df_count", "token", "variant"))
+    val expectedRows = vocab.collect().map(_.getString(0)).map { tok =>
+      (tok +: tok.indices.map(i => tok.take(i) + tok.drop(i + 1))).distinct.size.toLong
+    }.sum
+    assert(idx.count() === expectedRows)
+    // two different probes against the SAME stored rows (write/read
+    // parquet to pin the serve-from-storage lifecycle)
+    val dir = java.nio.file.Files.createTempDirectory("delidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val a = Search.fuzzyLookupIndexed(stored, "spark")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(a === Seq("park", "spark", "sparkk", "spork", "sprk", "stark"))
+    val b = Search.fuzzyLookupIndexed(stored, "totl")
+      .collect().map(_.getString(0)).toSeq
+    assert(b === Seq("total")) // insertion match from the same index
+    // one-shot convenience must equal build+probe composition
+    val oneShot = Search.fuzzyTermLookup(vocab, "spark")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(oneShot === a)
+  }
+
+  test("token JS divergence: identical, disjoint, missing-side, and hand-computed cases") {
+    // identical slices -> 0 everywhere
+    val same = Seq(("s1", "a a b"), ("s1", "c")).toDF("source", "text")
+    val r0 = TextAnalysis.tokenJsDivergence(same, same, "text", Seq("source"))
+      .head()
+    assert(r0.getAs[Long]("tokens_a") === 4L)
+    assert(r0.getAs[Long]("jsd_micro_nats") === 0L)
+    assert(r0.getAs[Long]("kl_a_micro_nats") === 0L)
+
+    // disjoint vocabularies -> ln 2 = 693147 micro-nats exactly
+    val a1 = Seq(("s", "x x y")).toDF("source", "text")
+    val b1 = Seq(("s", "p q q q")).toDF("source", "text")
+    val r1 = TextAnalysis.tokenJsDivergence(a1, b1, "text", Seq("source")).head()
+    assert(r1.getAs[Long]("jsd_micro_nats") === 693147L)
+
+    // group present on only one side -> NULL divergences, row survives
+    val a2 = Seq(("only_a", "w w")).toDF("source", "text")
+    val b2 = Seq(("only_b", "v")).toDF("source", "text")
+    val rows = TextAnalysis.tokenJsDivergence(a2, b2, "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("tokens_a"), r.getAs[Long]("tokens_b"),
+          r.isNullAt(r.fieldIndex("jsd_micro_nats")))).toMap
+    assert(rows("only_a") === ((2L, 0L, true)))
+    assert(rows("only_b") === ((0L, 1L, true)))
+
+    // hand-computed asymmetric case: A = {a:3, b:1}, B = {a:1, b:1}
+    val a3 = Seq(("s", "a a a b")).toDF("source", "text")
+    val b3 = Seq(("s", "a b")).toDF("source", "text")
+    val r3 = TextAnalysis.tokenJsDivergence(a3, b3, "text", Seq("source")).head()
+    def term(n: Long, tOther: Long, a: Long, b: Long, ta: Long, tb: Long): Long =
+      math.round(math.log((2.0 * n * tOther) / (1.0 * a * tb + 1.0 * b * ta)) * 1e6)
+    val klA = (3 * term(3, 2, 3, 1, 4, 2) + 1 * term(1, 2, 1, 1, 4, 2)) / 4
+    val klB = (1 * term(1, 4, 3, 1, 4, 2) + 1 * term(1, 4, 1, 1, 4, 2)) / 2
+    assert(r3.getAs[Long]("kl_a_micro_nats") === klA)
+    assert(r3.getAs[Long]("kl_b_micro_nats") === klB)
+    assert(r3.getAs[Long]("jsd_micro_nats") === (klA + klB) / 2)
+    assert(r3.getAs[Long]("jsd_micro_nats") > 0L)
+  }
+
   test("substring search: literal grep semantics, cross-token, trigram FPs verified away") {
     val docs = Seq(
       (0L, "the quick brown fox"),
