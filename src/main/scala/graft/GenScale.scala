@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic scale-up of the driver-generated testdata: derives an
+ * sfN directory from sf0.1 by unioning `copies` perturbed replicas of
+ * the three tables the heavy (scaling-audited) queries read —
+ * `documents`, `embeddings`, `events`. Purpose: MEASURED scaling
+ * exponents (SCALING.md) for the operators whose 100×-scale behavior
+ * was previously argued from plan shape only.
+ *
+ * Perturbation design — the point is that each replica preserves
+ * sf0.1's internal structure while staying DISJOINT from the others, so
+ * k× data means k× the work, not k²:
+ *
+ *  - documents: replica k>0 suffixes every token with `x<k>`
+ *    (`regexp_replace('(\S+)' -> '$1xk')`). Token multisets within a
+ *    replica keep sf0.1's exact shape (same duplicate clusters, same
+ *    frequency profile), but replicas share no vocabulary — MinHash/
+ *    SimHash/n-gram dedup sees 10 independent copies of the sf0.1
+ *    duplicate structure instead of one giant cross-replica clique
+ *    (which plain copying would produce, quadratically inflating pair
+ *    outputs and measuring output growth, not operator scaling).
+ *  - embeddings: replica k rotates each vector left by k positions —
+ *    norms and per-dimension distributions survive, while rotated
+ *    copies land far apart in cosine space, so ANN/near-dup workloads
+ *    scale in corpus size without synthetic cross-replica neighbors.
+ *  - events: user ids offset per replica (10× users, per-user event
+ *    density unchanged — the realistic growth axis for sessionization
+ *    and as-of joins); timestamps unchanged so time-bucketing keeps its
+ *    density per bucket-key.
+ *
+ * Ids offset by (max+1)·k per replica — disjoint, integral, and the
+ * lowest-id document (q139's needle anchor) stays the sf0.1 one.
+ *
+ * Usage: runMain graft.GenScale <srcDir> <outDir> [copies=10]
+ */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: GenScale <srcDir> <outDir> [copies]")
+    val srcDir = args(0)
+    val outDir = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      // Same nanos convention as Bench/Verify: events.ts stays the raw
+      // long-nanos column byte-for-byte through the rewrite.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // documents: per-replica vocabulary rename
+    val docs = read("documents")
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    write((0 until copies).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1x" + k)
+      docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _), "documents")
+
+    // embeddings: per-replica rotation
+    val emb = read("embeddings")
+    val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(copies <= dim, s"rotation needs copies <= dim ($copies > $dim)")
+    write((0 until copies).map { k =>
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      emb.select((col("vec_id") + lit(k * vecStride)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionByName _), "embeddings")
+
+    // events: per-replica user and event id offsets
+    val ev = read("events")
+    val evStride = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val userStride = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+    write((0 until copies).map { k =>
+      ev.select((col("event_id") + lit(k * evStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), "events")
+
+    // scale-factor bookkeeping for the bench JSON
+    println(s"""{"generated":"$outDir","copies":$copies}""")
+    spark.stop()
+  }
+}
