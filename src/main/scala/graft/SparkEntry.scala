@@ -1440,6 +1440,41 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q147_pmi_collocations" -> ((s, d) => {
+      // Multi-word-expression mining: top-20 bigram collocations by
+      // PMI in integer micro-nats (one rounded ln per surviving
+      // bigram), pair count floored at 5 — the phrase-vocabulary pass
+      // before tokenizer training. Totals are 1-row broadcasts; the
+      // top-k is a bounded TakeOrdered.
+      TextAnalysis.collocationsPmi(t(s, d, "documents"), "text",
+          minCount = 5L, k = 20)
+        .orderBy(desc("pmi_micro_nats"), asc("bigram"))
+    }),
+
+    "q148_js_contributors" -> ((s, d) => {
+      // The q146 alert's drill-down: per source, the 5 tokens
+      // contributing most to the even/odd-half JS divergence — ranked
+      // by the exact common-denominator integer so display truncation
+      // can't manufacture ties, reported in the JSD sum's micro-nat
+      // units.
+      val docs = t(s, d, "documents")
+      TextAnalysis.tokenJsDivergenceContributors(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", Seq("source"), k = 5)
+        .orderBy("source", "rank")
+    }),
+
+    "q149_zipf_slope" -> ((s, d) => {
+      // Per-source Zipf slope over the top-100 tokens: least-squares
+      // ln(freq)-vs-ln(rank) with micro-nat-rounded logs, DECIMAL-exact
+      // regression sums, one truncating division — the one-number
+      // naturalness check (prose ≈ −1e6 micro-units).
+      TextAnalysis.zipfSlopeByGroup(t(s, d, "documents"), "text",
+          Seq("source"), topN = 100)
+        .orderBy("source")
+    }),
+
     "q146_token_js_divergence" -> ((s, d) => {
       // Token-distribution drift monitor: per-source Jensen–Shannon
       // divergence between the even-id and odd-id halves of the corpus
@@ -4026,6 +4061,107 @@ object SparkEntry {
         |JOIN b ON c.event_id = b.event_id
         |JOIN f ON c.event_id = f.event_id
         |ORDER BY c.event_id""".stripMargin,
+
+    // q147: the same bigram/unigram count tables and the same one-ln
+    // PMI seam; the (pmi DESC, bigram) total order pins the top-20.
+    "q147_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(l)),
+        |    i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+        |  FROM t),
+        |bc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM pairs GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(l) AS w FROM t) GROUP BY w),
+        |tu AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uc),
+        |tb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS tb FROM bc)
+        |SELECT w1 || ' ' || w2 AS bigram, c_xy AS pair_count,
+        |  CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(tu.tu AS DOUBLE) * CAST(tu.tu AS DOUBLE)) /
+        |    (CAST(tb.tb AS DOUBLE) * CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |    AS pmi_micro_nats
+        |FROM bc JOIN uc cx ON bc.w1 = cx.w JOIN uc cy ON bc.w2 = cy.w, tu, tb
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_micro_nats DESC, bigram
+        |LIMIT 20""".stripMargin,
+
+    // q148: the q146 aligned counts, the exact common-denominator rank
+    // key, the same truncating per-token contribution display.
+    "q148_js_contributors" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id % 2 AS side,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |c AS (
+        |  SELECT source, w,
+        |    CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS b
+        |  FROM tok GROUP BY source, w),
+        |t AS (
+        |  SELECT source, CAST(sum(a) AS BIGINT) AS ta,
+        |    CAST(sum(b) AS BIGINT) AS tb
+        |  FROM c GROUP BY source),
+        |j AS (
+        |  SELECT c.source, c.w, a, b, ta, tb,
+        |    CASE WHEN a > 0 THEN
+        |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)) /
+        |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+        |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |      ELSE 0 END AS terma,
+        |    CASE WHEN b > 0 THEN
+        |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)) /
+        |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+        |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |      ELSE 0 END AS termb
+        |  FROM c JOIN t ON c.source = t.source
+        |  WHERE ta > 0 AND tb > 0),
+        |r AS (
+        |  SELECT source, w, a, b,
+        |    CAST(a AS HUGEINT) * terma * tb + CAST(b AS HUGEINT) * termb * ta AS ex,
+        |    (CAST(a AS HUGEINT) * terma) // ta
+        |      + (CAST(b AS HUGEINT) * termb) // tb AS contrib
+        |  FROM j),
+        |rk AS (
+        |  SELECT source, w, a, b, contrib,
+        |    row_number() OVER (PARTITION BY source ORDER BY ex DESC, w) AS rank
+        |  FROM r)
+        |SELECT source, CAST(rank AS INT) AS rank, w AS token,
+        |  a AS count_a, b AS count_b,
+        |  CAST(contrib AS BIGINT) AS contribution_micro_nats
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // q149: the same (freq DESC, token) rank rule, micro-nat logs,
+    // HUGEINT-exact regression sums, one truncating `//`.
+    "q149_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY source, w),
+        |rk AS (
+        |  SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+        |  FROM c),
+        |xy AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+        |  FROM rk WHERE r <= 100),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY source)
+        |SELECT source, n_terms,
+        |  CASE WHEN n_terms >= 2 THEN
+        |    CAST(((n_terms * sxy - sx * sy) * 1000000)
+        |      // (n_terms * sxx - sx * sx) AS BIGINT)
+        |  END AS slope_micro
+        |FROM g ORDER BY source""".stripMargin,
 
     // q146: the same aligned count table (FILTER replaces the full-outer
     // join), one rounded ln per (token, side) on all-double products,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -914,6 +915,181 @@ object TextAnalysis {
       .select(gs :+ col("tokens_a") :+ col("tokens_b") :+
         col("kl_a_micro_nats") :+ col("kl_b_micro_nats") :+
         col("jsd_micro_nats"): _*)
+  }
+
+  /**
+   * Top-`k` bigram collocations by pointwise mutual information — the
+   * multi-word-expression miner ("new york", "machine learning") every
+   * corpus vocabulary build wants before tokenizer training. With
+   * unigram counts c_x over total Tu and bigram counts c_xy over total
+   * Tb:
+   *
+   *   PMI(x,y) = ln( (c_xy · Tu · Tu) / (Tb · c_x · c_y) )
+   *
+   * in integer micro-nats (one rounded ln per surviving bigram on
+   * exact-integer-derived doubles — the q107 seam). `minCount` floors
+   * c_xy first: PMI is notoriously noisy on hapax pairs, and the floor
+   * also keeps the ln argument well-conditioned. Ties order by bigram
+   * text, so the top-k set is deterministic.
+   *
+   * Scale shape: two explodes (tokens, adjacent pairs) into partial-
+   * aggregated count tables; the bigram table joins the unigram table
+   * twice on compact token keys; totals are 1-row broadcasts. The
+   * final top-k is a bounded TakeOrdered, never a full sort to disk.
+   */
+  def collocationsPmi(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = tokens(col(textCol))
+    val pairs = df.select(explode(
+        when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val unigramCounts = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tu = broadcast(unigramCounts.agg(sum(col("c")).as("__tu")))
+    val tb = broadcast(bigramCounts.agg(sum(col("c_xy")).as("__tb")))
+    bigramCounts.filter(col("c_xy") >= minCount)
+      .join(unigramCounts.select(col("w").as("w1"), col("c").as("__cx")), "w1")
+      .join(unigramCounts.select(col("w").as("w2"), col("c").as("__cy")), "w2")
+      .crossJoin(tu).crossJoin(tb)
+      .withColumn("pmi_micro_nats",
+        expr("CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(__tu AS DOUBLE) * CAST(__tu AS DOUBLE)) / " +
+          "(CAST(__tb AS DOUBLE) * CAST(__cx AS DOUBLE) * CAST(__cy AS DOUBLE))) * 1e6, 0) AS BIGINT)"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_xy").as("pair_count"), col("pmi_micro_nats"))
+      .orderBy(desc("pmi_micro_nats"), asc("bigram"))
+      .limit(k)
+  }
+
+  /**
+   * The drill-down behind [[tokenJsDivergence]]: for each group, the
+   * `k` tokens contributing MOST to the divergence — the "which words
+   * drifted" answer a monitor alert needs next. Per-token contribution
+   * (in the JSD sum's own micro-nat units):
+   *
+   *   contrib = (a·termA) div A + (b·termB) div B
+   *
+   * RANKING however uses the exact common-denominator integer
+   * a·termA·B + b·termB·A (order-equivalent within a group, since
+   * A·B > 0 is constant there) so tiny truncated display values can't
+   * collapse the order into ties; remaining ties order by token. Groups
+   * missing a side are dropped (no distribution pair — [[tokenJsDivergence]]
+   * reports them as NULL rows; the drill-down has nothing to rank).
+   *
+   * Same aligned-count shape as the divergence itself, plus one
+   * bounded per-group top-k window over (group, token) count rows.
+   */
+  def tokenJsDivergenceContributors(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gs = groupCols.map(col)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(gs :+ explode(tokens(col(textCol))).as("__w"): _*)
+        .groupBy(gs :+ col("__w"): _*)
+        .agg(count(lit(1)).as(out))
+    val aligned = counts(dfA, "__a").join(counts(dfB, "__b"),
+        groupCols :+ "__w", "full_outer")
+      .select(gs ++ Seq(col("__w"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b")): _*)
+    val totals = aligned.groupBy(gs: _*)
+      .agg(sum(col("__a")).as("__ta"), sum(col("__b")).as("__tb"))
+    val lnArg =
+      "(CAST(2 AS DOUBLE) * CAST(%s AS DOUBLE) * CAST(%s AS DOUBLE)) / " +
+        "(CAST(__a AS DOUBLE) * CAST(__tb AS DOUBLE) + " +
+        "CAST(__b AS DOUBLE) * CAST(__ta AS DOUBLE))"
+    val termed = aligned.join(totals, groupCols)
+      .where(col("__ta") > 0 && col("__tb") > 0)
+      .withColumn("__terma",
+        when(col("__a") > 0,
+          expr(s"CAST(round(ln(${lnArg.format("__a", "__tb")}) * 1e6, 0) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("__termb",
+        when(col("__b") > 0,
+          expr(s"CAST(round(ln(${lnArg.format("__b", "__ta")}) * 1e6, 0) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("__exact",
+        expr("CAST(__a AS DECIMAL(38,0)) * __terma * __tb + " +
+          "CAST(__b AS DECIMAL(38,0)) * __termb * __ta"))
+      .withColumn("contribution_micro_nats",
+        expr("(CAST(__a AS DECIMAL(38,0)) * __terma) div __ta + " +
+          "(CAST(__b AS DECIMAL(38,0)) * __termb) div __tb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(desc("__exact"), asc("__w"))
+    termed.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(gs ++ Seq(col("rank"), col("__w").as("token"),
+        col("__a").as("count_a"), col("__b").as("count_b"),
+        col("contribution_micro_nats")): _*)
+  }
+
+  /**
+   * Per-group Zipf slope: the least-squares slope of ln(freq) against
+   * ln(rank) over the group's top-`topN` tokens — the one-number
+   * naturalness check (real prose sits near −1; template spam and
+   * boilerplate flatten toward 0, id dumps steepen). Ranks follow the
+   * [[topTokens]] rule (freq desc, token asc). Seam discipline: x =
+   * ln(rank) and y = ln(freq) each round ONCE to integer micro-nats,
+   * the four regression sums (Σx, Σy, Σxy, Σx²) accumulate in
+   * DECIMAL(38,0), and the final slope is one truncating division
+   *
+   *   slope_micro = (n·Σxy − Σx·Σy) · 1e6 div (n·Σx² − (Σx)²)
+   *
+   * (micro-units: −1 000 000 ≈ the canonical Zipf exponent). Groups
+   * with fewer than 2 ranked tokens report NULL (a point has no slope).
+   *
+   * Scale shape: (group, token) counts collapse map-side; the rank
+   * window runs per group over vocabulary rows only — the documented
+   * per-group-vocabulary skew point shared with [[topTokens]]; the
+   * regression is then one aggregate over ≤ topN rows per group.
+   */
+  def zipfSlopeByGroup(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      topN: Int = 100): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val gs = groupCols.map(col)
+    val counts = df.select(gs :+ explode(tokens(col(textCol))).as("__w"): _*)
+      .groupBy(gs :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__c"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(desc("__c"), asc("__w"))
+    val ranked = counts.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= topN)
+      .withColumn("__x",
+        expr("CAST(round(ln(CAST(__r AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+      .withColumn("__y",
+        expr("CAST(round(ln(CAST(__c AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+    ranked.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+      .withColumn("slope_micro",
+        when(col("n_terms") >= 2,
+          expr("CAST(((n_terms * __sxy - __sx * __sy) * 1000000) div " +
+            "(n_terms * __sxx - __sx * __sx) AS BIGINT)")))
+      .select(gs :+ col("n_terms") :+ col("slope_micro"): _*)
   }
 
   /**

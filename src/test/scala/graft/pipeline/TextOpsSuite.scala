@@ -343,6 +343,71 @@ class TextOpsSuite extends AnyFunSuite {
     assert(r3.getAs[Long]("jsd_micro_nats") > 0L)
   }
 
+  test("PMI collocations: hand-computed value, min-count floor, deterministic top-k") {
+    // "a b" x5 adjacent, "b a" x4 — only "a b" survives minCount=5.
+    // Tu=10 (a:5, b:5), Tb=9. PMI = ln(5*10*10 / (9*5*5)).
+    val docs = Seq((0L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsPmi(docs, "text", minCount = 5L, k = 20)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "a b")
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === math.round(math.log(500.0 / 225.0) * 1e6))
+    // floor at 4 admits the reverse bigram too, ordered by PMI then text
+    val out4 = TextAnalysis.collocationsPmi(docs, "text", minCount = 4L, k = 20)
+      .collect().map(_.getString(0)).toSeq
+    assert(out4 === Seq("a b", "b a")) // PMI(a,b) > PMI(b,a) since c_xy 5 > 4
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocationsPmi(docs, "text", minCount = 0L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocationsPmi(docs, "text", k = 0))
+  }
+
+  test("JS divergence contributors: exact ranking, symmetric case ties by token") {
+    // A = {x:3, y:1}, B = {x:1, y:3}: contributions are symmetric, so
+    // the exact keys tie and token order breaks it (x before y).
+    val a = Seq(("s", "x x x y")).toDF("source", "text")
+    val b = Seq(("s", "y y y x")).toDF("source", "text")
+    val out = TextAnalysis.tokenJsDivergenceContributors(a, b, "text", Seq("source"), k = 5)
+      .collect().map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getString(r.fieldIndex("token")),
+        r.getLong(r.fieldIndex("contribution_micro_nats"))))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1, "x"), (2, "y")))
+    // replicate the documented arithmetic: ta = tb = 4
+    def term(n: Long, tOther: Long, ca: Long, cb: Long): Long =
+      math.round(math.log((2.0 * n * tOther) / (1.0 * ca * 4 + 1.0 * cb * 4)) * 1e6)
+    val contribX = (3 * term(3, 4, 3, 1)) / 4 + (1 * term(1, 4, 3, 1)) / 4
+    assert(out.find(_._2 == "x").get._3 === contribX)
+    // top-k bounds the output
+    val one = TextAnalysis.tokenJsDivergenceContributors(a, b, "text", Seq("source"), k = 1)
+      .collect()
+    assert(one.length === 1 && one.head.getString(2) === "x")
+    // a group missing one side is dropped (nothing to rank)
+    val onlyA = Seq(("ghost", "w w")).toDF("source", "text")
+    val empty = TextAnalysis.tokenJsDivergenceContributors(
+      onlyA, b.filter(lit(false)), "text", Seq("source"))
+    assert(empty.count() === 0)
+  }
+
+  test("zipf slope: exact least-squares replay, single-token group reports NULL") {
+    // counts a:4, b:2, c:1 -> ranks 1,2,3
+    val docs = Seq(("s1", "a a a a b b c"), ("s2", "only")).toDF("source", "text")
+    val out = TextAnalysis.zipfSlopeByGroup(docs, "text", Seq("source"), topN = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val xs = Seq(1L, 2L, 3L).map(r => math.round(math.log(r.toDouble) * 1e6))
+    val ys = Seq(4L, 2L, 1L).map(c => math.round(math.log(c.toDouble) * 1e6))
+    val n = BigInt(3)
+    val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val slope = ((n * sxy - sx * sy) * 1000000) / (n * sxx - sx * sx)
+    assert(out("s1") === ((3L, Some(slope.toLong))))
+    assert(slope < 0) // Zipf slopes are negative
+    assert(out("s2") === ((1L, None))) // a point has no slope
+  }
+
   test("substring search: literal grep semantics, cross-token, trigram FPs verified away") {
     val docs = Seq(
       (0L, "the quick brown fox"),
