@@ -1440,6 +1440,52 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q150_leakage_safe_split" -> ((s, d) => {
+      // Cluster-integral train/val/test: every near-dup CLUSTER lands
+      // whole in one split — per-doc assignment (q49) would leak
+      // near-copies of train docs into val/test, the classic eval
+      // contamination bug. Components come from the verified MinHash
+      // pair graph (q46's machinery); unpaired docs are their own
+      // cluster; the split key is the cluster representative (min
+      // reachable doc_id), assigned by the q49 md5-bucket rule — so the
+      // whole cluster shares the key and therefore the split.
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.9)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val clustered = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+      Sampling.assignSplits(clustered, "cluster",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "seed42")
+        .orderBy("doc_id")
+    }),
+
+    "q151_incremental_index" -> ((s, d) => {
+      // Incremental inverted-index lifecycle: the even-id half persists
+      // as the base index (built once); the odd-id batch's postings
+      // union in WITHOUT re-tokenizing the corpus (the q103 daily-ingest
+      // convention); a conjunctive query over the merged generations
+      // must equal a from-scratch index of the full corpus — which is
+      // exactly what the oracle computes. Terms: vocabulary ranks 20-21
+      // of the FULL corpus (the q130 pick).
+      val docs = t(s, d, "documents")
+      val bpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/inverted_index_even"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$bpath/_SUCCESS").exists()) {
+          Search.buildInvertedIndex(docs.where(col("doc_id") % 2 === 0),
+              "doc_id", "text")
+            .write.mode("overwrite").parquet(bpath)
+        }
+      }
+      val merged = Search.updateInvertedIndex(s.read.parquet(bpath),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(19, 21).toSeq
+      Search.searchConjunctive(merged, terms).orderBy("id")
+    }),
+
     "q147_pmi_collocations" -> ((s, d) => {
       // Multi-word-expression mining: top-20 bigram collocations by
       // PMI in integer micro-nats (one rounded ln per surviving
@@ -4061,6 +4107,59 @@ object SparkEntry {
         |JOIN b ON c.event_id = b.event_id
         |JOIN f ON c.event_id = f.event_id
         |ORDER BY c.event_id""".stripMargin,
+
+    // q150: the q46 recursive-CTE components, singletons defaulting to
+    // their own id, then the q49 md5-bucket split rule keyed by the
+    // CLUSTER — every cluster member shares the bucket, so leakage
+    // across splits is impossible by construction.
+    "q150_leakage_safe_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |clustered AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |b AS (
+        |  SELECT doc_id, cluster,
+        |    ('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'seed42'), 25, 8))::BIGINT
+        |      % 1000000 AS bucket
+        |  FROM clustered)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN bucket < 800000 THEN 'train'
+        |       WHEN bucket < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q151: the merged index generations must equal a from-scratch
+    // index of the full corpus — so the oracle IS the q130 full-corpus
+    // conjunctive query.
+    "q151_incremental_index" ->
+      """WITH allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 2 OFFSET 19),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |m AS (
+        |  SELECT doc_id, count(*) AS hits
+        |  FROM tok WHERE token IN (SELECT v FROM terms)
+        |  GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS id
+        |FROM m WHERE hits = 2 ORDER BY id""".stripMargin,
 
     // q147: the same bigram/unigram count tables and the same one-ln
     // PMI seam; the (pmi DESC, bigram) total order pins the top-20.

@@ -36,6 +36,23 @@ object Search {
   def documentFrequencies(index: DataFrame): DataFrame =
     index.groupBy("token").agg(count(lit(1)).as("df_count"))
 
+  /**
+   * Incremental index update — the daily-ingest shape of the persisted
+   * inverted index (the q103 minhash-index convention): only the NEW
+   * batch pays tokenization; its posting rows union with the stored
+   * table. The trailing `distinct` makes re-ingesting a replayed batch
+   * idempotent (same (token, id) rows collapse) and its partial
+   * aggregation runs map-side, so the cost is one shuffle of the
+   * combined posting rows — no corpus re-scan, no index rebuild. Write
+   * the result back as the new index generation.
+   */
+  def updateInvertedIndex(
+      stored: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    stored.unionByName(buildInvertedIndex(newDocs, idCol, textCol)).distinct()
+
   /** Weighted posting rows (token, id, tf) — term frequency per document,
    *  the ranked-retrieval side of the index. Same skew-safe row shape. */
   def buildWeightedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -343,6 +343,24 @@ class TextOpsSuite extends AnyFunSuite {
     assert(r3.getAs[Long]("jsd_micro_nats") > 0L)
   }
 
+  test("incremental index update: equals a from-scratch rebuild, replay-idempotent") {
+    val base = Seq((0L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha delta"), (3L, "beta beta alpha")).toDF("doc_id", "text")
+    val stored = Search.buildInvertedIndex(base, "doc_id", "text")
+    val merged = Search.updateInvertedIndex(stored, batch, "doc_id", "text")
+    val rebuilt = Search.buildInvertedIndex(base.unionByName(batch), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(merged) === rows(rebuilt))
+    // replaying the same batch adds nothing (distinct collapses it)
+    val replayed = Search.updateInvertedIndex(merged, batch, "doc_id", "text")
+    assert(rows(replayed) === rows(merged))
+    // a conjunctive query over the merged index sees old and new docs
+    val hits = Search.searchConjunctive(merged, Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits === Seq(0L, 3L))
+  }
+
   test("PMI collocations: hand-computed value, min-count floor, deterministic top-k") {
     // "a b" x5 adjacent, "b a" x4 — only "a b" survives minCount=5.
     // Tu=10 (a:5, b:5), Tb=9. PMI = ln(5*10*10 / (9*5*5)).
