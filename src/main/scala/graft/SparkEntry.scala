@@ -1440,6 +1440,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q152_bpe_merges" -> ((s, d) => {
+      // Tokenizer training's core loop: the first 8 BPE merges over the
+      // corpus vocabulary — pair counts weighted by word frequency,
+      // greedy left-to-right merge via literal delimited-string
+      // replacement, ties (weight DESC, lhs, rhs). Output IS the merge
+      // table a BPE tokenizer executes. Oracle: eight generated DuckDB
+      // iteration CTEs replaying count → top-1 → rewrite exactly.
+      TextAnalysis.bpeMerges(t(s, d, "documents"), "text", k = 8)
+        .orderBy("merge_rank")
+    }),
+
     "q150_leakage_safe_split" -> ((s, d) => {
       // Cluster-integral train/val/test: every near-dup CLUSTER lands
       // whole in one split — per-doc assignment (q49) would leak
@@ -4108,6 +4119,10 @@ object SparkEntry {
         |JOIN f ON c.event_id = f.event_id
         |ORDER BY c.event_id""".stripMargin,
 
+    // q152: the same vocab encoding and eight iteration CTEs — pair
+    // count, (weight DESC, a, b) top-1, literal replace rewrite.
+    "q152_bpe_merges" -> bpeOracleSql,
+
     // q150: the q46 recursive-CTE components, singletons defaulting to
     // their own id, then the q49 md5-bucket split rule keyed by the
     // CLUSTER — every cluster member shares the bucket, so leakage
@@ -5648,6 +5663,45 @@ object SparkEntry {
     }.mkString
     prefix + iterations +
       "\nSELECT node, r AS rank_ppt FROM i5 ORDER BY node"
+  }
+
+  /** q152 oracle: vocabulary as delimited symbol strings, then per
+    * iteration a pair-count CTE, a (weight DESC, a, b) top-1 CTE, and a
+    * literal-replace rewrite CTE — DuckDB's `replace` shares Java's
+    * non-overlapping left-to-right scan, so the greedy merge order
+    * replays exactly. */
+  private def bpeOracleSql: String = {
+    val prefix =
+      """WITH w0 AS (
+        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS repr,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND len(trim(text)) > 0)
+        |  WHERE NOT contains(w, '|')
+        |  GROUP BY w)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS wgt
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(l)),
+         |      j -> {'a': l[j], 'b': l[j + 1]})) AS pr
+         |    FROM (SELECT freq, string_split(trim(repr, '|'), '||') AS l
+         |          FROM w${i - 1})
+         |    WHERE len(l) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, wgt FROM p$i ORDER BY wgt DESC, a, b LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(repr, '|' || m.a || '||' || m.b || '|',
+         |                 '|' || m.a || m.b || '|') AS repr, freq
+         |  FROM w${i - 1}, m$i m)""".stripMargin
+    }.mkString
+    val select = (1 to 8).map(i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, wgt AS weight FROM m$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+    prefix + iters + select
   }
 
   private def asofOracleSql: String =

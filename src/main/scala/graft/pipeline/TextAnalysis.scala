@@ -918,6 +918,72 @@ object TextAnalysis {
   }
 
   /**
+   * The first `k` BPE merges over the corpus vocabulary — tokenizer
+   * training's core loop (Sennrich et al. 2016), run the Spark way.
+   * Words (whitespace tokens) aggregate once into (word, freq) vocab
+   * rows; each word's symbol sequence is encoded as a DELIMITED STRING
+   * (`"abc"` → `"|a||b||c|"`), so a merge is one LITERAL string
+   * replacement — `replace("|a||b|" → "|ab|")` — whose non-overlapping
+   * left-to-right scan IS BPE's greedy merge order (the `"aaaa"` case:
+   * first `"|a||a|"` wins, scan resumes after it, yielding `aa aa`, not
+   * `aa a a`). Per iteration: one pair-count aggregate over vocab rows
+   * weighted by word frequency, one driver-side top-1 (bounded — a
+   * single row), one literal rewrite. Ties break (weight DESC, left
+   * ASC, right ASC) so the merge table is a pure function of the
+   * corpus.
+   *
+   * Returns the trained artifact itself: (merge_rank, lhs, rhs,
+   * weight) — the merge table a BPE tokenizer executes. Words
+   * containing the delimiter `|` are excluded (documented contract; a
+   * production corpus escapes them upstream).
+   *
+   * Scale shape: everything iterates over VOCAB rows (one shuffle to
+   * build them from the token stream), never the corpus; the k
+   * per-iteration aggregates are map-side-partial counts over compact
+   * (a, b, weight) rows. The merge loop's driver state is k rows.
+   */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val vocab = df.select(explode(tokens(col(textCol))).as("__w"))
+      .where(!col("__w").contains("|"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
+      .select(regexp_replace(col("__w"), "(.)", "|$1|").as("__repr"),
+        col("__freq"))
+    var cur = vocab.localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val syms = split(trim(col("__repr"), "|"), "\\|\\|")
+      val top = cur
+        .where(size(syms) >= 2)
+        .select(col("__freq"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          j => struct(element_at(syms, j).as("a"),
+            element_at(syms, j + 1).as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+        .agg(sum(col("__freq")).as("__wgt"))
+        .orderBy(desc("__wgt"), asc("__a"), asc("__b"))
+        .limit(1).collect()
+      if (top.isEmpty) {
+        exhausted = true // corpus ran out of pairs before k merges
+      } else {
+        val (a, b, w) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((i, a, b, w))
+        // literal (regex-quoted) replacement: symbols may hold any char
+        val pat = java.util.regex.Pattern.quote(s"|$a||$b|")
+        val rep = java.util.regex.Matcher.quoteReplacement(s"|$a$b|")
+        cur = cur.select(
+          regexp_replace(col("__repr"), lit(pat), lit(rep)).as("__repr"),
+          col("__freq")).localCheckpoint(eager = false)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "weight")
+  }
+
+  /**
    * Top-`k` bigram collocations by pointwise mutual information — the
    * multi-word-expression miner ("new york", "machine learning") every
    * corpus vocabulary build wants before tokenizer training. With

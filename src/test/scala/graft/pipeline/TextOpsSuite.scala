@@ -361,6 +361,31 @@ class TextOpsSuite extends AnyFunSuite {
     assert(hits === Seq(0L, 3L))
   }
 
+  test("BPE merges: hand-computed greedy sequence, exhaustion, tie rule") {
+    // vocab: "aaab" x2, "ab" x1
+    // iter1: (a,a) weight 4 beats (a,b) weight 3 -> merge; greedy
+    //        left-to-right gives aa,a,b (not a,aa,b)
+    // iter2: (a,b) weight 3 beats (aa,a) weight 2 -> merge
+    // iter3: (aa,ab) weight 2 -> merge; then no pairs remain
+    val docs = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, "a", "a", 4L),
+      (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L))) // stops early: pairs exhausted before k
+    // equal-weight pairs resolve (lhs, rhs) ascending
+    val tie = TextAnalysis.bpeMerges(
+      Seq((0L, "xy yx")).toDF("doc_id", "text"), "text", k = 1)
+      .head()
+    assert((tie.getString(1), tie.getString(2)) === (("x", "y")))
+    // words containing the delimiter are excluded by contract
+    val guarded = TextAnalysis.bpeMerges(
+      Seq((0L, "a|b cd cd")).toDF("doc_id", "text"), "text", k = 1).head()
+    assert((guarded.getString(1), guarded.getString(2)) === (("c", "d")))
+    intercept[IllegalArgumentException](TextAnalysis.bpeMerges(docs, "text", 0))
+  }
+
   test("PMI collocations: hand-computed value, min-count floor, deterministic top-k") {
     // "a b" x5 adjacent, "b a" x4 — only "a b" survives minCount=5.
     // Tu=10 (a:5, b:5), Tb=9. PMI = ln(5*10*10 / (9*5*5)).
