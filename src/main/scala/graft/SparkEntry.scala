@@ -1440,6 +1440,51 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q153_stream_drift_monitor" -> ((s, d) => {
+      // The drift monitor on the streaming surface: the even-id half's
+      // per-source token histogram persists ONCE as the reference; the
+      // odd-id half streams through the xmlng source and each
+      // micro-batch appends its own (source, token, cnt) partial counts
+      // to a parquet sink — counts are ADDITIVE, so the drained sum is
+      // batch-boundary-independent and the final JSD equals the batch
+      // computation exactly (gated by the q146 oracle verbatim). No
+      // streaming aggregation state: the per-batch work is a stateless
+      // count, the nonlinear divergence runs once on the summed counts.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val rpath = s"/tmp/graft_kmv/$sfName/drift_reference"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$rpath/_SUCCESS").exists()) {
+          TextAnalysis.tokenCountsByGroup(
+              docs.where(col("doc_id") % 2 === 0), "text", Seq("source"))
+            .write.mode("overwrite").parquet(rpath)
+        }
+      }
+      val reference = s.read.parquet(rpath)
+      val xin = s"/tmp/graft_xml/$sfName/stream_drift_in_v1"
+      val batchIn = docs.where(col("doc_id") % 2 === 1)
+        .select("doc_id", "source", "text")
+      xmlInputOnce(batchIn, xin, "doc")
+      val base = s"/tmp/graft_xml/$sfName/stream_drift_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(batchIn.schema).load(xin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextAnalysis.tokenCountsByGroup(bdf, "text", Seq("source"))
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.read.parquet(s"$base/out")
+        .groupBy("source", "token").agg(sum("cnt").as("cnt"))
+      TextAnalysis.tokenJsDivergenceFromCounts(reference, streamed, Seq("source"))
+        .orderBy("source")
+    }),
+
     "q152_bpe_merges" -> ((s, d) => {
       // Tokenizer training's core loop: the first 8 BPE merges over the
       // corpus vocabulary — pair counts weighted by word frequency,
@@ -4282,43 +4327,11 @@ object SparkEntry {
     // HUGEINT-exact weighted sums CAST back, truncating `//` at every
     // seam (DuckDB `//` ≡ Spark `div`: both truncate toward zero, which
     // matters here — rounded KL sums can dip below zero).
-    "q146_token_js_divergence" ->
-      """WITH tok AS (
-        |  SELECT source, doc_id % 2 AS side,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
-        |c AS (
-        |  SELECT source, w,
-        |    CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS a,
-        |    CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS b
-        |  FROM tok GROUP BY source, w),
-        |t AS (
-        |  SELECT source, CAST(sum(a) AS BIGINT) AS ta,
-        |    CAST(sum(b) AS BIGINT) AS tb
-        |  FROM c GROUP BY source),
-        |j AS (
-        |  SELECT c.source, a, b, ta, tb,
-        |    CASE WHEN a > 0 AND ta > 0 AND tb > 0 THEN
-        |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)) /
-        |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
-        |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
-        |      ELSE 0 END AS terma,
-        |    CASE WHEN b > 0 AND ta > 0 AND tb > 0 THEN
-        |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)) /
-        |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
-        |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
-        |      ELSE 0 END AS termb
-        |  FROM c JOIN t ON c.source = t.source),
-        |g AS (
-        |  SELECT source, max(ta) AS tokens_a, max(tb) AS tokens_b,
-        |    CASE WHEN max(ta) > 0 AND max(tb) > 0
-        |         THEN CAST(sum(a * terma) AS BIGINT) // max(ta) END AS kl_a_micro_nats,
-        |    CASE WHEN max(ta) > 0 AND max(tb) > 0
-        |         THEN CAST(sum(b * termb) AS BIGINT) // max(tb) END AS kl_b_micro_nats
-        |  FROM j GROUP BY source)
-        |SELECT source, tokens_a, tokens_b, kl_a_micro_nats, kl_b_micro_nats,
-        |  (kl_a_micro_nats + kl_b_micro_nats) // 2 AS jsd_micro_nats
-        |FROM g ORDER BY source""".stripMargin,
+    "q146_token_js_divergence" -> jsDivergenceOracleSql,
+
+    // q153: counts are additive, so the drained stream's summed batches
+    // equal the batch computation — the q146 oracle gates it verbatim.
+    "q153_stream_drift_monitor" -> jsDivergenceOracleSql,
 
     // q141: the same two-level counts, one micro-nat-rounded ln per
     // distinct (count, total), integer weighted sum, truncating division.
@@ -5664,6 +5677,48 @@ object SparkEntry {
     prefix + iterations +
       "\nSELECT node, r AS rank_ppt FROM i5 ORDER BY node"
   }
+
+  /** q146/q153 oracle: the per-source even-vs-odd JS divergence — the
+    * aligned count table via FILTER, one rounded ln per (token, side),
+    * HUGEINT-exact weighted sums, truncating `//` at every seam. q153's
+    * streamed counts are additive, so the same SQL gates both. */
+  private def jsDivergenceOracleSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id % 2 AS side,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+      |c AS (
+      |  SELECT source, w,
+      |    CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS b
+      |  FROM tok GROUP BY source, w),
+      |t AS (
+      |  SELECT source, CAST(sum(a) AS BIGINT) AS ta,
+      |    CAST(sum(b) AS BIGINT) AS tb
+      |  FROM c GROUP BY source),
+      |j AS (
+      |  SELECT c.source, a, b, ta, tb,
+      |    CASE WHEN a > 0 AND ta > 0 AND tb > 0 THEN
+      |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)) /
+      |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+      |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
+      |      ELSE 0 END AS terma,
+      |    CASE WHEN b > 0 AND ta > 0 AND tb > 0 THEN
+      |      CAST(round(ln((CAST(2 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)) /
+      |        (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+      |         + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1e6, 0) AS BIGINT)
+      |      ELSE 0 END AS termb
+      |  FROM c JOIN t ON c.source = t.source),
+      |g AS (
+      |  SELECT source, max(ta) AS tokens_a, max(tb) AS tokens_b,
+      |    CASE WHEN max(ta) > 0 AND max(tb) > 0
+      |         THEN CAST(sum(a * terma) AS BIGINT) // max(ta) END AS kl_a_micro_nats,
+      |    CASE WHEN max(ta) > 0 AND max(tb) > 0
+      |         THEN CAST(sum(b * termb) AS BIGINT) // max(tb) END AS kl_b_micro_nats
+      |  FROM j GROUP BY source)
+      |SELECT source, tokens_a, tokens_b, kl_a_micro_nats, kl_b_micro_nats,
+      |  (kl_a_micro_nats + kl_b_micro_nats) // 2 AS jsd_micro_nats
+      |FROM g ORDER BY source""".stripMargin
 
   /** q152 oracle: vocabulary as delimited symbol strings, then per
     * iteration a pair-count CTE, a (weight DESC, a, b) top-1 CTE, and a

@@ -872,15 +872,44 @@ object TextAnalysis {
       dfA: DataFrame,
       dfB: DataFrame,
       textCol: String,
+      groupCols: Seq[String]): DataFrame =
+    tokenJsDivergenceFromCounts(
+      tokenCountsByGroup(dfA, textCol, groupCols),
+      tokenCountsByGroup(dfB, textCol, groupCols),
+      groupCols)
+
+  /** The (group..., token, cnt) count table behind the divergence
+   *  monitors — exposed so a persisted reference histogram (or a
+   *  streaming sink's per-batch appends, summed) can stand in for a
+   *  corpus slice in [[tokenJsDivergenceFromCounts]]. Partial counts
+   *  collapse map-side; the shuffle carries the distinct set. */
+  def tokenCountsByGroup(
+      df: DataFrame,
+      textCol: String,
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     val gs = groupCols.map(col)
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.select(gs :+ explode(tokens(col(textCol))).as("__w"): _*)
-        .groupBy(gs :+ col("__w"): _*)
-        .agg(count(lit(1)).as(out))
-    val ca = counts(dfA, "__a")
-    val cb = counts(dfB, "__b")
+    df.select(gs :+ explode(tokens(col(textCol))).as("token"): _*)
+      .groupBy(gs :+ col("token"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[tokenJsDivergence]] over pre-aggregated (group..., token, cnt)
+   *  tables — counts are additive, so slices can come from a stored
+   *  histogram, a streaming sink's summed batches, or any union of
+   *  partial counts, and the result is identical to computing over the
+   *  raw text. Same seam discipline and output schema as the raw-text
+   *  entry point. */
+  def tokenJsDivergenceFromCounts(
+      countsA: DataFrame,
+      countsB: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val gs = groupCols.map(col)
+    val ca = countsA.select(gs ++ Seq(col("token").as("__w"),
+      col("cnt").as("__a")): _*)
+    val cb = countsB.select(gs ++ Seq(col("token").as("__w"),
+      col("cnt").as("__b")): _*)
     val aligned = ca.join(cb, groupCols :+ "__w", "full_outer")
       .select(gs ++ Seq(col("__w"),
         coalesce(col("__a"), lit(0L)).as("__a"),
