@@ -1713,11 +1713,14 @@ object SparkEntry {
         }
       }
       val pidx = s.read.parquet(ppath)
-      val toks = TextAnalysis.tokens(col("text"))
-      val phrase = docs.select(
-          explode(when(size(toks) < 2, array().cast("array<string>"))
-            .otherwise(transform(slice(toks, lit(1), size(toks) - 1),
-              (tk, i) => concat_ws(" ", tk, element_at(toks, i + 2))))).as("bg"))
+      // tokens projected once — element_at on the raw split expression
+      // inside the lambda re-splits per access (the q147 lesson)
+      val phrase = docs.select(TextAnalysis.tokens(col("text")).as("__toks"))
+        .where(size(col("__toks")) >= 2)
+        .select(explode(transform(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            (tk, i) => concat_ws(" ", tk, element_at(col("__toks"), i + 2))))
+          .as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("f"))
         .orderBy(desc("f"), asc("bg")).limit(1)
         .collect().head.getString(0)

@@ -768,13 +768,17 @@ object TextAnalysis {
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     val gs = groupCols.map(col)
-    val toks = tokens(col(textCol))
+    // Tokenize once into a projected column: element_at(<split expr>, i)
+    // inside the bigram lambda would re-run the split per access —
+    // O(len²) per document (the q147 lesson).
+    val base = df.select(gs :+ tokens(col(textCol)).as("__toks"): _*)
+    val toks = col("__toks")
     // bigram i joins slice element i (= token i+1, 1-based) with its successor
     val bgs = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(slice(toks, lit(1), size(toks) - 1),
         (t, i) => concat_ws(" ", t, element_at(toks, i + 2))))
     def twoLevel(values: Column, totalName: String, distinctName: String) =
-      df.select(gs :+ explode(values).as("__v"): _*)
+      base.select(gs :+ explode(values).as("__v"): _*)
         .groupBy(gs :+ col("__v"): _*)
         .agg(count(lit(1)).as("__c"))
         .groupBy(gs: _*)
@@ -983,13 +987,16 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (i <- 1 to k if !exhausted) {
-      val syms = split(trim(col("__repr"), "|"), "\\|\\|")
+      // symbols projected once before the pair lambda (the q147 lesson:
+      // element_at on the raw split expression re-splits per access)
       val top = cur
-        .where(size(syms) >= 2)
+        .select(col("__freq"),
+          split(trim(col("__repr"), "|"), "\\|\\|").as("__syms"))
+        .where(size(col("__syms")) >= 2)
         .select(col("__freq"), explode(transform(
-          sequence(lit(1), size(syms) - 1),
-          j => struct(element_at(syms, j).as("a"),
-            element_at(syms, j + 1).as("b")))).as("__p"))
+          sequence(lit(1), size(col("__syms")) - 1),
+          j => struct(element_at(col("__syms"), j).as("a"),
+            element_at(col("__syms"), j + 1).as("b")))).as("__p"))
         .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
         .agg(sum(col("__freq")).as("__wgt"))
         .orderBy(desc("__wgt"), asc("__a"), asc("__b"))
@@ -1039,18 +1046,28 @@ object TextAnalysis {
       k: Int = 20): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = tokens(col(textCol))
-    val pairs = df.select(explode(
-        when(size(toks) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2"))))).as("p"))
+    // Tokenize ONCE into a projected column before the pair lambda:
+    // `element_at(<split expr>, i)` inside a transform re-evaluates the
+    // split per access — O(len²) tokenization per document (measured 2×
+    // the whole query's cost at sf0.1). Against the materialized array,
+    // each pair is one element read.
+    val toksDf = df.select(tokens(col(textCol)).as("__toks"))
+    val pairs = toksDf
+      .where(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        (tk, i) => struct(tk.as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // Both count tables feed MULTIPLE consumers (the totals and the
+    // joins — unigrams twice); localCheckpoint pins each corpus explode
+    // to ONE execution instead of one per consumer. Vocab-sized frames.
     val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
-    val unigramCounts = df.select(explode(toks).as("w"))
+      .localCheckpoint(eager = false)
+    val unigramCounts = toksDf.select(explode(col("__toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val tu = broadcast(unigramCounts.agg(sum(col("c")).as("__tu")))
     val tb = broadcast(bigramCounts.agg(sum(col("c_xy")).as("__tb")))
     bigramCounts.filter(col("c_xy") >= minCount)
