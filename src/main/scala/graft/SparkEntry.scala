@@ -1440,6 +1440,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q154_bm25_search" -> ((s, d) => {
+      // BM25 ranked retrieval (the Lucene default scoring) served
+      // ENTIRELY from the stored weighted index — doc lengths are
+      // per-id tf sums, avgdl the exact integer corpus ratio — with the
+      // per-(term, doc) contribution evaluated by the SAME SQL string
+      // the oracle runs (Search.bm25ContributionSql), rounded once to
+      // micro-units. Query = vocabulary ranks 18-21, k1=1.2, b=0.75.
+      val docs = t(s, d, "documents")
+      val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$wpath/_SUCCESS").exists()) {
+          Search.buildWeightedIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(wpath)
+        }
+      }
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(17, 21).toSeq
+      Search.searchBm25(s.read.parquet(wpath), terms, 10).orderBy("id")
+    }),
+
     "q153_stream_drift_monitor" -> ((s, d) => {
       // The drift monitor on the streaming surface: the even-id half's
       // per-source token histogram persists ONCE as the reference; the
@@ -4336,6 +4357,11 @@ object SparkEntry {
     // equal the batch computation — the q146 oracle gates it verbatim.
     "q153_stream_drift_monitor" -> jsDivergenceOracleSql,
 
+    // q154: tf/dl/df/N/T rebuilt from the corpus, then the IDENTICAL
+    // contribution SQL the Spark plan runs (shared string), exact sums,
+    // (score DESC, id) top-10.
+    "q154_bm25_search" -> bm25OracleSql,
+
     // q141: the same two-level counts, one micro-nat-rounded ln per
     // distinct (count, total), integer weighted sum, truncating division.
     "q141_token_entropy" ->
@@ -5679,6 +5705,39 @@ object SparkEntry {
     }.mkString
     prefix + iterations +
       "\nSELECT node, r AS rank_ppt FROM i5 ORDER BY node"
+  }
+
+  /** q154 oracle: posting statistics from the corpus, then the SAME
+    * per-(term, doc) contribution SQL the Spark plan evaluates —
+    * [[graft.pipeline.Search.bm25ContributionSql]] is interpolated
+    * verbatim, so the two engines cannot drift on the arithmetic. */
+  private def bm25OracleSql: String = {
+    val contrib = graft.pipeline.Search.bm25ContributionSql(1200000L, 750000L)
+    s"""WITH allt AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS v
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+       |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+       |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 4 OFFSET 17),
+       |tf AS (SELECT doc_id, v AS token, CAST(count(*) AS BIGINT) AS tf
+       |       FROM allt GROUP BY doc_id, v),
+       |dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |        FROM tf GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS __N,
+       |              CAST(sum(dl) AS BIGINT) AS __T FROM dlt),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS __df
+       |        FROM tf WHERE token IN (SELECT v FROM terms) GROUP BY token),
+       |j AS (
+       |  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dft.__df AS __df,
+       |         dlt.dl AS dl, st.__N AS __N, st.__T AS __T
+       |  FROM tf
+       |  JOIN dft ON tf.token = dft.token
+       |  JOIN dlt ON tf.doc_id = dlt.doc_id, st),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum($contrib) AS BIGINT) AS score_micro
+       |  FROM j GROUP BY doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS id, score_micro
+       |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
   }
 
   /** q146/q153 oracle: the per-source even-vs-odd JS divergence — the

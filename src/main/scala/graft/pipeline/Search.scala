@@ -94,6 +94,71 @@ object Search {
       .limit(k)
   }
 
+  /**
+   * The exact arithmetic of one BM25 (term, doc) contribution in
+   * integer micro-units, over integer posting statistics — shared
+   * VERBATIM between the Spark plan and the DuckDB oracle so both
+   * engines run the identical double expression and round once at the
+   * same seam. Columns expected in scope: `tf` (term freq in doc),
+   * `__df` (term document frequency), `dl` (doc token length), `__N`
+   * (corpus doc count), `__T` (corpus token count). Uses the Lucene
+   * idf variant `ln((N - df + 0.5)/(df + 0.5) + 1)` (always positive)
+   * and k1/b passed as micro-integers so no engine-specific decimal
+   * literal ever enters the expression.
+   */
+  def bm25ContributionSql(k1Micro: Long, bMicro: Long): String =
+    s"""CAST(round(
+       |  ln((CAST(__N AS DOUBLE) - __df + 0.5) / (__df + 0.5) + 1.0) *
+       |  (CAST(tf AS DOUBLE) * (CAST(${k1Micro} AS DOUBLE) / 1e6 + 1.0)) /
+       |  (CAST(tf AS DOUBLE) + (CAST(${k1Micro} AS DOUBLE) / 1e6) *
+       |    (1.0 - CAST(${bMicro} AS DOUBLE) / 1e6 + (CAST(${bMicro} AS DOUBLE) / 1e6) *
+       |      (CAST(dl AS DOUBLE) * __N / __T)))
+       |  * 1e6, 0) AS BIGINT)""".stripMargin
+
+  /**
+   * BM25 ranked retrieval over the weighted posting index: top-`k`
+   * documents by `Σ_t bm25(t, d)`, the standard probabilistic ranking
+   * (Robertson–Spärck Jones; Lucene's default). Everything derives from
+   * the INDEX ALONE — document lengths are `Σ tf` per id and the
+   * average length is the exact corpus ratio `T/N` carried as two
+   * integers into the double expression — so the query serves from
+   * stored posting rows with no corpus access. Each (term, doc)
+   * contribution evaluates once in doubles built from integer stats and
+   * rounds to micro-units ([[bm25ContributionSql]], shared with the
+   * oracle); per-document sums are exact integers; ties break by id
+   * ascending.
+   *
+   * Scale shape: the posting filter keeps the query terms' rows; df and
+   * the (N, T) stats are broadcast 1-row/`|terms|`-row frames; doc
+   * lengths join on the id key; one id aggregate and a bounded top-k.
+   */
+  def searchBm25(
+      weighted: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1Micro: Long = 1200000L,
+      bMicro: Long = 750000L): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "at least one search term required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1Micro >= 0 && bMicro >= 0 && bMicro <= 1000000L,
+      s"k1Micro must be >= 0 and bMicro in [0, 1e6], got $k1Micro / $bMicro")
+    val docLens = weighted.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = broadcast(docLens.agg(count(lit(1)).as("__N"),
+      sum(col("dl")).as("__T")))
+    val dfCounts = broadcast(weighted.filter(col("token").isin(ts: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("__df")))
+    weighted.filter(col("token").isin(ts: _*))
+      .join(dfCounts, Seq("token"))
+      .join(docLens, Seq("id"))
+      .crossJoin(stats)
+      .withColumn("__c", expr(bm25ContributionSql(k1Micro, bMicro)))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .orderBy(desc("score_micro"), asc("id"))
+      .limit(k)
+  }
+
   /** Positional posting rows (token, id, pos) — 0-based token position,
    *  one row per occurrence; the phrase-query side of the index. */
   def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -343,6 +343,30 @@ class TextOpsSuite extends AnyFunSuite {
     assert(r3.getAs[Long]("jsd_micro_nats") > 0L)
   }
 
+  test("BM25 search: exact formula replay on a tiny index, deterministic order") {
+    // doc0: a a b (dl 3), doc1: a c (dl 2), doc2: b b b c (dl 4)
+    // N = 3, T = 9, df(a) = 2, df(b) = 2
+    val docs = Seq((0L, "a a b"), (1L, "a c"), (2L, "b b b c")).toDF("doc_id", "text")
+    val widx = Search.buildWeightedIndex(docs, "doc_id", "text")
+    def contrib(tf: Long, df: Long, dl: Long): Long = {
+      val k1 = 1200000.0 / 1e6; val b = 750000.0 / 1e6
+      math.round(
+        math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf.toDouble * (k1 + 1.0)) /
+          (tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble * 3 / 9))) * 1e6)
+    }
+    val expected = Map(
+      0L -> (contrib(2, 2, 3) + contrib(1, 2, 3)),
+      1L -> contrib(1, 2, 2),
+      2L -> contrib(3, 2, 4))
+    val out = Search.searchBm25(widx, Seq("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+    // repeated terms dedupe; k bounds; empty terms refused
+    assert(Search.searchBm25(widx, Seq("a", "a", "b"), 1).count() === 1)
+    intercept[IllegalArgumentException](Search.searchBm25(widx, Nil, 5))
+  }
+
   test("incremental index update: equals a from-scratch rebuild, replay-idempotent") {
     val base = Seq((0L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     val batch = Seq((1L, "alpha delta"), (3L, "beta beta alpha")).toDF("doc_id", "text")
