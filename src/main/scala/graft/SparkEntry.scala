@@ -1440,6 +1440,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q155_hyperball" -> ((s, d) => {
+      // HyperBall over the planted link graph: per node, the HLL
+      // estimate of how many nodes it reaches within 3 hops — the
+      // neighborhood-function/effective-diameter primitive at the cost
+      // of 16 integer registers per node per round instead of O(n·ball)
+      // membership rows. Registers derive from md5 (index nibble +
+      // leading-zero rank via bin(), no float log), union is integer
+      // max, and the only doubles are the estimator SQL shared verbatim
+      // with the oracle's three generated iteration CTEs.
+      Graph.hyperBall(plantedDomainEdges(s, d), "src", "dst", radius = 3)
+        .orderBy("node")
+    }),
+
     "q154_bm25_search" -> ((s, d) => {
       // BM25 ranked retrieval (the Lucene default scoring) served
       // ENTIRELY from the stored weighted index — doc lengths are
@@ -4362,6 +4375,11 @@ object SparkEntry {
     // (score DESC, id) top-10.
     "q154_bm25_search" -> bm25OracleSql,
 
+    // q155: the q136 planted graph, md5-derived registers, three
+    // register-max iteration CTEs, then the IDENTICAL estimator SQL the
+    // Spark plan runs (shared string).
+    "q155_hyperball" -> hyperBallOracleSql,
+
     // q141: the same two-level counts, one micro-nat-rounded ln per
     // distinct (count, total), integer weighted sum, truncating division.
     "q141_token_entropy" ->
@@ -5738,6 +5756,69 @@ object SparkEntry {
        |  FROM j GROUP BY doc_id)
        |SELECT CAST(doc_id AS BIGINT) AS id, score_micro
        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q155 oracle: the planted-graph nodes, md5-derived HLL registers
+    * (index nibble + 61−bitlen rank — integer ops only), one
+    * register-max CTE per hop pulling successors' counters, then
+    * [[graft.pipeline.Graph.hllEstimateSql]] interpolated VERBATIM so
+    * the estimator doubles cannot drift between engines. */
+  private def hyperBallOracleSql: String = {
+    val prefix =
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |              THEN ' and http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+        |                   || '.example.org/x'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM p),
+        |ed AS (
+        |  SELECT DISTINCT source AS src,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst
+        |  FROM u),
+        |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |c0 AS (
+        |  SELECT node,
+        |    ('0x' || substr(h, 1, 1))::BIGINT AS reg,
+        |    CASE WHEN v60 = 0 THEN 61
+        |         ELSE 61 - length(bin(v60)) END AS val
+        |  FROM (
+        |    SELECT node, md5(CAST(node AS VARCHAR)) AS h,
+        |      ('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 15))::BIGINT AS v60
+        |    FROM nodes))""".stripMargin
+    val iters = (1 to 3).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT node, reg, CAST(max(val) AS BIGINT) AS val FROM (
+         |    SELECT node, reg, val FROM c${i - 1}
+         |    UNION ALL
+         |    SELECT ed.src AS node, c.reg, c.val
+         |    FROM c${i - 1} c JOIN ed ON c.node = ed.dst)
+         |  GROUP BY node, reg)""".stripMargin
+    }.mkString
+    val est = graft.pipeline.Graph.hllEstimateSql
+    val suffix =
+      s""",
+         |agg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS registers_set,
+         |    CAST(sum(CAST((1::BIGINT) << (61 - val) AS HUGEINT)) AS HUGEINT) AS sset
+         |  FROM c3 GROUP BY node),
+         |fin AS (
+         |  SELECT node, registers_set,
+         |    CAST(16 - registers_set AS INT) AS __v,
+         |    sset + CAST(16 - registers_set AS HUGEINT)
+         |      * 2305843009213693952::HUGEINT AS __s
+         |  FROM agg)
+         |SELECT node, registers_set, $est AS est_micro
+         |FROM fin ORDER BY node""".stripMargin
+    prefix + iters + suffix
   }
 
   /** q146/q153 oracle: the per-source even-vs-odd JS divergence — the

@@ -133,6 +133,88 @@ object Graph {
    * iterations already cost ~4× the dropped-mass variant. Results are
    * identical at any interval — only plan depth changes.
    */
+  /**
+   * The HLL small-range/raw estimator over a node's register profile, in
+   * integer micro-units — ONE SQL string shared verbatim between the
+   * Spark plan and the DuckDB oracle (the BM25 convention), so the two
+   * engines cannot drift on the double arithmetic. Columns in scope:
+   * `__s` = Σ 2^(61−M_j) over SET registers plus 2^61 per zero register
+   * (the 2^61-scaled integer form of Σ 2^−M_j — exact, no float
+   * summation-order hazard; DECIMAL/HUGEINT), `__v` = number of zero
+   * registers. m = 16 registers, α₁₆ = 0.673; small-range correction
+   * `m·ln(m/V)` below 2.5m with V > 0, raw `α·m²/Σ` otherwise.
+   */
+  def hllEstimateSql: String =
+    """CAST(round((CASE
+      |  WHEN (CAST(673 AS DOUBLE) / 1000 * 256.0 * 2305843009213693952.0
+      |        / CAST(__s AS DOUBLE)) <= 40.0 AND __v > 0
+      |  THEN 16.0 * ln(16.0 / __v)
+      |  ELSE CAST(673 AS DOUBLE) / 1000 * 256.0 * 2305843009213693952.0
+      |       / CAST(__s AS DOUBLE)
+      |  END) * 1e6, 0) AS BIGINT)""".stripMargin
+
+  /**
+   * HyperBall (Boldi–Vigna 2013): for every node, an estimate of
+   * |ball(v, radius)| — how many nodes are reachable from v within
+   * `radius` directed hops — via HyperLogLog counters propagated along
+   * edges. THE scalable way to neighborhood functions / effective
+   * diameter: exact reachability keeps O(n·ball) membership rows
+   * (quadratic on dense graphs), while HyperBall moves m=16 register
+   * rows per node per round through one (node, reg) max-aggregate —
+   * |E|·m compact rows per iteration, Spark-shaped.
+   *
+   * Determinism (the q136 discipline): registers derive from md5(node)
+   * — index = first hex nibble, value ρ = leading-zero count of the
+   * next 60 bits plus one (computed via `length(bin(...))`, a string
+   * op, no float log) — and counter union is integer `max`, so the
+   * register state replays bit-for-bit in any engine with md5 and
+   * 64-bit ints; the only doubles are inside [[hllEstimateSql]], shared
+   * verbatim with the oracle. Output: (node, registers_set, est_micro)
+   * — estimate in micro-units (ln-seam rule).
+   *
+   * Ball semantics: counters flow AGAINST edge direction (v's counter
+   * absorbs its successors'), so after r rounds v's counter holds
+   * {w : v reaches w in ≤ r hops}, v itself included. Plan depth stays
+   * flat via per-round localCheckpoint (each round reads the previous
+   * state once, but r rounds would still stack r plans).
+   */
+  def hyperBall(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val e = cleanEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+    val init = nodes
+      .withColumn("__h", md5(col("node").cast("string")))
+      .withColumn("reg", expr("CAST(conv(substring(__h, 1, 1), 16, 10) AS INT)"))
+      .withColumn("__v60", expr("CAST(conv(substring(__h, 2, 15), 16, 10) AS BIGINT)"))
+      .withColumn("val", expr(
+        "CASE WHEN __v60 = 0 THEN 61 ELSE CAST(61 - length(bin(__v60)) AS INT) END"))
+      .select(col("node"), col("reg"), col("val"))
+    var counters = init.localCheckpoint(eager = false)
+    for (_ <- 1 to radius) {
+      val pulled = counters
+        .join(e, counters("node") === e("__dst"))
+        .select(col("__src").as("node"), col("reg"), col("val"))
+      counters = counters.unionByName(pulled)
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("val")).as("val"))
+        .localCheckpoint(eager = false)
+    }
+    counters.groupBy(col("node"))
+      .agg(count(lit(1)).as("registers_set"),
+        sum(expr("CAST(shiftleft(1L, 61 - val) AS DECIMAL(38,0))")).as("__sset"))
+      .withColumn("__v", expr("CAST(16 - registers_set AS INT)"))
+      .withColumn("__s",
+        expr("__sset + CAST(__v AS DECIMAL(38,0)) * CAST(2305843009213693952 AS DECIMAL(38,0))"))
+      .withColumn("est_micro", expr(hllEstimateSql))
+      .select(col("node"), col("registers_set"), col("est_micro"))
+  }
+
   def pageRankRedistributing(
       edges: DataFrame,
       srcCol: String,

@@ -136,6 +136,49 @@ class GraphSuite extends AnyFunSuite {
     assert(run(edges, 4) === runRedist(edges, 4))
   }
 
+  test("hyperBall: register state and estimate replay the documented algorithm") {
+    // counter_r(v) = union of the md5-derived singletons over ball(v, r),
+    // so a BFS + per-register max replays the whole algorithm exactly.
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "e", "e" -> "a")
+    val radius = 2
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def regOf(s: String): Int = Integer.parseInt(md5hex(s).substring(0, 1), 16)
+    def rhoOf(s: String): Int = {
+      val v60 = java.lang.Long.parseLong(md5hex(s).substring(1, 16), 16)
+      if (v60 == 0L) 61 else 61 - (64 - java.lang.Long.numberOfLeadingZeros(v60))
+    }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def ball(v: String, r: Int): Set[String] = {
+      var cur = Set(v)
+      for (_ <- 1 to r)
+        cur = cur ++ cur.flatMap(u => edges.filter(_._1 == u).map(_._2))
+      cur
+    }
+    def expected(v: String): (Long, Long) = {
+      val regs = ball(v, radius).toSeq
+        .map(w => regOf(w) -> rhoOf(w))
+        .groupBy(_._1).map { case (r, vs) => r -> vs.map(_._2).max }
+      val zeros = 16 - regs.size
+      val s = regs.values.map(x => BigInt(1) << (61 - x)).sum +
+        BigInt(zeros) * (BigInt(1) << 61)
+      val raw = 0.673 * 256.0 * 2305843009213693952.0 / s.toDouble
+      val est = if (raw <= 40.0 && zeros > 0) 16.0 * math.log(16.0 / zeros) else raw
+      (regs.size.toLong, math.round(est * 1e6))
+    }
+    val out = Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", radius)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === nodes.toSet)
+    nodes.foreach { v => assert(out(v) === expected(v), s"node $v") }
+    // a bigger ball never shrinks the estimate's register count
+    val out3 = Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    nodes.foreach(v => assert(out3(v) >= out(v)._1))
+    intercept[IllegalArgumentException](
+      Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", 0))
+  }
+
   test("20 iterations with checkpointInterval runs and matches the replay") {
     val edges = Seq(
       "a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a", "a" -> "d", "e" -> "sink")
