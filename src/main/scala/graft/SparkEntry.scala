@@ -1440,6 +1440,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q156_personalized_pagerank" -> ((s, d) => {
+      // Personalized PageRank seeded by the SOURCE nodes of the planted
+      // link graph — the seed-and-expand curation primitive (which
+      // domains does the trusted set's link mass reach?). Teleport
+      // returns to seeds only; same integer parts-per-1e12 recurrence,
+      // five DuckDB iteration CTEs with a seed-conditional base replay
+      // it bit-for-bit. Domains score by received mass; unreached
+      // non-seed nodes rank exactly 0.
+      val docs = t(s, d, "documents")
+      Graph.pageRankPersonalized(plantedDomainEdges(s, d), "src", "dst",
+          docs.select(col("source")).distinct(), "source", iterations = 5)
+        .orderBy("node")
+    }),
+
     "q155_hyperball" -> ((s, d) => {
       // HyperBall over the planted link graph: per node, the HLL
       // estimate of how many nodes it reaches within 3 hops — the
@@ -4380,6 +4394,10 @@ object SparkEntry {
     // Spark plan runs (shared string).
     "q155_hyperball" -> hyperBallOracleSql,
 
+    // q156: the q136 iteration CTEs with the base term made
+    // seed-conditional (teleport returns to the source nodes only).
+    "q156_personalized_pagerank" -> personalizedPagerankOracleSql,
+
     // q141: the same two-level counts, one micro-nat-rounded ln per
     // distinct (count, total), integer weighted sum, truncating division.
     "q141_token_entropy" ->
@@ -5756,6 +5774,60 @@ object SparkEntry {
        |  FROM j GROUP BY doc_id)
        |SELECT CAST(doc_id AS BIGINT) AS id, score_micro
        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q156 oracle: the q136/q142 planted-graph CTEs with a
+    * seed-conditional base — teleport mass returns to the source nodes
+    * only, |S| = seeds surviving the node intersection. */
+  private def personalizedPagerankOracleSql: String = {
+    val prefix =
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |              THEN ' and http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+        |                   || '.example.org/x'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM p),
+        |ed AS (
+        |  SELECT DISTINCT source AS src,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst
+        |  FROM u),
+        |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        |       FROM ed GROUP BY 1),
+        |sd AS (
+        |  SELECT node FROM (SELECT DISTINCT source AS node FROM documents)
+        |  INTERSECT SELECT node FROM nodes),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS sn FROM sd),
+        |r0 AS (
+        |  SELECT n.node,
+        |    CASE WHEN s.node IS NOT NULL THEN 1000000000000 // cs.sn
+        |         ELSE 0 END AS r
+        |  FROM nodes n LEFT JOIN sd s ON n.node = s.node, cs)""".stripMargin
+    val iterations = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s""",
+         |i$k AS (
+         |  SELECT nx.node,
+         |    CASE WHEN sdx.node IS NOT NULL
+         |         THEN (150 * (1000000000000 // cs.sn)) // 1000 ELSE 0 END
+         |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+         |  FROM nodes nx
+         |  LEFT JOIN sd sdx ON nx.node = sdx.node
+         |  CROSS JOIN cs LEFT JOIN (
+         |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+         |    FROM $prev pr JOIN od ON pr.node = od.node JOIN ed ON ed.src = pr.node
+         |    GROUP BY ed.dst) s ON s.node = nx.node)""".stripMargin
+    }.mkString
+    prefix + iterations +
+      "\nSELECT node, r AS rank_ppt FROM i5 ORDER BY node"
   }
 
   /** q155 oracle: the planted-graph nodes, md5-derived HLL registers

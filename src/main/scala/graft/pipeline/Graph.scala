@@ -134,6 +134,81 @@ object Graph {
    * identical at any interval — only plan depth changes.
    */
   /**
+   * Personalized PageRank: teleport mass returns to a SEED SET instead
+   * of every node — the link-structure "expand from a curated set"
+   * primitive (seed-and-expand corpus curation, TrustRank-style host
+   * scoring). Same integer parts-per-1e12 seams as [[pageRank]]; the
+   * only change is the base term, which is nonzero for seeds only:
+   *
+   * rank_0(v) = [v ∈ S] · (Total div |S|)
+   * rank_{k+1}(v) = [v ∈ S] · ((1000−d) · (Total div |S|)) div 1000
+   *              + (d · Σ_{u→v} (rank_k(u) div outdeg(u))) div 1000
+   *
+   * Seeds are intersected with the graph's node set first (|S| counts
+   * the survivors; seeds naming absent nodes are ignored); dangling
+   * mass drops, as in [[pageRank]]. Seeds ride a DataFrame, not a
+   * driver list — a seed set can be millions of curated hosts. The
+   * seed flag joins once onto the node table and is reused every
+   * round; everything else keeps the one-join-one-aggregate-per-round
+   * shape.
+   */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      dampingPermille: Int = 850,
+      checkpointInterval: Int = 0): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    require(checkpointInterval >= 0,
+      s"checkpointInterval must be >= 0, got $checkpointInterval")
+    val e = cleanEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+    val seedSet = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .join(nodes, "node")
+      .withColumn("__seed", lit(1))
+    val flagged = nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed"))
+    val outdeg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__outdeg"))
+    val sCount = broadcast(seedSet.agg(count(lit(1)).as("__sn")))
+    // require a non-empty seed survivor set — an all-absent seed list
+    // would divide by zero and (worse) silently rank everything 0
+    require(sCount.head().getLong(0) > 0,
+      "no seed survives the intersection with the graph's nodes")
+
+    var ranks = flagged.crossJoin(sCount)
+      .select(col("node"), col("__seed"),
+        expr(s"CASE WHEN __seed = 1 THEN ${Total}L div __sn ELSE 0L END")
+          .as("rank_ppt"))
+    for (i <- 1 to iterations) {
+      val contribs = ranks
+        .join(outdeg, "node")
+        .select(col("node"), expr("rank_ppt div __outdeg").as("__c"))
+        .join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = checkpointEvery(
+        flagged.crossJoin(sCount)
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"), col("__seed"),
+            expr(s"CASE WHEN __seed = 1 THEN " +
+              s"(${1000 - dampingPermille} * (${Total}L div __sn)) div 1000 " +
+              s"ELSE 0L END + ($dampingPermille * coalesce(__in, 0L)) div 1000")
+              .as("rank_ppt")),
+        i, checkpointInterval)
+    }
+    ranks.select(col("node"), col("rank_ppt"))
+  }
+
+  /**
    * The HLL small-range/raw estimator over a node's register profile, in
    * integer micro-units — ONE SQL string shared verbatim between the
    * Spark plan and the DuckDB oracle (the BM25 convention), so the two

@@ -136,6 +136,45 @@ class GraphSuite extends AnyFunSuite {
     assert(run(edges, 4) === runRedist(edges, 4))
   }
 
+  /** Scala replay of the personalized recurrence (seed-only teleport). */
+  private def replayPersonalized(
+      edges: Seq[(String, String)], seeds: Set[String], iterations: Int,
+      damping: Int = 850): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val sn = nodes.count(seeds)
+    val share = Total / sn
+    val base = ((1000 - damping) * share) / 1000
+    var ranks = nodes.map(v => v -> (if (seeds(v)) share else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => ranks(src) / outdeg(src) }.sum
+      }
+      ranks = nodes.map(v => v ->
+        ((if (seeds(v)) base else 0L) + (damping * in.getOrElse(v, 0L)) / 1000)).toMap
+    }
+    ranks
+  }
+
+  test("personalized pageRank: seed-only teleport matches the replay; absent seeds refused") {
+    val edges = Seq(
+      "s1" -> "a", "s2" -> "a", "a" -> "b", "b" -> "a", "x" -> "y")
+    val seeds = Seq("s1", "s2", "ghost").toDF("source") // ghost not in graph
+    val got = Graph.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+        seeds, "source", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === replayPersonalized(edges, Set("s1", "s2"), 4))
+    // mass never reaches the disconnected x→y island: exact zero
+    assert(got("x") === 0L && got("y") === 0L)
+    // seeds hold teleport mass; the node they both link to outranks them
+    assert(got("a") > got("s1"))
+    // a seed list with NO graph survivor is refused loudly
+    intercept[IllegalArgumentException](
+      Graph.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+        Seq("ghost").toDF("source"), "source", 2))
+  }
+
   test("hyperBall: register state and estimate replay the documented algorithm") {
     // counter_r(v) = union of the md5-derived singletons over ball(v, r),
     // so a BFS + per-register max replays the whole algorithm exactly.
