@@ -90,6 +90,24 @@ object SparkEntry {
       .select(col("source").as("src"), col("domain").as("dst"))
   }
 
+  /** Builds + persists the weighted posting index AND its ranking-stat
+    * sidecars (`<path>.doclens` = (id, dl), `<path>.stats` = the 1-row
+    * (__N, __T)) exactly once per sf dir — the "build once, serve many"
+    * contract: q131/q154 queries read the stored stats instead of
+    * re-aggregating the whole index per query. */
+  private def weightedIndexOnce(s: SparkSession, docs: DataFrame, wpath: String): Unit =
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$wpath.stats/_SUCCESS").exists()) {
+        if (!new java.io.File(s"$wpath/_SUCCESS").exists()) {
+          Search.buildWeightedIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(wpath)
+        }
+        val (docLens, stats) = Search.buildIndexStats(s.read.parquet(wpath))
+        docLens.write.mode("overwrite").parquet(s"$wpath.doclens")
+        stats.write.mode("overwrite").parquet(s"$wpath.stats")
+      }
+    }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1476,16 +1494,14 @@ object SparkEntry {
       // micro-units. Query = vocabulary ranks 18-21, k1=1.2, b=0.75.
       val docs = t(s, d, "documents")
       val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
-      SparkEntry.synchronized {
-        if (!new java.io.File(s"$wpath/_SUCCESS").exists()) {
-          Search.buildWeightedIndex(docs, "doc_id", "text")
-            .write.mode("overwrite").parquet(wpath)
-        }
-      }
+      weightedIndexOnce(s, docs, wpath)
       val terms = TextAnalysis.topTokens(docs, "text", 21)
         .orderBy(desc("freq"), asc("token"))
         .collect().map(_.getString(0)).slice(17, 21).toSeq
-      Search.searchBm25(s.read.parquet(wpath), terms, 10).orderBy("id")
+      Search.searchBm25(s.read.parquet(wpath),
+          s.read.parquet(s"$wpath.doclens"), s.read.parquet(s"$wpath.stats"),
+          terms, 10, 1200000L, 750000L)
+        .orderBy("id")
     }),
 
     "q153_stream_drift_monitor" -> ((s, d) => {
@@ -1784,17 +1800,13 @@ object SparkEntry {
       // query serves from the stored (token, id, tf) rows.
       val docs = t(s, d, "documents")
       val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
-      SparkEntry.synchronized {
-        if (!new java.io.File(s"$wpath/_SUCCESS").exists()) {
-          Search.buildWeightedIndex(docs, "doc_id", "text")
-            .write.mode("overwrite").parquet(wpath)
-        }
-      }
-      val widx = s.read.parquet(wpath)
+      weightedIndexOnce(s, docs, wpath)
       val terms = TextAnalysis.topTokens(docs, "text", 21)
         .orderBy(desc("freq"), asc("token"))
         .collect().map(_.getString(0)).slice(17, 21).toSeq
-      Search.searchRanked(widx, terms, 10).orderBy("id")
+      Search.searchRanked(s.read.parquet(wpath),
+          s.read.parquet(s"$wpath.stats"), terms, 10)
+        .orderBy("id")
     }),
 
     "q130_inverted_search" -> ((s, d) => {

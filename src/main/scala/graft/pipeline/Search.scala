@@ -63,6 +63,21 @@ object Search {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** The ranking statistics a weighted index already knows at BUILD time,
+   *  as two sidecar tables: per-document token lengths `(id, dl)` and the
+   *  1-row corpus totals `(__N, __T)` (document count, token count).
+   *  Persist them next to the postings (the q104/q113 stored-model
+   *  convention): every later [[searchBm25]]/[[searchRanked]] call then
+   *  touches |terms| posting partitions plus these small tables, instead
+   *  of re-aggregating the WHOLE index per query — at 100 TB the index is
+   *  TB-scale and a per-query full-index `groupBy(id)` is exactly the
+   *  rescan "build once, serve many" exists to avoid. */
+  def buildIndexStats(weighted: DataFrame): (DataFrame, DataFrame) = {
+    val docLens = weighted.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = docLens.agg(count(lit(1)).as("__N"), sum(col("dl")).as("__T"))
+    (docLens, stats)
+  }
+
   /**
    * TF-IDF ranked retrieval: top-`k` documents by `Σ_t tf(t,d)·idf(t)`
    * over the query terms, with idf = ln(N/df) rounded ONCE per distinct
@@ -75,11 +90,22 @@ object Search {
    * idf table is |terms| rows (broadcast); one id-keyed aggregate and a
    * bounded top-k (`TakeOrdered`) — no corpus rescan, no full sort.
    */
-  def searchRanked(weighted: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def searchRanked(weighted: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    searchRanked(weighted, buildIndexStats(weighted)._2, terms, k)
+
+  /** [[searchRanked]] serving corpus statistics from a STORED sidecar
+   *  (the `(__N, __T)` row of [[buildIndexStats]]) instead of
+   *  re-aggregating the whole index per query: the plan touches only the
+   *  query terms' posting rows plus one broadcast stats row. */
+  def searchRanked(
+      weighted: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int): DataFrame = {
     val ts = terms.distinct
     require(ts.nonEmpty, "at least one search term required")
     require(k >= 1, s"k must be >= 1, got $k")
-    val nRow = weighted.agg(countDistinct(col("id")).as("__N"))
+    val nRow = stats.select(col("__N"))
     val idf = weighted.filter(col("token").isin(ts: _*))
       .groupBy(col("token")).agg(countDistinct(col("id")).as("__df"))
       .crossJoin(broadcast(nRow))
@@ -138,20 +164,36 @@ object Search {
       k: Int,
       k1Micro: Long = 1200000L,
       bMicro: Long = 750000L): DataFrame = {
+    val (docLens, stats) = buildIndexStats(weighted)
+    searchBm25(weighted, docLens, stats, terms, k, k1Micro, bMicro)
+  }
+
+  /** [[searchBm25]] serving document lengths and corpus totals from the
+   *  STORED [[buildIndexStats]] sidecars: a query's plan is the terms'
+   *  posting filter, an id-keyed join against the `(id, dl)` table, and
+   *  two broadcast stat frames — no full-index aggregation per query.
+   *  Per-term df still comes from the FILTERED postings (that scan is
+   *  the query's own cost), so no df sidecar is required. */
+  def searchBm25(
+      weighted: DataFrame,
+      docLens: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1Micro: Long,
+      bMicro: Long): DataFrame = {
     val ts = terms.distinct
     require(ts.nonEmpty, "at least one search term required")
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1Micro >= 0 && bMicro >= 0 && bMicro <= 1000000L,
       s"k1Micro must be >= 0 and bMicro in [0, 1e6], got $k1Micro / $bMicro")
-    val docLens = weighted.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val stats = broadcast(docLens.agg(count(lit(1)).as("__N"),
-      sum(col("dl")).as("__T")))
+    val statsB = broadcast(stats.select(col("__N"), col("__T")))
     val dfCounts = broadcast(weighted.filter(col("token").isin(ts: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("__df")))
     weighted.filter(col("token").isin(ts: _*))
       .join(dfCounts, Seq("token"))
-      .join(docLens, Seq("id"))
-      .crossJoin(stats)
+      .join(docLens.select(col("id"), col("dl")), Seq("id"))
+      .crossJoin(statsB)
       .withColumn("__c", expr(bm25ContributionSql(k1Micro, bMicro)))
       .groupBy(col("id"))
       .agg(sum(col("__c")).as("score_micro"))

@@ -367,6 +367,42 @@ class TextOpsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Search.searchBm25(widx, Nil, 5))
   }
 
+  test("stored index stats: BM25/ranked serve from sidecars, no full-index reaggregation") {
+    val docs = Seq((0L, "a a b"), (1L, "a c"), (2L, "b b b c")).toDF("doc_id", "text")
+    val widx = Search.buildWeightedIndex(docs, "doc_id", "text")
+    val (docLens, stats) = Search.buildIndexStats(widx)
+    // sidecar contents are the stats the build already knows
+    assert(docLens.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 3L, 1L -> 2L, 2L -> 4L))
+    assert(stats.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 9L)))
+    // round-trip through parquet (the persisted-sidecar lifecycle), then the
+    // stats-serving overloads must equal the recomputing path exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    widx.write.parquet(s"$dir/postings")
+    docLens.write.parquet(s"$dir/doclens")
+    stats.write.parquet(s"$dir/stats")
+    val (sw, sdl, sst) = (spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclens"), spark.read.parquet(s"$dir/stats"))
+    val bmStored = Search.searchBm25(sw, sdl, sst, Seq("a", "b"), 10, 1200000L, 750000L)
+    assert(bmStored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Search.searchBm25(widx, Seq("a", "b"), 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(Search.searchRanked(sw, sst, Seq("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Search.searchRanked(widx, Seq("a", "b"), 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // serve-path plan touches no full-index aggregate: every HashAggregate
+    // sits above the term filter, so the only groupBy keys are id after
+    // filtering — pin it by checking the stored-stats plan has no
+    // aggregation over the unfiltered posting scan. Proxy: the recomputing
+    // path has 2 more aggregates (doc lengths + N/T) than the stored path.
+    def aggCount(df: org.apache.spark.sql.DataFrame): Int =
+      "HashAggregate".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(aggCount(bmStored) <
+      aggCount(Search.searchBm25(widx, Seq("a", "b"), 10)))
+  }
+
   test("incremental index update: equals a from-scratch rebuild, replay-idempotent") {
     val base = Seq((0L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     val batch = Seq((1L, "alpha delta"), (3L, "beta beta alpha")).toDF("doc_id", "text")
