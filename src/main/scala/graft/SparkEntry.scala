@@ -108,6 +108,20 @@ object SparkEntry {
       }
     }
 
+  /** Trains + persists the 8-merge BPE table exactly once per sf dir
+    * (the stored-model convention): q157/q158 APPLY the stored table
+    * instead of retraining per query. Returns the parquet path. */
+  private def bpeMergesOnce(s: SparkSession, docs: DataFrame, d: String): String = {
+    val mpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/bpe_merges"
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$mpath/_SUCCESS").exists()) {
+        TextAnalysis.bpeMerges(docs, "text", k = 8)
+          .write.mode("overwrite").parquet(mpath)
+      }
+    }
+    mpath
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1456,6 +1470,42 @@ object SparkEntry {
           coalesce(col("matched_ts"), lit(-1L)).as("matched_ts"),
           coalesce(col("matched_value"), lit(-1.0)).as("matched_value"))
         .orderBy("event_id")
+    }),
+
+    "q157_bpe_encode" -> ((s, d) => {
+      // The tokenizer lifecycle COMPLETED: q152 trains the merge table;
+      // here it persists once (the q113 stored-model convention) and a
+      // separate ENCODE pass applies it — per-document REAL subword
+      // counts from replaying the stored merges in rank order over the
+      // distinct-word vocabulary, corpus joined on the word key.
+      // Tokenless docs count 0. Oracle: the training CTEs re-derive the
+      // same merges, then an identical v0..v8 rewrite chain encodes.
+      val docs = t(s, d, "documents")
+      val mpath = bpeMergesOnce(s, docs, d)
+      val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        s.read.parquet(mpath))
+      docs.select(col("doc_id"))
+        .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q158_bpe_pack_greedy" -> ((s, d) => {
+      // Greedy sequence packing driven by REAL tokenizer counts: the
+      // q63 scan, but n_tokens comes from the stored BPE merge table
+      // (q157's encode) instead of the whitespace estimate — the
+      // number a training batch actually pays. Budget 256 subwords;
+      // same (id, md5(text)) determinism contract.
+      val docs = t(s, d, "documents")
+      val mpath = bpeMergesOnce(s, docs, d)
+      val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        s.read.parquet(mpath))
+      val counted = docs.select(col("doc_id"), col("source"), col("text"))
+        .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      Packing.packGreedyByCount(counted, "doc_id", "bpe_tokens", "source",
+          256, "text")
+        .orderBy("shard", "id")
     }),
 
     "q156_personalized_pagerank" -> ((s, d) => {
@@ -4408,6 +4458,15 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q157: merges re-derived by the q152 training CTEs, then the v0..v8
+    // encode chain replays them over the vocabulary — per-doc REAL
+    // subword counts, tokenless docs 0.
+    "q157_bpe_encode" -> bpeEncodeOracleSql,
+
+    // q158: the q63 greedy recursive CTE over the q157 subword counts —
+    // packing driven by what the tokenizer actually emits.
+    "q158_bpe_pack_greedy" -> bpePackOracleSql,
+
     "q156_personalized_pagerank" -> personalizedPagerankOracleSql,
 
     // q141: the same two-level counts, one micro-nat-rounded ln per
@@ -5952,9 +6011,14 @@ object SparkEntry {
     * literal-replace rewrite CTE — DuckDB's `replace` shares Java's
     * non-overlapping left-to-right scan, so the greedy merge order
     * replays exactly. */
-  private def bpeOracleSql: String = {
+  /** The BPE TRAINING CTE chain (w0 vocab + per-iteration pair-count /
+    * top-1 / rewrite CTEs, m1..mK the merge rows) — shared by the q152
+    * merge-table oracle and the q157/q158 encode oracles, which replay
+    * the SAME merges the Spark side trained and stored. No leading
+    * WITH, so a caller can prepend WITH or WITH RECURSIVE. */
+  private def bpeTrainCtes(k: Int): String = {
     val prefix =
-      """WITH w0 AS (
+      """w0 AS (
         |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS repr,
         |    CAST(count(*) AS BIGINT) AS freq
         |  FROM (
@@ -5963,7 +6027,7 @@ object SparkEntry {
         |    WHERE text IS NOT NULL AND len(trim(text)) > 0)
         |  WHERE NOT contains(w, '|')
         |  GROUP BY w)""".stripMargin
-    val iters = (1 to 8).map { i =>
+    val iters = (1 to k).map { i =>
       s""",
          |p$i AS (
          |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS wgt
@@ -5980,11 +6044,82 @@ object SparkEntry {
          |                 '|' || m.a || m.b || '|') AS repr, freq
          |  FROM w${i - 1}, m$i m)""".stripMargin
     }.mkString
+    prefix + iters
+  }
+
+  private def bpeOracleSql: String = {
     val select = (1 to 8).map(i =>
       s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, wgt AS weight FROM m$i")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
-    prefix + iters + select
+    "WITH " + bpeTrainCtes(8) + select
   }
+
+  /** The BPE ENCODE CTE chain: corpus words (tok), the distinct-word
+    * vocabulary re-encoded by replaying merges m1..mK in rank order
+    * (v0..vK — the identical literal replace the trainer used), per-word
+    * subword counts (enc), and per-doc totals (dc). Extends
+    * [[bpeTrainCtes]]; no leading WITH. */
+  private def bpeEncodeCtes(k: Int): String = {
+    val vChain = (1 to k).map { i =>
+      s""",
+         |v$i AS (
+         |  SELECT w, replace(repr, '|' || m.a || '||' || m.b || '|',
+         |                    '|' || m.a || m.b || '|') AS repr
+         |  FROM v${i - 1}, m$i m)""".stripMargin
+    }.mkString
+    bpeTrainCtes(k) +
+      """,
+        |tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND len(trim(text)) > 0)
+        |  WHERE NOT contains(w, '|')),
+        |v0 AS (
+        |  SELECT DISTINCT w, regexp_replace(w, '(.)', '|\1|', 'g') AS repr
+        |  FROM tok)""".stripMargin + vChain +
+      s""",
+         |enc AS (
+         |  SELECT w, CAST(len(string_split(trim(repr, '|'), '||')) AS BIGINT) AS n
+         |  FROM v$k),
+         |dc AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS bt
+         |  FROM tok JOIN enc USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q157 oracle: merges re-derived by the training CTEs, the encode
+    * chain applied to the distinct-word vocabulary, per-doc subword
+    * totals joined back to every document (tokenless docs count 0). */
+  private def bpeEncodeOracleSql: String =
+    "WITH " + bpeEncodeCtes(8) +
+      """
+        |SELECT d.doc_id, coalesce(dc.bt, CAST(0 AS BIGINT)) AS bpe_tokens
+        |FROM documents d LEFT JOIN dc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
+  /** q158 oracle: the q63 greedy-packing recursive recurrence, fed by
+    * REAL subword counts from the BPE encode chain instead of the
+    * whitespace estimate. Same (doc_id, md5(text)) shard order, same
+    * overflow rule. */
+  private def bpePackOracleSql: String =
+    "WITH RECURSIVE " + bpeEncodeCtes(8) +
+      """,
+        |tokc AS (
+        |  SELECT d.doc_id AS id, d.source AS shard,
+        |    coalesce(dc.bt, CAST(0 AS BIGINT)) AS n_tokens,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id, md5(coalesce(d.text, ''))) AS rn
+        |  FROM documents d LEFT JOIN dc USING (doc_id)),
+        |g AS (
+        |  SELECT id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tokc WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 256 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 256 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tokc t ON t.shard = g.shard AND t.rn = g.rn + 1)
+        |SELECT id, shard, n_tokens, seq_idx FROM g ORDER BY shard, id""".stripMargin
 
   private def asofOracleSql: String =
     """WITH c AS (

@@ -162,12 +162,35 @@ object Packing {
       idCol: String,
       textCol: String,
       shardCol: String,
-      budget: Long): DataFrame = {
-    require(budget >= 1, s"token budget must be >= 1, got $budget")
-    val spark = df.sparkSession
-    val slim = df.select(col(idCol).cast("long").as("id"),
+      budget: Long): DataFrame =
+    packGreedySlim(df.select(col(idCol).cast("long").as("id"),
       col(shardCol).cast("string").as("shard"), tokenCountOf(textCol).as("tc"),
-      tiebreakOf(textCol).as("tb"))
+      tiebreakOf(textCol).as("tb")), budget)
+
+  /**
+   * [[packGreedy]] over PRECOMPUTED token counts — the variant a real
+   * tokenizer feeds: `nTokensCol` carries the count (e.g.
+   * [[TextAnalysis.bpeTokenCounts]] under a stored merge table) instead
+   * of the whitespace estimate, and `tiebreakCol` supplies the
+   * within-id determinism digest (pass the text column to keep the
+   * class-doc `(id, md5(text))` ordering contract). Null counts pack
+   * as 0 tokens. Same one-shuffle sorted-group scan, same output shape.
+   */
+  def packGreedyByCount(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      shardCol: String,
+      budget: Long,
+      tiebreakCol: String): DataFrame =
+    packGreedySlim(df.select(col(idCol).cast("long").as("id"),
+      col(shardCol).cast("string").as("shard"),
+      coalesce(col(nTokensCol).cast("long"), lit(0L)).as("tc"),
+      tiebreakOf(tiebreakCol).as("tb")), budget)
+
+  /** The shared greedy scan over (id, shard, tc, tb) rows. */
+  private def packGreedySlim(slim: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),

@@ -1020,6 +1020,76 @@ object TextAnalysis {
   }
 
   /**
+   * BPE ENCODE, vocabulary side: applies a STORED merge table (the
+   * [[bpeMerges]] artifact, persisted and re-read — the q113
+   * stored-model convention) to a set of words. Each word encodes to
+   * its delimited symbol string and the merges replay IN RANK ORDER as
+   * the same literal `replace("|a||b|" → "|ab|")` rewrites training
+   * used — non-overlapping left-to-right, so greedy order is identical
+   * to the trainer's and to any engine replaying the table. Returns one
+   * row per DISTINCT word: (word, bpe_tokens array, n_bpe).
+   *
+   * Scale shape: the rewrite chain runs over VOCAB rows, never the
+   * corpus ([[bpeTokenCounts]] joins the corpus against this table on
+   * the word key). The merge table is driver-side model state — k rows
+   * by construction, like the bigram-LM and centroid models; it inlines
+   * as literal rewrites in chunks of 64 with a `localCheckpoint`
+   * between chunks, so a large table deepens the chain linearly without
+   * handing Catalyst one k-deep expression tree. Words containing the
+   * `|` delimiter are excluded — the [[bpeMerges]] contract.
+   */
+  def bpeEncodeVocab(words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("merge_rank"))
+      .select(col("lhs").cast("string"), col("rhs").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    require(ms.forall(m => m._1 != null && m._2 != null),
+      "merge table holds null lhs/rhs — not a bpeMerges artifact")
+    var cur = words.select(col(wordCol).cast("string").as("word"))
+      .where(col("word").isNotNull && !col("word").contains("|"))
+      .distinct()
+      .select(col("word"), regexp_replace(col("word"), "(.)", "|$1|").as("__repr"))
+    ms.grouped(64).foreach { chunk =>
+      val rewritten = chunk.foldLeft(cur) { case (df, (a, b)) =>
+        val pat = java.util.regex.Pattern.quote(s"|$a||$b|")
+        val rep = java.util.regex.Matcher.quoteReplacement(s"|$a$b|")
+        df.select(col("word"),
+          regexp_replace(col("__repr"), lit(pat), lit(rep)).as("__repr"))
+      }
+      cur = rewritten.localCheckpoint(eager = false)
+    }
+    cur.select(col("word"),
+        split(trim(col("__repr"), "|"), "\\|\\|").as("bpe_tokens"))
+      .withColumn("n_bpe", size(col("bpe_tokens")).cast("long"))
+  }
+
+  /**
+   * Per-document REAL token counts under a stored BPE merge table — the
+   * number every packing/budget operator actually wants (whitespace
+   * counts under-estimate subword streams). Corpus work is one explode
+   * into (id, word, cnt) partial-aggregated rows and one join against
+   * the [[bpeEncodeVocab]] table on the word key; the rewrite chain
+   * itself never touches corpus-sized data. Returns (id, bpe_tokens)
+   * for ids with at least one encodable token; duplicate ids merge like
+   * any aggregate (callers wanting zero-token rows left-join from their
+   * id table).
+   */
+  def bpeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "bpeTokenCounts")
+    val wordCounts = df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("word"))
+      .where(!col("word").contains("|"))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("__cnt"))
+    val enc = bpeEncodeVocab(wordCounts.select(col("word")), "word", merges)
+    wordCounts.join(enc.select(col("word"), col("n_bpe")), "word")
+      .groupBy(col("id"))
+      .agg(sum(col("__cnt") * col("n_bpe")).as("bpe_tokens"))
+  }
+
+  /**
    * Top-`k` bigram collocations by pointwise mutual information — the
    * multi-word-expression miner ("new york", "machine learning") every
    * corpus vocabulary build wants before tokenizer training. With

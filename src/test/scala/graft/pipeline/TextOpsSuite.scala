@@ -446,6 +446,58 @@ class TextOpsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bpeMerges(docs, "text", 0))
   }
 
+  test("BPE encode: stored merge table applies in rank order, greedy left-to-right") {
+    // Train on a corpus whose merges are (a,a) then (a,b) then (aa,ab);
+    // store the table; encode must replay those rewrites exactly.
+    val docs = Seq((0L, "aaab aaab aa"), (1L, "aaab ab b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", k = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    merges.write.parquet(s"$dir/merges")
+    val stored = spark.read.parquet(s"$dir/merges")
+    // vocab side: aaab -> |aa||ab| (2 tokens? no: merge 3 joins aa+ab -> aaab, 1)
+    //   a a a b --(a,a)--> aa a b --(greedy L2R: first |a||a| wins)--
+    //   wait: "aaab" = |a||a||a||b| -> merge(a,a): |aa||a||b| (scan resumes
+    //   after first match) -> merge(a,b): |aa||ab| -> merge(aa,ab): |aaab|
+    val enc = TextAnalysis.bpeEncodeVocab(
+      Seq("aaab", "aa", "ab", "b", "zq").toDF("word"), "word", stored)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    assert(enc("aaab") === (List("aaab"), 1L))
+    assert(enc("aa") === (List("aa"), 1L))
+    assert(enc("ab") === (List("ab"), 1L))
+    assert(enc("b") === (List("b"), 1L))
+    assert(enc("zq") === (List("z", "q"), 2L)) // OOV word still encodes
+    // corpus side: per-doc subword totals from the vocab join
+    val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", stored)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(0L -> 3L, 1L -> 3L))
+    // delimiter words are excluded by the bpeMerges contract
+    val guard = TextAnalysis.bpeTokenCounts(
+      Seq((7L, "a|b aa")).toDF("doc_id", "text"), "doc_id", "text", stored)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(guard === Map(7L -> 1L))
+  }
+
+  test("packGreedyByCount: equals packGreedy when counts are the whitespace estimate") {
+    val docs = Seq((0L, "a b c", "s1"), (1L, "d e", "s1"), (2L, "f", "s1"),
+      (3L, "g h i j", "s2"), (4L, null.asInstanceOf[String], "s2"))
+      .toDF("doc_id", "text", "shard")
+    val counted = docs.withColumn("n",
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+    val viaCount = Packing.packGreedyByCount(counted, "doc_id", "n", "shard", 4, "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val viaText = Packing.packGreedy(docs, "doc_id", "text", "shard", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaCount === viaText)
+    // null counts pack as 0 tokens
+    val withNull = Packing.packGreedyByCount(
+      counted.withColumn("n", when(col("doc_id") === 4, lit(null)).otherwise(col("n"))),
+      "doc_id", "n", "shard", 4, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(withNull(4L) === 0L)
+  }
+
   test("PMI collocations: hand-computed value, min-count floor, deterministic top-k") {
     // "a b" x5 adjacent, "b a" x4 — only "a b" survives minCount=5.
     // Tu=10 (a:5, b:5), Tb=9. PMI = ln(5*10*10 / (9*5*5)).
