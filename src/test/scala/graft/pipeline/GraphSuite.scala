@@ -228,5 +228,11 @@ class GraphSuite extends AnyFunSuite {
         checkpointInterval = 5)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plain === replay(edges, 20))
+    // personalized variant deep-iterates under the default (per-round)
+    // checkpoint convention too, and values match the replay exactly
+    val pers = Graph.pageRankPersonalized(edges.toDF("src", "dst"), "src",
+        "dst", Seq("a", "e").toDF("source"), "source", iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pers === replayPersonalized(edges, Set("a", "e"), 20))
   }
 }
