@@ -528,18 +528,69 @@ object Dedup extends org.apache.spark.internal.Logging {
   /**
    * Near-duplicate pairs by MinHash LSH with exact Jaccard verification.
    * Returns (id_a, id_b, jaccard) for all pairs with token-set Jaccard ≥
-   * `threshold`. With the default 128 hashes / 32 bands × 4 rows, the
-   * probability of missing a pair at 0.8 similarity is ~5e-8, so the output
-   * matches an exact all-pairs oracle in practice while doing
-   * candidate-generation work proportional to collisions, not n².
+   * `threshold`. Banding auto-sizes from the corpus count via
+   * [[minHashParams]] (128 hashes / 32 bands × 4 rows below 2²⁰ docs —
+   * miss probability at 0.8 similarity ~5e-8, so the output matches an
+   * exact all-pairs oracle in practice — rows-per-band growing with
+   * log₂(n) beyond, holding both the recall bar and the candidate
+   * volume); candidate-generation work stays proportional to
+   * collisions, not n². Pass explicit (numHashes, bands) — both — to
+   * pin the curve, e.g. to match a persisted index generation.
    */
+  /**
+   * Auto-sized MinHash banding (numHashes, bands) for a corpus of `nEst`
+   * documents at a given verification `threshold` — the "band bits must
+   * grow with log N" rule (SCALING.md), derived instead of documented:
+   *
+   *  - rows-per-band r = 4 below 2²⁰ docs, +1 per doubling beyond — a
+   *    sub-threshold pair's candidate probability is ~bands·s^r, so
+   *    growing r with log₂(n) keeps the bucket-stage candidate volume
+   *    (and with it per-bucket occupancy) from inflating as the corpus
+   *    grows at a fixed threshold.
+   *  - bands solves the recall bar at the threshold:
+   *    (1 − t^r)^bands ≤ `missTarget` (default 1e-12 — the oracle-gate
+   *    regime where LSH output equals the exact all-pairs answer).
+   *
+   * Below 2²⁰ docs the solve lands on the measured default (128, 32)
+   * exactly. If holding the recall bar would need more than `maxHashes`
+   * hashes per document (low thresholds on huge corpora), this REFUSES
+   * loudly rather than silently burning CPU or recall — pass explicit
+   * (numHashes, bands) to accept a documented trade.
+   */
+  def minHashParams(
+      nEst: Long,
+      threshold: Double,
+      missTarget: Double = 1e-12,
+      maxHashes: Int = 4096): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(missTarget > 0.0 && missTarget < 1.0,
+      s"missTarget must be in (0, 1), got $missTarget")
+    val extra =
+      if (nEst <= (1L << 20)) 0
+      else math.ceil(math.log(nEst.toDouble / (1L << 20)) / math.log(2.0)).toInt
+    val r = 4 + extra
+    if (extra == 0) (128, 32)
+    else {
+      val b = math.ceil(math.log(missTarget) /
+        math.log1p(-math.pow(threshold, r))).toInt
+      val nh = b * r
+      require(nh <= maxHashes,
+        s"auto-sized MinHash banding needs $nh hashes/doc ($b bands x $r rows) " +
+          s"to hold miss probability <= $missTarget at threshold $threshold " +
+          s"for ~$nEst docs — past maxHashes=$maxHashes. Pass explicit " +
+          "(numHashes, bands) to trade recall for cost, or raise the threshold.")
+      (nh, b)
+    }
+  }
+
   def minHashDedupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      numHashes: Int = 128,
-      bands: Int = 32,
+      numHashes: Int = 0,
+      bands: Int = 0,
       nHint: Long = 0L): DataFrame = {
     requireIntegralId(df, idCol, "minHashDedupPairs")
     val spark = df.sparkSession
@@ -551,13 +602,21 @@ object Dedup extends org.apache.spark.internal.Logging {
     // so tokenization runs once per row.
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)
+    // Banding derives from the corpus count unless the caller pins it
+    // (both or neither — a lone override would silently change the curve).
+    val (autoHashes, autoBands) =
+      if (numHashes > 0 || bands > 0) {
+        require(numHashes > 0 && bands > 0,
+          "pass BOTH numHashes and bands, or neither (auto-sizing)")
+        (numHashes, bands)
+      } else minHashParams(nEst, threshold)
     // Bucket-stage parallelism grows with the membership volume (n × bands),
     // floored at the session default — see expansionPartitions.
-    val parts = expansionPartitions(nEst * bands, floor)
+    val parts = expansionPartitions(nEst * autoBands, floor)
     val base = spreadInput(df, floor)
       .select(col(idCol).cast("long").as("id"), hashedNgramSet(col(textCol), 1).as("toks"))
       .select(col("id"), col("toks"),
-        SketchFunctions.minhash_signature(col("toks"), numHashes).as("sig"))
+        SketchFunctions.minhash_signature(col("toks"), autoHashes).as("sig"))
 
     // One row per (band, bucket) membership, carrying the row's full array
     // of band-bucket hashes so each bucket can emit a pair exactly once: a
@@ -572,7 +631,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     // bare attribute, InferFiltersFromGenerate adds a size()>0 filter that
     // predicate pushdown then inlines through every projection, re-running
     // the whole signature pipeline per row at the scan.
-    val bucketsOf = SketchFunctions.minhash_band_hashes(col("sig"), bands)
+    val bucketsOf = SketchFunctions.minhash_band_hashes(col("sig"), autoBands)
     // The explicit repartition pins the bucket-stage parallelism: the
     // exchange input is compact membership rows but flatMapGroups emits the
     // candidate-pair set (orders of magnitude larger on duplicate-heavy

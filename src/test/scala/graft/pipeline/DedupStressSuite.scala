@@ -49,6 +49,50 @@ class DedupStressSuite extends AnyFunSuite {
     assert(secs < 600.0, f"blew the wall-time bound: $secs%.1f s")
   }
 
+  test("adaptive MinHash banding: occupancy-driving candidate mass bounded at 10x growth") {
+    // Below 2^20 docs the solve lands on the measured default exactly —
+    // every existing gate and persisted index generation is unchanged.
+    assert(Dedup.minHashParams(0L, 0.9) === ((128, 32)))
+    assert(Dedup.minHashParams(1L << 20, 0.9) === ((128, 32)))
+    // Beyond, rows-per-band grows one per doubling (the log N rule) and
+    // bands re-solve the 1e-12 recall bar at the threshold.
+    // (0.8 stops at 2^27: past that the solve exceeds maxHashes and
+    // refuses — the loud-refusal branch asserted below)
+    for (shift <- 21 to 30; t <- Seq(0.8, 0.9) if t > 0.85 || shift <= 27) {
+      val n = 1L << shift
+      val (nh, b) = Dedup.minHashParams(n, t)
+      val r = nh / b
+      assert(r === 4 + (shift - 20), s"rows-per-band at n=2^$shift")
+      assert(nh % b === 0)
+      // recall bar holds: P(miss a pair AT the threshold) <= 1e-12
+      assert(math.pow(1.0 - math.pow(t, r), b) <= 1e-12, s"recall at n=2^$shift t=$t")
+    }
+    // The scale claim itself: a sub-threshold pair's candidate probability
+    // (~bands * s^r — what drives bucket occupancy and verification volume)
+    // DROPS >= 5x per 10x corpus growth, so total candidate volume grows
+    // at most ~2x while the corpus grows 10x. Fixed banding would grow it 100x.
+    for (n <- Seq(1L << 21, 1L << 24, 1L << 27); s <- Seq(0.3, 0.5)) {
+      def candMass(nn: Long): Double = {
+        val (nh, b) = Dedup.minHashParams(nn, 0.9)
+        b * math.pow(s, nh / b)
+      }
+      assert(candMass(10 * n) <= candMass(n) / 5.0,
+        s"candidate mass must shrink >= 5x at 10x growth (n=$n, s=$s)")
+    }
+    // End-to-end through the auto path: a forced big-corpus nHint picks the
+    // deeper banding and the planted exact-duplicate pair still surfaces.
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.9, nHint = 1L << 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // Un-holdable recall bars refuse loudly instead of silently degrading...
+    intercept[IllegalArgumentException](Dedup.minHashParams(1L << 30, 0.5))
+    // ...and a lone override (curve half-pinned) is refused too.
+    intercept[IllegalArgumentException](
+      Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.9, numHashes = 128))
+  }
+
   test("ngram jaccard: 100k all-duplicate docs, exact pair count, bounded time", SlowTest) {
     val t0 = System.nanoTime()
     val cnt = Dedup.ngramJaccardPairs(grouped, "doc_id", "text", "source", 3, 0.3).count()
