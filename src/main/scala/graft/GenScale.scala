@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
  *    duplicate structure instead of one giant cross-replica clique
  *    (which plain copying would produce, quadratically inflating pair
  *    outputs and measuring output growth, not operator scaling).
+ *    Replica k>0 also suffixes `source` with `xk`: sources are the
+ *    planted link graph's src nodes, so the graph's |V|,|E| grow with
+ *    the corpus (k replica subgraphs bridged by the shared domain
+ *    nodes) instead of staying scale-invariant.
  *  - embeddings: replica k rotates each vector left by k positions —
  *    norms and per-dimension distributions survive, while rotated
  *    copies land far apart in cosine space, so ANN/near-dup workloads
@@ -62,15 +66,26 @@ object GenScale {
     def write(df: DataFrame, name: String): Unit =
       df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
-    // documents: per-replica vocabulary rename
+    // documents: per-replica vocabulary rename + per-replica source rename.
+    // The source suffix is what makes the PLANTED LINK GRAPH grow with the
+    // corpus: graph src nodes are the source values, so 10 replicas give
+    // 10x src nodes and 10x (source, domain) edges — replica subgraphs
+    // sharing the domain side as bridge nodes. Without it the graph's
+    // |V|,|E| were scale-INVARIANT and the q136/q142/q155/q156 scaling
+    // runs measured only the edge-extraction scan (SCALING.md round 11).
+    // Per-source operators (packing shards, per-source token stats) see
+    // 10x groups at unchanged per-group density — the realistic axis.
     val docs = read("documents")
     val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     write((0 until copies).map { k =>
       val text =
         if (k == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", "$1x" + k)
+      val source =
+        if (k == 0) col("source")
+        else concat(col("source"), lit("x" + k))
       docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
-        text.as("text"), col("lang"), col("source"), col("n_chars"))
+        text.as("text"), col("lang"), source.as("source"), col("n_chars"))
     }.reduce(_ unionByName _), "documents")
 
     // embeddings: per-replica rotation
