@@ -113,6 +113,37 @@ object GenScale {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _), "events")
 
+    // Relational (TPC-H-shaped) tables, so the FULL suite runs at the
+    // derived scale: facts and entity dims replicate with consistent
+    // per-replica key offsets (a replica's lineitems join its own orders/
+    // parts/suppliers; its orders join its own customers), geography
+    // (nation/region) stays fixed — 10x business volume over the same
+    // reference dims, the realistic growth axis. Offsets preserve every
+    // join's fan-out exactly, so k x data is k x join work.
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+    val (li, ord, cust, supp, prt) = (read("lineitem"), read("orders"),
+      read("customer"), read("supplier"), read("part"))
+    val (oS, cS, sS, pS) = (stride(ord, "o_orderkey"), stride(cust, "c_custkey"),
+      stride(supp, "s_suppkey"), stride(prt, "p_partkey"))
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame =
+      (0 until copies).map { k =>
+        df.select(df.columns.map { c =>
+          offsets.get(c) match {
+            case Some(st) => (col(c) + lit(k * st)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      }.reduce(_ unionByName _)
+    write(replicate(li, Map("l_orderkey" -> oS, "l_partkey" -> pS,
+      "l_suppkey" -> sS)), "lineitem")
+    write(replicate(ord, Map("o_orderkey" -> oS, "o_custkey" -> cS)), "orders")
+    write(replicate(cust, Map("c_custkey" -> cS)), "customer")
+    write(replicate(supp, Map("s_suppkey" -> sS)), "supplier")
+    write(replicate(prt, Map("p_partkey" -> pS)), "part")
+    write(read("nation"), "nation")
+    write(read("region"), "region")
+
     // scale-factor bookkeeping for the bench JSON
     println(s"""{"generated":"$outDir","copies":$copies}""")
     spark.stop()

@@ -1472,6 +1472,48 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q159_more_like_this" -> ((s, d) => {
+      // Index-served "more like this": for each of the 5 lowest-id docs,
+      // the top-5 lexically similar corpus docs by Σ tf_q·tf_d·idf² —
+      // idf rounded ONCE per term to integer MILLI-nats (the squared
+      // term's overflow-safe seam), N from the stored stats sidecar,
+      // only the query terms' posting rows move. The lexical sibling of
+      // the embedding ANN gates (q27/q33).
+      val docs = t(s, d, "documents")
+      val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
+      weightedIndexOnce(s, docs, wpath)
+      Search.moreLikeThis(s.read.parquet(wpath),
+          s.read.parquet(s"$wpath.stats"),
+          docs.where(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    "q160_index_delete_compact" -> ((s, d) => {
+      // The index lifecycle's delete+ingest compaction cycle: the stored
+      // even-id generation (q151's persisted base) minus a takedown set
+      // (ids divisible by 4 — one compact anti-join, no re-tokenization),
+      // merged with the odd-id ingest batch; a conjunctive query over the
+      // compacted generations must equal a from-scratch index of exactly
+      // the surviving docs (id % 4 != 0) — which is what the oracle runs.
+      val docs = t(s, d, "documents")
+      val bpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/inverted_index_even"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$bpath/_SUCCESS").exists()) {
+          Search.buildInvertedIndex(docs.where(col("doc_id") % 2 === 0),
+              "doc_id", "text")
+            .write.mode("overwrite").parquet(bpath)
+        }
+      }
+      val afterDelete = Search.deleteFromIndex(s.read.parquet(bpath),
+        docs.where(col("doc_id") % 4 === 0).select(col("doc_id")), "doc_id")
+      val merged = Search.updateInvertedIndex(afterDelete,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(19, 21).toSeq
+      Search.searchConjunctive(merged, terms).orderBy("id")
+    }),
+
     "q157_bpe_encode" -> ((s, d) => {
       // The tokenizer lifecycle COMPLETED: q152 trains the merge table;
       // here it persists once (the q113 stored-model convention) and a
@@ -4458,6 +4500,59 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q159: the tf table rebuilt from the corpus, the same MILLI-nat idf
+    // seam over the matched terms' document frequencies, the same
+    // integer product sum and (score DESC, id) per-query top-5.
+    "q159_more_like_this" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS id, w AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND len(trim(text)) > 0)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nn FROM tf),
+        |q AS (SELECT token, id AS qid, tf AS qtf FROM tf WHERE id < 5),
+        |m AS (SELECT * FROM tf WHERE token IN (SELECT DISTINCT token FROM q)),
+        |idf AS (
+        |  SELECT token,
+        |    CAST(round(ln(CAST(nn AS DOUBLE) / df) * 1000) AS BIGINT) AS idfk
+        |  FROM (SELECT token, count(DISTINCT id) AS df FROM m GROUP BY 1), n),
+        |s AS (
+        |  SELECT q.qid, m.id,
+        |    CAST(sum(q.qtf * m.tf * idf.idfk * idf.idfk) AS BIGINT) AS score_milli2
+        |  FROM m JOIN q USING (token) JOIN idf USING (token)
+        |  WHERE m.id <> q.qid
+        |  GROUP BY 1, 2)
+        |SELECT qid,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_milli2 DESC, id) AS INT) AS rank,
+        |  id AS neighbor_id, score_milli2
+        |FROM s QUALIFY rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // q160: from-scratch index over exactly the surviving docs
+    // (id % 4 != 0) — the equality the delete+ingest compaction must hit;
+    // same rank-20/21 term pick and hits gate as q151.
+    "q160_index_delete_compact" ->
+      """WITH allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 2 OFFSET 19),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |  WHERE doc_id % 4 <> 0
+        |    AND text IS NOT NULL AND len(trim(text)) > 0),
+        |m AS (
+        |  SELECT doc_id, count(*) AS hits
+        |  FROM tok WHERE token IN (SELECT v FROM terms)
+        |  GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS id
+        |FROM m WHERE hits = 2 ORDER BY id""".stripMargin,
+
     // q157: merges re-derived by the q152 training CTEs, then the v0..v8
     // encode chain replays them over the vocabulary — per-doc REAL
     // subword counts, tokenless docs 0.

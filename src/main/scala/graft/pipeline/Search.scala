@@ -201,6 +201,80 @@ object Search {
       .limit(k)
   }
 
+  /**
+   * "More like this": for each QUERY DOCUMENT, the top-`k` most
+   * lexically similar corpus documents, served from the stored weighted
+   * index — the retrieval side of dedup triage ("what does this doc
+   * near-copy?") and of example-based curation, without embeddings and
+   * without a corpus cross join.
+   *
+   * score(q, d) = Σ over shared terms of tf_q·tf_d·idf(t)², with
+   * idf = ln(N/df) rounded ONCE per distinct term to integer
+   * MILLI-nats (the q107/q131 seam, at the coarser granularity the
+   * squared term needs: idf² ≤ ~4.3e8 even at N = 10⁹, so the int64
+   * sum cannot overflow where micro² would) and df counted over the
+   * MATCHED postings' corpus rows — sums are exact integer arithmetic
+   * and the ranking replays identically on any engine. The query doc
+   * itself is excluded; ties break by id ascending.
+   *
+   * Scale shape: query docs tokenize on their own (a small batch — the
+   * per-doc tf frame is |query terms| rows, broadcast); the index joins
+   * on the token key so only the query terms' posting rows move; N
+   * comes from the stored stats sidecar ([[buildIndexStats]]); the
+   * per-query top-k window partitions on the query id over candidate
+   * rows only. No corpus rescan, no all-pairs.
+   */
+  def moreLikeThis(
+      weighted: DataFrame,
+      stats: DataFrame,
+      queryDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qtf = buildWeightedIndex(queryDocs, idCol, textCol)
+      .select(col("token"), col("id").as("qid"), col("tf").as("qtf"))
+    val matched = weighted.join(broadcast(qtf.select(col("token")).distinct()),
+      Seq("token"))
+    val idf = matched.groupBy(col("token"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .crossJoin(broadcast(stats.select(col("__N"))))
+      .select(col("token"),
+        expr("CAST(round(ln(CAST(__N AS DOUBLE) / __df) * 1000) AS BIGINT)")
+          .as("__idfk"))
+    matched
+      .join(broadcast(qtf), Seq("token"))
+      .where(col("id") =!= col("qid"))
+      .join(broadcast(idf), Seq("token"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("qtf") * col("tf") * col("__idfk") * col("__idfk"))
+        .as("score_milli2"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(desc("score_milli2"), asc("id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("score_milli2"))
+  }
+
+  /**
+   * Deletes documents from a stored posting index (weighted, plain, or
+   * positional — anything keyed by `id`): the GDPR/takedown side of the
+   * index lifecycle. One compact anti-join against the distinct
+   * deletion id set — no re-tokenization, no index rebuild; write the
+   * result back as the next index generation (typically composed with
+   * [[updateInvertedIndex]] for the delete+ingest compaction cycle).
+   * Refuses non-integral deletion ids for the same silent-null-collapse
+   * reason as the builders.
+   */
+  def deleteFromIndex(index: DataFrame, deleteIds: DataFrame, idCol: String): DataFrame = {
+    Dedup.requireIntegralId(deleteIds, idCol, "deleteFromIndex")
+    index.join(
+      deleteIds.select(col(idCol).cast("long").as("id")).distinct(),
+      Seq("id"), "left_anti")
+  }
+
   /** Positional posting rows (token, id, pos) — 0-based token position,
    *  one row per occurrence; the phrase-query side of the index. */
   def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {

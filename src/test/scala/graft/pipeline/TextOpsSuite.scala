@@ -403,6 +403,49 @@ class TextOpsSuite extends AnyFunSuite {
       aggCount(Search.searchBm25(widx, Seq("a", "b"), 10)))
   }
 
+  test("moreLikeThis: hand-computed scores, self excluded, per-query top-k") {
+    // N=4; query doc 0 has terms {a, b}: df(a)=3 -> idfk=round(ln(4/3)*1e3)=288,
+    // df(b)=2 -> idfk=round(ln 2 * 1e3)=693. doc3 shares nothing.
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val widx = Search.buildWeightedIndex(docs, "doc_id", "text")
+    val (_, stats) = Search.buildIndexStats(widx)
+    val out = Search.moreLikeThis(widx, stats, docs.where(col("doc_id") < 1),
+        "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val ia = math.round(math.log(4.0 / 3) * 1000)   // 288
+    val ib = math.round(math.log(4.0 / 2) * 1000)   // 693
+    assert(out.toSeq === Seq(
+      (0L, 1, 1L, ia * ia + ib * ib),
+      (0L, 2, 2L, ia * ia)))
+    // k bounds per query; two query docs rank independently
+    val two = Search.moreLikeThis(widx, stats, docs.where(col("doc_id") < 2),
+        "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(two === Map(0L -> 1L, 1L -> 0L)) // mutual nearest, self excluded
+    intercept[IllegalArgumentException](
+      Search.moreLikeThis(widx, stats, docs, "doc_id", "text", 0))
+  }
+
+  test("deleteFromIndex: anti-join removal equals a rebuild without the docs") {
+    val docs = Seq((0L, "alpha beta"), (2L, "beta gamma"), (4L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val idx = Search.buildInvertedIndex(docs, "doc_id", "text")
+    val dels = Seq(2L, 99L).toDF("doc_id") // absent ids are a no-op
+    val after = Search.deleteFromIndex(idx, dels, "doc_id")
+    val rebuilt = Search.buildInvertedIndex(
+      docs.where(col("doc_id") =!= 2L), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(df.columns.indexOf("token")),
+        r.getLong(df.columns.indexOf("id")))).toSet
+    assert(rows(after) === rows(rebuilt))
+    // replaying the same deletion is idempotent
+    assert(rows(Search.deleteFromIndex(after, dels, "doc_id")) === rows(rebuilt))
+    // a string deletion-id column would null-cast and delete nothing: refused
+    intercept[IllegalArgumentException](
+      Search.deleteFromIndex(idx, Seq("2").toDF("doc_id"), "doc_id"))
+  }
+
   test("incremental index update: equals a from-scratch rebuild, replay-idempotent") {
     val base = Seq((0L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     val batch = Seq((1L, "alpha delta"), (3L, "beta beta alpha")).toDF("doc_id", "text")
