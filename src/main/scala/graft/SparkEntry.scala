@@ -1472,6 +1472,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q161_url_canonical_dedup" -> ((s, d) => {
+      // URL-keyed dedup: five planted raw spellings per doc (case,
+      // default port, www, trailing slash, fragment, plus a non-URL
+      // family that must drop) collapse onto canonical fetch keys via
+      // the deterministic regex chain — the frontier dedup every
+      // crawler runs before near-dup ever sees the text. The oracle
+      // replays the identical chain in RE2.
+      val docs = t(s, d, "documents")
+      val urls = docs.select(expr(
+        """CASE doc_id % 5
+          |  WHEN 0 THEN 'HTTP://Host' || CAST(doc_id % 7 AS STRING) ||
+          |    '.Example.com:80/p/' || CAST(doc_id % 17 AS STRING)
+          |  WHEN 1 THEN 'http://www.host' || CAST(doc_id % 7 AS STRING) ||
+          |    '.example.com/p/' || CAST(doc_id % 17 AS STRING) || '/'
+          |  WHEN 2 THEN 'http://host' || CAST(doc_id % 7 AS STRING) ||
+          |    '.example.com/p/' || CAST(doc_id % 17 AS STRING) || '#ref'
+          |  WHEN 3 THEN 'https://host' || CAST(doc_id % 7 AS STRING) ||
+          |    '.example.com:443/q?x=' || CAST(doc_id % 17 AS STRING)
+          |  ELSE 'not a url ' || CAST(doc_id AS STRING)
+          |END""".stripMargin).as("url"))
+      TextAnalysis.urlDedupReport(urls, "url").orderBy("canonical_url")
+    }),
+
     "q159_more_like_this" -> ((s, d) => {
       // Index-served "more like this": for each of the 5 lowest-id docs,
       // the top-5 lexically similar corpus docs by Σ tf_q·tf_d·idf² —
@@ -4500,6 +4523,42 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q161: the same planted spellings and the IDENTICAL regex chain
+    // (fragment strip, lowercased scheme/authority, www/default-port
+    // strip, trailing-slash rule) replayed in RE2.
+    "q161_url_canonical_dedup" ->
+      """WITH raw AS (
+        |  SELECT CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTP://Host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.Example.com:80/p/' || CAST(doc_id % 17 AS VARCHAR)
+        |    WHEN 1 THEN 'http://www.host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id % 17 AS VARCHAR) || '/'
+        |    WHEN 2 THEN 'http://host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id % 17 AS VARCHAR) || '#ref'
+        |    WHEN 3 THEN 'https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com:443/q?x=' || CAST(doc_id % 17 AS VARCHAR)
+        |    ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  END AS url FROM documents),
+        |t AS (SELECT url, regexp_replace(trim(url), '#.*', '') AS u FROM raw),
+        |p AS (SELECT url,
+        |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(u,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS auth1,
+        |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        |  FROM t),
+        |c AS (SELECT url,
+        |  CASE WHEN scheme = '' THEN NULL ELSE scheme || '://' ||
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+        |         ELSE auth1 END ||
+        |    CASE WHEN contains(rest, '?') THEN rest
+        |         ELSE regexp_replace(rest, '/+$', '') END
+        |  END AS canonical_url FROM p)
+        |SELECT canonical_url, CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(count(*) AS BIGINT) AS n_urls
+        |FROM c WHERE canonical_url IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q159: the tf table rebuilt from the corpus, the same MILLI-nat idf
     // seam over the matched terms' document frequencies, the same
     // integer product sum and (score DESC, id) per-query top-5.

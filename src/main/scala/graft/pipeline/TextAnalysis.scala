@@ -1339,6 +1339,55 @@ object TextAnalysis {
       .select(col(idCol), expr("parse_url(url, 'HOST')").as("domain"), col("url"))
 
   /**
+   * Canonical URL form for URL-keyed deduplication — the frontier/
+   * re-crawl dedup key (the same page arrives as `HTTP://Host.Com:80/p/`,
+   * `http://www.host.com/p`, `http://host.com/p#ref`; crawling all
+   * three wastes a fetch and plants near-dup documents). Deterministic,
+   * lookaround-free regex chain (the q52 RE2-parity rule, so a DuckDB/
+   * RE2 engine replays it byte-for-byte):
+   *
+   *  1. trim, drop the fragment (`#...`);
+   *  2. scheme and authority lowercase (ASCII — the case-insensitive
+   *     URL components; path/query keep their case, they are not);
+   *  3. leading `www.` dropped; default ports stripped (`:80` for http,
+   *     `:443` for https);
+   *  4. trailing slashes dropped from the path when there is no query.
+   *
+   * Non-URLs (no `scheme://`) canonicalize to NULL — callers filter or
+   * route them, nothing silently passes as its own key. Pure map-side
+   * column expression: no UDF, no shuffle, codegen'd regex.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val rest = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val restNorm = when(rest.contains("?"), rest)
+      .otherwise(regexp_replace(rest, "/+$", ""))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), auth, restNorm))
+  }
+
+  /**
+   * URL-keyed dedup report: one row per canonical URL with the distinct
+   * raw spellings collapsed onto it and the total occurrence count —
+   * the fetch-budget savings a canonicalizing frontier banks. One
+   * map-side canonicalization pass + one key aggregate (the distinct
+   * count's partial aggregation collapses repeats map-side);
+   * non-URL rows drop (NULL key). */
+  def urlDedupReport(df: DataFrame, urlCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(urlCol).as("__raw"))
+      .where(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(countDistinct(col("__raw")).as("n_variants"),
+        count(lit(1)).as("n_urls"))
+
+  /**
    * Content-defined-chunk duplication report per group: chunk every
    * document with the gear-hash CDC expression ([[graft.functions
    * .CdcChunks]] — boundaries re-align around edits, unlike fixed-width

@@ -403,6 +403,33 @@ class TextOpsSuite extends AnyFunSuite {
       aggCount(Search.searchBm25(widx, Seq("a", "b"), 10)))
   }
 
+  test("canonicalizeUrl: case, ports, www, slashes, fragments; non-URLs null") {
+    val cases = Seq(
+      "HTTP://Host.Example.COM:80/p/1" -> "http://host.example.com/p/1",
+      "http://www.host.example.com/p/1/" -> "http://host.example.com/p/1",
+      "http://host.example.com/p/1#ref" -> "http://host.example.com/p/1",
+      "https://host.example.com:443/q?x=1" -> "https://host.example.com/q?x=1",
+      // path/query case is significant — only scheme+authority fold
+      "https://HOST.com/CaseSensitive?Q=X" -> "https://host.com/CaseSensitive?Q=X",
+      // non-default port survives; root slash drops; query keeps its slash
+      "http://h.com:8080/" -> "http://h.com:8080",
+      "http://h.com/a/?x=1/" -> "http://h.com/a/?x=1/",
+      "  http://h.com/a  " -> "http://h.com/a",
+      // :80 on https (and vice versa) is NOT a default port
+      "https://h.com:80/a" -> "https://h.com:80/a",
+      "not a url" -> null,
+      "ftp://h.com/x" -> "ftp://h.com/x")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq === cases.map(_._2))
+    // report: variants collapse, non-urls drop
+    val rep = TextAnalysis.urlDedupReport(
+      Seq("http://A.com/", "http://a.com", "http://a.com#f", "nope").toDF("url"), "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq === Seq(("http://a.com", 3L, 3L)))
+  }
+
   test("moreLikeThis: hand-computed scores, self excluded, per-query top-k") {
     // N=4; query doc 0 has terms {a, b}: df(a)=3 -> idfk=round(ln(4/3)*1e3)=288,
     // df(b)=2 -> idfk=round(ln 2 * 1e3)=693. doc3 shares nothing.
