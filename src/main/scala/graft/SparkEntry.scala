@@ -1472,6 +1472,74 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q162_stream_bpe_counts" -> ((s, d) => {
+      // The STORED tokenizer served at STREAM time (the q153/q113
+      // stored-model convention meeting the q157 encode): the merge
+      // table persists once; the odd-id half streams through the xmlng
+      // source and each micro-batch applies the stored table and
+      // appends its per-doc subword counts. Per-doc rows are
+      // batch-boundary-independent by construction, so the drained set
+      // equals the batch encode of the same half exactly — which is
+      // what the oracle computes.
+      val docs = t(s, d, "documents")
+      val mpath = bpeMergesOnce(s, docs, d)
+      val sfName = new java.io.File(d).getName
+      val xin = s"/tmp/graft_xml/$sfName/stream_bpe_in_v1"
+      val batchIn = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      xmlInputOnce(batchIn, xin, "doc")
+      val base = s"/tmp/graft_xml/$sfName/stream_bpe_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(batchIn.schema).load(xin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextAnalysis.bpeTokenCounts(bdf, "doc_id", "text",
+              s.read.parquet(mpath))
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("id").as("doc_id"), col("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q163_tokenizer_fit" -> ((s, d) => {
+      // Tokenizer-fit panel: per source, characters per subword token
+      // under the stored merge table, exact integer permille — the
+      // domain-suitability read on the trained tokenizer (too low =
+      // shredding, too high = wasted vocabulary).
+      val docs = t(s, d, "documents")
+      val mpath = bpeMergesOnce(s, docs, d)
+      TextAnalysis.tokenizerFitReport(docs, "doc_id", "text", "source",
+          s.read.parquet(mpath))
+        .orderBy("source")
+    }),
+
+    "q164_kwic_snippets" -> ((s, d) => {
+      // Search-result presentation: every occurrence of the vocabulary's
+      // rank-20 term with its ±3-token context, sliced from the MATCHED
+      // docs only (posting rows locate hits; text joins back on the id
+      // key — no corpus-wide text scan). The stored positional index
+      // (q132's) serves the positions.
+      val docs = t(s, d, "documents")
+      val ppath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/positional_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
+          Search.buildPositionalIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(ppath)
+        }
+      }
+      val term = TextAnalysis.topTokens(docs, "text", 20)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(19, 20).head
+      Search.snippets(s.read.parquet(ppath), docs, "doc_id", "text", term, 3)
+        .orderBy("id", "pos")
+    }),
+
     "q161_url_canonical_dedup" -> ((s, d) => {
       // URL-keyed dedup: five planted raw spellings per doc (case,
       // default port, www, trailing slash, fragment, plus a non-URL
@@ -4523,6 +4591,50 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q162: the encode chain restricted to the streamed (odd-id) half —
+    // the drained per-doc appends must equal the batch encode exactly.
+    "q162_stream_bpe_counts" -> ("WITH " + bpeEncodeCtes(8) +
+      """
+        |SELECT doc_id, bt AS bpe_tokens
+        |FROM dc WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin),
+
+    // q163: the encode chain joined back to every document, aggregated
+    // per source with the same truncating permille.
+    "q163_tokenizer_fit" -> ("WITH " + bpeEncodeCtes(8) +
+      """
+        |SELECT d.source,
+        |  CAST(sum(coalesce(dc.bt, 0)) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(coalesce(len(d.text), 0)) AS BIGINT) AS chars,
+        |  CASE WHEN sum(coalesce(dc.bt, 0)) > 0
+        |       THEN CAST(sum(coalesce(len(d.text), 0)) * 1000 AS BIGINT)
+        |            // CAST(sum(coalesce(dc.bt, 0)) AS BIGINT) END
+        |    AS chars_per_token_permille
+        |FROM documents d LEFT JOIN dc USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    // q164: the same rank-20 term pick, every occurrence located by
+    // ordinal scan, the same clamped ±3 slice joined by single spaces.
+    "q164_kwic_snippets" ->
+      """WITH allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |term AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 1 OFFSET 19),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |hits AS (
+        |  SELECT doc_id, l, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM tok)
+        |  WHERE l[i] = (SELECT v FROM term))
+        |SELECT CAST(doc_id AS BIGINT) AS id, pos,
+        |  array_to_string(list_slice(l,
+        |    greatest(pos + 1 - 3, 1), least(pos + 1 + 3, len(l))), ' ') AS snippet
+        |FROM hits ORDER BY id, pos""".stripMargin,
+
     // q161: the same planted spellings and the IDENTICAL regex chain
     // (fragment strip, lowercased scheme/authority, www/default-port
     // strip, trailing-slash rule) replayed in RE2.

@@ -304,6 +304,40 @@ object Search {
     matched.select(col("id")).distinct()
   }
 
+  /**
+   * Keyword-in-context snippets: for every occurrence of `term`, the
+   * ±`window`-token context from the containing document — the search
+   * result presentation layer over the positional index. Occurrences
+   * come from the term's posting rows (volume = one posting list, never
+   * a corpus text scan); only the MATCHED documents' text joins back on
+   * the id key and tokenizes once per doc (projected before the slice,
+   * the q147 rule); each hit slices the token array around its stored
+   * position. Returns (id, pos, snippet), snippet tokens joined by one
+   * space.
+   */
+  def snippets(
+      positional: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      term: String,
+      window: Int): DataFrame = {
+    require(term.nonEmpty, "term must be non-empty")
+    require(window >= 0, s"window must be >= 0, got $window")
+    val hits = positional.filter(col("token") === term)
+      .select(col("id"), col("pos"))
+    val docs = corpus
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+    hits.join(docs, "id")
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("__toks"),
+          greatest(col("pos") + 1 - window, lit(1)),
+          (col("pos") + 1 + window -
+            greatest(col("pos") + 1 - window, lit(1)) + 1).cast("int")))
+          .as("snippet"))
+  }
+
   /** The term plus every single-character-deletion variant — the SymSpell
    *  neighborhood key set. */
   private def deletionVariants(t: org.apache.spark.sql.Column) =

@@ -1090,6 +1090,33 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer-fit evaluation: characters per subword token under a
+   * STORED merge table, per group — the "does this tokenizer suit this
+   * domain" number (a source whose chars-per-token is far below the
+   * corpus norm is being shredded into byte-level pieces; one far above
+   * is wasting the vocabulary). Reported as exact integer PERMILLE
+   * (truncating div, both engines agree); groups with zero tokens
+   * report NULL rather than a fake ratio. Costs one [[bpeTokenCounts]]
+   * pass plus one |groups|-row aggregate.
+   */
+  def tokenizerFitReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      merges: DataFrame): DataFrame = {
+    val counts = bpeTokenCounts(df, idCol, textCol, merges)
+    df.select(col(idCol).cast("long").as("id"), col(groupCol).as("__g"),
+        coalesce(length(col(textCol)).cast("long"), lit(0L)).as("__chars"))
+      .join(counts, Seq("id"), "left")
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(coalesce(col("bpe_tokens"), lit(0L))).as("bpe_tokens"),
+        sum(col("__chars")).as("chars"))
+      .withColumn("chars_per_token_permille",
+        when(col("bpe_tokens") > 0, expr("chars * 1000 div bpe_tokens")))
+  }
+
+  /**
    * Top-`k` bigram collocations by pointwise mutual information — the
    * multi-word-expression miner ("new york", "machine learning") every
    * corpus vocabulary build wants before tokenizer training. With

@@ -548,6 +548,33 @@ class TextOpsSuite extends AnyFunSuite {
     assert(guard === Map(7L -> 1L))
   }
 
+  test("snippets: clamped windows, multiple hits per doc, absent term empty") {
+    val docs = Seq((0L, "a b c a"), (1L, "x y z"), (2L, "a")).toDF("doc_id", "text")
+    val pidx = Search.buildPositionalIndex(docs, "doc_id", "text")
+    val out = Search.snippets(pidx, docs, "doc_id", "text", "a", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((0L, 0L, "a b"), (0L, 3L, "c a"), (2L, 0L, "a")))
+    assert(Search.snippets(pidx, docs, "doc_id", "text", "a", 0)
+      .collect().map(_.getString(2)).forall(_ == "a"))
+    assert(Search.snippets(pidx, docs, "doc_id", "text", "zzz", 2).count() === 0)
+    intercept[IllegalArgumentException](
+      Search.snippets(pidx, docs, "doc_id", "text", "", 1))
+  }
+
+  test("tokenizerFitReport: exact permille per group, zero-token group null") {
+    val train = Seq((0L, "aaab aaab aa"), (1L, "aaab ab b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(train, "text", k = 5)
+    // after merges, every word in the corpus is 1 subword token (see the
+    // BPE encode spec): s1 = 12 chars / 3 tokens, s2 = 9 / 3
+    val docs = Seq((0L, "aaab aaab aa", "s1"), (1L, "aaab ab b", "s2"),
+      (2L, "", "s3")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenizerFitReport(docs, "doc_id", "text", "source", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(out === Set(("s1", 3L, 12L, 4000L), ("s2", 3L, 9L, 3000L),
+      ("s3", 0L, 0L, null)))
+  }
+
   test("packGreedyByCount: equals packGreedy when counts are the whitespace estimate") {
     val docs = Seq((0L, "a b c", "s1"), (1L, "d e", "s1"), (2L, "f", "s1"),
       (3L, "g h i j", "s2"), (4L, null.asInstanceOf[String], "s2"))
