@@ -45,6 +45,29 @@ object Graph {
     else ranks
 
   /**
+   * The ONE lineage-truncation convention across all PageRank variants:
+   * `checkpointInterval = -1` (the default everywhere) resolves to
+   * per-round truncation exactly when the plan would otherwise grow
+   * super-linearly in iterations — a variant that reads the previous
+   * rank frame TWICE per round (the redistributing dangling sum: plan
+   * DOUBLES per round, measured 2.8× at 5 iterations) — or when the
+   * run is deep (> 10 rounds, where Catalyst re-analyzing an
+   * ever-deeper linear chain starts to dominate). Shallow single-read
+   * runs skip it: per-round materialization costs ~1.8× on a
+   * 5-iteration run (measured r12) for no benefit at depth 5. Results
+   * are identical at ANY interval — only plan depth changes; pass an
+   * explicit interval (0 = never) to override.
+   */
+  private def resolveInterval(
+      interval: Int, iterations: Int, doubleRead: Boolean): Int = {
+    require(interval >= -1,
+      s"checkpointInterval must be >= 0, or -1 for auto, got $interval")
+    if (interval >= 0) interval
+    else if (doubleRead || iterations > 10) 1
+    else 0
+  }
+
+  /**
    * Fixed-iteration damped PageRank over a directed edge list. Returns
    * (node, rank_ppt) — rank in parts per 1e12 of the total mass. Edges
    * are deduplicated (parallel edges count once, like the classic
@@ -61,11 +84,9 @@ object Graph {
    * with dampingPermille' = 1000 - dampingPermille.
    *
    * `checkpointInterval` = k > 0 localCheckpoints the rank frame every k
-   * iterations (0 = off); results are identical either way — only the
-   * lineage depth changes. Default 1 — the one convention across all
-   * PageRank variants: at 5 iterations the plan-depth cost is invisible,
-   * and at 50 a per-round truncation is the difference between flat
-   * per-iteration cost and Catalyst re-analyzing an ever-deeper tree.
+   * iterations (0 = off, -1 = the [[resolveInterval]] auto rule —
+   * the default); results are identical at any interval — only the
+   * lineage depth changes.
    */
   def pageRank(
       edges: DataFrame,
@@ -73,12 +94,11 @@ object Graph {
       dstCol: String,
       iterations: Int,
       dampingPermille: Int = 850,
-      checkpointInterval: Int = 1): DataFrame = {
+      checkpointInterval: Int = -1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    require(checkpointInterval >= 0,
-      s"checkpointInterval must be >= 0, got $checkpointInterval")
+    val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = false)
     val e = cleanEdges(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
@@ -108,7 +128,7 @@ object Graph {
           .select(col("node"),
             expr(s"__base + ($dampingPermille * coalesce(__in, 0L)) div 1000")
               .as("rank_ppt")),
-        i, checkpointInterval)
+        i, ckpt)
     }
     ranks
   }
@@ -129,12 +149,12 @@ object Graph {
    * Cost vs [[pageRank]]: one extra tiny aggregate per iteration (the
    * sink-mass sum — a broadcast 1-row frame), nothing else changes
    * shape. Because each round reads the previous ranks TWICE (the
-   * contribution join and the dangling sum), the rank frame is
-   * lineage-truncated via `localCheckpoint` every round by default
-   * (`checkpointInterval = 1`): without it the logical plan DOUBLES per
-   * iteration (each branch re-embeds the whole history) and five
-   * iterations already cost ~4× the dropped-mass variant. Results are
-   * identical at any interval — only plan depth changes.
+   * contribution join and the dangling sum), the [[resolveInterval]]
+   * auto default truncates lineage EVERY round here at any depth:
+   * without it the logical plan DOUBLES per iteration (each branch
+   * re-embeds the whole history) and five iterations already cost ~4×
+   * the dropped-mass variant. Results are identical at any interval —
+   * only plan depth changes.
    */
   /**
    * Personalized PageRank: teleport mass returns to a SEED SET instead
@@ -163,12 +183,11 @@ object Graph {
       seedCol: String,
       iterations: Int,
       dampingPermille: Int = 850,
-      checkpointInterval: Int = 1): DataFrame = {
+      checkpointInterval: Int = -1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    require(checkpointInterval >= 0,
-      s"checkpointInterval must be >= 0, got $checkpointInterval")
+    val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = false)
     val e = cleanEdges(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
@@ -206,7 +225,7 @@ object Graph {
               s"(${1000 - dampingPermille} * (${Total}L div __sn)) div 1000 " +
               s"ELSE 0L END + ($dampingPermille * coalesce(__in, 0L)) div 1000")
               .as("rank_ppt")),
-        i, checkpointInterval)
+        i, ckpt)
     }
     ranks.select(col("node"), col("rank_ppt"))
   }
@@ -299,12 +318,11 @@ object Graph {
       dstCol: String,
       iterations: Int,
       dampingPermille: Int = 850,
-      checkpointInterval: Int = 1): DataFrame = {
+      checkpointInterval: Int = -1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
-    require(checkpointInterval >= 0,
-      s"checkpointInterval must be >= 0, got $checkpointInterval")
+    val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = true)
     val e = cleanEdges(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
@@ -337,7 +355,7 @@ object Graph {
             expr(s"__base + ($dampingPermille * " +
               "(coalesce(__in, 0L) + __dang div __n)) div 1000")
               .as("rank_ppt")),
-        i, checkpointInterval)
+        i, ckpt)
     }
     ranks
   }

@@ -79,7 +79,7 @@ class GraphSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Graph.pageRank(e, "src", "dst", 1, dampingPermille = 1001))
     intercept[IllegalArgumentException](
-      Graph.pageRank(e, "src", "dst", 1, checkpointInterval = -1))
+      Graph.pageRank(e, "src", "dst", 1, checkpointInterval = -2))
     intercept[IllegalArgumentException](
       Graph.pageRankRedistributing(e, "src", "dst", 0))
   }
