@@ -1472,6 +1472,50 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q165_embedding_hygiene" -> ((s, d) => {
+      // The ANN pre-flight: every vector gets a severity-ordered hygiene
+      // verdict (null/wrong-dim/null-element/NaN/Inf/zero-norm/ok) from
+      // pure map-side array arithmetic. Corruptions are planted
+      // deterministically (NaN, zeroed, truncated, Inf families by id
+      // mod) so every branch fires; the oracle replays the same planting
+      // and the same first-match-wins CASE.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.select(col("vec_id"),
+        when(col("vec_id") % 97 === 0,
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, lit(Float.NaN)).otherwise(x)))
+          .when(col("vec_id") % 89 === 0,
+            transform(col("embedding"), _ => lit(0f)))
+          .when(col("vec_id") % 83 === 0, slice(col("embedding"), 1, 5))
+          .when(col("vec_id") % 79 === 0,
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, lit(Float.PositiveInfinity)).otherwise(x)))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.embeddingHygieneFlags(planted, "vec_id", "embedding", 64)
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+        .orderBy("verdict")
+    }),
+
+    "q166_quantized_rerank" -> ((s, d) => {
+      // Memory-lean two-stage ANN serving: coarse top-20 by EXACT int8
+      // dot product (the 4x-smaller codes do the bulk scoring), float
+      // cosine re-rank of only those candidates to top-5. Both stages
+      // tie-break by id, so the whole path is deterministic and the
+      // oracle replays it stage for stage — quantization included.
+      val emb = t(s, d, "embeddings")
+      Similarity.quantizedRerankTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5, expand = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q167_dedup_pressure" -> ((s, d) => {
+      // The dedup run's opening number: per source, how much is verbatim
+      // copies — exact integer permille from one digest aggregate; text
+      // never crosses an exchange.
+      Dedup.dedupPressureReport(t(s, d, "documents"), "text", "source")
+        .orderBy("source")
+    }),
+
     "q162_stream_bpe_counts" -> ((s, d) => {
       // The STORED tokenizer served at STREAM time (the q153/q113
       // stored-model convention meeting the q157 encode): the merge
@@ -4591,6 +4635,85 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q165: the same planted corruption families (1-based lambda index
+    // in DuckDB vs 0-based in Spark) and the same severity-ordered
+    // first-match-wins CASE.
+    "q165_embedding_hygiene" ->
+      """WITH p AS (
+        |  SELECT vec_id, CASE
+        |    WHEN vec_id % 97 = 0 THEN list_transform(embedding,
+        |      (x, i) -> CASE WHEN i = 1 THEN CAST('NaN' AS FLOAT) ELSE x END)
+        |    WHEN vec_id % 89 = 0 THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+        |    WHEN vec_id % 83 = 0 THEN embedding[1:5]
+        |    WHEN vec_id % 79 = 0 THEN list_transform(embedding,
+        |      (x, i) -> CASE WHEN i = 1 THEN CAST('Infinity' AS FLOAT) ELSE x END)
+        |    ELSE embedding END AS v
+        |  FROM embeddings),
+        |verdicts AS (
+        |  SELECT vec_id, CASE
+        |    WHEN v IS NULL THEN 'null_vector'
+        |    WHEN len(v) <> 64 THEN 'wrong_dim'
+        |    WHEN len(list_filter(v, x -> x IS NULL)) > 0 THEN 'null_element'
+        |    WHEN len(list_filter(v, x -> isnan(x))) > 0 THEN 'nan'
+        |    WHEN len(list_filter(v, x -> isinf(x))) > 0 THEN 'inf'
+        |    WHEN len(list_filter(v, x -> x <> 0)) = 0 THEN 'zero_norm'
+        |    ELSE 'ok' END AS verdict
+        |  FROM p)
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n
+        |FROM verdicts GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q166: the q80 quantization CTEs, an exact BIGINT coarse dot with
+    // (dot DESC, id) rank-20 cut, then float-cosine re-rank to top-5 —
+    // stage-for-stage the Spark plan.
+    "q166_quantized_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM e),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS q
+        |  FROM m),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot DESC, neighbor_id) AS crk
+        |  FROM (
+        |    SELECT qs.query_id, c.vec_id AS neighbor_id,
+        |      CAST(list_sum(list_transform(qs.qq,
+        |        (x, i) -> CAST(x AS BIGINT) * c.q[i])) AS BIGINT) AS qdot
+        |    FROM qz c CROSS JOIN qs WHERE c.vec_id <> qs.query_id)),
+        |sel AS (SELECT query_id, neighbor_id FROM coarse WHERE crk <= 20),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_cosine_similarity(eq.embedding, ec.embedding) AS sim
+        |  FROM sel s
+        |  JOIN e eq ON eq.vec_id = s.query_id
+        |  JOIN e ec ON ec.vec_id = s.neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+        |  neighbor_id
+        |FROM rr QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // q167: the same digest two-level aggregate and truncating permille.
+    "q167_dedup_pressure" ->
+      """WITH c AS (
+        |  SELECT source, md5(coalesce(text, '')) AS dg, count(*) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) - count(*) AS BIGINT) AS dup_docs,
+        |  (CAST(sum(c) AS BIGINT) - CAST(count(*) AS BIGINT)) * 1000
+        |    // CAST(sum(c) AS BIGINT) AS dup_permille
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     // q162: the encode chain restricted to the streamed (odd-id) half —
     // the drained per-doc appends must equal the batch encode exactly.
     "q162_stream_bpe_counts" -> ("WITH " + bpeEncodeCtes(8) +

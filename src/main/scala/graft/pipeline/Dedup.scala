@@ -538,6 +538,28 @@ object Dedup extends org.apache.spark.internal.Logging {
    * pin the curve, e.g. to match a persisted index generation.
    */
   /**
+   * Per-group EXACT-duplication pressure: how much of each source is
+   * verbatim copies — the first number a dedup run reports (it sets the
+   * expectation for what near-dup will find, and a source whose dup rate
+   * jumps between crawls is the canonical ingestion bug). One two-level
+   * aggregate: (group, md5(text)) counts collapse map-side, then a
+   * |groups|-row rollup — text never moves, digests do. Returns
+   * (group, n_docs, n_distinct, dup_docs, dup_permille) with the rate in
+   * exact truncating permille; null text digests as the empty string
+   * (two null docs are duplicates of each other).
+   */
+  def dedupPressureReport(
+      df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"),
+        md5(coalesce(col(textCol).cast("string"), lit(""))).as("__dg"))
+      .groupBy(col("__g"), col("__dg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_permille", expr("dup_docs * 1000 div n_docs"))
+
+  /**
    * Auto-sized MinHash banding (numHashes, bands) for a corpus of `nEst`
    * documents at a given verification `threshold` — the "band bits must
    * grow with log N" rule (SCALING.md), derived instead of documented:

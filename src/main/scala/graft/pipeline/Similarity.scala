@@ -414,6 +414,91 @@ object Similarity {
       x => x.cast("double") * quantized.getField("scale"))
 
   /**
+   * Embedding hygiene verdict per vector — the data-quality gate an ANN
+   * index build runs FIRST (one NaN poisons every distance it touches;
+   * a zero vector makes cosine undefined; a wrong-dim vector crashes a
+   * fused kernel at the worst possible time). First matching rule wins,
+   * checked in severity order: `null_vector`, `wrong_dim`,
+   * `null_element`, `nan`, `inf`, `zero_norm`, `ok`. Pure map-side
+   * column arithmetic (exists/forall over the array — no UDF, no
+   * shuffle); every rule is exact (NaN/±Inf equality semantics, no
+   * float tolerance), so any engine replays the verdicts bit-for-bit.
+   */
+  def embeddingHygieneFlags(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .withColumn("verdict",
+        when(col("__v").isNull, "null_vector")
+          .when(size(col("__v")) =!= dim, "wrong_dim")
+          .when(exists(col("__v"), x => x.isNull), "null_element")
+          .when(exists(col("__v"), x => isnan(x)), "nan")
+          .when(exists(col("__v"), x =>
+            x === lit(Float.PositiveInfinity) ||
+              x === lit(Float.NegativeInfinity)), "inf")
+          .when(forall(col("__v"), x => x === lit(0f)), "zero_norm")
+          .otherwise("ok"))
+      .select(col("id"), col("verdict"))
+  }
+
+  /**
+   * Two-stage ANN serving: coarse top-(k·expand) by INT8 dot product,
+   * exact float-cosine re-rank of only those candidates — the
+   * memory-lean retrieval shape ([[quantizeInt8]]'s 4× smaller codes do
+   * the bulk scoring; full-precision vectors are touched for k·expand
+   * rows per query, not the corpus). The coarse score is exact integer
+   * arithmetic (|q|≤127 ⇒ a 4096-dim dot fits int64 with room), so the
+   * candidate cut is deterministic and engine-replayable; both stages
+   * break ties by id ascending. Approximate BY DESIGN: a true neighbor
+   * whose quantized dot falls outside the expanded cut is lost — raise
+   * `expand` to trade memory traffic for recall.
+   *
+   * Scale shape: queries broadcast with their codes; the corpus
+   * quantizes map-side in the same scan that scores it (codes are never
+   * materialized corpus-wide); per-task k·expand heaps feed the
+   * aggregate, then only candidate ids join back for full-precision
+   * vectors.
+   */
+  def quantizedRerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      k: Int,
+      expand: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(expand >= 1, s"expand must be >= 1, got $expand")
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      quantizeInt8(col(vecCol)).getField("q").as("qq")))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("cv"),
+      quantizeInt8(col(vecCol)).getField("q").as("cq"))
+    val coarse = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__qdot",
+        aggregate(zip_with(col("qq"), col("cq"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .groupBy(col("query_id"))
+      .agg(TopKFunctions.topk_by_score(
+        col("__qdot").cast("double"), col("neighbor_id"), k * expand).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"))
+    coarse
+      .join(corpus.select(col(corpusIdCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(desc("sim"), asc("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /**
    * Feature-hashing document embedding (the "hashing trick"): each token
    * lands in bucket `md5₃₂(token) mod dim` with sign ± from the digest's
    * next hex digit; the embedding is the signed bucket count vector

@@ -971,6 +971,62 @@ class PipelineSuite extends AnyFunSuite {
     assert(eNull > 3750 && eNull < 6250, s"null-skipping estimate $eNull")
   }
 
+  test("embedding hygiene: severity-ordered verdicts, every branch exact") {
+    val rows: Seq[(Long, Array[java.lang.Float])] = Seq(
+      (1L, Array[java.lang.Float](1f, 2f, 3f)),                       // ok
+      (2L, null),                                                     // null_vector
+      (3L, Array[java.lang.Float](1f, 2f)),                           // wrong_dim
+      (4L, Array[java.lang.Float](1f, null, 3f)),                     // null_element
+      (5L, Array[java.lang.Float](Float.NaN, 0f, 0f)),                // nan beats zero
+      (6L, Array[java.lang.Float](Float.PositiveInfinity, 1f, 2f)),   // inf
+      (7L, Array[java.lang.Float](0f, 0f, 0f)),                       // zero_norm
+      (8L, Array[java.lang.Float](Float.NaN, null, 1f)))              // null_element beats nan
+    val got = Similarity.embeddingHygieneFlags(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "ok", 2L -> "null_vector", 3L -> "wrong_dim",
+      4L -> "null_element", 5L -> "nan", 6L -> "inf", 7L -> "zero_norm",
+      8L -> "null_element"))
+  }
+
+  test("quantized rerank: exact coarse cut, candidates-only rerank, recall vs exact") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.quantizedRerankTopK(queries, emb,
+        "vec_id", "vec_id", "embedding", k = 3, expand = 13)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // expand so wide the coarse stage keeps everyone -> must equal exact
+    val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === exact)
+    // tight expand still returns k deterministic rows per query
+    val tight = Similarity.quantizedRerankTopK(queries, emb,
+        "vec_id", "vec_id", "embedding", k = 3, expand = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tight.length === 9)
+    assert(tight.toSeq === Similarity.quantizedRerankTopK(queries, emb,
+      "vec_id", "vec_id", "embedding", k = 3, expand = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+    intercept[IllegalArgumentException](Similarity.quantizedRerankTopK(
+      queries, emb, "vec_id", "vec_id", "embedding", 0))
+  }
+
+  test("dedup pressure: exact counts and permille, null text groups as empty") {
+    val df = Seq(
+      (0L, "a", "s1"), (1L, "a", "s1"), (2L, "b", "s1"),
+      (3L, "c", "s2"), (4L, null.asInstanceOf[String], "s2"),
+      (5L, null.asInstanceOf[String], "s2"), (6L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupPressureReport(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // s2: null, null, "" share the empty digest -> 4 docs, 2 distinct
+    assert(got === Set(("s1", 3L, 2L, 1L, 333L), ("s2", 4L, 2L, 2L, 500L)))
+  }
+
   test("int8 quantization: bounded values, faithful roundtrip, zero/null safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
