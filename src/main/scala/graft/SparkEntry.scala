@@ -1472,6 +1472,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q168_key_concentration" -> ((s, d) => {
+      // The pre-shuffle skew read: one row with the hottest key's share,
+      // the top-10 share, and the hottest key's multiple of the mean
+      // (exact integer permille) over the events' type key — the number
+      // that decides between a plain groupBy, AQE skew handling, and
+      // explicit salting (q90).
+      Skew.keyConcentrationReport(t(s, d, "events"), "event_type")
+    }),
+
+    "q169_fk_integrity" -> ((s, d) => {
+      // Cross-table integrity before a join eats the evidence: orders ->
+      // customer with planted corruption (every 997th key NULLed, every
+      // 1000th pointed out of range) so all four counters are nonzero;
+      // the parent reduces to distinct keys, the orphan check is one
+      // compact anti-join.
+      val orders = t(s, d, "orders")
+      val planted = orders.select(
+        when(col("o_orderkey") % 997 === 0, lit(null).cast("long"))
+          .when(col("o_orderkey") % 1000 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("k"))
+      Profile.fkIntegrityReport(planted, t(s, d, "customer"), "k", "c_custkey")
+    }),
+
+    "q170_event_lateness" -> ((s, d) => {
+      // Watermark tuning input: within each user's arrival order
+      // (event_id), how often event time steps backwards and by at most
+      // how much — exact micros, one key shuffle + streaming lag window.
+      Sessionize.latenessReport(events(s, d), "user_id", "event_id", "ts")
+    }),
+
     "q165_embedding_hygiene" -> ((s, d) => {
       // The ANN pre-flight: every vector gets a severity-ordered hygiene
       // verdict (null/wrong-dim/null-element/NaN/Inf/zero-norm/ok) from
@@ -4635,6 +4665,59 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q168: the same count table, bounded (count DESC, key) top-10, and
+    // truncating permille arithmetic.
+    "q168_key_concentration" ->
+      """WITH c AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS mx
+        |  FROM c),
+        |top AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS topsum
+        |  FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+        |SELECT n_rows, n_keys,
+        |  mx * 1000 // n_rows AS top1_permille,
+        |  topsum * 1000 // n_rows AS top10_permille,
+        |  mx * n_keys * 1000 // n_rows AS max_over_mean_permille
+        |FROM tot, top""".stripMargin,
+
+    // q169: the same key planting (null rule wins over the orphan rule),
+    // distinct parent keys, NOT IN orphan counts.
+    "q169_fk_integrity" ->
+      """WITH ck AS (
+        |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL
+        |              WHEN o_orderkey % 1000 = 0 THEN o_custkey + 10000000
+        |              ELSE o_custkey END AS k
+        |  FROM orders),
+        |pk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys
+        |  FROM ck),
+        |o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphan_rows,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS orphan_keys
+        |  FROM ck WHERE k IS NOT NULL AND k NOT IN (SELECT c_custkey FROM pk))
+        |SELECT * FROM base, o""".stripMargin,
+
+    // q170: the same per-user arrival-order lag window in exact micros.
+    "q170_event_lateness" ->
+      """WITH l AS (
+        |  SELECT epoch_us(ts) AS tsu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND tsu < prev THEN 1 ELSE 0 END) AS BIGINT) AS inversions,
+        |  CAST(coalesce(max(CASE WHEN prev IS NOT NULL AND tsu < prev
+        |    THEN prev - tsu END), 0) AS BIGINT) AS max_backstep_us,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND tsu < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // CAST(count(*) AS BIGINT) AS inversion_permille
+        |FROM l""".stripMargin,
+
     // q165: the same planted corruption families (1-based lambda index
     // in DuckDB vs 0-based in Spark) and the same severity-ordered
     // first-match-wins CASE.

@@ -51,4 +51,36 @@ object Profile {
         col("__p.min_value").as("min_value"),
         col("__p.max_value").as("max_value"))
   }
+
+  /**
+   * Foreign-key integrity check — the cross-table half of profiling
+   * ("every lineitem names a real order"), run BEFORE a join silently
+   * drops orphans or a left join silently fabricates NULLs. One row:
+   * child row count, NULL-key rows, orphan rows (non-null keys absent
+   * from the parent), and distinct orphan keys.
+   *
+   * Scale shape: the parent reduces to its DISTINCT key set (map-side
+   * partial) and the orphan check is one anti-join on the compact key —
+   * child payloads never move, and there is no driver-side set. Both
+   * keys must be integral (the silent-null-cast refusal the dedup
+   * operators use).
+   */
+  def fkIntegrityReport(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String): DataFrame = {
+    Dedup.requireIntegralId(parent, parentKey, "fkIntegrityReport")
+    Dedup.requireIntegralId(child, childKey, "fkIntegrityReport")
+    val ck = child.select(col(childKey).cast("long").as("__k"))
+    val pk = parent.select(col(parentKey).cast("long").as("__pk"))
+      .where(col("__pk").isNotNull).distinct()
+    val base = ck.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L)).as("null_keys"))
+    val orphans = ck.where(col("__k").isNotNull)
+      .join(pk, col("__k") === col("__pk"), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("orphan_rows"),
+        coalesce(countDistinct(col("__k")), lit(0L)).as("orphan_keys"))
+    broadcast(base).crossJoin(broadcast(orphans))
+  }
 }

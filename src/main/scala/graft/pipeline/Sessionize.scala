@@ -122,4 +122,38 @@ object Sessionize {
       .withColumn("permille_of_first", expr("n_users * 1000 div __base"))
       .drop("__base")
   }
+
+  /**
+   * Event-time lateness profile — the number a WATERMARK is tuned from:
+   * within each key's ARRIVAL order (`seqCol` — an ingestion sequence or
+   * offset), how often does event time step backwards, and by at most
+   * how much? `withWatermark(ts, X)` silently DROPS events later than X;
+   * pick X below the observed `max_backstep_us` and that drop rate is
+   * `inversion_permille` as a lower bound. One row: event count,
+   * adjacent-pair inversions, the largest backward step in exact micros,
+   * and the inversion rate in integer permille.
+   *
+   * Scale shape: one key shuffle feeding a streaming `lag` window (the
+   * per-key scan is sorted-run, not materialized) and a final map-side-
+   * partial global aggregate; timestamps reduce to 8-byte micros before
+   * the window.
+   */
+  def latenessReport(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__seq"))
+    df.select(col(keyCol).as("__u"), col(seqCol).cast("long").as("__seq"),
+        unix_micros(col(tsCol)).as("__ts"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__prev").isNotNull && col("__ts") < col("__prev"), 1L)
+          .otherwise(0L)).as("inversions"),
+        coalesce(max(when(col("__ts") < col("__prev"),
+          col("__prev") - col("__ts"))), lit(0L)).as("max_backstep_us"))
+      .withColumn("inversion_permille",
+        expr("inversions * 1000 div n_events"))
+  }
 }

@@ -43,4 +43,36 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(replicatedRight, Seq(keyCol, "__salt")).drop("__salt")
   }
+
+  /**
+   * Key-concentration diagnostic — the "will this groupBy/join skew?"
+   * number to read BEFORE picking a salt factor or a partitioning:
+   * one row with the total, distinct-key count, the hottest key's share,
+   * the top-10 keys' share, and the hottest key's multiple of the mean
+   * (all exact integer permille). `max_over_mean_permille` IS the
+   * speedup ceiling a perfectly balanced plan leaves on the table: a
+   * key at 40× the mean caps a 64-way shuffle at ~40× one task's work.
+   *
+   * Scale shape: one key aggregate whose partial counts collapse
+   * map-side; everything after runs on the |keys|-row count table (the
+   * top-10 is a bounded TakeOrdered, ties by key ascending — never a
+   * full sort). Null keys are excluded (they route to one partition but
+   * most writers drop or coalesce them; count them separately if they
+   * matter).
+   */
+  def keyConcentrationReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // feeds the totals AND the top-10
+    val totals = counts.agg(sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("__c")).as("__max"))
+    val top = counts.orderBy(desc("__c"), asc("__k")).limit(10)
+      .agg(sum(col("__c")).as("__topsum"))
+    broadcast(totals).crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"),
+        expr("__max * 1000 div n_rows").as("top1_permille"),
+        expr("__topsum * 1000 div n_rows").as("top10_permille"),
+        expr("__max * n_keys * 1000 div n_rows").as("max_over_mean_permille"))
+  }
 }

@@ -971,6 +971,39 @@ class PipelineSuite extends AnyFunSuite {
     assert(eNull > 3750 && eNull < 6250, s"null-skipping estimate $eNull")
   }
 
+  test("key concentration: exact permille shares, null keys excluded") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c") :+
+      null.asInstanceOf[String]).toDF("k")
+    val r = Skew.keyConcentrationReport(df, "k").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((10L, 3L, 600L, 1000L, 1800L)))
+  }
+
+  test("fk integrity: nulls, orphans, distinct orphan keys, type refusal") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), None, Some(9L), Some(9L))
+      .toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.fkIntegrityReport(child, parent, "ck", "pk").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 1L, 2L, 1L)))
+    intercept[IllegalArgumentException](Profile.fkIntegrityReport(
+      child, Seq("1").toDF("pk"), "ck", "pk"))
+  }
+
+  test("lateness report: adjacent inversions in arrival order, exact max backstep") {
+    val df = Seq(("u1", 1L, 10L), ("u1", 2L, 5L), ("u1", 3L, 7L), ("u1", 4L, 3L),
+      ("u2", 1L, 1L), ("u2", 2L, 2L)) // u2 in order: no inversions
+      .toDF("user", "seq", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = Sessionize.latenessReport(df, "user", "seq", "ts").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 2L, 5L, 333L)))
+    // fully ordered input: zero inversions, zero backstep
+    val ok = Sessionize.latenessReport(
+      df.where(col("user") === "u2"), "user", "seq", "ts").head()
+    assert((ok.getLong(1), ok.getLong(2), ok.getLong(3)) === ((0L, 0L, 0L)))
+  }
+
   test("embedding hygiene: severity-ordered verdicts, every branch exact") {
     val rows: Seq[(Long, Array[java.lang.Float])] = Seq(
       (1L, Array[java.lang.Float](1f, 2f, 3f)),                       // ok
