@@ -1472,6 +1472,50 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q171_incremental_components" -> ((s, d) => {
+      // The incremental dedup lifecycle CLOSED end to end: the even
+      // half's cluster assignment persists once (its pair graph is never
+      // recomputed); a new odd batch contributes its internal pairs plus
+      // its cross-pairs against the STORED minhash index (the q103
+      // probe); the stored assignment re-enters as STAR edges
+      // (id -> component), which preserve connectivity exactly — so the
+      // merge runs components over n + |new pairs| edges instead of the
+      // historical pair graph. Result must equal a from-scratch
+      // full-corpus clustering: the oracle is q46's recursive closure
+      // verbatim.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val ipath = s"/tmp/graft_kmv/$sfName/minhash_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
+          Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+            .write.mode("overwrite").parquet(ipath)
+        }
+      }
+      val cpath = s"/tmp/graft_kmv/$sfName/components_even"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$cpath/_SUCCESS").exists()) {
+          Dedup.connectedComponents(
+              Dedup.minHashDedupPairs(docs.where(col("doc_id") % 2 === 0),
+                "doc_id", "text", 0.9),
+              "id_a", "id_b")
+            .write.mode("overwrite").parquet(cpath)
+        }
+      }
+      val odd = docs.where(col("doc_id") % 2 === 1)
+      val oddPairs = Dedup.minHashDedupPairs(odd, "doc_id", "text", 0.9)
+        .select(col("id_a"), col("id_b"))
+      val crossPairs = Dedup.minHashPairsAgainstIndex(odd, "doc_id", "text",
+          s.read.parquet(ipath), 0.9)
+        .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
+      val starEdges = s.read.parquet(cpath)
+        .select(col("id").as("id_a"), col("component").as("id_b"))
+      Dedup.connectedComponents(
+          starEdges.unionByName(oddPairs).unionByName(crossPairs),
+          "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     "q168_key_concentration" -> ((s, d) => {
       // The pre-shuffle skew read: one row with the hottest key's share,
       // the top-10 share, and the hottest key's multiple of the mean
@@ -3533,6 +3577,22 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q171: the q46 full-corpus closure VERBATIM -- the equality the
+    // star-edge incremental merge must hit.
+    "q171_incremental_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q46_dup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),

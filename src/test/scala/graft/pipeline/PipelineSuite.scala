@@ -971,6 +971,23 @@ class PipelineSuite extends AnyFunSuite {
     assert(eNull > 3750 && eNull < 6250, s"null-skipping estimate $eNull")
   }
 
+  test("incremental components: stored star edges + new pairs == from-scratch") {
+    // old clusters {1,2,3} and {5,6}; new pairs extend both and open {7,8}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val stored = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+    val newPairs = Seq((3L, 4L), (6L, 10L), (7L, 8L)).toDF("id_a", "id_b")
+    val star = stored.select(col("id").as("id_a"), col("component").as("id_b"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = rows(Dedup.connectedComponents(
+      star.unionByName(newPairs), "id_a", "id_b"))
+    val full = rows(Dedup.connectedComponents(
+      oldPairs.unionByName(newPairs), "id_a", "id_b"))
+    assert(inc === full)
+    assert(inc === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (10L, 5L), (7L, 7L), (8L, 7L)))
+  }
+
   test("key concentration: exact permille shares, null keys excluded") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c") :+
       null.asInstanceOf[String]).toDF("k")
