@@ -1039,9 +1039,18 @@ object TextAnalysis {
    * `|` delimiter are excluded — the [[bpeMerges]] contract.
    */
   def bpeEncodeVocab(words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
+    // The merge table is MODEL state (k rows by construction), but the
+    // collect is still bounded with a loud refusal — the convention for
+    // every driver-side materialization in this codebase: a caller who
+    // passes a corpus-sized frame here gets an error, not a driver OOM.
+    val maxMerges = 65536
     val ms = merges.orderBy(col("merge_rank"))
       .select(col("lhs").cast("string"), col("rhs").cast("string"))
+      .limit(maxMerges + 1)
       .collect().map(r => (r.getString(0), r.getString(1)))
+    require(ms.length <= maxMerges,
+      s"merge table exceeds $maxMerges rows — not a bpeMerges artifact " +
+        "(a real tokenizer's merge list is tens of thousands of rows at most)")
     require(ms.forall(m => m._1 != null && m._2 != null),
       "merge table holds null lhs/rhs — not a bpeMerges artifact")
     var cur = words.select(col(wordCol).cast("string").as("word"))
