@@ -1472,6 +1472,56 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q172_disjunctive_search" -> ((s, d) => {
+      // The recall-oriented OR query over the stored inverted index:
+      // docs matching ANY of vocabulary ranks 18-21, with matched-term
+      // counts (weak-AND ranks on them). Posting-filter cost only.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val ipath = s"/tmp/graft_kmv/$sfName/inverted_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
+          Search.buildInvertedIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(ipath)
+        }
+      }
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(17, 21).toSeq
+      Search.searchDisjunctive(s.read.parquet(ipath), terms).orderBy("id")
+    }),
+
+    "q173_proximity_search" -> ((s, d) => {
+      // "These words appear together": vocabulary ranks 1 and 2 within
+      // 3 positions of each other in either order, closest distance per
+      // doc — an id equi-join of two posting lists from the stored
+      // positional index, |Δpos| as a residual bound.
+      val docs = t(s, d, "documents")
+      val ppath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/positional_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
+          Search.buildPositionalIndex(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(ppath)
+        }
+      }
+      val ts = TextAnalysis.topTokens(docs, "text", 2)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).toSeq
+      Search.searchProximity(s.read.parquet(ppath), ts.head, ts(1), slop = 3)
+        .orderBy("id")
+    }),
+
+    "q174_prototypicality" -> ((s, d) => {
+      // The SemDeDup-family pruning signal: per label, each embedding's
+      // exact integer L1 distance to the group centroid (micro seam,
+      // truncating-div means) and its atypicality percentile — keep the
+      // tail for diversity or drop it as noise, reproducibly on any
+      // engine.
+      Similarity.prototypicalityRank(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("id")
+    }),
+
     "q171_incremental_components" -> ((s, d) => {
       // The incremental dedup lifecycle CLOSED end to end: the even
       // half's cluster assignment persists once (its pair graph is never
@@ -4730,6 +4780,68 @@ object SparkEntry {
 
     // q156: the q136 iteration CTEs with the base term made
     // seed-conditional (teleport returns to the source nodes only).
+    // q172: the same rank-18..21 pick and a >= 1 OR gate with counts.
+    "q172_disjunctive_search" ->
+      """WITH allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 4 OFFSET 17),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0)
+        |SELECT CAST(doc_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM tok WHERE token IN (SELECT v FROM terms)
+        |GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // q173: both terms' positions by ordinal scan, the same |delta| <= 3
+    // join and per-doc min.
+    "q173_proximity_search" ->
+      """WITH allt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS v
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+        |ta AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 1 OFFSET 0),
+        |tb AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 1 OFFSET 1),
+        |pos AS (
+        |  SELECT doc_id, l[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |              FROM documents
+        |              WHERE text IS NOT NULL AND len(trim(text)) > 0))),
+        |a AS (SELECT doc_id, pos FROM pos WHERE token = (SELECT v FROM ta)),
+        |b AS (SELECT doc_id, pos FROM pos WHERE token = (SELECT v FROM tb))
+        |SELECT CAST(a.doc_id AS BIGINT) AS id,
+        |  CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_distance
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 3
+        |GROUP BY a.doc_id ORDER BY id""".stripMargin,
+
+    // q174: the same micro quantization, truncating-div centroids, exact
+    // L1 sums, and the q92 rank-permille rule.
+    "q174_prototypicality" ->
+      """WITH r AS (
+        |  SELECT vec_id AS id, label,
+        |    p.i AS dim, CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |cent AS (
+        |  SELECT label, dim, CAST(sum(q) AS BIGINT) // count(*) AS c
+        |  FROM r GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT r.id, r.label, CAST(sum(abs(r.q - cent.c)) AS BIGINT) AS dist_micro
+        |  FROM r JOIN cent ON r.label = cent.label AND r.dim = cent.dim
+        |  GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM dist GROUP BY 1)
+        |SELECT dist.id, dist.label, dist.dist_micro,
+        |  CAST((rank() OVER (PARTITION BY dist.label ORDER BY dist.dist_micro) - 1)
+        |    * 1000 AS BIGINT) // greatest(n.n - 1, 1) AS atypicality_permille
+        |FROM dist JOIN n ON dist.label = n.label
+        |ORDER BY dist.id""".stripMargin,
+
     // q168: the same count table, bounded (count DESC, key) top-10, and
     // truncating permille arithmetic.
     "q168_key_concentration" ->

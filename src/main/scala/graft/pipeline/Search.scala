@@ -449,6 +449,49 @@ object Search {
   }
 
   /**
+   * Disjunctive (OR) query: ids whose documents contain ANY of the
+   * terms, with the matched-term count — the recall-oriented companion
+   * to [[searchConjunctive]] (rank by `n_matched` DESC for the classic
+   * weak-AND shape). Same posting-filter cost model: data volume is the
+   * matched posting lists, never the corpus.
+   */
+  def searchDisjunctive(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "at least one search term required")
+    index.filter(col("token").isin(ts: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
+  /**
+   * Proximity query over the positional index: ids where `termA` and
+   * `termB` occur within `slop` token positions of each other, IN ANY
+   * ORDER, with the closest observed distance — the "these words appear
+   * together" query between exact-phrase (slop inclusive of order) and
+   * bag-of-words AND. Each term's postings filter down first; the match
+   * is an id equi-join between the two lists with the |Δpos| bound as a
+   * residual — pair volume is per-document occurrence products of two
+   * SPECIFIC terms, not a corpus scan.
+   */
+  def searchProximity(
+      positional: DataFrame,
+      termA: String,
+      termB: String,
+      slop: Int): DataFrame = {
+    require(termA.nonEmpty && termB.nonEmpty, "terms must be non-empty")
+    require(termA != termB, "proximity of a term with itself is ill-defined")
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val a = positional.filter(col("token") === termA)
+      .select(col("id"), col("pos").as("__pa"))
+    val b = positional.filter(col("token") === termB)
+      .select(col("id").as("__id"), col("pos").as("__pb"))
+    a.join(b, col("id") === col("__id") &&
+        abs(col("__pa") - col("__pb")) <= slop)
+      .groupBy(col("id"))
+      .agg(min(abs(col("__pa") - col("__pb"))).as("min_distance"))
+  }
+
+  /**
    * Conjunctive (AND) query: ids whose documents contain EVERY term.
    * The filter keeps only the query terms' posting rows — data volume is
    * the sum of the matched posting lists, not the corpus — then one

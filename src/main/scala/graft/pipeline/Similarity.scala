@@ -599,6 +599,45 @@ object Similarity {
    * and unioned, so ONE scan each, one shuffle total), then a |groups|-
    * row aggregate. No per-vector state, no arrays through the exchange.
    */
+  /**
+   * Prototypicality ranking — the SemDeDup-family PRUNING signal: how
+   * far each embedding sits from its group's centroid, as an exact
+   * integer L1 distance in micro units plus an integer-permille
+   * percentile within the group (1000 = the group's most atypical
+   * vector). Curation keeps the atypical tail (diversity) or drops it
+   * (noise) — either policy needs this rank, and it must be
+   * reproducible: elements quantize ONCE to micro (the q138 seam),
+   * centroids are truncating-div means, distances are exact integer
+   * sums, and the percentile is the q92 rank rule — every engine
+   * replays the whole chain bit-for-bit, where float means would differ
+   * by summation order.
+   *
+   * Scale shape: two passes over the (group, dim, q) explode (centroid
+   * aggregate with map-side partials, then the distance join against
+   * the broadcast |groups|·dim centroid table) — re-scanning the source
+   * beats materializing a corpus×dim intermediate; the final percentile
+   * windows run per group over per-DOC rows (one row per vector, not
+   * per dimension).
+   */
+  def prototypicalityRank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "prototypicalityRank")
+    def rows = df.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("id"), col(groupCol), col("dim"),
+        round(col("x") * lit(1000000.0)).cast("long").as("q"))
+    val centroids = rows.groupBy(col(groupCol), col("dim"))
+      .agg(expr("sum(q) div count(1)").as("__c"))
+    val dist = rows.join(broadcast(centroids), Seq(groupCol, "dim"))
+      .groupBy(col("id"), col(groupCol))
+      .agg(sum(abs(col("q") - col("__c"))).as("dist_micro"))
+    Eval.percentileCalibrate(dist, groupCol, "dist_micro", "atypicality_permille")
+  }
+
   def centroidDrift(
       sliceA: DataFrame,
       sliceB: DataFrame,

@@ -548,6 +548,45 @@ class TextOpsSuite extends AnyFunSuite {
     assert(guard === Map(7L -> 1L))
   }
 
+  test("disjunctive search: any-term match with counts, duplicates dedupe") {
+    val docs = Seq((0L, "a b c"), (1L, "a a x"), (2L, "z z")).toDF("doc_id", "text")
+    val idx = Search.buildInvertedIndex(docs, "doc_id", "text")
+    val got = Search.searchDisjunctive(idx, Seq("a", "b", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L)) // doc1's double 'a' counts once
+    intercept[IllegalArgumentException](Search.searchDisjunctive(idx, Nil))
+  }
+
+  test("proximity search: order-free slop window, per-doc min distance") {
+    val docs = Seq(
+      (0L, "a x x b"),     // distance 3
+      (1L, "b a"),         // reversed order, distance 1
+      (2L, "a x x x x b"), // distance 5 > slop
+      (3L, "a a b")        // two a's: min distance 1
+    ).toDF("doc_id", "text")
+    val pidx = Search.buildPositionalIndex(docs, "doc_id", "text")
+    val got = Search.searchProximity(pidx, "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 1L, 3L -> 1L))
+    intercept[IllegalArgumentException](Search.searchProximity(pidx, "a", "a", 3))
+    intercept[IllegalArgumentException](Search.searchProximity(pidx, "a", "b", 0))
+  }
+
+  test("prototypicality: exact integer distances and rank permille") {
+    // group g: vectors on a line; centroid of (0, 4, 8) micro-quantized
+    // is mean -> 4e6; distances 4e6, 0, 4e6. rank permille: 0 -> 0/1000 ties.
+    val df = Seq(
+      (0L, Array(0.0f), "g"), (1L, Array(4.0f), "g"), (2L, Array(8.0f), "g"),
+      (3L, Array(1.0f), "h"), (4L, Array(2.0f), "h"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypicalityRank(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // h centroid = (1e6+2e6) div 2 = 1.5e6; distances 5e5 each, tied rank 0
+    assert(got === Map(
+      0L -> (4000000L, 500L), 1L -> (0L, 0L), 2L -> (4000000L, 500L),
+      3L -> (500000L, 0L), 4L -> (500000L, 0L)))
+  }
+
   test("snippets: clamped windows, multiple hits per doc, absent term empty") {
     val docs = Seq((0L, "a b c a"), (1L, "x y z"), (2L, "a")).toDF("doc_id", "text")
     val pidx = Search.buildPositionalIndex(docs, "doc_id", "text")
