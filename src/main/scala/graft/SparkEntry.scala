@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, Graph, HeavyHitters, ImageCodec, Joins, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Decontaminate, Dedup, Graph, HeavyHitters, ImageCodec, Joins, Layout, Linkage, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -88,6 +88,26 @@ object SparkEntry {
     TextAnalysis.extractLinkDomains(planted, "doc_id", "text")
       .join(planted.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source").as("src"), col("domain").as("dst"))
+  }
+
+  /** The q175 planted triangle graph: community circulant edges
+    * (i→i+1, i→i+2 within each block of 10 doc_ids) plus hub spokes
+    * (i→(i div 100)·100) — deterministic from doc_ids, replayable in
+    * SQL, linear in corpus size, with 100-degree hubs so the
+    * degree-ordered orientation's skew story is actually exercised.
+    * Edges whose endpoint doc_id doesn't exist (replica-boundary gaps)
+    * drop via the semi-join. */
+  private def plantedTriangleEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = t(s, d, "documents").select(col("doc_id").as("id"))
+    val e1 = ids.select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .where(expr("(id + 1) div 10 = id div 10"))
+    val e2 = ids.select(col("id").as("src"), (col("id") + 2).as("dst"))
+      .where(expr("(id + 2) div 10 = id div 10"))
+    val hub = ids.select(col("id").as("src"),
+        expr("(id div 100) * 100").as("dst"))
+      .where(col("id") % 100 =!= 0)
+    e1.unionByName(e2).unionByName(hub)
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
   }
 
   /** Builds + persists the weighted posting index AND its ranking-stat
@@ -1520,6 +1540,116 @@ object SparkEntry {
       Similarity.prototypicalityRank(t(s, d, "embeddings"),
           "vec_id", "embedding", "label")
         .orderBy("id")
+    }),
+
+    "q175_triangle_counts" -> ((s, d) => {
+      // Per-node triangles + local clustering coefficient over the
+      // planted community/hub graph — degree-ordered orientation, so
+      // wedge enumeration roots at spokes, never at the 100-degree hubs.
+      Graph.triangleCounts(plantedTriangleEdges(s, d), "src", "dst")
+        .orderBy("node")
+    }),
+
+    "q176_winnow_fingerprints" -> ((s, d) => {
+      // MOSS robust winnowing (k=3 token grams, window 4): every doc's
+      // selected (pos, fp) set — one window pass per doc, rightmost-min
+      // picked by a single min(struct(hash, -pos)) frame expression.
+      TextAnalysis.winnowingFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q177_winnow_overlap" -> ((s, d) => {
+      // Contamination/clone detection on the winnowed sets: doc pairs
+      // sharing >= 5 distinct fingerprints, through a fingerprint
+      // equi-join — ubiquitous fingerprints (> 50 docs) are dropped
+      // first (they carry no dup signal and their buckets are the skew),
+      // so the join cost is Σ C(df, 2) over RARE fingerprints only.
+      val fps = TextAnalysis.winnowingFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id"), col("fp")).distinct()
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= 50).select("fp")
+      val kept = fps.join(rare, "fp")
+      kept.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared_fps"))
+        .where(col("shared_fps") >= 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q178_cms_frequencies" -> ((s, d) => {
+      // Count-min sketch point queries, gated on the ESTIMATES: the 4×1024
+      // md5-bucketed sketch is built once from the token stream (fixed-size
+      // mergeable state), then the exact top-30 tokens are looked up in it
+      // — est >= exact always; the overshoot column is the sketch's
+      // measured collision error.
+      val docs = t(s, d, "documents")
+      val sketch = HeavyHitters.countMinSketch(docs, "text", depth = 4,
+        width = 1024)
+      val exact = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact"))
+        .orderBy(desc("exact"), asc("token")).limit(30)
+      HeavyHitters.cmsEstimates(sketch, exact.select("token"), "token",
+          depth = 4, width = 1024)
+        .join(exact, "token")
+        .select(col("token"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overshoot"))
+        .orderBy("token")
+    }),
+
+    "q179_record_linkage" -> ((s, d) => {
+      // Blocking + edit-distance record linkage: a deterministically
+      // dirtied parts feed (one char deleted for 2/3 of rows) links back
+      // to the catalog within p_brand blocks by Levenshtein <= 2, best
+      // match by (distance, partkey). Unmatched rows surface with null
+      // match — the reject split is the audit.
+      val part = t(s, d, "part")
+      val dirty = part.select(col("p_partkey").as("import_id"),
+        col("p_brand"),
+        Linkage.injectTypos("p_name", "p_partkey").as("p_name"))
+      Linkage.linkByEditDistance(
+          dirty, "import_id",
+          part.select(col("p_partkey"), col("p_brand"), col("p_name")),
+          "p_partkey", "p_name", "p_brand", maxDistance = 2)
+        .orderBy("import_id")
+    }),
+
+    "q180_rolling_anomaly" -> ((s, d) => {
+      // Ingest-volume monitoring: hourly per-type event counts (with a
+      // planted 12x spike every 101st epoch-hour so the positive branch
+      // provably fires), each bucket z-tested against its own trailing
+      // 24 observed hours in pure integer arithmetic — no float
+      // mean/stddev anywhere, so the flags replay bit-for-bit.
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb"))
+        .agg(count(lit(1)).as("raw"))
+        .select(col("event_type"), col("hb"),
+          expr("raw * (CASE WHEN hb % 101 = 0 THEN 12 ELSE 1 END)").as("cnt"))
+      Sessionize.rollingAnomalies(hourly, "event_type", "hb", "cnt",
+          window = 24, zThresholdPermille = 3000L, minHistory = 6)
+        .select(col("event_type"), col("hb"), col("cnt"), col("history_n"),
+          col("mean_milli"), col("is_anomaly"), col("direction"))
+        .orderBy("event_type", "hb")
+    }),
+
+    "q181_zorder_extents" -> ((s, d) => {
+      // Z-order layout planning: lineitem's (partkey, suppkey) scaled to
+      // 8-bit grids, Morton-interleaved by pure shift/mask expressions,
+      // range-bucketed into 64 "files" — the per-bucket min/max extent
+      // table IS the footer statistics a box predicate would prune with.
+      val li = t(s, d, "lineitem")
+      val m = broadcast(li.agg(max("l_partkey").as("__xm"),
+        max("l_suppkey").as("__ym")))
+      val scaled = li.crossJoin(m).select(
+        Layout.scaleToBits(col("l_partkey"), col("__xm"), 8).as("xb"),
+        Layout.scaleToBits(col("l_suppkey"), col("__ym"), 8).as("yb"))
+      Layout.zOrderExtents(scaled, "xb", "yb", bits = 8, buckets = 64)
+        .orderBy("bucket")
     }),
 
     "q171_incremental_components" -> ((s, d) => {
@@ -3010,6 +3140,15 @@ object SparkEntry {
     val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
     ImageCodec.encodePng(w, h, rgb)
   })
+
+  /** The Morton-interleave bit terms as SQL text — `((x >> i) & 1) << 2i`
+    * summed — mirroring [[Layout.zValue2]]'s shift/mask/shift Columns
+    * term for term (the shared-arithmetic convention: both engines run
+    * the same integer expression, so z-values agree bit-for-bit). */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4822,6 +4961,210 @@ object SparkEntry {
 
     // q174: the same micro quantization, truncating-div centroids, exact
     // L1 sums, and the q92 rank-permille rule.
+    // q175: same canonicalization (undirected simple), same
+    // (degree, node) total order for orientation, same wedge + closing
+    // join — the oracle IS the degree-ordered algorithm in SQL, so it
+    // stays O(m^{3/2}) too.
+    "q175_triangle_counts" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |raw AS (
+        |  SELECT id AS src, id + 1 AS dst FROM ids WHERE (id + 1) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, id + 2 FROM ids WHERE (id + 2) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, (id // 100) * 100 FROM ids WHERE id % 100 <> 0),
+        |e AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN ids i ON i.id = r.dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e WHERE src <> dst),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS t,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS h,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |         THEN db.dg ELSE da.dg END AS dh
+        |  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+        |wd AS (SELECT o1.t AS u, o1.h AS v, o2.h AS w
+        |       FROM o o1 JOIN o o2 ON o1.t = o2.t
+        |       WHERE o1.dh < o2.dh OR (o1.dh = o2.dh AND o1.h < o2.h)),
+        |tri AS (SELECT wd.u, wd.v, wd.w
+        |        FROM wd JOIN o oc ON oc.t = wd.v AND oc.h = wd.w),
+        |pern AS (SELECT node, CAST(count(*) AS BIGINT) AS tr FROM (
+        |           SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |           UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.dg AS degree,
+        |  coalesce(pern.tr, 0) AS triangles,
+        |  CASE WHEN deg.dg >= 2
+        |       THEN (2000000 * coalesce(pern.tr, 0)) // (deg.dg * (deg.dg - 1))
+        |       ELSE 0 END AS cc_micro
+        |FROM deg LEFT JOIN pern USING (node)
+        |ORDER BY node""".stripMargin,
+
+    // q176: the two-step rightmost-min replay (windowed min + bounded
+    // range self-join) of Spark's one-pass min(struct(hash, -pos)).
+    "q176_winnow_fingerprints" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |tok3 AS (SELECT doc_id, toks, len(toks) AS nt FROM tok
+        |         WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, nt - 2 AS gn,
+        |        unnest(range(1, nt - 1)) AS pos, toks
+        |      FROM tok3),
+        |gh AS (SELECT doc_id, gn, CAST(pos AS INT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(toks[pos:pos+2], ' ')), 1, 15))::BIGINT AS h
+        |       FROM g),
+        |wm AS (SELECT doc_id, gn, pos, h,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM gh),
+        |st AS (SELECT doc_id, pos, wmin FROM wm
+        |       WHERE pos <= greatest(1, gn - 3)),
+        |sel AS (SELECT s.doc_id, max(g2.pos) AS pos, s.wmin AS fp
+        |        FROM st s JOIN gh g2 ON g2.doc_id = s.doc_id
+        |          AND g2.pos BETWEEN s.pos AND s.pos + 3 AND g2.h = s.wmin
+        |        GROUP BY s.doc_id, s.pos, s.wmin)
+        |SELECT DISTINCT doc_id, pos, fp FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q177: same winnowed sets, doc-frequency cap, fingerprint equi-join.
+    "q177_winnow_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |tok3 AS (SELECT doc_id, toks, len(toks) AS nt FROM tok
+        |         WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, nt - 2 AS gn,
+        |        unnest(range(1, nt - 1)) AS pos, toks
+        |      FROM tok3),
+        |gh AS (SELECT doc_id, gn, CAST(pos AS INT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(toks[pos:pos+2], ' ')), 1, 15))::BIGINT AS h
+        |       FROM g),
+        |wm AS (SELECT doc_id, gn, pos, h,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM gh),
+        |st AS (SELECT doc_id, pos, wmin FROM wm
+        |       WHERE pos <= greatest(1, gn - 3)),
+        |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM st),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q178: the estimates replay exactly — same md5("r:token") mod 1024
+    // buckets, same min-over-4-rows lookup.
+    "q178_cms_frequencies" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM tk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+        |sketch AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY 1, 2),
+        |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact
+        |       FROM tk GROUP BY 1),
+        |top AS (SELECT token, exact FROM ex
+        |        ORDER BY exact DESC, token LIMIT 30),
+        |addr AS (
+        |  SELECT t.token, t.exact, r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t.token), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r))
+        |SELECT a.token, a.exact,
+        |  min(coalesce(s.cnt, 0)) AS est,
+        |  min(coalesce(s.cnt, 0)) - a.exact AS overshoot
+        |FROM addr a LEFT JOIN sketch s ON s.r = a.r AND s.bucket = a.bucket
+        |GROUP BY a.token, a.exact
+        |ORDER BY token""".stripMargin,
+
+    // q179: same typo rule, same brand blocks, DuckDB's levenshtein is
+    // the same classic DP distance, same (candidacy, distance, id)
+    // null-ranked tie-break.
+    "q179_record_linkage" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS import_id, p_brand,
+        |    CASE WHEN p_partkey % 3 = 0 OR len(p_name) <= 1 THEN p_name
+        |         ELSE substr(p_name, 1, CAST(p_partkey % len(p_name) AS INT))
+        |              || substr(p_name, CAST(p_partkey % len(p_name) AS INT) + 2)
+        |    END AS dname
+        |  FROM part),
+        |sc AS (
+        |  SELECT d.import_id, d.p_brand, d.dname,
+        |    c.p_partkey AS cid, c.p_name AS cname,
+        |    levenshtein(d.dname, c.p_name) AS dist
+        |  FROM dirty d LEFT JOIN part c ON c.p_brand = d.p_brand),
+        |rk AS (
+        |  SELECT *, (dist IS NOT NULL AND dist <= 2) AS cand,
+        |    row_number() OVER (PARTITION BY import_id
+        |      ORDER BY (dist IS NOT NULL AND dist <= 2) DESC,
+        |        (dist IS NULL), dist, (cid IS NULL), cid) AS rn
+        |  FROM sc)
+        |SELECT import_id, p_brand, dname AS dirty_name,
+        |  CASE WHEN cand THEN cid END AS matched_id,
+        |  CASE WHEN cand THEN cname END AS matched_name,
+        |  CASE WHEN cand THEN dist END AS distance
+        |FROM rk WHERE rn = 1
+        |ORDER BY import_id""".stripMargin,
+
+    // q180: same hourly buckets (epoch-hour ints), same planted spike,
+    // same trailing-24 ROWS frame, same integer z² test (HUGEINT for the
+    // quadratic terms = Spark's DECIMAL(38,0)).
+    "q180_rolling_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+        |    CAST(count(*) AS BIGINT) AS raw
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, hb,
+        |        raw * (CASE WHEN hb % 101 = 0 THEN 12 ELSE 1 END) AS cnt
+        |      FROM hourly),
+        |w AS (SELECT event_type, hb, cnt,
+        |        CAST(count(cnt) OVER win AS BIGINT) AS history_n,
+        |        CAST(coalesce(sum(cnt) OVER win, 0) AS BIGINT) AS s1,
+        |        coalesce(sum(CAST(cnt AS HUGEINT) * cnt) OVER win, 0) AS s2
+        |      FROM b
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY hb
+        |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, hb, cnt, history_n,
+        |        CASE WHEN history_n > 0 THEN (s1 * 1000) // history_n END AS mean_milli,
+        |        CASE WHEN history_n < 6 THEN FALSE
+        |             WHEN CAST(history_n AS HUGEINT) * s2 = CAST(s1 AS HUGEINT) * s1
+        |               THEN cnt * history_n <> s1
+        |             ELSE CAST(cnt * history_n - s1 AS HUGEINT)
+        |                    * (cnt * history_n - s1) * 1000000
+        |                  > 9000000 * (CAST(history_n AS HUGEINT) * s2
+        |                               - CAST(s1 AS HUGEINT) * s1)
+        |        END AS is_anomaly,
+        |        cnt * history_n - s1 AS dev
+        |      FROM w)
+        |SELECT event_type, hb, cnt, history_n, mean_milli, is_anomaly,
+        |  CAST(CASE WHEN NOT is_anomaly THEN 0
+        |            WHEN dev > 0 THEN 1 ELSE -1 END AS INT) AS direction
+        |FROM f ORDER BY event_type, hb""".stripMargin,
+
+    // q181: same width-scaling, the interleave terms generated by the
+    // SAME Scala helper shape, same equal-width z buckets.
+    "q181_zorder_extents" ->
+      s"""WITH m AS (SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym
+        |           FROM lineitem),
+        |s AS (SELECT (l_partkey * 256) // (xm + 1) AS xb,
+        |             (l_suppkey * 256) // (ym + 1) AS yb
+        |      FROM lineitem, m),
+        |z AS (SELECT xb, yb, ${zInterleaveSql("xb", "yb", 8)} AS zv FROM s)
+        |SELECT (zv * 64) // 65536 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(xb) AS x_min, max(xb) AS x_max,
+        |  min(yb) AS y_min, max(yb) AS y_max
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q174_prototypicality" ->
       """WITH r AS (
         |  SELECT vec_id AS id, label,

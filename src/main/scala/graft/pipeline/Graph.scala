@@ -312,6 +312,84 @@ object Graph {
       .select(col("node"), col("registers_set"), col("est_micro"))
   }
 
+  /**
+   * Per-node triangle counts and local clustering coefficient over an
+   * undirected simple graph (directed input is canonicalized: self-loops
+   * dropped, parallel/reverse edges collapse to one {a,b} pair). The
+   * local clustering coefficient — triangles(v) / C(deg(v), 2) — is the
+   * classic cohesion signal (Watts–Strogatz 1998): spam-farm link rings
+   * and template-generated cross-link blocks score near 1, organic hub
+   * pages near 0, so corpus curation uses it alongside PageRank to
+   * discount artificially dense neighborhoods.
+   *
+   * Scale shape — the degree-ordered orientation (Chiba–Nishizeki /
+   * Suri–Vassilvitskii "MR-Cool" discipline): every undirected edge is
+   * directed from its (degree, node)-smaller endpoint to the larger, and
+   * wedges are enumerated only at an edge's LOWER endpoint. A hub of
+   * degree d roots none of its C(d, 2) wedges — they root at the spokes
+   * — which bounds per-node wedge fan-out by O(√m) on any graph and
+   * makes the enumeration O(m^{3/2}) total instead of Σ deg² (quadratic
+   * at hubs). Three hash equi-joins, no driver state, no node ever
+   * materializes its neighbor list in one row.
+   *
+   * Determinism: counts are exact integers; the coefficient is reported
+   * in integer micro-units — `(2'000'000 · tri) div (deg · (deg−1))` —
+   * the ln-seam rule applied to a ratio, so any engine replays it
+   * bit-for-bit. Output: (node, degree, triangles, cc_micro); isolated
+   * nodes don't appear (no edges → no row), degree-1 nodes report
+   * cc_micro = 0.
+   */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = cleanEdges(edges, srcCol, dstCol)
+      .where(col("__src") =!= col("__dst"))
+      .select(least(col("__src"), col("__dst")).as("__a"),
+        greatest(col("__src"), col("__dst")).as("__b"))
+      .distinct()
+    val deg = und.select(col("__a").as("node"))
+      .unionByName(und.select(col("__b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    // Orient {a,b} from the (degree, node)-smaller endpoint to the larger;
+    // carry the head's (degree, node) so the wedge join can order its two
+    // endpoints without re-joining the degree table.
+    val oriented = und
+      .join(deg.select(col("node").as("__a"), col("__deg").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("__deg").as("__db")), "__b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("__a") < col("__b")),
+          struct(col("__a").as("t"), col("__b").as("h"),
+            col("__db").as("dh")))
+          .otherwise(struct(col("__b").as("t"), col("__a").as("h"),
+            col("__da").as("dh"))).as("__e"))
+      .select(col("__e.t").as("__t"), col("__e.h").as("__h"),
+        col("__e.dh").as("__dh"))
+    // Wedges root at the tail: (v, w) both order-above u, v order-below w.
+    val o1 = oriented.select(col("__t").as("__u"), col("__h").as("__v"),
+      col("__dh").as("__dv"))
+    val o2 = oriented.select(col("__t").as("__u"), col("__h").as("__w"),
+      col("__dh").as("__dw"))
+    val wedges = o1.join(o2, "__u")
+      .where(col("__dv") < col("__dw") ||
+        (col("__dv") === col("__dw") && col("__v") < col("__w")))
+    // Close the wedge: (v, w) is oriented v→w exactly when it exists,
+    // because v precedes w in the same total order the orientation used.
+    val triangles = wedges.join(
+      oriented.select(col("__t").as("__v"), col("__h").as("__w")),
+      Seq("__v", "__w"))
+      .select(col("__u"), col("__v"), col("__w"))
+    val perNode = triangles
+      .select(explode(array(col("__u"), col("__v"), col("__w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("__deg").as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("triangles"),
+        expr("CASE WHEN __deg >= 2 THEN (2000000 * coalesce(__tri, 0L)) " +
+          "div (__deg * (__deg - 1)) ELSE 0L END").as("cc_micro"))
+  }
+
   def pageRankRedistributing(
       edges: DataFrame,
       srcCol: String,

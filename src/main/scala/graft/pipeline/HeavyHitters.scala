@@ -62,4 +62,69 @@ object HeavyHitters {
       .agg(count(lit(1)).as("freq"))
       .where(col("freq") >= threshold)
   }
+
+  /**
+   * Count–min sketch (Cormode–Muthukrishnan 2005) over the corpus's token
+   * stream: a `depth × width` grid of counters where row r increments
+   * bucket h_r(token), answering point frequency queries with one-sided
+   * error — estimate ≥ true count always, overshoot ≤ 2·total/width with
+   * probability 1 − 2^−depth. THE fixed-size mergeable frequency summary:
+   * where [[heavyHitters]] needs a second confirming pass over the corpus,
+   * a stored sketch answers arbitrary later point queries (per-shard
+   * sketches union by cell-wise ADDITION — a groupBy(row, bucket) sum —
+   * so a 1000-executor fleet merges to the same `depth·width` rows).
+   *
+   * Determinism (the q76/q32 md5 discipline): h_r(t) = md5_60("r:t") mod
+   * width — replayable in any engine with md5, so the ESTIMATES (not just
+   * the exact counts) gate against a SQL oracle. Returns the sketch as
+   * (row, bucket, cnt) rows — only touched cells materialize; an absent
+   * cell reads 0.
+   */
+  def countMinSketch(
+      df: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    val toks: Column = TextAnalysis.tokens(col(textCol))
+    df.select(explode(toks).as("__token"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cmsBucket(col("__token"), r, width)
+          .as("bucket"))): _*)).as("__cell"))
+      .groupBy(col("__cell.row").as("row"), col("__cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** h_r(t): 60-bit md5 of "r:t", reduced mod width — non-negative. */
+  private def cmsBucket(token: Column, row: Int, width: Int): Column =
+    graft.functions.KmvFunctions
+      .md5Hash60(concat(lit(s"$row:"), token)) % width
+
+  /**
+   * Point-frequency estimates from a stored sketch: for every row of
+   * `items`, the count-min estimate of `itemCol`'s corpus frequency —
+   * min over the sketch's depth rows of the addressed cell (absent cell
+   * = 0). The sketch side is `depth·width` bounded rows, so the join
+   * broadcasts; the query never touches the corpus — the "build once,
+   * serve many" contract (q104/q113/q154 sidecar convention) applied to
+   * frequency queries.
+   */
+  def cmsEstimates(
+      sketch: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val addressed = items
+      .select(col("*"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"), cmsBucket(col(itemCol), r, width)
+          .as("bucket"))): _*)).as("__cell"))
+      .select(col(itemCol), col("__cell.row").as("row"),
+        col("__cell.bucket").as("bucket"))
+    addressed
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

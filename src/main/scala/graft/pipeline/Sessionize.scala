@@ -156,4 +156,66 @@ object Sessionize {
       .withColumn("inversion_permille",
         expr("inversions * 1000 div n_events"))
   }
+
+  /**
+   * Rolling z-score anomaly detection over a keyed count series — the
+   * ingest-monitoring primitive ("did this source's hourly volume jump
+   * 3σ above its own recent history?") that pipelines run per source /
+   * event type / shard before a bad feed poisons a training mix.
+   *
+   * Each bucket is judged against the TRAILING `window` buckets (current
+   * excluded — a spike must not dilute its own baseline; ROWS semantics,
+   * so missing buckets are skipped, not zero-filled). The z² test is
+   * pure integer arithmetic — flag ⟺ (x·n − s1)²·10⁶ > T²·(n·s2 − s1²)·
+   * with T in permille — no float mean/stddev anywhere, so engines agree
+   * bit-for-bit (the q107 micro seam rule applied to a variance test;
+   * quadratic terms in DECIMAL(38,0) so 100-TB-scale counts cannot
+   * overflow). Zero-variance history flags ANY deviation; buckets with
+   * fewer than `minHistory` prior points are never flagged (cold start).
+   *
+   * Input: one row per (key, bucket) with an integer `countCol`.
+   * Output adds (history_n, mean_milli, is_anomaly, direction ∈
+   * {-1,0,1}). Scale shape: one window sort per key partition — the
+   * series per key is buckets, not events, so even a year of hourly
+   * buckets is ~9k rows per key.
+   */
+  def rollingAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      countCol: String,
+      window: Int = 24,
+      zThresholdPermille: Long = 3000L,
+      minHistory: Int = 6): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minHistory >= 2, s"minHistory must be >= 2, got $minHistory")
+    require(zThresholdPermille > 0,
+      s"zThresholdPermille must be > 0, got $zThresholdPermille")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-window, -1)
+    val x = col(countCol).cast("long")
+    df
+      .withColumn("history_n", count(x).over(w))
+      .withColumn("__s1", coalesce(sum(x).over(w), lit(0L)))
+      .withColumn("__s2", coalesce(
+        sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(w),
+        lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .withColumn("mean_milli",
+        when(col("history_n") > 0, expr("(__s1 * 1000) div history_n")))
+      .withColumn("__dev", x * col("history_n") - col("__s1"))
+      .withColumn("__var_n2", // n·s2 − s1² in DECIMAL(38,0)
+        expr("CAST(history_n AS DECIMAL(38,0)) * __s2 " +
+          "- CAST(__s1 AS DECIMAL(38,0)) * CAST(__s1 AS DECIMAL(38,0))"))
+      .withColumn("is_anomaly",
+        when(col("history_n") < minHistory, lit(false))
+          .when(col("__var_n2") === 0, col("__dev") =!= 0)
+          .otherwise(
+            expr("CAST(__dev AS DECIMAL(38,0)) * CAST(__dev AS DECIMAL(38,0)) " +
+              s"* 1000000 > ${zThresholdPermille * zThresholdPermille} * __var_n2")))
+      .withColumn("direction",
+        when(!col("is_anomaly"), lit(0))
+          .when(col("__dev") > 0, lit(1)).otherwise(lit(-1)))
+      .drop("__s1", "__s2", "__dev", "__var_n2")
+  }
 }

@@ -1581,6 +1581,65 @@ object TextAnalysis {
           .otherwise(expr("reused_chunks * 1000 div n_chunks")))
   }
 
+  /**
+   * Robust winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003
+   * — the MOSS algorithm): hash every token `k`-gram, slide a window of
+   * `w` consecutive gram hashes over the document, and keep each window's
+   * minimum (rightmost position on ties). The selected set is position-
+   * robust — any shared substring of at least `k + w − 1` tokens is
+   * GUARANTEED to contribute at least one common fingerprint — at an
+   * expected density of 2/(w+1) of the grams, which is what makes
+   * fingerprint-overlap a sound contamination/clone detector where
+   * [[fingerprint]] (whole-doc hash) only catches exact duplicates and
+   * MinHash only estimates global Jaccard.
+   *
+   * Output: (idCol, pos, fp) — `pos` the 1-based gram position selected,
+   * `fp` the 60-bit md5 gram hash ([[graft.functions.KmvFunctions
+   * .md5Hash60]], the q76 hash family — SQL-replayable: DuckDB's
+   * `('0x' || substr(md5(g), 1, 15))::BIGINT`). Documents with fewer than
+   * `k` tokens yield no row; with fewer than `k + w − 1` tokens the
+   * single clipped window selects the doc's global (rightmost) minimum,
+   * so every tokenizable doc keeps at least one fingerprint.
+   *
+   * Scale shape: tokenize → gram-hash → ONE window pass per document
+   * (`min(struct(hash, −pos))` over a `[0, w−1]` row frame gives the
+   * rightmost-min in one expression — no per-window self-join) →
+   * distinct. All map-side until the final per-document sort the window
+   * imposes; no shuffle wider than (doc, gram) rows, nothing quadratic
+   * in document length (the q147 `element_at` re-split trap avoided by
+   * projecting the token array once).
+   */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val toked = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, size(__toks) - ${k} + 1), " +
+          s"i -> concat_ws(' ', slice(__toks, i, ${k})))").as("__grams"))
+      .select(col(idCol), size(col("__grams")).as("__g"),
+        posexplode(col("__grams")).as(Seq("__p0", "__gram")))
+      .select(col(idCol), col("__g"), (col("__p0") + 1).as("__pos"),
+        graft.functions.KmvFunctions.md5Hash60(col("__gram")).as("__h"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(0, w - 1)
+    toked
+      .withColumn("__sel",
+        min(struct(col("__h"), (-col("__pos")).as("__np"))).over(frame))
+      .where(col("__pos") <= greatest(lit(1), col("__g") - (w - 1)))
+      .select(col(idCol), (-col("__sel.__np")).as("pos"),
+        col("__sel.__h").as("fp"))
+      .distinct()
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

@@ -34,6 +34,47 @@ class GraphSuite extends AnyFunSuite {
     Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  private def tri(edges: Seq[(String, String)]): Map[String, (Long, Long, Long)] =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("triangleCounts: K4 — every node in 3 triangles, coefficient 1") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield a -> b
+    val r = tri(k4)
+    assert(r.keySet === Set("a", "b", "c", "d"))
+    r.values.foreach { case (deg, t, cc) =>
+      assert(deg === 3L); assert(t === 3L); assert(cc === 1000000L)
+    }
+  }
+
+  test("triangleCounts: path has none; triangle+pendant counts per node") {
+    assert(tri(Seq("a" -> "b", "b" -> "c")).values.forall(_._2 == 0L))
+    val r = tri(Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d"))
+    assert(r("a") === ((2L, 1L, 1000000L)))
+    assert(r("b") === ((2L, 1L, 1000000L)))
+    assert(r("c") === ((3L, 1L, 333333L))) // 2e6·1 div (3·2)
+    assert(r("d") === ((1L, 0L, 0L)))
+  }
+
+  test("triangleCounts: reverse duplicates, parallel edges, self-loops collapse") {
+    val messy = Seq("a" -> "b", "b" -> "a", "a" -> "b", "a" -> "a",
+      "b" -> "c", "c" -> "a")
+    val r = tri(messy)
+    assert(r.values.forall { case (deg, t, cc) =>
+      deg == 2L && t == 1L && cc == 1000000L })
+  }
+
+  test("triangleCounts: hub star closes only where a rim edge exists") {
+    val star = Seq("h" -> "s1", "h" -> "s2", "h" -> "s3", "h" -> "s4",
+      "h" -> "s5", "s1" -> "s2")
+    val r = tri(star)
+    assert(r("h") === ((5L, 1L, 100000L))) // 2e6·1 div (5·4)
+    assert(r("s1")._2 === 1L && r("s2")._2 === 1L)
+    assert(r("s3")._2 === 0L && r("s4")._2 === 0L && r("s5")._2 === 0L)
+  }
+
   test("pageRank matches the integer recurrence replay on a cyclic graph") {
     val edges = Seq(
       "a" -> "b", "b" -> "c", "c" -> "a", // 3-cycle

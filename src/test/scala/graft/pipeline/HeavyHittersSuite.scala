@@ -89,6 +89,59 @@ class HeavyHittersSuite extends AnyFunSuite {
     docs.unpersist()
   }
 
+  /** Scala replay of the md5("r:t") mod width cell address. */
+  private def cmsCell(token: String, row: Int, width: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$row:$token".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md.substring(0, 15), 16) % width
+  }
+
+  test("countMinSketch estimates replay exactly and never undercount") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 50).map(i => s"tok$i")
+    val docs = (0 until 300).map { id =>
+      (id.toLong, Seq.fill(8)(vocab(rnd.nextInt(50))).mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.cache().count()
+    val (depth, width) = (4, 64) // narrow on purpose: collisions must occur
+    val sketch = HeavyHitters.countMinSketch(docs, "text", depth, width)
+    val cells = sketch.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val truth = docs.collect().flatMap(_.getString(1).split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // cell contents replay: each cell's count = Σ truth over tokens hashing there
+    val expectedCells = truth.toSeq
+      .flatMap { case (t, n) => (0 until depth).map(r => (r, cmsCell(t, r, width)) -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(cells === expectedCells)
+    val items = vocab.toDF("token")
+    val est = HeavyHitters.cmsEstimates(sketch, items, "token", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.foreach { t =>
+      val exact = truth.getOrElse(t, 0L)
+      val expected = (0 until depth)
+        .map(r => expectedCells.getOrElse((r, cmsCell(t, r, width)), 0L)).min
+      assert(est(t) === expected, s"estimate replay for $t")
+      assert(est(t) >= exact, s"one-sided error violated for $t")
+    }
+    // narrow width must actually exercise the collision path
+    assert(vocab.exists(t => est(t) > truth.getOrElse(t, 0L)))
+    docs.unpersist()
+  }
+
+  test("countMinSketch merges by cell-wise addition across shards") {
+    val a = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val b = Seq((3L, "x z z")).toDF("doc_id", "text")
+    val merged = HeavyHitters.countMinSketch(a.unionByName(b), "text", 4, 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = (HeavyHitters.countMinSketch(a, "text", 4, 32).collect() ++
+      HeavyHitters.countMinSketch(b, "text", 4, 32).collect())
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged === summed)
+  }
+
   test("heavyHitters refuses when the error bound voids completeness") {
     val docs = (0 until 200).map(i => (i.toLong, s"x$i common"))
       .toDF("doc_id", "text")
