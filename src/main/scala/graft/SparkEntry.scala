@@ -1652,6 +1652,122 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "q182_ppl_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail quality bands, closing the LM lifecycle:
+      // odd docs score against the STORED even-half bigram LM (the q113
+      // artifact, built once), scores calibrate to integer permille
+      // WITHIN source (the q92 rule — one global tercile would just
+      // rank sources against each other), and terciles label each doc
+      // head (most corpus-typical), middle, or tail. Un-scoreable docs
+      // (< 2 tokens, null score) rank lowest — tail by construction,
+      // not by special case.
+      val docs = t(s, d, "documents")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/bigram_lm"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          TextAnalysis.bigramLmModel(docs.where(col("doc_id") % 2 === 0), "text")
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      val model = s.read.parquet(path)
+      val scored = TextAnalysis.bigramLmScoreWithModel(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+      graft.pipeline.Eval.percentileCalibrate(
+          scored, "source", "lm_score_micronats")
+        .withColumn("band",
+          when(col("score_permille") >= 667, "head")
+            .when(col("score_permille") >= 334, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "source", "lm_score_micronats", "score_permille",
+          "band")
+        .orderBy("doc_id")
+    }),
+
+    "q183_mad_outliers" -> ((s, d) => {
+      // Robust numeric outlier screen: per event type, |x − median| >
+      // 3·1.4826·MAD in pure integer arithmetic (micro quantization,
+      // histogram-rule medians, cross-multiplied inequality) — the
+      // metadata sanity gate where mean/stddev would let a giant
+      // outlier inflate its own threshold and mask itself.
+      Profile.madOutlierReport(events(s, d), Seq("event_type"),
+          "event_id", "value", sigmas = 3)
+        .orderBy("event_id")
+    }),
+
+    "q184_random_projection" -> ((s, d) => {
+      // Johnson–Lindenstrauss sparse sign projection 64 → 16: the
+      // dimensionality-reduction step in front of ANN when the raw
+      // embedding is too wide to move at corpus scale. The ±1/0 matrix
+      // derives from md5 (1/6, 2/3, 1/6 probabilities), never a driver
+      // RNG; components are exact integer micro sums.
+      Similarity.randomProjectSparse(t(s, d, "embeddings"), "vec_id",
+          "embedding", inDims = 64, outDims = 16)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "k")
+    }),
+
+    "q185_stream_dedup_ledger" -> ((s, d) => {
+      // STATEFUL streaming dedup: documents drain through the xmlng
+      // stream source and dropDuplicates keeps cross-batch digest state,
+      // so a duplicate arriving in a LATER micro-batch is suppressed —
+      // the op q58's stateless filters can't express. The surviving
+      // digest ledger is batch-boundary-independent and equals the
+      // batch DISTINCT set exactly; only the digest is emitted (which
+      // physical row won is an arrival-order accident, the digest set
+      // is the invariant).
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/stream_dedup_v1"
+      xmlInputOnce(docs, path, "doc")
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(docs.schema).load(path)
+      val ledger = stream
+        .select(md5(to_binary(coalesce(col("text"), lit("")),
+          lit("utf-8"))).as("digest"))
+        .dropDuplicates("digest")
+      val sinkName = "q185_sink_" + sfName.replace('.', '_')
+      val q = ledger.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("digest")
+    }),
+
+    "q186_hll_distinct" -> ((s, d) => {
+      // Per-source distinct-token HLL estimate next to the exact count:
+      // 16 register rows per source cross the exchange regardless of
+      // vocabulary size — the countDistinct replacement when distinct
+      // values are themselves data-scale. Estimates are md5-derived and
+      // the estimator SQL is shared verbatim with the oracle, so the
+      // sketch value itself is the gate, not just the row count.
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("token")).as("n_exact"))
+      HeavyHitters.hllDistinct(toks, Seq("source"), "token")
+        .join(exact, "source")
+        .select(col("source"), col("n_exact"), col("registers_set"),
+          col("est_micro"))
+        .orderBy("source")
+    }),
+
+    "q187_projected_ann" -> ((s, d) => {
+      // ANN served THROUGH the q184 JL projection: coarse top-20 by
+      // exact integer L2 in the 16-dim projected space (4× fewer bytes
+      // per comparison), exact float-cosine re-rank of only those
+      // candidates to top-5 — the dimensionality-reduction serving path
+      // beside q166's int8 codes. Both stages deterministic (integer
+      // coarse score, id tie-breaks), replayed stage for stage.
+      val emb = t(s, d, "embeddings")
+      Similarity.projectedRerankTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", inDims = 64, projDims = 16,
+          k = 5, expand = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "q171_incremental_components" -> ((s, d) => {
       // The incremental dedup lifecycle CLOSED end to end: the even
       // half's cluster assignment persists once (its pair graph is never
@@ -5164,6 +5280,212 @@ object SparkEntry {
         |  min(xb) AS x_min, max(xb) AS x_max,
         |  min(yb) AS y_min, max(yb) AS y_max
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q182: the q113 stored-model chain (retrained in SQL — the stored
+    // table provably equals a recompute), then the q92 rank window per
+    // source and the tercile CASE. NULLS FIRST matches Spark's
+    // asc_nulls_first default: un-scoreable docs land in the tail.
+    "q182_ppl_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |occ_t AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tk WHERE doc_id % 2 = 0 AND len(toks) >= 2),
+        |bi AS (SELECT bg, count(*) AS c2 FROM occ_t GROUP BY bg),
+        |bscore AS (
+        |  SELECT bg,
+        |    CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_bg
+        |  FROM bi JOIN uni ON uni.w = split_part(bi.bg, ' ', 1) CROSS JOIN v),
+        |uscore AS (
+        |  SELECT w,
+        |    CAST(round(ln(1.0 / CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_w1
+        |  FROM uni CROSS JOIN v),
+        |dflt AS (
+        |  SELECT CAST(round(ln(1.0 / CAST(v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_def
+        |  FROM v),
+        |pocc AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tk WHERE doc_id % 2 = 1 AND len(toks) >= 2),
+        |terms AS (
+        |  SELECT p.doc_id, coalesce(b.t_bg, u.t_w1, d.t_def) AS t
+        |  FROM pocc p
+        |  LEFT JOIN bscore b USING (bg)
+        |  LEFT JOIN uscore u ON u.w = split_part(p.bg, ' ', 1)
+        |  CROSS JOIN dflt d),
+        |doc AS (
+        |  SELECT doc_id, CAST(sum(t) // count(*) AS BIGINT) AS lm
+        |  FROM terms GROUP BY doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, t.source, doc.lm AS lm_score_micronats
+        |  FROM tk t LEFT JOIN doc ON doc.doc_id = t.doc_id
+        |  WHERE t.doc_id % 2 = 1),
+        |ranked AS (
+        |  SELECT doc_id, source, lm_score_micronats,
+        |    ((rank() OVER (PARTITION BY source
+        |        ORDER BY lm_score_micronats NULLS FIRST) - 1) * 1000)
+        |      // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+        |      AS score_permille
+        |  FROM scored)
+        |SELECT doc_id, source, lm_score_micronats,
+        |  CAST(score_permille AS BIGINT) AS score_permille,
+        |  CASE WHEN score_permille >= 667 THEN 'head'
+        |       WHEN score_permille >= 334 THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // q183: micro quantization, the q112 histogram median twice (value,
+    // then |x − med|), and the cross-multiplied integer MAD inequality
+    // (3 · 14826 = 44478).
+    "q183_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type, min(v) AS med_micro FROM hc
+        |  WHERE cum >= (500 * n + 999) // 1000 GROUP BY event_type),
+        |dev AS (
+        |  SELECT b.event_type, b.event_id, b.v, med.med_micro,
+        |    abs(b.v - med.med_micro) AS d
+        |  FROM b JOIN med USING (event_type)),
+        |dh AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+        |dhc AS (
+        |  SELECT event_type, d,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM dh),
+        |mad AS (
+        |  SELECT event_type, min(d) AS mad_micro FROM dhc
+        |  WHERE cum >= (500 * n + 999) // 1000 GROUP BY event_type)
+        |SELECT dev.event_type, dev.event_id, dev.v AS value_micro,
+        |  dev.med_micro, mad.mad_micro,
+        |  dev.d * 10000 > mad.mad_micro * 44478 AS is_outlier
+        |FROM dev JOIN mad USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // q184: the md5-derived sparse sign matrix (mod-6 on the q49 hex
+    // window), 0-based dims (p.i − 1 aligns DuckDB's 1-based lambda
+    // index with posexplode), exact integer micro sums.
+    "q184_random_projection" ->
+      """WITH cells AS (
+        |  SELECT i // 16 AS dim, i % 16 AS k,
+        |    CASE ('0x' || substr(md5('rp|' || CAST(i // 16 AS VARCHAR)
+        |        || '|' || CAST(i % 16 AS VARCHAR)), 25, 8))::BIGINT % 6
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sign
+        |  FROM (SELECT unnest(range(0, 1024)) AS i)),
+        |nz AS (SELECT dim, k, sign FROM cells WHERE sign <> 0),
+        |r AS (
+        |  SELECT vec_id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p))
+        |SELECT r.vec_id, CAST(nz.k AS BIGINT) AS k,
+        |  CAST(sum(nz.sign * r.q) AS BIGINT) AS proj_micro
+        |FROM r JOIN nz ON r.dim = nz.dim
+        |GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin,
+
+    // q185: the drained cross-batch dedup state must equal the batch
+    // DISTINCT digest set — the whole point of the gate.
+    "q185_stream_dedup_ledger" ->
+      """SELECT DISTINCT md5(coalesce(text, '')) AS digest
+        |FROM documents ORDER BY digest""".stripMargin,
+
+    // q186: the q155 register derivation applied to token values, the
+    // SAME shared estimator SQL, and the exact distinct beside it.
+    "q186_hll_distinct" ->
+      s"""WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |c0 AS (
+        |  SELECT source,
+        |    ('0x' || substr(h, 1, 1))::BIGINT AS reg,
+        |    CASE WHEN v60 = 0 THEN 61 ELSE 61 - length(bin(v60)) END AS val
+        |  FROM (SELECT source, md5(token) AS h,
+        |          ('0x' || substr(md5(token), 2, 15))::BIGINT AS v60
+        |        FROM tok)),
+        |regs AS (
+        |  SELECT source, reg, CAST(max(val) AS BIGINT) AS val
+        |  FROM c0 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS registers_set,
+        |    CAST(sum(CAST((1::BIGINT) << (61 - val) AS HUGEINT)) AS HUGEINT)
+        |      AS sset
+        |  FROM regs GROUP BY source),
+        |est AS (
+        |  SELECT source, registers_set,
+        |    sset + CAST(16 - registers_set AS HUGEINT)
+        |      * CAST(2305843009213693952 AS HUGEINT) AS __s,
+        |    CAST(16 - registers_set AS INTEGER) AS __v
+        |  FROM agg),
+        |ex AS (
+        |  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+        |  FROM tok GROUP BY source)
+        |SELECT est.source, ex.n_exact, est.registers_set,
+        |  ${graft.pipeline.Graph.hllEstimateSql} AS est_micro
+        |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    // q187: the q184 projection CTEs, per-vector lists ordered by k,
+    // integer L2 with the same div-256 coarse seam and id tie-break,
+    // then the q166 cosine re-rank rule.
+    "q187_projected_ann" ->
+      """WITH cells AS (
+        |  SELECT i // 16 AS dim, i % 16 AS k,
+        |    CASE ('0x' || substr(md5('rp|' || CAST(i // 16 AS VARCHAR)
+        |        || '|' || CAST(i % 16 AS VARCHAR)), 25, 8))::BIGINT % 6
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sign
+        |  FROM (SELECT unnest(range(0, 1024)) AS i)),
+        |nz AS (SELECT dim, k, sign FROM cells WHERE sign <> 0),
+        |r AS (
+        |  SELECT vec_id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |proj AS (
+        |  SELECT r.vec_id, nz.k, CAST(sum(nz.sign * r.q) AS BIGINT) AS p
+        |  FROM r JOIN nz ON r.dim = nz.dim GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(p ORDER BY k) AS pv FROM proj GROUP BY vec_id),
+        |qs AS (SELECT vec_id AS query_id, pv AS qpv FROM pv WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dd ASC, neighbor_id) AS crk
+        |  FROM (
+        |    SELECT qs.query_id, c.vec_id AS neighbor_id,
+        |      CAST(list_sum(list_transform(qs.qpv,
+        |        (x, i) -> (x - c.pv[i]) * (x - c.pv[i]))) AS BIGINT) // 256 AS dd
+        |    FROM pv c CROSS JOIN qs WHERE c.vec_id <> qs.query_id)),
+        |sel AS (SELECT query_id, neighbor_id FROM coarse WHERE crk <= 20),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_cosine_similarity(eq.embedding, ec.embedding) AS sim
+        |  FROM sel s
+        |  JOIN e eq ON eq.vec_id = s.query_id
+        |  JOIN e ec ON ec.vec_id = s.neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+        |  neighbor_id
+        |FROM rr QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q174_prototypicality" ->
       """WITH r AS (

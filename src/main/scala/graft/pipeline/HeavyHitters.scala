@@ -127,4 +127,47 @@ object HeavyHitters {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /**
+   * Per-group HyperLogLog distinct-count estimate — the profiling sketch
+   * for when the distinct values are themselves data-scale (URLs, ids,
+   * n-grams) and an exact `countDistinct` would shuffle every one of
+   * them: only 16 register rows per group ever cross the exchange,
+   * whatever the cardinality, and register states are max-mergeable
+   * (partial aggregation, incremental appends, cross-partition unions
+   * all compose).
+   *
+   * Determinism (the q155 HyperBall discipline, applied to values
+   * instead of nodes): registers derive from md5(value) — index = first
+   * hex nibble (m = 16), ρ = leading-zero count of the next 60 bits plus
+   * one via `length(bin(...))`, no float log — and the estimator is
+   * [[Graph.hllEstimateSql]], ONE SQL string shared verbatim with the
+   * oracle, so the estimate replays bit-for-bit. Output: (group...,
+   * registers_set, est_micro); NULL values are skipped (countDistinct
+   * semantics).
+   */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val regs = df
+      .select(groupCols.map(col) :+ col(valueCol).cast("string").as("__val"): _*)
+      .where(col("__val").isNotNull)
+      .withColumn("__h", md5(col("__val")))
+      .withColumn("reg", expr("CAST(conv(substring(__h, 1, 1), 16, 10) AS INT)"))
+      .withColumn("__v60", expr("CAST(conv(substring(__h, 2, 15), 16, 10) AS BIGINT)"))
+      .withColumn("val", expr(
+        "CASE WHEN __v60 = 0 THEN 61 ELSE CAST(61 - length(bin(__v60)) AS INT) END"))
+      .groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("val")).as("val"))
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("registers_set"),
+        sum(expr("CAST(shiftleft(1L, 61 - val) AS DECIMAL(38,0))")).as("__sset"))
+      .withColumn("__v", expr("CAST(16 - registers_set AS INT)"))
+      .withColumn("__s", expr(
+        "__sset + CAST(__v AS DECIMAL(38,0)) * CAST(2305843009213693952 AS DECIMAL(38,0))"))
+      .withColumn("est_micro", expr(Graph.hllEstimateSql))
+      .select(groupCols.map(col) :+ col("registers_set") :+ col("est_micro"): _*)
+  }
 }

@@ -65,6 +65,69 @@ object Profile {
    * keys must be integral (the silent-null-cast refusal the dedup
    * operators use).
    */
+  /**
+   * Robust per-group outlier flags by median/MAD — the numeric-metadata
+   * screen (corrupt durations, impossible byte counts, sensor glitches)
+   * where mean/stddev would let one huge outlier inflate its own
+   * threshold and mask itself. Each value is flagged when
+   * |x − median| > sigmas · 1.4826 · MAD (1.4826 scales MAD to σ under
+   * normality).
+   *
+   * Exactness: values quantize ONCE to integer micro units (the q138
+   * seam), the median is the q73/q112 histogram rule (smallest value
+   * with cumulative count ≥ ⌈n/2⌉ — a type-1 quantile, no float
+   * interpolation), the MAD is the same rule over |x − median|, and the
+   * flag is the cross-multiplied integer inequality
+   * dev·10000 > mad·sigmas·14826 — no float mean/stddev anywhere, so
+   * flags replay bit-for-bit. A MAD of 0 (over half the group identical)
+   * flags ANY deviation — the strictest reading, documented rather than
+   * patched with an epsilon.
+   *
+   * Scale shape: both medians come from (key, value)-histogram windows —
+   * map-side combined counts, windows see one row per DISTINCT value,
+   * never per input row; the per-row pass is two compact key-joins (AQE
+   * broadcasts the |keys|-row median tables). NULL values are excluded
+   * (nothing to test).
+   */
+  def madOutlierReport(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      sigmas: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(sigmas > 0, s"sigmas must be positive, got $sigmas")
+    import org.apache.spark.sql.expressions.Window
+    def histMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val counts = in.groupBy((keyCols :+ vCol).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = Window.partitionBy(keyCols.map(col): _*)
+      counts.withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(n))
+        .where(col("__cum") >= expr("(500 * __n + 999) div 1000"))
+        .groupBy(keyCols.map(col): _*)
+        .agg(min(col(vCol)).as(out))
+    }
+    val base = df.select(keyCols.map(col) :+ col(idCol).as("__id") :+
+        round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val med = histMedian(base, "__v", "med_micro")
+    val withMed = base.join(med, keyCols)
+      .withColumn("__dev", abs(col("__v") - col("med_micro")))
+    val mad = histMedian(withMed, "__dev", "mad_micro")
+    withMed.join(mad, keyCols)
+      .select(keyCols.map(col) ++ Seq(
+        col("__id").as(idCol),
+        col("__v").as("value_micro"),
+        col("med_micro"),
+        col("mad_micro"),
+        (col("__dev") * 10000L >
+          col("mad_micro") * (sigmas * 14826L)).as("is_outlier")): _*)
+  }
+
   def fkIntegrityReport(
       child: DataFrame,
       parent: DataFrame,

@@ -638,6 +638,129 @@ object Similarity {
     Eval.percentileCalibrate(dist, groupCol, "dist_micro", "atypicality_permille")
   }
 
+  /**
+   * Sparse sign random projection (Achlioptas' database-friendly
+   * Johnson–Lindenstrauss matrix): each of the `outDims` output
+   * components is an integer sum of the input dims weighted by
+   * {+1, 0, -1} at probabilities {1/6, 2/3, 1/6} — the dimensionality-
+   * reduction step in front of brute-force/LSH ANN when the raw
+   * embedding is too wide to move. Entries derive from md5 of
+   * (seed, dim, k), NOT a driver RNG, so the projection matrix is a
+   * pure expression both engines replay bit-for-bit and every run of
+   * every executor agrees without shipping a matrix.
+   *
+   * All arithmetic is integer: elements quantize ONCE to micro units
+   * (the q138 seam — round half away from zero, both engines agree),
+   * signs are exact ±1, so each projected component is an exact integer
+   * sum — order-independent across partitions, unlike a float dot.
+   *
+   * Scale shape: the matrix is a |inDims·outDims|-row leaf reduced to
+   * its ~1/3 nonzero entries and broadcast (a 1024-cell table for
+   * 64→16); the corpus side is one posexplode to (id, dim, micro)
+   * longs, one broadcast-join fan-out over the ~outDims/3 nonzero
+   * signs per dim, and one (id, k) sum with map-side partials. Nothing
+   * corpus-sized is collected, shuffled wide, or re-scanned.
+   */
+  def randomProjectSparse(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int,
+      seed: String = "rp"): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "randomProjectSparse")
+    require(inDims > 0 && outDims > 0,
+      s"randomProjectSparse: dims must be positive, got $inDims -> $outDims")
+    val cells = df.sparkSession.range(inDims.toLong * outDims)
+      .select(expr(s"id div $outDims").as("dim"),
+        (col("id") % outDims).cast("long").as("k"))
+      .withColumn("__b",
+        conv(substring(md5(concat(lit(seed), lit("|"), col("dim").cast("string"),
+          lit("|"), col("k").cast("string"))), 25, 8), 16, 10)
+          .cast("long") % 6)
+      .withColumn("sign",
+        when(col("__b") === 0, 1L).when(col("__b") === 1, -1L).otherwise(0L))
+      .where(col("sign") =!= 0L)
+      .select("dim", "k", "sign")
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        round(col("x") * lit(1000000.0)).cast("long").as("q"))
+      .join(broadcast(cells), "dim")
+      .groupBy(col("id"), col("k"))
+      .agg(sum(col("sign") * col("q")).as("proj_micro"))
+  }
+
+  /**
+   * ANN serving THROUGH the JL projection — the reason
+   * [[randomProjectSparse]] exists: coarse top-(k·expand) neighbors by
+   * exact integer L2 in the 16-dim projected space (4× fewer bytes per
+   * comparison than the raw 64-dim floats), then exact float cosine
+   * re-ranks only those candidates — the q166 two-stage contract with a
+   * JL coarse space instead of int8 codes.
+   *
+   * Determinism: projected components are exact integers; the coarse
+   * score is −(L2² div 256) — the div keeps the magnitude inside
+   * double's 2^53 exact-integer range for the top-k aggregate (unit-norm
+   * 64-dim inputs bound L2² by ~7e16), and since both engines apply the
+   * same truncation with an id tie-break, the candidate cut replays
+   * bit-for-bit. The rerank is the q27/q166 (cosine DESC, id) rule.
+   *
+   * Scale shape: the projection runs once over queries ∪ corpus (one
+   * broadcast-join fan-out, one (id, k) aggregate); the pivot to a
+   * 16-int array is one id-keyed aggregate; the coarse stage is the
+   * broadcast-queries × corpus scan with a bounded-heap TopKByScore
+   * (map-side partials — no |Q|·|C| rows ever reach an exchange); the
+   * rerank touches k·expand full vectors per query.
+   */
+  def projectedRerankTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      inDims: Int,
+      projDims: Int,
+      k: Int,
+      expand: Int = 4,
+      seed: String = "rp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(expand >= 1, s"expand must be >= 1, got $expand")
+    def pivot(df: DataFrame, idCol: String): DataFrame =
+      randomProjectSparse(df, idCol, vecCol, inDims, projDims, seed)
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("k"), col("proj_micro"))))
+          .as("__ps"))
+        .select(col("id"),
+          transform(col("__ps"), p => p.getField("proj_micro")).as("pv"))
+    val qp = broadcast(pivot(queries, queryIdCol)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("pv", "qpv"))
+    val coarse = pivot(corpus, corpusIdCol)
+      .join(qp, col("query_id") =!= col("id"))
+      .withColumn("__d2",
+        aggregate(zip_with(col("qpv"), col("pv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topk_by_score(
+        -(expr("__d2 div 256")).cast("double"), col("id"), k * expand)
+        .as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"))
+    coarse
+      .join(corpus.select(col(corpusIdCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(desc("sim"), asc("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def centroidDrift(
       sliceA: DataFrame,
       sliceB: DataFrame,

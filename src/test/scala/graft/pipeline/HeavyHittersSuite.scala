@@ -142,6 +142,47 @@ class HeavyHittersSuite extends AnyFunSuite {
     assert(merged === summed)
   }
 
+  test("hllDistinct equals the exact Scala register replay") {
+    val rows = (0 until 300).map(i => (s"src${i % 3}", s"tok${i % 97}"))
+      .toDF("source", "v")
+    val got = HeavyHitters.hllDistinct(rows, Seq("source"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def replay(values: Set[String]): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val regs = values.toSeq
+        .map { v =>
+          val h = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val reg = Integer.parseInt(h.substring(0, 1), 16)
+          val v60 = java.lang.Long.parseLong(h.substring(1, 16), 16)
+          val rho = if (v60 == 0L) 61
+            else 61 - java.lang.Long.toBinaryString(v60).length
+          (reg, rho)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val m = 16.0
+      val s = regs.values.map(r => BigInt(1) << (61 - r)).sum +
+        BigInt(16 - regs.size) * (BigInt(1) << 61)
+      val raw = 0.673 * 256.0 * 2305843009213693952.0 / s.toDouble
+      val est = if (raw <= 40.0 && regs.size < 16)
+        m * math.log(m / (16 - regs.size)) else raw
+      (regs.size.toLong, math.round(est * 1e6))
+    }
+    (0 until 3).foreach { g =>
+      val mine = (0 until 300).filter(i => i % 3 == g).map(i => s"tok${i % 97}").toSet
+      val (nr, est) = replay(mine)
+      assert(got(s"src$g") === ((nr, est)), s"group src$g")
+    }
+  }
+
+  test("hllDistinct register count is bounded by 16 and nulls are skipped") {
+    val rows = Seq(("a", "x"), ("a", null), ("b", null))
+      .toDF("source", "v")
+    val got = HeavyHitters.hllDistinct(rows, Seq("source"), "v").collect()
+    assert(got.length === 1 && got.head.getString(0) === "a")
+    assert(got.head.getLong(1) >= 1L && got.head.getLong(1) <= 16L)
+  }
+
   test("heavyHitters refuses when the error bound voids completeness") {
     val docs = (0 until 200).map(i => (i.toLong, s"x$i common"))
       .toDF("doc_id", "text")

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+/** madOutlierReport + randomProjectSparse: exact-integer replays. */
+class RobustStatsSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- madOutlierReport ----------------------------------------------------
+
+  private def mad(
+      rows: Seq[(String, Long, java.lang.Double)],
+      sigmas: Int = 3): Map[Long, (Long, Long, Long, Boolean)] =
+    Profile.madOutlierReport(
+        rows.toDF("k", "id", "v"), Seq("k"), "id", "v", sigmas)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+
+  /** The documented rule, replayed naively in Scala. */
+  private def replayMad(values: Seq[Double], sigmas: Int)
+      : (Long, Long, Seq[Boolean]) = {
+    def q(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((xs.size + 1) / 2 - 1) // smallest with cum >= ceil(n/2)
+    }
+    val micro = values.map(v => math.round(v * 1e6))
+    val med = q(micro)
+    val devs = micro.map(v => math.abs(v - med))
+    val m = q(devs)
+    (med, m, devs.map(d => d * 10000L > m * (sigmas * 14826L)))
+  }
+
+  test("planted outlier flags; inliers do not") {
+    val vals = Seq(10.0, 10.1, 9.9, 10.2, 10.05, 9.95, 10.15, 500.0)
+    val out = mad(vals.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, java.lang.Double.valueOf(v)) })
+    val (med, m, flags) = replayMad(vals, 3)
+    vals.indices.foreach { i =>
+      val (vm, medGot, madGot, flag) = out(i.toLong)
+      assert(vm === math.round(vals(i) * 1e6))
+      assert(medGot === med && madGot === m)
+      assert(flag === flags(i), s"row $i")
+    }
+    assert(out(7L)._4 === true)
+    assert(vals.indices.count(i => out(i.toLong)._4) === 1)
+  }
+
+  test("MAD of zero: any deviation flags, identical values never") {
+    val rows = Seq.tabulate(9)(i => ("a", i.toLong,
+      java.lang.Double.valueOf(if (i < 7) 5.0 else 6.0)))
+    val out = mad(rows)
+    (0 until 7).foreach(i => assert(out(i.toLong)._4 === false))
+    assert(out(7L)._4 === true && out(8L)._4 === true)
+    assert(out(0L)._3 === 0L)
+  }
+
+  test("even-count median takes the lower middle (histogram rule)") {
+    val out = mad(Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, java.lang.Double.valueOf(v)) })
+    assert(out(0L)._2 === 2000000L)
+  }
+
+  test("null values are excluded; groups are independent") {
+    val rows = Seq(
+      ("a", 0L, java.lang.Double.valueOf(1.0)),
+      ("a", 1L, null.asInstanceOf[java.lang.Double]),
+      ("a", 2L, java.lang.Double.valueOf(3.0)),
+      ("b", 3L, java.lang.Double.valueOf(100.0)))
+    val out = mad(rows)
+    assert(!out.contains(1L))
+    assert(out(3L)._2 === 100000000L && out(3L)._4 === false)
+  }
+
+  test("randomized Scala replay") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(101)(rnd.nextDouble() * 40 - 20)
+    val out = mad(vals.zipWithIndex.map { case (v, i) =>
+      ("g", i.toLong, java.lang.Double.valueOf(v)) }, sigmas = 2)
+    val (med, m, flags) = replayMad(vals, 2)
+    vals.indices.foreach { i =>
+      assert(out(i.toLong) === ((math.round(vals(i) * 1e6), med, m, flags(i))),
+        s"row $i")
+    }
+  }
+
+  // --- randomProjectSparse -------------------------------------------------
+
+  private def signOf(seed: String, dim: Long, k: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed|$dim|$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(24, 32), 16) % 6 match {
+      case 0 => 1L
+      case 1 => -1L
+      case _ => 0L
+    }
+  }
+
+  test("projection equals the exact Scala replay") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val got = Similarity.randomProjectSparse(
+        vecs.toDF("id", "vec"), "id", "vec", inDims = 8, outDims = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      (id, vec) <- vecs
+      k <- 0L until 4L
+      s = vec.indices.map(j =>
+        signOf("rp", j.toLong, k) * math.round(vec(j).toDouble * 1e6)).sum
+    } yield (id, k) -> s).toMap
+    // Output k rows exist iff some sign in that column is nonzero.
+    val liveK = (0L until 4L).filter(k =>
+      (0 until 8).exists(j => signOf("rp", j.toLong, k) != 0L)).toSet
+    assert(got.keySet === want.keySet.filter { case (_, k) => liveK(k) })
+    got.foreach { case (key, v) => assert(v === want(key), s"$key") }
+  }
+
+  test("deterministic across runs and independent of row order") {
+    val vecs = Seq.tabulate(10)(i =>
+      (i.toLong, Seq.tabulate(8)(j => (i * 0.1f + j * 0.01f))))
+    def run(vs: Seq[(Long, Seq[Float])]) =
+      Similarity.randomProjectSparse(
+          vs.toDF("id", "vec"), "id", "vec", 8, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(run(vecs) === run(scala.util.Random.shuffle(vecs)))
+  }
+
+  test("refuses non-positive dims") {
+    val df = Seq((1L, Seq(1.0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjectSparse(df, "id", "vec", 0, 4)
+    }
+  }
+}
