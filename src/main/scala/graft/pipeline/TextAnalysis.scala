@@ -1617,27 +1617,43 @@ object TextAnalysis {
       w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    import org.apache.spark.sql.expressions.Window
-    val toked = df
+    // The whole selection is per-document array arithmetic — ZERO
+    // shuffles: gram hashes, the sliding rightmost-min (array_min over a
+    // w-slice of (hash, −pos) structs — the same lexicographic rule a
+    // window frame would apply), and the within-doc dedup
+    // (array_distinct) all run map-side; only the selected fingerprints
+    // (≈ 2/(w+1) of the grams) ever leave the task. The previous shape
+    // exploded every gram through a per-doc window — one full shuffle
+    // and sort of the gram table for the same answer.
+    //
+    // The explode(array(...)) wrapper is load-bearing: a Generate node
+    // is a projection barrier, so the (tokenize → gram → md5 → struct)
+    // chain is evaluated ONCE per document and the per-window slices
+    // read a bound attribute. Without it CollapseProject inlines the
+    // single-use array into the window lambda and the hash chain
+    // re-evaluates per window — the O(len²) trap from the r11 bench
+    // (element_at-over-split), one level up.
+    df
       .where(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= k)
-      .select(col(idCol),
+      .withColumn("__grams",
         expr(s"transform(sequence(1, size(__toks) - ${k} + 1), " +
-          s"i -> concat_ws(' ', slice(__toks, i, ${k})))").as("__grams"))
-      .select(col(idCol), size(col("__grams")).as("__g"),
-        posexplode(col("__grams")).as(Seq("__p0", "__gram")))
-      .select(col(idCol), col("__g"), (col("__p0") + 1).as("__pos"),
-        graft.functions.KmvFunctions.md5Hash60(col("__gram")).as("__h"))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(0, w - 1)
-    toked
+          s"i -> concat_ws(' ', slice(__toks, i, ${k})))"))
+      .withColumn("__hs",
+        transform(col("__grams"),
+          g => graft.functions.KmvFunctions.md5Hash60(g)))
+      .select(col(idCol),
+        explode(array(transform(col("__hs"),
+          (h, i) => struct(h.as("__h"), (-(i + lit(1))).as("__np")))))
+          .as("__ph"))
       .withColumn("__sel",
-        min(struct(col("__h"), (-col("__pos")).as("__np"))).over(frame))
-      .where(col("__pos") <= greatest(lit(1), col("__g") - (w - 1)))
-      .select(col(idCol), (-col("__sel.__np")).as("pos"),
-        col("__sel.__h").as("fp"))
-      .distinct()
+        expr(s"array_distinct(transform(" +
+          s"sequence(1, greatest(1, size(__ph) - ${w - 1})), " +
+          s"j -> array_min(slice(__ph, j, ${w}))))"))
+      .select(col(idCol), explode(col("__sel")).as("__s"))
+      .select(col(idCol), (-col("__s.__np")).as("pos"),
+        col("__s.__h").as("fp"))
   }
 
   val EnglishStopwords: Seq[String] = Seq(
