@@ -1754,6 +1754,76 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q188_stream_stream_join" -> ((s, d) => {
+      // STREAM-STREAM inner join with event-time range — the attribution
+      // shape (purchase matches clicks of the same user within
+      // [click_ts, click_ts + 2h]), on two independent xmlng streams.
+      // Event time rides the XML roundtrip as exact epoch micros and
+      // reconstructs to a timestamp for the watermark; the watermark
+      // delay is set past the corpus's 30-day span so the equality gate
+      // is batch-boundary-independent (state eviction can never drop a
+      // legitimate match) — production tightens it to bound state, the
+      // whole reason stream-stream joins demand watermarks at all.
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val sfName = new java.io.File(d).getName
+      val cPath = s"/tmp/graft_xml/$sfName/ss_clicks_v1"
+      val pPath = s"/tmp/graft_xml/$sfName/ss_purchases_v1"
+      xmlInputOnce(ev.where(col("event_type") === "click"), cPath, "ev")
+      xmlInputOnce(ev.where(col("event_type") === "purchase"), pPath, "ev")
+      def read(path: String) = s.readStream.format("xmlng")
+        .option("rowTag", "ev").schema(ev.schema).load(path)
+      val clicks = read(cPath)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("click_ts"))
+        .withWatermark("click_ts", "60 days")
+      val purchases = read(pPath)
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("__pu"),
+          timestamp_micros(col("ts_us")).as("purchase_ts"))
+        .withWatermark("purchase_ts", "60 days")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("__pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      val sinkName = "q188_sink_" + sfName.replace('.', '_')
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("click_id", "purchase_id")
+    }),
+
+    "q189_ngram_novelty" -> ((s, d) => {
+      // Corpus-accretion novelty: per doc, the share of its distinct
+      // 5-grams whose FIRST corpus occurrence is this doc — near 0 the
+      // refresh is re-serving the tail, near 1000 it's genuinely new
+      // text. Hash-keyed gram shuffles only (the q50/q109 machinery).
+      TextAnalysis.ngramNoveltyReport(t(s, d, "documents"),
+          "doc_id", "text", 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q190_psi_drift" -> ((s, d) => {
+      // Population stability index per event type between the month's
+      // two halves, with a planted 2x value regression on 'error'
+      // events in the second half so the positive branch provably
+      // fires: reference-decile bins, +1-smoothed counts, exact
+      // cross-multiplied integer PSI.
+      val ev = events(s, d).select(col("event_type"), col("ts"),
+        col("value"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      val aSlice = ev.where(col("ts") < cut)
+      val bSlice = ev.where(col("ts") >= cut)
+        .withColumn("value",
+          when(col("event_type") === "error", col("value") * 2)
+            .otherwise(col("value")))
+      Profile.psiDriftReport(aSlice, bSlice, Seq("event_type"), "value",
+          bins = 10)
+        .orderBy("event_type")
+    }),
+
     "q187_projected_ann" -> ((s, d) => {
       // ANN served THROUGH the q184 JL projection: coarse top-20 by
       // exact integer L2 in the 16-dim projected space (4× fewer bytes
@@ -5486,6 +5556,115 @@ object SparkEntry {
         |  neighbor_id
         |FROM rr QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // q188: the drained stream-stream join must equal the batch range
+    // join — inner join + full-span watermark is batch-boundary-
+    // independent by construction.
+    "q188_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  CAST(c.user_id AS BIGINT) AS user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // q189: the q109 string-gram replay with first-occurrence (min doc)
+    // attribution — equals the hashed-gram plan absent a 64-bit
+    // collision.
+    "q189_ngram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(len(toks) - 4),
+        |                i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+        |cnt AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS novel_grams
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(c.n_grams, 0) AS n_grams,
+        |  coalesce(c.novel_grams, 0) AS novel_grams,
+        |  CASE WHEN c.n_grams IS NULL THEN NULL
+        |       ELSE CAST(c.novel_grams * 1000 // c.n_grams AS BIGINT) END
+        |    AS novelty_permille
+        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q190: reference-decile cuts by the q112 histogram rule, +1
+    // smoothed counts, the exact cross-multiplied integer PSI with one
+    // micro-nat ln per bin.
+    "q190_psi_drift" ->
+      """WITH va AS (
+        |  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        |vb AS (
+        |  SELECT event_type,
+        |    CAST(round((CASE WHEN event_type = 'error' THEN value * 2
+        |                     ELSE value END) * 1e6) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        |h AS (SELECT event_type, v, count(*) AS c FROM va GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |cuts AS (
+        |  SELECT event_type, p, min(v) AS cut
+        |  FROM cum,
+        |    (SELECT unnest([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS p) ps
+        |  WHERE cum >= (p * n + 999) // 1000 GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT va.event_type,
+        |    (SELECT count(*) FROM cuts
+        |     WHERE cuts.event_type = va.event_type AND va.v > cuts.cut) AS bin
+        |  FROM va),
+        |bb AS (
+        |  SELECT vb.event_type,
+        |    (SELECT count(*) FROM cuts
+        |     WHERE cuts.event_type = vb.event_type AND vb.v > cuts.cut) AS bin
+        |  FROM vb
+        |  WHERE vb.event_type IN (SELECT DISTINCT event_type FROM cuts)),
+        |frame AS (
+        |  SELECT DISTINCT cuts.event_type, b.bin
+        |  FROM cuts, (SELECT unnest(range(0, 10)) AS bin) b),
+        |cnts AS (
+        |  SELECT f.event_type, f.bin,
+        |    coalesce(na.c, 0) AS na, coalesce(nb.c, 0) AS nb
+        |  FROM frame f
+        |  LEFT JOIN (SELECT event_type, bin, count(*) AS c
+        |             FROM ba GROUP BY 1, 2) na USING (event_type, bin)
+        |  LEFT JOIN (SELECT event_type, bin, count(*) AS c
+        |             FROM bb GROUP BY 1, 2) nb USING (event_type, bin)),
+        |tot AS (SELECT event_type, sum(na) AS ta, sum(nb) AS tb
+        |        FROM cnts GROUP BY 1),
+        |termed AS (
+        |  SELECT c.event_type, t.ta, t.tb,
+        |    CAST((c.na + 1) AS HUGEINT) * (t.tb + 10) AS pn,
+        |    CAST((c.nb + 1) AS HUGEINT) * (t.ta + 10) AS qn
+        |  FROM cnts c JOIN tot t USING (event_type)),
+        |t2 AS (
+        |  SELECT event_type, ta, tb,
+        |    (pn - qn) * CAST(round(ln(CAST(pn AS DOUBLE) / CAST(qn AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS term
+        |  FROM termed)
+        |SELECT event_type,
+        |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+        |  CAST(sum(term) // (CAST(max(ta) + 10 AS HUGEINT) * (max(tb) + 10))
+        |    AS BIGINT) AS psi_micro
+        |FROM t2 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q174_prototypicality" ->
       """WITH r AS (

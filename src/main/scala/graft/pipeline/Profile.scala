@@ -53,6 +53,92 @@ object Profile {
   }
 
   /**
+   * Population stability index (PSI) between two corpus slices — the
+   * standard tabular drift gate ("did this column's distribution move
+   * between snapshots"), per group: bin the REFERENCE slice (a) into
+   * `bins` equal-population bins by its own histogram-rule quantile
+   * cuts (the q73/q112 rule — no float interpolation), count both
+   * slices into those bins with +1 Laplace smoothing (an empty bin on
+   * either side stays finite and deterministic instead of epsilon-
+   * patched), and sum (p−q)·ln(p/q).
+   *
+   * Exactness: values quantize ONCE to integer micro; the per-bin ln
+   * ratio is computed on the exact cross-multiplied integers
+   * pn = (na+1)(NB+bins), qn = (nb+1)(NA+bins) and rounded ONCE to
+   * micro-nats (the q107 seam); terms are (pn−qn)·lnm in DECIMAL(38,0);
+   * the final PSI is one truncating division by the common denominator
+   * (NA+bins)(NB+bins) — bit-for-bit replayable, and rounding can never
+   * flip a term's sign (pn>qn ⟺ ln>0), so PSI stays ≥ 0.
+   *
+   * Groups absent from the reference slice are omitted (no reference
+   * bins — nothing to compare against). Scale shape: quantile cuts come
+   * from a (key, value)-histogram window (one row per DISTINCT value);
+   * the per-row pass is one broadcast join against the |keys|-row cuts
+   * table plus a (key, bin) count with map-side partials; the PSI
+   * aggregate sees bins·|keys| rows.
+   */
+  def psiDriftReport(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keyCols.map(col)
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(ks :+
+          round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+            .as("__v"): _*)
+        .where(col("__v").isNotNull)
+        .withColumn("__t", lit(tag))
+    val both = side(a, 0).unionByName(side(b, 1))
+    val counts = both.where(col("__t") === 0)
+      .groupBy(ks :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(ks: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(ks: _*)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(n))
+    val ps = (1 until bins).map(i => i * 1000 / bins).distinct
+    val pDf = a.sparkSession.createDataFrame(ps.map(p => Tuple1(p.toLong)))
+      .toDF("__p")
+    val cuts = cum.crossJoin(broadcast(pDf))
+      .filter(col("__cum") >= expr("(__p * __n + 999) div 1000"))
+      .groupBy(ks :+ col("__p"): _*).agg(min(col("__v")).as("__cut"))
+      .groupBy(ks: _*).agg(sort_array(collect_list(col("__cut"))).as("__cuts"))
+    val binned = both.join(broadcast(cuts), keyCols)
+      .withColumn("__bin", size(filter(col("__cuts"), c => col("__v") > c)))
+    val binCounts = binned.groupBy(ks :+ col("__bin"): _*)
+      .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__nb"))
+    val frame = cuts.select(ks: _*)
+      .withColumn("__bin", explode(sequence(lit(0), lit(bins - 1))))
+    val filled = frame.join(binCounts, keyCols :+ "__bin", "left")
+      .select(ks ++ Seq(col("__bin"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb")): _*)
+    val totals = filled.groupBy(ks: _*)
+      .agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    filled.join(totals, keyCols)
+      .withColumn("__pn",
+        (col("__na") + 1).cast("decimal(38,0)") * (col("__tb") + bins))
+      .withColumn("__qn",
+        (col("__nb") + 1).cast("decimal(38,0)") * (col("__ta") + bins))
+      .withColumn("__lnm", expr(
+        "CAST(round(ln(CAST(__pn AS DOUBLE) / CAST(__qn AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+      .withColumn("__term", (col("__pn") - col("__qn")) * col("__lnm"))
+      .groupBy(ks: _*)
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(col("__term")).as("__s"))
+      .withColumn("psi_micro", expr(
+        s"CAST(__s div (CAST(n_a + $bins AS DECIMAL(38,0)) " +
+          s"* CAST(n_b + $bins AS DECIMAL(38,0))) AS BIGINT)"))
+      .select(ks ++ Seq(col("n_a"), col("n_b"), col("psi_micro")): _*)
+  }
+
+  /**
    * Foreign-key integrity check — the cross-table half of profiling
    * ("every lineitem names a real order"), run BEFORE a join silently
    * drops orphans or a left join silently fabricates NULLs. One row:

@@ -1656,6 +1656,47 @@ object TextAnalysis {
         col("__s.__h").as("fp"))
   }
 
+  /**
+   * Corpus-accretion novelty: for each document, how much of its
+   * DISTINCT n-gram content appears in the corpus HERE FIRST — first
+   * occurrence being the minimal doc id owning the gram (corpus order).
+   * The dedup-diagnostics curve: a crawl refresh whose new documents
+   * score near 0 is re-serving the tail, not adding content; near 1000
+   * is genuinely new text. Output per input doc: (id, n_grams,
+   * novel_grams, novelty_permille) — permille NULL when the doc is
+   * shorter than the gram window (nothing to judge).
+   *
+   * Matching runs on 60-bit hashed grams (the q50/q109 decontamination
+   * machinery — one byte pass, no per-gram strings); equals the
+   * string-gram oracle absent a 64-bit collision. Shape at scale: one
+   * explode to (id, gram-hash) longs, a gram-keyed min aggregate with
+   * map-side partials, one join back on the hash, one id-keyed count —
+   * only compact longs ever cross an exchange, no text, no arrays.
+   */
+  def ngramNoveltyReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "ngramNoveltyReport")
+    val g = df.select(col(idCol).cast("long").as("id"),
+        explode(coalesce(Decontaminate.hashedGrams(col(textCol), n),
+          array().cast("array<long>"))).as("__g"))
+    val first = g.groupBy(col("__g")).agg(min(col("id")).as("__first"))
+    val per = g.join(first, "__g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty_permille",
+        expr("novel_grams * 1000 DIV n_grams"))
+    df.select(col(idCol).cast("long").as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        col("novelty_permille"))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")

@@ -89,6 +89,74 @@ class RobustStatsSuite extends AnyFunSuite {
     }
   }
 
+  // --- psiDriftReport ------------------------------------------------------
+
+  test("PSI is 0 exactly for identical slices and positive under a shift") {
+    val a = (0 until 200).map(i => ("k", i.toLong, (i % 50).toDouble))
+      .toDF("k", "id", "v")
+    import org.apache.spark.sql.functions.col
+    val same = Profile.psiDriftReport(a, a, Seq("k"), "v").collect()
+    assert(same.length === 1)
+    assert(same.head.getLong(3) === 0L) // pn == qn in every bin -> ln = 0
+    val b = a.withColumn("v", col("v") * 3)
+    val drift = Profile.psiDriftReport(a, b, Seq("k"), "v").collect()
+    assert(drift.head.getLong(3) > 0L)
+  }
+
+  test("PSI equals the exact Scala replay") {
+    val rnd = new scala.util.Random(3)
+    val av = Seq.fill(157)(rnd.nextDouble() * 10)
+    val bv = Seq.fill(211)(rnd.nextDouble() * 12 - 1)
+    val a = av.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("k", "id", "v")
+    val b = bv.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("k", "id", "v")
+    val got = Profile.psiDriftReport(a, b, Seq("k"), "v").collect().head
+    // Replay: histogram-rule deciles of A, count both sides, +1 smoothing,
+    // one micro-rounded ln per bin, truncating common-denominator division.
+    val qa = av.map(v => math.round(v * 1e6))
+    val qb = bv.map(v => math.round(v * 1e6))
+    val sorted = qa.sorted
+    val cuts = (1 until 10).map(i => i * 100).map { p =>
+      sorted(((p * qa.size + 999) / 1000 - 1).toInt)
+    }
+    def bin(v: Long): Int = cuts.count(v > _)
+    val na = (0 until 10).map(k => qa.count(bin(_) == k).toLong)
+    val nb = (0 until 10).map(k => qb.count(bin(_) == k).toLong)
+    val (ta, tb) = (qa.size.toLong, qb.size.toLong)
+    val s = (0 until 10).map { k =>
+      val pn = BigInt(na(k) + 1) * (tb + 10)
+      val qn = BigInt(nb(k) + 1) * (ta + 10)
+      (pn - qn) * BigInt(math.round(
+        math.log(pn.toDouble / qn.toDouble) * 1e6))
+    }.sum
+    val want = s / (BigInt(ta + 10) * (tb + 10))
+    assert(got.getLong(1) === ta && got.getLong(2) === tb)
+    assert(got.getLong(3) === want.toLong)
+  }
+
+  // --- ngramNoveltyReport --------------------------------------------------
+
+  test("novelty attributes first occurrence to the minimal doc id") {
+    val docs = Seq(
+      (10L, "a b c d"), // grams: "a b c", "b c d" -> both first here
+      (20L, "a b c d"), // same grams, later doc -> 0 novel
+      (30L, "b c d e"), // "b c d" seen, "c d e" new -> 1/2
+      (40L, "x"), // shorter than n -> no grams, null permille
+      (50L, "p q r s t")) // all new
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNoveltyReport(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(10L) === ((2L, 2L, 1000L)))
+    assert(got(20L) === ((2L, 0L, 0L)))
+    assert(got(30L) === ((2L, 1L, 500L)))
+    assert(got(40L) === ((0L, 0L, -1L)))
+    assert(got(50L) === ((3L, 3L, 1000L)))
+  }
+
   // --- randomProjectSparse -------------------------------------------------
 
   private def signOf(seed: String, dim: Long, k: Long): Long = {
