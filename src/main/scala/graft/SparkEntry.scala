@@ -1805,6 +1805,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q191_scd2_intervals" -> ((s, d) => {
+      // SCD2 dimension build from a change feed: signup events carry a
+      // derived plan tier; per user, no-op changes collapse and each
+      // surviving change opens a validity interval closed by the next —
+      // the table the q134 as-of lookups read. event_id is the total-
+      // order tiebreaker (change feeds carry equal timestamps).
+      val ch = events(s, d).where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("pmod(CAST(round(value * 1e6) AS BIGINT), 5)").as("tier"))
+      Joins.scd2Intervals(ch, "user_id", "ts", "event_id", "tier")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    "q192_kcore" -> ((s, d) => {
+      // k-core peeling on the planted community/hub graph: four rounds
+      // of "drop every node whose current degree < 3", degrees
+      // recomputed on the survivors each round — the dense-substructure
+      // screen beside q175's clustering coefficients. Fixed rounds keep
+      // the result engine-replayable (one oracle CTE per round).
+      Graph.kCore(plantedTriangleEdges(s, d), "src", "dst",
+          k = 3, rounds = 4)
+        .orderBy("node")
+    }),
+
     "q190_psi_drift" -> ((s, d) => {
       // Population stability index per event type between the month's
       // two halves, with a planted 2x value regression on 'error'
@@ -5557,6 +5581,28 @@ object SparkEntry {
         |FROM rr QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // q191: the same two windows — null-safe no-op collapse, then
+    // lead(ts) over the kept rows.
+    "q191_scd2_intervals" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id,
+        |    ((CAST(round(value * 1e6) AS BIGINT) % 5) + 5) % 5 AS tier
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |    row_number() OVER w AS rn,
+        |    lag(tier) OVER w AS prev
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, ts, event_id, tier FROM f
+        |      WHERE rn = 1 OR tier IS DISTINCT FROM prev)
+        |SELECT user_id, tier, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  lead(ts) OVER w2 IS NULL AS is_current
+        |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    "q192_kcore" -> kCoreOracleSql(3, 4),
+
     // q188: the drained stream-stream join must equal the batch range
     // join — inner join + full-span watermark is batch-boundary-
     // independent by construction.
@@ -7399,6 +7445,35 @@ object SparkEntry {
     * register-max CTE per hop pulling successors' counters, then
     * [[graft.pipeline.Graph.hllEstimateSql]] interpolated VERBATIM so
     * the estimator doubles cannot drift between engines. */
+  /** q192: the q175 planted-graph CTEs + one (degree-filter, edge-filter)
+    * CTE pair per peel round — the fixed-rounds contract the Spark side
+    * runs. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val prefix =
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |raw AS (
+        |  SELECT id AS src, id + 1 AS dst FROM ids WHERE (id + 1) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, id + 2 FROM ids WHERE (id + 2) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, (id // 100) * 100 FROM ids WHERE id % 100 <> 0),
+        |e AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN ids i ON i.id = r.dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e WHERE src <> dst),
+        |adj0 AS (SELECT a AS x, b AS y FROM und
+        |         UNION ALL SELECT b, a FROM und)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""",
+         |k$i AS (SELECT x FROM adj${i - 1} GROUP BY x HAVING count(*) >= $k),
+         |adj$i AS (SELECT a.x, a.y FROM adj${i - 1} a
+         |          JOIN k$i kx ON a.x = kx.x JOIN k$i ky ON a.y = ky.x)""".stripMargin
+    }.mkString
+    prefix + iters +
+      s"""
+         |SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM adj$rounds GROUP BY x ORDER BY node""".stripMargin
+  }
+
   private def hyperBallOracleSql: String = {
     val prefix =
       """WITH p AS (

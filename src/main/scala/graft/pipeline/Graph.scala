@@ -339,6 +339,61 @@ object Graph {
    * nodes don't appear (no edges → no row), degree-1 nodes report
    * cc_micro = 0.
    */
+  /**
+   * k-core peeling over the undirected simple graph: `rounds` iterations
+   * of "drop every node whose CURRENT degree < k", each recomputing
+   * degrees on the surviving subgraph. The k-core is the classic
+   * dense-substructure signal (Seidman 1983): spam link rings and
+   * template cross-link blocks survive high k while organic link
+   * neighborhoods peel away — curation uses it beside triangles (q175)
+   * and PageRank to discount artificial density.
+   *
+   * Peeling to the TRUE fixpoint needs a data-dependent round count, so
+   * this operator runs a FIXED `rounds` — deterministic, engine-
+   * replayable (the oracle generates one CTE per round), and exact
+   * whenever `rounds` covers the graph's peel depth (each round either
+   * strictly shrinks the node set or every later round is a no-op;
+   * depth is ≤ |V| and in practice a dozen). Callers that need the
+   * fixpoint re-run with more rounds.
+   *
+   * Scale shape per round: one node-keyed degree aggregate (map-side
+   * partials) + two semi-joins of the compact (x, y) long pairs against
+   * the surviving node set; lineage truncates per round (the q136
+   * discipline — the loop reads the previous adjacency twice per round:
+   * degrees and the filter).
+   *
+   * Output: surviving (node, degree) rows after the final round —
+   * degree is WITHIN the core subgraph, the number a spam-density
+   * threshold actually wants.
+   */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = cleanEdges(edges, srcCol, dstCol)
+      .where(col("__src") =!= col("__dst"))
+      .select(least(col("__src"), col("__dst")).as("__a"),
+        greatest(col("__src"), col("__dst")).as("__b"))
+      .distinct()
+    var adj = und.select(col("__a").as("__x"), col("__b").as("__y"))
+      .unionByName(und.select(col("__b").as("__x"), col("__a").as("__y")))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("__x")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("__x"))
+      adj = adj.join(keep, "__x")
+        .join(keep.withColumnRenamed("__x", "__y"), "__y")
+        .select(col("__x"), col("__y"))
+        .localCheckpoint(eager = false)
+    }
+    adj.groupBy(col("__x")).agg(count(lit(1)).as("degree"))
+      .select(col("__x").as("node"), col("degree"))
+  }
+
   def triangleCounts(
       edges: DataFrame,
       srcCol: String,

@@ -393,4 +393,39 @@ object Joins {
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /**
+   * Slowly-changing-dimension (SCD type 2) interval build from a change
+   * feed: per key, ordered by (ts, tie), NO-OP changes (value identical
+   * to the immediately preceding change, null-safe) collapse away, and
+   * each surviving change opens a validity interval [valid_from,
+   * valid_to) closed by the next surviving change — the last stays open
+   * (valid_to null, is_current true). This is the dimension-table shape
+   * behind every point-in-time join: the q134 as-of operators LOOK UP
+   * the row valid at a fact's timestamp; this operator BUILDS the table
+   * those lookups read.
+   *
+   * The tie column is required, not optional: a change feed can carry
+   * equal timestamps (bulk backfills, coarse clocks), and without a
+   * total order the collapsed sequence — hence the intervals — would be
+   * run-dependent. Scale shape: two per-key windows over the CHANGE
+   * feed, which is dimension-sized, not fact-sized; nothing else moves.
+   */
+  def scd2Intervals(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .where(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))))
+      .select(col(keyCol), col(valueCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -276,4 +276,26 @@ class GraphSuite extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pers === replayPersonalized(edges, Set("a", "e"), 20))
   }
+
+  test("kCore peels tails and keeps the dense core; fixed rounds replay") {
+    // Triangle {1,2,3} + a path 3-4-5 hanging off it + isolated pair 6-7.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (6L, 7L),
+      (2L, 1L), (1L, 1L) // reverse + self-loop must collapse away
+    ).toDF("src", "dst")
+    val core2 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Round 1 drops 5 (deg 1) and 6,7 (deg 1); round 2 drops 4 (now deg 1);
+    // the triangle survives with in-core degree 2 each.
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=1, 1 round: only the self-loop/duplicate cleanup applies.
+    val core1 = Graph.kCore(edges, "src", "dst", k = 1, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core1 === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+    // Insufficient rounds stop early - deterministic, documented.
+    val oneRound = Graph.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
 }

@@ -368,4 +368,39 @@ class JoinsSuite extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("scd2Intervals: no-op collapse, open last interval, tie order") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(m)
+    val ch = Seq(
+      // user 1: A, A (no-op), B, B (no-op), A -> intervals A, B, A
+      (1L, ts(1000L), 10L, "A"),
+      (1L, ts(2000L), 11L, "A"),
+      (1L, ts(3000L), 12L, "B"),
+      (1L, ts(4000L), 13L, "B"),
+      (1L, ts(5000L), 14L, "A"),
+      // user 2: equal timestamps, tie decides the order: C then D
+      (2L, ts(1000L), 20L, "C"),
+      (2L, ts(1000L), 21L, "D"),
+      // user 3: null value transitions are null-safe
+      (3L, ts(1000L), 30L, null.asInstanceOf[String]),
+      (3L, ts(2000L), 31L, null.asInstanceOf[String]),
+      (3L, ts(3000L), 32L, "E")
+    ).toDF("k", "ts", "tie", "v")
+    val got = Joins.scd2Intervals(ch, "k", "ts", "tie", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime,
+        if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime,
+        r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3, t._5))
+    assert(got === Seq(
+      (1L, "A", 1000L, 3000L, false),
+      (1L, "B", 3000L, 5000L, false),
+      (1L, "A", 5000L, -1L, true),
+      (2L, "C", 1000L, 1000L, false),
+      (2L, "D", 1000L, -1L, true),
+      (3L, null, 1000L, 3000L, false),
+      (3L, "E", 3000L, -1L, true)))
+  }
 }
