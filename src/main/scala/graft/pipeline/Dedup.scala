@@ -252,11 +252,27 @@ object Dedup extends org.apache.spark.internal.Logging {
       idCol: String,
       textCol: String,
       threshold: Double,
+      score: Column): DataFrame =
+    bestRepresentativesFromComponents(df, idCol,
+      connectedComponents(minHashDedupPairs(df, idCol, textCol, threshold),
+        "id_a", "id_b"),
+      score)
+
+  /**
+   * The serve-side half of [[bestNearDupRepresentatives]]: pick each
+   * cluster's survivor from a PRECOMPUTED (id, component) assignment —
+   * the stored-artifact lifecycle (a dedup pipeline materializes its
+   * cluster table once; keep-best, sizes, splits all read it instead of
+   * re-mining the pair graph). Singletons (ids absent from the
+   * assignment) survive untouched as their own cluster.
+   */
+  def bestRepresentativesFromComponents(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
       score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minHashDedupPairs(df, idCol, textCol, threshold)
-    val comp = connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("__cid"), col("component"))
+    val comp = components.select(col("id").as("__cid"), col("component"))
     val joined = df.join(comp, col(idCol) === col("__cid"), "left")
       .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
       .drop("__cid")
