@@ -1791,8 +1791,13 @@ object SparkEntry {
       val sfName = new java.io.File(d).getName
       val cPath = s"/tmp/graft_xml/$sfName/ss_clicks_v1"
       val pPath = s"/tmp/graft_xml/$sfName/ss_purchases_v1"
-      xmlInputOnce(ev.where(col("event_type") === "click"), cPath, "ev")
-      xmlInputOnce(ev.where(col("event_type") === "purchase"), pPath, "ev")
+      // Few large input files, not 32 slivers: the stream pays per-file
+      // listing + per-task overhead every drain, and the join's state
+      // shuffle re-partitions anyway, so sliver-parallelism buys nothing.
+      xmlInputOnce(ev.where(col("event_type") === "click").coalesce(4),
+        cPath, "ev")
+      xmlInputOnce(ev.where(col("event_type") === "purchase").coalesce(4),
+        pPath, "ev")
       def read(path: String) = s.readStream.format("xmlng")
         .option("rowTag", "ev").schema(ev.schema).load(path)
       val clicks = read(cPath)
