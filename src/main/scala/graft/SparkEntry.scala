@@ -1845,6 +1845,32 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    "q193_scd2_lookup" -> ((s, d) => {
+      // Point-in-time lookup that CLOSES the q191 lifecycle: purchase
+      // facts read the plan tier that was valid AT purchase time from
+      // the SCD2 dimension. Dimensions are small by definition, so the
+      // plan is one broadcast join with interval containment — facts
+      // never shuffle; unmatched facts (purchase before the first
+      // change) surface with a null tier, the audit split.
+      val ev = events(s, d)
+      val ch = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("pmod(CAST(round(value * 1e6) AS BIGINT), 5)").as("tier"))
+      val dim = Joins.scd2Intervals(ch, "user_id", "ts", "event_id", "tier")
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("__fu"), col("ts").as("purchase_ts"))
+      facts.join(broadcast(dim),
+          col("__fu") === col("user_id") &&
+            col("purchase_ts") >= col("valid_from") &&
+            (col("valid_to").isNull ||
+              col("purchase_ts") < col("valid_to")),
+          "left")
+        .select(col("purchase_id"), col("__fu").as("user_id"),
+          col("purchase_ts"), col("tier"))
+        .orderBy("purchase_id")
+    }),
+
     "q192_kcore" -> ((s, d) => {
       // k-core peeling on the planted community/hub graph: four rounds
       // of "drop every node whose current degree < 3", degrees
@@ -5629,6 +5655,33 @@ object SparkEntry {
         |ORDER BY user_id, valid_from""".stripMargin,
 
     "q192_kcore" -> kCoreOracleSql(3, 4),
+
+    // q193: the q191 interval build + the containment lookup, with the
+    // open (null valid_to) interval handled the same way.
+    "q193_scd2_lookup" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id,
+        |    ((CAST(round(value * 1e6) AS BIGINT) % 5) + 5) % 5 AS tier
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |    row_number() OVER w AS rn,
+        |    lag(tier) OVER w AS prev
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, ts, event_id, tier FROM f
+        |      WHERE rn = 1 OR tier IS DISTINCT FROM prev),
+        |dim AS (
+        |  SELECT user_id, tier, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to
+        |  FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  dim.tier
+        |FROM events p
+        |LEFT JOIN dim ON dim.user_id = p.user_id
+        |  AND p.ts >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
 
     // q188: the drained stream-stream join must equal the batch range
     // join — inner join + full-span watermark is batch-boundary-
