@@ -1845,6 +1845,56 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    "q194_stream_upsert" -> ((s, d) => {
+      // Streaming UPSERT materialized view via foreachBatch — the
+      // lakehouse-MERGE pattern: each micro-batch merges into a keyed
+      // parquet table keeping the LATEST change per user (one
+      // max-struct aggregate; lexicographic struct order is the q137
+      // tie rule). Latest-per-key is associative and commutative, so
+      // the drained table equals the batch answer whatever the batch
+      // boundaries. The read-merge-overwrite is the dimension-scale
+      // variant; at fact scale the same per-batch logic drives a real
+      // MERGE INTO — foreachBatch is exactly the hook for it.
+      val ev = events(s, d).where(col("event_type") === "signup")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          expr("pmod(CAST(round(value * 1e6) AS BIGINT), 5)").as("tier"))
+      val sfName = new java.io.File(d).getName
+      val xin = s"/tmp/graft_xml/$sfName/stream_upsert_in_v1"
+      xmlInputOnce(ev.coalesce(4), xin, "ev")
+      // Fresh output + checkpoint each invocation (the q45 rule): stale
+      // generations would mask the new drain.
+      val base = s"/tmp/graft_xml/$sfName/stream_upsert_out"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val tblPath = s"$base/tbl"
+      val stream = s.readStream.format("xmlng").option("rowTag", "ev")
+        .schema(ev.schema).load(xin)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val cur =
+            if (new java.io.File(s"$tblPath/_SUCCESS").exists())
+              s.read.parquet(tblPath)
+            else b.limit(0)
+          val merged = cur.unionByName(b)
+            .groupBy("user_id")
+            .agg(max(struct(col("ts_us"), col("event_id"), col("tier")))
+              .as("__m"))
+            .select(col("user_id"), col("__m.ts_us").as("ts_us"),
+              col("__m.event_id").as("event_id"), col("__m.tier").as("tier"))
+            // Materialize BEFORE the overwrite: the merged frame reads
+            // the same files the write is about to replace.
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(tblPath)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(tblPath).orderBy("user_id")
+    }),
+
     "q193_scd2_lookup" -> ((s, d) => {
       // Point-in-time lookup that CLOSES the q191 lifecycle: purchase
       // facts read the plan tier that was valid AT purchase time from
@@ -5655,6 +5705,21 @@ object SparkEntry {
         |ORDER BY user_id, valid_from""".stripMargin,
 
     "q192_kcore" -> kCoreOracleSql(3, 4),
+
+    // q194: the upserted table must hold exactly the latest change per
+    // key — argmax by (ts, event_id), the struct-max rule.
+    "q194_stream_upsert" ->
+      """WITH ch AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    ((CAST(round(value * 1e6) AS BIGINT) % 5) + 5) % 5 AS tier
+        |  FROM events WHERE event_type = 'signup'),
+        |r AS (
+        |  SELECT user_id, ts_us, event_id, tier,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ch)
+        |SELECT user_id, ts_us, event_id, tier
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // q193: the q191 interval build + the containment lookup, with the
     // open (null valid_to) interval handled the same way.
