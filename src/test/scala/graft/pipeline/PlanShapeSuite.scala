@@ -394,4 +394,43 @@ class PlanShapeSuite extends AnyFunSuite {
         s"join is not keyed by (band, value) buckets:\n$plan")
     } finally spark.conf.set(thresholdKey, prev)
   }
+
+  test("winnowing fingerprints are zero-shuffle map-side selection") {
+    val plan = physical(
+      TextAnalysis.winnowingFingerprints(docs, "doc_id", "text", 3, 4))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("record linkage best-match is an aggregate, never a window sort") {
+    val dirty = docs.select(col("doc_id").as("id"), col("source"),
+      col("text").as("name"))
+    val plan = physical(Linkage.linkByEditDistance(
+      dirty, "id", docs.select(col("doc_id"), col("source"),
+        col("text").as("name")), "doc_id", "name", "source", 2))
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("SCD2 point-in-time lookup broadcasts the dimension") {
+    val ch = docs.select(col("doc_id").as("k"),
+      (col("doc_id") * 1000).as("ts"), col("doc_id").as("tie"),
+      col("source").as("v"))
+    val dim = Joins.scd2Intervals(ch, "k", "ts", "tie", "v")
+    val facts = docs.select(col("doc_id").as("fk"),
+      (col("doc_id") * 1500).as("fts"))
+    val plan = physical(facts.join(broadcast(dim),
+      col("fk") === col("k") && col("fts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("fts") < col("valid_to")), "left"))
+    assert(plan.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("sparse random projection broadcasts the sign matrix") {
+    val vecs = spark.range(0, 8).select(col("id"),
+      array((0 until 4).map(j => (col("id") + j).cast("float")): _*).as("v"))
+    val plan = physical(
+      Similarity.randomProjectSparse(vecs, "id", "v", 4, 2))
+    assert(plan.contains("BroadcastHashJoin"), s"matrix not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
 }
