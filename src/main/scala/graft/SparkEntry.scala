@@ -1863,6 +1863,66 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    "q195_winsorize" -> ((s, d) => {
+      // Winsorization — the TRANSFORM beside q183's flags: event values
+      // clip to their type's [p05, p95] histogram-rule cuts, exact
+      // integers end to end, so one glitched value can't stretch a
+      // downstream normalization.
+      Profile.winsorizeReport(events(s, d), Seq("event_type"),
+          "event_id", "value", loPermille = 50, hiPermille = 950)
+        .orderBy("event_id")
+    }),
+
+    "q196_ann_recall" -> ((s, d) => {
+      // Recall@5 of the q187 projected-ANN serving path against the q27
+      // exact brute-force truth, per query — the number an ANN rollout
+      // decision actually reads; both paths are deterministic, so the
+      // recall is an exact integer permille, not a sampled estimate.
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val approx = Similarity.projectedRerankTopK(qs, emb,
+          "vec_id", "vec_id", "embedding", inDims = 64, projDims = 16,
+          k = 5, expand = 4)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1))
+      val exact = Similarity.bruteForceTopK(qs, emb,
+          "vec_id", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).as("hits"))
+        .withColumn("recall_permille", expr("hits * 1000 DIV k"))
+        .orderBy("query_id")
+    }),
+
+    "q197_hll_merge" -> ((s, d) => {
+      // The sketch's whole point, gated: the even half's HLL register
+      // table persists ONCE; the odd batch's registers union in and
+      // re-max (the mergeable-state contract — no history rescan), and
+      // the merged estimate must equal the full-corpus estimate
+      // EXACTLY, because register state is order- and
+      // partition-independent by construction.
+      val docs = t(s, d, "documents")
+      def toks(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/hll_regs_even"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          HeavyHitters.hllRegisters(toks(docs.where(col("doc_id") % 2 === 0)),
+              Seq("source"), "token")
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      val fresh = HeavyHitters.hllRegisters(
+        toks(docs.where(col("doc_id") % 2 === 1)), Seq("source"), "token")
+      val merged = s.read.parquet(path).unionByName(fresh)
+        .groupBy(col("source"), col("reg")).agg(max(col("val")).as("val"))
+      HeavyHitters.hllEstimateFromRegisters(merged, Seq("source"))
+        .orderBy("source")
+    }),
+
     "q194_stream_upsert" -> ((s, d) => {
       // Streaming UPSERT materialized view via foreachBatch — the
       // lakehouse-MERGE pattern: each micro-batch merges into a keyed
@@ -5723,6 +5783,124 @@ object SparkEntry {
         |ORDER BY user_id, valid_from""".stripMargin,
 
     "q192_kcore" -> kCoreOracleSql(3, 4),
+
+    // q195: the q112 histogram cuts at 50/950 permille + integer clamp.
+    "q195_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |lo AS (SELECT event_type, min(v) AS lo_micro FROM hc
+        |       WHERE cum >= (50 * n + 999) // 1000 GROUP BY event_type),
+        |hi AS (SELECT event_type, min(v) AS hi_micro FROM hc
+        |       WHERE cum >= (950 * n + 999) // 1000 GROUP BY event_type)
+        |SELECT b.event_type, b.event_id, b.v AS value_micro,
+        |  lo.lo_micro, hi.hi_micro,
+        |  greatest(lo.lo_micro, least(hi.hi_micro, b.v)) AS clipped_micro
+        |FROM b JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // q196: the q187 approximate path and the q27 exact path replayed
+    // side by side; recall is the exact integer intersection share.
+    "q196_ann_recall" ->
+      """WITH cells AS (
+        |  SELECT i // 16 AS dim, i % 16 AS k,
+        |    CASE ('0x' || substr(md5('rp|' || CAST(i // 16 AS VARCHAR)
+        |        || '|' || CAST(i % 16 AS VARCHAR)), 25, 8))::BIGINT % 6
+        |      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sign
+        |  FROM (SELECT unnest(range(0, 1024)) AS i)),
+        |nz AS (SELECT dim, k, sign FROM cells WHERE sign <> 0),
+        |r AS (
+        |  SELECT vec_id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |proj AS (
+        |  SELECT r.vec_id, nz.k, CAST(sum(nz.sign * r.q) AS BIGINT) AS p
+        |  FROM r JOIN nz ON r.dim = nz.dim GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(p ORDER BY k) AS pv FROM proj GROUP BY vec_id),
+        |qp AS (SELECT vec_id AS query_id, pv AS qpv FROM pv WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dd ASC, neighbor_id) AS crk
+        |  FROM (
+        |    SELECT qp.query_id, c.vec_id AS neighbor_id,
+        |      CAST(list_sum(list_transform(qp.qpv,
+        |        (x, i) -> (x - c.pv[i]) * (x - c.pv[i]))) AS BIGINT) // 256 AS dd
+        |    FROM pv c CROSS JOIN qp WHERE c.vec_id <> qp.query_id)),
+        |sel AS (SELECT query_id, neighbor_id FROM coarse WHERE crk <= 20),
+        |eb AS (SELECT vec_id, embedding FROM embeddings),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT s.query_id, s.neighbor_id,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY list_cosine_similarity(eq.embedding, ec.embedding)
+        |          DESC, s.neighbor_id) AS rk
+        |    FROM sel s
+        |    JOIN eb eq ON eq.vec_id = s.query_id
+        |    JOIN eb ec ON ec.vec_id = s.neighbor_id)
+        |  WHERE rk <= 5),
+        |ed AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |        AS rk
+        |    FROM ed q JOIN ed c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rk <= 5)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000 // count(*) AS BIGINT) AS recall_permille
+        |FROM exact e
+        |LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    // q197: register merge is invisible to the estimator — the oracle is
+    // simply the full-corpus register build + the shared estimator SQL.
+    "q197_hll_merge" ->
+      s"""WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |c0 AS (
+        |  SELECT source,
+        |    ('0x' || substr(h, 1, 1))::BIGINT AS reg,
+        |    CASE WHEN v60 = 0 THEN 61 ELSE 61 - length(bin(v60)) END AS val
+        |  FROM (SELECT source, md5(token) AS h,
+        |          ('0x' || substr(md5(token), 2, 15))::BIGINT AS v60
+        |        FROM tok)),
+        |regs AS (
+        |  SELECT source, reg, CAST(max(val) AS BIGINT) AS val
+        |  FROM c0 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS registers_set,
+        |    CAST(sum(CAST((1::BIGINT) << (61 - val) AS HUGEINT)) AS HUGEINT)
+        |      AS sset
+        |  FROM regs GROUP BY source),
+        |est AS (
+        |  SELECT source, registers_set,
+        |    sset + CAST(16 - registers_set AS HUGEINT)
+        |      * CAST(2305843009213693952 AS HUGEINT) AS __s,
+        |    CAST(16 - registers_set AS INTEGER) AS __v
+        |  FROM agg)
+        |SELECT source, registers_set,
+        |  ${graft.pipeline.Graph.hllEstimateSql} AS est_micro
+        |FROM est ORDER BY source""".stripMargin,
 
     // q194: the upserted table must hold exactly the latest change per
     // key — argmax by (ts, event_id), the struct-max rule.

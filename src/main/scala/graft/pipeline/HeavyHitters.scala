@@ -149,10 +149,25 @@ object HeavyHitters {
   def hllDistinct(
       df: DataFrame,
       groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /**
+   * The mergeable register state behind [[hllDistinct]]: one (group...,
+   * reg, val) row per SET register. Register tables merge by
+   * (group, reg) max — across batches, partitions, or stored
+   * generations — which is the sketch's whole point: a stored half
+   * unioned with a new batch's registers and re-maxed estimates the
+   * full corpus exactly (gate-pinned), so distinct-count monitoring
+   * never rescans history.
+   */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
       valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
-    val regs = df
-      .select(groupCols.map(col) :+ col(valueCol).cast("string").as("__val"): _*)
+    df.select(groupCols.map(col) :+ col(valueCol).cast("string").as("__val"): _*)
       .where(col("__val").isNotNull)
       .withColumn("__h", md5(col("__val")))
       .withColumn("reg", expr("CAST(conv(substring(__h, 1, 1), 16, 10) AS INT)"))
@@ -161,6 +176,13 @@ object HeavyHitters {
         "CASE WHEN __v60 = 0 THEN 61 ELSE CAST(61 - length(bin(__v60)) AS INT) END"))
       .groupBy(groupCols.map(col) :+ col("reg"): _*)
       .agg(max(col("val")).as("val"))
+  }
+
+  /** The estimator half of [[hllDistinct]], over any (merged) register
+    * table. */
+  def hllEstimateFromRegisters(
+      regs: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
     regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("registers_set"),
         sum(expr("CAST(shiftleft(1L, 61 - val) AS DECIMAL(38,0))")).as("__sset"))

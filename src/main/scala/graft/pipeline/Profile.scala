@@ -53,6 +53,55 @@ object Profile {
   }
 
   /**
+   * Per-group winsorization — the feature-prep TRANSFORM beside
+   * [[madOutlierReport]]'s flags: values clip to the group's
+   * [loPermille, hiPermille] histogram-rule quantiles (the q73/q112
+   * type-1 rule, no float interpolation), so one glitched sensor value
+   * can't stretch a downstream normalization. Exact integers end to
+   * end: micro quantization, histogram cuts, integer clamp — replays
+   * bit-for-bit.
+   *
+   * Scale shape: the cuts come from a (key, value)-histogram window
+   * (one row per DISTINCT value); the per-row pass is one broadcast
+   * join against the |keys|-row cut table. NULL values pass through
+   * unclipped (nothing to clamp).
+   */
+  def winsorizeReport(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      loPermille: Int = 50,
+      hiPermille: Int = 950): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(loPermille > 0 && hiPermille <= 1000 && loPermille < hiPermille,
+      s"need 0 < lo < hi <= 1000, got ($loPermille, $hiPermille)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keyCols.map(col) :+ col(idCol).as("__id") :+
+        round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val counts = base.groupBy((keyCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(keyCols.map(col): _*)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(n))
+    def cut(p: Int, out: String): DataFrame =
+      cum.where(col("__cum") >= expr(s"($p * __n + 999) div 1000"))
+        .groupBy(keyCols.map(col): _*).agg(min(col("__v")).as(out))
+    base.join(broadcast(cut(loPermille, "lo_micro")), keyCols)
+      .join(broadcast(cut(hiPermille, "hi_micro")), keyCols)
+      .select(keyCols.map(col) ++ Seq(
+        col("__id").as(idCol),
+        col("__v").as("value_micro"),
+        col("lo_micro"), col("hi_micro"),
+        greatest(col("lo_micro"), least(col("hi_micro"), col("__v")))
+          .as("clipped_micro")): _*)
+  }
+
+  /**
    * Population stability index (PSI) between two corpus slices — the
    * standard tabular drift gate ("did this column's distribution move
    * between snapshots"), per group: bin the REFERENCE slice (a) into

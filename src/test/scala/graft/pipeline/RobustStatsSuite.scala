@@ -135,6 +135,23 @@ class RobustStatsSuite extends AnyFunSuite {
     assert(got.getLong(3) === want.toLong)
   }
 
+  // --- winsorizeReport -----------------------------------------------------
+
+  test("winsorize clips to the histogram-rule cuts, inliers untouched") {
+    val vals = (1 to 100).map(_.toDouble)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, java.lang.Double.valueOf(v)) }
+    val got = Profile.winsorizeReport(
+        rows.toDF("k", "id", "v"), Seq("k"), "id", "v", 50, 950)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // n=100: lo cut = ceil(50*100/1000)=5th value = 5.0; hi = 95th = 95.0
+    assert(got(0L) === ((5000000L, 95000000L, 5000000L))) // 1.0 -> 5.0
+    assert(got(49L) === ((5000000L, 95000000L, 50000000L))) // untouched
+    assert(got(99L) === ((5000000L, 95000000L, 95000000L))) // 100 -> 95
+  }
+
   // --- ngramNoveltyReport --------------------------------------------------
 
   test("novelty attributes first occurrence to the minimal doc id") {
