@@ -1863,6 +1863,28 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    "q198_event_transitions" -> ((s, d) => {
+      // First-order event-flow (Markov) transition matrix: per user,
+      // events in (ts, event_id) order yield (from, to) steps; the
+      // panel is P(to | from) in exact integer permille — the
+      // user-behavior read behind funnel design (which q128 then tests
+      // as ordered stages). One lag window over per-user events + one
+      // compact (from, to) aggregate; payloads never move.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("__from", lag(col("event_type"), 1).over(w))
+        .where(col("__from").isNotNull)
+        .groupBy(col("__from").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_steps"))
+        .withColumn("p_permille", expr(
+          "n_steps * 1000 DIV sum(n_steps) OVER (PARTITION BY from_type)"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "q195_winsorize" -> ((s, d) => {
       // Winsorization — the TRANSFORM beside q183's flags: event values
       // clip to their type's [p05, p95] histogram-rule cuts, exact
@@ -5783,6 +5805,22 @@ object SparkEntry {
         |ORDER BY user_id, valid_from""".stripMargin,
 
     "q192_kcore" -> kCoreOracleSql(3, 4),
+
+    // q198: the same per-user lag chain and truncating row-share.
+    "q198_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n_steps
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_steps,
+        |  CAST(n_steps * 1000 // sum(n_steps)
+        |    OVER (PARTITION BY from_type) AS BIGINT) AS p_permille
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // q195: the q112 histogram cuts at 50/950 permille + integer clamp.
     "q195_winsorize" ->
