@@ -1863,6 +1863,37 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    "q199_textrank_keywords" -> ((s, d) => {
+      // TextRank keywords (Mihalcea & Tarau 2004) at corpus scale: the
+      // word co-occurrence graph — adjacent-token pairs, both
+      // directions, vocabulary restricted to tokens seen >= 50 times so
+      // |V| stays vocabulary-bounded and hapax noise never enters —
+      // ranked by the SAME integer-exact damped PageRank as q136
+      // (unweighted variant: parallel co-occurrences dedup, the
+      // cleanEdges contract). Top-20 by (rank, token) = the corpus
+      // keyword panel.
+      val docs = t(s, d, "documents")
+      val base = docs.select(TextAnalysis.tokens(col("text")).as("__toks"))
+      val pairs = base.where(size(col("__toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+        .where(col("a") =!= col("b"))
+      val keep = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("__f"))
+        .where(col("__f") >= 50).select("w")
+      val e0 = pairs
+        .join(keep.withColumnRenamed("w", "a"), "a")
+        .join(keep.withColumnRenamed("w", "b"), "b")
+        .select(col("a").as("src"), col("b").as("dst"))
+      val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(und, "src", "dst", iterations = 5)
+        .orderBy(desc("rank_ppt"), asc("node")).limit(20)
+    }),
+
     "q198_event_transitions" -> ((s, d) => {
       // First-order event-flow (Markov) transition matrix: per user,
       // events in (ts, event_id) order yield (from, to) steps; the
@@ -5806,6 +5837,8 @@ object SparkEntry {
 
     "q192_kcore" -> kCoreOracleSql(3, 4),
 
+    "q199_textrank_keywords" -> textRankOracleSql,
+
     // q198: the same per-user lag chain and truncating row-share.
     "q198_event_transitions" ->
       """WITH s AS (
@@ -7824,6 +7857,51 @@ object SparkEntry {
     * register-max CTE per hop pulling successors' counters, then
     * [[graft.pipeline.Graph.hllEstimateSql]] interpolated VERBATIM so
     * the estimator doubles cannot drift between engines. */
+  /** q199: co-occurrence edge CTEs + the q136 integer-PageRank iteration
+    * form, generated. */
+  private def textRankOracleSql: String = {
+    val prefix =
+      """WITH tk AS (
+        |  SELECT CASE WHEN text IS NULL OR trim(text) = ''
+        |       THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |bp AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+        |  FROM tk WHERE len(toks) >= 2),
+        |tf AS (SELECT w, count(*) AS cnt
+        |       FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |keep AS (SELECT w FROM tf WHERE cnt >= 50),
+        |e0 AS (
+        |  SELECT DISTINCT p.a AS src, p.b AS dst FROM bp
+        |  WHERE p.a <> p.b AND p.a IN (SELECT w FROM keep)
+        |    AND p.b IN (SELECT w FROM keep)),
+        |ed AS (SELECT DISTINCT src, dst FROM (
+        |         SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        |       FROM ed GROUP BY 1),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, cn)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s""",
+         |i$i AS (
+         |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+         |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+         |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+         |    SELECT ed.dst AS node, CAST(sum(pr.r // od.outdeg) AS BIGINT) AS acc
+         |    FROM $prev pr JOIN od ON pr.node = od.node
+         |    JOIN ed ON ed.src = pr.node
+         |    GROUP BY ed.dst) s ON s.node = nx.node)""".stripMargin
+    }.mkString
+    prefix + iters +
+      """
+        |SELECT node, r AS rank_ppt FROM i5
+        |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   /** q192: the q175 planted-graph CTEs + one (degree-filter, edge-filter)
     * CTE pair per peel round — the fixed-rounds contract the Spark side
     * runs. */
