@@ -1863,6 +1863,31 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    "q200_ann_from_codes" -> ((s, d) => {
+      // The quantized-ANN lifecycle CLOSED (the q104/q154 sidecar
+      // convention applied to q166): the corpus's int8 codes persist
+      // ONCE at build time — 4× smaller than the float vectors — and
+      // every query serves its coarse stage from the stored code table;
+      // only the re-rank touches full-precision vectors, k·expand rows
+      // per query. Deterministic quantization means the stored codes
+      // can never drift from a recompute, so the oracle is q166's,
+      // verbatim.
+      val emb = t(s, d, "embeddings")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/int8_codes"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          emb.select(col("vec_id").as("neighbor_id"),
+              Similarity.quantizeInt8(col("embedding")).getField("q").as("cq"))
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      Similarity.quantizedRerankTopKFromCodes(
+          emb.where(col("vec_id") < 10), s.read.parquet(path), emb,
+          "vec_id", "vec_id", "embedding", k = 5, expand = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "q199_textrank_keywords" -> ((s, d) => {
       // TextRank keywords (Mihalcea & Tarau 2004) at corpus scale: the
       // word co-occurrence graph — adjacent-token pairs, both
@@ -6227,41 +6252,12 @@ object SparkEntry {
     // q166: the q80 quantization CTEs, an exact BIGINT coarse dot with
     // (dot DESC, id) rank-20 cut, then float-cosine re-rank to top-5 —
     // stage-for-stage the Spark plan.
-    "q166_quantized_rerank" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |m AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |  FROM e),
-        |qz AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-        |         ELSE list_transform(embedding,
-        |           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS q
-        |  FROM m),
-        |qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
-        |coarse AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY qdot DESC, neighbor_id) AS crk
-        |  FROM (
-        |    SELECT qs.query_id, c.vec_id AS neighbor_id,
-        |      CAST(list_sum(list_transform(qs.qq,
-        |        (x, i) -> CAST(x AS BIGINT) * c.q[i])) AS BIGINT) AS qdot
-        |    FROM qz c CROSS JOIN qs WHERE c.vec_id <> qs.query_id)),
-        |sel AS (SELECT query_id, neighbor_id FROM coarse WHERE crk <= 20),
-        |rr AS (
-        |  SELECT s.query_id, s.neighbor_id,
-        |    list_cosine_similarity(eq.embedding, ec.embedding) AS sim
-        |  FROM sel s
-        |  JOIN e eq ON eq.vec_id = s.query_id
-        |  JOIN e ec ON ec.vec_id = s.neighbor_id)
-        |SELECT query_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
-        |  neighbor_id
-        |FROM rr QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q166_quantized_rerank" -> quantizedRerankOracleSql,
+
+    // q200: serving from the STORED code table must equal the on-the-fly
+    // quantized path exactly — deterministic quantization, same oracle.
+    "q200_ann_from_codes" -> quantizedRerankOracleSql,
+
 
     // q167: the same digest two-level aggregate and truncating permille.
     "q167_dedup_pressure" ->
@@ -7857,6 +7853,46 @@ object SparkEntry {
     * register-max CTE per hop pulling successors' counters, then
     * [[graft.pipeline.Graph.hllEstimateSql]] interpolated VERBATIM so
     * the estimator doubles cannot drift between engines. */
+  /** q166/q200: the int8 quantize → coarse dot top-20 → cosine re-rank
+    * replay, stage for stage. ONE string for both gates: q200 serves
+    * from a STORED code table, and deterministic quantization means the
+    * stored codes can never differ from the recompute this SQL does. */
+  private def quantizedRerankOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM e),
+      |qz AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS q
+      |  FROM m),
+      |qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+      |coarse AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qdot DESC, neighbor_id) AS crk
+      |  FROM (
+      |    SELECT qs.query_id, c.vec_id AS neighbor_id,
+      |      CAST(list_sum(list_transform(qs.qq,
+      |        (x, i) -> CAST(x AS BIGINT) * c.q[i])) AS BIGINT) AS qdot
+      |    FROM qz c CROSS JOIN qs WHERE c.vec_id <> qs.query_id)),
+      |sel AS (SELECT query_id, neighbor_id FROM coarse WHERE crk <= 20),
+      |rr AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    list_cosine_similarity(eq.embedding, ec.embedding) AS sim
+      |  FROM sel s
+      |  JOIN e eq ON eq.vec_id = s.query_id
+      |  JOIN e ec ON ec.vec_id = s.neighbor_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+      |  neighbor_id
+      |FROM rr QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** q199: co-occurrence edge CTEs + the q136 integer-PageRank iteration
     * form, generated. */
   private def textRankOracleSql: String = {

@@ -466,14 +466,36 @@ object Similarity {
       corpusIdCol: String,
       vecCol: String,
       k: Int,
+      expand: Int = 4): DataFrame =
+    quantizedRerankTopKFromCodes(queries,
+      corpus.select(col(corpusIdCol).as("neighbor_id"),
+        quantizeInt8(col(vecCol)).getField("q").as("cq")),
+      corpus, queryIdCol, corpusIdCol, vecCol, k, expand)
+
+  /**
+   * The serve-side half of [[quantizedRerankTopK]]: coarse scoring runs
+   * against a PRECOMPUTED (neighbor_id, cq) int8 code table — the
+   * stored-artifact lifecycle (quantize the corpus once at build time,
+   * store the 4×-smaller codes, serve every query from them; only the
+   * re-rank touches full-precision vectors, k·expand rows per query).
+   * Deterministic quantization means a stored code table can never
+   * drift from a recompute — gate-pinned.
+   */
+  def quantizedRerankTopKFromCodes(
+      queries: DataFrame,
+      corpusCodes: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      k: Int,
       expand: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(expand >= 1, s"expand must be >= 1, got $expand")
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
       quantizeInt8(col(vecCol)).getField("q").as("qq")))
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(vecCol).as("cv"),
-      quantizeInt8(col(vecCol)).getField("q").as("cq"))
+    val c = corpusCodes.select(col("neighbor_id"), col("cq"))
     val coarse = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("__qdot",
         aggregate(zip_with(col("qq"), col("cq"),
