@@ -6186,7 +6186,8 @@ object SparkEntry {
         |SELECT n_rows, n_keys,
         |  mx * 1000 // n_rows AS top1_permille,
         |  topsum * 1000 // n_rows AS top10_permille,
-        |  mx * n_keys * 1000 // n_rows AS max_over_mean_permille
+        |  CAST(CAST(mx AS HUGEINT) * n_keys * 1000 // n_rows AS BIGINT)
+        |    AS max_over_mean_permille
         |FROM tot, top""".stripMargin,
 
     // q169: the same key planting (null rule wins over the orphan rule),

@@ -639,15 +639,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     // signature derives from the same token-hash array in a second projection
     // so tokenization runs once per row.
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
-    val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)
     // Banding derives from the corpus count unless the caller pins it
     // (both or neither — a lone override would silently change the curve).
+    // Auto-sizing counts EXACTLY (one metadata-cheap count job, trivial
+    // next to the tokenize+hash pipeline): a file-layout/stats-freshness
+    // estimate near the 2²⁰ boundary would make the banding — and with it
+    // the LSH candidate curve — layout-sensitive rather than purely
+    // data-determined. Pass nHint to skip the count.
     val (autoHashes, autoBands) =
       if (numHashes > 0 || bands > 0) {
         require(numHashes > 0 && bands > 0,
           "pass BOTH numHashes and bands, or neither (auto-sizing)")
         (numHashes, bands)
-      } else minHashParams(nEst, threshold)
+      } else minHashParams(if (nHint > 0) nHint else df.count(), threshold)
+    // Parallelism sizing, by contrast, is a perf knob — the stats estimate
+    // is fine there (partitioning never changes the pair SET).
+    val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)
     // Bucket-stage parallelism grows with the membership volume (n × bands),
     // floored at the session default — see expansionPartitions.
     val parts = expansionPartitions(nEst * autoBands, floor)

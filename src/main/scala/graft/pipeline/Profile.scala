@@ -63,8 +63,8 @@ object Profile {
    *
    * Scale shape: the cuts come from a (key, value)-histogram window
    * (one row per DISTINCT value); the per-row pass is one broadcast
-   * join against the |keys|-row cut table. NULL values pass through
-   * unclipped (nothing to clamp).
+   * join against the |keys|-row cut table. NULL values are excluded
+   * (nothing to clamp — the madOutlierReport convention).
    */
   def winsorizeReport(
       df: DataFrame,

@@ -748,13 +748,21 @@ object Similarity {
       seed: String = "rp"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(expand >= 1, s"expand must be >= 1, got $expand")
+    // The pivot densifies against sequence(0, projDims-1): an output dim
+    // whose matrix column drew all-zero signs (probability (2/3)^inDims —
+    // negligible at 64 dims but real for tiny inDims) receives no rows
+    // from the sparse projection, and a collect_list-only pivot would
+    // silently shorten that vector, null-padding zip_with and poisoning
+    // __d2 for every pair. A missing dim is an exact zero, so densifying
+    // is the mathematically correct reading, not a patch.
     def pivot(df: DataFrame, idCol: String): DataFrame =
       randomProjectSparse(df, idCol, vecCol, inDims, projDims, seed)
         .groupBy(col("id"))
-        .agg(array_sort(collect_list(struct(col("k"), col("proj_micro"))))
-          .as("__ps"))
+        .agg(map_from_entries(collect_list(struct(col("k"), col("proj_micro"))))
+          .as("__pm"))
         .select(col("id"),
-          transform(col("__ps"), p => p.getField("proj_micro")).as("pv"))
+          transform(sequence(lit(0L), lit(projDims - 1L)),
+            i => coalesce(element_at(col("__pm"), i), lit(0L))).as("pv"))
     val qp = broadcast(pivot(queries, queryIdCol)
       .withColumnRenamed("id", "query_id").withColumnRenamed("pv", "qpv"))
     val coarse = pivot(corpus, corpusIdCol)

@@ -73,6 +73,11 @@ object Skew {
       .select(col("n_rows"), col("n_keys"),
         expr("__max * 1000 div n_rows").as("top1_permille"),
         expr("__topsum * 1000 div n_rows").as("top10_permille"),
-        expr("__max * n_keys * 1000 div n_rows").as("max_over_mean_permille"))
+        // The product runs in DECIMAL(38,0) (the rollingAnomalies/psi
+        // convention): max_count × n_keys × 1000 passes 2^63 well before
+        // 100-TB key spaces do, and int64 would wrap silently under
+        // LEGACY eval while the oracle's HUGEINT keeps going.
+        expr("CAST(CAST(__max AS DECIMAL(38,0)) * n_keys * 1000 div n_rows" +
+          " AS BIGINT)").as("max_over_mean_permille"))
   }
 }
