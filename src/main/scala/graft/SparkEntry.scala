@@ -1888,6 +1888,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q201_markup_strip" -> ((s, d) => {
+      // Web-crawl text extraction: every document planted inside a
+      // deterministic HTML page (style + conditional script blocks whose
+      // payloads contain bare '<' and a fake tag, a comment, real tags,
+      // all six common entities incl. the double-escape '&amp;amp;') is
+      // stripped back to clean text by the map-side regexp/replace chain
+      // — the step in FRONT of every quality/dedup operator on a real
+      // crawl. Zero shuffle; the oracle replays the identical RE2-safe
+      // chain step for step.
+      t(s, d, "documents")
+        .select(col("doc_id"), expr(markupFixtureSql).as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.stripMarkup(col("raw")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "q199_textrank_keywords" -> ((s, d) => {
       // TextRank keywords (Mihalcea & Tarau 2004) at corpus scale: the
       // word co-occurrence graph — adjacent-token pairs, both
@@ -3618,6 +3634,43 @@ object SparkEntry {
     (0 until bits).flatMap(i => Seq(
       s"((($x >> $i) & 1) << ${2 * i})",
       s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  /** Planted-HTML fixture for q201: each document's text wrapped in a
+    * deterministic page (style block, conditional script with a bare `<`
+    * and a fake tag INSIDE it, comment, tags, all six entities incl. the
+    * double-escape `&amp;amp;`) — one SQL string both engines run
+    * verbatim, the q161 planting convention. */
+  private val markupFixtureSql: String =
+    """'<html><head><style type="text/css">.c' || CAST(doc_id % 7 AS STRING) ||
+      |' { color: red; }</style>' ||
+      |CASE WHEN doc_id % 3 = 0
+      |  THEN '<script defer>if (1 < ' || CAST(doc_id % 9 AS STRING) ||
+      |       ') { s = "<p>"; }</script>'
+      |  ELSE '' END ||
+      |'</head><body><!-- id ' || CAST(doc_id AS STRING) ||
+      |' --><h1 class="t">T&amp;' || CAST(doc_id % 5 AS STRING) ||
+      |'</h1><p id="p1">' || coalesce(text, '') ||
+      |' &lt;eof&gt;&nbsp;&quot;q&quot;&#39;s &amp;amp;</p></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** [[graft.pipeline.TextAnalysis.stripMarkup]]'s exact chain as DuckDB
+    * SQL (RE2-safe patterns, 'g' global flag, entity order with `&amp;`
+    * last) — the shared-arithmetic convention: the oracle runs the SAME
+    * rewrites, step for step. */
+  private def stripMarkupSql(c: String): String = {
+    val noScript =
+      s"""regexp_replace($c, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"""
+    val noStyle =
+      s"""regexp_replace($noScript, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"""
+    val noComment = s"""regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"""
+    val noTags = s"""regexp_replace($noComment, '(?s)<[^>]*>', ' ', 'g')"""
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        s"replace($acc, '$ent', '$ch')" }
+    s"""trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6258,6 +6311,12 @@ object SparkEntry {
     // q200: serving from the STORED code table must equal the on-the-fly
     // quantized path exactly — deterministic quantization, same oracle.
     "q200_ann_from_codes" -> quantizedRerankOracleSql,
+
+    // q201: the identical planted page and the identical strip chain —
+    // both SQL strings are shared verbatim with the Spark side.
+    "q201_markup_strip" ->
+      s"""SELECT doc_id, ${stripMarkupSql(markupFixtureSql)} AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
 
     // q167: the same digest two-level aggregate and truncating permille.

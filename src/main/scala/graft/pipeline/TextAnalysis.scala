@@ -239,6 +239,40 @@ object TextAnalysis {
   val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
   /**
+   * HTML/markup strip — the step in FRONT of every text operator when the
+   * corpus is a web crawl: script/style blocks (content and all), comments,
+   * then tags drop; the six ubiquitous entities decode; whitespace
+   * collapses to single spaces. A pure map-side chain of codegen'd
+   * `regexp_replace`/`replace` calls — zero shuffle at any scale, and every
+   * pattern is RE2-safe (no backreferences, no lookarounds) so an oracle
+   * replays the chain verbatim.
+   *
+   * Order is semantic, not incidental:
+   *  - script/style/comment BLOCKS go first (their payload may contain
+   *    `<`/`>` that is not markup);
+   *  - tag strip replaces with a SPACE (adjacent words must not fuse);
+   *  - entity decode runs AFTER tag strip (an encoded `&lt;p&gt;` is
+   *    content, not a tag, and must survive) with `&amp;` LAST (the
+   *    double-escape rule: `&amp;lt;` decodes to `&lt;`, one level only);
+   *  - whitespace collapse + trim last.
+   * An unterminated `<tag` with no closing `>` is left as text (the
+   * permissive reading; a truncated crawl record stays inspectable).
+   */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      """(?is)<script\b[^>]*>.*?</script\s*>""", " ")
+    val noStyle = regexp_replace(noScript,
+      """(?is)<style\b[^>]*>.*?</style\s*>""", " ")
+    val noComment = regexp_replace(noStyle, """(?s)<!--.*?-->""", " ")
+    val noTags = regexp_replace(noComment, """(?s)<[^>]*>""", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, """\s+""", " "))
+  }
+
+  /**
    * Token-budget chunking: split each document into overlapping windows of
    * at most `chunkSize` tokens with stride `chunkSize - overlap` — the
    * sequence-packing precursor every context-window-bounded training run

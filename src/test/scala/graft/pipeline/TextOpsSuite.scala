@@ -24,6 +24,28 @@ class TextOpsSuite extends AnyFunSuite {
     assert(m === Map(0L -> "a\nb\nc", 1L -> "x", 2L -> "\nq", 3L -> ""))
   }
 
+  test("stripMarkup: blocks, tags, entities, whitespace — zero shuffle") {
+    val df = Seq(
+      // script payload contains a bare '<' and a fake tag; both must die
+      // with the block, not confuse the tag stripper.
+      (0L, """<html><script a=1>if (1 < 2) { s = "<p>"; }</script>""" +
+        """<style>.c { x: y; }</style><body><!-- c --><p>hi</p></body>"""),
+      // entities decode AFTER tag strip; &amp; decodes LAST (one level).
+      (1L, "<b>a</b>&nbsp;&lt;p&gt;&quot;q&quot;&#39;s &amp;amp; b"),
+      // unterminated tag stays as text (permissive truncated-crawl rule);
+      // whitespace collapses to single spaces.
+      (2L, "x  <unclosed y\t\nz"),
+      (3L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.stripMarkup(col("text")).as("c"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(0L) === "hi")
+    assert(m(1L) === "a <p>\"q\"'s &amp; b")
+    assert(m(2L) === "x <unclosed y z")
+    assert(m(3L) === "")
+  }
+
   test("tokenRarityScore: rare tokens score high, common low, tokenless null") {
     // 'common' appears 20x, 'rare' once -> vocab ranks common 0, rare high
     val docs = ((0 until 20).map(i => (i.toLong, "common")) :+ (20L, "rare") :+
