@@ -1904,6 +1904,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q202_interval_coverage" -> ((s, d) => {
+      // Interval-union coverage: each event opens a [ts, ts + value
+      // minutes) span; per user, the EXACT union length (overlaps never
+      // double-count), block/interval counts, and covered share of the
+      // user's full span — the "hours actually covered" audit for
+      // segment transcripts / leases. Two per-key windows + two compact
+      // aggregates; planted invalid spans (every 13th event zero-length)
+      // land in n_dropped.
+      val ev = events(s, d)
+      val iv = ev.select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          when(col("event_id") % 13 === 0, lit(0L))
+            .otherwise(round(col("value") * 60000000d).cast("long")))
+          .as("end_us"))
+      Sessionize.intervalCoverage(iv, "user_id", "start_us", "end_us")
+        .orderBy("user_id")
+    }),
+
     "q199_textrank_keywords" -> ((s, d) => {
       // TextRank keywords (Mihalcea & Tarau 2004) at corpus scale: the
       // word co-occurrence graph — adjacent-token pairs, both
@@ -6317,6 +6336,48 @@ object SparkEntry {
     "q201_markup_strip" ->
       s"""SELECT doc_id, ${stripMarkupSql(markupFixtureSql)} AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q202: the same sweep — running-max-end block flags, running-sum
+    // block ids, per-block extents, per-key rollup — in DuckDB windows.
+    "q202_interval_coverage" ->
+      """WITH base AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CASE WHEN event_id % 13 = 0 THEN 0
+        |      ELSE CAST(round(value * 60000000) AS BIGINT) END AS e
+        |  FROM events),
+        |dropped AS (
+        |  SELECT k, sum(CASE WHEN s IS NULL OR e IS NULL OR e <= s
+        |                     THEN 1 ELSE 0 END) AS n_dropped
+        |  FROM base GROUP BY k),
+        |v AS (SELECT * FROM base WHERE s IS NOT NULL AND e > s),
+        |m AS (
+        |  SELECT k, s, e,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+        |  FROM v),
+        |b AS (
+        |  SELECT k, s, e,
+        |    sum(CASE WHEN run IS NULL OR s > run THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        |  FROM m),
+        |g AS (
+        |  SELECT k, blk, count(*) AS c, min(s) AS ms, max(e) AS me
+        |  FROM b GROUP BY k, blk),
+        |agg AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS n_intervals,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(me - ms) AS BIGINT) AS covered,
+        |    max(me) - min(ms) AS span
+        |  FROM g GROUP BY k)
+        |SELECT d.k AS user_id,
+        |  coalesce(a.n_intervals, 0) AS n_intervals,
+        |  coalesce(a.n_blocks, 0) AS n_blocks,
+        |  CAST(d.n_dropped AS BIGINT) AS n_dropped,
+        |  coalesce(a.covered, 0) AS covered,
+        |  coalesce(a.covered * 1000 // a.span, 0) AS covered_permille
+        |FROM dropped d LEFT JOIN agg a USING (k)
+        |ORDER BY user_id""".stripMargin,
 
 
     // q167: the same digest two-level aggregate and truncating permille.

@@ -75,6 +75,63 @@ object Sessionize {
   }
 
   /**
+   * Interval-union coverage per key: the exact covered length of the
+   * UNION of each key's [start, end) intervals — hours of audio actually
+   * covered by overlapping segment transcripts, sensor uptime from
+   * overlapping heartbeat leases, SCD validity audits. Overlaps must not
+   * double-count, which a plain sum(end − start) gets wrong.
+   *
+   * The classic sweep, in two windows over PER-KEY rows: order by
+   * (start, end); an interval opens a new block when its start lies past
+   * the running max end of its predecessors; block ids are the running
+   * sum of those flags; each block covers max(end) − min(start). All
+   * integer arithmetic on the caller's units — replays bit-for-bit.
+   * Invalid intervals (null bounds, end ≤ start) are excluded, counted in
+   * `n_dropped`.
+   *
+   * Scale shape: one hash shuffle on the key, windows sort only within a
+   * key (per-key interval counts are bounded in every real use — spans
+   * per recording, leases per device — never corpus-scale), then two
+   * compact aggregates. `covered_permille` = covered ÷ key span, the
+   * "how much of this recording is transcribed" number.
+   */
+  def intervalCoverage(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("__k"),
+      col(startCol).cast("long").as("__s"),
+      col(endCol).cast("long").as("__e"))
+    val valid = base.where(col("__s").isNotNull && col("__e") > col("__s"))
+    val dropped = base.groupBy(col("__k"))
+      .agg(sum(when(col("__s").isNull || col("__e").isNull ||
+        col("__e") <= col("__s"), 1L).otherwise(0L)).as("n_dropped"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"), col("__e"))
+    val run = max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = valid.withColumn("__nb",
+      when(run.isNull || col("__s") > run, 1L).otherwise(0L))
+    val blocks = flagged.withColumn("__blk",
+        sum(col("__nb")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__k"), col("__blk"))
+      .agg(count(lit(1)).as("__c"), min(col("__s")).as("__ms"),
+        max(col("__e")).as("__me"))
+    blocks.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("n_intervals"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("__me") - col("__ms")).as("covered"),
+        (max(col("__me")) - min(col("__ms"))).as("__span"))
+      .join(dropped, Seq("__k"), "right")
+      .select(col("__k").as(keyCol),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("n_dropped"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        expr("coalesce(covered * 1000 div __span, 0)").as("covered_permille"))
+  }
+
+  /**
    * Strict sequential funnel: how many users reach each stage IN ORDER.
    * A user reaches stage k when an event of stage k's type occurs at or
    * after that user's earliest qualifying stage-(k−1) event — an

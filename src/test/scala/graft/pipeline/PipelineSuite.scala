@@ -19,6 +19,26 @@ class PipelineSuite extends AnyFunSuite {
     (4L, "", "b")
   ).toDF("doc_id", "text", "source")
 
+  test("intervalCoverage: overlaps union, adjacency merges, invalids counted") {
+    val iv = Seq(
+      // a: (0,10)+(5,12) overlap -> block [0,12); (20,25) separate
+      ("a", 0L, 10L), ("a", 5L, 12L), ("a", 20L, 25L),
+      ("a", 30L, 30L),                     // zero-length -> dropped
+      // b: [50,60) + [52,55) contained + [60,70) adjacent -> ONE block
+      ("b", 50L, 60L), ("b", 52L, 55L), ("b", 60L, 70L),
+      // c: nothing valid
+      ("c", 7L, 3L)
+    ).toDF("k", "s", "e")
+    val out = Sessionize.intervalCoverage(iv, "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // (n_intervals, n_blocks, n_dropped, covered, covered_permille)
+    assert(out("a") === ((3L, 2L, 1L, 17L, 680L))) // 17 * 1000 div 25
+    assert(out("b") === ((3L, 1L, 0L, 20L, 1000L)))
+    assert(out("c") === ((0L, 0L, 1L, 0L, 0L)))
+  }
+
   test("exact dedup groups identical texts") {
     val reps = Dedup.exactRepresentatives(docs, "doc_id", "text")
     val m = reps.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
