@@ -1904,6 +1904,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q203_prune_report" -> ((s, d) => {
+      // The scan-planning payoff the q181 extent table exists FOR: a box
+      // predicate constraining only the SECOND dimension (y in [96,127],
+      // x unconstrained) is planned against two layouts' footer stats —
+      // the q181 z-order files, where a y band touches only the tiles it
+      // crosses, and a single-column x-sort, whose every file spans all
+      // of y and so can never be skipped. The permille pair is the case
+      // for a z-order rewrite; the decision reads 64 extent rows, never
+      // the data.
+      val li = t(s, d, "lineitem")
+      val m = broadcast(li.agg(max("l_partkey").as("__xm"),
+        max("l_suppkey").as("__ym")))
+      val scaled = li.crossJoin(m).select(
+        Layout.scaleToBits(col("l_partkey"), col("__xm"), 8).as("xb"),
+        Layout.scaleToBits(col("l_suppkey"), col("__ym"), 8).as("yb"))
+      val zExt = Layout.zOrderExtents(scaled, "xb", "yb", bits = 8, buckets = 64)
+      val xSortExt = scaled.withColumn("bucket", expr("(xb * 64) div 256"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("xb").as("x_min"), max("xb").as("x_max"),
+          min("yb").as("y_min"), max("yb").as("y_max"))
+      Layout.pruneReport(zExt, 0L, 255L, 96L, 127L)
+        .withColumn("layout", lit("zorder"))
+        .unionByName(Layout.pruneReport(xSortExt, 0L, 255L, 96L, 127L)
+          .withColumn("layout", lit("xsort")))
+        .select(col("layout"), col("files_total"), col("files_scanned"),
+          col("rows_total"), col("rows_scanned"), col("scan_permille"))
+        .orderBy("layout")
+    }),
+
     "q202_interval_coverage" -> ((s, d) => {
       // Interval-union coverage: each event opens a [ts, ts + value
       // minutes) span; per user, the EXACT union length (overlaps never
@@ -6336,6 +6366,44 @@ object SparkEntry {
     "q201_markup_strip" ->
       s"""SELECT doc_id, ${stripMarkupSql(markupFixtureSql)} AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q203: both extent tables rebuilt (q181's z buckets + the x-sort
+    // buckets), the same inclusive overlap test and permille arithmetic.
+    "q203_prune_report" ->
+      s"""WITH m AS (SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym
+        |           FROM lineitem),
+        |s AS (SELECT (l_partkey * 256) // (xm + 1) AS xb,
+        |             (l_suppkey * 256) // (ym + 1) AS yb
+        |      FROM lineitem, m),
+        |z AS (SELECT xb, yb, ${zInterleaveSql("xb", "yb", 8)} AS zv FROM s),
+        |zext AS (
+        |  SELECT (zv * 64) // 65536 AS bucket, count(*) AS n_rows,
+        |    min(xb) AS x_min, max(xb) AS x_max,
+        |    min(yb) AS y_min, max(yb) AS y_max
+        |  FROM z GROUP BY 1),
+        |xext AS (
+        |  SELECT (xb * 64) // 256 AS bucket, count(*) AS n_rows,
+        |    min(xb) AS x_min, max(xb) AS x_max,
+        |    min(yb) AS y_min, max(yb) AS y_max
+        |  FROM s GROUP BY 1),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, * FROM zext
+        |  UNION ALL
+        |  SELECT 'xsort' AS layout, * FROM xext)
+        |SELECT layout,
+        |  CAST(count(*) AS BIGINT) AS files_total,
+        |  CAST(sum(CASE WHEN x_max >= 0 AND x_min <= 255
+        |                 AND y_max >= 96 AND y_min <= 127
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN x_max >= 0 AND x_min <= 255
+        |                 AND y_max >= 96 AND y_min <= 127
+        |                THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(CASE WHEN x_max >= 0 AND x_min <= 255
+        |                 AND y_max >= 96 AND y_min <= 127
+        |                THEN n_rows ELSE 0 END) * 1000 // sum(n_rows)
+        |    AS BIGINT) AS scan_permille
+        |FROM lay GROUP BY layout ORDER BY layout""".stripMargin,
 
     // q202: the same sweep — running-max-end block flags, running-sum
     // block ids, per-block extents, per-key rollup — in DuckDB windows.

@@ -90,4 +90,36 @@ object Layout {
         min("__x").as("x_min"), max("__x").as("x_max"),
         min("__y").as("y_min"), max("__y").as("y_max"))
   }
+
+  /**
+   * The scan-planning payoff of [[zOrderExtents]]: given a file-statistics
+   * (extent) table and an inclusive box predicate, decide per file whether
+   * its extents CAN contain matches — interval overlap on both dimensions,
+   * exactly the footer-stats test a lakehouse scan planner runs — and
+   * report one row: files/rows total vs scanned, and the scanned-row share
+   * in exact permille. False positives are possible (extents overestimate
+   * content), false negatives are not — pruning never loses a row, which
+   * is why the decision needs only the `buckets`-row extent table, never
+   * the data.
+   *
+   * This is the layout-comparison number: run it against the z-order
+   * extents and against a single-column-sort layout's extents and the
+   * permille pair IS the case for rewriting 100 TB z-ordered.
+   */
+  def pruneReport(
+      extents: DataFrame,
+      xLo: Long, xHi: Long,
+      yLo: Long, yHi: Long): DataFrame = {
+    require(xLo <= xHi && yLo <= yHi,
+      s"empty box: x=[$xLo,$xHi] y=[$yLo,$yHi]")
+    val scan = col("x_max") >= xLo && col("x_min") <= xHi &&
+      col("y_max") >= yLo && col("y_min") <= yHi
+    extents.agg(
+        count(lit(1)).as("files_total"),
+        sum(when(scan, 1L).otherwise(0L)).as("files_scanned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(scan, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+      .withColumn("scan_permille",
+        expr("rows_scanned * 1000 div rows_total"))
+  }
 }

@@ -95,4 +95,22 @@ class LinkageLayoutSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("scaleToBits"))
   }
+
+  test("pruneReport: inclusive overlap, boundary touch scans, empty box refused") {
+    val ext = Seq(
+      (0L, 10L, 0L, 3L, 0L, 3L),   // fully inside the box
+      (1L, 20L, 4L, 7L, 8L, 11L),  // y_max == yLo-? no: y [8,11] vs box y [3,8] -> touches at 8
+      (2L, 30L, 9L, 12L, 0L, 2L),  // x [9,12] vs box x [0,8] -> disjoint, skipped
+      (3L, 40L, 0L, 1L, 9L, 12L)   // y [9,12] vs box y [3,8] -> disjoint, skipped
+    ).toDF("bucket", "n_rows", "x_min", "x_max", "y_min", "y_max")
+    val r = Layout.pruneReport(ext, 0L, 8L, 3L, 8L).collect()(0)
+    assert(r.getAs[Long]("files_total") === 4L)
+    assert(r.getAs[Long]("files_scanned") === 2L)
+    assert(r.getAs[Long]("rows_total") === 100L)
+    assert(r.getAs[Long]("rows_scanned") === 30L)
+    assert(r.getAs[Long]("scan_permille") === 300L)
+    intercept[IllegalArgumentException] {
+      Layout.pruneReport(ext, 5L, 4L, 0L, 1L)
+    }
+  }
 }
