@@ -1904,6 +1904,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q204_kmeans_lloyd" -> ((s, d) => {
+      // Distributed Lloyd k-means over the FULL embedding corpus — the
+      // scale path beside the q33 driver-sample fit: map-side integer
+      // argmin against broadcast centroids, one (cluster, dim)
+      // partial-sum exchange per iteration, k×dim longs of driver state.
+      // Exact integer arithmetic end to end (micro seam, struct-least
+      // ties, truncating-div centroids, md5-seeded init), so the DuckDB
+      // iteration CTEs replay assignments and centroids bit-for-bit.
+      Similarity.kmeansLloydAssign(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3)
+        .orderBy("id")
+    }),
+
+    "q205_cluster_coreset" -> ((s, d) => {
+      // Cluster-balanced curation on the q204 structure: the 20 most
+      // central embeddings PER Lloyd cluster (bounded-heap top-k, never a
+      // corpus-scale window sort) — every cluster contributes, none
+      // dominates. The oracle replays the q204 recurrence plus a
+      // per-cluster (d2, id) rank.
+      Similarity.clusterCoreset(
+          Similarity.kmeansLloydAssign(t(s, d, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 3),
+          m = 20)
+        .orderBy("cluster", "rank")
+    }),
+
     "q203_prune_report" -> ((s, d) => {
       // The scan-planning payoff the q181 extent table exists FOR: a box
       // predicate constraining only the SECOND dimension (y in [96,127],
@@ -3683,6 +3709,44 @@ object SparkEntry {
     (0 until bits).flatMap(i => Seq(
       s"((($x >> $i) & 1) << ${2 * i})",
       s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  /** [[graft.pipeline.Similarity.kmeansLloydAssign]]'s exact recurrence
+    * as DuckDB iteration CTEs: micro quantization, md5-seeded init,
+    * integer-L2 argmin with (d2, cluster) ties, truncating-div centroid
+    * updates with empty-cluster carry. `c$iters` is the final centroid
+    * table the caller assigns against. */
+  private def lloydOracleCtes(k: Int, iters: Int, seed: String): String = {
+    val ex =
+      """ex AS MATERIALIZED (
+        |  SELECT vec_id AS id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p))"""
+        .stripMargin
+    val seeds =
+      s"""seeds AS (
+         |  SELECT id, rn - 1 AS cluster FROM (
+         |    SELECT id, row_number() OVER (
+         |        ORDER BY md5('$seed|' || CAST(id AS VARCHAR)), id) AS rn
+         |    FROM (SELECT DISTINCT id FROM ex)) WHERE rn <= $k)""".stripMargin
+    val c0 =
+      "c0 AS (SELECT s.cluster, e.dim, e.q AS c FROM seeds s JOIN ex e USING (id))"
+    val iterCtes = (1 to iters).map { n =>
+      s"""a$n AS (
+         |  SELECT id, cluster FROM (
+         |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+         |    FROM ex e JOIN c${n - 1} c ON e.dim = c.dim
+         |    GROUP BY e.id, c.cluster)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+         |c$n AS (
+         |  SELECT p.cluster, p.dim, coalesce(u$n.c, p.c) AS c
+         |  FROM c${n - 1} p LEFT JOIN (
+         |    SELECT a.cluster, e.dim, CAST(sum(e.q) // count(*) AS BIGINT) AS c
+         |    FROM a$n a JOIN ex e USING (id) GROUP BY a.cluster, e.dim) u$n
+         |  ON p.cluster = u$n.cluster AND p.dim = u$n.dim)""".stripMargin
+    }
+    (Seq(ex, seeds, c0) ++ iterCtes).mkString(",\n")
+  }
 
   /** Planted-HTML fixture for q201: each document's text wrapped in a
     * deterministic page (style block, conditional script with a bare `<`
@@ -6366,6 +6430,38 @@ object SparkEntry {
     "q201_markup_strip" ->
       s"""SELECT doc_id, ${stripMarkupSql(markupFixtureSql)} AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q204: the full Lloyd recurrence as iteration CTEs — md5-seeded
+    // init, integer L2 argmin with (d2, cluster) ties, truncating-div
+    // centroid updates with empty-cluster carry, final assignment
+    // against the post-update centroids.
+    "q204_kmeans_lloyd" ->
+      s"""WITH ${lloydOracleCtes(k = 8, iters = 3, seed = "km")}
+        |SELECT id, CAST(cluster AS INTEGER) AS cluster, d2 FROM (
+        |  SELECT e.id, c.cluster,
+        |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+        |  FROM ex e JOIN c3 c ON e.dim = c.dim
+        |  GROUP BY e.id, c.cluster)
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
+        |ORDER BY id""".stripMargin,
+
+    // q205: the q204 recurrence + a per-cluster (d2, id) rank capped at m.
+    "q205_cluster_coreset" ->
+      s"""WITH ${lloydOracleCtes(k = 8, iters = 3, seed = "km")},
+        |af AS (
+        |  SELECT id, cluster, d2 FROM (
+        |    SELECT e.id, c.cluster,
+        |      CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+        |    FROM ex e JOIN c3 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)
+        |SELECT CAST(cluster AS INTEGER) AS cluster,
+        |  CAST(row_number() OVER (PARTITION BY cluster ORDER BY d2, id)
+        |    AS INTEGER) AS rank,
+        |  id
+        |FROM af
+        |QUALIFY rank <= 20
+        |ORDER BY cluster, rank""".stripMargin,
 
     // q203: both extent tables rebuilt (q181's z buckets + the x-sort
     // buckets), the same inclusive overlap test and permille arithmetic.

@@ -254,6 +254,117 @@ object Similarity {
   }
 
   /**
+   * Distributed Lloyd k-means over the FULL corpus — the scale path beside
+   * [[kmeansCentroids]]'s bounded driver-sample fit: when the corpus (not
+   * just the model) must drive the centroids, assignment is a map-side
+   * exact-integer argmin against a broadcast centroid matrix, each
+   * iteration's only shuffle is the (cluster, dim) partial-sum aggregate
+   * (map-side combined — k·dim rows cross the exchange), and the only
+   * driver state is the k×dim centroid table (512 longs at k=8, dim=64 —
+   * the bounded-collect convention). The corpus re-scans once per
+   * iteration; cache the quantized projection upstream if scans dominate.
+   *
+   * Exactness (bit-for-bit replay on any engine):
+   *  - vectors quantize ONCE to integer micro (the q138 seam);
+   *  - distances are exact integer squared-L2 (|q| ≤ ~2e6 over ≤ 1024
+   *    dims keeps d² well inside int64);
+   *  - argmin ties break on the LOWER cluster id (struct `least`);
+   *  - new centroids are truncating `div` of micro sums (per-cluster
+   *    micro sums stay exact to ~4.6e12 rows/cluster);
+   *  - an EMPTY cluster keeps its previous centroid;
+   *  - init is the k vectors with the smallest (md5(seed|id), id) — a
+   *    corpus-derived, seedable order, no RNG anywhere.
+   *
+   * Runs `iters` (assign, update) rounds, then returns the assignment
+   * against the FINAL centroids: (id, cluster, d2) with d2 in micro².
+   */
+  def kmeansLloydAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: String = "km"): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "kmeansLloydAssign")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+
+    def withBest(cents: Array[Array[Long]]): DataFrame = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d2"),
+          lit(i).as("cluster"))
+      }
+      base.withColumn("__best",
+        if (scored.length == 1) scored.head else least(scored: _*))
+    }
+
+    val seedRows = base
+      .orderBy(md5(concat(lit(seed), lit("|"), col("id").cast("string"))),
+        col("id"))
+      .limit(k).collect()
+    require(seedRows.length == k,
+      s"kmeansLloydAssign: corpus has ${seedRows.length} rows < k=$k")
+    val dim = seedRows.head.getSeq[Long](1).length
+    var cents = seedRows.map(_.getSeq[Long](1).toArray)
+
+    var it = 0
+    while (it < iters) {
+      // (cluster, dim) micro sums + counts: k·dim rows after the map-side
+      // combine — the ONLY shuffle of the round, and the ONLY collect is
+      // the k·dim centroid table itself.
+      val parts = withBest(cents)
+        .select(col("__best.cluster").as("cluster"),
+          posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // Truncating div toward zero (Spark `div` / DuckDB `//` semantics,
+      // NOT floorDiv — micro sums can be negative). Clusters absent from
+      // `parts` (empty this round) keep their previous centroid.
+      val next = cents.map(_.clone())
+      parts.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        next(c)(d) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    require(cents.forall(_.length == dim), "centroid dim drift")
+    withBest(cents)
+      .select(col("id"), col("__best.cluster").as("cluster"),
+        col("__best.d2").as("d2"))
+  }
+
+  /**
+   * Cluster-balanced coreset: the `m` most central rows per cluster from a
+   * [[kmeansLloydAssign]] assignment — the curation step that keeps a
+   * corpus's cluster STRUCTURE while cutting its volume (every cluster
+   * contributes, no cluster dominates — the balance a plain global top-m
+   * by centrality loses to the biggest cluster).
+   *
+   * Scale shape: a bounded-heap [[graft.functions.TopKFunctions
+   * .topk_by_score]] aggregate, NOT a per-cluster window — partials
+   * combine map-side, k·m entries cross the exchange, and no task ever
+   * sorts a corpus-scale cluster. −d2 rides the heap as an exact double
+   * (d² ≤ ~2.6e14 < 2^53), ties break on the lower id (the q166 rule).
+   */
+  def clusterCoreset(assign: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    assign.groupBy(col("cluster"))
+      .agg(graft.functions.TopKFunctions.topk_by_score(
+        -col("d2").cast("double"), col("id"), m).as("__top"))
+      .select(col("cluster"), posexplode(col("__top")).as(Seq("pos", "nb")))
+      .select(col("cluster"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.neighbor_id").as("id"))
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: the corpus is bucketed by nearest
    * centroid via a map-side argmax expression over the (broadcast-sized)
    * centroid matrix — zero shuffle — and each query probes its `nprobe`

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.SparkTestSession
+
+class KmeansSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kmeansLloyd separates two obvious blobs with exact integer d2") {
+    // Blob A around (0, 0), blob B around (1, 1) — any seeding converges
+    // in one iteration; d2 must be the exact micro^2 distance to the
+    // truncating-div blob centroid.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.01)), (1L, Seq(0.01, 0.0)), (2L, Seq(0.0, 0.0)),
+      (10L, Seq(1.0, 0.99)), (11L, Seq(0.99, 1.0)), (12L, Seq(1.0, 1.0))
+    ).toDF("id", "v")
+    val out = Similarity.kmeansLloydAssign(vecs, "id", "v", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size === 2)
+    assert(byCluster.values.toSet === Set(Set(0L, 1L, 2L), Set(10L, 11L, 12L)))
+    // Blob A centroid = ((0+10000+0) div 3, (10000+0+0) div 3) = (3333, 3333)
+    val d2ofId0 = out.find(_._1 == 0L).get._3
+    assert(d2ofId0 === 3333L * 3333L + (10000L - 3333L) * (10000L - 3333L))
+  }
+
+  test("kmeansLloyd: duplicate seed vectors leave an empty cluster intact") {
+    // Three seeds over two distinct points: two centroids coincide, ties
+    // break to the lower cluster id, the starved cluster keeps its seed
+    // centroid and the run still completes deterministically.
+    val vecs = Seq(
+      (0L, Seq(0.0)), (1L, Seq(0.0)), (2L, Seq(0.0)), (3L, Seq(5.0))
+    ).toDF("id", "v")
+    val out = Similarity.kmeansLloydAssign(vecs, "id", "v", k = 3, iters = 3)
+    assert(out.count() === 4L)
+    val clusters = out.select("cluster").distinct().collect().map(_.getInt(0))
+    assert(clusters.length <= 3)
+    // run twice: identical output (no RNG anywhere)
+    val again = Similarity.kmeansLloydAssign(vecs, "id", "v", k = 3, iters = 3)
+    assert(out.orderBy("id").collect().toSeq ===
+      again.orderBy("id").collect().toSeq)
+  }
+
+  test("kmeansLloyd refuses k larger than the corpus") {
+    val vecs = Seq((0L, Seq(0.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansLloydAssign(vecs, "id", "v", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("< k"))
+  }
+
+  test("clusterCoreset: per-cluster (d2, id) rank, balanced, heap not window") {
+    val assign = Seq(
+      (0L, 0, 100L), (1L, 0, 50L), (2L, 0, 50L), (3L, 0, 10L),
+      (10L, 1, 7L)
+    ).toDF("id", "cluster", "d2")
+    val out = Similarity.clusterCoreset(assign, m = 2)
+    // Bounded-heap aggregate, never a per-cluster window sort.
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet === Set((0, 1, 3L), (0, 2, 1L), (1, 1, 10L)))
+  }
+}
