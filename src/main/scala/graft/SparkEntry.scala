@@ -1917,6 +1917,45 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q206_stream_sessions" -> ((s, d) => {
+      // STREAMING gap sessionization — the q40 operator LIVE: events
+      // drain through the xmlng stream, session_window merges per-user
+      // state across micro-batches, and append mode emits a session only
+      // when the watermark passes its close (the state-eviction contract
+      // streaming sessions exist for). One SENTINEL row (user −1) planted
+      // 66 days past the corpus end rides INSIDE the input files; with a
+      // 60-day watermark delay the final watermark lands past every REAL
+      // session's close but before the sentinel's own, so the drained
+      // set equals the batch q40 session set exactly — no real event can
+      // be late (full-span delay), and the sentinel session never emits.
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        lit(maxTs + 66L * 86400L * 1000000L).as("ts_us"),
+        lit(0.0).as("value"))
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_xml/$sfName/stream_sessions_v1"
+      xmlInputOnce(ev.unionByName(sentinel).coalesce(4), path, "ev")
+      val stream = s.readStream.format("xmlng").option("rowTag", "ev")
+        .schema(ev.schema).load(path)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("value"))
+        .withWatermark("ts", "60 days")
+      val sess = Sessionize.sessions(stream, "user_id", "ts", "30 minutes",
+        Seq("sum_value" -> sum(dec3(col("value"))).cast("double")))
+      val sinkName = "q206_sink_" + sfName.replace('.', '_')
+      val q = sess.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("events"), col("sum_value"))
+        .orderBy("user_id", "start_us")
+    }),
+
     "q205_cluster_coreset" -> ((s, d) => {
       // Cluster-balanced curation on the q204 structure: the 20 most
       // central embeddings PER Lloyd cluster (bounded-heap top-k, never a
@@ -6444,6 +6483,26 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q206: the q40 batch sessionization, timestamps as exact epoch
+    // micros — what the drained append-mode stream must equal.
+    "q206_stream_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS end_us,
+        |  count(*) AS events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // q205: the q204 recurrence + a per-cluster (d2, id) rank capped at m.
     "q205_cluster_coreset" ->
