@@ -1917,6 +1917,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q208_semdedup_clusters" -> ((s, d) => {
+      // SemDeDup as the paper partitions it: near-dup pairs (cosine >=
+      // 0.42, the q28 seam) sought only WITHIN q204's Lloyd clusters,
+      // components collapse to their min id, survivors pass through —
+      // the cluster-bounded alternative to q59's sign-LSH, missing only
+      // boundary-straddling pairs (the paper's documented trade).
+      Similarity.semDeDupWithinClusters(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3, threshold = 0.42)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
+    "q207_repeated_passages" -> ((s, d) => {
+      // Exact repeated-passage mining (the Lee et al. "dedup exact
+      // substrings" shape) over the q42 planted corpus (own text + next
+      // doc's + doc id%50's — guaranteed cross-document passages):
+      // 32-char windows at stride 4 occurring in >= 2 docs union into
+      // per-doc copied blocks; the report is each doc's verbatim-copy
+      // saturation in exact permille. Digest-keyed equi-joins — suffix
+      // arrays don't distribute, window digests do.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val d2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val d3 = docs.select(col("doc_id").as("id3"), col("text").as("t3"))
+      val corpus = docs
+        .join(d2, col("id2") === col("doc_id") + 1, "left")
+        .join(d3, col("id3") === col("doc_id") % 50)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), coalesce(col("t2"), lit("")),
+            lit("\n\n"), col("t3")).as("text"))
+      Dedup.repeatedPassageReport(corpus, "doc_id", "text",
+          windowLen = 32, stride = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q206_stream_sessions" -> ((s, d) => {
       // STREAMING gap sessionization — the q40 operator LIVE: events
       // drain through the xmlng stream, session_window merges per-user
@@ -6483,6 +6518,92 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q208: the q204 Lloyd CTEs, within-cluster cosine pairs (the q28
+    // float seam at 0.42), the q46 recursive closure, anti-join losers.
+    "q208_semdedup_clusters" ->
+      s"""WITH RECURSIVE ${lloydOracleCtes(k = 8, iters = 3, seed = "km")},
+        |af AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT e.id, c.cluster,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN c3 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+        |emb2 AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT fa.id AS id_a, fb.id AS id_b
+        |  FROM af fa JOIN af fb ON fa.cluster = fb.cluster AND fa.id < fb.id
+        |  JOIN emb2 a ON a.id = fa.id
+        |  JOIN emb2 b ON b.id = fb.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id)
+        |SELECT vec_id FROM embeddings
+        |ANTI JOIN losers ON vec_id = losers.id
+        |ORDER BY vec_id""".stripMargin,
+
+    // q207: the q42 corpus CTE, the same windows (DuckDB range() stop is
+    // exclusive == Spark sequence's inclusive len-L), distinct-doc df
+    // filter, then the q202 union sweep and truncating permille.
+    "q207_repeated_passages" ->
+      """WITH corpus AS (
+        |  SELECT d1.doc_id,
+        |    d1.text || chr(10) || chr(10) || coalesce(d2.text, '')
+        |      || chr(10) || chr(10) || d3.text AS text
+        |  FROM documents d1
+        |  LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |  JOIN documents d3 ON d3.doc_id = d1.doc_id % 50),
+        |base AS (
+        |  SELECT doc_id, text, len(text) AS n FROM corpus
+        |  WHERE len(text) >= 32),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, p, md5(substr(text, p + 1, 32)) AS h
+        |  FROM base, unnest(range(0, n - 32 + 1, 4)) AS t(p)),
+        |hot AS (
+        |  SELECT h FROM (
+        |    SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY h)
+        |  WHERE df >= 2),
+        |spans AS (
+        |  SELECT doc_id, p AS s, p + 32 AS e FROM wins SEMI JOIN hot USING (h)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+        |  FROM spans),
+        |b AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN run IS NULL OR s > run THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, blk, count(*) AS c, min(s) AS ms, max(e) AS me
+        |  FROM b GROUP BY doc_id, blk),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(me - ms) AS BIGINT) AS cov
+        |  FROM g GROUP BY doc_id)
+        |SELECT base.doc_id,
+        |  coalesce(a.nw, 0) AS n_windows,
+        |  coalesce(a.nb, 0) AS n_blocks,
+        |  coalesce(a.cov, 0) AS copied_chars,
+        |  CAST(coalesce(a.cov, 0) * 1000 // base.n AS BIGINT)
+        |    AS copy_permille,
+        |  CAST(base.n AS BIGINT) AS n_chars
+        |FROM base LEFT JOIN agg a USING (doc_id)
+        |ORDER BY base.doc_id""".stripMargin,
 
     // q206: the q40 batch sessionization, timestamps as exact epoch
     // micros — what the drained append-mode stream must equal.

@@ -576,6 +576,86 @@ object Dedup extends org.apache.spark.internal.Logging {
       .withColumn("dup_permille", expr("dup_docs * 1000 div n_docs"))
 
   /**
+   * Exact repeated-passage spans — the "deduplicating training data makes
+   * LMs better" (Lee et al. 2022) shape re-expressed for Spark: every
+   * length-`windowLen` CHARACTER window at `stride` whose content occurs
+   * in ≥ `minDocs` distinct documents is a repeated span. Suffix arrays
+   * don't distribute; digest-keyed window equi-joins do — the trade is
+   * window volume (len/stride rows per doc, ~24 bytes each), with
+   * `stride` the recall-granularity-vs-cost knob.
+   *
+   * Scale shape: window positions explode from a bound text ATTRIBUTE
+   * (substring of a scan column — never a re-evaluated derived array, the
+   * q132 lesson); the only wide stages key on the 16-byte digest (text
+   * never shuffles); the document-frequency filter is a digest-keyed
+   * semi-join. Digests are md5 of the window bytes, exact for the gate;
+   * a 100-TB run can swap in a 64-bit hash to halve shuffle bytes at the
+   * price of birthday-collision over-marking (conservative direction:
+   * a collision only ever marks MORE text as repeated).
+   */
+  def repeatedPassageSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowLen: Int,
+      stride: Int,
+      minDocs: Int = 2): DataFrame = {
+    requireIntegralId(df, idCol, "repeatedPassageSpans")
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__len", length(col("__t")))
+      .where(col("__len") >= windowLen)
+    val wins = base
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(0), col("__len") - lit(windowLen),
+          lit(stride))).as("p"))
+      .select(col("id"), col("p"),
+        expr(s"md5(encode(substring(__t, p + 1, $windowLen), 'utf-8'))")
+          .as("h"))
+    val hot = wins.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("h")
+    wins.join(hot, Seq("h"), "left_semi")
+      .select(col("id"), col("p").as("s"), (col("p") + windowLen).as("e"))
+  }
+
+  /**
+   * Per-document verbatim-copy saturation from [[repeatedPassageSpans]]:
+   * overlapping repeated windows UNION into blocks ([[graft.pipeline
+   * .Sessionize.intervalCoverage]]'s sweep), giving each document its
+   * repeated-window count, merged-block count, copied characters, and
+   * copy share of its length in exact permille — the panel that decides
+   * whether a crawl slice needs substring-level surgery or document-level
+   * dedup suffices. Documents shorter than `windowLen` carry no windows
+   * and are omitted (nothing to measure).
+   */
+  def repeatedPassageReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowLen: Int,
+      stride: Int,
+      minDocs: Int = 2): DataFrame = {
+    val spans = repeatedPassageSpans(df, idCol, textCol, windowLen, stride,
+      minDocs)
+    val lens = df.select(col(idCol).cast("long").as("id"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"))
+      .where(col("n_chars") >= windowLen)
+    val cov = Sessionize.intervalCoverage(spans, "id", "s", "e")
+    lens.join(cov, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_windows"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("covered"), lit(0L)).as("copied_chars"),
+        expr("coalesce(covered, 0) * 1000 div n_chars").as("copy_permille"),
+        col("n_chars"))
+  }
+
+  /**
    * Auto-sized MinHash banding (numHashes, bands) for a corpus of `nEst`
    * documents at a given verification `threshold` — the "band bits must
    * grow with log N" rule (SCALING.md), derived instead of documented:

@@ -710,6 +710,50 @@ object Similarity {
   }
 
   /**
+   * SemDeDup as the PAPER partitions it (Abbas et al. 2023): k-means
+   * clusters bound the pair search — near-duplicate pairs (cosine ≥
+   * `threshold`) are sought only WITHIN each [[kmeansLloydAssign]]
+   * cluster, components collapse to their min id, everything else passes
+   * through. The alternative scale path beside [[semanticDupRepresentatives]]'s
+   * sign-LSH: clustering costs iters linear passes and the pair stage
+   * drops from n² to Σ n_c² (k-fold on balanced clusters), in exchange
+   * for the paper's documented approximation — a near-pair STRADDLING a
+   * cluster boundary is missed by design, where LSH misses with solved
+   * probability instead. Pick LSH when recall is contractual, clusters
+   * when the corpus is already clustered for curation anyway (q204/q205).
+   *
+   * Scale shape: one cluster-keyed self-join (the quadratic bound), exact
+   * cosine on the joined pair only, then the audited O(log n) component
+   * rounds and one anti-join. Skewed (oversized) clusters are the
+   * operator's failure mode — read the q204 assignment sizes first; the
+   * paper's answer is raising k.
+   */
+  def semDeDupWithinClusters(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      seed: String = "km"): DataFrame = {
+    val assign = kmeansLloydAssign(df, idCol, vecCol, k, iters, seed)
+      .select(col("id"), col("cluster"))
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(assign, "id")
+    val pairs = vecs.select(col("cluster"), col("id").as("id_a"),
+        col("v").as("va"))
+      .join(vecs.select(col("cluster"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+  }
+
+  /**
    * Per-group embedding centroid drift between two corpus slices — the
    * distribution-shift monitor a training pipeline runs between crawl
    * snapshots or data-mix revisions ("did source X's embedding mass

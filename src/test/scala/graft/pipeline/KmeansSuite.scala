@@ -53,6 +53,19 @@ class KmeansSuite extends AnyFunSuite {
     assert(e.getMessage.contains("< k"))
   }
 
+  test("semDeDupWithinClusters keeps min-id reps, passes singletons through") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),   // dup pair, blob A
+      (5L, Seq(0.9, 0.1)),                        // near but < threshold 0.999
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.0, 1.0)), // dup pair, blob B
+      (12L, Seq(0.1, 0.9))
+    ).toDF("id", "v")
+    val kept = Similarity.semDeDupWithinClusters(
+        vecs, "id", "v", k = 2, iters = 2, threshold = 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 5L, 10L, 12L))
+  }
+
   test("clusterCoreset: per-cluster (d2, id) rank, balanced, heap not window") {
     val assign = Seq(
       (0L, 0, 100L), (1L, 0, 50L), (2L, 0, 50L), (3L, 0, 10L),

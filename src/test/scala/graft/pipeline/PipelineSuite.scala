@@ -19,6 +19,24 @@ class PipelineSuite extends AnyFunSuite {
     (4L, "", "b")
   ).toDF("doc_id", "text", "source")
 
+  test("repeatedPassageReport: cross-doc windows union; self-repeats don't count") {
+    val df = Seq(
+      (0L, "XXABCDEFGHXX"), // shares ABCDEFGH with doc 1, offset by 2
+      (1L, "ABCDEFGH"),
+      (2L, "ZZZZZZZZZZ"),   // internal repeats only — ONE distinct doc
+      (3L, "AB")            // shorter than the window — omitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedPassageReport(df, "doc_id", "text",
+        windowLen = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (n_windows, n_blocks, copied_chars, copy_permille)
+    assert(out(0L) === ((3L, 1L, 8L, 666L))) // [2,10) of 12 chars
+    assert(out(1L) === ((3L, 1L, 8L, 1000L)))
+    assert(out(2L) === ((0L, 0L, 0L, 0L)))
+    assert(!out.contains(3L))
+  }
+
   test("intervalCoverage: overlaps union, adjacency merges, invalids counted") {
     val iv = Seq(
       // a: (0,10)+(5,12) overlap -> block [0,12); (20,25) separate
