@@ -1917,6 +1917,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q209_sliding_trends" -> ((s, d) => {
+      // Sliding-window trending: top-3 event types per OVERLAPPING
+      // 1-hour window sliding every 15 minutes — each event expands to 4
+      // (window, type) rows that combine map-side; the rank sees at most
+      // |type vocabulary| rows per window. (count DESC, type) ties.
+      Sessionize.trendingTopK(events(s, d), "ts", "event_type",
+          "1 hour", "15 minutes", k = 3)
+        .orderBy("start_us", "rank")
+    }),
+
+    "q210_weighted_sample" -> ((s, d) => {
+      // Efraimidis–Spirakis weighted sampling without replacement: the
+      // 100 events with the largest md5-derived ln(u)/value keys — PPS
+      // inclusion, no RNG, no shuffle (distributed TakeOrdered merges
+      // per-partition top-k heads). Key rounds once to micro-nats.
+      Sampling.weightedSampleNoReplacement(events(s, d),
+          "event_id", "value", k = 100)
+        .orderBy(desc("key_micro"), asc("id"))
+    }),
+
     "q208_semdedup_clusters" -> ((s, d) => {
       // SemDeDup as the paper partitions it: near-dup pairs (cosine >=
       // 0.42, the q28 seam) sought only WITHIN q204's Lloyd clusters,
@@ -6518,6 +6538,35 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q209: each event expands to its 4 enclosing 15-min-aligned window
+    // starts (floor-to-grid minus 0..3 slides), then the same count/rank.
+    "q209_sliding_trends" ->
+      """WITH w AS (
+        |  SELECT epoch_us(ts) AS tu, event_type FROM events),
+        |s AS (
+        |  SELECT (tu // 900000000) * 900000000 - k * 900000000 AS start_us,
+        |    event_type
+        |  FROM w, unnest(range(0, 4)) AS t(k)),
+        |c AS (SELECT start_us, event_type, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT start_us, rank, event_type AS item, CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT start_us, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY start_us
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        |  FROM c)
+        |WHERE rank <= 3
+        |ORDER BY start_us, rank""".stripMargin,
+
+    // q210: the same md5-52-bit u, ln(u)/w micro-nat key, (key DESC, id)
+    // top-100.
+    "q210_weighted_sample" ->
+      """SELECT event_id AS id,
+        |  CAST(round(ln((('0x' || substr(md5('ws|' || CAST(event_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |      / 4503599627370496.0) / CAST(value AS DOUBLE) * 1000000.0)
+        |    AS BIGINT) AS key_micro
+        |FROM events WHERE CAST(value AS DOUBLE) > 0
+        |ORDER BY key_micro DESC, id LIMIT 100""".stripMargin,
 
     // q208: the q204 Lloyd CTEs, within-cluster cosine pairs (the q28
     // float seam at 0.42), the q46 recursive closure, anti-join losers.

@@ -271,6 +271,43 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): the
+   * k rows with the largest u^(1/w) — equivalently ln(u)/w, the form used
+   * here — where u derives from md5(salt|id), not an RNG. Inclusion
+   * probability tracks the weight column exactly as the classic
+   * reservoir algorithm's, but the "reservoir" is a distributed
+   * TakeOrdered: each partition keeps its local top-k candidates and the
+   * driver merges k-sized heads — no shuffle of data rows, no sequential
+   * scan dependency, replayable on any engine.
+   *
+   * Determinism seam: u = (h + 1) / 2^52 from the md5's first 52 bits
+   * (never 0, so ln is finite), the key rounds ONCE per row to integer
+   * micro-nats (the q107 convention), ties break on id ascending.
+   * Non-positive and null weights are excluded (a zero weight cannot be
+   * sampled; a negative one is a data bug surfaced by the count drop,
+   * not silently clamped).
+   */
+  def weightedSampleNoReplacement(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(concat(lit(salt), lit("|"),
+      col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    df.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("__w"))
+      .where(col("__w") > 0.0)
+      .withColumn("key_micro",
+        round(log((h + lit(1L)).cast("double") / lit(4503599627370496.0))
+          / col("__w") * lit(1000000.0)).cast("long"))
+      .orderBy(desc("key_micro"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("key_micro"))
+  }
+
+  /**
    * Largest-remainder (Hamilton) apportionment: split an EXACT global
    * sample `budget` across the values of `keyCol` proportionally to
    * stratum size. Each stratum gets `floor(budget·n/N)` seats; the

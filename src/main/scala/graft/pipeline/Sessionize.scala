@@ -75,6 +75,37 @@ object Sessionize {
   }
 
   /**
+   * Sliding-window trending top-k: the k most frequent items in every
+   * OVERLAPPING time window (`windowDur` long, sliding every `slide`) —
+   * the "what's trending this hour, updated every 15 minutes" panel.
+   * Built on `window()`'s slide form, so each event expands to
+   * windowDur/slide (window, item) rows that combine map-side
+   * immediately; the rank runs per window over at most |item vocabulary|
+   * rows — time-bounded and vocabulary-bounded, never corpus-bounded.
+   * Ties break on the item ascending (the (count DESC, item) rule).
+   */
+  def trendingTopK(
+      df: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      windowDur: String,
+      slide: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(window(col(tsCol), windowDur, slide), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        col("item"), col("n"))
+    counts.withColumn("rank",
+        row_number().over(Window.partitionBy(col("start_us"))
+          .orderBy(desc("n"), asc("item"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("start_us"), col("rank"), col("item"), col("n"))
+  }
+
+  /**
    * Interval-union coverage per key: the exact covered length of the
    * UNION of each key's [start, end) intervals — hours of audio actually
    * covered by overlapping segment transcripts, sensor uptime from

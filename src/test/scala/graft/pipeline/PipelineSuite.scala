@@ -19,6 +19,40 @@ class PipelineSuite extends AnyFunSuite {
     (4L, "", "b")
   ).toDF("doc_id", "text", "source")
 
+  test("trendingTopK: every event lands in windowDur/slide windows, rank ties on item") {
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "b"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "a")
+    ).toDF("ts", "item")
+    val out = Sessionize.trendingTopK(ev, "ts", "item", "1 hour", "15 minutes", k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // 4 overlapping windows (starts 09:15..10:00), each topped by 'a' (2 > 1).
+    assert(out.length === 4)
+    assert(out.forall { case (_, rank, item, n) => rank == 1 && item == "a" && n == 2 })
+    val starts = out.map(_._1).sorted
+    assert(starts.last - starts.head === 45L * 60 * 1000000)
+  }
+
+  test("weightedSampleNoReplacement: PPS order, exclusions, determinism") {
+    val df = Seq(
+      (1L, 1e6),     // key ~ ln(u)/1e6 -> barely negative, always wins
+      (2L, 1e-6),    // key ~ ln(u)*1e6 -> hugely negative
+      (3L, 0.0),     // excluded
+      (4L, -5.0)     // excluded
+    ).toDF("id", "w")
+    val top1 = Sampling.weightedSampleNoReplacement(df, "id", "w", k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(1L))
+    val all = Sampling.weightedSampleNoReplacement(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L)) // zero/negative weights never sampled
+    val again = Sampling.weightedSampleNoReplacement(df, "id", "w", k = 10)
+      .collect().toSeq
+    assert(again === Sampling.weightedSampleNoReplacement(df, "id", "w", k = 10)
+      .collect().toSeq)
+  }
+
   test("repeatedPassageReport: cross-doc windows union; self-repeats don't count") {
     val df = Seq(
       (0L, "XXABCDEFGHXX"), // shares ABCDEFGH with doc 1, offset by 2
