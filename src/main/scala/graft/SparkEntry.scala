@@ -1959,7 +1959,10 @@ object SparkEntry {
       // arrays don't distribute, window digests do.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val d2 = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
-      val d3 = docs.select(col("doc_id").as("id3"), col("text").as("t3"))
+      // Only ids < 50 can match the %50 key — filter, then broadcast the
+      // 50-row side instead of shuffling the corpus onto 50 hot keys.
+      val d3 = broadcast(docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("id3"), col("text").as("t3")))
       val corpus = docs
         .join(d2, col("id2") === col("doc_id") + 1, "left")
         .join(d3, col("id3") === col("doc_id") % 50)
@@ -6617,7 +6620,8 @@ object SparkEntry {
         |  SELECT doc_id, text, len(text) AS n FROM corpus
         |  WHERE len(text) >= 32),
         |wins AS MATERIALIZED (
-        |  SELECT doc_id, p, md5(substr(text, p + 1, 32)) AS h
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(substr(text, p + 1, 32)), 1, 15))::BIGINT AS h
         |  FROM base, unnest(range(0, n - 32 + 1, 4)) AS t(p)),
         |hot AS (
         |  SELECT h FROM (

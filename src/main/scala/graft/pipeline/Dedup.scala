@@ -608,13 +608,24 @@ object Dedup extends org.apache.spark.internal.Logging {
         coalesce(col(textCol), lit("")).as("__t"))
       .withColumn("__len", length(col("__t")))
       .where(col("__len") >= windowLen)
+    // 60-bit long digest (md5's first 15 hex digits): 8-byte keys through
+    // the operator's two wide stages instead of hex strings, codegen'd
+    // long comparisons in the join — the q189 convention: results exact
+    // absent a 60-bit collision, and an engine replaying the SAME
+    // truncation shares any collision deterministically (a collision can
+    // only ever mark MORE text as repeated). The window table
+    // materializes ONCE (localCheckpoint): both the df filter and the
+    // probe read it, and windows cost a substring+md5 per row ×
+    // len/stride rows — at very large scale, stage it to a scratch
+    // parquet table instead.
     val wins = base
       .select(col("id"), col("__t"),
         explode(sequence(lit(0), col("__len") - lit(windowLen),
           lit(stride))).as("p"))
       .select(col("id"), col("p"),
-        expr(s"md5(encode(substring(__t, p + 1, $windowLen), 'utf-8'))")
-          .as("h"))
+        expr(s"CAST(conv(substring(md5(encode(substring(__t, p + 1, " +
+          s"$windowLen), 'utf-8')), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .localCheckpoint(eager = false)
     val hot = wins.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("__df"))
       .where(col("__df") >= minDocs)
