@@ -1917,6 +1917,52 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q211_hard_negatives" -> ((s, d) => {
+      // Contrastive-pair mining: each query's top-3 most similar
+      // DIFFERENT-label vectors — the negatives a metric-learning batch
+      // wants because the encoder currently confuses them. q27's
+      // broadcast+bounded-heap plan with the label inequality as a scan
+      // predicate.
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", "label", k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q212_bloom_join" -> ((s, d) => {
+      // Bloom-pruned equi-join: January-1995 orders' keys compress to a
+      // 2^18-bit md5 bitmap that filters lineitem MAP-SIDE before its
+      // exchange; the aggregate must equal the plain join's (a false
+      // positive drops in the join, a true key can never fail its own
+      // bits). The oracle runs the plain join — equality IS the gate.
+      val li = t(s, d, "lineitem")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-02-01"))
+      Joins.bloomPrunedEquiJoin(li, orders, "l_orderkey", "o_orderkey",
+          mBits = 1 << 18, k = 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q213_centroid_probe" -> ((s, d) => {
+      // Nearest-centroid label probe: label centroids fit on even ids
+      // (integer micro, truncating div), odd ids classify by exact
+      // integer L2 argmin (ties to the smaller label) — per-label
+      // accuracy in exact permille, the cheapest honest embedding-
+      // quality eval and the task-shaped twin of q138's drift read.
+      val emb = t(s, d, "embeddings")
+      Similarity.centroidLabelProbe(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", "label")
+        .orderBy("label")
+    }),
+
     "q209_sliding_trends" -> ((s, d) => {
       // Sliding-window trending: top-3 event types per OVERLAPPING
       // 1-hour window sliding every 15 minutes — each event expands to 4
@@ -6541,6 +6587,68 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q211: the q27 scored/ranked shape with the label-inequality
+    // predicate; sim is internal (the q27 convention — ranks gate).
+    "q211_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |    AND q.label IS NOT NULL AND c.label IS NOT NULL
+        |    AND q.label <> c.label
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // q212: the PLAIN inner join — bloom pruning must be invisible.
+    "q212_bloom_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate >= DATE '1995-01-01'
+        |  AND o.o_orderdate < DATE '1995-02-01'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // q213: centroids over even ids, integer-L2 argmin with (d2, label)
+    // ties over odd ids, truncating permille accuracy.
+    "q213_centroid_probe" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id AS id, label, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p)
+        |  WHERE label IS NOT NULL),
+        |cent AS (
+        |  SELECT label, dim, CAST(sum(q) // count(*) AS BIGINT) AS c
+        |  FROM ex WHERE id % 2 = 0 GROUP BY label, dim),
+        |ev AS (SELECT id, dim, q FROM ex WHERE id % 2 = 1),
+        |lab AS (SELECT DISTINCT id, label FROM ex WHERE id % 2 = 1),
+        |d AS (
+        |  SELECT e.id, c.label AS pred,
+        |    sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |  FROM ev e JOIN cent c USING (dim)
+        |  GROUP BY e.id, c.label),
+        |a AS (
+        |  SELECT id, pred FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, pred) = 1)
+        |SELECT l.label,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN a.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN a.pred = l.label THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS accuracy_permille
+        |FROM a JOIN lab l USING (id)
+        |GROUP BY l.label ORDER BY l.label""".stripMargin,
 
     // q209: each event expands to its 4 enclosing 15-min-aligned window
     // starts (floor-to-grid minus 0..3 slides), then the same count/rank.

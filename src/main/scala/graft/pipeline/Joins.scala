@@ -411,6 +411,62 @@ object Joins {
    * run-dependent. Scale shape: two per-key windows over the CHANGE
    * feed, which is dimension-sized, not fact-sized; nothing else moves.
    */
+  /**
+   * Bloom-pruned inner equi-join — the runtime-filter pattern made
+   * explicit: the SMALL side's key set compresses to an md5-derived
+   * Bloom bitmap (k probe positions per key), the bitmap broadcasts as a
+   * literal, and the LARGE side filters MAP-SIDE before its exchange.
+   * The result is EXACTLY `large.join(small, key)`: a Bloom false
+   * positive only lets a non-matching row reach the join (where it
+   * drops); a matching row can never fail its own bits — which is what
+   * makes the operator oracle-checkable against the plain join.
+   *
+   * The regime this exists for: the small side's PAYLOAD is too wide to
+   * broadcast (so Spark plans a shuffled join and ships the whole large
+   * side), but its KEY SET fits a bitmap — 10⁸ keys at 10 bits/key is a
+   * 125 MB literal where the payload would be tens of GB. The shuffle
+   * then carries only rows that can match: on selective joins that is
+   * the large side's exchange cut by orders of magnitude. `mBits` sizes
+   * the false-positive rate (~(1−e^(−kn/m))^k); oversize it — fp rows
+   * cost a shuffle slot each, bitmap bits cost nothing comparable.
+   *
+   * Both key columns must be integral (the silent-null-cast refusal the
+   * dedup operators use); NULL keys match nothing, the inner-join rule.
+   */
+  def bloomPrunedEquiJoin(
+      large: DataFrame,
+      small: DataFrame,
+      largeKey: String,
+      smallKey: String,
+      mBits: Int,
+      k: Int = 3): DataFrame = {
+    graft.pipeline.Dedup.requireIntegralId(large, largeKey, "bloomPrunedEquiJoin")
+    graft.pipeline.Dedup.requireIntegralId(small, smallKey, "bloomPrunedEquiJoin")
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1 && k <= 4, s"k must be in [1, 4], got $k")
+    def positions(c: Column): Seq[Column] = (0 until k).map { j =>
+      conv(substring(md5(c.cast("string")), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % mBits
+    }
+    val posRows = small
+      .select(col(smallKey).as("__k")).where(col("__k").isNotNull)
+      .select(explode(array(positions(col("__k")): _*)).as("p"))
+      .distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    posRows.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+    val bitmap = typedlit(words.toSeq)
+    val probe = positions(col(largeKey)).map { p =>
+      (call_function("shiftright",
+        element_at(bitmap, (p / 64).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L))) === 1L
+    }.reduce(_ && _)
+    large.where(col(largeKey).isNotNull && probe)
+      .join(small, col(largeKey) === col(smallKey))
+  }
+
   def scd2Intervals(
       df: DataFrame,
       keyCol: String,

@@ -67,6 +67,96 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: each query's k most
+   * cosine-similar corpus rows with a DIFFERENT label — the examples a
+   * metric-learning batch wants precisely BECAUSE the encoder currently
+   * confuses them. Same plan as [[bruteForceTopK]] (broadcast queries,
+   * map-side bounded heap, O(tasks × |queries| × k) aggregate rows); the
+   * label inequality rides the scan predicate, so rejected same-label
+   * rows never reach the heap. Null-label rows match nothing on either
+   * side (a null label is unknown, not "different").
+   */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql")))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("__cl"))
+    val grouped = c.join(q,
+        col("query_id") =!= col("neighbor_id") &&
+          col("__ql").isNotNull && col("__cl").isNotNull &&
+          col("__ql") =!= col("__cl"))
+      .groupBy("query_id")
+      .agg(TopKFunctions.topk_by_score(
+        cosine(col("qv"), col("cv")), col("neighbor_id"), k).as("topk"))
+    explodeTopK(grouped)
+  }
+
+  /**
+   * Nearest-centroid label probe — the cheapest honest "are these
+   * embeddings any good" eval: label centroids fit on the TRAIN slice
+   * (integer micro sums, truncating div — the q138 centroid seam), every
+   * EVAL row is assigned to its nearest centroid by exact integer
+   * squared-L2 (ties to the smaller label), and the report is per-label
+   * (n_eval, n_correct, accuracy in exact permille). The probe is linear
+   * in the corpus and the model is |labels|·dim integers — when a frozen
+   * encoder's centroid probe drops between snapshots, the embedding
+   * space moved (the q138 drift read, made task-shaped).
+   *
+   * Scale shape: one (label, dim) partial-sum aggregate for the fit, a
+   * map-side argmin against the broadcast centroid matrix for the eval
+   * (|labels|·dim longs — bounded collect), one |labels|-row aggregate.
+   */
+  def centroidLabelProbe(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    def quantized(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("int").as("label"),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+        .where(col("label").isNotNull)
+    val cents = quantized(train)
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("s div n").as("c"))
+      .collect()
+    require(cents.nonEmpty, "centroidLabelProbe: train slice has no labels")
+    val byLabel = cents.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (label, rows) =>
+        label -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
+    }
+    val scored = byLabel.map { case (label, c) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(label).as("pred"))
+    }
+    quantized(eval)
+      .withColumn("__best",
+        if (scored.length == 1) scored.head else least(scored: _*))
+      .select(col("label"), col("__best.pred").as("pred"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy_permille",
+        expr("n_correct * 1000 div n_eval"))
+  }
+
+  /**
    * Approximate near-neighbor pairs: candidates share a sign-LSH bucket in at
    * least one of `tables` independent hash tables, then exact cosine ≥
    * `threshold` re-ranking.

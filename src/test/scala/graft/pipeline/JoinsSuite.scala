@@ -403,4 +403,24 @@ class JoinsSuite extends AnyFunSuite {
       (3L, null, 1000L, 3000L, false),
       (3L, "E", 3000L, -1L, true)))
   }
+
+  test("bloomPrunedEquiJoin equals the plain join; nulls match nothing") {
+    val large = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (7L, "x"), (9L, "y")
+    ).toDF("k", "pay").unionByName(
+      Seq((Option.empty[Long], "n")).toDF("k", "pay"))
+    val small = Seq((1L, 100L), (3L, 300L), (5L, 500L)).toDF("sk", "sv")
+    val got = Joins.bloomPrunedEquiJoin(large, small, "k", "sk",
+        mBits = 1024, k = 3)
+      .select("k", "pay", "sv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val plain = large.join(small, col("k") === col("sk"))
+      .select("k", "pay", "sv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.toSeq === plain.toSeq)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrunedEquiJoin(large, small, "k", "sk", mBits = 100)
+    }
+  }
 }

@@ -66,6 +66,37 @@ class KmeansSuite extends AnyFunSuite {
     assert(kept === Set(0L, 5L, 10L, 12L))
   }
 
+  test("hardNegatives: same-label and null-label rows never mined") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), Some(0)),
+      (1L, Seq(0.99, 0.1), Some(0)),  // same label as query — excluded
+      (2L, Seq(0.9, 0.2), Some(1)),   // the hard negative
+      (3L, Seq(0.0, 1.0), Some(1)),   // easy negative, ranked after 2
+      (4L, Seq(1.0, 0.0), None)       // null label — excluded
+    ).toDF("id", "v", "label")
+    val out = Similarity.hardNegatives(emb.filter($"id" === 0), emb,
+        "id", "id", "v", "label", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 2L), (2, 3L)))
+  }
+
+  test("centroidLabelProbe: separable labels hit 1000, planted confusion counted") {
+    val train = Seq(
+      (0L, Seq(0.0, 0.0), 0), (1L, Seq(0.2, 0.0), 0),
+      (2L, Seq(1.0, 1.0), 1), (3L, Seq(0.8, 1.0), 1)
+    ).toDF("id", "v", "label")
+    val eval = Seq(
+      (10L, Seq(0.1, 0.1), 0),
+      (11L, Seq(0.9, 0.9), 1),
+      (12L, Seq(0.95, 0.95), 0) // a label-0 row sitting in label-1 space
+    ).toDF("id", "v", "label")
+    val out = Similarity.centroidLabelProbe(train, eval, "id", "v", "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0) === ((2L, 1L, 500L)))
+    assert(out(1) === ((1L, 1L, 1000L)))
+  }
+
   test("clusterCoreset: per-cluster (d2, id) rank, balanced, heap not window") {
     val assign = Seq(
       (0L, 0, 100L), (1L, 0, 50L), (2L, 0, 50L), (3L, 0, 10L),
