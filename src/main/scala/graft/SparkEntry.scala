@@ -1917,6 +1917,54 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q214_table_checksum" -> ((s, d) => {
+      // Order-independent replication checksum over lineitem's key
+      // columns: one scan, three independent folds (count, xor, modular
+      // sum of 60-bit row digests with explicit NULL sentinels) — the
+      // "did the copy land identical" verifier, layout- and
+      // order-invariant by construction.
+      Profile.tableChecksum(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag"))
+    }),
+
+    "q215_curation_funnel" -> ((s, d) => {
+      // The END-TO-END curation pipeline as one gated funnel: planted
+      // HTML pages (q201 fixture) -> markup strip -> Gopher/C4 quality
+      // gate (q62 thresholds) -> exact dedup (min-id per digest) ->
+      // train split (q49 buckets). One row per stage with surviving doc
+      // counts — every stage is an already-audited operator; the oracle
+      // replays the whole chain from the SAME shared SQL fragments.
+      // Re-crawl duplicates planted: even docs recur under id+10000.
+      // Their PAGES differ (the fixture embeds the id in comment/style/
+      // script — all stripped), but 10000 ≡ 0 mod 5 keeps the one
+      // SURVIVING id mark identical, so the copies collapse only at the
+      // dedup stage, exactly like a re-crawl.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.unionByName(docs.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val raw = base.select(col("doc_id"), expr(markupFixtureSql).as("text"))
+      val stripped = raw.select(col("doc_id"),
+        TextAnalysis.stripMarkup(col("text")).as("text"))
+      val kept = TextAnalysis.qualityFilter(stripped, "doc_id", "text",
+          minTokens = 20)
+        .where(col("keep")).select("doc_id")
+        .join(stripped, "doc_id")
+      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+      val train = Sampling.assignSplits(deduped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "seed42")
+        .where(col("split") === "train")
+      def stage(i: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"))
+      stage(0, "raw", raw)
+        .unionByName(stage(1, "quality_kept", kept))
+        .unionByName(stage(2, "exact_deduped", deduped))
+        .unionByName(stage(3, "train_split", train))
+        .orderBy("stage_idx")
+    }),
+
     "q211_hard_negatives" -> ((s, d) => {
       // Contrastive-pair mining: each query's top-3 most similar
       // DIFFERENT-label vectors — the negatives a metric-learning batch
@@ -6588,6 +6636,58 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
 
+    // q214: the identical canonicalization, digest, and three folds.
+    "q214_table_checksum" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substr(md5(
+        |    concat_ws('|',
+        |      coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+        |      coalesce(CAST(l_partkey AS VARCHAR), '<NULL>'),
+        |      coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>'),
+        |      coalesce(CAST(l_quantity AS VARCHAR), '<NULL>'),
+        |      coalesce(CAST(l_returnflag AS VARCHAR), '<NULL>'))),
+        |    1, 15))::BIGINT AS d
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  coalesce(bit_xor(d), 0) AS xor_digest,
+        |  CAST(coalesce(sum(CAST(d AS HUGEINT)), 0)
+        |    % 2305843009213693951 AS BIGINT) AS sum_digest_mod
+        |FROM d""".stripMargin,
+
+    // q215: the whole funnel replayed from the shared fragments —
+    // fixture, strip chain, quality CTEs + keep predicate, digest
+    // dedup, q49 split buckets.
+    "q215_curation_funnel" ->
+      s"""WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 2 = 0),
+        |corpus AS (
+        |  SELECT doc_id, $markupFixtureSql AS rawtext FROM uni),
+        |stripped AS (
+        |  SELECT doc_id, ${stripMarkupSql("rawtext")} AS text FROM corpus),
+        |${qualityStatsCtes("stripped")},
+        |qk AS (SELECT doc_id FROM s WHERE $qualityKeepSql),
+        |kept AS (
+        |  SELECT st.doc_id, st.text FROM stripped st
+        |  SEMI JOIN qk ON st.doc_id = qk.doc_id),
+        |dd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |tr AS (
+        |  SELECT doc_id FROM dd
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'seed42'),
+        |    25, 8))::BIGINT % 1000000 < 800000)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+        |  UNION ALL SELECT 1, 'quality_kept', count(*) FROM kept
+        |  UNION ALL SELECT 2, 'exact_deduped', count(*) FROM dd
+        |  UNION ALL SELECT 3, 'train_split', count(*) FROM tr)
+        |ORDER BY stage_idx""".stripMargin,
+
     // q211: the q27 scored/ranked shape with the label-inequality
     // predicate; sim is internal (the q27 convention — ranks gate).
     "q211_hard_negatives" ->
@@ -8255,12 +8355,15 @@ object SparkEntry {
    * k=5, budget cap 4096, dim<=4096.
    */
   /** q62's full oracle, shared with q79's streaming wrapper. */
-  private val qualityOracleSql: String =
-      """WITH l AS (
+  /** The q62 quality-stat CTE chain, parameterized by the source CTE —
+    * shared by the standalone gates (over `documents`) and the q215
+    * funnel (over the stripped corpus). */
+  private def qualityStatsCtes(src: String): String =
+      """l AS (
         |  SELECT doc_id, text,
         |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
         |                x -> len(x) > 0) AS lines
-        |  FROM documents),
+        |  FROM __SRC__),
         |s AS (
         |  SELECT doc_id,
         |    coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
@@ -8276,10 +8379,17 @@ object SparkEntry {
         |              / len(string_split_regex(trim(text), '\s+')) END, 0.0) AS sr,
         |    coalesce(CASE WHEN len(lines) = 0 THEN 0.0
         |         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 0.0) AS dlf
-        |  FROM l)
+        |  FROM l)""".stripMargin.replace("__SRC__", src)
+
+  /** The q62 composite keep predicate — one string, reused verbatim. */
+  private val qualityKeepSql: String =
+    "NOT (tc < 20 OR tc > 100000 OR mwl < 3.0 OR mwl > 10.0 " +
+      "OR pr > 0.2 OR sr < 0.02 OR dlf > 0.3)"
+
+  private val qualityOracleSql: String =
+      s"""WITH ${qualityStatsCtes("documents")}
         |SELECT doc_id,
-        |  (NOT (tc < 20 OR tc > 100000 OR mwl < 3.0 OR mwl > 10.0
-        |        OR pr > 0.2 OR sr < 0.02 OR dlf > 0.3)) AS keep,
+        |  ($qualityKeepSql) AS keep,
         |  concat_ws(',',
         |    CASE WHEN tc < 20 THEN 'too_short' END,
         |    CASE WHEN tc > 100000 THEN 'too_long' END,

@@ -263,6 +263,33 @@ object Profile {
           col("mad_micro") * (sigmas * 14826L)).as("is_outlier")): _*)
   }
 
+  /**
+   * Order-independent table checksum — the replication/migration
+   * verifier: per-row 60-bit md5 digest over the canonicalized column
+   * tuple, folded three independent ways (COUNT, XOR, SUM mod 2⁶¹−1) so
+   * a collision in one fold is caught by the others. Comparing two
+   * 100-TB replicas costs one scan each and three numbers over the wire;
+   * any partitioning, file layout, or row order produces the same
+   * triple.
+   *
+   * Canonicalization is explicit: every column casts to string and NULL
+   * becomes a sentinel BEFORE concat — `concat_ws` silently drops nulls,
+   * which would checksum ('a', NULL, 'b') equal to ('a', 'b'). The
+   * separator guards column-boundary ambiguity for values that don't
+   * contain it; pick columns accordingly or pre-escape.
+   */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+    val digest = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(digest.as("__d"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(__d)"), lit(0L)).as("xor_digest"),
+        expr("CAST(coalesce(sum(CAST(__d AS DECIMAL(38,0))), 0) " +
+          "% 2305843009213693951 AS BIGINT)").as("sum_digest_mod"))
+  }
+
   def fkIntegrityReport(
       child: DataFrame,
       parent: DataFrame,

@@ -19,6 +19,21 @@ class PipelineSuite extends AnyFunSuite {
     (4L, "", "b")
   ).toDF("doc_id", "text", "source")
 
+  test("tableChecksum: order/layout invariant, null distinct from absent") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None)).toDF("k", "v")
+    val shuffled = a.orderBy(desc("k")).repartition(7)
+    val ca = Profile.tableChecksum(a, Seq("k", "v")).collect()(0)
+    val cb = Profile.tableChecksum(shuffled, Seq("k", "v")).collect()(0)
+    assert(ca === cb)
+    assert(ca.getLong(0) === 3L)
+    // NULL must not checksum like a dropped column value.
+    val c1 = Profile.tableChecksum(Seq((1L, Option.empty[String])).toDF("k", "v"),
+      Seq("k", "v")).collect()(0)
+    val c2 = Profile.tableChecksum(Seq((1L, "")).toDF("k", "v"),
+      Seq("k", "v")).collect()(0)
+    assert(c1.getLong(1) !== c2.getLong(1))
+  }
+
   test("trendingTopK: every event lands in windowDur/slide windows, rank ties on item") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "a"),
