@@ -1917,6 +1917,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q216_scd2_merge" -> ((s, d) => {
+      // Incremental SCD2 maintenance: the stored dimension (changes
+      // before Jan 15) absorbs the later batch WITHOUT re-reading the
+      // historical feed — boundary no-ops collapse, stored currents
+      // close at the first surviving batch change, history streams
+      // through untouched. The oracle is q191's full-feed rebuild,
+      // verbatim: merged == rebuilt is the gate.
+      val ch = events(s, d).where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("pmod(CAST(round(value * 1e6) AS BIGINT), 5)").as("tier"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val stored = Joins.scd2Intervals(ch.where(col("ts") < cutoff),
+        "user_id", "ts", "event_id", "tier")
+      Joins.scd2Merge(stored, ch.where(col("ts") >= cutoff),
+          "user_id", "ts", "event_id", "tier")
+        .orderBy("user_id", "valid_from")
+    }),
+
     "q214_table_checksum" -> ((s, d) => {
       // Order-independent replication checksum over lineitem's key
       // columns: one scan, three independent folds (count, xor, modular
@@ -6199,23 +6217,11 @@ object SparkEntry {
 
     // q191: the same two windows — null-safe no-op collapse, then
     // lead(ts) over the kept rows.
-    "q191_scd2_intervals" ->
-      """WITH ch AS (
-        |  SELECT user_id, ts, event_id,
-        |    ((CAST(round(value * 1e6) AS BIGINT) % 5) + 5) % 5 AS tier
-        |  FROM events WHERE event_type = 'signup'),
-        |f AS (
-        |  SELECT user_id, ts, event_id, tier,
-        |    row_number() OVER w AS rn,
-        |    lag(tier) OVER w AS prev
-        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |k AS (SELECT user_id, ts, event_id, tier FROM f
-        |      WHERE rn = 1 OR tier IS DISTINCT FROM prev)
-        |SELECT user_id, tier, ts AS valid_from,
-        |  lead(ts) OVER w2 AS valid_to,
-        |  lead(ts) OVER w2 IS NULL AS is_current
-        |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, valid_from""".stripMargin,
+    "q191_scd2_intervals" -> scd2OracleSql,
+
+    // q216: the SAME full-feed rebuild — what the incremental merge of
+    // (stored < Jan 15) + (batch >= Jan 15) must equal exactly.
+    "q216_scd2_merge" -> scd2OracleSql,
 
     "q192_kcore" -> kCoreOracleSql(3, 4),
 
@@ -8355,6 +8361,26 @@ object SparkEntry {
    * k=5, budget cap 4096, dim<=4096.
    */
   /** q62's full oracle, shared with q79's streaming wrapper. */
+  /** The q191 full-feed SCD2 rebuild — shared verbatim with q216, whose
+    * incremental merge must equal it. */
+  private val scd2OracleSql: String =
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id,
+        |    ((CAST(round(value * 1e6) AS BIGINT) % 5) + 5) % 5 AS tier
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |    row_number() OVER w AS rn,
+        |    lag(tier) OVER w AS prev
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, ts, event_id, tier FROM f
+        |      WHERE rn = 1 OR tier IS DISTINCT FROM prev)
+        |SELECT user_id, tier, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  lead(ts) OVER w2 IS NULL AS is_current
+        |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin
+
   /** The q62 quality-stat CTE chain, parameterized by the source CTE —
     * shared by the standalone gates (over `documents`) and the q215
     * funnel (over the stripped corpus). */

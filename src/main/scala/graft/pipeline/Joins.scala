@@ -472,16 +472,86 @@ object Joins {
       keyCol: String,
       tsCol: String,
       tieCol: String,
+      valueCol: String): DataFrame =
+    scd2IntervalsSeq(df, keyCol, tsCol, tieCol, valueCol).drop("__seq")
+
+  /** [[scd2Intervals]] plus the surviving change's per-key ordinal
+    * (`__seq`) — the handle [[scd2Merge]] needs to identify the batch
+    * HEAD unambiguously even among same-timestamp zero-length intervals,
+    * where (valid_from, valid_to) alone cannot order. */
+  private def scd2IntervalsSeq(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
       valueCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     df.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(valueCol), 1).over(w))
       .where(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)))
+      .withColumn("__seq", row_number().over(w))
       .withColumn("valid_to", lead(col(tsCol), 1).over(
         Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))))
       .select(col(keyCol), col(valueCol),
         col(tsCol).as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
+        col("valid_to").isNull.as("is_current"), col("__seq"))
+  }
+
+  /**
+   * Incremental SCD2 maintenance — the nightly dimension merge: a stored
+   * [[scd2Intervals]] table absorbs a NEW batch of changes without
+   * re-reading the historical change feed. The batch sessionizes into
+   * its own intervals; a batch HEAD equal to a key's stored current
+   * value collapses (the no-op rule, applied across the boundary); the
+   * stored current interval closes at the first surviving batch change;
+   * history rows pass through untouched. Merged output == a from-scratch
+   * rebuild over the full feed — the equality the gate checks.
+   *
+   * Contract (the standard append-only CDC watermark): every batch
+   * change is strictly later than the key's stored history. A violating
+   * batch REFUSES loudly (one compact aggregate probe) — out-of-order
+   * backfill must rebuild from the full feed, silently merging it would
+   * corrupt validity silently.
+   *
+   * Scale shape: batch-sized windows, one key-join of the batch against
+   * the |keys|-row current slice, one key-join to close currents;
+   * stored HISTORY rows stream through a union untouched — the whole
+   * point: maintenance cost tracks the batch, not the dimension.
+   */
+  def scd2Merge(
+      stored: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val violations = stored
+      .groupBy(col(keyCol)).agg(max(col("valid_from")).as("__smax"))
+      .join(batch.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__bmin")),
+        keyCol)
+      .where(col("__bmin") <= col("__smax"))
+      .limit(1).count()
+    require(violations == 0L,
+      "scd2Merge: the batch contains changes at or before some key's " +
+        "stored history — rebuild from the full feed instead of merging")
+    val bIv = scd2IntervalsSeq(batch, keyCol, tsCol, tieCol, valueCol)
+    val cur = stored.where(col("is_current"))
+      .select(col(keyCol).as("__k"), col(valueCol).as("__curv"))
+    val bKeep = bIv
+      .join(cur, col(keyCol) === col("__k"), "left")
+      .where(!(col("__seq") === 1 && col("__k").isNotNull &&
+        (col(valueCol) <=> col("__curv"))))
+      .drop("__k", "__curv", "__seq")
+    val firstNew = bKeep.groupBy(col(keyCol))
+      .agg(min(col("valid_from")).as("__close"))
+    val closedCurrent = stored.where(col("is_current"))
+      .join(firstNew, Seq(keyCol), "left")
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        coalesce(col("__close"), col("valid_to")).as("valid_to"),
+        col("__close").isNull.as("is_current"))
+    stored.where(!col("is_current"))
+      .unionByName(closedCurrent)
+      .unionByName(bKeep)
   }
 }

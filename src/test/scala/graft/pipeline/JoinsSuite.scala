@@ -404,6 +404,38 @@ class JoinsSuite extends AnyFunSuite {
       (3L, "E", 3000L, -1L, true)))
   }
 
+  test("scd2Merge == full rebuild: boundary no-op, new key, untouched key, refusal") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(m)
+    val full = Seq(
+      // key 1: A before cutoff; batch opens with A (boundary no-op) then B
+      (1L, ts(1000L), 10L, "A"), (1L, ts(6000L), 11L, "A"), (1L, ts(7000L), 12L, "B"),
+      // key 2: stored only — untouched
+      (2L, ts(1000L), 20L, "C"),
+      // key 3: batch only — new key
+      (3L, ts(6000L), 30L, "D"), (3L, ts(8000L), 31L, "E")
+    ).toDF("k", "ts", "tie", "v")
+    val cutoff = ts(5000L)
+    val stored = Joins.scd2Intervals(
+      full.where(col("ts") < lit(cutoff)), "k", "ts", "tie", "v")
+    val merged = Joins.scd2Merge(stored,
+      full.where(col("ts") >= lit(cutoff)), "k", "ts", "tie", "v")
+    val rebuilt = Joins.scd2Intervals(full, "k", "ts", "tie", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime,
+        if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime,
+        r.getBoolean(4))).sortBy(t => (t._1, t._3))
+    assert(canon(merged).toSeq === canon(rebuilt).toSeq)
+    // out-of-order batch refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Joins.scd2Merge(stored,
+        Seq((1L, ts(500L), 99L, "Z")).toDF("k", "ts", "tie", "v"),
+        "k", "ts", "tie", "v")
+    }
+    assert(e.getMessage.contains("rebuild from the full feed"))
+  }
+
   test("bloomPrunedEquiJoin equals the plain join; nulls match nothing") {
     val large = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (7L, "x"), (9L, "y")
