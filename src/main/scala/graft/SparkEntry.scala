@@ -1917,6 +1917,31 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q217_hop_distances" -> ((s, d) => {
+      // Multi-source BFS: exact hop distance from the hub seed set
+      // (ids % 100 == 0) over the planted community/hub graph, 3 hops —
+      // the crawl-frontier "distance from trusted content" read beside
+      // q156's personalized mass. Frontier joins on compact longs;
+      // rounds past convergence cost scheduling only.
+      val seeds = t(s, d, "documents").select(col("doc_id").as("seed"))
+        .where(col("seed") % 100 === 0)
+      Graph.hopDistances(plantedTriangleEdges(s, d), "src", "dst",
+          seeds, "seed", maxHops = 3)
+        .orderBy("node")
+    }),
+
+    "q218_weighted_pagerank" -> ((s, d) => {
+      // Weighted damped PageRank (the formulation TextRank specifies):
+      // mass leaves proportionally to edge weight — one truncating
+      // per-unit quotient per source, exact integer scaling per edge,
+      // replayed bit-for-bit by the iteration CTEs. Planted weights
+      // 1 + (src+dst) % 7 over the q175 graph.
+      val we = plantedTriangleEdges(s, d)
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+      Graph.pageRankWeighted(we, "src", "dst", "w", iterations = 5)
+        .orderBy("node")
+    }),
+
     "q216_scd2_merge" -> ((s, d) => {
       // Incremental SCD2 maintenance: the stored dimension (changes
       // before Jan 15) absorbs the later batch WITHOUT re-reading the
@@ -6642,6 +6667,39 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
 
+    // q217: the q175 planted-graph CTEs (directed), then one
+    // (frontier, minus-known) CTE pair per hop.
+    "q217_hop_distances" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |raw AS (
+        |  SELECT id AS src, id + 1 AS dst FROM ids WHERE (id + 1) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, id + 2 FROM ids WHERE (id + 2) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, (id // 100) * 100 FROM ids WHERE id % 100 <> 0),
+        |e AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN ids i ON i.id = r.dst),
+        |d0 AS (SELECT id AS node, 0 AS dist FROM ids WHERE id % 100 = 0),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM d0 JOIN e ON e.src = d0.node),
+        |d1 AS (SELECT node, 1 AS dist FROM f1
+        |       WHERE node NOT IN (SELECT node FROM d0)),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM d1 JOIN e ON e.src = d1.node),
+        |d2 AS (SELECT node, 2 AS dist FROM f2
+        |       WHERE node NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM d2 JOIN e ON e.src = d2.node),
+        |d3 AS (SELECT node, 3 AS dist FROM f3
+        |       WHERE node NOT IN (SELECT node FROM d0 UNION ALL
+        |                          SELECT node FROM d1 UNION ALL
+        |                          SELECT node FROM d2))
+        |SELECT node, CAST(dist AS INTEGER) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL SELECT * FROM d1
+        |  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |ORDER BY node""".stripMargin,
+
+    // q218: the q175 graph with summed planted weights, then the
+    // weighted recurrence — per-unit truncating quotient, exact
+    // integer edge scaling — one CTE per iteration.
+    "q218_weighted_pagerank" -> weightedPageRankOracleSql,
+
     // q214: the identical canonicalization, digest, and three folds.
     "q214_table_checksum" ->
       """WITH d AS (
@@ -8657,6 +8715,46 @@ object SparkEntry {
 
   /** q199: co-occurrence edge CTEs + the q136 integer-PageRank iteration
     * form, generated. */
+  /** q218: [[graft.pipeline.Graph.pageRankWeighted]]'s recurrence over
+    * the q175 planted graph with weights 1 + (src+dst) % 7 — per-source
+    * truncating per-unit quotient, exact integer edge scaling, one CTE
+    * per iteration. */
+  private def weightedPageRankOracleSql: String = {
+    val prefix =
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |raw AS (
+        |  SELECT id AS src, id + 1 AS dst FROM ids WHERE (id + 1) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, id + 2 FROM ids WHERE (id + 2) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, (id // 100) * 100 FROM ids WHERE id % 100 <> 0),
+        |we AS (
+        |  SELECT src, dst, CAST(sum(1 + (src + dst) % 7) AS BIGINT) AS w
+        |  FROM (SELECT r.src, r.dst FROM raw r JOIN ids i ON i.id = r.dst)
+        |  GROUP BY src, dst),
+        |nodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
+        |ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wout
+        |       FROM we GROUP BY 1),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, cn)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s""",
+         |i$i AS (
+         |  SELECT nx.node, (150 * (1000000000000 // cn.n)) // 1000
+         |    + (850 * coalesce(s.acc, 0)) // 1000 AS r
+         |  FROM nodes nx CROSS JOIN cn LEFT JOIN (
+         |    SELECT we.dst AS node,
+         |      CAST(sum((pr.r // ow.wout) * we.w) AS BIGINT) AS acc
+         |    FROM $prev pr JOIN ow ON pr.node = ow.node
+         |    JOIN we ON we.src = pr.node
+         |    GROUP BY we.dst) s ON s.node = nx.node)""".stripMargin
+    }.mkString
+    prefix + iters +
+      """
+        |SELECT node, r AS rank_ppt FROM i5 ORDER BY node""".stripMargin
+  }
+
   private def textRankOracleSql: String = {
     val prefix =
       """WITH tk AS (

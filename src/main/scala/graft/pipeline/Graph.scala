@@ -134,6 +134,111 @@ object Graph {
   }
 
   /**
+   * Multi-source BFS hop distances: (node, dist) for every node reachable
+   * within `maxHops` directed hops of the seed set — the exact-distance
+   * companion to [[pageRankPersonalized]]'s mass and [[hyperBall]]'s
+   * cardinality estimate (crawl-frontier depth from trusted hosts,
+   * "how far is this doc from curated content"). Seeds are distance 0,
+   * whether or not they appear in the edge list (an isolated seed is
+   * still a seed).
+   *
+   * Shape per hop: one frontier-keyed edge join, one distinct on the
+   * new frontier, one anti-join against the known set — all on compact
+   * (node) longs; the frontier shrinks to empty on converged graphs and
+   * later rounds cost scheduling only. The known set is read twice per
+   * round (anti-join + union), so lineage truncates every round (the
+   * [[resolveInterval]] doubleRead rule).
+   */
+  def hopDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = cleanEdges(edges, srcCol, dstCol)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(eager = false)
+    var frontier = dist.select("node")
+    for (k <- 1 to maxHops) {
+      val next = frontier.join(e, col("node") === col("__src"))
+        .select(col("__dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .localCheckpoint(eager = false)
+      dist = dist.unionByName(next).localCheckpoint(eager = false)
+      frontier = next.select("node")
+    }
+    dist
+  }
+
+  /**
+   * Weighted damped PageRank: mass leaves a node proportionally to edge
+   * WEIGHT instead of equally per edge — the formulation TextRank
+   * actually specifies (co-occurrence counts as weights) and the link-
+   * graph variant when edges carry traffic/trust. Parallel edges SUM
+   * their weights first (the weighted analogue of [[pageRank]]'s edge
+   * dedup); weights must be positive integers — zero/negative/null
+   * weights drop with the edge (no mass can flow over them).
+   *
+   * rank_{k+1}(v) = ((1000−d) · (Total div N)) div 1000
+   *   + (d · Σ_{u→v} ((rank_k(u) div W_u) · w_uv)) div 1000
+   * with W_u = Σ of u's out-weights. The per-unit quotient truncates
+   * once per source node (the same remainder-drop as the unweighted
+   * div by outdeg), then scales by the exact integer weight — every
+   * term stays inside int64 because Σ w_uv·(rank div W_u) ≤ rank.
+   */
+  def pageRankWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int,
+      dampingPermille: Int = 850,
+      checkpointInterval: Int = -1): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = false)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w") > 0L)
+      .groupBy(col("__src"), col("__dst"))
+      .agg(sum(col("__w")).as("__w"))
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+    val outW = e.groupBy(col("__src").as("node"))
+      .agg(sum(col("__w")).as("__wout"))
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    val base = broadcast(nRow.select(
+      expr(s"(${1000 - dampingPermille} * (${Total}L div __n)) div 1000")
+        .as("__base"),
+      expr(s"${Total}L div __n").as("__r0")))
+    var ranks = nodes.crossJoin(base)
+      .select(col("node"), col("__r0").as("rank_ppt"))
+    for (i <- 1 to iterations) {
+      val contribs = ranks
+        .join(outW, "node")
+        .select(col("node"), expr("rank_ppt div __wout").as("__u"))
+        .join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__u") * col("__w")).as("__in"))
+      ranks = checkpointEvery(
+        nodes.crossJoin(base)
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"__base + ($dampingPermille * coalesce(__in, 0L)) div 1000")
+              .as("rank_ppt")),
+        i, ckpt)
+    }
+    ranks
+  }
+
+  /**
    * The standard PageRank formulation: dangling (sink) mass is
    * REDISTRIBUTED equally to every node each iteration instead of
    * dropped, so total mass is conserved up to truncation remainders.

@@ -298,4 +298,32 @@ class GraphSuite extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(oneRound === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
+
+  test("hopDistances: first-reached hop wins, isolated seed kept, horizon honored") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 100L).toDF("seed") // 100 is not in the graph
+    val got = Graph.hopDistances(edges, "src", "dst", seeds, "seed", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 100L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("pageRankWeighted: hand-replayed integer seams on a 3-node graph") {
+    // A->B w1, A->C w3, B->A w1, C->A w1; N=3, r0 = Total div 3.
+    val e = Seq(("A", "B", 1L), ("A", "C", 3L), ("B", "A", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(e, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r0 = Total / 3          // 333333333333
+    val base = 150L * r0 / 1000 // 49999999999
+    val uA = r0 / 4
+    assert(got("A") === base + 850L * (r0 + r0) / 1000)
+    assert(got("B") === base + 850L * (uA * 1) / 1000)
+    assert(got("C") === base + 850L * (uA * 3) / 1000)
+    // zero/negative-weight edges carry no mass and don't create nodes
+    val e2 = Seq(("A", "B", 1L), ("A", "Z", 0L)).toDF("src", "dst", "w")
+    val nodes = Graph.pageRankWeighted(e2, "src", "dst", "w", iterations = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(nodes === Set("A", "B"))
+  }
 }
