@@ -1917,6 +1917,50 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q219_theil_sen" -> ((s, d) => {
+      // Theil–Sen robust trend per event type over the DAILY value
+      // series (integer micro means — all-pairs slopes are defined on
+      // aggregated buckets, never raw events; the operator refuses
+      // oversized keys): median pairwise slope by the histogram rule,
+      // one glitched day cannot bend it. Exact integer end to end.
+      val day = events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("t"),
+          expr("CAST(round(value * 1e6) AS BIGINT)").as("vm"))
+        .groupBy("event_type", "t")
+        .agg(expr("sum(vm) div count(1)").as("v"))
+      Profile.theilSenTrend(day, Seq("event_type"), "t", "v")
+        .orderBy("event_type")
+    }),
+
+    "q220_mutual_information" -> ((s, d) => {
+      // Exact MI between lang and source — the "does this feature carry
+      // signal about that one" number, on the PMI/JS integer seam: one
+      // micro-nat ln per distinct cell, DECIMAL weighted sum, one
+      // truncating division by N.
+      Profile.mutualInformation(t(s, d, "documents"), "lang", "source")
+    }),
+
+    "q221_snapshot_diff" -> ((s, d) => {
+      // Keyed snapshot diff with planted edits: every 11th doc removed,
+      // every 7th text edited, every 13th lang swapped, ids < 20 re-added
+      // under +10000 — added/removed/changed rows with the changed
+      // column names; unchanged rows (the table, at scale) are omitted.
+      val a = t(s, d, "documents")
+      val b = a.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang"))
+            .as("lang"),
+          col("source"), col("n_chars"))
+        .unionByName(a.where(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Profile.snapshotDiff(a, b, "doc_id",
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q217_hop_distances" -> ((s, d) => {
       // Multi-source BFS: exact hop distance from the hub seed set
       // (ids % 100 == 0) over the planted community/hub graph, 3 hops —
@@ -6666,6 +6710,85 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q219: the same daily integer means, all-pairs truncating slopes,
+    // histogram-rule median.
+    "q219_theil_sen" ->
+      """WITH day AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) // count(*)
+        |      AS BIGINT) AS vm
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, t,
+        |        CAST(round(CAST(vm AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |      FROM day),
+        |p AS (
+        |  SELECT a.event_type, ((b.v - a.v) * 1000) // (b.t - a.t) AS s
+        |  FROM q a JOIN q b ON a.event_type = b.event_type AND a.t < b.t),
+        |c AS (SELECT event_type, s, count(*) AS c FROM p GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, s,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS np
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(min(s) AS BIGINT) AS slope_milli_micro,
+        |  CAST(max(np) AS BIGINT) AS n_pairs
+        |FROM w WHERE cum >= (500 * np + 999) // 1000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q220: the same cells/marginals and the micro-nat seam.
+    "q220_mutual_information" ->
+      """WITH b AS (
+        |  SELECT coalesce(CAST(lang AS VARCHAR), '<NULL>') AS a,
+        |         coalesce(CAST(source AS VARCHAR), '<NULL>') AS g
+        |  FROM documents),
+        |cells AS (SELECT a, g, count(*) AS nab FROM b GROUP BY 1, 2),
+        |ma AS (SELECT a, count(*) AS na FROM b GROUP BY 1),
+        |mb AS (SELECT g, count(*) AS nb FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM b)
+        |SELECT CAST(max(tot.n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CAST(nab AS HUGEINT) *
+        |      CAST(round(ln((CAST(nab AS DOUBLE) * tot.n) /
+        |        (CAST(na AS DOUBLE) * nb)) * 1e6, 0) AS BIGINT))
+        |    // max(tot.n) AS BIGINT) AS mi_micro
+        |FROM cells JOIN ma USING (a) JOIN mb USING (g) CROSS JOIN tot""".stripMargin,
+
+    // q221: the same plants, one FULL OUTER join, the same per-column
+    // IS DISTINCT FROM list.
+    "q221_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id < 20),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN concat_ws(',',
+        |            CASE WHEN a.text IS DISTINCT FROM b.text THEN 'text' END,
+        |            CASE WHEN a.lang IS DISTINCT FROM b.lang THEN 'lang' END,
+        |            CASE WHEN a.source IS DISTINCT FROM b.source THEN 'source' END,
+        |            CASE WHEN a.n_chars IS DISTINCT FROM b.n_chars THEN 'n_chars' END)
+        |          <> '' THEN 'changed' END AS status,
+        |    CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+        |         THEN concat_ws(',',
+        |            CASE WHEN a.text IS DISTINCT FROM b.text THEN 'text' END,
+        |            CASE WHEN a.lang IS DISTINCT FROM b.lang THEN 'lang' END,
+        |            CASE WHEN a.source IS DISTINCT FROM b.source THEN 'source' END,
+        |            CASE WHEN a.n_chars IS DISTINCT FROM b.n_chars THEN 'n_chars' END)
+        |         ELSE '' END AS changed_cols
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status, changed_cols FROM j
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // q217: the q175 planted-graph CTEs (directed), then one
     // (frontier, minus-known) CTE pair per hop.

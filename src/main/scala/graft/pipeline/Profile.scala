@@ -264,6 +264,132 @@ object Profile {
   }
 
   /**
+   * Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes —
+   * the trend read that one glitched day cannot bend, where least
+   * squares follows the outlier (the robust-statistics sibling of
+   * [[madOutlierReport]], for the time axis). Input points are
+   * (key, t, value); value quantizes ONCE to integer micro; each pair's
+   * slope is the exact truncating `((v2−v1)·1000) div (t2−t1)` (milli-
+   * micro per t-unit — the ×1000 keeps resolution through the integer
+   * div); the median is the q73/q112 histogram rule over slope values.
+   * Everything replays bit-for-bit.
+   *
+   * Scale shape: the pair stage is a per-key self-join — O(n²) in the
+   * key's POINT COUNT by construction (the estimator is defined on all
+   * pairs). This is for AGGREGATED series (daily/hourly buckets:
+   * 30–720 points → 10³–10⁵ pairs per key), never raw events; the
+   * operator REFUSES keys beyond `maxPoints` loudly rather than
+   * quietly running a quadratic on corpus-scale input.
+   */
+  def theilSenTrend(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      valueCol: String,
+      maxPoints: Int = 10000): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keyCols.map(col) :+ col(tCol).cast("long").as("__t") :+
+        round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("__v"): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val sizes = base.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val tooBig = sizes.where(col("__n") > maxPoints).limit(1).collect()
+    require(tooBig.isEmpty,
+      s"theilSenTrend: a key has more than $maxPoints points — aggregate " +
+        "the series into buckets first; all-pairs on raw events is the " +
+        "quadratic this refusal exists to stop")
+    val l = base.select(keyCols.map(col) :+ col("__t").as("__t1") :+
+      col("__v").as("__v1"): _*)
+    val r = base.select(keyCols.map(col) :+ col("__t").as("__t2") :+
+      col("__v").as("__v2"): _*)
+    val slopes = l.join(r, keyCols).where(col("__t1") < col("__t2"))
+      .select(keyCols.map(col) :+
+        expr("((__v2 - __v1) * 1000) div (__t2 - __t1)").as("__s"): _*)
+    val counts = slopes.groupBy((keyCols :+ "__s").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(keyCols.map(col): _*)
+    counts.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__np", sum(col("__c")).over(n))
+      .where(col("__cum") >= expr("(500 * __np + 999) div 1000"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("__s")).as("slope_milli_micro"),
+        max(col("__np")).as("n_pairs"))
+  }
+
+  /**
+   * Exact mutual information between two categorical columns — the
+   * "does this feature carry signal about that label" number, and the
+   * redundancy screen before adding a dimension to a report. Same
+   * integer discipline as the PMI/JS family: one ln per DISTINCT
+   * (a, b) cell, computed on the exact integer ratio n_ab·N/(n_a·n_b)
+   * and rounded ONCE to micro-nats; the weighted sum n_ab·lnm runs in
+   * DECIMAL(38,0); one truncating division by N at the end. MI ≥ 0 up
+   * to the per-cell rounding (each term's sign matches its exact
+   * counterpart: lnm flips sign only with the ratio). NULL categories
+   * count as categories (absence is information).
+   *
+   * Scale shape: three map-side-combined count aggregates (cells,
+   * marginals) joined on the |cells|-row table; nothing corpus-sized
+   * past the first aggregate.
+   */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(
+      coalesce(col(aCol).cast("string"), lit("<NULL>")).as("__a"),
+      coalesce(col(bCol).cast("string"), lit("<NULL>")).as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val ma = base.groupBy(col("__a")).agg(count(lit(1)).as("__na"))
+    val mb = base.groupBy(col("__b")).agg(count(lit(1)).as("__nb"))
+    val tot = base.agg(count(lit(1)).as("__N"))
+    cells.join(ma, "__a").join(mb, "__b").crossJoin(broadcast(tot))
+      .withColumn("__lnm", expr(
+        "CAST(round(ln((CAST(__nab AS DOUBLE) * CAST(__N AS DOUBLE)) / " +
+          "(CAST(__na AS DOUBLE) * CAST(__nb AS DOUBLE))) * 1e6, 0) AS BIGINT)"))
+      .agg(max(col("__N")).as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        sum(col("__nab").cast("decimal(38,0)") * col("__lnm")).as("__s"))
+      .withColumn("mi_micro",
+        expr("CAST(__s div CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("n_rows"), col("n_cells"), col("mi_micro"))
+  }
+
+  /**
+   * Keyed snapshot diff — the table-to-table change report (replication
+   * audit, pre-merge review): rows ADDED, REMOVED, or CHANGED between
+   * two snapshots by key, with the changed column names spelled out.
+   * Unchanged rows are omitted (at 100 TB they are the table). One full
+   * outer join on the key; per-column null-safe comparison; the column
+   * list is a map-side concat. Keys must be unique per side — duplicate
+   * keys make "the row changed" ill-posed; the requirement is the
+   * caller's (it holds for any primary-keyed snapshot).
+   */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one compare column required")
+    val al = a.select(col(keyCol).as("__k") +:
+      cols.map(c => col(c).as(s"__a_$c")): _*)
+    val bl = b.select(col(keyCol).as("__bk") +:
+      cols.map(c => col(c).as(s"__b_$c")): _*)
+    val joined = al.join(bl, col("__k") === col("__bk"), "full_outer")
+    val changed = concat_ws(",", cols.map(c =>
+      when(!(col(s"__a_$c") <=> col(s"__b_$c")), lit(c))): _*)
+    joined.select(
+        coalesce(col("__k"), col("__bk")).as(keyCol),
+        when(col("__bk").isNull, lit("removed"))
+          .when(col("__k").isNull, lit("added"))
+          .when(changed =!= "", lit("changed")).as("status"),
+        when(col("__k").isNotNull && col("__bk").isNotNull, changed)
+          .otherwise(lit("")).as("changed_cols"))
+      .where(col("status").isNotNull)
+  }
+
+  /**
    * Order-independent table checksum — the replication/migration
    * verifier: per-row 60-bit md5 digest over the canonicalized column
    * tuple, folded three independent ways (COUNT, XOR, SUM mod 2⁶¹−1) so

@@ -224,4 +224,57 @@ class RobustStatsSuite extends AnyFunSuite {
       Similarity.randomProjectSparse(df, "id", "vec", 0, 4)
     }
   }
+
+  // --- theilSenTrend ---------------------------------------------------------
+
+  test("theilSenTrend: outlier-proof median slope, quadratic refusal") {
+    // y = 2x except one glitched point; least squares would bend, the
+    // pairwise-slope median does not. Slopes in milli-micro per t-unit.
+    val pts = Seq(("a", 0L, 0.0), ("a", 1L, 2.0), ("a", 2L, 4.0),
+      ("a", 3L, 6.0), ("a", 4L, 1000.0))
+    val got = Profile.theilSenTrend(pts.toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .collect().head
+    assert(got.getLong(1) === 2000000L * 1000) // 2.0/unit in milli-micro
+    assert(got.getLong(2) === 10L)             // C(5,2) pairs
+    intercept[IllegalArgumentException] {
+      Profile.theilSenTrend(
+        (0 until 20).map(i => ("a", i.toLong, 1.0)).toDF("k", "t", "v"),
+        Seq("k"), "t", "v", maxPoints = 10)
+    }
+  }
+
+  // --- mutualInformation -----------------------------------------------------
+
+  test("mutualInformation: 0 for independence, ln 2 for identity, nulls count") {
+    val indep = (0 until 64).map(i => (i % 2, (i / 2) % 2)).toDF("a", "b")
+    assert(Profile.mutualInformation(indep, "a", "b")
+      .collect().head.getLong(2) === 0L)
+    val ident = (0 until 64).map(i => (i % 2, i % 2)).toDF("a", "b")
+    assert(Profile.mutualInformation(ident, "a", "b")
+      .collect().head.getLong(2) === 693147L) // ln 2 in micro-nats
+    val withNull = Seq((Some(1), Some(1)), (None, None), (Some(1), None))
+      .toDF("a", "b")
+    assert(Profile.mutualInformation(withNull, "a", "b")
+      .collect().head.getLong(1) === 3L) // 3 distinct cells incl. NULLs
+  }
+
+  // --- snapshotDiff ----------------------------------------------------------
+
+  test("snapshotDiff: added/removed/changed with column lists, unchanged omitted") {
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L),
+      (4L, null.asInstanceOf[String], 40L)).toDF("k", "s", "n")
+    val b = Seq((1L, "x", 10L),            // unchanged -> omitted
+      (2L, "Y", 21L),                      // both columns changed
+      (4L, "now", 40L),                    // null -> value IS a change
+      (5L, "new", 50L)                     // added
+    ).toDF("k", "s", "n")                  // 3 removed
+    val got = Profile.snapshotDiff(a, b, "k", Seq("s", "n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got === Map(
+      2L -> (("changed", "s,n")),
+      3L -> (("removed", "")),
+      4L -> (("changed", "s")),
+      5L -> (("added", ""))))
+  }
 }
