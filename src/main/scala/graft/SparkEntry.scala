@@ -1917,6 +1917,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q222_interval_overlap_join" -> ((s, d) => {
+      // Interval-OVERLAP join without a nested loop: per user, click
+      // spans [ts, ts + value min) overlapping error spans [ts, ts+30min)
+      // pair through fixed 15-min buckets — each pair emitted exactly
+      // once, by the bucket holding the overlap's own start. The oracle
+      // runs the quadratic per-user overlap predicate the bucket rewrite
+      // avoids.
+      val ev = events(s, d)
+      def spans(tpe: String, minutes: Column) = ev
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            round(minutes * 60000000d).cast("long")).as("e"))
+      Joins.intervalOverlapJoin(
+          spans("click", col("value")), spans("error", lit(30.0)),
+          Seq("user_id"), "event_id", "s", "e", "event_id", "s", "e",
+          bucketWidth = 900000000L)
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
+    "q223_peak_concurrency" -> ((s, d) => {
+      // Peak concurrent click spans per user (+ when first reached):
+      // the boundary sweep with (t, delta) ordering so half-open
+      // back-to-back spans never double-count — the capacity number
+      // beside q202's covered total.
+      val ev = events(s, d).where(col("event_type") === "click")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 60000000d).cast("long")).as("e"))
+      Sessionize.peakConcurrency(ev, "user_id", "s", "e")
+        .orderBy("user_id")
+    }),
+
     "q219_theil_sen" -> ((s, d) => {
       // Theil–Sen robust trend per event type over the DAILY value
       // series (integer micro means — all-pairs slopes are defined on
@@ -6710,6 +6745,54 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q222: the quadratic per-user overlap join — what the bucket
+    // rewrite must equal exactly.
+    "q222_interval_overlap_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+        |  FROM events WHERE event_type = 'click'),
+        |x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        |cv AS (SELECT * FROM c WHERE e > s),
+        |xv AS (SELECT * FROM x WHERE e > s)
+        |SELECT cv.user_id, cv.event_id AS id_a, xv.event_id AS id_b,
+        |  greatest(cv.s, xv.s) AS overlap_start,
+        |  least(cv.e, xv.e) AS overlap_end
+        |FROM cv JOIN xv ON cv.user_id = xv.user_id
+        |  AND cv.s < xv.e AND xv.s < cv.e
+        |ORDER BY cv.user_id, id_a, id_b""".stripMargin,
+
+    // q223: the same boundary sweep — (t, delta) order, running sum,
+    // max + first time at max.
+    "q223_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT * FROM iv WHERE e > s),
+        |bd AS (
+        |  SELECT user_id, s AS t, CAST(1 AS BIGINT) AS d FROM v
+        |  UNION ALL
+        |  SELECT user_id, e, -1 FROM v),
+        |r AS (
+        |  SELECT user_id, t, d,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM bd),
+        |p AS (SELECT user_id, CAST(max(run) AS BIGINT) AS peak FROM r
+        |      GROUP BY user_id),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals
+        |      FROM v GROUP BY user_id)
+        |SELECT n.user_id, n.n_intervals, p.peak,
+        |  CAST(min(r.t) AS BIGINT) AS peak_at
+        |FROM r JOIN p ON r.user_id = p.user_id AND r.run = p.peak
+        |JOIN n ON n.user_id = p.user_id
+        |GROUP BY n.user_id, n.n_intervals, p.peak
+        |ORDER BY n.user_id""".stripMargin,
 
     // q219: the same daily integer means, all-pairs truncating slopes,
     // histogram-rule median.

@@ -395,6 +395,51 @@ object Joins {
   }
 
   /**
+   * Interval-OVERLAP equi-join: pairs of [start, end) intervals (one from
+   * each side, same key) that overlap — segment-alignment (which
+   * transcript spans overlap which audio defects), shift/incident
+   * correlation. The non-equi predicate `s1 < e2 AND s2 < e1` would plan
+   * as a nested loop; decomposing BOTH sides onto fixed-width buckets
+   * restores a shuffled hash join: a pair can only overlap inside a
+   * bucket both touch, and each surviving pair is emitted EXACTLY ONCE —
+   * by the bucket containing the overlap's own start (`greatest(s1, s2)`,
+   * provably in both sides' bucket sets) — so no distinct pass over the
+   * pair set is needed.
+   *
+   * Cost: explode factor = span/bucketWidth + 1 per interval; size the
+   * width near the typical SHORTER side's span (same sizing rule as
+   * [[rangeJoinByBucket]]). Invalid intervals (null bounds, end ≤ start)
+   * drop. Returns (keys…, id_a, id_b, overlap_start, overlap_end).
+   */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      aIdCol: String, aStartCol: String, aEndCol: String,
+      bIdCol: String, bStartCol: String, bEndCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def floorDiv(inner: String): Column =
+      expr(s"(($inner) - pmod(($inner), ${bucketWidth}L)) div ${bucketWidth}L")
+    def prep(df: DataFrame, id: String, sc: String, ec: String,
+        tag: String): DataFrame =
+      df.select(keyCols.map(col) ++ Seq(col(id).as(s"id_$tag"),
+          col(sc).cast("long").as(s"s_$tag"),
+          col(ec).cast("long").as(s"e_$tag")): _*)
+        .where(col(s"s_$tag").isNotNull && col(s"e_$tag") > col(s"s_$tag"))
+        .withColumn("__bucket",
+          explode(sequence(floorDiv(s"s_$tag"), floorDiv(s"e_$tag - 1"))))
+    prep(a, aIdCol, aStartCol, aEndCol, "a")
+      .join(prep(b, bIdCol, bStartCol, bEndCol, "b"),
+        keyCols :+ "__bucket")
+      .where(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .where(col("__bucket") === floorDiv("greatest(s_a, s_b)"))
+      .select(keyCols.map(col) ++ Seq(col("id_a"), col("id_b"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start"),
+        least(col("e_a"), col("e_b")).as("overlap_end")): _*)
+  }
+
+  /**
    * Slowly-changing-dimension (SCD type 2) interval build from a change
    * feed: per key, ordered by (ts, tie), NO-OP changes (value identical
    * to the immediately preceding change, null-safe) collapse away, and

@@ -75,6 +75,45 @@ object Sessionize {
   }
 
   /**
+   * Peak concurrency per key: the maximum number of simultaneously open
+   * [start, end) intervals, and when it is first reached — max concurrent
+   * sessions/streams/leases, the capacity-planning number beside
+   * [[intervalCoverage]]'s total. The classic boundary sweep: +1 at each
+   * start, −1 at each end, ordered by (t, delta) so an interval ENDING at
+   * t closes before one STARTING at t opens (half-open semantics — back-
+   * to-back intervals never double-count); the peak is the max running
+   * sum, `peak_at` its first time. Two compact windows over 2·n per-key
+   * boundary rows; invalid intervals drop.
+   */
+  def peakConcurrency(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valid = df.select(col(keyCol).as("__k"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .where(col("__s").isNotNull && col("__e") > col("__s"))
+    val bounds = valid.select(col("__k"), col("__s").as("__t"),
+        lit(1L).as("__d"))
+      .unionByName(valid.select(col("__k"), col("__e").as("__t"),
+        lit(-1L).as("__d")))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val running = bounds.withColumn("__r", sum(col("__d")).over(w))
+    val peak = running.groupBy(col("__k")).agg(max(col("__r")).as("peak"))
+    running.join(peak, "__k")
+      .where(col("__r") === col("peak"))
+      .groupBy(col("__k"))
+      .agg(max(col("peak")).as("peak"), min(col("__t")).as("peak_at"))
+      .join(valid.groupBy(col("__k")).agg(count(lit(1)).as("n_intervals")),
+        "__k")
+      .select(col("__k").as(keyCol), col("n_intervals"), col("peak"),
+        col("peak_at"))
+  }
+
+  /**
    * Sliding-window trending top-k: the k most frequent items in every
    * OVERLAPPING time window (`windowDur` long, sliding every `slide`) —
    * the "what's trending this hour, updated every 15 minutes" panel.

@@ -404,6 +404,32 @@ class JoinsSuite extends AnyFunSuite {
       (3L, "E", 3000L, -1L, true)))
   }
 
+  test("intervalOverlapJoin: exactly-once pairs, half-open adjacency, hash plan") {
+    val a = Seq(
+      ("u", 1L, 0L, 100L),   // long span crossing many buckets
+      ("u", 2L, 10L, 20L),
+      ("u", 3L, 200L, 210L), // overlaps nothing
+      ("u", 4L, 5L, 5L)      // invalid (empty) — dropped
+    ).toDF("k", "id", "s", "e")
+    val b = Seq(
+      ("u", 10L, 50L, 60L),  // inside id 1 only
+      ("u", 11L, 20L, 30L),  // ADJACENT to id 2 — half-open, no overlap
+      ("u", 12L, 0L, 300L)   // overlaps 1, 2, 3
+    ).toDF("k", "id", "s", "e")
+    val out = Joins.intervalOverlapJoin(a, b, Seq("k"),
+      "id", "s", "e", "id", "s", "e", bucketWidth = 7L)
+    assert(!out.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val pairs = out.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted
+    // (2, 11) is the half-open check: [10,20) and [20,30) touch, no pair.
+    // (1, 11) overlaps — the long span covers it.
+    assert(pairs.toSeq === Seq(
+      (1L, 10L, 50L, 60L), (1L, 11L, 20L, 30L), (1L, 12L, 0L, 100L),
+      (2L, 12L, 10L, 20L), (3L, 12L, 200L, 210L)))
+  }
+
   test("scd2Merge == full rebuild: boundary no-op, new key, untouched key, refusal") {
     import java.sql.Timestamp
     def ts(m: Long) = new Timestamp(m)

@@ -19,6 +19,19 @@ class PipelineSuite extends AnyFunSuite {
     (4L, "", "b")
   ).toDF("doc_id", "text", "source")
 
+  test("peakConcurrency: half-open boundaries close before they open") {
+    val iv = Seq(
+      ("u", 0L, 10L), ("u", 5L, 15L), ("u", 10L, 20L), // peak 2, first at 5
+      ("w", 0L, 5L), ("w", 5L, 10L),                   // back-to-back: peak 1
+      ("w", 3L, 3L)                                    // invalid — dropped
+    ).toDF("k", "s", "e")
+    val got = Sessionize.peakConcurrency(iv, "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("u") === ((3L, 2L, 5L)))
+    assert(got("w") === ((2L, 1L, 0L)))
+  }
+
   test("tableChecksum: order/layout invariant, null distinct from absent") {
     val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None)).toDF("k", "v")
     val shuffled = a.orderBy(desc("k")).repartition(7)
