@@ -504,8 +504,11 @@ object Joins {
     posRows.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
     val bitmap = typedlit(words.toSeq)
     val probe = positions(col(largeKey)).map { p =>
+      // word index via shiftright, not `/ 64` — Spark's `/` on integers
+      // is a DOUBLE divide; a shift stays integral and codegen-tight.
       (call_function("shiftright",
-        element_at(bitmap, (p / 64).cast("int") + 1),
+        element_at(bitmap,
+          call_function("shiftright", p, lit(6)).cast("int") + 1),
         (p % 64).cast("int")).bitwiseAND(lit(1L))) === 1L
     }.reduce(_ && _)
     large.where(col(largeKey).isNotNull && probe)

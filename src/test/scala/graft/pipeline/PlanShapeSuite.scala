@@ -433,4 +433,33 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"matrix not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
+
+  test("bloomPrunedEquiJoin: the bitmap probe filters BELOW the large side's exchange") {
+    val large = spark.range(0, 64).select(col("id").as("k"),
+      col("id").cast("string").as("pay"))
+    val small = spark.range(0, 4).select(col("id").as("sk"),
+      (col("id") * 10).as("sv"))
+    val plan = physical(
+      Joins.bloomPrunedEquiJoin(large, small, "k", "sk", mBits = 1024))
+    // The whole point: the probe must run map-side, before any exchange —
+    // a Filter mentioning shiftright above the scan, not above the join.
+    val lines = plan.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("shiftright"))
+    assert(filterIdx >= 0, s"bitmap probe filter missing:\n$plan")
+    // The probe filter's immediate child must be the scan itself —
+    // map-side, before anything wider runs.
+    assert(lines(filterIdx + 1).contains("Range"),
+      s"probe filter not directly over the scan:\n$plan")
+  }
+
+  test("intervalOverlapJoin plans a hash join on (key, bucket), not a nested loop") {
+    val a = spark.range(0, 16).select(lit("u").as("k"), col("id"),
+      (col("id") * 10).as("s"), (col("id") * 10 + 15).as("e"))
+    val plan = physical(Joins.intervalOverlapJoin(a, a, Seq("k"),
+      "id", "s", "e", "id", "s", "e", bucketWidth = 10L))
+    assert(!plan.contains("NestedLoop"), s"nested loop leaked:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("Join"), s"join missing entirely:\n$plan")
+  }
 }
