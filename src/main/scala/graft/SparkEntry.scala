@@ -1917,6 +1917,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q224_quantile_bins" -> ((s, d) => {
+      // The feature discretizer: every event's value binned into its
+      // type's own decile (histogram-rule cuts, exact integers) — the
+      // psi reference-binning step standalone, the transform a
+      // float-interpolating discretizer can never replay exactly.
+      Profile.quantileBins(events(s, d), Seq("event_type"),
+          "event_id", "value", bins = 10)
+        .orderBy("event_id")
+    }),
+
     "q222_interval_overlap_join" -> ((s, d) => {
       // Interval-OVERLAP join without a nested loop: per user, click
       // spans [ts, ts + value min) overlapping error spans [ts, ts+30min)
@@ -6745,6 +6755,31 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q224: the q190 cut derivation + strictly-below bin count.
+    "q224_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT k, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT k, v,
+        |    sum(c) OVER (PARTITION BY k ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY k) AS n
+        |  FROM c),
+        |cuts AS (
+        |  SELECT k, p, min(v) AS cut
+        |  FROM cum, unnest([100,200,300,400,500,600,700,800,900]) AS t(p)
+        |  WHERE cum >= (p * n + 999) // 1000
+        |  GROUP BY k, p)
+        |SELECT b.event_type, b.event_id, b.v AS value_micro,
+        |  CAST(count(cuts.cut) AS INTEGER) AS bin
+        |FROM (SELECT k AS event_type, event_id, v FROM b) b
+        |LEFT JOIN cuts ON cuts.k = b.event_type AND b.v > cuts.cut
+        |GROUP BY b.event_type, b.event_id, b.v
+        |ORDER BY b.event_id""".stripMargin,
 
     // q222: the quadratic per-user overlap join — what the bucket
     // rewrite must equal exactly.

@@ -102,6 +102,56 @@ object Profile {
   }
 
   /**
+   * Per-group equal-population quantile binning — the feature
+   * DISCRETIZER ([[psiDriftReport]]'s reference-binning step exposed
+   * standalone): each row gets the bin index of its value among `bins`
+   * equal-population buckets cut by the group's own histogram-rule
+   * quantiles (the q73/q112 rule, no float interpolation). Exact
+   * integers end to end — micro quantization, integer cut rule, bin =
+   * count of cuts strictly below — so assignments replay bit-for-bit
+   * on any engine, which float-interpolated discretizers never do.
+   * NULL values are excluded.
+   *
+   * Scale shape: cuts come from a (key, value)-histogram window (one
+   * row per DISTINCT value); the per-row pass is one broadcast join
+   * against the |keys|-row cuts table — same plan as the winsorize/PSI
+   * family.
+   */
+  def quantileBins(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val ks = keyCols.map(col)
+    val base = df.select(ks :+ col(idCol).as("__id") :+
+        round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val counts = base.groupBy(ks :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(ks: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(ks: _*)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(n))
+    val ps = (1 until bins).map(i => i * 1000 / bins).distinct
+    val pDf = df.sparkSession.createDataFrame(ps.map(p => Tuple1(p.toLong)))
+      .toDF("__p")
+    val cuts = cum.crossJoin(broadcast(pDf))
+      .filter(col("__cum") >= expr("(__p * __n + 999) div 1000"))
+      .groupBy(ks :+ col("__p"): _*).agg(min(col("__v")).as("__cut"))
+      .groupBy(ks: _*).agg(sort_array(collect_list(col("__cut"))).as("__cuts"))
+    base.join(broadcast(cuts), keyCols)
+      .select(ks ++ Seq(col("__id").as(idCol),
+        col("__v").as("value_micro"),
+        size(filter(col("__cuts"), c => col("__v") > c)).as("bin")): _*)
+  }
+
+  /**
    * Population stability index (PSI) between two corpus slices — the
    * standard tabular drift gate ("did this column's distribution move
    * between snapshots"), per group: bin the REFERENCE slice (a) into

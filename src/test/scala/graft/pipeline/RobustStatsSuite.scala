@@ -258,6 +258,26 @@ class RobustStatsSuite extends AnyFunSuite {
       .collect().head.getLong(1) === 3L) // 3 distinct cells incl. NULLs
   }
 
+  // --- quantileBins ----------------------------------------------------------
+
+  test("quantileBins: equal-population deciles, ties to the lower bin, nulls out") {
+    val rows = (1 to 100).map(i => ("a", i.toLong,
+      java.lang.Double.valueOf(i.toDouble))) :+
+      (("a", 200L, null.asInstanceOf[java.lang.Double]))
+    val got = Profile.quantileBins(rows.toDF("k", "id", "v"),
+        Seq("k"), "id", "v", bins = 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(!got.contains(200L))
+    // 1..100 into deciles: cut_p = the p-th percentile value (10,20,...,90)
+    assert(got(1L) === 0)
+    assert(got(10L) === 0)   // equal to the first cut -> lower bin
+    assert(got(11L) === 1)
+    assert(got(55L) === 5)
+    assert(got(100L) === 9)
+    assert((1 to 100).map(i => got(i.toLong)).groupBy(identity)
+      .forall(_._2.size === 10)) // exactly equal-population
+  }
+
   // --- snapshotDiff ----------------------------------------------------------
 
   test("snapshotDiff: added/removed/changed with column lists, unchanged omitted") {
