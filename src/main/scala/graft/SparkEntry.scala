@@ -1917,6 +1917,42 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q225_kmeans_refresh" -> ((s, d) => {
+      // The k-means STORE-AND-REFRESH lifecycle: the q204 model's
+      // centroids freeze; sufficient statistics build per slice (even /
+      // odd halves here) and ADD — the refreshed centroids from merged
+      // stats must equal a one-step refresh over the full corpus, which
+      // is what the oracle computes. History is never re-read.
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansLloydCentroids(emb,
+        "vec_id", "embedding", k = 8, iters = 3)
+      val even = Similarity.kmeansSuffStats(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+      val odd = Similarity.kmeansSuffStats(
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", cents)
+      Similarity.kmeansRefreshCentroids(even.unionByName(odd))
+        .orderBy("cluster", "dim")
+    }),
+
+    "q226_link_prediction" -> ((s, d) => {
+      // Common-neighbor link prediction over the planted community/hub
+      // graph: top-20 NON-adjacent pairs by shared-neighbor count —
+      // center-rooted wedge enumeration, one anti-join against the edge
+      // set, a bounded TakeOrdered.
+      Graph.commonNeighborScores(plantedTriangleEdges(s, d),
+          "src", "dst", k = 20)
+        .orderBy(desc("common_neighbors"), asc("id_a"), asc("id_b"))
+    }),
+
+    "q227_vocab_coverage" -> ((s, d) => {
+      // Vocabulary sizing: corpus-occurrence coverage of top-{100, 1000,
+      // 10000} vocabularies in exact permille — the curve whose elbow
+      // decides the vocab budget. Windows see one row per TYPE.
+      TextAnalysis.vocabCoverage(t(s, d, "documents"), "text",
+          Seq(100, 1000, 10000))
+        .orderBy("vocab_size")
+    }),
+
     "q224_quantile_bins" -> ((s, d) => {
       // The feature discretizer: every event's value binned into its
       // type's own decile (histogram-rule cuts, exact integers) — the
@@ -6755,6 +6791,70 @@ object SparkEntry {
         |  GROUP BY e.id, c.cluster)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
         |ORDER BY id""".stripMargin,
+
+    // q225: the q204 Lloyd CTEs train the frozen model; the refresh over
+    // merged slice stats must equal this one-step full-corpus refresh.
+    "q225_kmeans_refresh" ->
+      s"""WITH ${lloydOracleCtes(k = 8, iters = 3, seed = "km")},
+        |af AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT e.id, c.cluster,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN c3 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)
+        |SELECT a.cluster, e.dim,
+        |  CAST(sum(e.q) // count(*) AS BIGINT) AS c
+        |FROM af a JOIN ex e USING (id)
+        |GROUP BY a.cluster, e.dim
+        |ORDER BY a.cluster, e.dim""".stripMargin,
+
+    // q226: the q175 planted graph, center-rooted wedges, NOT EXISTS
+    // against the undirected edge set, (score DESC, pair) top-20.
+    "q226_link_prediction" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |raw AS (
+        |  SELECT id AS src, id + 1 AS dst FROM ids WHERE (id + 1) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, id + 2 FROM ids WHERE (id + 2) // 10 = id // 10
+        |  UNION ALL
+        |  SELECT id, (id // 100) * 100 FROM ids WHERE id % 100 <> 0),
+        |e AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN ids i ON i.id = r.dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e WHERE src <> dst),
+        |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |w AS (
+        |  SELECT l.y AS a, r.y AS b, count(*) AS cn
+        |  FROM adj l JOIN adj r ON l.x = r.x AND l.y < r.y
+        |  GROUP BY l.y, r.y),
+        |cand AS (
+        |  SELECT w.a, w.b, cn FROM w
+        |  ANTI JOIN und ON w.a = und.a AND w.b = und.b)
+        |SELECT a AS id_a, b AS id_b, CAST(cn AS BIGINT) AS common_neighbors
+        |FROM cand
+        |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+
+    // q227: the same type-ranked cumulative shares at each size.
+    "q227_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |r AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM v),
+        |tot AS (SELECT sum(cnt) AS total FROM v)
+        |SELECT s.vocab_size,
+        |  CAST(max(r.rank) AS BIGINT) AS n_types,
+        |  CAST(max(r.cum) * 1000 // max(tot.total) AS BIGINT)
+        |    AS coverage_permille
+        |FROM r CROSS JOIN tot
+        |JOIN (SELECT unnest([100, 1000, 10000]) AS vocab_size) s
+        |  ON r.rank <= s.vocab_size
+        |GROUP BY s.vocab_size ORDER BY s.vocab_size""".stripMargin,
 
     // q224: the q190 cut derivation + strictly-below bin count.
     "q224_quantile_bins" ->

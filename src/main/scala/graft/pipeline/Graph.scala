@@ -175,6 +175,44 @@ object Graph {
   }
 
   /**
+   * Link prediction by common neighbors (the Liben-Nowell–Kleinberg
+   * baseline): for every NON-adjacent undirected pair at distance 2, the
+   * count of shared neighbors, global top-k by (score DESC, pair) — the
+   * "which edges are missing" read behind entity-graph completion and
+   * related-page suggestion. Wedges enumerate at their CENTER (adjacency
+   * self-join, endpoint order a < b dedups each wedge once), candidate
+   * pairs anti-join the edge set, the top-k is a bounded TakeOrdered.
+   * Wedge volume is Σ C(deg, 2) — inherent to the definition; on
+   * hub-skewed graphs cap degrees upstream (the q175 discussion) before
+   * asking for all-pairs evidence through a hub.
+   */
+  def commonNeighborScores(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = cleanEdges(edges, srcCol, dstCol)
+      .where(col("__src") =!= col("__dst"))
+      .select(least(col("__src"), col("__dst")).as("a"),
+        greatest(col("__src"), col("__dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+    val wedges = adj.as("l")
+      .join(adj.as("r"),
+        col("l.x") === col("r.x") && col("l.y") < col("r.y"))
+      .select(col("l.y").as("a"), col("r.y").as("b"))
+    wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .orderBy(desc("common_neighbors"), asc("a"), asc("b"))
+      .limit(k)
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("common_neighbors"))
+  }
+
+  /**
    * Weighted damped PageRank: mass leaves a node proportionally to edge
    * WEIGHT instead of equally per edge — the formulation TextRank
    * actually specifies (co-occurrence counts as weights) and the link-

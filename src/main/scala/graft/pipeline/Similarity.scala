@@ -368,6 +368,18 @@ object Similarity {
    * Runs `iters` (assign, update) rounds, then returns the assignment
    * against the FINAL centroids: (id, cluster, d2) with d2 in micro².
    */
+  /** [[kmeansLloydAssign]]'s trained centroid matrix, exposed for the
+    * store-and-refresh lifecycle: k rows of `dim` micro longs, indexed by
+    * cluster. Same training, same determinism. */
+  def kmeansLloydCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: String = "km"): Array[Array[Long]] =
+    lloydState(df, idCol, vecCol, k, iters, seed)._2
+
   def kmeansLloydAssign(
       df: DataFrame,
       idCol: String,
@@ -375,6 +387,20 @@ object Similarity {
       k: Int,
       iters: Int,
       seed: String = "km"): DataFrame = {
+    val (base, cents, withBest) = lloydState(df, idCol, vecCol, k, iters, seed)
+    withBest(cents)
+      .select(col("id"), col("__best.cluster").as("cluster"),
+        col("__best.d2").as("d2"))
+  }
+
+  private def lloydState(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: String): (DataFrame, Array[Array[Long]],
+        Array[Array[Long]] => DataFrame) = {
     Dedup.requireIntegralId(df, idCol, "kmeansLloydAssign")
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -426,10 +452,50 @@ object Similarity {
       it += 1
     }
     require(cents.forall(_.length == dim), "centroid dim drift")
-    withBest(cents)
-      .select(col("id"), col("__best.cluster").as("cluster"),
-        col("__best.d2").as("d2"))
+    (base, cents, withBest)
   }
+
+  /**
+   * Sufficient statistics of a FROZEN centroid model over a corpus slice:
+   * each row assigns to its nearest stored centroid (the exact integer
+   * argmin of [[kmeansLloydAssign]]), and the output is the (cluster,
+   * dim, s, n) micro-sum table — the MERGEABLE form of a centroid
+   * update. Stats from disjoint slices ADD (plain sums), so a stored
+   * model refreshes from daily batches without re-touching history:
+   * union the stat tables, re-aggregate, divide — exactly equal to a
+   * one-step refresh over the full corpus, which is the q225 gate.
+   */
+  def kmeansSuffStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Long]]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(i).as("cluster"))
+    }
+    df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+      .withColumn("cluster",
+        (if (scored.length == 1) scored.head else least(scored: _*))
+          .getField("cluster"))
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Centroid refresh from merged [[kmeansSuffStats]] tables: one
+    * truncating div per (cluster, dim) — the periodic model update that
+    * never re-reads history. */
+  def kmeansRefreshCentroids(stats: DataFrame): DataFrame =
+    stats.groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("s")).as("__s"), sum(col("n")).as("__n"))
+      .select(col("cluster"), col("dim"), expr("__s div __n").as("c"))
 
   /**
    * Cluster-balanced coreset: the `m` most central rows per cluster from a

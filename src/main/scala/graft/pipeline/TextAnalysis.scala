@@ -273,6 +273,47 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary coverage curve — the tokenizer/vocab SIZING read: for each
+   * candidate vocabulary size, the share of corpus token OCCURRENCES a
+   * top-`size` vocabulary covers (types ranked by count DESC, token — the
+   * deterministic tie), in exact permille. The elbow of this curve is
+   * where another thousand vocab slots stops buying coverage.
+   *
+   * Scale shape: one map-side-combined token count builds the vocabulary;
+   * the rank/cumsum windows see ONE ROW PER TYPE (the q73/q87 vocabulary-
+   * window convention — never corpus rows); the sizes table fans out over
+   * vocab rows only. Sizes beyond the vocabulary report the full corpus
+   * (coverage 1000).
+   */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"sizes must be positive, got $sizes")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = vocab
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("token"))))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = broadcast(vocab.agg(sum(col("cnt")).as("__total")))
+    val sizesDf = broadcast(
+      df.sparkSession.createDataFrame(sizes.distinct.sorted.map(s =>
+        Tuple1(s.toLong))).toDF("vocab_size"))
+    ranked.crossJoin(sizesDf)
+      .where(col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(max(col("rank")).cast("long").as("n_types"),
+        max(col("cum")).as("__cov"))
+      .crossJoin(tot)
+      .select(col("vocab_size"), col("n_types"),
+        expr("__cov * 1000 div __total").as("coverage_permille"))
+  }
+
+  /**
    * Token-budget chunking: split each document into overlapping windows of
    * at most `chunkSize` tokens with stride `chunkSize - overlap` — the
    * sequence-packing precursor every context-window-bounded training run

@@ -308,6 +308,20 @@ class GraphSuite extends AnyFunSuite {
     assert(got === Map(1L -> 0, 100L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  test("commonNeighborScores: square diagonals score 2, existing edges excluded") {
+    // Square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors
+    // each and are NOT edges; every edge pair shares none here.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.commonNeighborScores(edges, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // adding the diagonal removes it from the candidates
+    val withDiag = edges.unionByName(Seq((1L, 3L)).toDF("src", "dst"))
+    val got2 = Graph.commonNeighborScores(withDiag, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.contains((1L, 3L)))
+  }
+
   test("pageRankWeighted: hand-replayed integer seams on a 3-node graph") {
     // A->B w1, A->C w3, B->A w1, C->A w1; N=3, r0 = Total div 3.
     val e = Seq(("A", "B", 1L), ("A", "C", 3L), ("B", "A", 1L), ("C", "A", 1L))

@@ -97,6 +97,25 @@ class KmeansSuite extends AnyFunSuite {
     assert(out(1) === ((1L, 1L, 1000L)))
   }
 
+  test("suff-stats refresh: disjoint slices add to the full-corpus refresh") {
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.1)), (1L, Seq(0.1, 0.0)), (2L, Seq(0.05, 0.05)),
+      (10L, Seq(1.0, 0.9)), (11L, Seq(0.9, 1.0)), (12L, Seq(0.95, 0.95))
+    ).toDF("id", "v")
+    val cents = Similarity.kmeansLloydCentroids(vecs, "id", "v", k = 2, iters = 2)
+    val even = Similarity.kmeansSuffStats(
+      vecs.where($"id" % 2 === 0), "id", "v", cents)
+    val odd = Similarity.kmeansSuffStats(
+      vecs.where($"id" % 2 === 1), "id", "v", cents)
+    val merged = Similarity.kmeansRefreshCentroids(even.unionByName(odd))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = Similarity.kmeansRefreshCentroids(
+        Similarity.kmeansSuffStats(vecs, "id", "v", cents))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged === full)
+    assert(merged.size === 4) // 2 clusters x 2 dims
+  }
+
   test("clusterCoreset: per-cluster (d2, id) rank, balanced, heap not window") {
     val assign = Seq(
       (0L, 0, 100L), (1L, 0, 50L), (2L, 0, 50L), (3L, 0, 10L),

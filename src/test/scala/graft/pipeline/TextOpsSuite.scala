@@ -46,6 +46,16 @@ class TextOpsSuite extends AnyFunSuite {
     assert(m(3L) === "")
   }
 
+  test("vocabCoverage: cumulative occurrence share at each size, ties by token") {
+    val docs = Seq((0L, "a a a b b c"), (1L, "a a b")).toDF("id", "text")
+    // counts: a=5, b=3, c=1; total 9
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2, 10))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((1L, 555L)))  // 5*1000 div 9
+    assert(got(2L) === ((2L, 888L)))  // 8*1000 div 9
+    assert(got(10L) === ((3L, 1000L)))
+  }
+
   test("tokenRarityScore: rare tokens score high, common low, tokenless null") {
     // 'common' appears 20x, 'rare' once -> vocab ranks common 0, rare high
     val docs = ((0 until 20).map(i => (i.toLong, "common")) :+ (20L, "rare") :+
