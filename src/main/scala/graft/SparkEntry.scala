@@ -1917,6 +1917,36 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q228_kmeans_serve" -> ((s, d) => {
+      // The clustering model SERVED from storage: the q204 integer
+      // centroid table persists once per corpus (512 longs — the q200
+      // stored-code convention); every later pass is one map-side argmin
+      // against the broadcast model. Deterministic integers pin stored
+      // == retrained, so the oracle is q204's, verbatim.
+      val emb = t(s, d, "embeddings")
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_kmv/$sfName/lloyd_centroids_k8"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          val cents = Similarity.kmeansLloydCentroids(emb,
+            "vec_id", "embedding", k = 8, iters = 3)
+          val rows = cents.zipWithIndex.flatMap { case (c, i) =>
+            c.zipWithIndex.map { case (v, dim) => (i, dim, v) }
+          }.toSeq
+          import s.implicits._
+          rows.toDF("cluster", "dim", "c")
+            .repartition(1).write.mode("overwrite").parquet(path)
+        }
+      }
+      val stored = s.read.parquet(path).collect()
+      val k = stored.map(_.getInt(0)).max + 1
+      val dim = stored.map(_.getInt(1)).max + 1
+      val cents = Array.ofDim[Long](k, dim)
+      stored.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", cents)
+        .orderBy("id")
+    }),
+
     "q225_kmeans_refresh" -> ((s, d) => {
       // The k-means STORE-AND-REFRESH lifecycle: the q204 model's
       // centroids freeze; sufficient statistics build per slice (even /
@@ -4106,6 +4136,18 @@ object SparkEntry {
     }
     (Seq(ex, seeds, c0) ++ iterCtes).mkString(",\n")
   }
+
+  /** The q204 Lloyd assignment replay — shared verbatim with q228, whose
+    * stored-model serve path must equal the recompute. */
+  private def lloydAssignOracleSql: String =
+    s"""WITH ${lloydOracleCtes(k = 8, iters = 3, seed = "km")}
+      |SELECT id, CAST(cluster AS INTEGER) AS cluster, d2 FROM (
+      |  SELECT e.id, c.cluster,
+      |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+      |  FROM ex e JOIN c3 c ON e.dim = c.dim
+      |  GROUP BY e.id, c.cluster)
+      |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
+      |ORDER BY id""".stripMargin
 
   /** Planted-HTML fixture for q201: each document's text wrapped in a
     * deterministic page (style block, conditional script with a bare `<`
@@ -6782,15 +6824,11 @@ object SparkEntry {
     // init, integer L2 argmin with (d2, cluster) ties, truncating-div
     // centroid updates with empty-cluster carry, final assignment
     // against the post-update centroids.
-    "q204_kmeans_lloyd" ->
-      s"""WITH ${lloydOracleCtes(k = 8, iters = 3, seed = "km")}
-        |SELECT id, CAST(cluster AS INTEGER) AS cluster, d2 FROM (
-        |  SELECT e.id, c.cluster,
-        |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
-        |  FROM ex e JOIN c3 c ON e.dim = c.dim
-        |  GROUP BY e.id, c.cluster)
-        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
-        |ORDER BY id""".stripMargin,
+    "q204_kmeans_lloyd" -> lloydAssignOracleSql,
+
+    // q228: the stored-model serve path must equal the q204 recompute
+    // exactly — deterministic integers make the model storable at all.
+    "q228_kmeans_serve" -> lloydAssignOracleSql,
 
     // q225: the q204 Lloyd CTEs train the frozen model; the refresh over
     // merged slice stats must equal this one-step full-corpus refresh.

@@ -456,6 +456,36 @@ object Similarity {
   }
 
   /**
+   * Assignment against a STORED centroid model — the serve path of the
+   * [[kmeansLloydAssign]] lifecycle: the k×dim integer centroid table
+   * persists once at build time (the q200 stored-code convention), and
+   * every later corpus pass is one map-side argmin against the broadcast
+   * matrix — no training, no driver state beyond the model itself.
+   * Deterministic integer arithmetic means stored == retrained, exactly.
+   */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Long]]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(i).as("cluster"))
+    }
+    df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+      .withColumn("__best",
+        if (scored.length == 1) scored.head else least(scored: _*))
+      .select(col("id"), col("__best.cluster").as("cluster"),
+        col("__best.d2").as("d2"))
+  }
+
+  /**
    * Sufficient statistics of a FROZEN centroid model over a corpus slice:
    * each row assigns to its nearest stored centroid (the exact integer
    * argmin of [[kmeansLloydAssign]]), and the output is the (cluster,

@@ -97,6 +97,24 @@ class KmeansSuite extends AnyFunSuite {
     assert(out(1) === ((1L, 1L, 1000L)))
   }
 
+  test("kmeansAssign from stored centroids equals the trained assignment") {
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.1)), (1L, Seq(0.1, 0.0)),
+      (10L, Seq(1.0, 0.9)), (11L, Seq(0.9, 1.0))
+    ).toDF("id", "v")
+    val cents = Similarity.kmeansLloydCentroids(vecs, "id", "v", k = 2, iters = 2)
+    // round-trip the model through rows, as a stored table would
+    val rows = cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (value, dim) => (i, dim, value) } }
+    val back = Array.ofDim[Long](2, 2)
+    rows.foreach { case (i, d, v) => back(i)(d) = v }
+    val served = Similarity.kmeansAssign(vecs, "id", "v", back)
+      .orderBy("id").collect().toSeq
+    val trained = Similarity.kmeansLloydAssign(vecs, "id", "v", k = 2, iters = 2)
+      .orderBy("id").collect().toSeq
+    assert(served === trained)
+  }
+
   test("suff-stats refresh: disjoint slices add to the full-corpus refresh") {
     val vecs = Seq(
       (0L, Seq(0.0, 0.1)), (1L, Seq(0.1, 0.0)), (2L, Seq(0.05, 0.05)),
