@@ -1917,6 +1917,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q229_rendezvous_routing" -> ((s, d) => {
+      // Rendezvous (HRW) shard routing: stateless consistent placement —
+      // per-shard counts over documents routed to 5 shards; removing a
+      // shard reassigns only its own keys (the property the spec pins).
+      // One md5 per (row, shard), struct-max fold, zero state.
+      Sampling.rendezvousAssign(t(s, d, "documents"), "doc_id",
+          Seq("s0", "s1", "s2", "s3", "s4"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("shard")
+    }),
+
     "q228_kmeans_serve" -> ((s, d) => {
       // The clustering model SERVED from storage: the q204 integer
       // centroid table persists once per corpus (512 longs — the q200
@@ -6829,6 +6841,21 @@ object SparkEntry {
     // q228: the stored-model serve path must equal the q204 recompute
     // exactly — deterministic integers make the model storable at all.
     "q228_kmeans_serve" -> lloydAssignOracleSql,
+
+    // q229: the same per-shard digests and argmax, folded per doc.
+    "q229_rendezvous_routing" ->
+      """WITH w AS (
+        |  SELECT doc_id, sh,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT AS wt
+        |  FROM documents, unnest(['s0','s1','s2','s3','s4']) AS t(sh)),
+        |a AS (
+        |  SELECT doc_id, sh AS shard FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY wt DESC, sh DESC) AS rk
+        |    FROM w) WHERE rk = 1)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q225: the q204 Lloyd CTEs train the frozen model; the refresh over
     // merged slice stats must equal this one-step full-corpus refresh.

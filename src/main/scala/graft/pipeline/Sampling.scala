@@ -271,6 +271,35 @@ object Sampling {
   }
 
   /**
+   * Rendezvous (highest-random-weight) shard routing: each key lands on
+   * the shard maximizing md5(key|shard) — the stateless consistent-
+   * placement rule behind cache/worker routing: REMOVING a shard
+   * reassigns only that shard's own keys (every other key's winning
+   * weight is untouched), and adding one steals ~1/(S+1) of keys from
+   * everyone evenly. No ring state, no driver table — pure map-side
+   * expression, S digests per row folded by a struct max (ties, at
+   * md5-collision probability, break toward the lexicographically
+   * larger shard name — deterministic either way).
+   */
+  def rendezvousAssign(
+      df: DataFrame,
+      keyCol: String,
+      shards: Seq[String],
+      salt: String = ""): DataFrame = {
+    require(shards.nonEmpty, "at least one shard required")
+    require(shards.distinct.size == shards.size, s"duplicate shards: $shards")
+    val scored = shards.map { sh =>
+      struct(
+        conv(substring(md5(concat(col(keyCol).cast("string"), lit("|"),
+          lit(sh), lit(salt))), 1, 15), 16, 10).cast("long").as("w"),
+        lit(sh).as("shard"))
+    }
+    df.withColumn("shard",
+      (if (scored.length == 1) scored.head else greatest(scored: _*))
+        .getField("shard"))
+  }
+
+  /**
    * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): the
    * k rows with the largest u^(1/w) — equivalently ln(u)/w, the form used
    * here — where u derives from md5(salt|id), not an RNG. Inclusion

@@ -19,6 +19,23 @@ class PipelineSuite extends AnyFunSuite {
     (4L, "", "b")
   ).toDF("doc_id", "text", "source")
 
+  test("rendezvousAssign: removing a shard reassigns ONLY that shard's keys") {
+    val keys = (0L until 200L).toDF("k")
+    val all = Seq("s0", "s1", "s2", "s3", "s4")
+    val before = Sampling.rendezvousAssign(keys, "k", all)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.values.toSet.size === 5) // every shard gets some keys
+    val after = Sampling.rendezvousAssign(keys, "k", all.filterNot(_ == "s2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    before.foreach { case (k, sh) =>
+      if (sh != "s2") assert(after(k) === sh, s"key $k moved off $sh")
+      else assert(after(k) !== "s2")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousAssign(keys, "k", Seq("a", "a"))
+    }
+  }
+
   test("peakConcurrency: half-open boundaries close before they open") {
     val iv = Seq(
       ("u", 0L, 10L), ("u", 5L, 15L), ("u", 10L, 20L), // peak 2, first at 5
