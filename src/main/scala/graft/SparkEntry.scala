@@ -1917,6 +1917,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q230_ewma_smooth" -> ((s, d) => {
+      // Exact-integer EWMA over the hourly value series per event type:
+      // decay weights are ONE driver-computed integer table both engines
+      // consume (no float recurrence to diverge), missing lags drop from
+      // numerator AND denominator. The metric smoother beside q180's
+      // anomaly flags.
+      val hour = events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb"),
+          expr("CAST(round(value * 1e6) AS BIGINT)").as("vm"))
+        .groupBy("event_type", "hb")
+        .agg(expr("CAST(sum(vm) div count(1) AS DOUBLE) / 1e6").as("v"))
+      Sessionize.ewmaSmooth(hour, Seq("event_type"), "hb", "v",
+          decayPermille = 800, window = 12)
+        .orderBy("event_type", "hb")
+    }),
+
     "q229_rendezvous_routing" -> ((s, d) => {
       // Rendezvous (HRW) shard routing: stateless consistent placement —
       // per-shard counts over documents routed to 5 shards; removing a
@@ -4160,6 +4176,31 @@ object SparkEntry {
       |  GROUP BY e.id, c.cluster)
       |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1
       |ORDER BY id""".stripMargin
+
+  /** q230: [[graft.pipeline.Sessionize.ewmaSmooth]]'s lag chain with the
+    * SAME integer weight table (`Sessionize.ewmaWeights(800, 12)`) both
+    * engines consume — no float recurrence anywhere. */
+  private def ewmaOracleSql: String = {
+    val ws = graft.pipeline.Sessionize.ewmaWeights(800, 12)
+    val num = ws.zipWithIndex.map { case (wk, k) =>
+      s"coalesce(lag(v, $k) OVER w * $wk, 0)" }.mkString(" + ")
+    val den = ws.zipWithIndex.map { case (wk, k) =>
+      s"CASE WHEN lag(v, $k) OVER w IS NOT NULL THEN $wk ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH hour AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+      |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) // count(*)
+      |      AS BIGINT) AS vm
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, hb,
+      |    CAST(round((CAST(vm AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS v
+      |  FROM hour)
+      |SELECT event_type, hb, v AS value_micro,
+      |  CAST(($num) // ($den) AS BIGINT) AS ewma_micro
+      |FROM q WINDOW w AS (PARTITION BY event_type ORDER BY hb)
+      |ORDER BY event_type, hb""".stripMargin
+  }
 
   /** Planted-HTML fixture for q201: each document's text wrapped in a
     * deterministic page (style block, conditional script with a bare `<`
@@ -6841,6 +6882,11 @@ object SparkEntry {
     // q228: the stored-model serve path must equal the q204 recompute
     // exactly — deterministic integers make the model storable at all.
     "q228_kmeans_serve" -> lloydAssignOracleSql,
+
+    // q230: the SAME driver-computed weight table interpolated into both
+    // engines' lag chains; the hourly mean replays the identical
+    // truncating-mean → /1e6 → requantize double chain.
+    "q230_ewma_smooth" -> ewmaOracleSql,
 
     // q229: the same per-shard digests and argmax, folded per doc.
     "q229_rendezvous_routing" ->

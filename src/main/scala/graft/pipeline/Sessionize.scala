@@ -75,6 +75,60 @@ object Sessionize {
   }
 
   /**
+   * Exact-integer EWMA smoothing over per-key bucket series — the metric
+   * smoother beside [[rollingAnomalies]]'s flags: each bucket's smoothed
+   * value is the decay-weighted mean of its trailing `window` buckets,
+   * with weights w_k = round(decay^k · 1e6) computed ONCE driver-side
+   * (both engines consume the same integer table, so there is no float
+   * recurrence to diverge — the usual EWMA formulation is a running
+   * float state that no replay can pin). Missing lags (series head,
+   * gaps under ROWS semantics — the rollingAnomalies convention) drop
+   * from numerator AND denominator, so early buckets are true partial
+   * means, not zero-diluted.
+   *
+   * Scale shape: one per-key window with `window` lag() reads — compact
+   * bucket rows, never raw events; quantized micro values keep every
+   * product inside int64 (x_micro · 1e6 · window ≪ 2^63).
+   */
+  def ewmaSmooth(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      valueCol: String,
+      decayPermille: Int,
+      window: Int): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(decayPermille >= 1 && decayPermille <= 999,
+      s"decayPermille must be in [1, 999], got $decayPermille")
+    require(window >= 1 && window <= 64,
+      s"window must be in [1, 64], got $window")
+    import org.apache.spark.sql.expressions.Window
+    val weights = ewmaWeights(decayPermille, window)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__t"))
+    val base = df.select(keyCols.map(col) :+ col(tCol).as("__t") :+
+        round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val lags = weights.zipWithIndex.map { case (wk, k) =>
+      (lag(col("__v"), k).over(w), lit(wk))
+    }
+    val num = lags.map { case (x, wk) =>
+      when(x.isNotNull, x * wk).otherwise(lit(0L)) }.reduce(_ + _)
+    val den = lags.map { case (x, wk) =>
+      when(x.isNotNull, wk).otherwise(lit(0L)) }.reduce(_ + _)
+    base.withColumn("__num", num).withColumn("__den", den)
+      .select(keyCols.map(col) :+ col("__t").as(tCol) :+
+        col("__v").as("value_micro") :+
+        expr("__num div __den").as("ewma_micro"): _*)
+  }
+
+  /** The shared integer weight table: w_k = round(decay^k · 1e6),
+    * computed once so Spark and any oracle consume identical numbers. */
+  def ewmaWeights(decayPermille: Int, window: Int): Seq[Long] =
+    (0 until window).map(k =>
+      math.round(math.pow(decayPermille / 1000.0, k) * 1e6))
+
+  /**
    * Peak concurrency per key: the maximum number of simultaneously open
    * [start, end) intervals, and when it is first reached — max concurrent
    * sessions/streams/leases, the capacity-planning number beside

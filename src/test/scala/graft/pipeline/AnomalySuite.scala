@@ -69,6 +69,24 @@ class AnomalySuite extends AnyFunSuite {
     assert(got(("g", 600L)) === ((6L, false, 0)))
   }
 
+  test("ewmaSmooth: partial head means, weight table exact, keys independent") {
+    val ws = Sessionize.ewmaWeights(500, 3) // 1e6, 5e5, 25e4
+    assert(ws === Seq(1000000L, 500000L, 250000L))
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 4.0),
+      ("b", 0L, 10.0)).toDF("k", "t", "v")
+    val got = Sessionize.ewmaSmooth(df, Seq("k"), "t", "v",
+        decayPermille = 500, window = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // t=0: only itself -> 1e6 exactly (partial mean, not zero-diluted)
+    assert(got(("a", 0L)) === 1000000L)
+    // t=1: (2e6*1e6 + 1e6*5e5) div 1.5e6 = 2.5e12 div 1.5e6
+    assert(got(("a", 1L)) === 2500000000000L / 1500000L)
+    // t=2: (4e6*1e6 + 2e6*5e5 + 1e6*25e4) div 1.75e6
+    assert(got(("a", 2L)) === 5250000000000L / 1750000L)
+    assert(got(("b", 0L)) === 10000000L)
+  }
+
   test("keys are independent windows") {
     val two = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 1L, 999L))
     val got = run(two, minHistory = 2)
