@@ -1917,6 +1917,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q231_char_entropy" -> ((s, d) => {
+      // The binary/garbage screen: per-doc CHARACTER entropy in exact
+      // micro-nats, with hex blobs planted on every 17th doc (their
+      // alphabet collapses to <= 16 symbols, no spaces — the signature a
+      // char-distribution screen catches before tokenization means
+      // anything).
+      val docs = t(s, d, "documents").select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 17 = 0
+          |  THEN md5(CAST(doc_id AS STRING) || 'g0') ||
+          |       md5(CAST(doc_id AS STRING) || 'g1') ||
+          |       md5(CAST(doc_id AS STRING) || 'g2')
+          |  ELSE text END""".stripMargin).as("text"))
+      TextAnalysis.charEntropyReport(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q230_ewma_smooth" -> ((s, d) => {
       // Exact-integer EWMA over the hourly value series per event type:
       // decay weights are ONE driver-computed integer table both engines
@@ -6882,6 +6899,35 @@ object SparkEntry {
     // q228: the stored-model serve path must equal the q204 recompute
     // exactly — deterministic integers make the model storable at all.
     "q228_kmeans_serve" -> lloydAssignOracleSql,
+
+    // q231: the same plants, positional chars, micro-nat terms, DECIMAL
+    // sum, truncating division.
+    "q231_char_entropy" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN md5(CAST(doc_id AS VARCHAR) || 'g0') ||
+        |           md5(CAST(doc_id AS VARCHAR) || 'g1') ||
+        |           md5(CAST(doc_id AS VARCHAR) || 'g2')
+        |      ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM p, unnest(range(1, len(text) + 1)) AS t(i)
+        |  WHERE len(text) > 0),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |    CAST(count(*) AS BIGINT) AS distinct_chars
+        |  FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, max(tot.n_chars) AS n_chars,
+        |  max(tot.distinct_chars) AS distinct_chars,
+        |  CAST(sum(CAST(c.c AS HUGEINT) *
+        |      CAST(round(ln(CAST(tot.n_chars AS DOUBLE) / c.c) * 1e6, 0)
+        |        AS BIGINT))
+        |    // max(tot.n_chars) AS BIGINT) AS entropy_micro_nats
+        |FROM c JOIN tot USING (doc_id)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // q230: the SAME driver-computed weight table interpolated into both
     // engines' lag chains; the hourly mean replays the identical

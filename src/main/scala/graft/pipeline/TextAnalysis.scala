@@ -920,6 +920,48 @@ object TextAnalysis {
   }
 
   /**
+   * Per-DOCUMENT character-entropy screen — the binary/garbage detector
+   * ([[tokenEntropyByGroup]]'s seam at document granularity, over
+   * CHARACTERS): base64 blobs, hex dumps, and minified payloads betray
+   * themselves by their character distribution long before tokenization
+   * means anything. Same integer discipline: one micro-nat ln per
+   * distinct (doc, char), DECIMAL weighted sum, one truncating division
+   * by length — replays bit-for-bit. Characters come from positional
+   * substr (both engines agree on 1-based char semantics); empty/null
+   * docs carry no characters and are omitted.
+   *
+   * Scale shape: the char explode is linear in corpus BYTES (like every
+   * gram operator here); the aggregate collapses map-side to one row per
+   * distinct (doc, char) — at most |alphabet| rows per doc.
+   */
+  def charEntropyReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val chars = df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")))).as("i"))
+      .select(col("id"), expr("substring(__t, i, 1)").as("ch"))
+    val counts = chars.groupBy(col("id"), col("ch"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"))
+    counts.join(totals, "id")
+      .withColumn("__term",
+        expr("CAST(round(ln(CAST(n_chars AS DOUBLE) / __c) * 1e6, 0) AS BIGINT)"))
+      .groupBy(col("id"))
+      .agg(max(col("n_chars")).as("n_chars"),
+        max(col("distinct_chars")).as("distinct_chars"),
+        sum(col("__c").cast("decimal(38,0)") * col("__term")).as("__wsum"))
+      .withColumn("entropy_micro_nats", expr("__wsum div n_chars"))
+      .select(col("id"), col("n_chars"), col("distinct_chars"),
+        col("entropy_micro_nats"))
+  }
+
+  /**
    * Per-group Jensen–Shannon divergence between two corpus slices' token
    * distributions — the text-side complement of the embedding centroid
    * drift monitor ("did source X's language shift between snapshots?").

@@ -46,6 +46,20 @@ class TextOpsSuite extends AnyFunSuite {
     assert(m(3L) === "")
   }
 
+  test("charEntropyReport: uniform alphabet hits ln(k), repeats score 0, empty omitted") {
+    val docs = Seq(
+      (0L, "abcd"),   // uniform over 4 chars -> ln 4 micro-nats
+      (1L, "aaaa"),   // one symbol -> entropy 0
+      (2L, "")        // omitted
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropyReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === ((4L, 4L, 1386294L))) // round(ln 4 * 1e6)
+    assert(got(1L) === ((4L, 1L, 0L)))
+    assert(!got.contains(2L))
+  }
+
   test("vocabCoverage: cumulative occurrence share at each size, ties by token") {
     val docs = Seq((0L, "a a a b b c"), (1L, "a a b")).toDF("id", "text")
     // counts: a=5, b=3, c=1; total 9
