@@ -110,13 +110,40 @@ object SparkEntry {
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
   }
 
+  /** Build-once artifact root for dataset dir `d`, keyed by a FINGERPRINT
+    * of the dataset's files (relative path, byte size, mtime — hashed):
+    * a dataset regenerated in place gets a fresh cache directory instead
+    * of silently serving a stale stored model (`_SUCCESS` alone cannot
+    * tell — the q228 staleness finding). Driver-side metadata walk only,
+    * no data read; still under /tmp/graft_kmv so the blow-away-the-cache
+    * convention (`rm -rf /tmp/graft_kmv`) keeps working. Cross-process
+    * bench runs against the SAME dataset still race on the build (the
+    * in-process lock can't reach them) — run benches exclusively. */
+  private def artifactRoot(d: String): String = {
+    val base = new java.io.File(d)
+    val buf = new StringBuilder
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .foreach(walk)
+      } else if (!f.getName.startsWith(".") && f.getName != "_SUCCESS") {
+        buf.append(base.toPath.relativize(f.toPath)).append('|')
+          .append(f.length).append('|').append(f.lastModified).append('\n')
+      }
+    walk(base)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(buf.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"/tmp/graft_kmv/${base.getName}_$fp"
+  }
+
   /** Builds + persists the winnowed fingerprint table once per sf dir —
     * MOSS-style pipelines store each document's selected (pos, fp) set
     * and run every overlap/clone report against the stored table; only
     * the q176 gate itself times the selection pass. */
   private def winnowFpsOnce(s: SparkSession, d: String): DataFrame = {
     val sfName = new java.io.File(d).getName
-    val path = s"/tmp/graft_kmv/$sfName/winnow_fps_k3w4"
+    val path = s"${artifactRoot(d)}/winnow_fps_k3w4"
     SparkEntry.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         TextAnalysis.winnowingFingerprints(t(s, d, "documents"),
@@ -135,7 +162,7 @@ object SparkEntry {
     * stored table instead of re-mining the pair graph per report. */
   private def dupComponentsOnce(s: SparkSession, d: String): DataFrame = {
     val sfName = new java.io.File(d).getName
-    val path = s"/tmp/graft_kmv/$sfName/dup_components_t90"
+    val path = s"${artifactRoot(d)}/dup_components_t90"
     SparkEntry.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         val pairs = Dedup.minHashDedupPairs(
@@ -169,7 +196,7 @@ object SparkEntry {
     * (the stored-model convention): q157/q158 APPLY the stored table
     * instead of retraining per query. Returns the parquet path. */
   private def bpeMergesOnce(s: SparkSession, docs: DataFrame, d: String): String = {
-    val mpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/bpe_merges"
+    val mpath = s"${artifactRoot(d)}/bpe_merges"
     SparkEntry.synchronized {
       if (!new java.io.File(s"$mpath/_SUCCESS").exists()) {
         TextAnalysis.bpeMerges(docs, "text", k = 8)
@@ -897,7 +924,7 @@ object SparkEntry {
       // to the one-shot path by construction (deterministic fit).
       val emb = t(s, d, "embeddings")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/ivf_index"
+      val path = s"${artifactRoot(d)}/ivf_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/cells/_SUCCESS").exists()) {
           Similarity.buildIvfIndex(emb, "vec_id", "embedding", path,
@@ -1295,7 +1322,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       def h = KmvFunctions.md5Hash60(col("text"))
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/ledger"
+      val path = s"${artifactRoot(d)}/ledger"
       docs.groupBy("lang", "source")
         .agg(KmvFunctions.kmv_sketch(h, 64).as("sk"))
         .write.mode("overwrite").parquet(path)
@@ -1316,7 +1343,7 @@ object SparkEntry {
       // the banding must lose nothing.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/minhash_index"
+      val path = s"${artifactRoot(d)}/minhash_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
@@ -1341,7 +1368,7 @@ object SparkEntry {
       // cross-parity oracle.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val ipath = s"/tmp/graft_kmv/$sfName/minhash_index"
+      val ipath = s"${artifactRoot(d)}/minhash_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
           Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
@@ -1473,7 +1500,7 @@ object SparkEntry {
         .collect().map(_.getString(0)).filter(_.length >= 2)
       val qa = top.last.drop(1)
       val qb = top.head.dropRight(1)
-      val dpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/deletion_index"
+      val dpath = s"${artifactRoot(d)}/deletion_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$dpath/_SUCCESS").exists()) {
           Search.buildDeletionIndex(Search.documentFrequencies(
@@ -1537,7 +1564,7 @@ object SparkEntry {
       // counts (weak-AND ranks on them). Posting-filter cost only.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val ipath = s"/tmp/graft_kmv/$sfName/inverted_index"
+      val ipath = s"${artifactRoot(d)}/inverted_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
           Search.buildInvertedIndex(docs, "doc_id", "text")
@@ -1556,7 +1583,7 @@ object SparkEntry {
       // doc — an id equi-join of two posting lists from the stored
       // positional index, |Δpos| as a residual bound.
       val docs = t(s, d, "documents")
-      val ppath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/positional_index"
+      val ppath = s"${artifactRoot(d)}/positional_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
           Search.buildPositionalIndex(docs, "doc_id", "text")
@@ -1703,7 +1730,7 @@ object SparkEntry {
       // not by special case.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/bigram_lm"
+      val path = s"${artifactRoot(d)}/bigram_lm"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           TextAnalysis.bigramLmModel(docs.where(col("doc_id") % 2 === 0), "text")
@@ -1874,7 +1901,7 @@ object SparkEntry {
       // verbatim.
       val emb = t(s, d, "embeddings")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/int8_codes"
+      val path = s"${artifactRoot(d)}/int8_codes"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           emb.select(col("vec_id").as("neighbor_id"),
@@ -1970,7 +1997,7 @@ object SparkEntry {
       // == retrained, so the oracle is q204's, verbatim.
       val emb = t(s, d, "embeddings")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/lloyd_centroids_k8"
+      val path = s"${artifactRoot(d)}/lloyd_centroids_k8"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           val cents = Similarity.kmeansLloydCentroids(emb,
@@ -2099,8 +2126,11 @@ object SparkEntry {
     "q221_snapshot_diff" -> ((s, d) => {
       // Keyed snapshot diff with planted edits: every 11th doc removed,
       // every 7th text edited, every 13th lang swapped, ids < 20 re-added
-      // under +10000 — added/removed/changed rows with the changed
-      // column names; unchanged rows (the table, at scale) are omitted.
+      // under the RESERVED negative range (-id-1 — real doc_ids are
+      // non-negative, so the plant can never collide with a corpus id
+      // and violate snapshotDiff's unique-key precondition at any sf) —
+      // added/removed/changed rows with the changed column names;
+      // unchanged rows (the table, at scale) are omitted.
       val a = t(s, d, "documents")
       val b = a.where(col("doc_id") % 11 =!= 0)
         .select(col("doc_id"),
@@ -2110,7 +2140,7 @@ object SparkEntry {
             .as("lang"),
           col("source"), col("n_chars"))
         .unionByName(a.where(col("doc_id") < 20)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"),
             col("lang"), col("source"), col("n_chars")))
       Profile.snapshotDiff(a, b, "doc_id",
           Seq("text", "lang", "source", "n_chars"))
@@ -2510,7 +2540,7 @@ object SparkEntry {
       def toks(df: DataFrame) = df.select(col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/hll_regs_even"
+      val path = s"${artifactRoot(d)}/hll_regs_even"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           HeavyHitters.hllRegisters(toks(docs.where(col("doc_id") % 2 === 0)),
@@ -2659,14 +2689,14 @@ object SparkEntry {
       // restricted to exactly those docs.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val ipath = s"/tmp/graft_kmv/$sfName/minhash_index"
+      val ipath = s"${artifactRoot(d)}/minhash_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
           Dedup.minHashIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
             .write.mode("overwrite").parquet(ipath)
         }
       }
-      val cpath = s"/tmp/graft_kmv/$sfName/components_even"
+      val cpath = s"${artifactRoot(d)}/components_even"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$cpath/_SUCCESS").exists()) {
           Dedup.connectedComponents(
@@ -2820,7 +2850,7 @@ object SparkEntry {
       // key — no corpus-wide text scan). The stored positional index
       // (q132's) serves the positions.
       val docs = t(s, d, "documents")
-      val ppath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/positional_index"
+      val ppath = s"${artifactRoot(d)}/positional_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
           Search.buildPositionalIndex(docs, "doc_id", "text")
@@ -2865,7 +2895,7 @@ object SparkEntry {
       // only the query terms' posting rows move. The lexical sibling of
       // the embedding ANN gates (q27/q33).
       val docs = t(s, d, "documents")
-      val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
+      val wpath = s"${artifactRoot(d)}/weighted_index"
       weightedIndexOnce(s, docs, wpath)
       Search.moreLikeThis(s.read.parquet(wpath),
           s.read.parquet(s"$wpath.stats"),
@@ -2881,7 +2911,7 @@ object SparkEntry {
       // compacted generations must equal a from-scratch index of exactly
       // the surviving docs (id % 4 != 0) — which is what the oracle runs.
       val docs = t(s, d, "documents")
-      val bpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/inverted_index_even"
+      val bpath = s"${artifactRoot(d)}/inverted_index_even"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$bpath/_SUCCESS").exists()) {
           Search.buildInvertedIndex(docs.where(col("doc_id") % 2 === 0),
@@ -2970,7 +3000,7 @@ object SparkEntry {
       // the oracle runs (Search.bm25ContributionSql), rounded once to
       // micro-units. Query = vocabulary ranks 18-21, k1=1.2, b=0.75.
       val docs = t(s, d, "documents")
-      val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
+      val wpath = s"${artifactRoot(d)}/weighted_index"
       weightedIndexOnce(s, docs, wpath)
       val terms = TextAnalysis.topTokens(docs, "text", 21)
         .orderBy(desc("freq"), asc("token"))
@@ -2993,7 +3023,7 @@ object SparkEntry {
       // count, the nonlinear divergence runs once on the summed counts.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val rpath = s"/tmp/graft_kmv/$sfName/drift_reference"
+      val rpath = s"${artifactRoot(d)}/drift_reference"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$rpath/_SUCCESS").exists()) {
           TextAnalysis.tokenCountsByGroup(
@@ -3066,7 +3096,7 @@ object SparkEntry {
       // exactly what the oracle computes. Terms: vocabulary ranks 20-21
       // of the FULL corpus (the q130 pick).
       val docs = t(s, d, "documents")
-      val bpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/inverted_index_even"
+      val bpath = s"${artifactRoot(d)}/inverted_index_even"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$bpath/_SUCCESS").exists()) {
           Search.buildInvertedIndex(docs.where(col("doc_id") % 2 === 0),
@@ -3170,7 +3200,7 @@ object SparkEntry {
       val needle = docs.filter(length(col("text")) >= 8)
         .orderBy("doc_id").select(substring(col("text"), 1, 8))
         .head().getString(0)
-      val ipath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/trigram_index"
+      val ipath = s"${artifactRoot(d)}/trigram_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
           Search.buildTrigramIndex(docs, "doc_id", "text")
@@ -3245,7 +3275,7 @@ object SparkEntry {
       // at query time; the positional index persists once (the q130
       // convention) and the query reads the stored posting rows.
       val docs = t(s, d, "documents")
-      val ppath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/positional_index"
+      val ppath = s"${artifactRoot(d)}/positional_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
           Search.buildPositionalIndex(docs, "doc_id", "text")
@@ -3275,7 +3305,7 @@ object SparkEntry {
       // The weighted index persists once (the q130 convention); the
       // query serves from the stored (token, id, tf) rows.
       val docs = t(s, d, "documents")
-      val wpath = s"/tmp/graft_kmv/${new java.io.File(d).getName}/weighted_index"
+      val wpath = s"${artifactRoot(d)}/weighted_index"
       weightedIndexOnce(s, docs, wpath)
       val terms = TextAnalysis.topTokens(docs, "text", 21)
         .orderBy(desc("freq"), asc("token"))
@@ -3294,7 +3324,7 @@ object SparkEntry {
       // vocabulary, so the AND is selective.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val ipath = s"/tmp/graft_kmv/$sfName/inverted_index"
+      val ipath = s"${artifactRoot(d)}/inverted_index"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$ipath/_SUCCESS").exists()) {
           Search.buildInvertedIndex(docs, "doc_id", "text")
@@ -3370,7 +3400,7 @@ object SparkEntry {
       // per-doc independent, so the drained union equals the batch run.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val lpath = s"/tmp/graft_kmv/$sfName/cdc_ledger"
+      val lpath = s"${artifactRoot(d)}/cdc_ledger"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$lpath/_SUCCESS").exists()) {
           TextAnalysis.cdcChunkLedger(docs.where(col("doc_id") % 2 === 0), "text")
@@ -3556,7 +3586,7 @@ object SparkEntry {
       // can never drift from a recomputed one.
       val docs = t(s, d, "documents")
       val sfName = new java.io.File(d).getName
-      val path = s"/tmp/graft_kmv/$sfName/bigram_lm"
+      val path = s"${artifactRoot(d)}/bigram_lm"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           TextAnalysis.bigramLmModel(docs.where(col("doc_id") % 2 === 0), "text")
@@ -7142,7 +7172,7 @@ object SparkEntry {
         |    source, n_chars
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000, text, lang, source, n_chars
+        |  SELECT -doc_id - 1, text, lang, source, n_chars
         |  FROM documents WHERE doc_id < 20),
         |j AS (
         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,

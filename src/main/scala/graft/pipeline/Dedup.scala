@@ -713,6 +713,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
+  /**
+   * Hybrid corpus count for [[minHashParams]] auto-sizing: the banding
+   * curve is FLAT below the 2²⁰-doc cutover (every n there solves to the
+   * same (128, 32)), so a plan-stats estimate landing comfortably below
+   * it — under 2¹⁹, a 2× guard band — picks the exact-count banding for
+   * free, zero extra jobs. Only near/above the boundary, or when stats
+   * are unknown, does the exact count run: that is exactly where a
+   * layout-sensitive estimate could bend the candidate curve, and
+   * exactly where determinism must come from the data. On parquet the
+   * count job is metadata-cheap, but on an XML-backed or derived frame
+   * it is a full scan+parse — a real pass at 100 TB that the common
+   * small-corpus call should not pay (the round-13 q24 finding). The
+   * bytes-derived estimate errs toward OVERCOUNTING rows (conservative
+   * ~512 B/doc divisor), so "estimate below the guard band" implies the
+   * true count is below the cutover for any corpus of ≥ 256 B docs;
+   * pathological tiny-doc corpora cross into the count-job path via the
+   * guard band's 2× margin. Pass `nHint` to skip everything.
+   */
+  private[pipeline] def resolveBandingCount(df: DataFrame, nHint: Long): Long =
+    if (nHint > 0) nHint
+    else {
+      val est = estimateRowsByStats(df)
+      if (est > 0 && est < (1L << 19)) est else df.count()
+    }
+
   def minHashDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -732,17 +757,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     // Banding derives from the corpus count unless the caller pins it
     // (both or neither — a lone override would silently change the curve).
-    // Auto-sizing counts EXACTLY (one metadata-cheap count job, trivial
-    // next to the tokenize+hash pipeline): a file-layout/stats-freshness
-    // estimate near the 2²⁰ boundary would make the banding — and with it
-    // the LSH candidate curve — layout-sensitive rather than purely
-    // data-determined. Pass nHint to skip the count.
     val (autoHashes, autoBands) =
       if (numHashes > 0 || bands > 0) {
         require(numHashes > 0 && bands > 0,
           "pass BOTH numHashes and bands, or neither (auto-sizing)")
         (numHashes, bands)
-      } else minHashParams(if (nHint > 0) nHint else df.count(), threshold)
+      } else minHashParams(resolveBandingCount(df, nHint), threshold)
     // Parallelism sizing, by contrast, is a perf knob — the stats estimate
     // is fine there (partitioning never changes the pair SET).
     val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)

@@ -562,6 +562,19 @@ object Joins {
    * backfill must rebuild from the full feed, silently merging it would
    * corrupt validity silently.
    *
+   * The built-in probe's watermark is the stored table's SURVIVING rows
+   * (max `valid_from` per key) — it cannot see feed rows that
+   * [[scd2Intervals]] collapsed as no-ops. A batch change timestamped
+   * after the last surviving `valid_from` but before a collapsed
+   * trailing no-op passes the probe yet diverges from a full-feed
+   * rebuild (the no-op would no longer be a no-op once the batch row
+   * sorts before it). Callers whose feed can contain trailing no-ops
+   * must persist the feed's true max ts per key and pass it as
+   * `feedWatermark` (any frame with `keyCol` and `tsCol` columns, e.g.
+   * the feed itself or a stored (key, max ts) sidecar) — the probe then
+   * checks the batch against the FEED's history, closing the gap
+   * exactly.
+   *
    * Scale shape: batch-sized windows, one key-join of the batch against
    * the |keys|-row current slice, one key-join to close currents;
    * stored HISTORY rows stream through a union untouched — the whole
@@ -573,9 +586,16 @@ object Joins {
       keyCol: String,
       tsCol: String,
       tieCol: String,
-      valueCol: String): DataFrame = {
-    val violations = stored
-      .groupBy(col(keyCol)).agg(max(col("valid_from")).as("__smax"))
+      valueCol: String,
+      feedWatermark: Option[DataFrame] = None): DataFrame = {
+    // Probe against the feed's true per-key max ts when the caller kept
+    // one (exact — sees collapsed no-ops), else against the stored
+    // table's surviving valid_from (the scaladoc caveat).
+    val watermark = feedWatermark
+      .map(_.groupBy(col(keyCol)).agg(max(col(tsCol)).as("__smax")))
+      .getOrElse(stored
+        .groupBy(col(keyCol)).agg(max(col("valid_from")).as("__smax")))
+    val violations = watermark
       .join(batch.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__bmin")),
         keyCol)
       .where(col("__bmin") <= col("__smax"))

@@ -323,11 +323,12 @@ object Sampling {
       k: Int,
       salt: String = "ws"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    Dedup.requireIntegralId(df, idCol, "weightedSampleNoReplacement")
     val h = conv(substring(md5(concat(lit(salt), lit("|"),
       col("id").cast("string"))), 1, 13), 16, 10).cast("long")
     df.select(col(idCol).cast("long").as("id"),
         col(weightCol).cast("double").as("__w"))
-      .where(col("__w") > 0.0)
+      .where(col("id").isNotNull && col("__w") > 0.0)
       .withColumn("key_micro",
         round(log((h + lit(1L)).cast("double") / lit(4503599627370496.0))
           / col("__w") * lit(1000000.0)).cast("long"))

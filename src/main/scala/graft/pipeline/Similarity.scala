@@ -393,6 +393,72 @@ object Similarity {
         col("__best.d2").as("d2"))
   }
 
+  /** Inline-expression k-tier boundary for [[bestAssign]]: past ~16
+    * centroids the k·dim candidate expression tree outgrows whole-stage
+    * codegen and the broadcast-table plan wins. */
+  private val MaxInlineCentroids = 16
+
+  /**
+   * Exact-integer nearest-centroid tag shared by every Lloyd-family
+   * argmin: appends `__best` = struct(d2 micro², cluster) to a frame of
+   * (id, qv) rows. Two plans, ONE semantics (exact integer squared-L2,
+   * ties to the lower cluster id):
+   *
+   *  - k ≤ [[MaxInlineCentroids]]: the k candidate structs inline into a
+   *    single codegen'd `least` — zero shuffle, zero extra rows (the
+   *    q204 plan, unchanged).
+   *  - larger k (auto-k SemDeDup derives k ∝ n, so this tier is the
+   *    100×-corpus path): the centroid matrix becomes a BROADCAST k-row
+   *    table cross-joined into the scan, and the argmin an exact
+   *    `min(struct(d2, cluster, qv))` aggregate. Partial aggregation
+   *    collapses the k candidates per row inside the generating task, so
+   *    the exchange still carries one row per input row — n·k rows exist
+   *    only transiently map-side. (d2, cluster) is unique within a row's
+   *    candidate set, so the qv tail (carried to keep the row's vector
+   *    without a rejoin) never decides a comparison.
+   */
+  private def bestAssign(
+      base: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    if (cents.length <= MaxInlineCentroids) bestAssignInline(base, cents)
+    else bestAssignBroadcast(base, cents)
+
+  private[pipeline] def bestAssignInline(
+      base: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(i).as("cluster"))
+    }
+    base.withColumn("__best",
+      if (scored.length == 1) scored.head else least(scored: _*))
+  }
+
+  private[pipeline] def bestAssignBroadcast(
+      base: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val sp = base.sparkSession
+    import sp.implicits._
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("__cl", "__cv")
+    base.crossJoin(broadcast(centDf))
+      .select(col("id"),
+        struct(
+          aggregate(zip_with(col("qv"), col("__cv"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d2"),
+          col("__cl").as("cluster"),
+          col("qv").as("qv")).as("__cand"))
+      .groupBy(col("id"))
+      .agg(min(col("__cand")).as("__m"))
+      .select(col("id"), col("__m.qv").as("qv"),
+        struct(col("__m.d2").as("d2"), col("__m.cluster").as("cluster"))
+          .as("__best"))
+  }
+
   private def lloydState(
       df: DataFrame,
       idCol: String,
@@ -408,17 +474,7 @@ object Similarity {
       transform(col(vecCol).cast("array<double>"),
         x => round(x * lit(1000000.0)).cast("long")).as("qv"))
 
-    def withBest(cents: Array[Array[Long]]): DataFrame = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(col("qv"), typedlit(c.toSeq),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, v) => acc + v).as("d2"),
-          lit(i).as("cluster"))
-      }
-      base.withColumn("__best",
-        if (scored.length == 1) scored.head else least(scored: _*))
-    }
+    def withBest(cents: Array[Array[Long]]): DataFrame = bestAssign(base, cents)
 
     val seedRows = base
       .orderBy(md5(concat(lit(seed), lit("|"), col("id").cast("string"))),
@@ -469,18 +525,9 @@ object Similarity {
       vecCol: String,
       cents: Array[Array[Long]]): DataFrame = {
     require(cents.nonEmpty, "need at least one centroid")
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(col("qv"), typedlit(c.toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d2"),
-        lit(i).as("cluster"))
-    }
-    df.select(col(idCol).cast("long").as("id"),
+    bestAssign(df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol).cast("array<double>"),
-          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
-      .withColumn("__best",
-        if (scored.length == 1) scored.head else least(scored: _*))
+          x => round(x * lit(1000000.0)).cast("long")).as("qv")), cents)
       .select(col("id"), col("__best.cluster").as("cluster"),
         col("__best.d2").as("d2"))
   }
@@ -501,20 +548,11 @@ object Similarity {
       vecCol: String,
       cents: Array[Array[Long]]): DataFrame = {
     require(cents.nonEmpty, "need at least one centroid")
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(col("qv"), typedlit(c.toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d2"),
-        lit(i).as("cluster"))
-    }
-    df.select(col(idCol).cast("long").as("id"),
+    bestAssign(df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol).cast("array<double>"),
-          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
-      .withColumn("cluster",
-        (if (scored.length == 1) scored.head else least(scored: _*))
-          .getField("cluster"))
-      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "q")))
+          x => round(x * lit(1000000.0)).cast("long")).as("qv")), cents)
+      .select(col("__best.cluster").as("cluster"),
+        posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy(col("cluster"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
   }

@@ -462,6 +462,32 @@ class JoinsSuite extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild from the full feed"))
   }
 
+  test("scd2Merge feedWatermark catches a batch behind a collapsed no-op") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(m)
+    // Key 1's feed ends with a TRAILING NO-OP (A at t=4000) that
+    // scd2Intervals collapses — the stored table's surviving watermark
+    // is t=1000, so a batch change at t=2000 passes the default probe
+    // even though a full-feed rebuild would order it BEFORE the no-op
+    // (making the no-op a real change). The feed watermark sees t=4000
+    // and refuses.
+    val feed = Seq((1L, ts(1000L), 10L, "A"), (1L, ts(4000L), 11L, "A"))
+      .toDF("k", "ts", "tie", "v")
+    val stored = Joins.scd2Intervals(feed, "k", "ts", "tie", "v")
+    val batch = Seq((1L, ts(2000L), 12L, "B")).toDF("k", "ts", "tie", "v")
+    // Surviving-rows probe: passes, merged diverges from the rebuild
+    // (2 rows vs 3) — the documented caveat, pinned here.
+    assert(Joins.scd2Merge(stored, batch, "k", "ts", "tie", "v")
+      .count() === 2L)
+    assert(Joins.scd2Intervals(feed.unionByName(batch), "k", "ts", "tie", "v")
+      .count() === 3L)
+    val e = intercept[IllegalArgumentException] {
+      Joins.scd2Merge(stored, batch, "k", "ts", "tie", "v",
+        feedWatermark = Some(feed))
+    }
+    assert(e.getMessage.contains("rebuild from the full feed"))
+  }
+
   test("bloomPrunedEquiJoin equals the plain join; nulls match nothing") {
     val large = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (7L, "x"), (9L, "y")

@@ -96,6 +96,17 @@ class PipelineSuite extends AnyFunSuite {
       .collect().toSeq
     assert(again === Sampling.weightedSampleNoReplacement(df, "id", "w", k = 10)
       .collect().toSeq)
+    // Non-integral id refuses loudly (a string id would null-cast and
+    // null-keyed rows could fill top-k slots silently); null ids drop.
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSampleNoReplacement(
+        Seq(("a", 1.0)).toDF("id", "w"), "id", "w", k = 1)
+    }
+    assert(e.getMessage.contains("weightedSampleNoReplacement"))
+    val withNull = Seq((Option.empty[Long], 9.0), (Some(7L), 1.0))
+      .toDF("id", "w")
+    assert(Sampling.weightedSampleNoReplacement(withNull, "id", "w", k = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
 
   test("repeatedPassageReport: cross-doc windows union; self-repeats don't count") {
