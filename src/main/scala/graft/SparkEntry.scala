@@ -2040,9 +2040,12 @@ object SparkEntry {
       // Common-neighbor link prediction over the planted community/hub
       // graph: top-20 NON-adjacent pairs by shared-neighbor count —
       // center-rooted wedge enumeration, one anti-join against the edge
-      // set, a bounded TakeOrdered.
+      // set, a bounded TakeOrdered. Hub centers truncate to their 32
+      // smallest neighbors (maxDegree — the in-code cap on Σ C(deg, 2)
+      // wedge volume; the oracle replays the same truncation), so the
+      // planted 100-degree hubs stop dominating the wedge count.
       Graph.commonNeighborScores(plantedTriangleEdges(s, d),
-          "src", "dst", k = 20)
+          "src", "dst", k = 20, maxDegree = 32)
         .orderBy(desc("common_neighbors"), asc("id_a"), asc("id_b"))
     }),
 
@@ -2306,12 +2309,16 @@ object SparkEntry {
 
     "q208_semdedup_clusters" -> ((s, d) => {
       // SemDeDup as the paper partitions it: near-dup pairs (cosine >=
-      // 0.42, the q28 seam) sought only WITHIN q204's Lloyd clusters,
-      // components collapse to their min id, survivors pass through —
-      // the cluster-bounded alternative to q59's sign-LSH, missing only
-      // boundary-straddling pairs (the paper's documented trade).
+      // 0.42, the q28 seam) sought only WITHIN Lloyd clusters, components
+      // collapse to their min id, survivors pass through — the cluster-
+      // bounded alternative to q59's sign-LSH, missing only boundary-
+      // straddling pairs (the paper's documented trade). k derives from
+      // the corpus (⌈n/64⌉ = 8 at the gate's 500 embeddings — the q204
+      // count, so the shared Lloyd oracle replays verbatim) and the
+      // realized pair volume is probed against the budget before the
+      // join — no fixed-k knob left undefined at 100×.
       Similarity.semDeDupWithinClusters(t(s, d, "embeddings"),
-          "vec_id", "embedding", k = 8, iters = 3, threshold = 0.42)
+          "vec_id", "embedding", iters = 3, threshold = 0.42)
         .select(col("vec_id"))
         .orderBy("vec_id")
     }),
@@ -6996,8 +7003,10 @@ object SparkEntry {
         |GROUP BY a.cluster, e.dim
         |ORDER BY a.cluster, e.dim""".stripMargin,
 
-    // q226: the q175 planted graph, center-rooted wedges, NOT EXISTS
-    // against the undirected edge set, (score DESC, pair) top-20.
+    // q226: the q175 planted graph, center-rooted wedges over the SAME
+    // maxDegree=32 truncated adjacency (each center's 32 smallest
+    // neighbors), NOT EXISTS against the FULL undirected edge set,
+    // (score DESC, pair) top-20.
     "q226_link_prediction" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents),
         |raw AS (
@@ -7009,7 +7018,9 @@ object SparkEntry {
         |e AS (SELECT DISTINCT r.src, r.dst FROM raw r JOIN ids i ON i.id = r.dst),
         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |        FROM e WHERE src <> dst),
-        |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |adj0 AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |adj AS (SELECT x, y FROM adj0
+        |        QUALIFY row_number() OVER (PARTITION BY x ORDER BY y) <= 32),
         |w AS (
         |  SELECT l.y AS a, r.y AS b, count(*) AS cn
         |  FROM adj l JOIN adj r ON l.x = r.x AND l.y < r.y

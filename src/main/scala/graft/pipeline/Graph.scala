@@ -182,23 +182,44 @@ object Graph {
    * related-page suggestion. Wedges enumerate at their CENTER (adjacency
    * self-join, endpoint order a < b dedups each wedge once), candidate
    * pairs anti-join the edge set, the top-k is a bounded TakeOrdered.
-   * Wedge volume is Σ C(deg, 2) — inherent to the definition; on
-   * hub-skewed graphs cap degrees upstream (the q175 discussion) before
-   * asking for all-pairs evidence through a hub.
+   * Wedge volume is Σ C(deg, 2) — inherent to the definition, and a
+   * single celebrity hub makes it quadratic. `maxDegree` is the in-code
+   * answer (a scaladoc note is not a control): each wedge-CENTER's
+   * adjacency truncates to its `maxDegree` smallest neighbor ids — a
+   * deterministic, engine-replayable rule — bounding per-node wedges at
+   * C(maxDegree, 2). The documented recall trade: pairs whose only
+   * shared neighbors are capped-away hub spokes lose that evidence
+   * (scores are computed on the truncated adjacency); the NON-adjacency
+   * test still runs against the FULL edge set, so no returned pair is
+   * ever a real edge. Truncation rides a bounded per-center heap
+   * (map-side combined, maxDegree entries per node across the exchange,
+   * no task sorts a hub-scale adjacency); node ids must stay within
+   * double's 2^53 exact-integer range for the heap's score seam — doc
+   * and entity ids do. maxDegree = 0 keeps the exact uncapped
+   * definition.
    */
   def commonNeighborScores(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxDegree: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDegree >= 0, s"maxDegree must be >= 0, got $maxDegree")
     val und = cleanEdges(edges, srcCol, dstCol)
       .where(col("__src") =!= col("__dst"))
       .select(least(col("__src"), col("__dst")).as("a"),
         greatest(col("__src"), col("__dst")).as("b"))
       .distinct()
-    val adj = und.select(col("a").as("x"), col("b").as("y"))
+    val adjAll = und.select(col("a").as("x"), col("b").as("y"))
       .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+    val adj =
+      if (maxDegree == 0) adjAll
+      else adjAll.groupBy(col("x"))
+        .agg(graft.functions.TopKFunctions.topk_by_score(
+          -col("y").cast("double"), col("y"), maxDegree).as("__top"))
+        .select(col("x"), explode(col("__top")).as("__nb"))
+        .select(col("x"), col("__nb.neighbor_id").as("y"))
     val wedges = adj.as("l")
       .join(adj.as("r"),
         col("l.x") === col("r.x") && col("l.y") < col("r.y"))

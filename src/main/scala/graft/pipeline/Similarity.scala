@@ -948,20 +948,83 @@ object Similarity {
    *
    * Scale shape: one cluster-keyed self-join (the quadratic bound), exact
    * cosine on the joined pair only, then the audited O(log n) component
-   * rounds and one anti-join. Skewed (oversized) clusters are the
-   * operator's failure mode — read the q204 assignment sizes first; the
-   * paper's answer is raising k.
+   * rounds and one anti-join. `k = 0` (the default) DERIVES the cluster
+   * count from the corpus via [[semDeDupParams]] — k = ⌈n/targetClusterSize⌉,
+   * the paper's own grow-k-with-n protocol — so the pair stage stays
+   * linear in n at a fixed target size; and whatever k is used, a
+   * bounded probe of the REALIZED cluster sizes refuses loudly before
+   * the join if skew pushes Σ nc(nc−1)/2 past `maxPairBudget`. Past
+   * ~16 derived clusters the argmin switches to the broadcast-matrix
+   * aggregate plan automatically (see `bestAssign`).
    */
+  /**
+   * Auto-k for [[semDeDupWithinClusters]] — the [[Dedup.minHashParams]]
+   * convention applied to the paper's own protocol (SemDeDup grows the
+   * cluster count with the corpus): k = ⌈n / targetClusterSize⌉, so the
+   * within-cluster pair stage stays Σ nc² ≈ n·targetClusterSize — LINEAR
+   * in n at fixed target size, never the quadratic a fixed k decays to.
+   * If even the balanced pair volume (n·targetClusterSize/2) would blow
+   * past `maxPairBudget`, this REFUSES loudly instead of silently
+   * burning a cluster on pair scoring — shrink targetClusterSize (finer
+   * clusters, paper-sanctioned) or consciously raise the budget.
+   */
+  def semDeDupParams(
+      n: Long,
+      targetClusterSize: Int = 64,
+      maxPairBudget: Long = 100000000000L): Int = {
+    require(n >= 1, s"corpus count must be >= 1, got $n")
+    require(targetClusterSize >= 2,
+      s"targetClusterSize must be >= 2, got $targetClusterSize")
+    require(maxPairBudget >= 1, s"maxPairBudget must be >= 1, got $maxPairBudget")
+    // BigInt: n·targetClusterSize can overflow long exactly where the
+    // refusal matters most.
+    val expectedPairs = BigInt(n) * (targetClusterSize.toLong / 2 max 1L)
+    require(expectedPairs <= BigInt(maxPairBudget),
+      s"auto-sized SemDeDup at targetClusterSize=$targetClusterSize over " +
+        s"~$n docs scores ~$expectedPairs within-cluster pairs — past " +
+        s"maxPairBudget=$maxPairBudget. Shrink targetClusterSize or raise " +
+        "the budget to accept the cost explicitly.")
+    val k = (n + targetClusterSize - 1) / targetClusterSize
+    require(k <= Int.MaxValue, s"derived k=$k overflows Int")
+    math.max(1L, k).toInt
+  }
+
   def semDeDupWithinClusters(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      iters: Int,
+      k: Int = 0,
+      iters: Int = 3,
       threshold: Double,
-      seed: String = "km"): DataFrame = {
-    val assign = kmeansLloydAssign(df, idCol, vecCol, k, iters, seed)
+      seed: String = "km",
+      targetClusterSize: Int = 64,
+      maxPairBudget: Long = 100000000000L,
+      nHint: Long = 0L): DataFrame = {
+    // k = 0 derives the cluster count from the corpus (the house rule:
+    // scale knobs come from the data, with a loud refusal past budget,
+    // never from a scaladoc note). The count is exact — the k curve has
+    // no flat region an estimate could ride (cf. resolveBandingCount);
+    // on parquet it is metadata-cheap, on derived frames pass nHint.
+    val kEff =
+      if (k > 0) k
+      else semDeDupParams(if (nHint > 0) nHint else df.count(),
+        targetClusterSize, maxPairBudget)
+    // Lazy localCheckpoint: the assignment feeds BOTH the realized
+    // pair-volume probe and the pair join — one argmin pass, not two.
+    val assign = kmeansLloydAssign(df, idCol, vecCol, kEff, iters, seed)
       .select(col("id"), col("cluster"))
+      .localCheckpoint(false)
+    // Realized-skew guard (bounded: ≤ k rows collected): derived k keeps
+    // the BALANCED volume linear, but Lloyd can still hand one cluster
+    // most of the corpus — refuse before the join materializes nc² rows.
+    val sizes = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).collect()
+    val pairVol = sizes.iterator
+      .map { r => val c = r.getLong(1); c * (c - 1) / 2 }.sum
+    require(pairVol <= maxPairBudget,
+      s"SemDeDup cluster assignment yields $pairVol within-cluster pairs " +
+        s"(skewed clusters) — past maxPairBudget=$maxPairBudget. Raise k / " +
+        "shrink targetClusterSize, or raise the budget explicitly.")
     val vecs = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .join(assign, "id")

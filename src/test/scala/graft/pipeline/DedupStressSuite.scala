@@ -93,6 +93,34 @@ class DedupStressSuite extends AnyFunSuite {
       Dedup.minHashDedupPairs(docs, "doc_id", "text", 0.9, numHashes = 128))
   }
 
+  test("resolveBandingCount: stats ride below the guard band, zero jobs") {
+    // Range carries an exact rowCount in plan stats — far below the 2^19
+    // guard band, the hybrid sizing must take it WITHOUT running a job
+    // (the count pass is what the round-13 q24 regression paid).
+    val df = spark.range(1000).toDF("id")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Dedup.resolveBandingCount(df, 0L)
+      // listener events are async — a launched job would surface within
+      // this window, and the assertion is on ZERO events anyway
+      Thread.sleep(500)
+      assert(n === 1000L)
+      assert(jobs === 0, "stats path must not launch a count job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // nHint wins outright; any count below the cutover lands on the same
+    // (128, 32) banding an exact count picks — the flat-curve guarantee
+    // the guard band rides on.
+    assert(Dedup.resolveBandingCount(df, 42L) === 42L)
+    assert(Dedup.minHashParams(1000L, 0.9) ===
+      Dedup.minHashParams((1L << 19) - 1, 0.9))
+  }
+
   test("ngram jaccard: 100k all-duplicate docs, exact pair count, bounded time", SlowTest) {
     val t0 = System.nanoTime()
     val cnt = Dedup.ngramJaccardPairs(grouped, "doc_id", "text", "source", 3, 0.3).count()

@@ -322,6 +322,25 @@ class GraphSuite extends AnyFunSuite {
     assert(!got2.contains((1L, 3L)))
   }
 
+  test("commonNeighborScores maxDegree: hub adjacency truncates to smallest ids") {
+    // Star: hub 0 — spokes 1..5. Uncapped: all C(5,2)=10 spoke pairs
+    // share the hub. maxDegree=3 keeps the hub's 3 SMALLEST neighbors
+    // {1,2,3}, so only their 3 pairs survive — the documented recall
+    // trade, deterministically.
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val full = Graph.commonNeighborScores(edges, "src", "dst", k = 100)
+    assert(full.count() === 10L)
+    val capped = Graph.commonNeighborScores(edges, "src", "dst",
+        k = 100, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // Spoke adjacencies (degree 1) are untouched by the cap; maxDegree
+    // large enough reproduces the exact answer.
+    val wide = Graph.commonNeighborScores(edges, "src", "dst",
+      k = 100, maxDegree = 5)
+    assert(wide.count() === 10L)
+  }
+
   test("pageRankWeighted: hand-replayed integer seams on a 3-node graph") {
     // A->B w1, A->C w3, B->A w1, C->A w1; N=3, r0 = Total div 3.
     val e = Seq(("A", "B", 1L), ("A", "C", 3L), ("B", "A", 1L), ("C", "A", 1L))

@@ -66,6 +66,82 @@ class KmeansSuite extends AnyFunSuite {
     assert(kept === Set(0L, 5L, 10L, 12L))
   }
 
+  test("semDeDupParams: k grows with n, pair volume linear, budget refusal") {
+    assert(Similarity.semDeDupParams(500) === 8) // the q208 gate's corpus
+    assert(Similarity.semDeDupParams(5000) === 79)
+    // 10x the corpus at fixed targetClusterSize: k grows 10x, so the
+    // balanced within-cluster pair volume n·cs/2 grows 10x — LINEAR,
+    // never the n² a fixed k decays to.
+    val k1 = Similarity.semDeDupParams(1L << 20)
+    val k10 = Similarity.semDeDupParams(10L << 20)
+    assert(k10 === 10 * k1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDeDupParams(1L << 40, targetClusterSize = 1024)
+    }
+    assert(e.getMessage.contains("maxPairBudget"))
+  }
+
+  test("semDeDup auto-k equals the derived explicit k; skew probe refuses") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (5L, Seq(0.9, 0.1)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.0, 1.0)),
+      (12L, Seq(0.1, 0.9))
+    ).toDF("id", "v")
+    // ceil(6/3) = 2 — the same k the explicit call pins.
+    val auto = Similarity.semDeDupWithinClusters(vecs, "id", "v",
+        iters = 2, threshold = 0.999, targetClusterSize = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val explicit = Similarity.semDeDupWithinClusters(vecs, "id", "v",
+        k = 2, iters = 2, threshold = 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(auto === explicit)
+    // Realized-skew guard: k=1 puts all 6 rows in one cluster — 15
+    // pairs, past a budget of 2 — refused BEFORE the pair join runs.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDeDupWithinClusters(vecs, "id", "v",
+        k = 1, iters = 1, threshold = 0.9, maxPairBudget = 2)
+    }
+    assert(e.getMessage.contains("within-cluster pairs"))
+  }
+
+  test("bestAssignBroadcast == bestAssignInline: exact d2, tie to lower cluster") {
+    val base = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(1000000L, 0L)), (2L, Seq(500000L, 0L))
+    ).toDF("id", "qv")
+    // id 2 is EQUIDISTANT from both centroids — the tie must go to
+    // cluster 0 on both plans.
+    val cents = Array(Array(0L, 0L), Array(1000000L, 0L))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("__best.d2"), col("__best.cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    val inline = canon(Similarity.bestAssignInline(base, cents))
+    val bc = canon(Similarity.bestAssignBroadcast(base, cents))
+    assert(inline === bc)
+    assert(inline(2) === ((2L, 500000L * 500000L, 0)))
+  }
+
+  test("Lloyd past the inline tier (k=17) stays exact and deterministic") {
+    val vecs = (0 until 20).map(i => (i.toLong, Seq(i / 10.0))).toDF("id", "v")
+    val cents = Similarity.kmeansLloydCentroids(vecs, "id", "v",
+      k = 17, iters = 2)
+    val out = Similarity.kmeansLloydAssign(vecs, "id", "v", k = 17, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // Replay the exact integer argmin driver-side against the trained
+    // matrix: same d2, same tie-to-lowest-cluster rule.
+    out.foreach { case (id, cluster, d2) =>
+      val q = id * 100000L // round((id/10.0)·1e6) exactly
+      val ds = cents.map(c => (q - c(0)) * (q - c(0)))
+      assert(d2 === ds.min, s"id=$id")
+      assert(cluster === ds.indexOf(ds.min), s"id=$id")
+    }
+    val again = Similarity.kmeansLloydAssign(vecs, "id", "v", k = 17, iters = 2)
+      .orderBy("id").collect().toSeq
+    assert(again === Similarity.kmeansLloydAssign(vecs, "id", "v",
+      k = 17, iters = 2).orderBy("id").collect().toSeq)
+  }
+
   test("hardNegatives: same-label and null-label rows never mined") {
     val emb = Seq(
       (0L, Seq(1.0, 0.0), Some(0)),
