@@ -1944,6 +1944,90 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q232_retrieval_lifecycle" -> ((s, d) => {
+      // The retrieval lifecycle COMPOSED as one audited chain (the r13
+      // verdict's missing gate): chunk (q53 machinery) → feature-hash
+      // embed (q97) → integer-Lloyd IVF index PERSISTED once (q104's
+      // build-once convention on the q204 arithmetic) → serve probes
+      // ONLY stored cells → per-row exact-hit flag against the
+      // brute-force truth (the q196 recall read). Composition is where
+      // lifecycle bugs hide (stale index generation, dim mismatch), so
+      // the oracle replays the ENTIRE chain from the shared SQL
+      // fragments. Integer end to end: hash-count vectors, micro
+      // quantization, squared-L2 distances, (d2, cid) ties.
+      import s.implicits._
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      val chunks = TextAnalysis.chunkByTokens(
+          t(s, d, "documents"), "doc_id", "text", 32, 8)
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("cid"),
+          col("doc_id"), col("chunk_idx"),
+          Similarity.hashEmbed(col("chunk_text"), 16).as("e"))
+      val path = s"${artifactRoot(d)}/retrieval_index"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/cells/_SUCCESS").exists()) {
+          val cents = Similarity.kmeansLloydCentroids(chunks,
+            "cid", "e", k = 8, iters = 2, seed = "rl")
+          cents.zipWithIndex.flatMap { case (c, i) =>
+            c.zipWithIndex.map { case (v, dim) => (i, dim, v) } }.toSeq
+            .toDF("cluster", "dim", "c")
+            .repartition(1).write.mode("overwrite")
+            .parquet(s"$path/centroids")
+          Similarity.kmeansAssign(chunks, "cid", "e", cents)
+            .select(col("id").as("cid"), col("cluster"))
+            .join(chunks.select(col("cid"), col("e")), "cid")
+            .write.mode("overwrite").parquet(s"$path/cells")
+        }
+      }
+      // SERVE: query text re-chunks and re-embeds FRESH (a real query
+      // arrives as text); index cells and centroids come only from
+      // storage. Queries: the first chunk of docs 0–4 — a bounded query
+      // set at every sf.
+      val centRows = s.read.parquet(s"$path/centroids").collect()
+      val k = centRows.map(_.getInt(0)).max + 1
+      val dims = centRows.map(_.getInt(1)).max + 1
+      val cents = Array.ofDim[Long](k, dims)
+      centRows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      val qq = chunks.where(col("doc_id") < 5 && col("chunk_idx") === 0)
+        .select(col("cid").as("qid"),
+          transform(col("e"), v => v * 1000000L).as("qv"))
+      // nprobe=2 nearest stored centroids per query — exact integer
+      // argsort over the 8-row broadcast matrix, inline.
+      val probeStructs = cents.zipWithIndex.map { case (c, i) =>
+        struct(d2(col("qv"), typedlit(c.toSeq)).as("d2"),
+          lit(i).as("cluster"))
+      }
+      val probed = qq
+        .withColumn("__ps", slice(array_sort(array(probeStructs: _*)), 1, 2))
+        .select(col("qid"), col("qv"),
+          explode(col("__ps")).as("__p"))
+        .select(col("qid"), col("qv"), col("__p.cluster").as("cluster"))
+      val cells = s.read.parquet(s"$path/cells")
+        .select(col("cid"), col("cluster"),
+          transform(col("e"), v => v * 1000000L).as("cv"))
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val serve = probed.join(cells, Seq("cluster"))
+        .where(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), d2(col("qv"), col("cv")).as("d2"))
+        .withColumn("rank", row_number().over(wq))
+        .where(col("rank") <= 3)
+      // Brute-force truth over ALL stored cells (5 bounded queries ×
+      // corpus — linear), same exclusion, same tie rule.
+      val exact3 = cells.join(broadcast(qq), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), d2(col("qv"), col("cv")).as("d2"))
+        .withColumn("rank", row_number().over(wq))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("cid"), lit(1).as("__hit"))
+      serve.join(exact3, Seq("qid", "cid"), "left")
+        .select(col("qid").as("query_id"),
+          col("rank").cast("int").as("rank"),
+          col("cid").as("neighbor_id"),
+          coalesce(col("__hit"), lit(0)).cast("int").as("exact_hit"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q231_char_entropy" -> ((s, d) => {
       // The binary/garbage screen: per-doc CHARACTER entropy in exact
       // micro-nats, with hex blobs planted on every 17th doc (their
@@ -2216,17 +2300,26 @@ object SparkEntry {
       // script — all stripped), but 10000 ≡ 0 mod 5 keeps the one
       // SURVIVING id mark identical, so the copies collapse only at the
       // dedup stage, exactly like a re-crawl.
+      // Every stage frame that feeds BOTH its funnel count and the next
+      // stage rides a lazy localCheckpoint: the four unioned branches
+      // then share one materialization per stage instead of re-deriving
+      // the whole strip→quality→dedup→split lineage per branch (~4× the
+      // pipeline's work — the r13 verdict item).
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val base = docs.unionByName(docs.where(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val raw = base.select(col("doc_id"), expr(markupFixtureSql).as("text"))
+        .localCheckpoint(false)
       val stripped = raw.select(col("doc_id"),
-        TextAnalysis.stripMarkup(col("text")).as("text"))
+          TextAnalysis.stripMarkup(col("text")).as("text"))
+        .localCheckpoint(false)
       val kept = TextAnalysis.qualityFilter(stripped, "doc_id", "text",
           minTokens = 20)
         .where(col("keep")).select("doc_id")
         .join(stripped, "doc_id")
+        .localCheckpoint(false)
       val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+        .localCheckpoint(false)
       val train = Sampling.assignSplits(deduped, "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "seed42")
         .where(col("split") === "train")
@@ -4194,6 +4287,14 @@ object SparkEntry {
         |  FROM embeddings,
         |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p))"""
         .stripMargin
+    s"$ex,\n${lloydIterOracleCtes(k, iters, seed)}"
+  }
+
+  /** The integer-Lloyd replay CTE chain (seeds → c0 → a1/c1 … a_n/c_n)
+    * over a caller-provided `ex(id, dim, q)` micro-quantized CTE — the
+    * q204 arithmetic, source-agnostic so composed gates (q232's chunk
+    * embeddings) share it verbatim with the embeddings-table gates. */
+  private def lloydIterOracleCtes(k: Int, iters: Int, seed: String): String = {
     val seeds =
       s"""seeds AS (
          |  SELECT id, rn - 1 AS cluster FROM (
@@ -4216,7 +4317,7 @@ object SparkEntry {
          |    FROM a$n a JOIN ex e USING (id) GROUP BY a.cluster, e.dim) u$n
          |  ON p.cluster = u$n.cluster AND p.dim = u$n.dim)""".stripMargin
     }
-    (Seq(ex, seeds, c0) ++ iterCtes).mkString(",\n")
+    (Seq(seeds, c0) ++ iterCtes).mkString(",\n")
   }
 
   /** The q204 Lloyd assignment replay — shared verbatim with q228, whose
@@ -6971,6 +7072,11 @@ object SparkEntry {
     // truncating-mean → /1e6 → requantize double chain.
     "q230_ewma_smooth" -> ewmaOracleSql,
 
+    // q232: the composed retrieval lifecycle — chunk → hash-embed →
+    // Lloyd IVF → probe stored cells → exact-hit flag, all from the
+    // shared fragments (see retrievalLifecycleOracleSql).
+    "q232_retrieval_lifecycle" -> retrievalLifecycleOracleSql,
+
     // q229: the same per-shard digests and argmax, folded per doc.
     "q229_rendezvous_routing" ->
       """WITH w AS (
@@ -9593,6 +9699,83 @@ object SparkEntry {
       |FROM c ASOF LEFT JOIN v
       |  ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** q232: the whole retrieval lifecycle replayed from shared fragments —
+    * q53's chunk CTEs, q97's hash-embed CTEs (dim 16), the q204 Lloyd
+    * iteration chain over the chunk embeddings via [[lloydIterOracleCtes]],
+    * the q33-shaped nprobe=2 cell probe, and the q196 exact-hit read. All
+    * integer, so every rank replays bit-for-bit. */
+  private def retrievalLifecycleOracleSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      |  FROM documents),
+      |ch AS MATERIALIZED (
+      |  SELECT doc_id * 1000000 + (start // 24) AS cid, doc_id,
+      |    start // 24 AS chunk_idx,
+      |    list_slice(toks, start + 1, start + 32) AS ctoks
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+      |        FROM w)),
+      |tb AS (
+      |  SELECT cid,
+      |    ('0x' || substr(md5(t.token), 1, 8))::BIGINT % 16 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(t.token), 9, 1))::BIGINT % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM ch, unnest(ctoks) AS t(token)),
+      |ex AS MATERIALIZED (
+      |  SELECT c.cid AS id, g.j AS dim,
+      |    CAST(coalesce(s.v, 0) * 1000000 AS BIGINT) AS q
+      |  FROM ch c
+      |  CROSS JOIN (SELECT unnest(range(16)) AS j) g
+      |  LEFT JOIN (SELECT cid, bucket, CAST(sum(sgn) AS BIGINT) AS v
+      |             FROM tb GROUP BY cid, bucket) s
+      |    ON s.cid = c.cid AND s.bucket = g.j),
+      |${lloydIterOracleCtes(k = 8, iters = 2, seed = "rl")},
+      |af AS MATERIALIZED (
+      |  SELECT id, cluster FROM (
+      |    SELECT e.id, c.cluster,
+      |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+      |    FROM ex e JOIN c2 c ON e.dim = c.dim
+      |    GROUP BY e.id, c.cluster)
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+      |qs AS (SELECT cid FROM ch WHERE doc_id < 5 AND chunk_idx = 0),
+      |probes AS (
+      |  SELECT id AS qid, cluster FROM (
+      |    SELECT e.id, c.cluster,
+      |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+      |    FROM ex e JOIN c2 c ON e.dim = c.dim
+      |    WHERE e.id IN (SELECT cid FROM qs)
+      |    GROUP BY e.id, c.cluster)
+      |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) <= 2),
+      |scored AS (
+      |  SELECT p.qid, a.id AS cid,
+      |    sum((eq.q - ec.q) * (eq.q - ec.q)) AS d2
+      |  FROM probes p
+      |  JOIN af a USING (cluster)
+      |  JOIN ex eq ON eq.id = p.qid
+      |  JOIN ex ec ON ec.id = a.id AND ec.dim = eq.dim
+      |  WHERE a.id <> p.qid
+      |  GROUP BY p.qid, a.id),
+      |serve AS (
+      |  SELECT qid, cid, row_number() OVER (
+      |      PARTITION BY qid ORDER BY d2, cid) AS rank
+      |  FROM scored QUALIFY rank <= 3),
+      |bf AS (
+      |  SELECT q.cid AS qid, ec.id AS cid,
+      |    sum((eq.q - ec.q) * (eq.q - ec.q)) AS d2
+      |  FROM qs q
+      |  JOIN ex eq ON eq.id = q.cid
+      |  JOIN ex ec ON ec.dim = eq.dim AND ec.id <> q.cid
+      |  GROUP BY q.cid, ec.id),
+      |exact3 AS (
+      |  SELECT qid, cid FROM bf
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2, cid) <= 3)
+      |SELECT s.qid AS query_id, CAST(s.rank AS INT) AS rank,
+      |  s.cid AS neighbor_id,
+      |  CAST(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit
+      |FROM serve s LEFT JOIN exact3 e ON e.qid = s.qid AND e.cid = s.cid
+      |ORDER BY query_id, rank""".stripMargin
 
   private def ivfOracleSql: String = {
     s"""WITH $kmeansOracleCtes,
