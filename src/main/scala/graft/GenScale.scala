@@ -88,18 +88,30 @@ object GenScale {
         text.as("text"), col("lang"), source.as("source"), col("n_chars"))
     }.reduce(_ unionByName _), "documents")
 
-    // embeddings: per-replica rotation
+    // embeddings: per-replica rotation; past `dim` replicas, a second
+    // sign-flip axis (negate the rotated vector) doubles the distinct
+    // transforms to 2*dim. Negation preserves norms and per-dimension
+    // distributions while -v sits at cosine -1 from v, so flipped
+    // replicas stay as far from their unflipped rotation-mates as the
+    // rotations are from each other — no synthetic cross-replica
+    // neighbors at copies up to 2*dim (needed for the sf10 decade:
+    // copies=100 > dim=64).
     val emb = read("embeddings")
     val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    require(copies <= dim, s"rotation needs copies <= dim ($copies > $dim)")
+    require(copies <= 2 * dim,
+      s"rotation+flip needs copies <= 2*dim ($copies > ${2 * dim})")
     write((0 until copies).map { k =>
+      val r = k % dim
       val rotated =
-        if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k))
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      val signed =
+        if (k / dim == 0) rotated
+        else transform(rotated, x => -x)
       emb.select((col("vec_id") + lit(k * vecStride)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+        signed.as("embedding"), col("label"))
     }.reduce(_ unionByName _), "embeddings")
 
     // events: per-replica user and event id offsets

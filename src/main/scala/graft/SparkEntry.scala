@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.KmvFunctions
-import graft.pipeline.{AudioCodec, Decontaminate, Dedup, Graph, HeavyHitters, ImageCodec, Joins, Layout, Linkage, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
+import graft.pipeline.{AudioCodec, Classify, Decontaminate, Dedup, Graph, HeavyHitters, ImageCodec, Joins, Layout, Linkage, Multimodal, Packing, Profile, Sampling, Search, Sessionize, Similarity, Skew, TextAnalysis, VideoCodec}
 
 /**
  * Driver contract: every operator from SURVEY.md §2 (XML source/sink surface +
@@ -2026,6 +2026,73 @@ object SparkEntry {
           col("cid").as("neighbor_id"),
           coalesce(col("__hit"), lit(0)).cast("int").as("exact_hit"))
         .orderBy("query_id", "rank")
+    }),
+
+    "q233_nb_train" -> ((s, d) => {
+      // The CCNet/GPT-3-style quality-classifier FIT: multinomial Naive
+      // Bayes over 64 hashed token buckets, positive class = the curated
+      // source allowlist (the "Wikipedia as target" shape). Output is
+      // the ENTIRE model — 64 bucket rows of class counts + smoothed LLR
+      // in micro-nats, plus the bucket=-1 doc-count prior row — so the
+      // gate pins every weight a scorer will ever read. One exchange of
+      // 64 keys regardless of corpus size (the hashing trick).
+      Classify.nbTrainHashed(t(s, d, "documents"), "text",
+          nbLabelCol, buckets = 64)
+        .orderBy("bucket")
+    }),
+
+    "q234_nb_score" -> ((s, d) => {
+      // The classifier lifecycle's SERVE half: the q233 weight table
+      // persists once per corpus (65 rows — the q228 stored-model
+      // convention, fingerprinted path), then every document scores
+      // map-side against the broadcast LLR array with ZERO shuffle.
+      // Deterministic integer micro-nats pin stored == refit, so the
+      // oracle replays fit + score in one SQL.
+      val docs = t(s, d, "documents")
+      val path = s"${artifactRoot(d)}/nb_weights_b64"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          Classify.nbTrainHashed(docs, "text", nbLabelCol, buckets = 64)
+            .repartition(1).write.mode("overwrite").parquet(path)
+        }
+      }
+      Classify.nbScoreHashed(docs, "doc_id", "text", s.read.parquet(path))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q235_dsir_select" -> ((s, d) => {
+      // DSIR data selection (Xie et al., 2023): hashed-BIGRAM importance
+      // log-ratios (target = the curated allowlist, raw = the whole
+      // corpus), then the deterministic resampling step — the longest
+      // prefix of the (mean importance DESC, doc_id) ordering whose
+      // cumulative whitespace tokens fit a 20k budget (q87's histogram
+      // boundary, no global single-task window). λ table = 256 buckets,
+      // broadcast; the corpus never self-joins.
+      val docs = t(s, d, "documents")
+      val wts = Classify.dsirLogRatios(docs, "doc_id", "text",
+          nbLabelCol, buckets = 256)
+        .where(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id").as("id"),
+          TextAnalysis.tokenCount(col("text")).as("tc")), "id")
+      Sampling.selectByTokenBudget(wts, "id", "tc", "dsir_mean_micro",
+          budget = 20000L)
+        .select(col("id").as("doc_id"), col("dsir_mean_micro"), col("tc"))
+        .orderBy("doc_id")
+    }),
+
+    "q236_k_anonymity" -> ((s, d) => {
+      // The privacy audit before a user-derived release: k-anonymity /
+      // l-diversity over (event_type, day) equivalence classes with
+      // user_id as the sensitive attribute — one aggregation, one row
+      // per CLASS, violation flags as summable ints. Thresholds k=l=50
+      // straddle the sf0.01 class sizes (47..86 rows, 42..67 users) so
+      // both flags carry real signal.
+      val ev = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("db"), col("user_id"))
+      Profile.kAnonymityReport(ev, Seq("event_type", "db"), "user_id",
+          k = 50, l = 50)
+        .orderBy("event_type", "db")
     }),
 
     "q231_char_entropy" -> ((s, d) => {
@@ -4393,6 +4460,57 @@ object SparkEntry {
         s"replace($acc, '$ent', '$ch')" }
     s"""trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"""
   }
+
+  /** Positive-class label shared by q233/q234/q235: a curated source
+    * ALLOWLIST (the CCNet "Wikipedia as target" shape), matched on the
+    * source's replica-invariant prefix so the label ratio survives
+    * GenScale's per-replica `xk` source suffixes. One expression both
+    * engines run — [[nbLabelSql]] is its DuckDB text. */
+  private def nbLabelCol: Column =
+    expr("regexp_extract(source, '^src[0-9]+', 0) " +
+      "IN ('src0', 'src1', 'src2', 'src3')")
+
+  private val nbLabelSql: String =
+    "regexp_extract(source, '^src[0-9]+') IN ('src0', 'src1', 'src2', 'src3')"
+
+  /** [[graft.pipeline.Classify.nbTrainHashed]]'s exact fit replay as
+    * DuckDB CTEs — md5 token buckets (the q97 hash), per-class
+    * occurrence counts, the 64-row grid LLR table `w` (every bucket
+    * present, add-one smoothing, ONE ln() rounded to micro-nats per
+    * bucket) and the doc-count prior row `pr`. Shared verbatim by q233
+    * (the fit gate) and q234 (the stored-model serve gate, whose stored
+    * == refit contract is exactly this SQL). */
+  private def nbOracleCtes: String =
+    s"""tk AS (
+      |  SELECT $nbLabelSql AS y,
+      |    unnest(string_split_regex(trim(text), '\\s+')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |cnt AS (
+      |  SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      |  FROM tk GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS n_pos,
+      |    CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS n_neg FROM cnt),
+      |w AS (
+      |  SELECT CAST(g.bucket AS INTEGER) AS bucket,
+      |    CAST(coalesce(c.c_pos, 0) AS BIGINT) AS c_pos,
+      |    CAST(coalesce(c.c_neg, 0) AS BIGINT) AS c_neg,
+      |    CAST(round((ln((coalesce(c.c_pos, 0) + 1) /
+      |        CAST(t.n_pos + 64 AS DOUBLE)) -
+      |      ln((coalesce(c.c_neg, 0) + 1) /
+      |        CAST(t.n_neg + 64 AS DOUBLE))) * 1e6, 0) AS BIGINT) AS llr_micro
+      |  FROM (SELECT unnest(range(64)) AS bucket) g
+      |  LEFT JOIN cnt c ON c.bucket = g.bucket CROSS JOIN tot t),
+      |pr AS (
+      |  SELECT CAST(-1 AS INTEGER) AS bucket, d_pos AS c_pos, d_neg AS c_neg,
+      |    CAST(round(ln((d_pos + 1) / CAST(d_neg + 1 AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT) AS llr_micro
+      |  FROM (SELECT
+      |    CAST(sum(CASE WHEN $nbLabelSql THEN 1 ELSE 0 END) AS BIGINT) AS d_pos,
+      |    CAST(sum(CASE WHEN $nbLabelSql THEN 0 ELSE 1 END) AS BIGINT) AS d_neg
+      |    FROM documents))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -7040,6 +7158,92 @@ object SparkEntry {
 
     // q231: the same plants, positional chars, micro-nat terms, DECIMAL
     // sum, truncating division.
+    // q233/q234: the NB fit replay (nbOracleCtes) — q233 reads the model
+    // table itself, q234 scores every document against it; the stored
+    // model can never drift from this SQL because both are integer
+    // micro-nats from the same expressions.
+    "q233_nb_train" ->
+      s"""WITH $nbOracleCtes
+        |SELECT bucket, c_pos, c_neg, llr_micro FROM w
+        |UNION ALL SELECT bucket, c_pos, c_neg, llr_micro FROM pr
+        |ORDER BY bucket""".stripMargin,
+
+    "q234_nb_score" ->
+      s"""WITH $nbOracleCtes,
+        |occ AS (
+        |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')),
+        |ds AS (
+        |  SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+        |    CAST(sum(w.llr_micro) AS BIGINT) AS nb_sum
+        |  FROM occ JOIN w USING (bucket) GROUP BY occ.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ds.n_tokens, 0) AS n_tokens,
+        |  coalesce(ds.nb_sum, 0) AS nb_sum_micro,
+        |  CASE WHEN coalesce(ds.n_tokens, 0) > 0
+        |    THEN ds.nb_sum // ds.n_tokens END AS nb_mean_micro,
+        |  CASE WHEN coalesce(ds.nb_sum, 0) + (SELECT llr_micro FROM pr) > 0
+        |    THEN 1 ELSE 0 END AS predicted
+        |FROM documents d LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q235: the DSIR replay — hashed-bigram λ table (256 buckets, one
+    // ln() per bucket), per-doc mean importance, then q87's naive
+    // global-window budget selection (the shape the histogram-boundary
+    // operator provably equals).
+    "q235_dsir_select" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, $nbLabelSql AS y,
+        |    string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |occ AS (
+        |  SELECT doc_id, y,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id, y,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM b WHERE len(toks) >= 2)),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(count(*) AS BIGINT) AS c_r
+        |  FROM occ GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS n_t,
+        |    CAST(coalesce(sum(c_r), 0) AS BIGINT) AS n_r FROM cnt),
+        |lam AS (
+        |  SELECT bucket,
+        |    CAST(round((ln((c_t + 1) / CAST(n_t + 256 AS DOUBLE)) -
+        |      ln((c_r + 1) / CAST(n_r + 256 AS DOUBLE))) * 1e6, 0)
+        |      AS BIGINT) AS lambda_micro
+        |  FROM cnt CROSS JOIN tot),
+        |doc AS (
+        |  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lambda_micro) AS BIGINT) AS dsir_micro
+        |  FROM occ JOIN lam USING (bucket) GROUP BY occ.doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, doc.dsir_micro // doc.n_bigrams AS dsir_mean_micro,
+        |    len(string_split_regex(trim(d.text), '\\s+')) AS tc
+        |  FROM documents d JOIN doc USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, dsir_mean_micro, tc,
+        |    sum(tc) OVER (ORDER BY dsir_mean_micro DESC, doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sc)
+        |SELECT doc_id, dsir_mean_micro, CAST(tc AS INTEGER) AS tc
+        |FROM r WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
+
+    "q236_k_anonymity" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS db,
+        |  count(*) AS class_size,
+        |  count(DISTINCT user_id) AS distinct_sensitive,
+        |  CASE WHEN count(*) < 50 THEN 1 ELSE 0 END AS violates_k,
+        |  CASE WHEN count(DISTINCT user_id) < 50 THEN 1 ELSE 0 END AS violates_l
+        |FROM events GROUP BY event_type, db
+        |ORDER BY event_type, db""".stripMargin,
+
     "q231_char_entropy" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -484,4 +484,47 @@ object Profile {
         coalesce(countDistinct(col("__k")), lit(0L)).as("orphan_keys"))
     broadcast(base).crossJoin(broadcast(orphans))
   }
+
+  /**
+   * k-anonymity / l-diversity audit (Sweeney, 2002; Machanavajjhala et
+   * al., 2007) — the privacy gate a training-data release runs before
+   * shipping user-derived records: group rows by the quasi-identifier
+   * columns and report, per equivalence class, its size and the number
+   * of distinct sensitive values, with violation flags for `class_size
+   * < k` (re-identification risk) and `distinct_sensitive < l`
+   * (attribute-disclosure risk). Suppression/generalization decisions
+   * key off this table; `violates_k`/`violates_l` are INT 0/1 so
+   * downstream risk totals are plain sums.
+   *
+   * One aggregation over one scan: shuffle on the quasi keys with
+   * map-side combine; the exact `countDistinct` rides the same exchange
+   * (one Expand, no extra scan — the [[tableProfile]] plan shape). At
+   * 100 TB the output is one row per equivalence CLASS, not per record.
+   */
+  def kAnonymityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("violates_k",
+        when(col("class_size") < k, lit(1)).otherwise(lit(0)))
+      .withColumn("violates_l",
+        when(col("distinct_sensitive") < l, lit(1)).otherwise(lit(0)))
+  }
+
+  /**
+   * Deterministic keyed pseudonymization: replaces an identifier with
+   * `md5(salt || '|' || value)` — joinability across tables that share
+   * the salt survives, the raw identifier does not travel. Pure
+   * map-side Column (codegen, zero shuffle). Not encryption: treat the
+   * salt as a secret and rotate it per release.
+   */
+  def pseudonymize(c: Column, salt: String): Column =
+    md5(concat(lit(salt + "|"), c.cast("string")))
 }
