@@ -2028,6 +2028,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q237_kmeans_twolevel" -> ((s, d) => {
+      // The Lloyd trainer for cluster counts PAST driver-resident
+      // centroids (auto-k makes k ∝ n — at 100 TB the flat trainer's
+      // k×dim per-iteration collect is a hard driver OOM): coarse
+      // integer Lloyd at ⌈√k⌉ shards (the only level whose centroids
+      // touch the driver), then kFine DataFrame-resident centroids per
+      // shard — shard-keyed equi-join argmin, min(struct) partial
+      // aggregate, (shard, fcl, dim) truncating-div updates that land
+      // back in a DataFrame. Same integer determinism as q204, so the
+      // DuckDB per-shard recurrence replays bit-for-bit.
+      Similarity.kmeansTwoLevelAssign(t(s, d, "embeddings"),
+          "vec_id", "embedding", kCoarse = 3, kFine = 3,
+          itersCoarse = 2, itersFine = 2)
+        .orderBy("id")
+    }),
+
+    "q238_semdedup_twolevel" -> ((s, d) => {
+      // SemDeDup on the HIERARCHICAL trainer — the 100×-corpus path:
+      // flatKMax=1 forces the two-level route at the derived k (⌈500/64⌉
+      // = 8 → 3 coarse shards × 3 fine), so this gate pins the exact
+      // end-to-end chain a driver-bounded 100-TB run would execute —
+      // two-level assignment, within-cluster cosine pairs at the q28
+      // seam, component collapse, survivor anti-join.
+      Similarity.semDeDupWithinClusters(t(s, d, "embeddings"),
+          "vec_id", "embedding", iters = 2, threshold = 0.42,
+          flatKMax = 1)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     "q233_nb_train" -> ((s, d) => {
       // The CCNet/GPT-3-style quality-classifier FIT: multinomial Naive
       // Bayes over 64 hashed token buckets, positive class = the curated
@@ -4346,16 +4376,18 @@ object SparkEntry {
     * integer-L2 argmin with (d2, cluster) ties, truncating-div centroid
     * updates with empty-cluster carry. `c$iters` is the final centroid
     * table the caller assigns against. */
-  private def lloydOracleCtes(k: Int, iters: Int, seed: String): String = {
-    val ex =
-      """ex AS MATERIALIZED (
-        |  SELECT vec_id AS id, p.i - 1 AS dim,
-        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
-        |  FROM embeddings,
-        |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p))"""
-        .stripMargin
-    s"$ex,\n${lloydIterOracleCtes(k, iters, seed)}"
-  }
+  /** The embeddings table micro-quantized to (id, dim, q) rows — the
+    * shared `ex` CTE every Lloyd-family oracle trains from. */
+  private val embeddingsExCte: String =
+    """ex AS MATERIALIZED (
+      |  SELECT vec_id AS id, p.i - 1 AS dim,
+      |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+      |  FROM embeddings,
+      |    unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS t(p))"""
+      .stripMargin
+
+  private def lloydOracleCtes(k: Int, iters: Int, seed: String): String =
+    s"$embeddingsExCte,\n${lloydIterOracleCtes(k, iters, seed)}"
 
   /** The integer-Lloyd replay CTE chain (seeds → c0 → a1/c1 … a_n/c_n)
     * over a caller-provided `ex(id, dim, q)` micro-quantized CTE — the
@@ -4386,6 +4418,67 @@ object SparkEntry {
     }
     (Seq(seeds, c0) ++ iterCtes).mkString(",\n")
   }
+
+  /** Two-level Lloyd replay CTEs (q237/q238): the coarse
+    * [[lloydIterOracleCtes]] chain at salt `seed|c`, the shard argmin,
+    * then the fine per-shard recurrence (fseeds → f0 → g1/f1 …) —
+    * [[graft.pipeline.Similarity.kmeansTwoLevelAssign]]'s exact integer
+    * arithmetic with centroids keyed by (shard, fcl) and empty fine
+    * clusters keeping their previous centroid. */
+  private def twoLevelOracleCtes(
+      kc: Int, kf: Int, itersC: Int, itersF: Int, seed: String): String = {
+    val coarse = lloydIterOracleCtes(kc, itersC, seed + "|c")
+    val shards =
+      s"""shards AS (
+         |  SELECT id, cluster AS shard FROM (
+         |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+         |    FROM ex e JOIN c$itersC c ON e.dim = c.dim
+         |    GROUP BY e.id, c.cluster)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)"""
+        .stripMargin
+    val fseeds =
+      s"""fseeds AS (
+         |  SELECT id, shard, rn - 1 AS fcl FROM (
+         |    SELECT id, shard, row_number() OVER (PARTITION BY shard
+         |        ORDER BY md5('$seed|f|' || CAST(id AS VARCHAR)), id) AS rn
+         |    FROM shards)
+         |  WHERE rn <= $kf)""".stripMargin
+    val f0 =
+      "f0 AS (SELECT s.shard, s.fcl, e.dim, e.q AS c " +
+        "FROM fseeds s JOIN ex e USING (id))"
+    val iterCtes = (1 to itersF).map { n =>
+      s"""g$n AS (
+         |  SELECT id, shard, fcl FROM (
+         |    SELECT e.id, sh.shard, c.fcl,
+         |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+         |    FROM ex e JOIN shards sh USING (id)
+         |    JOIN f${n - 1} c ON c.shard = sh.shard AND c.dim = e.dim
+         |    GROUP BY e.id, sh.shard, c.fcl)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
+         |f$n AS (
+         |  SELECT p.shard, p.fcl, p.dim, coalesce(u.c, p.c) AS c
+         |  FROM f${n - 1} p LEFT JOIN (
+         |    SELECT a.shard, a.fcl, e.dim,
+         |      CAST(sum(e.q) // count(*) AS BIGINT) AS c
+         |    FROM g$n a JOIN ex e USING (id)
+         |    GROUP BY a.shard, a.fcl, e.dim) u
+         |  ON p.shard = u.shard AND p.fcl = u.fcl AND p.dim = u.dim)"""
+        .stripMargin
+    }
+    (Seq(coarse, shards, fseeds, f0) ++ iterCtes).mkString(",\n")
+  }
+
+  /** The final two-level assignment read: argmin against f{itersF} per
+    * shard, global cluster id = shard·kf + fcl. */
+  private def twoLevelFinalAssignSql(kf: Int, itersF: Int): String =
+    s"""SELECT id, CAST(shard * $kf + fcl AS INTEGER) AS cluster, d2 FROM (
+       |  SELECT e.id, sh.shard, c.fcl,
+       |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+       |  FROM ex e JOIN shards sh USING (id)
+       |  JOIN f$itersF c ON c.shard = sh.shard AND c.dim = e.dim
+       |  GROUP BY e.id, sh.shard, c.fcl)
+       |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1"""
+      .stripMargin
 
   /** The q204 Lloyd assignment replay — shared verbatim with q228, whose
     * stored-model serve path must equal the recompute. */
@@ -7703,6 +7796,52 @@ object SparkEntry {
         |    FROM ex e JOIN c3 c ON e.dim = c.dim
         |    GROUP BY e.id, c.cluster)
         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+        |emb2 AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT fa.id AS id_a, fb.id AS id_b
+        |  FROM af fa JOIN af fb ON fa.cluster = fb.cluster AND fa.id < fb.id
+        |  JOIN emb2 a ON a.id = fa.id
+        |  JOIN emb2 b ON b.id = fb.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id)
+        |SELECT vec_id FROM embeddings
+        |ANTI JOIN losers ON vec_id = losers.id
+        |ORDER BY vec_id""".stripMargin,
+
+    // q237: the two-level trainer replay — coarse Lloyd CTEs at km|c,
+    // shard argmin, per-shard fine recurrence, global id = shard*3+fcl.
+    "q237_kmeans_twolevel" ->
+      s"""WITH ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")}
+        |${twoLevelFinalAssignSql(kf = 3, itersF = 2)}
+        |ORDER BY id""".stripMargin,
+
+    // q238: q208's pair/closure tail on the TWO-LEVEL assignment (the
+    // derived k=8 routes to 3 coarse × 3 fine under flatKMax=1).
+    "q238_semdedup_twolevel" ->
+      s"""WITH RECURSIVE ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")},
+        |af AS (
+        |  SELECT id, shard * 3 + fcl AS cluster FROM (
+        |    SELECT e.id, sh.shard, c.fcl,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN shards sh USING (id)
+        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |    GROUP BY e.id, sh.shard, c.fcl)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
         |emb2 AS (
         |  SELECT vec_id AS id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

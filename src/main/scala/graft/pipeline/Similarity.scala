@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CentroidFunctions, TopKFunctions, VectorFunctions}
@@ -398,6 +399,14 @@ object Similarity {
     * codegen and the broadcast-table plan wins. */
   private val MaxInlineCentroids = 16
 
+  /** Test hook: rows collected to the driver by the Lloyd trainers since
+    * the last reset. Specs pin with it that [[kmeansTwoLevelAssign]]'s
+    * driver state is bounded by the COARSE level alone — sublinear in the
+    * total cluster count k, the property that keeps auto-k SemDeDup off
+    * the driver-OOM path at 100×. Not part of any query plan. */
+  private[pipeline] val driverCollectedRows =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /**
    * Exact-integer nearest-centroid tag shared by every Lloyd-family
    * argmin: appends `__best` = struct(d2 micro², cluster) to a frame of
@@ -480,6 +489,7 @@ object Similarity {
       .orderBy(md5(concat(lit(seed), lit("|"), col("id").cast("string"))),
         col("id"))
       .limit(k).collect()
+    driverCollectedRows.addAndGet(seedRows.length)
     require(seedRows.length == k,
       s"kmeansLloydAssign: corpus has ${seedRows.length} rows < k=$k")
     val dim = seedRows.head.getSeq[Long](1).length
@@ -496,6 +506,7 @@ object Similarity {
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
         .collect()
+      driverCollectedRows.addAndGet(parts.length)
       // Truncating div toward zero (Spark `div` / DuckDB `//` semantics,
       // NOT floorDiv — micro sums can be negative). Clusters absent from
       // `parts` (empty this round) keep their previous centroid.
@@ -564,6 +575,123 @@ object Similarity {
     stats.groupBy(col("cluster"), col("dim"))
       .agg(sum(col("s")).as("__s"), sum(col("n")).as("__n"))
       .select(col("cluster"), col("dim"), expr("__s div __n").as("c"))
+
+  /**
+   * Two-level (coarse→fine) integer Lloyd — the trainer for cluster
+   * counts that outgrow driver-resident centroids. Auto-k SemDeDup
+   * derives k ∝ n; at a 100-TB corpus that is ~10⁸ centroids, and the
+   * flat [[kmeansLloydAssign]] collects and re-broadcasts all k×dim of
+   * them every iteration — a hard driver OOM long before the FLOPs bill
+   * matters. This trainer is the standard hierarchical recipe instead:
+   *
+   *  1. COARSE: a flat integer Lloyd at `kCoarse` (≈ ⌈√k⌉) partitions
+   *     the corpus into shards — the ONLY level whose centroids touch
+   *     the driver (kCoarse×dim longs, sublinear in k).
+   *  2. FINE: `kFine` centroids per shard, trained for `itersFine`
+   *     rounds entirely DataFrame-resident — seeds rank per shard with
+   *     a window over the shard partitioning, every argmin is a
+   *     shard-keyed equi-join against the (shard, fcl, cv) centroid
+   *     table followed by a `min(struct)` partial aggregate (the
+   *     exchange carries ONE row per input row; n·kFine candidates
+   *     exist only transiently map-side), and centroid updates are the
+   *     same (shard, fcl, dim) micro-sum truncating-div as the flat
+   *     level, landing back in a DataFrame, never on the driver.
+   *
+   * Global cluster id = `shard · kFine + fcl`. Same determinism contract
+   * as the flat trainer — micro quantization, md5-seeded init (coarse
+   * seeds salt `seed|c`, fine seeds `seed|f|`), struct-least ties to the
+   * lower cluster id, truncating-div centroids, empty clusters keep
+   * their previous centroid — so a DuckDB CTE replay agrees
+   * bit-for-bit (the q237 gate). A boundary-straddling point may land
+   * in a different fine cluster than flat Lloyd at k would give — the
+   * documented hierarchical approximation, the same trade IVF makes.
+   *
+   * Scale shape per fine round: one shard-keyed join (centroid side is
+   * k rows, shuffled by shard alongside the corpus's reused shard
+   * partitioning), one n-row argmin exchange, one k·dim-row stat
+   * exchange. Driver state: kCoarse×dim only.
+   */
+  def kmeansTwoLevelAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int,
+      kFine: Int,
+      itersCoarse: Int,
+      itersFine: Int,
+      seed: String = "km"): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "kmeansTwoLevelAssign")
+    require(kCoarse >= 1, s"kCoarse must be >= 1, got $kCoarse")
+    require(kFine >= 1, s"kFine must be >= 1, got $kFine")
+    require(itersCoarse >= 0, s"itersCoarse must be >= 0, got $itersCoarse")
+    require(itersFine >= 0, s"itersFine must be >= 0, got $itersFine")
+    require(kCoarse.toLong * kFine <= Int.MaxValue,
+      s"kCoarse*kFine = ${kCoarse.toLong * kFine} overflows Int")
+    val shards = kmeansLloydAssign(df, idCol, vecCol, kCoarse, itersCoarse,
+        seed + "|c")
+      .select(col("id"), col("cluster").as("shard"))
+    // Shard-partitioned once; every fine round's join and window reuse
+    // this layout off the checkpoint instead of re-shuffling the corpus.
+    val base = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+      .join(shards, "id")
+      .repartition(col("shard"))
+      .localCheckpoint(eager = false)
+    // Fine seeds: per shard, the first kFine ids in (md5(seed|f|id), id)
+    // order — the flat trainer's corpus-derived RNG-free rule, ranked
+    // with a per-shard window (a local sort within each shard; never a
+    // global order). A shard smaller than kFine seeds what it has.
+    val ord = Window.partitionBy(col("shard"))
+      .orderBy(md5(concat(lit(seed + "|f|"), col("id").cast("string"))),
+        col("id"))
+    var cents = base.withColumn("__rn", row_number().over(ord))
+      .where(col("__rn") <= kFine)
+      .select(col("shard"), (col("__rn") - 1).as("fcl"), col("qv").as("cv"))
+      .localCheckpoint(eager = false)
+    // One argmin shape for every fine pass: shard-keyed equi-join, exact
+    // integer d2, min(struct(d2, fcl, qv)) — (d2, fcl) is unique within
+    // a row's candidate set, so the qv tail (carried to avoid a rejoin
+    // in the update step) never decides a comparison.
+    def assignTo(c: DataFrame): DataFrame =
+      base.join(c, Seq("shard"))
+        .select(col("id"), col("shard"),
+          struct(
+            aggregate(zip_with(col("qv"), col("cv"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, v) => acc + v).as("d2"),
+            col("fcl").as("fcl"),
+            col("qv").as("qv")).as("__cand"))
+        .groupBy(col("id"), col("shard"))
+        .agg(min(col("__cand")).as("__m"))
+    var it = 0
+    while (it < itersFine) {
+      val upd = assignTo(cents)
+        .select(col("shard"), col("__m.fcl").as("fcl"),
+          posexplode(col("__m.qv")).as(Seq("dim", "q")))
+        .groupBy(col("shard"), col("fcl"), col("dim"))
+        .agg(expr("sum(q) div count(1)").as("cnew"))
+      // Empty fine clusters keep their previous centroid: explode the
+      // previous table, left-join the update, re-assemble in dim order.
+      // Per-group list size is the vector dim — bounded.
+      cents = cents
+        .select(col("shard"), col("fcl"),
+          posexplode(col("cv")).as(Seq("dim", "c")))
+        .join(upd, Seq("shard", "fcl", "dim"), "left")
+        .select(col("shard"), col("fcl"), col("dim"),
+          coalesce(col("cnew"), col("c")).as("c"))
+        .groupBy(col("shard"), col("fcl"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .localCheckpoint(eager = false)
+      it += 1
+    }
+    assignTo(cents)
+      .select(col("id"),
+        (col("shard") * kFine + col("__m.fcl")).cast("int").as("cluster"),
+        col("__m.d2").as("d2"))
+  }
 
   /**
    * Cluster-balanced coreset: the `m` most central rows per cluster from a
@@ -999,7 +1127,8 @@ object Similarity {
       seed: String = "km",
       targetClusterSize: Int = 64,
       maxPairBudget: Long = 100000000000L,
-      nHint: Long = 0L): DataFrame = {
+      nHint: Long = 0L,
+      flatKMax: Int = 2048): DataFrame = {
     // k = 0 derives the cluster count from the corpus (the house rule:
     // scale knobs come from the data, with a loud refusal past budget,
     // never from a scaladoc note). The count is exact — the k curve has
@@ -1009,18 +1138,31 @@ object Similarity {
       if (k > 0) k
       else semDeDupParams(if (nHint > 0) nHint else df.count(),
         targetClusterSize, maxPairBudget)
+    // Past flatKMax clusters the trainer switches to the two-level
+    // hierarchy (kCoarse ≈ ⌈√k⌉ coarse shards, ⌈k/kCoarse⌉ fine per
+    // shard) so driver-resident centroid state stays O(√k·dim) — auto-k
+    // makes k ∝ n, and a flat Lloyd's k×dim per-iteration collect is a
+    // driver OOM at a 100-TB corpus long before the arithmetic hurts.
     // Lazy localCheckpoint: the assignment feeds BOTH the realized
     // pair-volume probe and the pair join — one argmin pass, not two.
-    val assign = kmeansLloydAssign(df, idCol, vecCol, kEff, iters, seed)
+    val assign = (if (kEff <= flatKMax)
+        kmeansLloydAssign(df, idCol, vecCol, kEff, iters, seed)
+      else {
+        val kc = math.ceil(math.sqrt(kEff.toDouble)).toInt
+        val kf = (kEff + kc - 1) / kc
+        kmeansTwoLevelAssign(df, idCol, vecCol, kc, kf, iters, iters, seed)
+      })
       .select(col("id"), col("cluster"))
       .localCheckpoint(false)
-    // Realized-skew guard (bounded: ≤ k rows collected): derived k keeps
+    // Realized-skew guard (ONE driver row at any k): derived k keeps
     // the BALANCED volume linear, but Lloyd can still hand one cluster
     // most of the corpus — refuse before the join materializes nc² rows.
-    val sizes = assign.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n")).collect()
-    val pairVol = sizes.iterator
-      .map { r => val c = r.getLong(1); c * (c - 1) / 2 }.sum
+    // The Σ nc(nc−1)/2 reduction happens distributed; only the single
+    // sum crosses to the driver, so the probe never scales with auto-k.
+    val pairVol = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+      .head().getLong(0)
     require(pairVol <= maxPairBudget,
       s"SemDeDup cluster assignment yields $pairVol within-cluster pairs " +
         s"(skewed clusters) — past maxPairBudget=$maxPairBudget. Raise k / " +

@@ -221,4 +221,90 @@ class KmeansSuite extends AnyFunSuite {
     val rows = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     assert(rows.toSet === Set((0, 1, 3L), (0, 2, 1L), (1, 1, 10L)))
   }
+
+  test("kmeansTwoLevelAssign separates four blobs, deterministic global ids") {
+    // Four well-separated blobs; coarse (k=2) splits left/right, fine
+    // (k=2 per shard) splits top/bottom. Every blob must land whole in
+    // one global cluster id = shard*kFine + fcl, and a re-run must be
+    // bit-identical (no RNG anywhere).
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.01, 0.0)), (2L, Seq(0.0, 0.01)),
+      (10L, Seq(0.0, 5.0)), (11L, Seq(0.01, 5.0)), (12L, Seq(0.0, 5.01)),
+      (20L, Seq(9.0, 0.0)), (21L, Seq(9.01, 0.0)), (22L, Seq(9.0, 0.01)),
+      (30L, Seq(9.0, 5.0)), (31L, Seq(9.01, 5.0)), (32L, Seq(9.0, 5.01))
+    ).toDF("id", "v")
+    val out = Similarity.kmeansTwoLevelAssign(vecs, "id", "v",
+        kCoarse = 2, kFine = 2, itersCoarse = 3, itersFine = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size === 4)
+    assert(byCluster.values.toSet === Set(
+      Set(0L, 1L, 2L), Set(10L, 11L, 12L),
+      Set(20L, 21L, 22L), Set(30L, 31L, 32L)))
+    // d2 is exact micro² to the truncating-div fine centroid: blob at
+    // origin has centroid ((0+10000+0) div 3, (0+0+10000) div 3).
+    val d2ofId0 = out.find(_._1 == 0L).get._3
+    assert(d2ofId0 === 3333L * 3333L + 3333L * 3333L)
+    val again = Similarity.kmeansTwoLevelAssign(vecs, "id", "v",
+        kCoarse = 2, kFine = 2, itersCoarse = 3, itersFine = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("kmeansTwoLevelAssign driver state is bounded by the coarse level") {
+    // The 100×-scale contract: with k = kCoarse*kFine total clusters,
+    // ONLY the coarse level's centroids ever reach the driver. At
+    // kCoarse=4, kFine=32 (k=128) over dim-2 vectors the trainer may
+    // collect at most kCoarse seeds + itersCoarse*(kCoarse*dim) stat
+    // rows = 4 + 2*8 = 20 — an order of magnitude under k, and
+    // independent of kFine entirely.
+    val vecs = (0L until 256L).map { i =>
+      (i, Seq((i % 16).toDouble, (i / 16).toDouble))
+    }.toDF("id", "v")
+    Similarity.driverCollectedRows.set(0L)
+    val out = Similarity.kmeansTwoLevelAssign(vecs, "id", "v",
+      kCoarse = 4, kFine = 32, itersCoarse = 2, itersFine = 2)
+    assert(out.count() === 256L)
+    val collected = Similarity.driverCollectedRows.get()
+    assert(collected <= 20L,
+      s"two-level trainer collected $collected rows — driver state must " +
+        "stay bounded by the coarse level (kCoarse + iters*kCoarse*dim)")
+    // Contrast: the flat trainer at the same total k collects k seeds
+    // plus k*dim stat rows per iteration — strictly more than the
+    // hierarchy, and growing with k where the hierarchy grows with √k.
+    Similarity.driverCollectedRows.set(0L)
+    Similarity.kmeansLloydAssign(vecs, "id", "v", k = 128, iters = 2).count()
+    assert(Similarity.driverCollectedRows.get() > collected)
+  }
+
+  test("kmeansTwoLevelAssign: a shard smaller than kFine seeds what it has") {
+    // 3 points land in one coarse shard, 1 in the other; kFine=3 asks
+    // for more seeds than the singleton shard can give — it seeds one
+    // fine centroid and the run completes with every row assigned.
+    val vecs = Seq(
+      (0L, Seq(0.0)), (1L, Seq(0.02)), (2L, Seq(0.04)), (3L, Seq(9.0))
+    ).toDF("id", "v")
+    val out = Similarity.kmeansTwoLevelAssign(vecs, "id", "v",
+      kCoarse = 2, kFine = 3, itersCoarse = 2, itersFine = 2)
+    assert(out.count() === 4L)
+    assert(out.select("id").distinct().count() === 4L)
+  }
+
+  test("semDeDupWithinClusters past flatKMax routes through the hierarchy") {
+    // flatKMax=1 forces the two-level trainer at any derived k; the
+    // planted dup pairs must still collapse to their min id and the
+    // singleton must pass through — the q238 gate's shape.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (5L, Seq(0.5, 0.5)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.0, 1.0))
+    ).toDF("id", "v")
+    val kept = Similarity.semDeDupWithinClusters(vecs, "id", "v",
+        k = 4, iters = 2, threshold = 0.999, flatKMax = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(5L))
+    assert(kept.intersect(Set(0L, 1L)).size === 1)
+    assert(kept.intersect(Set(10L, 11L)).size === 1)
+    assert(kept.min >= 0L && kept.size === 3)
+  }
 }
