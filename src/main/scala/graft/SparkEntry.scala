@@ -2058,12 +2058,39 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q239_dsir_serve" -> ((s, d) => {
+      // DSIR's stored-model lifecycle (the r14 verdict gap): the dense
+      // 256-bucket λ table persists ONCE (fingerprinted path, the q234
+      // convention), then a FRESH batch — every 5th doc re-arriving with
+      // a novel appended tail, so bigrams the fit never saw score
+      // through the dense grid's smoothed weights — scores map-side
+      // against the stored table with ZERO shuffle (the λ literal
+      // fold). Integer micro-nats pin stored == refit, so the oracle
+      // replays fit + batch-score in one SQL.
+      val docs = t(s, d, "documents")
+      val path = s"${artifactRoot(d)}/dsir_lambda_b256"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          Classify.dsirFitLambda(docs, "text", nbLabelCol, buckets = 256)
+            .repartition(1).write.mode("overwrite").parquet(path)
+        }
+      }
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zq"), col("doc_id").cast("string"))
+            .as("text"))
+      Classify.dsirScoreHashed(batch, "doc_id", "text", s.read.parquet(path))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q233_nb_train" -> ((s, d) => {
       // The CCNet/GPT-3-style quality-classifier FIT: multinomial Naive
       // Bayes over 64 hashed token buckets, positive class = the curated
       // source allowlist (the "Wikipedia as target" shape). Output is
       // the ENTIRE model — 64 bucket rows of class counts + smoothed LLR
-      // in micro-nats, plus the bucket=-1 doc-count prior row — so the
+      // in micro-nats, the bucket=-1 doc-count prior row, and the
+      // bucket=-2 count row (the serve-time modulus guard) — so the
       // gate pins every weight a scorer will ever read. One exchange of
       // 64 keys regardless of corpus size (the hashing trick).
       Classify.nbTrainHashed(t(s, d, "documents"), "text",
@@ -2079,7 +2106,7 @@ object SparkEntry {
       // Deterministic integer micro-nats pin stored == refit, so the
       // oracle replays fit + score in one SQL.
       val docs = t(s, d, "documents")
-      val path = s"${artifactRoot(d)}/nb_weights_b64"
+      val path = s"${artifactRoot(d)}/nb_weights_b64m"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$path/_SUCCESS").exists()) {
           Classify.nbTrainHashed(docs, "text", nbLabelCol, buckets = 64)
@@ -2096,9 +2123,11 @@ object SparkEntry {
       // log-ratios (target = the curated allowlist, raw = the whole
       // corpus), then the deterministic resampling step — the longest
       // prefix of the (mean importance DESC, doc_id) ordering whose
-      // cumulative whitespace tokens fit a 20k budget (q87's histogram
-      // boundary, no global single-task window). λ table = 256 buckets,
-      // broadcast; the corpus never self-joins.
+      // cumulative whitespace tokens fit a 20k budget. The means are
+      // near-distinct (one score class per doc), so the boundary scan
+      // rides selectByTokenBudget's range-bin-sharded prefix sum — no
+      // global single-task window even at histogram ≈ corpus size.
+      // λ table rides as a codegen literal; the corpus never self-joins.
       val docs = t(s, d, "documents")
       val wts = Classify.dsirLogRatios(docs, "doc_id", "text",
           nbLabelCol, buckets = 256)
@@ -7259,6 +7288,8 @@ object SparkEntry {
       s"""WITH $nbOracleCtes
         |SELECT bucket, c_pos, c_neg, llr_micro FROM w
         |UNION ALL SELECT bucket, c_pos, c_neg, llr_micro FROM pr
+        |UNION ALL SELECT CAST(-2 AS INTEGER), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(64 AS BIGINT)
         |ORDER BY bucket""".stripMargin,
 
     "q234_nb_score" ->
@@ -7282,10 +7313,71 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ds USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // q239: the stored-λ serve replay — the q235 fit arithmetic over the
+    // FULL corpus but with the DENSE grid (unseen batch bigrams score
+    // through smoothed weights), then the fresh batch (every 5th doc +
+    // novel tail) scored against it.
+    "q239_dsir_serve" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, $nbLabelSql AS y,
+        |    string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |occ AS (
+        |  SELECT doc_id, y,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id, y,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM b WHERE len(toks) >= 2)),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(count(*) AS BIGINT) AS c_r
+        |  FROM occ GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS n_t,
+        |    CAST(coalesce(sum(c_r), 0) AS BIGINT) AS n_r FROM cnt),
+        |lam AS (
+        |  SELECT CAST(g.bucket AS INTEGER) AS bucket,
+        |    CAST(round((ln((coalesce(c.c_t, 0) + 1) /
+        |        CAST(t.n_t + 256 AS DOUBLE)) -
+        |      ln((coalesce(c.c_r, 0) + 1) /
+        |        CAST(t.n_r + 256 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |      AS lambda_micro
+        |  FROM (SELECT unnest(range(256)) AS bucket) g
+        |  LEFT JOIN cnt c ON c.bucket = g.bucket CROSS JOIN tot t),
+        |batch AS (
+        |  SELECT doc_id,
+        |    text || ' zq' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |bb AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM batch WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bocc AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM bb WHERE len(toks) >= 2)),
+        |ds AS (
+        |  SELECT bocc.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lambda_micro) AS BIGINT) AS dsir_micro
+        |  FROM bocc JOIN lam USING (bucket) GROUP BY bocc.doc_id)
+        |SELECT b2.doc_id,
+        |  coalesce(ds.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(ds.dsir_micro, 0) AS dsir_micro,
+        |  CASE WHEN coalesce(ds.n_bigrams, 0) > 0
+        |    THEN ds.dsir_micro // ds.n_bigrams END AS dsir_mean_micro
+        |FROM batch b2 LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // q235: the DSIR replay — hashed-bigram λ table (256 buckets, one
     // ln() per bucket), per-doc mean importance, then q87's naive
     // global-window budget selection (the shape the histogram-boundary
-    // operator provably equals).
+    // operator provably equals — with the boundary prefix itself
+    // range-bin sharded, so the near-distinct micro-nat means never
+    // funnel the histogram through one task).
     "q235_dsir_select" ->
       s"""WITH b AS (
         |  SELECT doc_id, $nbLabelSql AS y,

@@ -63,9 +63,14 @@ object Classify {
    *
    * Every bucket in `[0, buckets)` is present even when no token hashed
    * into it (the smoothed LLR of an unseen bucket is still a real model
-   * weight), so scoring never needs a fallback path. `labelCol` is any
-   * deterministic boolean Column over `df`'s rows (e.g. a curated-source
-   * allowlist — the CCNet "Wikipedia as target" shape).
+   * weight), so scoring never needs a fallback path. A `bucket = -2`
+   * metadata row carries the bucket COUNT in `llr_micro` — the count is
+   * the serve-time hash modulus, and persisting it explicitly lets
+   * [[nbScoreHashed]] refuse a truncated stored table instead of
+   * silently rebucketing every document against a smaller modulus.
+   * `labelCol` is any deterministic boolean Column over `df`'s rows
+   * (e.g. a curated-source allowlist — the CCNet "Wikipedia as target"
+   * shape).
    *
    * One exchange: `buckets` distinct keys with map-side combine.
    */
@@ -102,7 +107,10 @@ object Classify {
         col("d_neg").as("c_neg"),
         expr("CAST(round(ln((d_pos + 1) / CAST(d_neg + 1 AS DOUBLE)) * 1e6, 0) " +
           "AS BIGINT)").as("llr_micro"))
-    weights.unionByName(prior)
+    val countRow = df.sparkSession.range(1)
+      .select(lit(-2).as("bucket"), lit(0L).as("c_pos"), lit(0L).as("c_neg"),
+        lit(buckets.toLong).as("llr_micro"))
+    weights.unionByName(prior).unionByName(countRow)
   }
 
   /**
@@ -120,15 +128,39 @@ object Classify {
    * length-invariant CCNet score), and `predicted` is
    * `1` iff `nb_sum_micro + prior_micro > 0` (the MAP decision).
    */
+  /** Validate a collected model grid against its persisted bucket count
+    * (the `bucket = -2` metadata row): count row present, every bucket in
+    * [0, count) present exactly once. The bucket count is the hash
+    * modulus at serve time, so a partial, truncated, or otherwise
+    * corrupted stored table would silently rebucket every document;
+    * fail fast instead. `declared` is the -2 row's payload. */
+  private def requireDenseGrid(
+      buckets: Array[Int], declared: Option[Long], what: String): Int = {
+    require(declared.isDefined,
+      s"$what table lacks its bucket-count metadata row (bucket = -2) — " +
+        "refit with the current trainer or re-persist the model")
+    val n = declared.get
+    require(n >= 2 && n <= (1 << 22), s"$what declared bucket count $n " +
+      "out of the [2, 2^22] model range — corrupted metadata row")
+    require(buckets.length == n && buckets.toSet.size == n &&
+        buckets.forall(b => b >= 0 && b < n),
+      s"$what table is not the dense [0, ${n - 1}] grid its metadata " +
+        s"declares (${buckets.length} rows, ${buckets.toSet.size} " +
+        "distinct) — the bucket count is the serve-time hash modulus, " +
+        "so a partial, truncated, or corrupted stored model would " +
+        "silently mis-bucket every document")
+    n.toInt
+  }
+
   def nbScoreHashed(
       df: DataFrame,
       idCol: String,
       textCol: String,
       weights: DataFrame): DataFrame = {
     val rows = weights.select("bucket", "llr_micro").collect()
-    val buckets = rows.iterator.map(_.getInt(0)).max + 1
-    require(buckets >= 2,
-      s"weight table has no non-prior buckets (max bucket + 1 = $buckets)")
+    val buckets = requireDenseGrid(
+      rows.map(_.getInt(0)).filter(_ >= 0),
+      rows.find(_.getInt(0) == -2).map(_.getLong(1)), "NB weight")
     val priorMicro = rows.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
     val llr = new Array[Long](buckets)
     rows.foreach(r => if (r.getInt(0) >= 0) llr(r.getInt(0)) = r.getLong(1))
@@ -171,44 +203,114 @@ object Classify {
    * `buckets` keys; per-document scoring joins occurrences to the
    * broadcast λ table and aggregates by document id.
    */
-  def dsirLogRatios(
+  /** A document's hashed-bigram bucket array — the ONE feature extractor
+    * both the DSIR fit and serve paths run (fit explodes it, serve folds
+    * it map-side), so stored-λ scoring can never drift from a refit. */
+  private def bigramBuckets(textCol: String, buckets: Int): Column = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // slice length clamps at 0: a 0/1-token document has no bigrams (the
+    // empty array), never a negative-length slice error.
+    val len = greatest(size(toks) - 1, lit(0))
+    transform(
+      zip_with(
+        slice(toks, lit(1), len),
+        slice(toks, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)),
+      bg => tokenBucket(bg, buckets))
+  }
+
+  /**
+   * Fit the DSIR λ table ONCE — the persist-once half of the fit/serve
+   * lifecycle (the q234 stored-model convention). One row per bucket in
+   * `[0, buckets)` — DENSE, so a later batch's unseen grams score
+   * through the same smoothed weights instead of a fallback path —
+   * plus a `bucket = -2` metadata row carrying the bucket count in
+   * `lambda_micro` (the serve-time modulus guard, as [[nbTrainHashed]]):
+   * `(bucket, c_t, c_r, lambda_micro)` with `lambda_micro =
+   * round((ln((c_t+1)/(n_t+B)) − ln((c_r+1)/(n_r+B))) · 1e6)` — target
+   * counts over `targetLabel` rows, raw counts over ALL rows, micro-nat
+   * integers rounded once per bucket at fit time.
+   *
+   * One exchange of `buckets` keys with map-side combine, regardless of
+   * corpus size.
+   */
+  def dsirFitLambda(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       targetLabel: Column,
       buckets: Int): DataFrame = {
     requireBuckets(buckets)
-    val toks = TextAnalysis.tokens(col(textCol))
-    val bigrams = zip_with(
-      slice(col("toks"), lit(1), size(col("toks")) - 1),
-      slice(col("toks"), lit(2), size(col("toks")) - 1),
-      (a, b) => concat(a, lit(" "), b))
-    val base = df.select(col(idCol).as("id"),
-      targetLabel.cast("boolean").as("y"), toks.as("toks"))
-    val occ = base.where(size(col("toks")) >= 2)
-      .select(col("id"), col("y"), explode(bigrams).as("bg"))
-      .select(col("id"), col("y"), tokenBucket(col("bg"), buckets).as("bucket"))
+    val occ = df
+      .select(targetLabel.cast("boolean").as("y"),
+        explode(bigramBuckets(textCol, buckets)).as("bucket"))
     val counts = occ.groupBy("bucket").agg(
       sum(when(col("y"), 1L).otherwise(0L)).as("c_t"),
       count(lit(1)).as("c_r"))
     val totals = counts.agg(
       coalesce(sum("c_t"), lit(0L)).as("n_t"),
       coalesce(sum("c_r"), lit(0L)).as("n_r"))
-    val lambda = counts.crossJoin(broadcast(totals))
+    val grid = df.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    grid.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t", "c_r"))
+      .crossJoin(broadcast(totals))
       .withColumn("lambda_micro", expr(
         s"CAST(round((ln((c_t + 1) / CAST(n_t + $buckets AS DOUBLE)) - " +
           s"ln((c_r + 1) / CAST(n_r + $buckets AS DOUBLE))) * 1e6, 0) " +
           "AS BIGINT)"))
-      .select("bucket", "lambda_micro")
-    val perDoc = occ.join(broadcast(lambda), "bucket")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum("lambda_micro").as("dsir_micro"))
-    base.select("id").join(perDoc, Seq("id"), "left")
+      .select("bucket", "c_t", "c_r", "lambda_micro")
+      .unionByName(df.sparkSession.range(1)
+        .select(lit(-2).as("bucket"), lit(0L).as("c_t"), lit(0L).as("c_r"),
+          lit(buckets.toLong).as("lambda_micro")))
+  }
+
+  /**
+   * Score documents against a fitted (possibly STORED) λ table — the
+   * serve half, shaped exactly like [[nbScoreHashed]]: the table is
+   * collected (bounded: `buckets` rows by construction, dense-grid
+   * validated so a corrupted store fails fast instead of silently
+   * rebucketing), the λ array rides the plan as a literal, and every
+   * document folds its own bigram buckets inside one codegen projection
+   * — ZERO shuffle, nothing grows with the corpus.
+   *
+   * Output per input row: `(id, n_bigrams, dsir_micro, dsir_mean_micro)`
+   * with the truncating-div per-gram mean (NULL when the document has
+   * < 2 tokens).
+   */
+  def dsirScoreHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: DataFrame): DataFrame = {
+    val rows = lambda.select("bucket", "lambda_micro").collect()
+    val buckets = requireDenseGrid(
+      rows.map(_.getInt(0)).filter(_ >= 0),
+      rows.find(_.getInt(0) == -2).map(_.getLong(1)), "DSIR lambda")
+    val lam = new Array[Long](buckets)
+    rows.foreach(r => if (r.getInt(0) >= 0) lam(r.getInt(0)) = r.getLong(1))
+    val lamLit = lit(lam)
+    df.select(col(idCol).as("id"),
+        bigramBuckets(textCol, buckets).as("bks"))
       .select(col("id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
+        coalesce(size(col("bks")).cast("long"), lit(0L)).as("n_bigrams"),
+        coalesce(
+          aggregate(col("bks"), lit(0L),
+            (acc, b) => acc + element_at(lamLit, b + 1)),
+          lit(0L)).as("dsir_micro"))
       .withColumn("dsir_mean_micro",
         when(col("n_bigrams") > 0, expr("dsir_micro DIV n_bigrams")))
   }
+
+  /** Fit-then-score in one call — [[dsirFitLambda]] composed with
+    * [[dsirScoreHashed]]; kept as the one-shot API for ad-hoc runs. The
+    * serve path makes the scoring ZERO-shuffle (the λ literal fold)
+    * where the old per-document bucket join shuffled every gram row. */
+  def dsirLogRatios(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetLabel: Column,
+      buckets: Int): DataFrame =
+    dsirScoreHashed(df, idCol, textCol,
+      dsirFitLambda(df, textCol, targetLabel, buckets))
 }

@@ -421,10 +421,17 @@ object Sampling {
    * on the per-score histogram:
    *
    *   1. aggregate tokens per distinct score (map-side combined; the
-   *      histogram is |distinct scores| rows, data-scale-independent);
-   *   2. running totals over that small table locate the single boundary
+   *      histogram is |distinct scores| rows);
+   *   2. running totals over the histogram locate the single boundary
    *      score class where the prefix crosses the budget (1-row result,
-   *      broadcast back via the established 1-row crossJoin convention);
+   *      broadcast back via the established 1-row crossJoin convention).
+   *      The running total itself is SHARDED (the [[shuffleOrder]] /
+   *      [[systematicPpsSample]] prefix-sum recipe): histogram rows
+   *      bucket by score range into ≤ 2¹⁶ coarse bins, per-bin totals
+   *      broadcast as offsets, and the in-bin cumulative window runs
+   *      `partitionBy(bin)` — so a NEAR-DISTINCT score column (q235's
+   *      micro-nat means: one class per document) never funnels the
+   *      histogram through one task;
    *   3. classes strictly above the boundary admit wholly with NO window
    *      at all; the within-class cumulative sum that settles the boundary
    *      class runs under `partitionBy(score)` — parallel across scores,
@@ -446,13 +453,43 @@ object Sampling {
       scoreCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(scoreCol).dataType),
+      s"selectByTokenBudget: scoreCol '$scoreCol' must be integral " +
+        s"(got ${df.schema(scoreCol).dataType}) — the documented exact-" +
+        "threshold contract, and the range-bin prefix shards key on it")
     import org.apache.spark.sql.expressions.Window
+    // Checkpointed lazily: the histogram feeds both its own (lo, hi)
+    // range probe and the binned cumulative — one aggregation pass.
     val hist = df.groupBy(col(scoreCol).as("__s"))
       .agg(sum(col(tokenCol)).as("__t"))
-    val wDesc = Window.orderBy(col("__s").desc)
+      .localCheckpoint(eager = false)
+    // Sharded descending prefix sum over the histogram: score-range bins
+    // keep the mapping monotonic (ordering by (bin DESC, score DESC) ==
+    // score DESC), per-bin offsets broadcast, in-bin windows parallel.
+    // DECIMAL(38,0) keeps the bin arithmetic exact at any score span.
+    val mm = hist.agg(min(col("__s").cast("long")),
+      max(col("__s").cast("long"))).head()
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = (((BigInt(hi) - BigInt(lo)) >> 16) + 1).toLong
+    val bin = floor((col("__s").cast("decimal(38,0)") -
+        lit(lo).cast("decimal(38,0)")) /
+        lit(width).cast("decimal(38,0)")).cast("long").as("__bin")
+    val histB = hist.select(col("__s"), col("__t"), bin)
+    val offs = histB.groupBy("__bin").agg(sum("__t").as("__bt"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bt")).over(Window.orderBy(col("__bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bin", "__boff")
+    val wInBin = Window.partitionBy(col("__bin")).orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundary = hist
-      .withColumn("__cum", sum(col("__t")).over(wDesc))
+    val boundary = histB.join(broadcast(offs), "__bin")
+      .withColumn("__cum", col("__boff") + sum(col("__t")).over(wInBin))
       .withColumn("__before", col("__cum") - col("__t"))
       .agg(
         max(when(col("__before") <= budget && col("__cum") > budget, col("__s")))

@@ -52,4 +52,30 @@ class BudgetSelectSuite extends AnyFunSuite {
     val df = Seq((1L, 50L, 9L), (2L, 5L, 1L)).toDF("id", "tc", "score")
     assert(Sampling.selectByTokenBudget(df, "id", "tc", "score", 3L).count() === 0)
   }
+
+  test("near-distinct scores (q235 shape): sharded boundary stays exact") {
+    // One distinct score per row — the histogram degenerates to N rows,
+    // the exact case the bin-sharded prefix sum exists for. Results must
+    // equal the brute-force prefix bit-for-bit, including negative and
+    // widely-spread scores (bin arithmetic is decimal-exact).
+    val rnd = new Random(11)
+    val rows = (0L until 2000L).map { id =>
+      (id, 1L + rnd.nextInt(30),
+        rnd.nextLong() % 1000000000000L - id) // near-distinct, signed
+    }
+    val df = rows.toDF("id", "tc", "score")
+    for (budget <- Seq(0L, 500L, 9999L, 100000L)) {
+      val got = Sampling.selectByTokenBudget(df, "id", "tc", "score", budget)
+        .select("id").as[Long].collect().toSet
+      assert(got === bruteKeep(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("non-integral score column is refused (documented contract)") {
+    val df = Seq((1L, 5L, 2.5)).toDF("id", "tc", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.selectByTokenBudget(df, "id", "tc", "score", 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -23,9 +23,10 @@ class ClassifySuite extends AnyFunSuite {
   test("nbTrainHashed: full grid, counts, prior row, smoothed LLR sign") {
     val B = 16
     val w = Classify.nbTrainHashed(docs, "text", col("y"), B).collect()
-    assert(w.length === B + 1)
+    assert(w.length === B + 2)
     val byBucket = w.map(r => r.getInt(0) -> r).toMap
     assert(byBucket.contains(-1), "prior row present")
+    assert(byBucket(-2).getLong(3) === B.toLong, "bucket-count row present")
     // prior: 3 positive docs (incl. the null-text one), 4 negative
     assert(byBucket(-1).getLong(1) === 3L)
     assert(byBucket(-1).getLong(2) === 4L)
@@ -160,5 +161,62 @@ class ClassifySuite extends AnyFunSuite {
     val p2 = df.select(Profile.pseudonymize(col("u"), "s2").as("pu"))
       .collect().map(_.getString(0))
     assert(!p2.contains(p(1L)), "different salt must re-key")
+  }
+
+  test("dsirFitLambda: dense grid; stored-table scoring == one-shot refit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "lorem ipsum dolor sit amet consectetur", false),
+      (3L, "the quick brown cat", true),
+      (4L, "zz yy xx ww vv", false),
+      (5L, "single", false),
+      (6L, null.asInstanceOf[String], false)
+    ).toDF("id", "text", "y")
+    val lam = Classify.dsirFitLambda(docs, "text", col("y"), buckets = 32)
+    val rows = lam.collect()
+    assert(rows.length === 33) // 32 bucket rows + the count metadata row
+    assert(rows.map(_.getInt(0)).filter(_ >= 0).sorted.toSeq === (0 until 32))
+    assert(rows.find(_.getInt(0) == -2).get.getLong(3) === 32L)
+    // Serve from the materialized table == the one-shot fit-and-score,
+    // including a FRESH batch with bigrams the fit never saw (they score
+    // through the dense grid's smoothed weights, no fallback path).
+    val batch = Seq((10L, "the quick zebra gallops"), (11L, "totally novel grams here"))
+      .toDF("id", "text")
+    val served = Classify.dsirScoreHashed(batch, "id", "text", lam)
+      .orderBy("id").collect().toSeq
+    val refit = Classify.dsirScoreHashed(batch, "id", "text",
+        Classify.dsirFitLambda(docs, "text", col("y"), buckets = 32))
+      .orderBy("id").collect().toSeq
+    assert(served === refit)
+    assert(served.forall(_.getLong(1) > 0))
+    // one-shot API == fit∘score composition on the fit corpus itself
+    val oneShot = Classify.dsirLogRatios(docs, "id", "text", col("y"), 32)
+      .orderBy("id").collect().toSeq
+    val composed = Classify.dsirScoreHashed(docs, "id", "text", lam)
+      .orderBy("id").collect().toSeq
+    assert(oneShot === composed)
+    // null text / single token: 0 bigrams, null mean
+    assert(oneShot.find(_.getLong(0) == 6L).get.getLong(1) === 0L)
+    assert(oneShot.find(_.getLong(0) == 5L).get.isNullAt(3))
+  }
+
+  test("corrupted stored model grids fail fast (dense-grid validation)") {
+    val docs = Seq((1L, "a b c", true), (2L, "d e f", false)).toDF("id", "text", "y")
+    val lam = Classify.dsirFitLambda(docs, "text", col("y"), buckets = 16)
+    val holed = lam.where(col("bucket") =!= 7)
+    val e1 = intercept[IllegalArgumentException] {
+      Classify.dsirScoreHashed(docs, "id", "text", holed)
+    }
+    assert(e1.getMessage.contains("dense"))
+    val nb = Classify.nbTrainHashed(docs, "text", col("y"), buckets = 16)
+    val e2 = intercept[IllegalArgumentException] {
+      Classify.nbScoreHashed(docs, "id", "text", nb.where(col("bucket") =!= 3))
+    }
+    assert(e2.getMessage.contains("dense"))
+    // truncated-top corruption (the silently-changed-modulus hazard)
+    val e3 = intercept[IllegalArgumentException] {
+      Classify.nbScoreHashed(docs, "id", "text", nb.where(col("bucket") < 12))
+    }
+    assert(e3.getMessage.contains("dense"))
   }
 }

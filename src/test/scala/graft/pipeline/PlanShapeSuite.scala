@@ -265,7 +265,7 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!textShuffled, s"raw text crosses an exchange (digests only):\n$plan")
   }
 
-  test("token-budget selection: corpus window is score-partitioned; single-partition only for the histogram") {
+  test("token-budget selection: every corpus-scale window is partitioned") {
     val d2 = docs.select(col("doc_id"), (col("doc_id") % 3 + 1).as("tc"),
       (col("doc_id") % 2).as("score"))
     val plan = physical(Sampling.selectByTokenBudget(d2, "doc_id", "tc", "score", 100L))
@@ -273,9 +273,25 @@ class PlanShapeSuite extends AnyFunSuite {
     // an unpartitioned window here would funnel the corpus into one task.
     assert(plan.contains("windowspecdefinition(score"),
       s"corpus window lost its score partitioning:\n$plan")
+    // The histogram's descending prefix sum must be partitioned by the
+    // range bin (near-distinct scores make the histogram corpus-sized —
+    // the q235 shape); the ONLY unpartitioned windows allowed are over
+    // the ≤2^16-row bin-offset table.
+    assert(plan.contains("windowspecdefinition(__bin"),
+      s"histogram prefix sum lost its bin sharding:\n$plan")
+    val unpartitionedCorpusWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition("))
+      .filterNot(_.contains("windowspecdefinition(score"))
+      .filterNot(_.contains("windowspecdefinition(__bin"))
+      .toList
+    // remaining windows: the bin-offset cumulative over bounded rows
+    assert(unpartitionedCorpusWindows.size <= 1,
+      s"unexpected extra window:\n$plan")
+    // Single-partition exchanges: the bounded bin-offset window plus the
+    // 1-row boundary reduce — neither sees corpus-scale rows.
     val singles = "Exchange SinglePartition".r.findAllIn(plan).length
-    assert(singles <= 1,
-      s"more than one single-partition exchange (histogram only expected):\n$plan")
+    assert(singles <= 2,
+      s"too many single-partition exchanges:\n$plan")
   }
 
   test("oovReport scoring pass: membership scan, no corpus explode/join before the group agg") {
