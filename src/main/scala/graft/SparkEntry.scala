@@ -2058,6 +2058,69 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q241_release_prep" -> ((s, d) => {
+      // Release preparation COMPOSED (the r14 verdict's pseudonymize
+      // gate): the q236 k-anonymity audit decides which (event_type,
+      // day) equivalence classes are safe to ship (k=l=50 — both flags
+      // carry real signal at this sf), then the released rows carry only
+      // the PSEUDONYMIZED user key — md5(salt|id), deterministic so
+      // joinability within the release survives while the raw id never
+      // travels. Class list broadcasts (one row per class); the oracle
+      // replays audit, filter, and the md5 expression verbatim.
+      val ev = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("db"), col("user_id"))
+      val safe = Profile.kAnonymityReport(ev, Seq("event_type", "db"),
+          "user_id", k = 50, l = 50)
+        .where(col("violates_k") === 0 && col("violates_l") === 0)
+        .select("event_type", "db")
+      ev.join(broadcast(safe), Seq("event_type", "db"))
+        .select(col("event_type"), col("db"),
+          Profile.pseudonymize(col("user_id"), "rel1").as("pseudo_uid"))
+        .distinct()
+        .orderBy("event_type", "db", "pseudo_uid")
+    }),
+
+    "q240_stream_nb_score" -> ((s, d) => {
+      // The stored QUALITY CLASSIFIER deployed on the streaming surface
+      // (the r14 verdict gap; the q162 stored-model-at-stream-time
+      // convention): q234's persisted NB weight table scores each
+      // micro-batch of the odd-id half as it drains through the xmlng
+      // source — the natural quality-gate deployment in an ingestion
+      // pipeline. Per-doc scores are batch-boundary-independent (the
+      // model is frozen, scoring is map-side), so the drained set equals
+      // the batch score of the same half exactly — the oracle's replay.
+      val docs = t(s, d, "documents")
+      val wpath = s"${artifactRoot(d)}/nb_weights_b64m"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$wpath/_SUCCESS").exists()) {
+          Classify.nbTrainHashed(docs, "text", nbLabelCol, buckets = 64)
+            .repartition(1).write.mode("overwrite").parquet(wpath)
+        }
+      }
+      val sfName = new java.io.File(d).getName
+      val xin = s"/tmp/graft_xml/$sfName/stream_nb_in_v1"
+      val batchIn = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      xmlInputOnce(batchIn, xin, "doc")
+      val base = s"/tmp/graft_xml/$sfName/stream_nb_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(batchIn.schema).load(xin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Classify.nbScoreHashed(bdf, "doc_id", "text",
+              s.read.parquet(wpath))
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q239_dsir_serve" -> ((s, d) => {
       // DSIR's stored-model lifecycle (the r14 verdict gap): the dense
       // 256-bucket λ table persists ONCE (fingerprinted path, the q234
@@ -7311,6 +7374,46 @@ object SparkEntry {
         |  CASE WHEN coalesce(ds.nb_sum, 0) + (SELECT llr_micro FROM pr) > 0
         |    THEN 1 ELSE 0 END AS predicted
         |FROM documents d LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q241: k/l-safe classes via HAVING, then the released distinct
+    // (class, md5-pseudonym) rows — the pseudonymization expression
+    // replayed verbatim.
+    "q241_release_prep" ->
+      """WITH cls AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS db
+        |  FROM events GROUP BY 1, 2
+        |  HAVING count(*) >= 50 AND count(DISTINCT user_id) >= 50)
+        |SELECT DISTINCT e.event_type AS event_type,
+        |  epoch_us(e.ts) // 86400000000 AS db,
+        |  md5('rel1|' || CAST(e.user_id AS VARCHAR)) AS pseudo_uid
+        |FROM events e JOIN cls ON e.event_type = cls.event_type
+        |  AND epoch_us(e.ts) // 86400000000 = cls.db
+        |ORDER BY e.event_type, db, pseudo_uid""".stripMargin,
+
+    // q240: q234's fit+score replay restricted to the streamed odd-id
+    // half — the drained micro-batch scores must equal the batch score.
+    "q240_stream_nb_score" ->
+      s"""WITH $nbOracleCtes,
+        |occ AS (
+        |  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\\s+')) AS token
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 2 = 1)),
+        |ds AS (
+        |  SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+        |    CAST(sum(w.llr_micro) AS BIGINT) AS nb_sum
+        |  FROM occ JOIN w USING (bucket) GROUP BY occ.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ds.n_tokens, 0) AS n_tokens,
+        |  coalesce(ds.nb_sum, 0) AS nb_sum_micro,
+        |  CASE WHEN coalesce(ds.n_tokens, 0) > 0
+        |    THEN ds.nb_sum // ds.n_tokens END AS nb_mean_micro,
+        |  CASE WHEN coalesce(ds.nb_sum, 0) + (SELECT llr_micro FROM pr) > 0
+        |    THEN 1 ELSE 0 END AS predicted
+        |FROM documents d LEFT JOIN ds USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
 
     // q239: the stored-λ serve replay — the q235 fit arithmetic over the
