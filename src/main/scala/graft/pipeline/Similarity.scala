@@ -1117,6 +1117,28 @@ object Similarity {
     math.max(1L, k).toInt
   }
 
+  /** Trainer routing shared by [[semDeDupWithinClusters]] and the manual
+    * pair-volume scaling probe: flat integer Lloyd while k fits
+    * driver-resident centroids, the two-level hierarchy (kCoarse ≈ ⌈√k⌉
+    * coarse shards, ⌈k/kCoarse⌉ fine per shard) past `flatKMax` so
+    * driver state stays O(√k·dim) — auto-k makes k ∝ n, and a flat
+    * Lloyd's k×dim per-iteration collect is a driver OOM at a 100-TB
+    * corpus long before the arithmetic hurts. */
+  private[pipeline] def clusterAssignForDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: String,
+      flatKMax: Int): DataFrame =
+    if (k <= flatKMax) kmeansLloydAssign(df, idCol, vecCol, k, iters, seed)
+    else {
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      val kf = (k + kc - 1) / kc
+      kmeansTwoLevelAssign(df, idCol, vecCol, kc, kf, iters, iters, seed)
+    }
+
   def semDeDupWithinClusters(
       df: DataFrame,
       idCol: String,
@@ -1138,20 +1160,10 @@ object Similarity {
       if (k > 0) k
       else semDeDupParams(if (nHint > 0) nHint else df.count(),
         targetClusterSize, maxPairBudget)
-    // Past flatKMax clusters the trainer switches to the two-level
-    // hierarchy (kCoarse ≈ ⌈√k⌉ coarse shards, ⌈k/kCoarse⌉ fine per
-    // shard) so driver-resident centroid state stays O(√k·dim) — auto-k
-    // makes k ∝ n, and a flat Lloyd's k×dim per-iteration collect is a
-    // driver OOM at a 100-TB corpus long before the arithmetic hurts.
     // Lazy localCheckpoint: the assignment feeds BOTH the realized
     // pair-volume probe and the pair join — one argmin pass, not two.
-    val assign = (if (kEff <= flatKMax)
-        kmeansLloydAssign(df, idCol, vecCol, kEff, iters, seed)
-      else {
-        val kc = math.ceil(math.sqrt(kEff.toDouble)).toInt
-        val kf = (kEff + kc - 1) / kc
-        kmeansTwoLevelAssign(df, idCol, vecCol, kc, kf, iters, iters, seed)
-      })
+    val assign = clusterAssignForDedup(df, idCol, vecCol, kEff, iters,
+        seed, flatKMax)
       .select(col("id"), col("cluster"))
       .localCheckpoint(false)
     // Realized-skew guard (ONE driver row at any k): derived k keeps
