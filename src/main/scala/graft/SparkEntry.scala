@@ -2044,6 +2044,45 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q242_twolevel_serve" -> ((s, d) => {
+      // The two-level model SERVED from storage — the q228/q234/q239
+      // fit-once/serve-many convention applied to the 100×-scale
+      // trainer: the coarse matrix (kc×dim longs) and the fine
+      // (shard, fcl, cv) table persist once per corpus; a FRESH batch
+      // (reversed vectors, offset ids — disjoint from training, like
+      // q239's novel tails) is assigned with zero training: one
+      // broadcast coarse argmin + one shard-keyed fine argmin. A 1-row
+      // aggregate validates the stored table against the declared model
+      // shape first (the q233 dense-grid convention). Deterministic
+      // integers pin stored == refit: the oracle replays fit AND serve.
+      val emb = t(s, d, "embeddings")
+      val cpath = s"${artifactRoot(d)}/twolevel_k3x3/coarse"
+      val fpath = s"${artifactRoot(d)}/twolevel_k3x3/fine"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$fpath/_SUCCESS").exists()) {
+          val (coarse, fine) = Similarity.kmeansTwoLevelModel(emb,
+            "vec_id", "embedding", kCoarse = 3, kFine = 3,
+            itersCoarse = 2, itersFine = 2)
+          import s.implicits._
+          coarse.zipWithIndex.flatMap { case (c, i) =>
+            c.zipWithIndex.map { case (v, dim) => (i, dim, v) }
+          }.toSeq.toDF("cluster", "dim", "c")
+            .repartition(1).write.mode("overwrite").parquet(cpath)
+          fine.repartition(1).write.mode("overwrite").parquet(fpath)
+        }
+      }
+      val storedC = s.read.parquet(cpath).collect()
+      val kc = storedC.map(_.getInt(0)).max + 1
+      val dim = storedC.map(_.getInt(1)).max + 1
+      val coarse = Array.ofDim[Long](kc, dim)
+      storedC.foreach(r => coarse(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Similarity.kmeansTwoLevelServe(fresh, "vec_id", "embedding",
+          coarse, s.read.parquet(fpath), kFine = 3)
+        .orderBy("id")
+    }),
+
     "q238_semdedup_twolevel" -> ((s, d) => {
       // SemDeDup on the HIERARCHICAL trainer — the 100×-corpus path:
       // flatKMax=1 forces the two-level route at the derived k (⌈500/64⌉
@@ -8021,6 +8060,36 @@ object SparkEntry {
         |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
              seed = "km")}
         |${twoLevelFinalAssignSql(kf = 3, itersF = 2)}
+        |ORDER BY id""".stripMargin,
+
+    // q242: the two-level fit CTEs (shared verbatim with q237 — stored
+    // == refit is the gate's whole point), then the SERVE replay over
+    // the fresh batch: micro-quantized reversed vectors at offset ids,
+    // coarse argmin against c{itersC}, fine argmin against f{itersF}
+    // keyed by the fresh batch's own coarse shard.
+    "q242_twolevel_serve" ->
+      s"""WITH ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")},
+        |nex AS MATERIALIZED (
+        |  SELECT vec_id + 100000 AS id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(list_reverse(embedding),
+        |      (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |nsh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM nex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)
+        |SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster, d2 FROM (
+        |  SELECT e.id, sh.shard, c.fcl,
+        |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+        |  FROM nex e JOIN nsh sh USING (id)
+        |  JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |  GROUP BY e.id, sh.shard, c.fcl)
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1
         |ORDER BY id""".stripMargin,
 
     // q238: q208's pair/closure tail on the TWO-LEVEL assignment (the

@@ -620,6 +620,46 @@ object Similarity {
       itersCoarse: Int,
       itersFine: Int,
       seed: String = "km"): DataFrame = {
+    val (base, cents, _) = twoLevelState(df, idCol, vecCol, kCoarse, kFine,
+      itersCoarse, itersFine, seed)
+    fineArgmin(base, cents)
+      .select(col("id"),
+        (col("shard") * kFine + col("__m.fcl")).cast("int").as("cluster"),
+        col("__m.d2").as("d2"))
+  }
+
+  /** One fine-level argmin pass: shard-keyed equi-join against the
+    * (shard, fcl, cv) centroid table, exact integer d2,
+    * min(struct(d2, fcl, qv)) partial aggregate — the exchange carries
+    * ONE row per input row; per-row candidates exist only transiently
+    * map-side. (d2, fcl) is unique within a row's candidate set, so the
+    * qv tail (carried to avoid a rejoin in the update step) never
+    * decides a comparison. Input frame: (id, shard, qv). */
+  private def fineArgmin(base: DataFrame, cents: DataFrame): DataFrame =
+    base.join(cents, Seq("shard"))
+      .select(col("id"), col("shard"),
+        struct(
+          aggregate(zip_with(col("qv"), col("cv"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d2"),
+          col("fcl").as("fcl"),
+          col("qv").as("qv")).as("__cand"))
+      .groupBy(col("id"), col("shard"))
+      .agg(min(col("__cand")).as("__m"))
+
+  /** Shared fit core of the two-level lifecycle: coarse flat Lloyd →
+    * shard-partitioned corpus → DataFrame-resident fine Lloyd. Returns
+    * (sharded corpus (id, shard, qv), fine centroids (shard, fcl, cv),
+    * coarse centroid matrix). */
+  private def twoLevelState(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int,
+      kFine: Int,
+      itersCoarse: Int,
+      itersFine: Int,
+      seed: String): (DataFrame, DataFrame, Array[Array[Long]]) = {
     Dedup.requireIntegralId(df, idCol, "kmeansTwoLevelAssign")
     require(kCoarse >= 1, s"kCoarse must be >= 1, got $kCoarse")
     require(kFine >= 1, s"kFine must be >= 1, got $kFine")
@@ -627,9 +667,10 @@ object Similarity {
     require(itersFine >= 0, s"itersFine must be >= 0, got $itersFine")
     require(kCoarse.toLong * kFine <= Int.MaxValue,
       s"kCoarse*kFine = ${kCoarse.toLong * kFine} overflows Int")
-    val shards = kmeansLloydAssign(df, idCol, vecCol, kCoarse, itersCoarse,
-        seed + "|c")
-      .select(col("id"), col("cluster").as("shard"))
+    val (_, ccents, cwithBest) =
+      lloydState(df, idCol, vecCol, kCoarse, itersCoarse, seed + "|c")
+    val shards = cwithBest(ccents)
+      .select(col("id"), col("__best.cluster").as("shard"))
     // Shard-partitioned once; every fine round's join and window reuse
     // this layout off the checkpoint instead of re-shuffling the corpus.
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -649,24 +690,9 @@ object Similarity {
       .where(col("__rn") <= kFine)
       .select(col("shard"), (col("__rn") - 1).as("fcl"), col("qv").as("cv"))
       .localCheckpoint(eager = false)
-    // One argmin shape for every fine pass: shard-keyed equi-join, exact
-    // integer d2, min(struct(d2, fcl, qv)) — (d2, fcl) is unique within
-    // a row's candidate set, so the qv tail (carried to avoid a rejoin
-    // in the update step) never decides a comparison.
-    def assignTo(c: DataFrame): DataFrame =
-      base.join(c, Seq("shard"))
-        .select(col("id"), col("shard"),
-          struct(
-            aggregate(zip_with(col("qv"), col("cv"),
-                (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, v) => acc + v).as("d2"),
-            col("fcl").as("fcl"),
-            col("qv").as("qv")).as("__cand"))
-        .groupBy(col("id"), col("shard"))
-        .agg(min(col("__cand")).as("__m"))
     var it = 0
     while (it < itersFine) {
-      val upd = assignTo(cents)
+      val upd = fineArgmin(base, cents)
         .select(col("shard"), col("__m.fcl").as("fcl"),
           posexplode(col("__m.qv")).as(Seq("dim", "q")))
         .groupBy(col("shard"), col("fcl"), col("dim"))
@@ -687,7 +713,107 @@ object Similarity {
         .localCheckpoint(eager = false)
       it += 1
     }
-    assignTo(cents)
+    (base, cents, ccents)
+  }
+
+  /**
+   * Fit half of the two-level lifecycle: trains [[kmeansTwoLevelAssign]]'s
+   * hierarchy and returns the STORABLE model — (coarse centroid matrix
+   * kCoarse×dim, fine centroid DataFrame (shard, fcl, cv)). The coarse
+   * matrix is the only driver-resident piece (O(√k·dim)); the fine table
+   * persists as parquet and is never collected.
+   *
+   * A coarse shard that ends training EMPTY (no corpus row assigns to
+   * it — possible since empty coarse clusters keep their seed centroid)
+   * would leave serve-time vectors landing on it with no fine centroids
+   * to argmin against; the model patches each such shard with a single
+   * fine centroid equal to its coarse centroid (fcl 0 — the shard's best
+   * available guess), so [[kmeansTwoLevelServe]] is total over any input.
+   * The patch probe collects at most kCoarse shard ids — still sublinear
+   * in k = kCoarse·kFine.
+   */
+  def kmeansTwoLevelModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int,
+      kFine: Int,
+      itersCoarse: Int,
+      itersFine: Int,
+      seed: String = "km"): (Array[Array[Long]], DataFrame) = {
+    val (_, cents, ccents) = twoLevelState(df, idCol, vecCol, kCoarse, kFine,
+      itersCoarse, itersFine, seed)
+    val present = cents.select(col("shard")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    driverCollectedRows.addAndGet(present.size)
+    val missing = (0 until kCoarse).filterNot(present)
+    val patched =
+      if (missing.isEmpty) cents
+      else {
+        val sp = cents.sparkSession
+        import sp.implicits._
+        cents.unionByName(missing.map(sh => (sh, 0, ccents(sh).toSeq))
+          .toDF("shard", "fcl", "cv"))
+      }
+    (ccents, patched)
+  }
+
+  /**
+   * Serve half of the two-level lifecycle: assigns any batch against a
+   * STORED model — coarse argmin against the broadcast kCoarse-row
+   * matrix (the [[kmeansAssign]] plan), then one fine argmin via a
+   * shard-keyed equi-join against the stored (shard, fcl, cv) table.
+   * Zero training, zero driver state beyond the coarse matrix; the fine
+   * table streams through the join, so model size never bounds the
+   * driver. Deterministic integer arithmetic pins stored == refit
+   * (the q242 gate replays fit+serve in DuckDB and hash-matches).
+   *
+   * `kFine` is the model's declared fine fan-out — passed explicitly,
+   * never inferred from the stored table (a truncated table would
+   * silently re-derive a smaller id space — the q233/q234 stored-model
+   * modulus hazard). A 1-row aggregate validates the stored table
+   * against the declared shape before any scoring.
+   */
+  def kmeansTwoLevelServe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Long]],
+      fine: DataFrame,
+      kFine: Int): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "kmeansTwoLevelServe")
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    require(kFine >= 1, s"kFine must be >= 1, got $kFine")
+    val dim = coarse.head.length
+    require(coarse.forall(_.length == dim), "coarse centroid dim drift")
+    // ONE driver row at any model size: stored-table bounds vs the
+    // declared model shape — shard/fcl ranges, dim agreement, and full
+    // shard coverage (every coarse shard must carry >= 1 fine centroid;
+    // the fit-side patch guarantees it, a hand-truncated table fails).
+    val b = fine.agg(
+      min(col("shard")), max(col("shard")), min(col("fcl")), max(col("fcl")),
+      min(size(col("cv"))), max(size(col("cv"))),
+      countDistinct(col("shard"))).head()
+    require(!b.isNullAt(0), "stored fine centroid table is empty")
+    require(b.getInt(0) >= 0 && b.getInt(1) < coarse.length,
+      s"stored fine table shard range [${b.getInt(0)}, ${b.getInt(1)}] " +
+        s"outside coarse model of ${coarse.length} shards")
+    require(b.getInt(2) >= 0 && b.getInt(3) < kFine,
+      s"stored fine table fcl range [${b.getInt(2)}, ${b.getInt(3)}] " +
+        s"outside declared kFine=$kFine")
+    require(b.getInt(4) == dim && b.getInt(5) == dim,
+      s"stored fine centroid dims [${b.getInt(4)}, ${b.getInt(5)}] != " +
+        s"coarse dim $dim")
+    require(b.getLong(6) == coarse.length,
+      s"stored fine table covers ${b.getLong(6)} of ${coarse.length} " +
+        "shards — truncated model")
+    val sharded = bestAssign(
+        df.select(col(idCol).cast("long").as("id"),
+          transform(col(vecCol).cast("array<double>"),
+            x => round(x * lit(1000000.0)).cast("long")).as("qv")),
+        coarse)
+      .select(col("id"), col("qv"), col("__best.cluster").as("shard"))
+    fineArgmin(sharded, fine)
       .select(col("id"),
         (col("shard") * kFine + col("__m.fcl")).cast("int").as("cluster"),
         col("__m.d2").as("d2"))

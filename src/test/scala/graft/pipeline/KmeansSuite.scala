@@ -290,6 +290,61 @@ class KmeansSuite extends AnyFunSuite {
     assert(out.select("id").distinct().count() === 4L)
   }
 
+  test("kmeansTwoLevelServe from the stored model equals the trained assignment") {
+    // The fit/serve contract: fitting once and serving the SAME corpus
+    // through (coarse matrix, fine table) reproduces the trainer's
+    // assignment bit-for-bit — deterministic integers, same argmin tie
+    // rule at both levels.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.01, 0.0)), (2L, Seq(0.0, 0.01)),
+      (10L, Seq(0.0, 5.0)), (11L, Seq(0.01, 5.0)), (12L, Seq(0.0, 5.01)),
+      (20L, Seq(9.0, 0.0)), (21L, Seq(9.01, 0.0)), (22L, Seq(9.0, 0.01)),
+      (30L, Seq(9.0, 5.0)), (31L, Seq(9.01, 5.0)), (32L, Seq(9.0, 5.01))
+    ).toDF("id", "v")
+    val trained = Similarity.kmeansTwoLevelAssign(vecs, "id", "v",
+        kCoarse = 2, kFine = 2, itersCoarse = 3, itersFine = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val (coarse, fine) = Similarity.kmeansTwoLevelModel(vecs, "id", "v",
+      kCoarse = 2, kFine = 2, itersCoarse = 3, itersFine = 3)
+    val served = Similarity.kmeansTwoLevelServe(vecs, "id", "v",
+        coarse, fine, kFine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(served.toSeq === trained.toSeq)
+  }
+
+  test("kmeansTwoLevelModel patches empty coarse shards; serve guards the table") {
+    // All-identical vectors: every row ties to coarse cluster 0 (lower
+    // id wins), so shard 1 trains EMPTY — the model must still carry a
+    // fine centroid for it (fcl 0 = the coarse centroid) so serve stays
+    // total over inputs that land there.
+    val vecs = (0L until 6L).map(i => (i, Seq(1.0, 1.0))).toDF("id", "v")
+    val (coarse, fine) = Similarity.kmeansTwoLevelModel(vecs, "id", "v",
+      kCoarse = 2, kFine = 2, itersCoarse = 1, itersFine = 1)
+    assert(coarse.length === 2)
+    val shards = fine.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(shards === Set(0, 1),
+      "empty coarse shard must be patched into the fine table")
+    val served = Similarity.kmeansTwoLevelServe(vecs, "id", "v",
+      coarse, fine, kFine = 2)
+    assert(served.count() === 6L)
+    // Stored-model guards (the q233/q234 modulus-hazard convention): a
+    // hand-truncated table (missing shard) and an out-of-range declared
+    // kFine both refuse loudly instead of silently mis-assigning.
+    val truncated = fine.where(col("shard") === 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTwoLevelServe(vecs, "id", "v", coarse, truncated,
+        kFine = 2)
+    }
+    assert(e1.getMessage.contains("truncated"))
+    val badFcl = fine.withColumn("fcl", col("fcl") + 5)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTwoLevelServe(vecs, "id", "v", coarse, badFcl,
+        kFine = 2)
+    }
+    assert(e2.getMessage.contains("fcl range"))
+  }
+
   test("semDeDupWithinClusters past flatKMax routes through the hierarchy") {
     // flatKMax=1 forces the two-level trainer at any derived k; the
     // planted dup pairs must still collapse to their min id and the
