@@ -137,6 +137,36 @@ object SparkEntry {
     s"/tmp/graft_kmv/${base.getName}_$fp"
   }
 
+  /** Fits + persists the two-level k-means model (kc=3, kf=3, 2+2
+    * iters over embeddings) exactly once per sf dir — the stored-model
+    * convention shared by q242 (serve) and q243 (refresh): the coarse
+    * matrix and the (shard, fcl, cv) fine table are the SAME parquet
+    * artifacts a production lifecycle would persist at train time. */
+  private def twoLevelModelOnce(
+      s: SparkSession, d: String): (Array[Array[Long]], DataFrame) = {
+    val cpath = s"${artifactRoot(d)}/twolevel_k3x3/coarse"
+    val fpath = s"${artifactRoot(d)}/twolevel_k3x3/fine"
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$fpath/_SUCCESS").exists()) {
+        val (coarse, fine) = Similarity.kmeansTwoLevelModel(
+          t(s, d, "embeddings"), "vec_id", "embedding", kCoarse = 3,
+          kFine = 3, itersCoarse = 2, itersFine = 2)
+        import s.implicits._
+        coarse.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, dim) => (i, dim, v) }
+        }.toSeq.toDF("cluster", "dim", "c")
+          .repartition(1).write.mode("overwrite").parquet(cpath)
+        fine.repartition(1).write.mode("overwrite").parquet(fpath)
+      }
+    }
+    val storedC = s.read.parquet(cpath).collect()
+    val kc = storedC.map(_.getInt(0)).max + 1
+    val dim = storedC.map(_.getInt(1)).max + 1
+    val coarse = Array.ofDim[Long](kc, dim)
+    storedC.foreach(r => coarse(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    (coarse, s.read.parquet(fpath))
+  }
+
   /** Builds + persists the winnowed fingerprint table once per sf dir —
     * MOSS-style pipelines store each document's selected (pos, fp) set
     * and run every overlap/clone report against the stored table; only
@@ -2056,31 +2086,34 @@ object SparkEntry {
       // shape first (the q233 dense-grid convention). Deterministic
       // integers pin stored == refit: the oracle replays fit AND serve.
       val emb = t(s, d, "embeddings")
-      val cpath = s"${artifactRoot(d)}/twolevel_k3x3/coarse"
-      val fpath = s"${artifactRoot(d)}/twolevel_k3x3/fine"
-      SparkEntry.synchronized {
-        if (!new java.io.File(s"$fpath/_SUCCESS").exists()) {
-          val (coarse, fine) = Similarity.kmeansTwoLevelModel(emb,
-            "vec_id", "embedding", kCoarse = 3, kFine = 3,
-            itersCoarse = 2, itersFine = 2)
-          import s.implicits._
-          coarse.zipWithIndex.flatMap { case (c, i) =>
-            c.zipWithIndex.map { case (v, dim) => (i, dim, v) }
-          }.toSeq.toDF("cluster", "dim", "c")
-            .repartition(1).write.mode("overwrite").parquet(cpath)
-          fine.repartition(1).write.mode("overwrite").parquet(fpath)
-        }
-      }
-      val storedC = s.read.parquet(cpath).collect()
-      val kc = storedC.map(_.getInt(0)).max + 1
-      val dim = storedC.map(_.getInt(1)).max + 1
-      val coarse = Array.ofDim[Long](kc, dim)
-      storedC.foreach(r => coarse(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      val (coarse, fine) = twoLevelModelOnce(s, d)
       val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
         reverse(col("embedding")).as("embedding"))
       Similarity.kmeansTwoLevelServe(fresh, "vec_id", "embedding",
-          coarse, s.read.parquet(fpath), kFine = 3)
+          coarse, fine, kFine = 3)
         .orderBy("id")
+    }),
+
+    "q243_twolevel_refresh" -> ((s, d) => {
+      // The two-level STORE-AND-REFRESH lifecycle (q225's convention on
+      // the hierarchical model): the stored model freezes; sufficient
+      // statistics build per slice (even/odd ids) through the serve
+      // argmin and ADD — the refreshed fine table from merged stats
+      // must equal a one-step refresh over the full corpus, which is
+      // what the oracle computes. History is never re-read; centroids
+      // and stats stay DataFrame-resident at any k.
+      val emb = t(s, d, "embeddings")
+      val (coarse, fine) = twoLevelModelOnce(s, d)
+      val even = Similarity.twoLevelSuffStats(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        coarse, fine, kFine = 3)
+      val odd = Similarity.twoLevelSuffStats(
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        coarse, fine, kFine = 3)
+      Similarity.kmeansTwoLevelRefresh(fine, even.unionByName(odd))
+        .select(col("shard"), col("fcl"),
+          posexplode(col("cv")).as(Seq("dim", "c")))
+        .orderBy("shard", "fcl", "dim")
     }),
 
     "q238_semdedup_twolevel" -> ((s, d) => {
@@ -8091,6 +8124,33 @@ object SparkEntry {
         |  GROUP BY e.id, sh.shard, c.fcl)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1
         |ORDER BY id""".stripMargin,
+
+    // q243: fit CTEs shared with q237/q242, then the one-step refresh —
+    // serve-argmin assignment over the full corpus (even/odd slice stats
+    // ADD to exactly this), (shard, fcl, dim) micro sums with truncating
+    // div, fine clusters with no rows keeping their stored centroid.
+    "q243_twolevel_refresh" ->
+      s"""WITH ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")},
+        |af AS (
+        |  SELECT id, shard, fcl FROM (
+        |    SELECT e.id, sh.shard, c.fcl,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN shards sh USING (id)
+        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |    GROUP BY e.id, sh.shard, c.fcl)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
+        |upd AS (
+        |  SELECT a.shard, a.fcl, e.dim,
+        |    CAST(sum(e.q) // count(*) AS BIGINT) AS cnew
+        |  FROM af a JOIN ex e USING (id)
+        |  GROUP BY a.shard, a.fcl, e.dim)
+        |SELECT CAST(f.shard AS INTEGER) AS shard, CAST(f.fcl AS INTEGER) AS fcl,
+        |  CAST(f.dim AS INTEGER) AS dim, CAST(coalesce(u.cnew, f.c) AS BIGINT) AS c
+        |FROM f2 f LEFT JOIN upd u
+        |  ON f.shard = u.shard AND f.fcl = u.fcl AND f.dim = u.dim
+        |ORDER BY shard, fcl, dim""".stripMargin,
 
     // q238: q208's pair/closure tail on the TWO-LEVEL assignment (the
     // derived k=8 routes to 3 coarse × 3 fine under flatKMax=1).

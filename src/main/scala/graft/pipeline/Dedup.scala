@@ -738,6 +738,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       if (est > 0 && est < (1L << 19)) est else df.count()
     }
 
+  /** Membership-volume boundary past which [[minHashDedupPairs]] runs the
+    * realized bucket-occupancy probe: below it the candidate stage is
+    * small enough that the session floor absorbs it and the probe's extra
+    * aggregate would be pure overhead on the common small-corpus call
+    * (the resolveBandingCount hybrid convention applied to parallelism);
+    * at and above it the probe's cost is noise next to the emission it
+    * sizes. 2²¹ membership rows ≈ 65k docs at the (128, 32) banding. */
+  private val OccupancyProbeBoundary = 1L << 21
+
   def minHashDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -745,8 +754,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       threshold: Double,
       numHashes: Int = 0,
       bands: Int = 0,
-      nHint: Long = 0L): DataFrame = {
+      nHint: Long = 0L,
+      maxPairBudget: Long = 100000000000L): DataFrame = {
     requireIntegralId(df, idCol, "minHashDedupPairs")
+    require(maxPairBudget >= 1, s"maxPairBudget must be >= 1, got $maxPairBudget")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -757,18 +768,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     // Banding derives from the corpus count unless the caller pins it
     // (both or neither — a lone override would silently change the curve).
+    val resolvedN = if (numHashes > 0 || bands > 0) 0L
+      else resolveBandingCount(df, nHint)
     val (autoHashes, autoBands) =
       if (numHashes > 0 || bands > 0) {
         require(numHashes > 0 && bands > 0,
           "pass BOTH numHashes and bands, or neither (auto-sizing)")
         (numHashes, bands)
-      } else minHashParams(resolveBandingCount(df, nHint), threshold)
+      } else minHashParams(resolvedN, threshold)
     // Parallelism sizing, by contrast, is a perf knob — the stats estimate
     // is fine there (partitioning never changes the pair SET).
     val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)
-    // Bucket-stage parallelism grows with the membership volume (n × bands),
-    // floored at the session default — see expansionPartitions.
-    val parts = expansionPartitions(nEst * autoBands, floor)
     val base = spreadInput(df, floor)
       .select(col(idCol).cast("long").as("id"), hashedNgramSet(col(textCol), 1).as("toks"))
       .select(col("id"), col("toks"),
@@ -788,89 +798,185 @@ object Dedup extends org.apache.spark.internal.Logging {
     // predicate pushdown then inlines through every projection, re-running
     // the whole signature pipeline per row at the scan.
     val bucketsOf = SketchFunctions.minhash_band_hashes(col("sig"), autoBands)
+    // Realized bucket-occupancy probe (the q208 skew-probe convention on
+    // the LSH stage): past OccupancyProbeBoundary membership rows, ONE
+    // distributed aggregate measures Sigma m(m-1)/2 over (band, bucket)
+    // occupancies — the true comparison volume of the bucket stage and
+    // the scale signal for everything downstream of it. Duplicate-heavy
+    // or small-vocabulary corpora put the candidate set orders of
+    // magnitude above the n·bands membership estimate (the r15 sf10
+    // decade measured 9.45B comparisons over 16M memberships), and a
+    // verification join sized by membership alone then grinds through
+    // session-floor-sized partitions. The probe (a) refuses loudly past
+    // `maxPairBudget` — emitting a quadratic candidate set is a cost the
+    // caller must accept explicitly — and (b) sizes the bucket stage and
+    // both verification-join exchanges to the measured volume. One row
+    // crosses to the driver at any scale; below the boundary the plan is
+    // byte-identical to the probe-free one.
+    val membership = math.max(nEst, resolvedN) * autoBands
+    val probedVol: Long =
+      if (membership < OccupancyProbeBoundary) 0L
+      else {
+        val v = base
+          .select(posexplode(bucketsOf).as(Seq("band", "bucket")))
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("m"))
+          .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+        require(v <= maxPairBudget,
+          s"MinHash banding yields $v within-bucket comparisons " +
+            s"(duplicate-heavy or low-diversity corpus) — past " +
+            s"maxPairBudget=$maxPairBudget. Raise the threshold, pass " +
+            "coarser explicit (numHashes, bands), or raise the budget to " +
+            "accept the cost explicitly.")
+        v
+      }
+    // Bucket-stage parallelism grows with the measured comparison volume
+    // when probed (the verify-at-emission stage below does one token-set
+    // merge per comparison), else with the n × bands membership estimate,
+    // floored at the session default — see expansionPartitions.
+    val parts =
+      if (probedVol > 0) expansionPartitions(probedVol, floor)
+      else expansionPartitions(membership, floor)
     // The explicit repartition pins the bucket-stage parallelism: the
     // exchange input is compact membership rows but flatMapGroups emits the
-    // candidate-pair set (orders of magnitude larger on duplicate-heavy
+    // verified-pair set (orders of magnitude larger on duplicate-heavy
     // corpora), so AQE's input-size-based coalescing would otherwise run
     // the emission and everything above it on a handful of tasks. A
     // user-specified repartition is exempt from coalescing, and grouping by
     // the same columns reuses it instead of adding an exchange.
+    //
+    // Each membership row carries (a) the PREFIX of its band hashes — only
+    // bands BEFORE this one; the first-agreeing-band dedup never looks
+    // past the current band, and the prefix halves the dedup payload vs
+    // shipping all `bands` hashes — and (b) the row's sorted token-hash
+    // set, so verification happens AT EMISSION inside the bucket task.
+    // Shipping the ~|toks|-long set once per membership row costs ~2× on
+    // this exchange but deletes the candidate-pair pipeline that used to
+    // follow: at the r15 sf10 decade the unverified candidate set was
+    // ~1B rows and its two token joins re-exchanged ~55 GB of wide rows
+    // through session-floor partitions (the measured super-linear term);
+    // verified emission ships only true pairs — three compact columns —
+    // and nothing downstream shuffles at all.
     val banded = base
       .select(posexplode(bucketsOf).as(Seq("band", "bucket")),
-        col("id"), bucketsOf.as("bs"))
+        col("id"), slice(bucketsOf, lit(1), col("band")).as("bs"),
+        col("toks"))
       .repartition(parts, col("band"), col("bucket"))
 
     // Column-keyed grouping (not groupByKey with a closure): the shuffle
     // moves UnsafeRows as-is and rows deserialize to tuples only inside
     // flatMapGroups, instead of a per-row deserialize/reserialize round
     // trip before the exchange just to extract the key.
-    val candidates = banded
+    val thr = threshold
+    val pairs = banded
       .groupBy(col("band"), col("bucket"))
-      .as[(Int, Long), (Int, Long, Long, Array[Long])]
-      .flatMapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Long, Array[Long])]) =>
+      .as[(Int, Long), (Int, Long, Long, Array[Long], Array[Long])]
+      .flatMapGroups { (key: (Int, Long),
+          iter: Iterator[(Int, Long, Long, Array[Long], Array[Long])]) =>
         val band = key._1
         // Skew defense: duplicate-heavy corpora put thousands of identical
-        // documents in one (band, bucket) group. Rows are collapsed into
-        // distinct-band-hash groups as they stream in, so the task holds one
-        // hash array plus an id list per distinct shape — never the full
-        // row set — and pair comparisons are O(groups²), not O(rows²).
+        // documents in one (band, bucket) group. Rows collapse into
+        // distinct-band-hash-prefix groups as they stream in, so group-
+        // pair screening is O(groups²), not O(rows²); the task buffer
+        // holds each member's (id, token set) — O(rows · |toks|) bytes,
+        // which the maxPairBudget refusal upstream bounds together with
+        // the comparison volume.
         val groups = new java.util.LinkedHashMap[Seq[Long], (Array[Long],
-          scala.collection.mutable.ArrayBuffer[Long])]()
-        iter.foreach { case (_, _, id, bs) =>
+          scala.collection.mutable.ArrayBuffer[(Long, Array[Long])])]()
+        iter.foreach { case (_, _, id, bs, toks) =>
           val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(bs)
           val entry = groups.get(k)
           if (entry == null) {
-            groups.put(k, (bs, scala.collection.mutable.ArrayBuffer(id)))
-          } else entry._2 += id
+            groups.put(k, (bs,
+              scala.collection.mutable.ArrayBuffer((id, toks))))
+          } else entry._2 += ((id, toks))
         }
-        val gs = new Array[(Array[Long], Array[Long])](groups.size)
+        val gs = new Array[(Array[Long], Array[(Long, Array[Long])])](
+          groups.size)
         var gi = 0
         val it = groups.values.iterator()
         while (it.hasNext) {
-          val (bs, ids) = it.next()
-          gs(gi) = (bs, ids.toArray.sorted)
+          val (bs, members) = it.next()
+          gs(gi) = (bs, members.toArray.sortBy(_._1))
           gi += 1
         }
-        // First band (< this one) on which the two rows' band hashes agree.
-        def firstAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
+        // Exact Jaccard of two sorted long arrays — the same
+        // duplicate-collapsing merge as SortedLongJaccard (the former
+        // verification join's expression), bit-for-bit: inter/union as
+        // a double division, 0.0 on two empty sets.
+        def jac(a: Array[Long], b: Array[Long]): Double = {
+          val na = a.length; val nb = b.length
+          var i = 0; var j = 0; var inter = 0; var union = 0
+          while (i < na && j < nb) {
+            val x = a(i); val y = b(j)
+            union += 1
+            if (x == y) {
+              inter += 1
+              do i += 1 while (i < na && a(i) == x)
+              do j += 1 while (j < nb && b(j) == y)
+            } else if (x < y) {
+              do i += 1 while (i < na && a(i) == x)
+            } else {
+              do j += 1 while (j < nb && b(j) == y)
+            }
+          }
+          while (i < na) {
+            val x = a(i); union += 1
+            do i += 1 while (i < na && a(i) == x)
+          }
+          while (j < nb) {
+            val y = b(j); union += 1
+            do j += 1 while (j < nb && b(j) == y)
+          }
+          if (union == 0) 0.0 else inter.toDouble / union.toDouble
+        }
+        // Two members agree on some band < this one iff their hash
+        // prefixes share a position — such a pair was already handled by
+        // that earlier band's bucket.
+        def agreesEarlier(a: Array[Long], b: Array[Long]): Boolean = {
           var k = 0
           while (k < band) {
-            if (a(k) == b(k)) return k
+            if (a(k) == b(k)) return true
             k += 1
           }
-          band
+          false
         }
-        // Identical signatures agree on band 0, so within-group pairs are
-        // emitted exactly once, by the band-0 bucket. Output is a lazy
-        // iterator: a quadratic-sized true answer (all-duplicates corpus)
-        // streams out without ever materializing in task memory.
-        val within: Iterator[(Long, Long)] =
+        def verified(x: (Long, Array[Long]), y: (Long, Array[Long])):
+            Iterator[(Long, Long, Double)] = {
+          val s = jac(x._2, y._2)
+          if (s >= thr) {
+            Iterator.single(
+              if (x._1 < y._1) (x._1, y._1, s) else (y._1, x._1, s))
+          } else Iterator.empty
+        }
+        // Members with equal prefixes agree on band 0 (any band-0 bucket
+        // has the empty prefix), so within-group pairs are emitted
+        // exactly once, by the band-0 bucket. Output is a lazy iterator:
+        // a quadratic-sized true answer (all-duplicates corpus) streams
+        // out without ever materializing in task memory — each emitted
+        // row is verified HERE, so only true pairs leave the task.
+        val within: Iterator[(Long, Long, Double)] =
           if (band != 0) Iterator.empty
-          else gs.iterator.flatMap { case (_, ids) =>
-            ids.indices.iterator.flatMap(i =>
-              (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+          else gs.iterator.flatMap { case (_, ms) =>
+            ms.indices.iterator.flatMap(i =>
+              (i + 1 until ms.length).iterator.flatMap(j =>
+                verified(ms(i), ms(j))))
           }
-        val across: Iterator[(Long, Long)] =
+        val across: Iterator[(Long, Long, Double)] =
           gs.indices.iterator.flatMap { i =>
             (i + 1 until gs.length).iterator
-              .filter(j => firstAgreeingBand(gs(i)._1, gs(j)._1) == band)
+              .filter(j => !agreesEarlier(gs(i)._1, gs(j)._1))
               .flatMap { j =>
                 val (as, bs) = (gs(i)._2, gs(j)._2)
-                as.iterator.flatMap(a => bs.iterator.map(b =>
-                  if (a < b) (a, b) else (b, a)))
+                as.iterator.flatMap(a => bs.iterator.flatMap(b =>
+                  verified(a, b)))
               }
           }
         within ++ across
       }
-      .toDF("id_a", "id_b")
-
-    val toks = base.select(col("id"), col("toks"))
-    candidates
-      .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("jaccard", SketchFunctions.sorted_long_jaccard(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .toDF("id_a", "id_b", "jaccard")
+    pairs.select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over the distinct-token set (bit-vote sketch); map-side only. */

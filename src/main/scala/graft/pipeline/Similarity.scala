@@ -820,6 +820,60 @@ object Similarity {
   }
 
   /**
+   * Sufficient statistics of a FROZEN two-level model over a corpus
+   * slice — [[kmeansSuffStats]] generalized to the hierarchy: each row
+   * assigns through the stored model ([[kmeansTwoLevelServe]]'s exact
+   * coarse-then-fine argmin), and the output is the (shard, fcl, dim,
+   * s, n) micro-sum table. Stats from disjoint slices ADD (plain sums),
+   * so the fine table refreshes from daily batches without re-touching
+   * history — union the stat tables, [[kmeansTwoLevelRefresh]], done;
+   * exactly equal to a one-step refresh over the full corpus (the q243
+   * gate). Driver state: the coarse matrix only; stats and centroids
+   * stay DataFrame-resident at any k.
+   */
+  def twoLevelSuffStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Long]],
+      fine: DataFrame,
+      kFine: Int): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "twoLevelSuffStats")
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    require(kFine >= 1, s"kFine must be >= 1, got $kFine")
+    val sharded = bestAssign(
+        df.select(col(idCol).cast("long").as("id"),
+          transform(col(vecCol).cast("array<double>"),
+            x => round(x * lit(1000000.0)).cast("long")).as("qv")),
+        coarse)
+      .select(col("id"), col("qv"), col("__best.cluster").as("shard"))
+    fineArgmin(sharded, fine)
+      .select(col("shard"), col("__m.fcl").as("fcl"),
+        posexplode(col("__m.qv")).as(Seq("dim", "q")))
+      .groupBy(col("shard"), col("fcl"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Fine-table refresh from merged [[twoLevelSuffStats]] tables: one
+    * truncating div per (shard, fcl, dim); fine clusters absent from
+    * the stats (no rows this period) keep their stored centroid —
+    * the same empty-cluster rule as training. Returns the refreshed
+    * (shard, fcl, cv) table, ready to persist as the next model. */
+  def kmeansTwoLevelRefresh(fine: DataFrame, stats: DataFrame): DataFrame = {
+    val merged = stats.groupBy(col("shard"), col("fcl"), col("dim"))
+      .agg(expr("sum(s) div sum(n)").as("cnew"))
+    fine.select(col("shard"), col("fcl"),
+        posexplode(col("cv")).as(Seq("dim", "c")))
+      .join(merged, Seq("shard", "fcl", "dim"), "left")
+      .select(col("shard"), col("fcl"), col("dim"),
+        coalesce(col("cnew"), col("c")).as("c"))
+      .groupBy(col("shard"), col("fcl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+  }
+
+  /**
    * Cluster-balanced coreset: the `m` most central rows per cluster from a
    * [[kmeansLloydAssign]] assignment — the curation step that keeps a
    * corpus's cluster STRUCTURE while cutting its volume (every cluster

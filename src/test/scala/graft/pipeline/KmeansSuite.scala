@@ -345,6 +345,36 @@ class KmeansSuite extends AnyFunSuite {
     assert(e2.getMessage.contains("fcl range"))
   }
 
+  test("twoLevelSuffStats: disjoint slices add to the full-corpus refresh") {
+    // The q243 contract on the hierarchy: stats built per slice through
+    // the FROZEN stored model merge by plain addition, and the refreshed
+    // fine table equals a one-step refresh over the full corpus. Fine
+    // clusters with no rows in the period keep their stored centroid.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.02, 0.0)), (2L, Seq(0.0, 0.02)),
+      (10L, Seq(0.0, 5.0)), (11L, Seq(0.02, 5.0)),
+      (20L, Seq(9.0, 0.0)), (21L, Seq(9.02, 0.0)),
+      (30L, Seq(9.0, 5.0)), (31L, Seq(9.02, 5.0)), (32L, Seq(9.0, 5.02))
+    ).toDF("id", "v")
+    val (coarse, fine) = Similarity.kmeansTwoLevelModel(vecs, "id", "v",
+      kCoarse = 2, kFine = 2, itersCoarse = 2, itersFine = 2)
+    val even = Similarity.twoLevelSuffStats(
+      vecs.where(col("id") % 2 === 0), "id", "v", coarse, fine, kFine = 2)
+    val odd = Similarity.twoLevelSuffStats(
+      vecs.where(col("id") % 2 === 1), "id", "v", coarse, fine, kFine = 2)
+    val merged = Similarity.kmeansTwoLevelRefresh(fine,
+        even.unionByName(odd))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2))
+    val full = Similarity.kmeansTwoLevelRefresh(fine,
+        Similarity.twoLevelSuffStats(vecs, "id", "v", coarse, fine,
+          kFine = 2))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2))
+    assert(merged.toSeq === full.toSeq)
+    assert(merged.length >= 4)
+  }
+
   test("semDeDupWithinClusters past flatKMax routes through the hierarchy") {
     // flatKMax=1 forces the two-level trainer at any derived k; the
     // planted dup pairs must still collapse to their min id and the
