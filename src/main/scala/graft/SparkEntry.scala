@@ -2036,19 +2036,30 @@ object SparkEntry {
       val cells = s.read.parquet(s"$path/cells")
         .select(col("cid"), col("cluster"),
           transform(col("e"), v => v * 1000000L).as("cv"))
-      import org.apache.spark.sql.expressions.Window
-      val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
-      val serve = probed.join(cells, Seq("cluster"))
+      // Top-3 per query through the bounded-heap aggregate (q27's
+      // machinery): each task reduces its cell slice to a 3-entry heap
+      // per query BEFORE the exchange, so the aggregate ships
+      // O(tasks × queries × 3) rows. The former per-qid window funneled
+      // the full probed/truth cell set into |queries| sort tasks — the
+      // r15 sf10 spill (q232 1.26 s at sf1 → 40.4 s at sf10, exp 1.5).
+      // Exactness: serve/truth d2 compares two micro-scaled (×10⁶)
+      // integer vectors, so every distance is a multiple of 10¹² with
+      // mantissa 5¹²·Σdiff² < 2⁵³ — the double-scored heap is exact, and
+      // (−d2 desc, cid asc) is the oracle's (d2 asc, cid asc) tie rule.
+      def top3(scored: DataFrame): DataFrame =
+        scored.groupBy(col("qid"))
+          .agg(graft.functions.TopKFunctions.topk_by_score(
+            -col("d2"), col("cid"), 3).as("__topk"))
+          .select(col("qid"), posexplode(col("__topk")).as(Seq("__p", "__nb")))
+          .select(col("qid"), (col("__p") + 1).cast("int").as("rank"),
+            col("__nb.neighbor_id").as("cid"))
+      val serve = top3(probed.join(cells, Seq("cluster"))
         .where(col("cid") =!= col("qid"))
-        .select(col("qid"), col("cid"), d2(col("qv"), col("cv")).as("d2"))
-        .withColumn("rank", row_number().over(wq))
-        .where(col("rank") <= 3)
+        .select(col("qid"), col("cid"), d2(col("qv"), col("cv")).as("d2")))
       // Brute-force truth over ALL stored cells (5 bounded queries ×
       // corpus — linear), same exclusion, same tie rule.
-      val exact3 = cells.join(broadcast(qq), col("cid") =!= col("qid"))
-        .select(col("qid"), col("cid"), d2(col("qv"), col("cv")).as("d2"))
-        .withColumn("rank", row_number().over(wq))
-        .where(col("rank") <= 3)
+      val exact3 = top3(cells.join(broadcast(qq), col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), d2(col("qv"), col("cv")).as("d2")))
         .select(col("qid"), col("cid"), lit(1).as("__hit"))
       serve.join(exact3, Seq("qid", "cid"), "left")
         .select(col("qid").as("query_id"),

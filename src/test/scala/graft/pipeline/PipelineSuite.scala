@@ -1406,8 +1406,10 @@ class PipelineSuite extends AnyFunSuite {
   }
 
   test("expansion parallelism grows with corpus estimate, session floor at bench scale") {
-    // Plan-only: read the user-pinned repartition's partition count out of
-    // the logical plan; nothing executes.
+    // Reads the user-pinned repartition's partition count out of the
+    // logical plan. Note the occupancy probe (past the 2^21-membership
+    // boundary) EXECUTES one aggregate job during plan construction; the
+    // pair emission itself never runs here.
     def repartNums(df: org.apache.spark.sql.DataFrame): Seq[Int] =
       df.queryExecution.logical.collect {
         case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
@@ -1417,13 +1419,32 @@ class PipelineSuite extends AnyFunSuite {
     val docsDf = Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text")
     // Tiny corpus, no hint: the session default is the floor.
     assert(repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9)).max === floor)
-    // Growth law: partitions scale ~linearly in n × bands, then hit the cap.
-    val p1e8 = repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9,
+    // A huge ESTIMATE over a tiny REAL corpus triggers the occupancy probe,
+    // which measures the realized comparison volume (tiny) and keeps the
+    // floor — the estimate sizes nothing once the probe has ground truth.
+    val pHinted = repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9,
       nHint = 100000000L)).max
-    val p1e10 = repartNums(Dedup.minHashDedupPairs(docsDf, "doc_id", "text", 0.9,
-      nHint = 10000000000L)).max
-    assert(p1e8 > floor && p1e10 > p1e8, s"no growth: floor=$floor, 1e8->$p1e8, 1e10->$p1e10")
-    assert(p1e10 === 65536, "ceiling should bound the task count")
+    assert(pHinted === floor,
+      s"hinted-but-tiny corpus should keep the measured floor: $pHinted vs $floor")
+    // Past the boundary with a duplicate-heavy corpus (2^19 rows x 4 bands
+    // = 2^21 memberships, 64 distinct texts so each bucket holds ~8k rows):
+    // the probe measures ~8.6e9 within-bucket comparisons and sizes the
+    // bucket stage from the MEASURED volume, orders of magnitude above the
+    // floor. Same corpus with a small budget refuses loudly.
+    val heavy = spark.range(1L << 19).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("t"), (col("id") % 64).cast("string"), lit("a")),
+        concat(lit("t"), (col("id") % 64).cast("string"), lit("b")),
+        concat(lit("t"), (col("id") % 64).cast("string"), lit("c"))).as("text"))
+    val pMeasured = repartNums(Dedup.minHashDedupPairs(heavy, "doc_id", "text", 0.9,
+      numHashes = 8, bands = 4, nHint = 1L << 19)).max
+    assert(pMeasured > 4096,
+      s"probe should size from measured occupancy volume, got $pMeasured")
+    val refusal = intercept[IllegalArgumentException] {
+      Dedup.minHashDedupPairs(heavy, "doc_id", "text", 0.9,
+        numHashes = 8, bands = 4, nHint = 1L << 19, maxPairBudget = 1000L)
+    }
+    assert(refusal.getMessage.contains("maxPairBudget"))
     // Same law for the sign-LSH bucket join.
     val emb = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val l0 = repartNums(Similarity.lshNearPairs(emb, "vec_id", "embedding", 2, 0.8,
