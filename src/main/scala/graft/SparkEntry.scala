@@ -2127,6 +2127,58 @@ object SparkEntry {
         .orderBy("shard", "fcl", "dim")
     }),
 
+    "q244_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval with reciprocal-rank fusion (RRF — the standard
+      // production fusion of a lexical and a dense ranked list): the
+      // q154 BM25 top-10 served from the STORED weighted index fuses
+      // with a dense top-10 brute-forced on 32-dim hash embeddings
+      // (integer squared-L2 against the query's own hash embedding,
+      // reduced through the bounded-heap aggregate — map-side heaps,
+      // no corpus-sized sort or window). Fused score is
+      // Σ 10⁶ DIV (60 + rank) over the lists containing the doc; rank 0
+      // encodes absence. Integer end to end; both lists, the fusion
+      // arithmetic, and every tie rule replay verbatim in the oracle.
+      val docs = t(s, d, "documents")
+      val wpath = s"${artifactRoot(d)}/weighted_index"
+      weightedIndexOnce(s, docs, wpath)
+      val terms = TextAnalysis.topTokens(docs, "text", 21)
+        .orderBy(desc("freq"), asc("token"))
+        .collect().map(_.getString(0)).slice(17, 21).toSeq
+      val bm = Search.searchBm25(s.read.parquet(wpath),
+          s.read.parquet(s"$wpath.doclens"), s.read.parquet(s"$wpath.stats"),
+          terms, 10, 1200000L, 750000L)
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(desc("score_micro"), asc("id"))).cast("int"))
+        .select(col("id").as("doc_id"), col("bm25_rank"))
+      val qv = Similarity.hashEmbed(lit(terms.mkString(" ")), 32)
+      val dn = docs
+        .select(col("doc_id"),
+          aggregate(zip_with(Similarity.hashEmbed(col("text"), 32), qv,
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, v) => a + v).as("d2"))
+        .groupBy()
+        .agg(graft.functions.TopKFunctions.topk_by_score(
+          -col("d2"), col("doc_id"), 10).as("__topk"))
+        .select(posexplode(col("__topk")).as(Seq("__p", "__nb")))
+        .select(col("__nb.neighbor_id").as("doc_id"),
+          (col("__p") + 1).cast("int").as("dense_rank"))
+      bm.join(dn, Seq("doc_id"), "outer")
+        .select(col("doc_id"),
+          coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),
+          coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+        .withColumn("rrf_micro",
+          when(col("bm25_rank") > 0,
+            expr("1000000 DIV (60 + bm25_rank)")).otherwise(lit(0L)) +
+          when(col("dense_rank") > 0,
+            expr("1000000 DIV (60 + dense_rank)")).otherwise(lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("rrf_micro"), asc("doc_id"))).cast("int"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("bm25_rank"),
+          col("dense_rank"), col("rrf_micro"))
+        .orderBy("rank")
+    }),
+
     "q238_semdedup_twolevel" -> ((s, d) => {
       // SemDeDup on the HIERARCHICAL trainer — the 100×-corpus path:
       // flatKMax=1 forces the two-level route at the derived k (⌈500/64⌉
@@ -6542,6 +6594,10 @@ object SparkEntry {
     // (score DESC, id) top-10.
     "q154_bm25_search" -> bm25OracleSql,
 
+    // q244: BM25 CTEs + q97 hash-embed grid + RRF fusion, every stage
+    // integer and tie-ruled — see hybridRrfOracleSql.
+    "q244_hybrid_rrf" -> hybridRrfOracleSql,
+
     // q155: the q136 planted graph, md5-derived registers, three
     // register-max iteration CTEs, then the IDENTICAL estimator SQL the
     // Spark plan runs (shared string).
@@ -9935,6 +9991,93 @@ object SparkEntry {
        |  FROM j GROUP BY doc_id)
        |SELECT CAST(doc_id AS BIGINT) AS id, score_micro
        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q244 oracle: the [[bm25OracleSql]] CTE chain re-used up to the
+    * per-doc score, a dense squared-L2 ranking on the q97 hash-embed
+    * grid (query vector = the same 4 search terms through the same md5
+    * bucket/sign arithmetic), and the RRF fusion
+    * Σ 10⁶ // (60 + rank) with rank 0 encoding list absence — every
+    * stage integer, every tie rule (score desc / d2 asc / rrf desc,
+    * then doc_id) replayed verbatim. */
+  private def hybridRrfOracleSql: String = {
+    val contrib = graft.pipeline.Search.bm25ContributionSql(1200000L, 750000L)
+    s"""WITH allt AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS v
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+       |vocab AS (SELECT v, count(*) AS f FROM allt GROUP BY v),
+       |terms AS (SELECT v FROM vocab ORDER BY f DESC, v LIMIT 4 OFFSET 17),
+       |tf AS (SELECT doc_id, v AS token, CAST(count(*) AS BIGINT) AS tf
+       |       FROM allt GROUP BY doc_id, v),
+       |dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |        FROM tf GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS __N,
+       |              CAST(sum(dl) AS BIGINT) AS __T FROM dlt),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS __df
+       |        FROM tf WHERE token IN (SELECT v FROM terms) GROUP BY token),
+       |j AS (
+       |  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dft.__df AS __df,
+       |         dlt.dl AS dl, st.__N AS __N, st.__T AS __T
+       |  FROM tf
+       |  JOIN dft ON tf.token = dft.token
+       |  JOIN dlt ON tf.doc_id = dlt.doc_id, st),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum($contrib) AS BIGINT) AS score_micro
+       |  FROM j GROUP BY doc_id),
+       |bmr AS (
+       |  SELECT doc_id, bm25_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS bm25_rank
+       |    FROM sc) WHERE bm25_rank <= 10),
+       |qb AS (
+       |  SELECT ('0x' || substr(md5(v), 1, 8))::BIGINT % 32 AS bucket,
+       |    CAST(sum(CASE WHEN ('0x' || substr(md5(v), 9, 1))::BIGINT % 2 = 0
+       |             THEN 1 ELSE -1 END) AS BIGINT) AS qv
+       |  FROM terms GROUP BY 1),
+       |tb AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(v), 1, 8))::BIGINT % 32 AS bucket,
+       |    CASE WHEN ('0x' || substr(md5(v), 9, 1))::BIGINT % 2 = 0
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM allt),
+       |sums AS (
+       |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS dv
+       |  FROM tb GROUP BY doc_id, bucket),
+       |grid AS (
+       |  SELECT d.doc_id, g.j,
+       |    coalesce(s.dv, 0) AS dv, coalesce(q.qv, 0) AS qv
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(32)) AS j) g
+       |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = g.j
+       |  LEFT JOIN qb q ON q.bucket = g.j),
+       |d2t AS (
+       |  SELECT doc_id, CAST(sum((dv - qv) * (dv - qv)) AS BIGINT) AS d2
+       |  FROM grid GROUP BY doc_id),
+       |dnr AS (
+       |  SELECT doc_id, dense_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY d2, doc_id) AS INTEGER) AS dense_rank
+       |    FROM d2t) WHERE dense_rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+       |    coalesce(b.bm25_rank, 0) AS bm25_rank,
+       |    coalesce(n.dense_rank, 0) AS dense_rank
+       |  FROM bmr b FULL OUTER JOIN dnr n ON b.doc_id = n.doc_id),
+       |rrf AS (
+       |  SELECT doc_id, bm25_rank, dense_rank,
+       |    CAST(CASE WHEN bm25_rank > 0 THEN 1000000 // (60 + bm25_rank)
+       |              ELSE 0 END
+       |       + CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank)
+       |              ELSE 0 END AS BIGINT) AS rrf_micro
+       |  FROM fused)
+       |SELECT rank, CAST(doc_id AS BIGINT) AS doc_id, bm25_rank,
+       |  dense_rank, rrf_micro
+       |FROM (
+       |  SELECT CAST(row_number() OVER (
+       |    ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank, *
+       |  FROM rrf)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
   /** q156 oracle: the q136/q142 planted-graph CTEs with a
