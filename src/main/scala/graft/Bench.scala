@@ -108,7 +108,13 @@ object Bench {
         .collect { case rx(n) => n.toInt }
       f"BENCH_r${seen.foldLeft(0)(math.max) + 1}%02d.json"
     }
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // Same rule for the stable name: BENCH_full.json is the canonical
+    // LAST COMPLETE SUITE result (VERDICT r14 hygiene / ADVICE r15 —
+    // a one-query scale probe overwrote the 235-query capture twice).
+    // Filtered runs land in BENCH_partial.json unless the caller routes
+    // them explicitly via SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (onlyQueries.isDefined) "BENCH_partial.json" else "BENCH_full.json")
     for (path <- (Seq(outPath) ++ roundFile).distinct) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
