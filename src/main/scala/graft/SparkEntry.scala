@@ -2127,6 +2127,20 @@ object SparkEntry {
         .orderBy("shard", "fcl", "dim")
     }),
 
+    "q245_weighted_mixture" -> ((s, d) => {
+      // Mixture construction: a 10,000-slot training budget apportioned
+      // across languages by n_k × mixture-weight (en:4 es:3 fr:2 de:1;
+      // zh carries no weight — reported, never allocated), exact
+      // weighted Hamilton in DECIMAL(38,0). The budget exceeds the
+      // corpus at every sf, so high-weight strata upsample past their
+      // size (alloc > n — the epoch-repetition semantics a training
+      // mixture wants); Σ alloc = 10,000 exactly. One count per key,
+      // |keys|-row window arithmetic only.
+      Sampling.weightedAllocation(t(s, d, "documents"), "lang",
+          Map("en" -> 4L, "es" -> 3L, "fr" -> 2L, "de" -> 1L), 10000L)
+        .orderBy("key")
+    }),
+
     "q244_hybrid_rrf" -> ((s, d) => {
       // Hybrid retrieval with reciprocal-rank fusion (RRF — the standard
       // production fusion of a lexical and a dense ranked list): the
@@ -6597,6 +6611,36 @@ object SparkEntry {
     // q244: BM25 CTEs + q97 hash-embed grid + RRF fusion, every stage
     // integer and tie-ruled — see hybridRrfOracleSql.
     "q244_hybrid_rrf" -> hybridRrfOracleSql,
+
+    // q245: the weighted Hamilton replay in HUGEINT arithmetic — weighted
+    // masses n·w, floor quotas, largest-remainder top-ups with key-asc
+    // ties, zero-weight strata reported with alloc 0.
+    "q245_weighted_mixture" ->
+      """WITH wt(key, w) AS (
+        |  VALUES ('en', 4), ('es', 3), ('fr', 2), ('de', 1)),
+        |n AS (
+        |  SELECT CAST(lang AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT n.key, n.n, CAST(coalesce(wt.w, 0) AS BIGINT) AS w,
+        |    n.n::HUGEINT * coalesce(wt.w, 0) AS m
+        |  FROM n LEFT JOIN wt ON n.key = wt.key),
+        |tot AS (SELECT sum(m) AS mt FROM m),
+        |q AS (
+        |  SELECT key, n, w,
+        |    CASE WHEN mt > 0 THEN (10000::HUGEINT * m) // mt ELSE 0 END AS base,
+        |    CASE WHEN mt > 0 THEN (10000::HUGEINT * m) % mt ELSE 0 END AS rem
+        |  FROM m, tot),
+        |r AS (
+        |  SELECT key, n, w, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS rk,
+        |    (SELECT CASE WHEN (SELECT mt FROM tot) > 0
+        |             THEN 10000 - sum(base) ELSE 0 END FROM q) AS leftover
+        |  FROM q)
+        |SELECT key, n, w,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY key""".stripMargin,
 
     // q155: the q136 planted graph, md5-derived registers, three
     // register-max iteration CTEs, then the IDENTICAL estimator SQL the

@@ -378,6 +378,70 @@ object Sampling {
   }
 
   /**
+   * WEIGHTED largest-remainder apportionment — the mixture-construction
+   * primitive behind DoReMi/temperature-style domain reweighting applied
+   * EXACTLY: split `budget` training slots across the values of `keyCol`
+   * proportionally to n_k · w_k (stratum size × its declared mixture
+   * weight), floor quotas + largest-remainder top-ups, ties by key
+   * ascending. Unlike [[proportionalAllocation]] (w ≡ 1), the result is
+   * a TARGET, not a cap: a low-resource stratum whose weighted share
+   * exceeds its size is upsampled with repetition (alloc > n — the
+   * standard epoch-repetition semantics of mixture training), so no n_k
+   * cap applies. Weights are integer mixture parts (scale to micro-units
+   * for fractional ratios); strata absent from `weights` get weight 0 —
+   * never allocated, still reported. All arithmetic runs in
+   * DECIMAL(38,0), so Σ alloc = budget exactly whenever any
+   * positive-weight stratum exists, on any engine and any layout.
+   *
+   * Returns one row per stratum: (key, n, w, alloc). Execution: one
+   * map-side-combined count per key, a broadcast join against the
+   * |weights|-row table, then window/rank arithmetic over the
+   * |keys|-row table only — the global window never sees corpus rows
+   * (the [[proportionalAllocation]] shape). Null keys are excluded.
+   */
+  def weightedAllocation(
+      df: DataFrame,
+      keyCol: String,
+      weights: Map[String, Long],
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(weights.values.forall(_ >= 0),
+      s"mixture weights must be >= 0, got $weights")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF("key", "w")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(wDf), Seq("key"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+      .withColumn("__mass", expr("CAST(n AS DECIMAL(38,0)) * w"))
+    // Zero total mass (no stratum carries positive weight): every floor
+    // quota and every remainder is 0, and the top-up guard below keeps
+    // the leftover from leaking into zero-weight strata. The unpartitioned
+    // windows run over the |keys|-row quota table only — never corpus rows.
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = counts
+      .withColumn("__mt", sum(col("__mass")).over(wAll))
+      .withColumn("__q", expr(s"CAST($budget AS DECIMAL(38,0)) * __mass"))
+      .withColumn("base",
+        when(col("__mt") > 0, expr("__q div __mt")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__mt") > 0, expr("__q % __mt"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+    val wRank = Window.orderBy(col("__rem").desc, col("key").asc)
+    quotas.withColumn("__rk", row_number().over(wRank))
+      .withColumn("__SB", sum(col("base")).over(wAll))
+      .withColumn("alloc", (col("base") +
+        when(col("__mt") > 0 &&
+          col("__rk") <= lit(budget) - col("__SB"), 1L).otherwise(0L))
+        .cast("long"))
+      .select(col("key"), col("n"), col("w"), col("alloc"))
+  }
+
+  /**
    * Exact stratified sample: keep precisely [[proportionalAllocation]]'s
    * per-stratum seat count, winners chosen by the [[capPerKey]] ranking
    * rule (salted md5 bucket, then `idCol`) — deterministic, layout-

@@ -1281,6 +1281,33 @@ class PipelineSuite extends AnyFunSuite {
     assert(ta === Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
   }
 
+  test("weightedAllocation: weighted seats, upsampling target, zero-weight strata") {
+    // sizes a=5 b=3 c=2, weights a=1 b=2 c=0, budget 7: masses 5/6/0,
+    // quotas 35/11=3.18.. and 42/11=3.81.. -> bases 3/3, one leftover
+    // seat to the larger remainder (b, 9/11 vs a, 2/11); c reported, 0.
+    val df = ((0 until 5).map(i => (i.toLong, "a")) ++
+      (10 until 13).map(i => (i.toLong, "b")) ++
+      (20 until 22).map(i => (i.toLong, "c"))).toDF("id", "key")
+    val got = Sampling.weightedAllocation(df, "key",
+        Map("a" -> 1L, "b" -> 2L, "c" -> 0L), 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map("a" -> (5L, 1L, 3L), "b" -> (3L, 2L, 4L),
+      "c" -> (2L, 0L, 0L)))
+    // Upsampling: the allocation is a target, not a cap — a heavy-weight
+    // small stratum draws more slots than it has rows, and the total
+    // still lands on the budget exactly.
+    val up = Sampling.weightedAllocation(df, "key",
+        Map("a" -> 1L, "c" -> 50L), 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(up("c") > 2L && up.values.sum === 1000L)
+    // Strata absent from the weight map get 0; all-zero mass allocates
+    // nothing rather than leaking the leftover.
+    val none = Sampling.weightedAllocation(df, "key", Map.empty, 7)
+      .collect().map(r => r.getLong(3)).sum
+    assert(none === 0L)
+  }
+
   test("sampleProportional: exact counts per stratum, layout-independent winners") {
     val df = (0L until 120L).map(i => (i, s"k${i % 5}")).toDF("id", "key")
     val kept = Sampling.sampleProportional(df, "key", "id", 37, salt = "p1")
