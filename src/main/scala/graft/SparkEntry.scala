@@ -2141,6 +2141,21 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "q246_mixture_manifest" -> ((s, d) => {
+      // The q245 mixture MATERIALIZED: per-document integer multiplicity
+      // (alloc div n epochs each, +1 for the alloc mod n salted-rank
+      // winners — capPerKey's md5 order, layout-independent), rows with
+      // multiplicity 0 dropped. Σ multiplicity = the 10,000-slot budget
+      // exactly; upsampled strata repeat, zh never appears. This is the
+      // table a mixture-training run consumes.
+      Sampling.sampleWeightedMixture(
+          t(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id",
+          Map("en" -> 4L, "es" -> 3L, "fr" -> 2L, "de" -> 1L),
+          10000L, salt = "mix1")
+        .select(col("doc_id"), col("lang"), col("multiplicity"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "q244_hybrid_rrf" -> ((s, d) => {
       // Hybrid retrieval with reciprocal-rank fusion (RRF — the standard
       // production fusion of a lexical and a dense ranked list): the
@@ -6611,6 +6626,50 @@ object SparkEntry {
     // q244: BM25 CTEs + q97 hash-embed grid + RRF fusion, every stage
     // integer and tie-ruled — see hybridRrfOracleSql.
     "q244_hybrid_rrf" -> hybridRrfOracleSql,
+
+    // q246: the q245 allocation CTEs + the q119 salted md5 winner rank,
+    // multiplicity = alloc // n + (rank <= alloc % n), zero rows dropped.
+    "q246_mixture_manifest" ->
+      """WITH wt(key, w) AS (
+        |  VALUES ('en', 4), ('es', 3), ('fr', 2), ('de', 1)),
+        |n AS (
+        |  SELECT CAST(lang AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT n.key, n.n, CAST(coalesce(wt.w, 0) AS BIGINT) AS w,
+        |    n.n::HUGEINT * coalesce(wt.w, 0) AS m
+        |  FROM n LEFT JOIN wt ON n.key = wt.key),
+        |tot AS (SELECT sum(m) AS mt FROM m),
+        |q AS (
+        |  SELECT key, n, w,
+        |    CASE WHEN mt > 0 THEN (10000::HUGEINT * m) // mt ELSE 0 END AS base,
+        |    CASE WHEN mt > 0 THEN (10000::HUGEINT * m) % mt ELSE 0 END AS rem
+        |  FROM m, tot),
+        |r AS (
+        |  SELECT key, n, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS rk,
+        |    (SELECT CASE WHEN (SELECT mt FROM tot) > 0
+        |             THEN 10000 - sum(base) ELSE 0 END FROM q) AS leftover
+        |  FROM q),
+        |a AS (
+        |  SELECT key, n,
+        |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM r),
+        |ranked AS (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
+        |                  25, 8))::BIGINT % 1000000,
+        |               doc_id) AS rnk
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT ranked.doc_id, ranked.key AS lang,
+        |  CAST(a.alloc // a.n
+        |    + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END AS BIGINT)
+        |    AS multiplicity
+        |FROM ranked JOIN a ON ranked.key = a.key
+        |WHERE a.alloc // a.n + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END > 0
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // q245: the weighted Hamilton replay in HUGEINT arithmetic — weighted
     // masses n·w, floor quotas, largest-remainder top-ups with key-asc

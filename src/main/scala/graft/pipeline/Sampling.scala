@@ -473,6 +473,48 @@ object Sampling {
   }
 
   /**
+   * The [[weightedAllocation]] mixture MATERIALIZED as an exact
+   * repetition manifest: each row of a stratum gets an integer
+   * `multiplicity` — `alloc div n` epochs for everyone, plus one more
+   * for the `alloc mod n` rows ranking first under the salted md5
+   * bucket rule ([[capPerKey]]'s winner order, so the manifest is
+   * deterministic and layout-independent, and a different `salt` draws
+   * an independent repetition pattern). Σ multiplicity per stratum =
+   * its allocation exactly; Σ over the corpus = `budget` whenever any
+   * positive-weight stratum exists. Rows with multiplicity 0 (the
+   * un-topped remainder of a downsampled stratum, or any zero-weight
+   * stratum) are dropped — the output IS the training mix.
+   *
+   * This is the artifact a mixture-training run consumes: upsampled
+   * strata repeat (alloc > n — epoch repetition), downsampled strata
+   * keep their salted-rank winners, and the whole table replays on any
+   * engine. Same determinism caveat as [[sampleProportional]]: keep
+   * ids unique per stratum. One broadcast of the |keys|-row allocation
+   * plus one window shuffle on `keyCol`.
+   */
+  def sampleWeightedMixture(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      weights: Map[String, Long],
+      budget: Long,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = weightedAllocation(df, keyCol, weights, budget)
+      .select(col("key").as("__ak"), col("n").as("__an"),
+        col("alloc").as("__alloc"))
+    val bucket = hashBucket(col(idCol), DefaultBuckets, salt)
+    val w = Window.partitionBy(col(keyCol)).orderBy(bucket, col(idCol))
+    df.join(broadcast(alloc), col(keyCol).cast("string") === col("__ak"), "inner")
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("multiplicity",
+        expr("__alloc DIV __an") +
+          when(col("__rank") <= col("__alloc") % col("__an"), 1L).otherwise(0L))
+      .filter(col("multiplicity") > 0)
+      .drop("__ak", "__an", "__alloc", "__rank")
+  }
+
+  /**
    * Curriculum/budget selection: admit documents in (`scoreCol` DESC,
    * `idCol` ASC) order while the running token total stays within
    * `budget` — i.e. the longest prefix of the quality ordering whose

@@ -1308,6 +1308,29 @@ class PipelineSuite extends AnyFunSuite {
     assert(none === 0L)
   }
 
+  test("sampleWeightedMixture: multiplicities sum to budget, repetition on upsampled strata") {
+    // a=5 rows w=1, c=2 rows w=50: masses 5/100, budget 21 -> quotas 1/20
+    // exactly (105/105 and 2100/105), no remainders. a keeps its single
+    // salted-rank winner; c's 2 rows repeat 10x each. b (no weight) drops.
+    val df = ((0 until 5).map(i => (i.toLong, "a")) ++
+      (10 until 13).map(i => (i.toLong, "b")) ++
+      (20 until 22).map(i => (i.toLong, "c"))).toDF("id", "key")
+    val got = Sampling.sampleWeightedMixture(df, "key", "id",
+      Map("a" -> 1L, "c" -> 50L), 21, salt = "s1")
+    val byKey = got.groupBy("key")
+      .agg(sum("multiplicity").as("m"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKey === Map("a" -> (1L, 1L), "c" -> (20L, 2L)))
+    assert(got.agg(sum("multiplicity")).head().getLong(0) === 21L)
+    // Layout independence: identical manifest on a different partitioning.
+    val again = Sampling.sampleWeightedMixture(df.repartition(7), "key", "id",
+      Map("a" -> 1L, "c" -> 50L), 21, salt = "s1")
+    assert(got.select("id", "multiplicity").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      again.select("id", "multiplicity").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("sampleProportional: exact counts per stratum, layout-independent winners") {
     val df = (0L until 120L).map(i => (i, s"k${i % 5}")).toDF("id", "key")
     val kept = Sampling.sampleProportional(df, "key", "id", 37, salt = "p1")
