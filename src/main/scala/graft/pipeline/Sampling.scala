@@ -503,15 +503,39 @@ object Sampling {
     val alloc = weightedAllocation(df, keyCol, weights, budget)
       .select(col("key").as("__ak"), col("n").as("__an"),
         col("alloc").as("__alloc"))
+    // Per-stratum rank via the sharded prefix (the shuffleOrder /
+    // selectByTokenBudget boundary pattern): strata are languages/domains
+    // — a handful of values — so a rank window partitioned by the key
+    // alone would funnel the corpus through |keys| sort tasks. Bucket
+    // values are uniform on [0, 10⁶), so 500 ORDERED bucket-range shards
+    // per stratum give (key, shard) windows of ~n/(|keys|·500) rows and
+    // the global rank reassembles EXACTLY as broadcast per-(key, shard)
+    // prefix offsets + the in-shard rank — bit-identical to the
+    // single-window rank, at |keys|×500-task parallelism.
     val bucket = hashBucket(col(idCol), DefaultBuckets, salt)
-    val w = Window.partitionBy(col(keyCol)).orderBy(bucket, col(idCol))
-    df.join(broadcast(alloc), col(keyCol).cast("string") === col("__ak"), "inner")
-      .withColumn("__rank", row_number().over(w))
+    val based = df
+      .join(broadcast(alloc), col(keyCol).cast("string") === col("__ak"), "inner")
+      .withColumn("__bk", bucket)
+      .withColumn("__sh", expr(s"__bk DIV ${DefaultBuckets / 500}"))
+    val offs = based.groupBy(col("__ak").as("__ok"), col("__sh").as("__osh"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(Window.partitionBy(col("__ok"))
+          .orderBy(col("__osh")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__ok"), col("__osh"), col("__off"))
+    val wShard = Window.partitionBy(col("__ak"), col("__sh"))
+      .orderBy(col("__bk"), col(idCol))
+    based
+      .join(broadcast(offs),
+        col("__ak") === col("__ok") && col("__sh") === col("__osh"))
+      .withColumn("__rank", col("__off") + row_number().over(wShard))
       .withColumn("multiplicity",
         expr("__alloc DIV __an") +
           when(col("__rank") <= col("__alloc") % col("__an"), 1L).otherwise(0L))
       .filter(col("multiplicity") > 0)
-      .drop("__ak", "__an", "__alloc", "__rank")
+      .drop("__ak", "__an", "__alloc", "__bk", "__sh", "__ok", "__osh",
+        "__off", "__rank")
   }
 
   /**
