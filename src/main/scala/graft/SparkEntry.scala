@@ -2285,6 +2285,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q247_stream_dsir_score" -> ((s, d) => {
+      // The stored DSIR λ table deployed on the STREAMING surface —
+      // the q240 convention on the importance-weighting model: each
+      // micro-batch of the odd-id half scores map-side against the
+      // frozen 256-bucket grid as it drains through the xmlng source
+      // (data-selection-at-ingestion). Scoring is stateless and the
+      // model frozen, so the drained set equals the batch score of the
+      // same half exactly — the oracle's fit + score replay.
+      val docs = t(s, d, "documents")
+      val path = s"${artifactRoot(d)}/dsir_lambda_b256"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          Classify.dsirFitLambda(docs, "text", nbLabelCol, buckets = 256)
+            .repartition(1).write.mode("overwrite").parquet(path)
+        }
+      }
+      val sfName = new java.io.File(d).getName
+      val xin = s"/tmp/graft_xml/$sfName/stream_dsir_in_v1"
+      val batchIn = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      xmlInputOnce(batchIn, xin, "doc")
+      val base = s"/tmp/graft_xml/$sfName/stream_dsir_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+        .schema(batchIn.schema).load(xin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Classify.dsirScoreHashed(bdf, "doc_id", "text",
+              s.read.parquet(path))
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q239_dsir_serve" -> ((s, d) => {
       // DSIR's stored-model lifecycle (the r14 verdict gap): the dense
       // 256-bucket λ table persists ONCE (fingerprinted path, the q234
@@ -7654,6 +7694,62 @@ object SparkEntry {
         |    THEN ds.nb_sum // ds.n_tokens END AS nb_mean_micro,
         |  CASE WHEN coalesce(ds.nb_sum, 0) + (SELECT llr_micro FROM pr) > 0
         |    THEN 1 ELSE 0 END AS predicted
+        |FROM documents d LEFT JOIN ds USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // q247: the q239 fit CTEs with the STREAMED half (odd ids, text
+    // unchanged) as the batch — streaming serve of the frozen λ table is
+    // stateless and map-side, so drained == this batch replay.
+    "q247_stream_dsir_score" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, $nbLabelSql AS y,
+        |    string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |occ AS (
+        |  SELECT doc_id, y,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id, y,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM b WHERE len(toks) >= 2)),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(count(*) AS BIGINT) AS c_r
+        |  FROM occ GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS n_t,
+        |    CAST(coalesce(sum(c_r), 0) AS BIGINT) AS n_r FROM cnt),
+        |lam AS (
+        |  SELECT CAST(g.bucket AS INTEGER) AS bucket,
+        |    CAST(round((ln((coalesce(c.c_t, 0) + 1) /
+        |        CAST(t.n_t + 256 AS DOUBLE)) -
+        |      ln((coalesce(c.c_r, 0) + 1) /
+        |        CAST(t.n_r + 256 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |      AS lambda_micro
+        |  FROM (SELECT unnest(range(256)) AS bucket) g
+        |  LEFT JOIN cnt c ON c.bucket = g.bucket CROSS JOIN tot t),
+        |bb AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 2 = 1),
+        |bocc AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM bb WHERE len(toks) >= 2)),
+        |ds AS (
+        |  SELECT bocc.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lambda_micro) AS BIGINT) AS dsir_micro
+        |  FROM bocc JOIN lam USING (bucket) GROUP BY bocc.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ds.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(ds.dsir_micro, 0) AS dsir_micro,
+        |  CASE WHEN coalesce(ds.n_bigrams, 0) > 0
+        |    THEN ds.dsir_micro // ds.n_bigrams END AS dsir_mean_micro
         |FROM documents d LEFT JOIN ds USING (doc_id)
         |WHERE d.doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
