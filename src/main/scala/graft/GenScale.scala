@@ -96,11 +96,17 @@ object GenScale {
     // rotations are from each other — no synthetic cross-replica
     // neighbors at copies up to 2*dim (needed for the sf10 decade:
     // copies=100 > dim=64).
+    // Past 2*dim replicas (the sf100 decade: copies=1000), a third axis:
+    // a per-replica md5-derived SIGN MASK on top of the rotation. Masks
+    // agree with any other transform (and each other) on ~dim/2
+    // coordinates, so cross-replica cosines concentrate near 0 — far
+    // below every near-dup/ANN threshold in the suite — while each
+    // coordinate's ± flip is an isometry (norms and within-replica
+    // structure survive). Replicas < 2*dim keep the exact historical
+    // transforms, so sf1/sf10 regenerate bit-for-bit.
     val emb = read("embeddings")
     val vecStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    require(copies <= 2 * dim,
-      s"rotation+flip needs copies <= 2*dim ($copies > ${2 * dim})")
     write((0 until copies).map { k =>
       val r = k % dim
       val rotated =
@@ -109,7 +115,16 @@ object GenScale {
           slice(col("embedding"), 1, r))
       val signed =
         if (k / dim == 0) rotated
-        else transform(rotated, x => -x)
+        else if (k / dim == 1) transform(rotated, x => -x)
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val mask = (0 until dim).map { j =>
+            val h = md.digest(s"gs|$k|$j".getBytes("UTF-8"))
+            if ((h(0) & 1) == 0) 1.0f else -1.0f
+          }
+          transform(rotated, (x, j) =>
+            x * element_at(typedlit(mask), j + 1))
+        }
       emb.select((col("vec_id") + lit(k * vecStride)).as("vec_id"),
         signed.as("embedding"), col("label"))
     }.reduce(_ unionByName _), "embeddings")
