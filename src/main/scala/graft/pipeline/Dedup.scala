@@ -542,18 +542,6 @@ object Dedup extends org.apache.spark.internal.Logging {
     SketchFunctions.minhash_signature(hashedNgramSet(text, 1), numHashes)
 
   /**
-   * Near-duplicate pairs by MinHash LSH with exact Jaccard verification.
-   * Returns (id_a, id_b, jaccard) for all pairs with token-set Jaccard ≥
-   * `threshold`. Banding auto-sizes from the corpus count via
-   * [[minHashParams]] (128 hashes / 32 bands × 4 rows below 2²⁰ docs —
-   * miss probability at 0.8 similarity ~5e-8, so the output matches an
-   * exact all-pairs oracle in practice — rows-per-band growing with
-   * log₂(n) beyond, holding both the recall bar and the candidate
-   * volume); candidate-generation work stays proportional to
-   * collisions, not n². Pass explicit (numHashes, bands) — both — to
-   * pin the curve, e.g. to match a persisted index generation.
-   */
-  /**
    * Per-group EXACT-duplication pressure: how much of each source is
    * verbatim copies — the first number a dedup run reports (it sets the
    * expectation for what near-dup will find, and a source whose dup rate
@@ -747,6 +735,72 @@ object Dedup extends org.apache.spark.internal.Logging {
     * sizes. 2²¹ membership rows ≈ 65k docs at the (128, 32) banding. */
   private val OccupancyProbeBoundary = 1L << 21
 
+  /** Number of HEAD bands in [[minHashDedupPairs]]' scale plan: the head
+    * ships token sets and verifies pairs exactly at emission; every later
+    * band ships bare (nid, head-prefix) rows only. A true near-dup pair
+    * agrees per band with probability t^r ≥ threshold^r, so the head
+    * already catches 1 − (1 − t^r)^4 of true pairs (≈ 98.6% at t = 0.9,
+    * r = 4; ≈ 95% at r = 9) — the token-set payload's shuffle multiplicity
+    * drops from `bands`× to ~2× while the bare tail holds the full
+    * 1e-12 recall bar. */
+  private val HeadBands = 4
+
+  /**
+   * Near-duplicate pairs by MinHash LSH: (id_a, id_b, jaccard) for all
+   * pairs with distinct-token-set Jaccard ≥ `threshold`, jaccard EXACT.
+   * Banding auto-sizes from the corpus count via [[minHashParams]]
+   * (128 hashes / 32 bands × 4 rows below 2²⁰ docs, rows-per-band growing
+   * with log₂(n) beyond — miss probability ≤ 1e-12 at the threshold, so
+   * the output matches an exact all-pairs oracle in practice). Pass
+   * explicit (numHashes, bands) — both — to pin the curve, e.g. to match
+   * a persisted index generation.
+   *
+   * Scale shape (the round-16 redesign; the r15 variant shipped each
+   * document's full token set through EVERY band bucket — n·bands·|token
+   * set| shuffle bytes — and died on disk at the 20M-doc decade):
+   *
+   *  1. EXACT-DUPLICATE COLLAPSE: one groupBy on the hashed token SET —
+   *     one corpus-linear shuffle — folds every identical-content group
+   *     into a single node (toks, sorted member ids, nid = min id),
+   *     localCheckpointed once for every later stage. Verbatim copies —
+   *     the dominant duplication mode in web corpora (see
+   *     [[dedupPressureReport]]) — never enter LSH at all: within-node
+   *     pairs stream straight out of the node table through chained lazy
+   *     generators at jaccard = 1.0 exactly (two identical non-empty
+   *     sets; empty-set nodes are excluded — two empty docs score 0.0,
+   *     the merge-pass convention), and MinHash arithmetic runs once per
+   *     distinct content. A hot node's emission is serial per node,
+   *     exactly the profile r15 had for a hot band-0 bucket;
+   *     `maxPairBudget` bounds it.
+   *  2. HEAD BANDS (first [[HeadBands]]): membership rows carry the token
+   *     set + the (≤ HeadBands−1 long) band-hash prefix; pairs verify
+   *     EXACTLY at emission inside the bucket task, deduped by the
+   *     first-agreeing-band rule — zero downstream shuffle, the r15
+   *     machinery restricted to the bands that catch ~95–99% of true
+   *     pairs. Past the probe boundary the rows are first semi-joined
+   *     against the (checkpointed, collision-sized) hot-bucket list so
+   *     singleton buckets never ship a token set at all.
+   *  3. TAIL BANDS (the 1e-12 insurance): membership rows are BARE —
+   *     (band, bucket, nid) plus the constant HeadBands-long head
+   *     prefix, ~70 B regardless of document length. A bucket pair whose
+   *     head prefixes share any position was already handled by stage 2
+   *     and is skipped; the rest emit compact (nid_a, nid_b) candidates
+   *     (duplicated across their agreeing tail bands), distinct() them,
+   *     and ONE id-keyed join against the checkpointed node table
+   *     verifies the merge-pass exact Jaccard. Because the head already
+   *     absorbed ~95–99% of true pairs, this join is tiny by
+   *     construction — the r14 wide-verification-join defect cannot
+   *     reappear at volume.
+   *
+   * Below [[OccupancyProbeBoundary]] memberships the plan stays the
+   * simple single-phase r15 shape (all bands with token sets, full
+   * prefix, no hot filter, no join) — small corpora pay zero extra
+   * stages. Past it, the hot-bucket lists double as the realized-volume
+   * probe: Σ m(m−1)/2 over hot buckets (the true comparison volume)
+   * plus Σ |ids|·(|ids|−1)/2 over nodes (the exact-duplicate output
+   * volume) must fit `maxPairBudget` or the call refuses loudly, and the
+   * bucket stages repartition to the MEASURED volume.
+   */
   def minHashDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -761,10 +815,6 @@ object Dedup extends org.apache.spark.internal.Logging {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // Hashed + sorted token set: verification joins then move 8-byte
-    // elements instead of strings, and Jaccard is a single merge pass. The
-    // signature derives from the same token-hash array in a second projection
-    // so tokenization runs once per row.
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     // Banding derives from the corpus count unless the caller pins it
     // (both or neither — a lone override would silently change the curve).
@@ -779,131 +829,154 @@ object Dedup extends org.apache.spark.internal.Logging {
     // Parallelism sizing, by contrast, is a perf knob — the stats estimate
     // is fine there (partitioning never changes the pair SET).
     val nEst = if (nHint > 0) nHint else estimateRowsByStats(df)
-    val base = spreadInput(df, floor)
-      .select(col(idCol).cast("long").as("id"), hashedNgramSet(col(textCol), 1).as("toks"))
-      .select(col("id"), col("toks"),
-        SketchFunctions.minhash_signature(col("toks"), autoHashes).as("sig"))
 
-    // One row per (band, bucket) membership, carrying the row's full array
-    // of band-bucket hashes so each bucket can emit a pair exactly once: a
-    // pair is produced only by its *first* agreeing band. This removes the
-    // classic LSH blow-up where a near-duplicate pair is emitted by most of
-    // its bands and needs a many-times-larger distinct() shuffle afterwards
-    // (9× here). Agreement is judged on the band HASHES — the same values
-    // that define bucket membership, so the scheme stays self-consistent —
-    // which ships `bands` longs per row through the shuffle instead of the
-    // `numHashes`-long signature (4× less here).
-    // The generator argument stays an inline expression on purpose: given a
-    // bare attribute, InferFiltersFromGenerate adds a size()>0 filter that
-    // predicate pushdown then inlines through every projection, re-running
-    // the whole signature pipeline per row at the scan.
+    // Stage 1: exact-duplicate collapse. Tokenization runs exactly once
+    // per document (hashed + sorted token set: 8-byte elements, Jaccard is
+    // a single merge pass); the groupBy on the set itself — arrays are
+    // orderable grouping keys — is the operator's ONE corpus-linear
+    // token-set shuffle. The checkpoint materializes the node table so the
+    // signature pipeline, the occupancy probe, both verification joins and
+    // the within-node emission all read it without re-tokenizing.
+    val nodes = spreadInput(df, floor)
+      .select(col(idCol).cast("long").as("id"),
+        hashedNgramSet(col(textCol), 1).as("toks"))
+      .groupBy(col("toks"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("toks"), col("ids"), element_at(col("ids"), 1).as("nid"))
+      .localCheckpoint(eager = false)
+
+    // MinHash arithmetic per DISTINCT set, not per document — duplicate-
+    // heavy corpora pay the signature once per distinct content. The band
+    // fold stays an inline expression over the materialized `sig` column:
+    // given a bare attribute, InferFiltersFromGenerate adds a size()>0
+    // filter that predicate pushdown then inlines through every
+    // projection, re-running the whole signature pipeline per row.
+    val base = nodes.select(col("nid"), col("ids"), col("toks"),
+      SketchFunctions.minhash_signature(col("toks"), autoHashes).as("sig"))
     val bucketsOf = SketchFunctions.minhash_band_hashes(col("sig"), autoBands)
-    // Realized bucket-occupancy probe (the q208 skew-probe convention on
-    // the LSH stage): past OccupancyProbeBoundary membership rows, ONE
-    // distributed aggregate measures Sigma m(m-1)/2 over (band, bucket)
-    // occupancies — the true comparison volume of the bucket stage and
-    // the scale signal for everything downstream of it. Duplicate-heavy
-    // or small-vocabulary corpora put the candidate set orders of
-    // magnitude above the n·bands membership estimate (the r15 sf10
-    // decade measured 9.45B comparisons over 16M memberships), and a
-    // verification join sized by membership alone then grinds through
-    // session-floor-sized partitions. The probe (a) refuses loudly past
-    // `maxPairBudget` — emitting a quadratic candidate set is a cost the
-    // caller must accept explicitly — and (b) sizes the bucket stage and
-    // both verification-join exchanges to the measured volume. One row
-    // crosses to the driver at any scale; below the boundary the plan is
-    // byte-identical to the probe-free one.
+
     val membership = math.max(nEst, resolvedN) * autoBands
-    val probedVol: Long =
-      if (membership < OccupancyProbeBoundary) 0L
+    val probed = membership >= OccupancyProbeBoundary
+    // Head/tail split only matters at scale: below the probe boundary the
+    // head IS all bands (the simple r15 single-phase plan, zero extra
+    // stages and actions for the common small-corpus call).
+    val b0 = if (probed) math.min(HeadBands, autoBands) else autoBands
+
+    // Hot-bucket list for a band range: (boff, bucket) keys whose
+    // occupancy m >= 2 — collision-sized, so the checkpoint is small and
+    // the semi-joins against it broadcast. Bare (boff, bucket) rows only:
+    // this pass never ships a token set.
+    def hotBuckets(lo: Int, hi: Int): DataFrame = base
+      .select(posexplode(slice(bucketsOf, lit(lo + 1), lit(hi - lo)))
+        .as(Seq("boff", "bucket")))
+      .groupBy(col("boff"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= 2)
+      .localCheckpoint(eager = false)
+
+    // Realized-volume probe (the q208 skew-probe convention on the LSH
+    // stage), folded into the hot-bucket lists the scale plan needs
+    // anyway: Sigma m(m-1)/2 over hot buckets is the true bucket-stage
+    // comparison volume, Sigma |ids|·(|ids|−1)/2 over nodes the
+    // exact-duplicate output volume that bypasses LSH but is still output
+    // the caller pays for. The probe refuses loudly past `maxPairBudget`
+    // on the SUM — emitting a quadratic answer is a cost the caller must
+    // accept explicitly — and the bucket stages repartition to the
+    // measured comparison volume. One row per aggregate crosses to the
+    // driver at any scale; below the boundary no extra job runs at all.
+    val (hotHead, hotTail, probedVol) =
+      if (!probed) (None, None, None)
       else {
-        val v = base
-          .select(posexplode(bucketsOf).as(Seq("band", "bucket")))
-          .groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("m"))
+        val hh = hotBuckets(0, b0)
+        val ht = if (autoBands > b0) Some(hotBuckets(b0, autoBands)) else None
+        def volOf(h: DataFrame): Long = h
           .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
           .head().getLong(0)
-        require(v <= maxPairBudget,
-          s"MinHash banding yields $v within-bucket comparisons " +
-            s"(duplicate-heavy or low-diversity corpus) — past " +
-            s"maxPairBudget=$maxPairBudget. Raise the threshold, pass " +
-            "coarser explicit (numHashes, bands), or raise the budget to " +
-            "accept the cost explicitly.")
-        v
+        val bucketVol = volOf(hh) + ht.map(volOf).getOrElse(0L)
+        val withinVol = nodes
+          .agg(coalesce(sum(expr(
+            "cast(size(ids) as bigint) * (size(ids) - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+        require(bucketVol + withinVol <= maxPairBudget,
+          s"MinHash dedup yields $bucketVol within-bucket comparisons + " +
+            s"$withinVol exact-duplicate pairs (duplicate-heavy or " +
+            s"low-diversity corpus) — past maxPairBudget=$maxPairBudget. " +
+            "Raise the threshold, pass coarser explicit (numHashes, " +
+            "bands), or raise the budget to accept the cost explicitly.")
+        (Some(hh), ht, Some(bucketVol))
       }
-    // Bucket-stage parallelism grows with the measured comparison volume
-    // when probed (the verify-at-emission stage below does one token-set
-    // merge per comparison), else with the n × bands membership estimate,
-    // floored at the session default — see expansionPartitions.
+    // Bucket-stage parallelism grows with the MEASURED comparison volume
+    // when probed (including a measured zero — "every document identical"
+    // collapses to one node, measures 0 bucket comparisons, and must keep
+    // the floor), else with the n × bands membership estimate — see
+    // expansionPartitions.
     val parts =
-      if (probedVol > 0) expansionPartitions(probedVol, floor)
-      else expansionPartitions(membership, floor)
-    // The explicit repartition pins the bucket-stage parallelism: the
-    // exchange input is compact membership rows but flatMapGroups emits the
-    // verified-pair set (orders of magnitude larger on duplicate-heavy
-    // corpora), so AQE's input-size-based coalescing would otherwise run
-    // the emission and everything above it on a handful of tasks. A
-    // user-specified repartition is exempt from coalescing, and grouping by
-    // the same columns reuses it instead of adding an exchange.
-    //
-    // Each membership row carries (a) the PREFIX of its band hashes — only
-    // bands BEFORE this one; the first-agreeing-band dedup never looks
-    // past the current band, and the prefix halves the dedup payload vs
-    // shipping all `bands` hashes — and (b) the row's sorted token-hash
-    // set, so verification happens AT EMISSION inside the bucket task.
-    // Shipping the ~|toks|-long set once per membership row costs ~2× on
-    // this exchange but deletes the candidate-pair pipeline that used to
-    // follow: at the r15 sf10 decade the unverified candidate set was
-    // ~1B rows and its two token joins re-exchanged ~55 GB of wide rows
-    // through session-floor partitions (the measured super-linear term);
-    // verified emission ships only true pairs — three compact columns —
-    // and nothing downstream shuffles at all.
-    val banded = base
-      .select(posexplode(bucketsOf).as(Seq("band", "bucket")),
-        col("id"), slice(bucketsOf, lit(1), col("band")).as("bs"),
-        col("toks"))
-      .repartition(parts, col("band"), col("bucket"))
-
+      expansionPartitions(probedVol.getOrElse(membership), floor)
+    // ---- HEAD bands: token sets through the shuffle, exact verification
+    // at emission, zero downstream shuffle. The explicit repartition pins
+    // the bucket-stage parallelism: the exchange input is membership rows
+    // but the in-bucket work is the comparison volume (orders of
+    // magnitude larger on low-diversity corpora), so AQE's
+    // input-size-based coalescing would otherwise run it on a handful of
+    // tasks; a user-specified repartition is exempt, and grouping by the
+    // same columns reuses it instead of adding an exchange. Each row
+    // carries the PREFIX of its band hashes — only bands BEFORE this one
+    // — so each bucket emits a pair exactly once, at the pair's FIRST
+    // agreeing band (agreement judged on the band hashes, the same values
+    // that define bucket membership). Rows also carry the node's member
+    // ids: verified pairs expand to member-id pairs inside the task, so
+    // the head needs no post-join at all.
+    val headRows0 = base
+      .select(posexplode(slice(bucketsOf, lit(1), lit(b0)))
+        .as(Seq("boff", "bucket")),
+        col("nid"), col("ids"),
+        slice(bucketsOf, lit(1), col("boff")).as("bs"), col("toks"))
+    val headRows = hotHead match {
+      case Some(h) => headRows0
+        .join(h.select("boff", "bucket"), Seq("boff", "bucket"), "left_semi")
+      case None => headRows0
+    }
+    val thr = threshold
     // Column-keyed grouping (not groupByKey with a closure): the shuffle
     // moves UnsafeRows as-is and rows deserialize to tuples only inside
     // flatMapGroups, instead of a per-row deserialize/reserialize round
     // trip before the exchange just to extract the key.
-    val thr = threshold
-    val pairs = banded
-      .groupBy(col("band"), col("bucket"))
-      .as[(Int, Long), (Int, Long, Long, Array[Long], Array[Long])]
-      .flatMapGroups { (key: (Int, Long),
-          iter: Iterator[(Int, Long, Long, Array[Long], Array[Long])]) =>
+    val headPairs = headRows
+      .repartition(parts, col("boff"), col("bucket"))
+      .groupBy(col("boff"), col("bucket"))
+      .as[(Int, Long),
+        (Int, Long, Long, Array[Long], Array[Long], Array[Long])]
+      .flatMapGroups { (key: (Int, Long), iter: Iterator[
+          (Int, Long, Long, Array[Long], Array[Long], Array[Long])]) =>
         val band = key._1
-        // Skew defense: duplicate-heavy corpora put thousands of identical
-        // documents in one (band, bucket) group. Rows collapse into
-        // distinct-band-hash-prefix groups as they stream in, so group-
-        // pair screening is O(groups²), not O(rows²); the task buffer
-        // holds each member's (id, token set) — O(rows · |toks|) bytes,
-        // which the maxPairBudget refusal upstream bounds together with
-        // the comparison volume.
+        // Skew defense: duplicate-heavy corpora put thousands of nodes in
+        // one (band, bucket) group. Rows collapse into distinct-band-hash-
+        // prefix groups as they stream in, so group-pair screening is
+        // O(groups²), not O(rows²); the task buffer holds each member's
+        // (ids, token set) — O(rows · |toks|) bytes, bounded together with
+        // the comparison volume by the maxPairBudget refusal upstream.
         val groups = new java.util.LinkedHashMap[Seq[Long], (Array[Long],
-          scala.collection.mutable.ArrayBuffer[(Long, Array[Long])])]()
-        iter.foreach { case (_, _, id, bs, toks) =>
+          scala.collection.mutable.ArrayBuffer[(Array[Long], Array[Long])])]()
+        iter.foreach { case (_, _, _, ids, bs, toks) =>
           val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(bs)
           val entry = groups.get(k)
           if (entry == null) {
             groups.put(k, (bs,
-              scala.collection.mutable.ArrayBuffer((id, toks))))
-          } else entry._2 += ((id, toks))
+              scala.collection.mutable.ArrayBuffer((ids, toks))))
+          } else entry._2 += ((ids, toks))
         }
-        val gs = new Array[(Array[Long], Array[(Long, Array[Long])])](
-          groups.size)
+        val gs = new Array[(Array[Long],
+          Array[(Array[Long], Array[Long])])](groups.size)
         var gi = 0
         val it = groups.values.iterator()
         while (it.hasNext) {
           val (bs, members) = it.next()
-          gs(gi) = (bs, members.toArray.sortBy(_._1))
+          gs(gi) = (bs, members.toArray.sortBy(_._1(0)))
           gi += 1
         }
         // Exact Jaccard of two sorted long arrays — the same
-        // duplicate-collapsing merge as SortedLongJaccard (the former
-        // verification join's expression), bit-for-bit: inter/union as
+        // duplicate-collapsing merge as SortedLongJaccard (the tail
+        // phase's verification expression), bit-for-bit: inter/union as
         // a double division, 0.0 on two empty sets.
         def jac(a: Array[Long], b: Array[Long]): Double = {
           val na = a.length; val nb = b.length
@@ -942,20 +1015,23 @@ object Dedup extends org.apache.spark.internal.Logging {
           }
           false
         }
-        def verified(x: (Long, Array[Long]), y: (Long, Array[Long])):
-            Iterator[(Long, Long, Double)] = {
+        // Verified at emission; a passing NODE pair expands to its
+        // member-id pairs lazily (node id sets are disjoint, so min/max
+        // per id pair keeps the canonical order).
+        def verified(x: (Array[Long], Array[Long]),
+            y: (Array[Long], Array[Long])): Iterator[(Long, Long, Double)] = {
           val s = jac(x._2, y._2)
           if (s >= thr) {
-            Iterator.single(
-              if (x._1 < y._1) (x._1, y._1, s) else (y._1, x._1, s))
+            x._1.iterator.flatMap(a => y._1.iterator.map(b =>
+              if (a < b) (a, b, s) else (b, a, s)))
           } else Iterator.empty
         }
         // Members with equal prefixes agree on band 0 (any band-0 bucket
         // has the empty prefix), so within-group pairs are emitted
         // exactly once, by the band-0 bucket. Output is a lazy iterator:
-        // a quadratic-sized true answer (all-duplicates corpus) streams
-        // out without ever materializing in task memory — each emitted
-        // row is verified HERE, so only true pairs leave the task.
+        // a quadratic-sized true answer streams out without ever
+        // materializing in task memory — each emitted row is verified
+        // HERE, so only true pairs leave the task.
         val within: Iterator[(Long, Long, Double)] =
           if (band != 0) Iterator.empty
           else gs.iterator.flatMap { case (_, ms) =>
@@ -976,7 +1052,119 @@ object Dedup extends org.apache.spark.internal.Logging {
         within ++ across
       }
       .toDF("id_a", "id_b", "jaccard")
-    pairs.select("id_a", "id_b", "jaccard")
+
+    // ---- TAIL bands (scale path only): bare rows — (boff, bucket, nid)
+    // plus the CONSTANT b0-long head prefix, ~70 B regardless of document
+    // length. A bucket pair whose head prefixes share a position was
+    // verified by the head phase; the rest emit compact nid pairs
+    // (duplicated across agreeing tail bands), distinct() collapses them,
+    // and one id-keyed join against the checkpointed node table runs the
+    // exact merge-pass verification + member expansion. The head already
+    // absorbed ~(1 − (1 − t^r)^b0) of true pairs, so every tail stage is
+    // small by construction.
+    val tailPairs: Option[DataFrame] =
+      if (autoBands <= b0) None
+      else {
+        val tailRows0 = base
+          .select(posexplode(
+            slice(bucketsOf, lit(b0 + 1), lit(autoBands - b0)))
+            .as(Seq("boff", "bucket")),
+            col("nid"), slice(bucketsOf, lit(1), lit(b0)).as("hp"))
+        val tailRows = hotTail match {
+          case Some(h) => tailRows0
+            .join(h.select("boff", "bucket"), Seq("boff", "bucket"), "left_semi")
+          case None => tailRows0
+        }
+        val cands = tailRows
+          .repartition(parts, col("boff"), col("bucket"))
+          .groupBy(col("boff"), col("bucket"))
+          .as[(Int, Long), (Int, Long, Long, Array[Long])]
+          .flatMapGroups { (_: (Int, Long),
+              iter: Iterator[(Int, Long, Long, Array[Long])]) =>
+            // Collapse members by head prefix: equal prefixes agree on
+            // band 0, so the head already verified those pairs — groups
+            // never pair internally, and screening is O(groups²).
+            val groups = new java.util.LinkedHashMap[Seq[Long],
+              (Array[Long], scala.collection.mutable.ArrayBuffer[Long])]()
+            iter.foreach { case (_, _, nid, hp) =>
+              val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(hp)
+              val entry = groups.get(k)
+              if (entry == null) {
+                groups.put(k,
+                  (hp, scala.collection.mutable.ArrayBuffer(nid)))
+              } else entry._2 += nid
+            }
+            val gs = new Array[(Array[Long], Array[Long])](groups.size)
+            var gi = 0
+            val it = groups.values.iterator()
+            while (it.hasNext) {
+              val (hp, members) = it.next()
+              gs(gi) = (hp, members.toArray.sorted)
+              gi += 1
+            }
+            def sharesPosition(a: Array[Long], b: Array[Long]): Boolean = {
+              var k = 0
+              while (k < a.length) {
+                if (a(k) == b(k)) return true
+                k += 1
+              }
+              false
+            }
+            gs.indices.iterator.flatMap { i =>
+              (i + 1 until gs.length).iterator
+                .filter(j => !sharesPosition(gs(i)._1, gs(j)._1))
+                .flatMap { j =>
+                  val (as, bs) = (gs(i)._2, gs(j)._2)
+                  as.iterator.flatMap(a => bs.iterator.map(b =>
+                    if (a < b) (a, b) else (b, a)))
+                }
+            }
+          }
+          .toDF("nid_a", "nid_b")
+          .distinct()
+        Some(cands
+          .join(nodes.select(col("nid").as("nid_a"), col("toks").as("__ta"),
+            col("ids").as("__ia")), "nid_a")
+          .join(nodes.select(col("nid").as("nid_b"), col("toks").as("__tb"),
+            col("ids").as("__ib")), "nid_b")
+          .withColumn("jaccard",
+            SketchFunctions.sorted_long_jaccard(col("__ta"), col("__tb")))
+          .where(col("jaccard") >= threshold)
+          .select(col("__ia"), col("__ib"), col("jaccard"))
+          .as[(Array[Long], Array[Long], Double)]
+          .flatMap { case (ia, ib, j) =>
+            // Object-pipeline iterator, NOT chained generators: node id
+            // sets are disjoint, min/max per pair keeps canonical order,
+            // and a fat exact-dup-node × near-dup-node product streams
+            // lazily (see the withinNode comment for why generators are
+            // unsafe here).
+            ia.iterator.flatMap(a => ib.iterator.map(b =>
+              if (a < b) (a, b, j) else (b, a, j)))
+          }
+          .toDF("id_a", "id_b", "jaccard"))
+      }
+
+    // Exact duplicates never touched LSH: identical non-empty sets pair
+    // at jaccard 1.0 by definition (two EMPTY sets score 0.0 — the
+    // merge-pass convention — hence the size(toks) guard); ids are
+    // sorted, so i < j yields each pair once in (min, max) order. The
+    // emission is an OBJECT-pipeline flatMap, not chained posexplode
+    // generators: whole-stage codegen cannot pause a generator
+    // mid-expansion, so one fat node's quadratic fan-out from a single
+    // input row would buffer entirely in the stage-boundary row buffer
+    // (measured: 20k identical docs = 2×10⁸ buffered rows, a driver-JVM
+    // OOM). A Scala iterator streams the same answer row by row.
+    val withinNode = nodes
+      .where(size(col("ids")) >= 2 && size(col("toks")) > 0)
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap { ids =>
+        ids.indices.iterator.flatMap(i =>
+          (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+      }
+      .toDF("id_a", "id_b")
+      .withColumn("jaccard", lit(1.0))
+    tailPairs.foldLeft(headPairs.unionByName(withinNode))(_.unionByName(_))
   }
 
   /** 64-bit SimHash over the distinct-token set (bit-vote sketch); map-side only. */

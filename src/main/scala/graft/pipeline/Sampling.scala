@@ -190,25 +190,36 @@ object Sampling {
    * Execution shape: one map-side-combined count per key collects to the
    * driver (|keys| rows — mixture keys are languages/sources/domains
    * groups, expected ≤ thousands; same bounded-collect convention as the
-   * eval-gram table). Small key sets fold into a codegen'd when-chain;
-   * larger ones ride a broadcast threshold table. Membership is the same
-   * salt-keyed md5 bucket as [[sampleByHash]], so kept sets are NESTED
-   * across budget changes for one salt. Null keys drop (threshold 0).
+   * eval-gram table, and like it the collect REFUSES loudly past
+   * `maxKeys` — a caller who keyed the mixture by near-distinct content
+   * would otherwise OOM the driver silently). Small key sets fold into a
+   * codegen'd when-chain; larger ones ride a broadcast threshold table.
+   * Membership is the same salt-keyed md5 bucket as [[sampleByHash]], so
+   * kept sets are NESTED across budget changes for one salt. Null keys
+   * drop (threshold 0).
    */
   def sampleByTemperature(
       df: DataFrame,
       keyCol: String,
       idCol: String,
       budgetPermille: Int = 500,
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      maxKeys: Int = 1000000): DataFrame = {
     require(budgetPermille >= 0 && budgetPermille <= 1000,
       s"budgetPermille must be in [0,1000], got $budgetPermille")
+    require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("__k"))
       .agg(count(lit(1)).as("__n"))
+      .limit(maxKeys + 1)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
+    require(counts.length <= maxKeys,
+      s"sampleByTemperature found more than $maxKeys distinct mixture keys " +
+        s"in '$keyCol' — temperature weights are per-source/language/domain " +
+        "group arithmetic, not per-document; key by a coarse group column, " +
+        "or raise maxKeys to accept the driver-side table explicitly.")
     if (counts.isEmpty) return df.filter(lit(false))
     val m = BigInt(DefaultBuckets)
     val total = counts.map(_._2).sum

@@ -1057,6 +1057,16 @@ class PipelineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.sampleByTemperature(df, "key", "id", 1001)
     }
+    // Content-keyed mixtures refuse loudly instead of OOMing the driver:
+    // the per-key count collect is bounded by maxKeys (the cdcLedgerHashes
+    // convention), and the message names the remedy.
+    val refusal = intercept[IllegalArgumentException] {
+      Sampling.sampleByTemperature(df, "id", "id", 500, maxKeys = 100)
+    }
+    assert(refusal.getMessage.contains("maxKeys"))
+    // At the bound itself the call still works.
+    assert(Sampling.sampleByTemperature(df, "key", "id", 500, salt = "t1",
+      maxKeys = 2).select("id").collect().map(_.getLong(0)).toSet === ids)
   }
 
   test("temperature mixture broadcast path (>64 keys) matches driver-side thresholds") {
@@ -1476,25 +1486,36 @@ class PipelineSuite extends AnyFunSuite {
       nHint = 100000000L)).max
     assert(pHinted === floor,
       s"hinted-but-tiny corpus should keep the measured floor: $pHinted vs $floor")
-    // Past the boundary with a duplicate-heavy corpus (2^19 rows x 4 bands
-    // = 2^21 memberships, 64 distinct texts so each bucket holds ~8k rows):
-    // the probe measures ~8.6e9 within-bucket comparisons and sizes the
-    // bucket stage from the MEASURED volume, orders of magnitude above the
-    // floor. Same corpus with a small budget refuses loudly.
+    // Past the boundary with a low-DIVERSITY corpus of DISTINCT token sets
+    // (2^19 docs x 4 bands = 2^21 memberships; three shared tokens + one
+    // unique token per doc, so ~(3/4)^2 of nodes share each band's
+    // shared-min bucket): the probe measures ~1.7e11 within-bucket
+    // signature comparisons and sizes the bucket stage from the MEASURED
+    // volume, orders of magnitude above the floor. Exact duplicates no
+    // longer count here — they collapse to nodes before LSH.
+    val lowDiv = spark.range(1L << 19).select(col("id").as("doc_id"),
+      concat(lit("s1 s2 s3 u"), col("id").cast("string")).as("text"))
+    val pMeasured = repartNums(Dedup.minHashDedupPairs(lowDiv, "doc_id", "text", 0.9,
+      numHashes = 8, bands = 4, nHint = 1L << 19,
+      maxPairBudget = 1000000000000L)).max
+    assert(pMeasured > 4096,
+      s"probe should size from measured occupancy volume, got $pMeasured")
+    // A duplicate-heavy corpus (64 distinct texts x 8k copies) bypasses the
+    // bucket stage entirely via node collapse, but its quadratic
+    // exact-duplicate output volume still counts toward the budget: the
+    // probe refuses loudly on the SUM.
     val heavy = spark.range(1L << 19).select(col("id").as("doc_id"),
       concat_ws(" ",
         concat(lit("t"), (col("id") % 64).cast("string"), lit("a")),
         concat(lit("t"), (col("id") % 64).cast("string"), lit("b")),
         concat(lit("t"), (col("id") % 64).cast("string"), lit("c"))).as("text"))
-    val pMeasured = repartNums(Dedup.minHashDedupPairs(heavy, "doc_id", "text", 0.9,
-      numHashes = 8, bands = 4, nHint = 1L << 19)).max
-    assert(pMeasured > 4096,
-      s"probe should size from measured occupancy volume, got $pMeasured")
     val refusal = intercept[IllegalArgumentException] {
       Dedup.minHashDedupPairs(heavy, "doc_id", "text", 0.9,
         numHashes = 8, bands = 4, nHint = 1L << 19, maxPairBudget = 1000L)
     }
     assert(refusal.getMessage.contains("maxPairBudget"))
+    assert(refusal.getMessage.contains("exact-duplicate"),
+      "the within-node volume must be what trips the refusal here")
     // Same law for the sign-LSH bucket join.
     val emb = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val l0 = repartNums(Similarity.lshNearPairs(emb, "vec_id", "embedding", 2, 0.8,
