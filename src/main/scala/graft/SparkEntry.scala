@@ -167,6 +167,23 @@ object SparkEntry {
     (coarse, s.read.parquet(fpath))
   }
 
+  /** SemDeDup survivor index (cluster, id, v), built ONCE per sf dir
+    * through the stored two-level model — the q103 persisted-artifact
+    * convention on the semantic dedup path (q248 probes it). */
+  private def semDeDupIndexOnce(s: SparkSession, d: String): DataFrame = {
+    val path = s"${artifactRoot(d)}/semdedup_index_tl33_t42"
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val (coarse, fine) = twoLevelModelOnce(s, d)
+        Similarity.semDeDupIndexFromModel(t(s, d, "embeddings"),
+            "vec_id", "embedding", coarse, fine, kFine = 3,
+            threshold = 0.42)
+          .repartition(1).write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Builds + persists the winnowed fingerprint table once per sf dir —
     * MOSS-style pipelines store each document's selected (pos, fp) set
     * and run every overlap/clone report against the stored table; only
@@ -2323,6 +2340,108 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "q248_semdedup_incremental" -> ((s, d) => {
+      // Incremental SemDeDup — the missing lifecycle in the dedup family
+      // (exact: q74, MinHash: q103, components: q171; now the semantic
+      // path): the corpus's SURVIVOR index (cluster, id, v) persists
+      // once per snapshot, built through the STORED two-level model with
+      // zero re-training; a fresh ingest batch (even ids verbatim vector
+      // copies — guaranteed hits; odd ids reversed vectors — misses;
+      // offset ids) assigns through the same frozen model and pairs ONLY
+      // against its cluster's stored representatives. At 100 TB the
+      // nightly ingest pays its own argmin + one cluster-keyed join,
+      // never a corpus re-cluster. The oracle replays fit, corpus serve,
+      // within-cluster closure, survivor selection, batch serve, and the
+      // cosine probe from the raw parquet.
+      val emb = t(s, d, "embeddings")
+      val (coarse, fine) = twoLevelModelOnce(s, d)
+      val index = semDeDupIndexOnce(s, d)
+      val batch = emb.select((col("vec_id") + 100000).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("embedding"))
+          .otherwise(reverse(col("embedding"))).as("embedding"))
+      Similarity.semDeDupPairsAgainstIndex(batch, "vec_id", "embedding",
+          coarse, fine, kFine = 3, index, threshold = 0.42)
+        .orderBy("batch_id", "index_id")
+    }),
+
+    "q249_stream_twolevel_serve" -> ((s, d) => {
+      // The stored CLUSTERING model deployed on the STREAMING surface —
+      // the q240/q247 convention on the third stored-model family:
+      // q242's coarse+fine parquet artifacts route each micro-batch of a
+      // fresh embedding stream (broadcast coarse argmin + shard-keyed
+      // fine argmin inside foreachBatch; serve is stateless and the
+      // model frozen, so the drained union equals q242's batch serve
+      // exactly — the oracle replays fit + serve). Embeddings stream as
+      // parquet files (vectors are not an XML-native payload; the
+      // file-source micro-batching is the same), maxFilesPerTrigger=1 so
+      // the batch-boundary independence is actually exercised.
+      val emb = t(s, d, "embeddings")
+      val (coarse, fine) = twoLevelModelOnce(s, d)
+      val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val sfName = new java.io.File(d).getName
+      val pin = s"/tmp/graft_xml/$sfName/stream_tl_in_v1"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$pin/_SUCCESS").exists()) {
+          fresh.repartition(4).write.mode("overwrite").parquet(pin)
+        }
+      }
+      val base = s"/tmp/graft_xml/$sfName/stream_tl_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = s.readStream.option("maxFilesPerTrigger", 1)
+        .schema(fresh.schema).parquet(pin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.kmeansTwoLevelServe(bdf, "vec_id", "embedding",
+              coarse, fine, kFine = 3)
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("id")
+    }),
+
+    "q250_mixture_epoch_plan" -> ((s, d) => {
+      // The mixture EPOCH PLAN composed end to end (q126's chain with
+      // the weighted mixture replacing temperature sampling — the
+      // DoReMi-style deployment): q245's Hamilton allocation
+      // materializes as q246's per-document multiplicity manifest, every
+      // document expands to its repetition instances (instance id =
+      // doc_id·10⁵ + epoch — replayable arithmetic; multiplicity ≤ the
+      // 2,000-slot budget ≪ 10⁵), instances pack greedily per language
+      // at 128 tokens, and the packed sequences take the deterministic
+      // epoch shuffle — the table a mixture-training run actually
+      // consumes. The 2,000-slot budget exceeds the corpus at sf0.01
+      // (upsampled strata repeat) and undershoots it at sf0.1 (salted-
+      // rank winners only), so both mixture regimes ride one gate. Every
+      // stage is an audited operator; the oracle replays allocation,
+      // manifest, instance expansion, packing recursion, and the md5
+      // shuffle rank.
+      val docs = t(s, d, "documents")
+      val manifest = Sampling.sampleWeightedMixture(
+        docs.select("doc_id", "lang", "text"), "lang", "doc_id",
+        Map("en" -> 4L, "es" -> 3L, "fr" -> 2L, "de" -> 1L),
+        2000L, salt = "mix1")
+      val instances = manifest
+        .select(col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(0L), col("multiplicity") - 1)).as("e"))
+        .select((col("doc_id") * 100000L + col("e")).as("inst_id"),
+          col("lang"), col("text"))
+      val packed = Packing.packGreedy(instances, "inst_id", "text",
+        "lang", 128)
+      val seqs = packed.groupBy(col("shard"), col("seq_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .withColumn("seq_key",
+          concat_ws("#", col("shard"), col("seq_idx").cast("string")))
+      Sampling.shuffleOrder(seqs, "seq_key", "mixep0")
+        .select(col("shard"), col("seq_idx"), col("n_docs"),
+          col("seq_tokens"), col("shuffle_pos"))
+        .orderBy("shard", "seq_idx")
     }),
 
     "q239_dsir_serve" -> ((s, d) => {
@@ -6711,6 +6830,86 @@ object SparkEntry {
         |WHERE a.alloc // a.n + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END > 0
         |ORDER BY lang, doc_id""".stripMargin,
 
+    // q250: the q246 manifest CTEs at the 2,000-slot budget, lateral
+    // generate_series instance expansion, the q126 greedy-packing
+    // recursion per language, and the md5 epoch-shuffle rank.
+    "q250_mixture_epoch_plan" ->
+      """WITH RECURSIVE wt(key, w) AS (
+        |  VALUES ('en', 4), ('es', 3), ('fr', 2), ('de', 1)),
+        |n AS (
+        |  SELECT CAST(lang AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT n.key, n.n, CAST(coalesce(wt.w, 0) AS BIGINT) AS w,
+        |    n.n::HUGEINT * coalesce(wt.w, 0) AS m
+        |  FROM n LEFT JOIN wt ON n.key = wt.key),
+        |tot AS (SELECT sum(m) AS mt FROM m),
+        |q AS (
+        |  SELECT key, n, w,
+        |    CASE WHEN mt > 0 THEN (2000::HUGEINT * m) // mt ELSE 0 END AS base,
+        |    CASE WHEN mt > 0 THEN (2000::HUGEINT * m) % mt ELSE 0 END AS rem
+        |  FROM m, tot),
+        |r0 AS (
+        |  SELECT key, n, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS rk,
+        |    (SELECT CASE WHEN (SELECT mt FROM tot) > 0
+        |             THEN 2000 - sum(base) ELSE 0 END FROM q) AS leftover
+        |  FROM q),
+        |a AS (
+        |  SELECT key, n,
+        |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM r0),
+        |ranked AS (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
+        |                  25, 8))::BIGINT % 1000000,
+        |               doc_id) AS rnk
+        |  FROM documents WHERE lang IS NOT NULL),
+        |man AS (
+        |  SELECT ranked.doc_id, ranked.key AS lang,
+        |    CAST(a.alloc // a.n
+        |      + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END AS BIGINT)
+        |      AS multiplicity
+        |  FROM ranked JOIN a ON ranked.key = a.key
+        |  WHERE a.alloc // a.n
+        |      + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END > 0),
+        |inst AS (
+        |  SELECT man.doc_id * 100000
+        |      + unnest(generate_series(0, man.multiplicity - 1)) AS id,
+        |    man.lang AS shard, d.text
+        |  FROM man JOIN documents d ON d.doc_id = man.doc_id),
+        |tok AS (
+        |  SELECT id, shard,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY id, md5(coalesce(text, ''))) AS rn
+        |  FROM inst),
+        |g AS (
+        |  SELECT id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1),
+        |seqs AS (
+        |  SELECT shard, seq_idx, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM g GROUP BY shard, seq_idx),
+        |r AS (
+        |  SELECT shard, seq_idx, n_docs, seq_tokens,
+        |    row_number() OVER (ORDER BY
+        |      md5('mixep0' || '|' || shard || '#' || CAST(seq_idx AS VARCHAR)),
+        |      shard || '#' || CAST(seq_idx AS VARCHAR)) - 1 AS shuffle_pos
+        |  FROM seqs)
+        |SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, n_docs, seq_tokens,
+        |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos
+        |FROM r ORDER BY shard, seq_idx""".stripMargin,
+
     // q245: the weighted Hamilton replay in HUGEINT arithmetic — weighted
     // masses n·w, floor quotas, largest-remainder top-ups with key-asc
     // ties, zero-weight strata reported with alloc 0.
@@ -8367,6 +8566,113 @@ object SparkEntry {
     // coarse argmin against c{itersC}, fine argmin against f{itersF}
     // keyed by the fresh batch's own coarse shard.
     "q242_twolevel_serve" ->
+      s"""WITH ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")},
+        |nex AS MATERIALIZED (
+        |  SELECT vec_id + 100000 AS id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(list_reverse(embedding),
+        |      (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |nsh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM nex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)
+        |SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster, d2 FROM (
+        |  SELECT e.id, sh.shard, c.fcl,
+        |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+        |  FROM nex e JOIN nsh sh USING (id)
+        |  JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |  GROUP BY e.id, sh.shard, c.fcl)
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1
+        |ORDER BY id""".stripMargin,
+
+    // q248: fit (two-level CTEs) + corpus SERVE assignment + q208's
+    // within-cluster cosine closure → survivor index, then the batch
+    // (even ids verbatim, odd reversed, +100000) serves through the same
+    // final centroids and probes its cluster's survivors.
+    "q248_semdedup_incremental" ->
+      s"""WITH RECURSIVE ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")},
+        |ssh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+        |saf AS (
+        |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
+        |    SELECT e.id, sh.shard, c.fcl,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN ssh sh USING (id)
+        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |    GROUP BY e.id, sh.shard, c.fcl)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
+        |emb2 AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT fa.id AS id_a, fb.id AS id_b
+        |  FROM saf fa JOIN saf fb ON fa.cluster = fb.cluster AND fa.id < fb.id
+        |  JOIN emb2 a ON a.id = fa.id
+        |  JOIN emb2 b ON b.id = fb.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id),
+        |idx AS (
+        |  SELECT s2.cluster, s2.id, e.v
+        |  FROM saf s2 JOIN emb2 e USING (id)
+        |  ANTI JOIN losers ON s2.id = losers.id),
+        |nex AS MATERIALIZED (
+        |  SELECT vec_id + 100000 AS id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(
+        |      CASE WHEN vec_id % 2 = 0 THEN embedding
+        |           ELSE list_reverse(embedding) END,
+        |      (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |bemb AS (
+        |  SELECT vec_id + 100000 AS id,
+        |    list_transform(
+        |      CASE WHEN vec_id % 2 = 0 THEN embedding
+        |           ELSE list_reverse(embedding) END,
+        |      x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nsh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM nex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+        |naf AS (
+        |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
+        |    SELECT e.id, sh.shard, c.fcl,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM nex e JOIN nsh sh USING (id)
+        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |    GROUP BY e.id, sh.shard, c.fcl)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1)
+        |SELECT b.id AS batch_id, i.id AS index_id
+        |FROM naf b JOIN bemb bv ON bv.id = b.id
+        |JOIN idx i ON i.cluster = b.cluster
+        |WHERE list_cosine_similarity(bv.v, i.v) >= 0.42
+        |ORDER BY batch_id, index_id""".stripMargin,
+
+    // q249: the drained streaming serve equals q242's batch serve — the
+    // identical fit + serve replay.
+    "q249_stream_twolevel_serve" ->
       s"""WITH ${embeddingsExCte},
         |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
              seed = "km")},

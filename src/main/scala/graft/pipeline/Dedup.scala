@@ -735,29 +735,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     * sizes. 2²¹ membership rows ≈ 65k docs at the (128, 32) banding. */
   private val OccupancyProbeBoundary = 1L << 21
 
-  /** Number of HEAD bands in [[minHashDedupPairs]]' scale plan: the head
-    * ships token sets and verifies pairs exactly at emission; every later
-    * band ships bare (nid, head-prefix) rows only. A true near-dup pair
-    * agrees per band with probability t^r ≥ threshold^r, so the head
-    * already catches 1 − (1 − t^r)^4 of true pairs (≈ 98.6% at t = 0.9,
-    * r = 4; ≈ 95% at r = 9) — the token-set payload's shuffle multiplicity
-    * drops from `bands`× to ~2× while the bare tail holds the full
-    * 1e-12 recall bar. */
-  private val HeadBands = 4
-
   /**
    * Near-duplicate pairs by MinHash LSH: (id_a, id_b, jaccard) for all
    * pairs with distinct-token-set Jaccard ≥ `threshold`, jaccard EXACT.
    * Banding auto-sizes from the corpus count via [[minHashParams]]
    * (128 hashes / 32 bands × 4 rows below 2²⁰ docs, rows-per-band growing
    * with log₂(n) beyond — miss probability ≤ 1e-12 at the threshold, so
-   * the output matches an exact all-pairs oracle in practice). Pass
-   * explicit (numHashes, bands) — both — to pin the curve, e.g. to match
-   * a persisted index generation.
+   * the output matches an exact all-pairs oracle in practice; bucket
+   * connectivity below can only ADD true pairs on top of banding's
+   * recall, never lose one). Pass explicit (numHashes, bands) — both —
+   * to pin the curve, e.g. to match a persisted index generation.
    *
    * Scale shape (the round-16 redesign; the r15 variant shipped each
    * document's full token set through EVERY band bucket — n·bands·|token
-   * set| shuffle bytes — and died on disk at the 20M-doc decade):
+   * set| shuffle bytes, and died on disk at the 20M-doc decade — then
+   * did one exact-Jaccard merge per within-bucket comparison, 9.45B of
+   * them at 2M docs because every near-dup clique re-collides in nearly
+   * every band):
    *
    *  1. EXACT-DUPLICATE COLLAPSE: one groupBy on the hashed token SET —
    *     one corpus-linear shuffle — folds every identical-content group
@@ -765,41 +759,41 @@ object Dedup extends org.apache.spark.internal.Logging {
    *     localCheckpointed once for every later stage. Verbatim copies —
    *     the dominant duplication mode in web corpora (see
    *     [[dedupPressureReport]]) — never enter LSH at all: within-node
-   *     pairs stream straight out of the node table through chained lazy
-   *     generators at jaccard = 1.0 exactly (two identical non-empty
+   *     pairs stream at jaccard = 1.0 exactly (two identical non-empty
    *     sets; empty-set nodes are excluded — two empty docs score 0.0,
    *     the merge-pass convention), and MinHash arithmetic runs once per
-   *     distinct content. A hot node's emission is serial per node,
-   *     exactly the profile r15 had for a hot band-0 bucket;
-   *     `maxPairBudget` bounds it.
-   *  2. HEAD BANDS (first [[HeadBands]]): membership rows carry the token
-   *     set + the (≤ HeadBands−1 long) band-hash prefix; pairs verify
-   *     EXACTLY at emission inside the bucket task, deduped by the
-   *     first-agreeing-band rule — zero downstream shuffle, the r15
-   *     machinery restricted to the bands that catch ~95–99% of true
-   *     pairs. Past the probe boundary the rows are first semi-joined
-   *     against the (checkpointed, collision-sized) hot-bucket list so
-   *     singleton buckets never ship a token set at all.
-   *  3. TAIL BANDS (the 1e-12 insurance): membership rows are BARE —
-   *     (band, bucket, nid) plus the constant HeadBands-long head
-   *     prefix, ~70 B regardless of document length. A bucket pair whose
-   *     head prefixes share any position was already handled by stage 2
-   *     and is skipped; the rest emit compact (nid_a, nid_b) candidates
-   *     (duplicated across their agreeing tail bands), distinct() them,
-   *     and ONE id-keyed join against the checkpointed node table
-   *     verifies the merge-pass exact Jaccard. Because the head already
-   *     absorbed ~95–99% of true pairs, this join is tiny by
-   *     construction — the r14 wide-verification-join defect cannot
-   *     reappear at volume.
+   *     distinct content.
+   *  2. BUCKET-CONNECTIVITY COMPONENTS over BARE membership rows: the
+   *     only n·bands-sized stage ships (band, bucket, nid) — 24 B/row
+   *     regardless of document length. One aggregate reduces it to the
+   *     collision-sized hot-bucket table (band, bucket, rep = min nid,
+   *     m ≥ 2); memberships map-side-join it (the hot table is
+   *     checkpointed and broadcastable) into compact (nid, rep) star
+   *     edges, and [[connectedComponents]] (large-star/small-star,
+   *     O(log n) rounds over 16-byte rows) yields the candidate
+   *     components. Any pair sharing ANY band bucket lands in one
+   *     component, so recall ⊇ banding LSH; chaining can only pull IN
+   *     additional (exactly verified) pairs.
+   *  3. VERIFY PER COMPONENT, token sets shipped ONCE PER NODE: nodes
+   *     join their component id and repartition by component — each
+   *     document's set crosses the wire once, not `bands` times — and
+   *     all within-component pairs verify at emission with the exact
+   *     merge-pass Jaccard (only true pairs leave the task). This also
+   *     deletes the banding redundancy from the comparison bill: a
+   *     near-dup clique is compared once per pair, not once per pair per
+   *     agreeing band.
    *
-   * Below [[OccupancyProbeBoundary]] memberships the plan stays the
-   * simple single-phase r15 shape (all bands with token sets, full
-   * prefix, no hot filter, no join) — small corpora pay zero extra
-   * stages. Past it, the hot-bucket lists double as the realized-volume
-   * probe: Σ m(m−1)/2 over hot buckets (the true comparison volume)
-   * plus Σ |ids|·(|ids|−1)/2 over nodes (the exact-duplicate output
-   * volume) must fit `maxPairBudget` or the call refuses loudly, and the
-   * bucket stages repartition to the MEASURED volume.
+   * Degenerate shapes hold: a component is bounded by the realized
+   * volume probe below; a hot component's emission is serial per
+   * component, the same profile the r15 design had for a hot band-0
+   * bucket. Past [[OccupancyProbeBoundary]] memberships, the probe
+   * measures Σ c(c−1)/2 over component sizes (the true comparison AND
+   * candidate volume — chaining-aware, where bucket occupancy alone is
+   * not) plus Σ |ids|·(|ids|−1)/2 over nodes (the exact-duplicate output
+   * volume), refuses loudly past `maxPairBudget`, and the component
+   * stage repartitions to the measured volume. Component discovery runs
+   * a bounded number of compact service jobs at construction time (the
+   * connected-components rounds) at any scale.
    */
   def minHashDedupPairs(
       df: DataFrame,
@@ -834,150 +828,122 @@ object Dedup extends org.apache.spark.internal.Logging {
     // per document (hashed + sorted token set: 8-byte elements, Jaccard is
     // a single merge pass); the groupBy on the set itself — arrays are
     // orderable grouping keys — is the operator's ONE corpus-linear
-    // token-set shuffle. The checkpoint materializes the node table so the
-    // signature pipeline, the occupancy probe, both verification joins and
-    // the within-node emission all read it without re-tokenizing.
+    // token-set shuffle. MinHash arithmetic runs once per DISTINCT set
+    // and only the band-hash FOLD persists (`bands` longs per node — the
+    // full signature would be numHashes longs, 9× more at the grown
+    // bandings): the checkpoint materializes the node table so both
+    // membership passes, the probe, the component join and the
+    // within-node emission all read it without re-tokenizing or
+    // re-hashing.
     val nodes = spreadInput(df, floor)
       .select(col(idCol).cast("long").as("id"),
         hashedNgramSet(col(textCol), 1).as("toks"))
       .groupBy(col("toks"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(col("toks"), col("ids"), element_at(col("ids"), 1).as("nid"))
+      .select(col("toks"), col("ids"), element_at(col("ids"), 1).as("nid"),
+        SketchFunctions.minhash_band_hashes(
+          SketchFunctions.minhash_signature(col("toks"), autoHashes),
+          autoBands).as("bb"))
       .localCheckpoint(eager = false)
-
-    // MinHash arithmetic per DISTINCT set, not per document — duplicate-
-    // heavy corpora pay the signature once per distinct content. The band
-    // fold stays an inline expression over the materialized `sig` column:
-    // given a bare attribute, InferFiltersFromGenerate adds a size()>0
-    // filter that predicate pushdown then inlines through every
-    // projection, re-running the whole signature pipeline per row.
-    val base = nodes.select(col("nid"), col("ids"), col("toks"),
-      SketchFunctions.minhash_signature(col("toks"), autoHashes).as("sig"))
-    val bucketsOf = SketchFunctions.minhash_band_hashes(col("sig"), autoBands)
 
     val membership = math.max(nEst, resolvedN) * autoBands
     val probed = membership >= OccupancyProbeBoundary
-    // Head/tail split only matters at scale: below the probe boundary the
-    // head IS all bands (the simple r15 single-phase plan, zero extra
-    // stages and actions for the common small-corpus call).
-    val b0 = if (probed) math.min(HeadBands, autoBands) else autoBands
 
-    // Hot-bucket list for a band range: (boff, bucket) keys whose
-    // occupancy m >= 2 — collision-sized, so the checkpoint is small and
-    // the semi-joins against it broadcast. Bare (boff, bucket) rows only:
-    // this pass never ships a token set.
-    def hotBuckets(lo: Int, hi: Int): DataFrame = base
-      .select(posexplode(slice(bucketsOf, lit(lo + 1), lit(hi - lo)))
-        .as(Seq("boff", "bucket")))
-      .groupBy(col("boff"), col("bucket"))
-      .agg(count(lit(1)).as("m"))
+    // Stage 2a: the hot-bucket table — ONE aggregate over bare
+    // (band, bucket, nid) membership rows (24 B/row; the only stage whose
+    // volume is n·bands, and it carries no payload at all) down to the
+    // collision-sized (band, bucket, rep, m) table. Checkpointed: the
+    // edge join reads it (and broadcasts it when small — the common
+    // case, since singleton buckets are gone).
+    val hotBucketReps = nodes
+      .select(col("nid"), posexplode(col("bb")).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(min(col("nid")).as("rep"), count(lit(1)).as("m"))
       .where(col("m") >= 2)
       .localCheckpoint(eager = false)
 
-    // Realized-volume probe (the q208 skew-probe convention on the LSH
-    // stage), folded into the hot-bucket lists the scale plan needs
-    // anyway: Sigma m(m-1)/2 over hot buckets is the true bucket-stage
-    // comparison volume, Sigma |ids|·(|ids|−1)/2 over nodes the
-    // exact-duplicate output volume that bypasses LSH but is still output
-    // the caller pays for. The probe refuses loudly past `maxPairBudget`
-    // on the SUM — emitting a quadratic answer is a cost the caller must
-    // accept explicitly — and the bucket stages repartition to the
-    // measured comparison volume. One row per aggregate crosses to the
-    // driver at any scale; below the boundary no extra job runs at all.
-    val (hotHead, hotTail, probedVol) =
-      if (!probed) (None, None, None)
+    // Stage 2b: star edges (nid → its bucket's min nid) for every hot
+    // membership, deduped — a near-dup clique colliding in most bands
+    // collapses to ~one edge per member here, BEFORE any wide machinery.
+    // The inner join is map-side when the hot table broadcasts; either
+    // way both sides are compact.
+    val edges = nodes
+      .select(col("nid"), posexplode(col("bb")).as(Seq("band", "bucket")))
+      .join(hotBucketReps.select("band", "bucket", "rep"),
+        Seq("band", "bucket"))
+      .where(col("nid") =!= col("rep"))
+      .select(col("nid"), col("rep"))
+      .distinct()
+    val comps = connectedComponents(edges, "nid", "rep")
+
+    // Realized-volume probe (the q208 skew-probe convention): Σ c(c−1)/2
+    // over COMPONENT sizes is the exact comparison volume of stage 3 —
+    // chaining-aware, where bucket occupancy alone is not — and
+    // Σ |ids|·(|ids|−1)/2 over nodes is the exact-duplicate output
+    // volume that bypasses LSH but is still output the caller pays for.
+    // The probe refuses loudly past `maxPairBudget` on the SUM — emitting
+    // a quadratic answer is a cost the caller must accept explicitly —
+    // and the component stage repartitions to the measured volume. One
+    // row per aggregate crosses to the driver at any scale; below the
+    // boundary the probe (and its refusal) is skipped, the small-corpus
+    // regime where the session floor absorbs everything.
+    val probedVol: Option[Long] =
+      if (!probed) None
       else {
-        val hh = hotBuckets(0, b0)
-        val ht = if (autoBands > b0) Some(hotBuckets(b0, autoBands)) else None
-        def volOf(h: DataFrame): Long = h
-          .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+        val compVol = comps.groupBy(col("component"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
           .head().getLong(0)
-        val bucketVol = volOf(hh) + ht.map(volOf).getOrElse(0L)
         val withinVol = nodes
           .agg(coalesce(sum(expr(
             "cast(size(ids) as bigint) * (size(ids) - 1) div 2")), lit(0L)))
           .head().getLong(0)
-        require(bucketVol + withinVol <= maxPairBudget,
-          s"MinHash dedup yields $bucketVol within-bucket comparisons + " +
+        require(compVol + withinVol <= maxPairBudget,
+          s"MinHash dedup yields $compVol within-component comparisons + " +
             s"$withinVol exact-duplicate pairs (duplicate-heavy or " +
             s"low-diversity corpus) — past maxPairBudget=$maxPairBudget. " +
             "Raise the threshold, pass coarser explicit (numHashes, " +
             "bands), or raise the budget to accept the cost explicitly.")
-        (Some(hh), ht, Some(bucketVol))
+        Some(compVol)
       }
-    // Bucket-stage parallelism grows with the MEASURED comparison volume
-    // when probed (including a measured zero — "every document identical"
-    // collapses to one node, measures 0 bucket comparisons, and must keep
-    // the floor), else with the n × bands membership estimate — see
-    // expansionPartitions.
+    // Component-stage parallelism grows with the MEASURED comparison
+    // volume when probed (including a measured zero — "every document
+    // identical" collapses to one node, measures 0 component comparisons,
+    // and must keep the floor), else with the n × bands membership
+    // estimate — see expansionPartitions.
     val parts =
       expansionPartitions(probedVol.getOrElse(membership), floor)
-    // ---- HEAD bands: token sets through the shuffle, exact verification
-    // at emission, zero downstream shuffle. The explicit repartition pins
-    // the bucket-stage parallelism: the exchange input is membership rows
-    // but the in-bucket work is the comparison volume (orders of
-    // magnitude larger on low-diversity corpora), so AQE's
+    val thr = threshold
+    // Stage 3: verify per component. The explicit repartition pins the
+    // component-stage parallelism: the exchange input is one compact row
+    // per hot node (the token set crosses the wire ONCE, not once per
+    // band) but the in-component work is the comparison volume — orders
+    // of magnitude larger on low-diversity corpora — so AQE's
     // input-size-based coalescing would otherwise run it on a handful of
     // tasks; a user-specified repartition is exempt, and grouping by the
-    // same columns reuses it instead of adding an exchange. Each row
-    // carries the PREFIX of its band hashes — only bands BEFORE this one
-    // — so each bucket emits a pair exactly once, at the pair's FIRST
-    // agreeing band (agreement judged on the band hashes, the same values
-    // that define bucket membership). Rows also carry the node's member
-    // ids: verified pairs expand to member-id pairs inside the task, so
-    // the head needs no post-join at all.
-    val headRows0 = base
-      .select(posexplode(slice(bucketsOf, lit(1), lit(b0)))
-        .as(Seq("boff", "bucket")),
-        col("nid"), col("ids"),
-        slice(bucketsOf, lit(1), col("boff")).as("bs"), col("toks"))
-    val headRows = hotHead match {
-      case Some(h) => headRows0
-        .join(h.select("boff", "bucket"), Seq("boff", "bucket"), "left_semi")
-      case None => headRows0
-    }
-    val thr = threshold
+    // same column reuses it instead of adding an exchange.
+    //
     // Column-keyed grouping (not groupByKey with a closure): the shuffle
     // moves UnsafeRows as-is and rows deserialize to tuples only inside
     // flatMapGroups, instead of a per-row deserialize/reserialize round
     // trip before the exchange just to extract the key.
-    val headPairs = headRows
-      .repartition(parts, col("boff"), col("bucket"))
-      .groupBy(col("boff"), col("bucket"))
-      .as[(Int, Long),
-        (Int, Long, Long, Array[Long], Array[Long], Array[Long])]
-      .flatMapGroups { (key: (Int, Long), iter: Iterator[
-          (Int, Long, Long, Array[Long], Array[Long], Array[Long])]) =>
-        val band = key._1
-        // Skew defense: duplicate-heavy corpora put thousands of nodes in
-        // one (band, bucket) group. Rows collapse into distinct-band-hash-
-        // prefix groups as they stream in, so group-pair screening is
-        // O(groups²), not O(rows²); the task buffer holds each member's
-        // (ids, token set) — O(rows · |toks|) bytes, bounded together with
-        // the comparison volume by the maxPairBudget refusal upstream.
-        val groups = new java.util.LinkedHashMap[Seq[Long], (Array[Long],
-          scala.collection.mutable.ArrayBuffer[(Array[Long], Array[Long])])]()
-        iter.foreach { case (_, _, _, ids, bs, toks) =>
-          val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(bs)
-          val entry = groups.get(k)
-          if (entry == null) {
-            groups.put(k, (bs,
-              scala.collection.mutable.ArrayBuffer((ids, toks))))
-          } else entry._2 += ((ids, toks))
-        }
-        val gs = new Array[(Array[Long],
-          Array[(Array[Long], Array[Long])])](groups.size)
-        var gi = 0
-        val it = groups.values.iterator()
-        while (it.hasNext) {
-          val (bs, members) = it.next()
-          gs(gi) = (bs, members.toArray.sortBy(_._1(0)))
-          gi += 1
-        }
+    val componentPairs = nodes
+      .join(comps.withColumnRenamed("id", "nid"), Seq("nid"))
+      .select(col("component"), col("nid"), col("ids"), col("toks"))
+      .repartition(parts, col("component"))
+      .groupBy(col("component"))
+      .as[Long, (Long, Long, Array[Long], Array[Long])]
+      .flatMapGroups { (_: Long,
+          iter: Iterator[(Long, Long, Array[Long], Array[Long])]) =>
+        // The task buffer holds the component's (ids, token set) members
+        // — O(members · |toks|) bytes, bounded together with the
+        // comparison volume by the maxPairBudget refusal upstream.
+        val members = iter
+          .map { case (_, _, ids, toks) => (ids, toks) }
+          .toArray.sortBy(_._1(0))
         // Exact Jaccard of two sorted long arrays — the same
-        // duplicate-collapsing merge as SortedLongJaccard (the tail
-        // phase's verification expression), bit-for-bit: inter/union as
-        // a double division, 0.0 on two empty sets.
+        // duplicate-collapsing merge as SortedLongJaccard, bit-for-bit:
+        // inter/union as a double division, 0.0 on two empty sets.
         def jac(a: Array[Long], b: Array[Long]): Double = {
           val na = a.length; val nb = b.length
           var i = 0; var j = 0; var inter = 0; var union = 0
@@ -1004,20 +970,12 @@ object Dedup extends org.apache.spark.internal.Logging {
           }
           if (union == 0) 0.0 else inter.toDouble / union.toDouble
         }
-        // Two members agree on some band < this one iff their hash
-        // prefixes share a position — such a pair was already handled by
-        // that earlier band's bucket.
-        def agreesEarlier(a: Array[Long], b: Array[Long]): Boolean = {
-          var k = 0
-          while (k < band) {
-            if (a(k) == b(k)) return true
-            k += 1
-          }
-          false
-        }
         // Verified at emission; a passing NODE pair expands to its
         // member-id pairs lazily (node id sets are disjoint, so min/max
-        // per id pair keeps the canonical order).
+        // per id pair keeps the canonical order). Output is a lazy
+        // iterator: a quadratic-sized true answer streams out without
+        // ever materializing in task memory — each emitted row is
+        // verified HERE, so only true pairs leave the task.
         def verified(x: (Array[Long], Array[Long]),
             y: (Array[Long], Array[Long])): Iterator[(Long, Long, Double)] = {
           val s = jac(x._2, y._2)
@@ -1026,123 +984,11 @@ object Dedup extends org.apache.spark.internal.Logging {
               if (a < b) (a, b, s) else (b, a, s)))
           } else Iterator.empty
         }
-        // Members with equal prefixes agree on band 0 (any band-0 bucket
-        // has the empty prefix), so within-group pairs are emitted
-        // exactly once, by the band-0 bucket. Output is a lazy iterator:
-        // a quadratic-sized true answer streams out without ever
-        // materializing in task memory — each emitted row is verified
-        // HERE, so only true pairs leave the task.
-        val within: Iterator[(Long, Long, Double)] =
-          if (band != 0) Iterator.empty
-          else gs.iterator.flatMap { case (_, ms) =>
-            ms.indices.iterator.flatMap(i =>
-              (i + 1 until ms.length).iterator.flatMap(j =>
-                verified(ms(i), ms(j))))
-          }
-        val across: Iterator[(Long, Long, Double)] =
-          gs.indices.iterator.flatMap { i =>
-            (i + 1 until gs.length).iterator
-              .filter(j => !agreesEarlier(gs(i)._1, gs(j)._1))
-              .flatMap { j =>
-                val (as, bs) = (gs(i)._2, gs(j)._2)
-                as.iterator.flatMap(a => bs.iterator.flatMap(b =>
-                  verified(a, b)))
-              }
-          }
-        within ++ across
+        members.indices.iterator.flatMap(i =>
+          (i + 1 until members.length).iterator.flatMap(j =>
+            verified(members(i), members(j))))
       }
       .toDF("id_a", "id_b", "jaccard")
-
-    // ---- TAIL bands (scale path only): bare rows — (boff, bucket, nid)
-    // plus the CONSTANT b0-long head prefix, ~70 B regardless of document
-    // length. A bucket pair whose head prefixes share a position was
-    // verified by the head phase; the rest emit compact nid pairs
-    // (duplicated across agreeing tail bands), distinct() collapses them,
-    // and one id-keyed join against the checkpointed node table runs the
-    // exact merge-pass verification + member expansion. The head already
-    // absorbed ~(1 − (1 − t^r)^b0) of true pairs, so every tail stage is
-    // small by construction.
-    val tailPairs: Option[DataFrame] =
-      if (autoBands <= b0) None
-      else {
-        val tailRows0 = base
-          .select(posexplode(
-            slice(bucketsOf, lit(b0 + 1), lit(autoBands - b0)))
-            .as(Seq("boff", "bucket")),
-            col("nid"), slice(bucketsOf, lit(1), lit(b0)).as("hp"))
-        val tailRows = hotTail match {
-          case Some(h) => tailRows0
-            .join(h.select("boff", "bucket"), Seq("boff", "bucket"), "left_semi")
-          case None => tailRows0
-        }
-        val cands = tailRows
-          .repartition(parts, col("boff"), col("bucket"))
-          .groupBy(col("boff"), col("bucket"))
-          .as[(Int, Long), (Int, Long, Long, Array[Long])]
-          .flatMapGroups { (_: (Int, Long),
-              iter: Iterator[(Int, Long, Long, Array[Long])]) =>
-            // Collapse members by head prefix: equal prefixes agree on
-            // band 0, so the head already verified those pairs — groups
-            // never pair internally, and screening is O(groups²).
-            val groups = new java.util.LinkedHashMap[Seq[Long],
-              (Array[Long], scala.collection.mutable.ArrayBuffer[Long])]()
-            iter.foreach { case (_, _, nid, hp) =>
-              val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(hp)
-              val entry = groups.get(k)
-              if (entry == null) {
-                groups.put(k,
-                  (hp, scala.collection.mutable.ArrayBuffer(nid)))
-              } else entry._2 += nid
-            }
-            val gs = new Array[(Array[Long], Array[Long])](groups.size)
-            var gi = 0
-            val it = groups.values.iterator()
-            while (it.hasNext) {
-              val (hp, members) = it.next()
-              gs(gi) = (hp, members.toArray.sorted)
-              gi += 1
-            }
-            def sharesPosition(a: Array[Long], b: Array[Long]): Boolean = {
-              var k = 0
-              while (k < a.length) {
-                if (a(k) == b(k)) return true
-                k += 1
-              }
-              false
-            }
-            gs.indices.iterator.flatMap { i =>
-              (i + 1 until gs.length).iterator
-                .filter(j => !sharesPosition(gs(i)._1, gs(j)._1))
-                .flatMap { j =>
-                  val (as, bs) = (gs(i)._2, gs(j)._2)
-                  as.iterator.flatMap(a => bs.iterator.map(b =>
-                    if (a < b) (a, b) else (b, a)))
-                }
-            }
-          }
-          .toDF("nid_a", "nid_b")
-          .distinct()
-        Some(cands
-          .join(nodes.select(col("nid").as("nid_a"), col("toks").as("__ta"),
-            col("ids").as("__ia")), "nid_a")
-          .join(nodes.select(col("nid").as("nid_b"), col("toks").as("__tb"),
-            col("ids").as("__ib")), "nid_b")
-          .withColumn("jaccard",
-            SketchFunctions.sorted_long_jaccard(col("__ta"), col("__tb")))
-          .where(col("jaccard") >= threshold)
-          .select(col("__ia"), col("__ib"), col("jaccard"))
-          .as[(Array[Long], Array[Long], Double)]
-          .flatMap { case (ia, ib, j) =>
-            // Object-pipeline iterator, NOT chained generators: node id
-            // sets are disjoint, min/max per pair keeps canonical order,
-            // and a fat exact-dup-node × near-dup-node product streams
-            // lazily (see the withinNode comment for why generators are
-            // unsafe here).
-            ia.iterator.flatMap(a => ib.iterator.map(b =>
-              if (a < b) (a, b, j) else (b, a, j)))
-          }
-          .toDF("id_a", "id_b", "jaccard"))
-      }
 
     // Exact duplicates never touched LSH: identical non-empty sets pair
     // at jaccard 1.0 by definition (two EMPTY sets score 0.0 — the
@@ -1164,7 +1010,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       }
       .toDF("id_a", "id_b")
       .withColumn("jaccard", lit(1.0))
-    tailPairs.foldLeft(headPairs.unionByName(withinNode))(_.unionByName(_))
+    componentPairs.unionByName(withinNode)
   }
 
   /** 64-bit SimHash over the distinct-token set (bit-vote sketch); map-side only. */

@@ -1346,6 +1346,24 @@ object Similarity {
         seed, flatKMax)
       .select(col("id"), col("cluster"))
       .localCheckpoint(false)
+    val losers = semDeDupLosers(df, idCol, vecCol, assign, threshold,
+      maxPairBudget)
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+  }
+
+  /** Within-cluster SemDeDup tail shared by the batch trainer path and
+    * the stored-model index builder: realized-skew probe + refusal,
+    * within-cluster cosine pairs, component collapse — returns the LOSER
+    * ids (every paired id except its component's min). `assign` must be
+    * (id, cluster) and already checkpointed by the caller (it feeds both
+    * the probe and the pair join). */
+  private def semDeDupLosers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      assign: DataFrame,
+      threshold: Double,
+      maxPairBudget: Long): DataFrame = {
     // Realized-skew guard (ONE driver row at any k): derived k keeps
     // the BALANCED volume linear, but Lloyd can still hand one cluster
     // most of the corpus — refuse before the join materializes nc² rows.
@@ -1369,9 +1387,79 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .where(cosine(col("va"), col("vb")) >= threshold)
       .select("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
-    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component")).select(col("id"))
+  }
+
+  /**
+   * The persistable SemDeDup INDEX — the missing incremental lifecycle
+   * half (every other dedup family member has one: exact q74, MinHash
+   * q103, components q171). The corpus assigns through a FROZEN stored
+   * two-level model ([[kmeansTwoLevelServe]]'s exact integer argmin —
+   * never re-training), dedups within clusters (the established
+   * pair/component/survivor tail, skew-probed), and the SURVIVORS are
+   * returned as (cluster, id, v) rows — written once per corpus
+   * snapshot, probed by every later ingest batch via
+   * [[semDeDupPairsAgainstIndex]]. At 100 TB this is the difference
+   * between a nightly job that re-clusters the corpus per batch and one
+   * that pays only the batch's own argmin + a cluster-keyed join.
+   */
+  def semDeDupIndexFromModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Long]],
+      fine: DataFrame,
+      kFine: Int,
+      threshold: Double,
+      maxPairBudget: Long = 100000000000L): DataFrame = {
+    // Lazy localCheckpoint: the serve assignment feeds both the skew
+    // probe and the pair join — one argmin pass, not two.
+    val assign = kmeansTwoLevelServe(df, idCol, vecCol, coarse, fine, kFine)
+      .select(col("id"), col("cluster"))
+      .localCheckpoint(false)
+    val losers = semDeDupLosers(df, idCol, vecCol, assign, threshold,
+      maxPairBudget)
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(assign, "id")
+      .join(losers, Seq("id"), "left_anti")
+      .select(col("cluster"), col("id"), col("v"))
+  }
+
+  /**
+   * Incremental SemDeDup: a fresh ingest batch probed against a STORED
+   * [[semDeDupIndexFromModel]] index — the q103 persisted-index
+   * convention applied to the semantic path. The batch assigns through
+   * the same frozen two-level model (one broadcast coarse argmin + one
+   * shard-keyed fine argmin — zero training), joins its cluster's stored
+   * representatives, and emits (batch_id, index_id) for every cosine ≥
+   * `threshold` — the batch documents to DROP (or link) before appending
+   * to the corpus. Batch ≪ corpus is the contract: candidate volume is
+   * the batch's cluster occupancy, never corpus × corpus (that regime is
+   * [[semDeDupWithinClusters]]); AQE broadcasts the batch side of the
+   * cluster join. Within-batch duplicates are a separate concern — run
+   * the batch path on the batch for those.
+   */
+  def semDeDupPairsAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Long]],
+      fine: DataFrame,
+      kFine: Int,
+      index: DataFrame,
+      threshold: Double): DataFrame = {
+    val assign = kmeansTwoLevelServe(batch, idCol, vecCol, coarse, fine,
+        kFine)
+      .select(col("id").as("batch_id"), col("cluster"))
+    val bv = batch.select(col(idCol).cast("long").as("batch_id"),
+      col(vecCol).cast("array<double>").as("bv"))
+    assign.join(bv, "batch_id")
+      .join(index.select(col("cluster"), col("id").as("index_id"),
+        col("v").as("iv")), Seq("cluster"))
+      .where(cosine(col("bv"), col("iv")) >= threshold)
+      .select(col("batch_id"), col("index_id"))
   }
 
   /**

@@ -392,4 +392,42 @@ class KmeansSuite extends AnyFunSuite {
     assert(kept.intersect(Set(10L, 11L)).size === 1)
     assert(kept.min >= 0L && kept.size === 3)
   }
+
+  test("semDeDup incremental: stored survivor index screens a fresh batch") {
+    // Corpus: two tight blobs; within each, near-identical vectors dedup
+    // to the min-id representative through the STORED two-level model
+    // (zero re-training). The survivor index then screens a fresh batch:
+    // a near-copy of a surviving rep must pair with it, a dissimilar
+    // vector must pass clean — the q103 persisted-index convention on
+    // the semantic path.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.001)), (2L, Seq(0.999, 0.0)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.0, 0.999)), (12L, Seq(0.001, 1.0))
+    ).toDF("id", "v")
+    // One global cluster (kCoarse = kFine = 1) so the survivor set is
+    // clustering-independent: the within-cluster pairs are exactly the
+    // within-blob cosine >= 0.9 pairs (cross-blob cosine is ~0), each
+    // blob is one component, min id survives.
+    val (coarse, fine) = Similarity.kmeansTwoLevelModel(corpus, "id", "v",
+      kCoarse = 1, kFine = 1, itersCoarse = 2, itersFine = 2)
+    val index = Similarity.semDeDupIndexFromModel(corpus, "id", "v",
+      coarse, fine, kFine = 1, threshold = 0.9)
+    val idx = index.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(idx.map(_._2).toSet === Set(0L, 10L))
+    val batch = Seq(
+      (100L, Seq(1.0, 0.0005)), // near-copy of blob A's rep -> pairs with 0
+      (101L, Seq(-1.0, 1.0)) // cosine 0.707 / -0.707 to the reps -> clean
+    ).toDF("id", "v")
+    val pairs = Similarity.semDeDupPairsAgainstIndex(batch, "id", "v",
+        coarse, fine, kFine = 1, index, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 0L)))
+    // A truncated index (hand-dropped cluster rows elsewhere in the
+    // model) still fails loudly through the serve-side shape validation.
+    val badFine = fine.where(col("shard") =!= 0)
+    intercept[IllegalArgumentException] {
+      Similarity.semDeDupPairsAgainstIndex(batch, "id", "v",
+        coarse, badFine, kFine = 1, index, threshold = 0.9)
+    }
+  }
 }
