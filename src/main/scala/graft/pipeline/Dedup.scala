@@ -507,26 +507,36 @@ object Dedup extends org.apache.spark.internal.Logging {
       col("hx").as("hx_b"), col("ids").as("ids_b"))
     // Cross-group pairs: hash-level candidates first (strict hx order
     // dedups the hash pair; first-agreeing band dedups multi-band
-    // collisions), then member expansion through two CHAINED generators —
-    // Spark streams Generate output row by row, so a huge duplicate group
-    // expands lazily without materializing a quadratic array (same
-    // contract the degenerate-corpus stress suite pins for MinHash).
+    // collisions), then member expansion through an OBJECT-pipeline
+    // flatMap iterator — NOT chained generators: whole-stage codegen
+    // cannot pause a generator mid-expansion, so one fat group pair's
+    // quadratic fan-out from a single input row buffers entirely in the
+    // stage-boundary row buffer (the minHashDedupPairs lesson, measured:
+    // 2×10⁸ buffered rows = a JVM OOM). A Scala iterator streams the
+    // same rows lazily.
+    import df.sparkSession.implicits._
     val cross = l.join(r, Seq("bandIdx", "key"))
       .where(col("hx_a") < col("hx_b"))
       .where(col("bandIdx") === firstAgreeing)
       .where(hamming <= maxHamming)
       .select(col("ids_a"), col("ids_b"), hamming.cast("int").as("hamming"))
-      .select(explode(col("ids_a")).as("ida"), col("ids_b"), col("hamming"))
-      .select(col("ida"), explode(col("ids_b")).as("idb"), col("hamming"))
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+      .as[(Array[Long], Array[Long], Int)]
+      .flatMap { case (ia, ib, h) =>
+        ia.iterator.flatMap(a => ib.iterator.map(b =>
+          if (a < b) (a, b, h) else (b, a, h)))
+      }
+      .toDF("id_a", "id_b", "hamming")
     // Within-group pairs are Hamming 0 by definition: i < j over the
-    // sorted member list, again via chained lazy generators.
+    // sorted member list, the same object-pipeline iterator.
     val within = nodes.where(size(col("ids")) >= 2)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
-      .select(col("id_a"), col("i"), posexplode(col("ids")).as(Seq("j", "id_b")))
-      .where(col("j") > col("i"))
-      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap { ids =>
+        ids.indices.iterator.flatMap(i =>
+          (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+      }
+      .toDF("id_a", "id_b")
+      .withColumn("hamming", lit(0))
     cross.unionByName(within)
   }
 
@@ -852,15 +862,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     // Stage 2a: the hot-bucket table — ONE aggregate over bare
     // (band, bucket, nid) membership rows (24 B/row; the only stage whose
     // volume is n·bands, and it carries no payload at all) down to the
-    // collision-sized (band, bucket, rep, m) table. Checkpointed: the
-    // edge join reads it (and broadcasts it when small — the common
-    // case, since singleton buckets are gone).
+    // collision-sized (band, bucket, rep, m) table. Its single consumer
+    // is the edge join below (AQE sees the aggregate's runtime size and
+    // broadcasts it when small — the common case, since singleton
+    // buckets are gone), so no checkpoint: one aggregation, one read.
     val hotBucketReps = nodes
       .select(col("nid"), posexplode(col("bb")).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket"))
       .agg(min(col("nid")).as("rep"), count(lit(1)).as("m"))
       .where(col("m") >= 2)
-      .localCheckpoint(eager = false)
 
     // Stage 2b: star edges (nid → its bucket's min nid) for every hot
     // membership, deduped — a near-dup clique colliding in most bands
@@ -1139,17 +1149,25 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy(wCols: _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
 
-    // hamming 0: all i<j pairs within one sketch group. Generators pipeline
-    // row-by-row under whole-stage codegen, so a quadratic-sized true
-    // answer (all-duplicates corpus) streams out without task-memory
-    // blow-up; the per-group id array is the only held state (same bound as
-    // minHashDedupPairs' per-shape id buffers).
+    // hamming 0: all i<j pairs within one sketch group, emitted through an
+    // OBJECT-pipeline flatMap iterator — NOT chained generators: whole-
+    // stage codegen cannot pause a generator mid-expansion, so one fat
+    // group's quadratic fan-out from a single input row buffers entirely
+    // in the stage-boundary row buffer (the minHashDedupPairs lesson,
+    // measured: 2×10⁸ buffered rows = a JVM OOM). The Scala iterator
+    // streams the same answer row by row; ids are sorted, so i < j
+    // yields canonical order.
+    import df.sparkSession.implicits._
     val within = groups
       .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap { ids =>
+        ids.indices.iterator.flatMap(i =>
+          (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+      }
+      .toDF("id_a", "id_b")
+      .withColumn("hamming", lit(0))
 
     // hamming 1..max: pigeonhole join over DISTINCT sketches only, then
     // expand each qualifying sketch pair to its id cross-product. The
@@ -1177,18 +1195,24 @@ object Dedup extends org.apache.spark.internal.Logging {
       wNames.map(n => col(n).as(s"a_$n")) :+ col("ids").as("ids_a"): _*)
     val groupsB = groups.select(
       wNames.map(n => col(n).as(s"b_$n")) :+ col("ids").as("ids_b"): _*)
+    // Member expansion through the same object-pipeline iterator as
+    // `within` (generator fan-out from one fat group pair is the
+    // stage-boundary-buffer hazard). ia != ib guards the self-pair a
+    // COLLIDING surrogate id could produce (the same id landing in two
+    // sketch groups); like the rest of the long-keyed pair family,
+    // unique ids are the contract and a duplicated id across groups
+    // would pair once per group pair.
     val across = simPairs
       .join(groupsA, wNames.map(n => s"a_$n"))
       .join(groupsB, wNames.map(n => s"b_$n"))
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
-      // ia =!= ib guards the self-pair a COLLIDING surrogate id could
-      // produce (the same id landing in two sketch groups); like the rest
-      // of the long-keyed pair family, unique ids are the contract and a
-      // duplicated id across groups would pair once per group pair.
-      .filter(col("ia") =!= col("ib"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+      .select(col("ids_a"), col("ids_b"), col("hamming"))
+      .as[(Array[Long], Array[Long], Int)]
+      .flatMap { case (ia, ib, h) =>
+        ia.iterator.flatMap(a => ib.iterator
+          .filter(b => a != b)
+          .map(b => if (a < b) (a, b, h) else (b, a, h)))
+      }
+      .toDF("id_a", "id_b", "hamming")
 
     within.unionByName(across)
   }

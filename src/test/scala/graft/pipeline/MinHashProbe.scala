@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.SketchFunctions
 
-/** Scratch probe (manual, not a suite): per-stage timing of the q24
-  * minhash pipeline at a given sf dir — locates the super-linear term
-  * the r15 sf10 decade exposed. */
+/** Scratch probe (manual, not a suite): per-stage timing of the CLASSIC
+  * banded-membership minhash pipeline at a given sf dir — the r15-era
+  * shape this probe was built to diagnose (it located the super-linear
+  * token-set shuffle the r16 component redesign removed). Kept for
+  * banding-volume forensics; the live operator's stages are measured by
+  * [[MinHashShuffleProbe]]. */
 object MinHashProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -29,7 +29,7 @@ object MinHashShuffleProbe {
           val si = sc.stageInfo
           val dur = (for {s <- si.submissionTime; e <- si.completionTime}
             yield (e - s) / 1000.0).getOrElse(-1.0)
-          if (dur > 3.0) {
+          if (dur > sys.env.getOrElse("PROBE_STAGE_MIN", "3.0").toDouble) {
             println(f"STAGE id=${si.stageId} tasks=${si.numTasks} " +
               f"dur=$dur%.1f s cpu=${m.executorCpuTime / 1e9}%.0f s " +
               f"wMB=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0f " +
