@@ -2375,24 +2375,28 @@ object SparkEntry {
       // model frozen, so the drained union equals q242's batch serve
       // exactly — the oracle replays fit + serve). Embeddings stream as
       // parquet files (vectors are not an XML-native payload; the
-      // file-source micro-batching is the same), maxFilesPerTrigger=1 so
-      // the batch-boundary independence is actually exercised.
+      // file-source micro-batching is the same). 32 input files at
+      // maxFilesPerTrigger=8 → 4 micro-batches of 8 SPLITS each: the
+      // batch-boundary independence is exercised AND each batch's
+      // CPU-heavy argmin scan keeps file-level parallelism — one file
+      // per trigger would run the serve map work on a single split per
+      // micro-batch, the classic file-stream under-parallelism trap.
       val emb = t(s, d, "embeddings")
       val (coarse, fine) = twoLevelModelOnce(s, d)
       val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
         reverse(col("embedding")).as("embedding"))
       val sfName = new java.io.File(d).getName
-      val pin = s"/tmp/graft_xml/$sfName/stream_tl_in_v1"
+      val pin = s"/tmp/graft_xml/$sfName/stream_tl_in_v2"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$pin/_SUCCESS").exists()) {
-          fresh.repartition(4).write.mode("overwrite").parquet(pin)
+          fresh.repartition(32).write.mode("overwrite").parquet(pin)
         }
       }
       val base = s"/tmp/graft_xml/$sfName/stream_tl_run"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val stream = s.readStream.option("maxFilesPerTrigger", 1)
+      val stream = s.readStream.option("maxFilesPerTrigger", 8)
         .schema(fresh.schema).parquet(pin)
       val q = stream.writeStream
         .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
