@@ -2386,7 +2386,11 @@ object SparkEntry {
       val fresh = emb.select((col("vec_id") + 100000).as("vec_id"),
         reverse(col("embedding")).as("embedding"))
       val sfName = new java.io.File(d).getName
-      val pin = s"/tmp/graft_xml/$sfName/stream_tl_in_v2"
+      // Pinned under artifactRoot (the sf dir's CONTENT fingerprint),
+      // like the model artifacts it must agree with: a basename-keyed
+      // path would survive a regenerated sf dir and drain stale vectors
+      // against a fresh oracle.
+      val pin = s"${artifactRoot(d)}/stream_tl_in_v2"
       SparkEntry.synchronized {
         if (!new java.io.File(s"$pin/_SUCCESS").exists()) {
           fresh.repartition(32).write.mode("overwrite").parquet(pin)

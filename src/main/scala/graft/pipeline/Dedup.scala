@@ -793,14 +793,20 @@ object Dedup extends org.apache.spark.internal.Logging {
    *     near-dup clique is compared once per pair, not once per pair per
    *     agreeing band.
    *
-   * Degenerate shapes hold: a component is bounded by the realized
-   * volume probe below; a hot component's emission is serial per
-   * component, the same profile the r15 design had for a hot band-0
-   * bucket. Past [[OccupancyProbeBoundary]] memberships, the probe
-   * measures Σ c(c−1)/2 over component sizes (the true comparison AND
-   * candidate volume — chaining-aware, where bucket occupancy alone is
-   * not) plus Σ |ids|·(|ids|−1)/2 over nodes (the exact-duplicate output
-   * volume), refuses loudly past `maxPairBudget`, and the component
+   * Degenerate shapes hold: total volume is bounded by the realized
+   * probe below, and a giant component does NOT funnel through one
+   * task — stage 3 shards each component's triangular pair space into
+   * `pairBlockSize`-member index blocks keyed by (component, blo, bhi),
+   * so a near-budget mega-clique verifies across ~(c/B)²/2 tasks, each
+   * shipping only its two member slices. Past [[OccupancyProbeBoundary]]
+   * memberships, the probe measures Σ c(c−1)/2 over component sizes
+   * (the comparison volume — chaining-aware, where bucket occupancy
+   * alone is not) PLUS the member-weighted cross-node output bound
+   * Σ ((Σ|ids|)² − Σ|ids|²)/2 per component (a passing node pair emits
+   * |ids_a|·|ids_b| rows — node-level counting alone undercounts a
+   * corpus of duplicate groups that are near-dups of each other) PLUS
+   * Σ |ids|·(|ids|−1)/2 over nodes (the exact-duplicate output volume),
+   * refuses loudly past `maxPairBudget` on the sum, and the component
    * stage repartitions to the measured volume. Component discovery runs
    * a bounded number of compact service jobs at construction time (the
    * connected-components rounds) at any scale.
@@ -813,9 +819,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       numHashes: Int = 0,
       bands: Int = 0,
       nHint: Long = 0L,
-      maxPairBudget: Long = 100000000000L): DataFrame = {
+      maxPairBudget: Long = 100000000000L,
+      pairBlockSize: Int = 4096): DataFrame = {
     requireIntegralId(df, idCol, "minHashDedupPairs")
     require(maxPairBudget >= 1, s"maxPairBudget must be >= 1, got $maxPairBudget")
+    require(pairBlockSize >= 2, s"pairBlockSize must be >= 2, got $pairBlockSize")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -888,7 +896,13 @@ object Dedup extends org.apache.spark.internal.Logging {
 
     // Realized-volume probe (the q208 skew-probe convention): Σ c(c−1)/2
     // over COMPONENT sizes is the exact comparison volume of stage 3 —
-    // chaining-aware, where bucket occupancy alone is not — and
+    // chaining-aware, where bucket occupancy alone is not. Comparison
+    // volume alone UNDERCOUNTS output: a passing NODE pair expands to
+    // |ids_a|·|ids_b| member rows, so a corpus of exact-duplicate groups
+    // that are near-dups of each other could pass a node-level budget yet
+    // emit orders of magnitude more. The member-weighted cross-node bound
+    // ((Σ|ids|)² − Σ|ids|²)/2 per component (from node member counts
+    // joined through comps) caps that expansion, and
     // Σ |ids|·(|ids|−1)/2 over nodes is the exact-duplicate output
     // volume that bypasses LSH but is still output the caller pays for.
     // The probe refuses loudly past `maxPairBudget` on the SUM — emitting
@@ -900,21 +914,29 @@ object Dedup extends org.apache.spark.internal.Logging {
     val probedVol: Option[Long] =
       if (!probed) None
       else {
-        val compVol = comps.groupBy(col("component"))
-          .agg(count(lit(1)).as("n"))
-          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
-          .head().getLong(0)
+        val stats = comps.withColumnRenamed("id", "nid")
+          .join(nodes.select(col("nid"),
+            size(col("ids")).cast("long").as("mc")), Seq("nid"))
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n"), sum(col("mc")).as("s"),
+            sum(col("mc") * col("mc")).as("s2"))
+          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)),
+            coalesce(sum(expr("(s * s - s2) div 2")), lit(0L)))
+          .head()
+        val compVol = stats.getLong(0)
+        val crossVol = stats.getLong(1)
         val withinVol = nodes
           .agg(coalesce(sum(expr(
             "cast(size(ids) as bigint) * (size(ids) - 1) div 2")), lit(0L)))
           .head().getLong(0)
-        require(compVol + withinVol <= maxPairBudget,
-          s"MinHash dedup yields $compVol within-component comparisons + " +
-            s"$withinVol exact-duplicate pairs (duplicate-heavy or " +
-            s"low-diversity corpus) — past maxPairBudget=$maxPairBudget. " +
-            "Raise the threshold, pass coarser explicit (numHashes, " +
-            "bands), or raise the budget to accept the cost explicitly.")
-        Some(compVol)
+        require(compVol + crossVol + withinVol <= maxPairBudget,
+          s"MinHash dedup yields $compVol within-component comparisons " +
+            s"expanding to up to $crossVol member pairs + $withinVol " +
+            "exact-duplicate pairs (duplicate-heavy or low-diversity " +
+            s"corpus) — past maxPairBudget=$maxPairBudget. Raise the " +
+            "threshold, pass coarser explicit (numHashes, bands), or " +
+            "raise the budget to accept the cost explicitly.")
+        Some(math.max(compVol, crossVol))
       }
     // Component-stage parallelism grows with the MEASURED comparison
     // volume when probed (including a measured zero — "every document
@@ -924,33 +946,64 @@ object Dedup extends org.apache.spark.internal.Logging {
     val parts =
       expansionPartitions(probedVol.getOrElse(membership), floor)
     val thr = threshold
-    // Stage 3: verify per component. The explicit repartition pins the
-    // component-stage parallelism: the exchange input is one compact row
-    // per hot node (the token set crosses the wire ONCE, not once per
-    // band) but the in-component work is the comparison volume — orders
-    // of magnitude larger on low-diversity corpora — so AQE's
-    // input-size-based coalescing would otherwise run it on a handful of
-    // tasks; a user-specified repartition is exempt, and grouping by the
-    // same column reuses it instead of adding an exchange.
+    val bs = pairBlockSize
+    // Stage 3: verify per component, SHARDED by triangular pair-range
+    // blocks. Components are not a parallelism unit — one near-budget
+    // mega-component would otherwise enumerate its whole C(c,2) pair
+    // space in a single task. Instead each member gets a dense index
+    // within its component (one window pass over the COMPACT 16-byte
+    // component table — the fat token sets stay out of this shuffle and
+    // join in by nid afterwards) and a block id midx/B; the pair space
+    // is the triangle over block pairs (blo ≤ bhi), and a member of
+    // block b ships to exactly the nblocks pair-blocks containing b —
+    // replication factor ceil(c/B), data shipped c²/B against c²
+    // comparisons. A component that fits one block (the common case)
+    // degenerates to a single (0,0) pair-block: replication 1, identical
+    // cost to an unsharded design.
+    //
+    // The explicit repartition pins the stage parallelism: the exchange
+    // input is compact rows but the in-block work is the comparison
+    // volume — orders of magnitude larger on low-diversity corpora — so
+    // AQE's input-size-based coalescing would otherwise run it on a
+    // handful of tasks; a user-specified repartition is exempt, and
+    // grouping by the same columns reuses it instead of adding an
+    // exchange.
     //
     // Column-keyed grouping (not groupByKey with a closure): the shuffle
     // moves UnsafeRows as-is and rows deserialize to tuples only inside
     // flatMapGroups, instead of a per-row deserialize/reserialize round
     // trip before the exchange just to extract the key.
+    val compWindow = Window.partitionBy(col("component")).orderBy(col("nid"))
+    val idx = comps.withColumnRenamed("id", "nid")
+      .select(col("nid"), col("component"),
+        (row_number().over(compWindow) - 1).cast("long").as("midx"),
+        count(lit(1)).over(Window.partitionBy(col("component")))
+          .as("csize"))
     val componentPairs = nodes
-      .join(comps.withColumnRenamed("id", "nid"), Seq("nid"))
-      .select(col("component"), col("nid"), col("ids"), col("toks"))
-      .repartition(parts, col("component"))
-      .groupBy(col("component"))
-      .as[Long, (Long, Long, Array[Long], Array[Long])]
-      .flatMapGroups { (_: Long,
-          iter: Iterator[(Long, Long, Array[Long], Array[Long])]) =>
-        // The task buffer holds the component's (ids, token set) members
-        // — O(members · |toks|) bytes, bounded together with the
-        // comparison volume by the maxPairBudget refusal upstream.
+      .join(idx, Seq("nid"))
+      .select(col("component"),
+        expr(s"cast(midx div $bs as int)").as("blk"),
+        expr(s"cast((csize + ${bs - 1}) div $bs as int)").as("nblocks"),
+        col("ids"), col("toks"))
+      .select(col("component"), col("blk"), col("ids"), col("toks"),
+        explode(sequence(lit(0), col("nblocks") - 1)).as("other"))
+      .select(col("component"),
+        least(col("blk"), col("other")).as("blo"),
+        greatest(col("blk"), col("other")).as("bhi"),
+        col("blk"), col("ids"), col("toks"))
+      .repartition(parts, col("component"), col("blo"), col("bhi"))
+      .groupBy(col("component"), col("blo"), col("bhi"))
+      .as[(Long, Int, Int), (Long, Int, Int, Int, Array[Long], Array[Long])]
+      .flatMapGroups { (key: (Long, Int, Int),
+          iter: Iterator[(Long, Int, Int, Int, Array[Long], Array[Long])]) =>
+        val (_, blo, bhi) = key
+        // The task buffer holds at most TWO blocks' (blk, ids, token
+        // set) members — O(2B · |toks|) bytes regardless of component
+        // size; total volume is bounded by the maxPairBudget refusal
+        // upstream.
         val members = iter
-          .map { case (_, _, ids, toks) => (ids, toks) }
-          .toArray.sortBy(_._1(0))
+          .map { case (_, _, _, blk, ids, toks) => (blk, ids, toks) }
+          .toArray.sortBy(_._2(0))
         // Exact Jaccard of two sorted long arrays — the same
         // duplicate-collapsing merge as SortedLongJaccard, bit-for-bit:
         // inter/union as a double division, 0.0 on two empty sets.
@@ -986,17 +1039,30 @@ object Dedup extends org.apache.spark.internal.Logging {
         // iterator: a quadratic-sized true answer streams out without
         // ever materializing in task memory — each emitted row is
         // verified HERE, so only true pairs leave the task.
-        def verified(x: (Array[Long], Array[Long]),
-            y: (Array[Long], Array[Long])): Iterator[(Long, Long, Double)] = {
-          val s = jac(x._2, y._2)
+        def verified(x: (Int, Array[Long], Array[Long]),
+            y: (Int, Array[Long], Array[Long])): Iterator[(Long, Long, Double)] = {
+          val s = jac(x._3, y._3)
           if (s >= thr) {
-            x._1.iterator.flatMap(a => y._1.iterator.map(b =>
+            x._2.iterator.flatMap(a => y._2.iterator.map(b =>
               if (a < b) (a, b, s) else (b, a, s)))
           } else Iterator.empty
         }
-        members.indices.iterator.flatMap(i =>
-          (i + 1 until members.length).iterator.flatMap(j =>
-            verified(members(i), members(j))))
+        if (blo == bhi) {
+          // Diagonal block: every member carries blk == blo; the
+          // triangle over the block enumerates each pair once.
+          members.indices.iterator.flatMap(i =>
+            (i + 1 until members.length).iterator.flatMap(j =>
+              verified(members(i), members(j))))
+        } else {
+          // Off-diagonal block pair: full cross of the two slices —
+          // each cross-block node pair lands in exactly this one
+          // (blo, bhi) key, so the global enumeration stays exactly-once.
+          val left = members.filter(_._1 == blo)
+          val right = members.filter(_._1 == bhi)
+          left.indices.iterator.flatMap(i =>
+            right.indices.iterator.flatMap(j =>
+              verified(left(i), right(j))))
+        }
       }
       .toDF("id_a", "id_b", "jaccard")
 

@@ -208,6 +208,37 @@ class PipelineSuite extends AnyFunSuite {
     assert(cnt === n.toLong * (n - 1) / 2)
   }
 
+  test("minhash mega-clique verifies across MULTIPLE tasks (pair-block sharding)") {
+    // A planted 64-member near-dup clique of DISTINCT documents (shared
+    // 40-token core + one unique token each: jaccard 40/42 ≈ 0.952) is
+    // one connected component. With pairBlockSize=16 the component
+    // shards into ceil(64/16)=4 index blocks → 10 (blo, bhi) pair-block
+    // keys, so the C(64,2) verification must emit from MORE than one
+    // task — the serial-funnel shape the sharding exists to kill — while
+    // the pair SET stays exactly the clique's triangle.
+    val core = (0 until 40).map(i => s"w$i").mkString(" ")
+    val clique = spark.range(64)
+      .select(col("id").as("doc_id"),
+        concat(lit(core), lit(" u"), col("id").cast("string")).as("text"))
+    val res = Dedup.minHashDedupPairs(clique, "doc_id", "text", 0.9,
+      pairBlockSize = 16)
+    val emittingTasks = res.select(spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(emittingTasks > 1,
+      s"mega-clique verification funneled through $emittingTasks task(s)")
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 64 * 63 / 2)
+    assert(rows.map(p => (p._1, p._2)).toSet ===
+      (for (a <- 0L until 64L; b <- a + 1 until 64L) yield (a, b)).toSet)
+    assert(rows.forall(p => p._3 >= 0.9 && p._3 < 1.0))
+    // The sharded answer is the unsharded answer: one giant block
+    // degenerates to the single (0,0) pair-block per component.
+    val unsharded = Dedup.minHashDedupPairs(clique, "doc_id", "text", 0.9,
+        pairBlockSize = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.toSet === unsharded)
+  }
+
   test("containment pairs: catches snippets Jaccard misses, asymmetric, blocked") {
     val snippet = "alpha beta gamma delta epsilon zeta"
     val container = snippet + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
