@@ -2452,6 +2452,110 @@ object SparkEntry {
         .orderBy("shard", "seq_idx")
     }),
 
+    "q251_stream_semdedup" -> ((s, d) => {
+      // The ingest-time dedup gate a 100-TB pipeline actually runs:
+      // q249's micro-batch serve COMPOSED with q248's survivor-index
+      // probe — each micro-batch of the fresh embedding stream assigns
+      // through the FROZEN two-level model and pairs only against its
+      // cluster's stored representatives inside foreachBatch, emitting
+      // the per-batch (batch_id, index_id) drop decisions. Serve is
+      // stateless, the index frozen, and each row's decision independent
+      // of its batch-mates, so the drained union equals q248's batch
+      // answer exactly — the oracle replays fit, corpus serve, survivor
+      // selection, batch serve, and the cosine probe from raw parquet.
+      val emb = t(s, d, "embeddings")
+      val (coarse, fine) = twoLevelModelOnce(s, d)
+      val index = semDeDupIndexOnce(s, d)
+      val batch = emb.select((col("vec_id") + 100000).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("embedding"))
+          .otherwise(reverse(col("embedding"))).as("embedding"))
+      // Pinned under artifactRoot (content fingerprint) like the model +
+      // index artifacts this stream must agree with.
+      val pin = s"${artifactRoot(d)}/stream_sdd_in"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$pin/_SUCCESS").exists()) {
+          batch.repartition(32).write.mode("overwrite").parquet(pin)
+        }
+      }
+      val base = s"/tmp/graft_xml/${new java.io.File(d).getName}/stream_sdd_run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // maxFilesPerTrigger=8 over 32 files — the q249 lesson: keep
+      // file-level parallelism inside each trigger's argmin scan.
+      val stream = s.readStream.option("maxFilesPerTrigger", 8)
+        .schema(batch.schema).parquet(pin)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.semDeDupPairsAgainstIndex(bdf, "vec_id", "embedding",
+              coarse, fine, kFine = 3, index, threshold = 0.42)
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("batch_id", "index_id")
+    }),
+
+    "q252_ivf_delete_refresh" -> ((s, d) => {
+      // The vector index's delete/refresh lifecycle — the q160 takedown
+      // cycle on the ANN side (the index exists to SERVE a curation loop
+      // that drops documents; until now it was build-once/probe-many):
+      // the stored even-id generation compacts past a takedown set (ids
+      // divisible by 4 — one anti-join, centroids frozen), the odd-id
+      // ingest batch assigns through the SAME stored centroids (zero
+      // refit) and appends, and the probe serves from the NEW generation
+      // alone. The oracle rebuilds from scratch in SQL — fit over the
+      // even corpus, assignment of exactly the surviving ids — proving
+      // delete + ingest + compaction equals the from-scratch index.
+      val emb = t(s, d, "embeddings")
+      val basePath = s"${artifactRoot(d)}/ivf_index_even"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$basePath/cells/_SUCCESS").exists()) {
+          Similarity.buildIvfIndex(emb.where(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", basePath, nlist = 32, replicas = 3)
+        }
+      }
+      val gen2 = s"/tmp/graft_xml/${new java.io.File(d).getName}/ivf_gen2"
+      val fs = new org.apache.hadoop.fs.Path(gen2)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(gen2), true)
+      Similarity.compactIvfIndex(s, basePath, gen2,
+        emb.where(col("vec_id") % 4 === 0).select(col("vec_id")), "vec_id")
+      Similarity.updateIvfIndex(s, gen2,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        replicas = 3)
+      Similarity.ivfTopKFromIndex(s, gen2, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, nprobe = 12)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    "q253_epoch_plan_instances" -> ((s, d) => {
+      // q250's plan at the INSTANCE grain — the table a training data
+      // loader actually reads to slice each packed sequence: one row per
+      // repetition instance with its sequence coordinates and starting
+      // token offset. Offsets come from the SAME greedy scan that packs
+      // (the running in-sequence cursor), so sequence boundaries and
+      // Σ n_tokens replay exactly; the oracle reuses q250's recursive
+      // packing replay, whose running `used` column IS the cursor
+      // (tok_offset = used − n_tokens).
+      val docs = t(s, d, "documents")
+      val manifest = Sampling.sampleWeightedMixture(
+        docs.select("doc_id", "lang", "text"), "lang", "doc_id",
+        Map("en" -> 4L, "es" -> 3L, "fr" -> 2L, "de" -> 1L),
+        2000L, salt = "mix1")
+      val instances = manifest
+        .select(col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(0L), col("multiplicity") - 1)).as("e"))
+        .select((col("doc_id") * 100000L + col("e")).as("inst_id"),
+          col("lang"), col("text"))
+      Packing.packGreedyWithOffsets(instances, "inst_id", "text", "lang", 128)
+        .withColumnRenamed("id", "inst_id")
+        .select(col("inst_id"), col("shard"), col("seq_idx"),
+          col("tok_offset"), col("n_tokens"))
+        .orderBy("shard", "seq_idx", "tok_offset")
+    }),
+
     "q239_dsir_serve" -> ((s, d) => {
       // DSIR's stored-model lifecycle (the r14 verdict gap): the dense
       // 256-bucket λ table persists ONCE (fingerprinted path, the q234
@@ -6142,6 +6246,12 @@ object SparkEntry {
     // q104 serves the SAME search from the persisted index — the identical
     // full-pipeline replay gates it (deterministic fit ⇒ identical cells).
     "q104_ivf_from_index" -> ivfOracleSql,
+
+    // q252: a from-scratch SQL rebuild of the post-lifecycle index — fit
+    // pinned to the even-id BASE corpus, postings to exactly the
+    // surviving ids — proving delete + compaction + frozen-centroid
+    // ingest equals the ground-truth index of the surviving docs.
+    "q252_ivf_delete_refresh" -> ivfDeleteRefreshOracleSql,
     "q78_cluster_assign" -> clusterOracleSql,
 
     // q80: float->double widening is exact and both engines round half
@@ -6842,68 +6952,7 @@ object SparkEntry {
     // generate_series instance expansion, the q126 greedy-packing
     // recursion per language, and the md5 epoch-shuffle rank.
     "q250_mixture_epoch_plan" ->
-      """WITH RECURSIVE wt(key, w) AS (
-        |  VALUES ('en', 4), ('es', 3), ('fr', 2), ('de', 1)),
-        |n AS (
-        |  SELECT CAST(lang AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
-        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
-        |m AS (
-        |  SELECT n.key, n.n, CAST(coalesce(wt.w, 0) AS BIGINT) AS w,
-        |    n.n::HUGEINT * coalesce(wt.w, 0) AS m
-        |  FROM n LEFT JOIN wt ON n.key = wt.key),
-        |tot AS (SELECT sum(m) AS mt FROM m),
-        |q AS (
-        |  SELECT key, n, w,
-        |    CASE WHEN mt > 0 THEN (2000::HUGEINT * m) // mt ELSE 0 END AS base,
-        |    CASE WHEN mt > 0 THEN (2000::HUGEINT * m) % mt ELSE 0 END AS rem
-        |  FROM m, tot),
-        |r0 AS (
-        |  SELECT key, n, base, rem,
-        |    row_number() OVER (ORDER BY rem DESC, key) AS rk,
-        |    (SELECT CASE WHEN (SELECT mt FROM tot) > 0
-        |             THEN 2000 - sum(base) ELSE 0 END FROM q) AS leftover
-        |  FROM q),
-        |a AS (
-        |  SELECT key, n,
-        |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
-        |      AS alloc
-        |  FROM r0),
-        |ranked AS (
-        |  SELECT doc_id, CAST(lang AS VARCHAR) AS key,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
-        |                  25, 8))::BIGINT % 1000000,
-        |               doc_id) AS rnk
-        |  FROM documents WHERE lang IS NOT NULL),
-        |man AS (
-        |  SELECT ranked.doc_id, ranked.key AS lang,
-        |    CAST(a.alloc // a.n
-        |      + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END AS BIGINT)
-        |      AS multiplicity
-        |  FROM ranked JOIN a ON ranked.key = a.key
-        |  WHERE a.alloc // a.n
-        |      + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END > 0),
-        |inst AS (
-        |  SELECT man.doc_id * 100000
-        |      + unnest(generate_series(0, man.multiplicity - 1)) AS id,
-        |    man.lang AS shard, d.text
-        |  FROM man JOIN documents d ON d.doc_id = man.doc_id),
-        |tok AS (
-        |  SELECT id, shard,
-        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
-        |    row_number() OVER (PARTITION BY shard
-        |      ORDER BY id, md5(coalesce(text, ''))) AS rn
-        |  FROM inst),
-        |g AS (
-        |  SELECT id, shard, n_tokens, rn,
-        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
-        |  FROM tok WHERE rn = 1
-        |  UNION ALL
-        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
-        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
-        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
-        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1),
+      s"""$epochPlanPackOracleCtes,
         |seqs AS (
         |  SELECT shard, seq_idx, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
@@ -6917,6 +6966,15 @@ object SparkEntry {
         |SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, n_docs, seq_tokens,
         |  CAST(shuffle_pos AS BIGINT) AS shuffle_pos
         |FROM r ORDER BY shard, seq_idx""".stripMargin,
+
+    // q253: the same packing replay at the instance grain; tok_offset
+    // is the recursive cursor before admission (used - n_tokens).
+    "q253_epoch_plan_instances" ->
+      s"""$epochPlanPackOracleCtes
+        |SELECT CAST(id AS BIGINT) AS inst_id, shard,
+        |  CAST(seq_idx AS BIGINT) AS seq_idx,
+        |  CAST(used - n_tokens AS BIGINT) AS tok_offset, n_tokens
+        |FROM g ORDER BY shard, seq_idx, tok_offset""".stripMargin,
 
     // q245: the weighted Hamilton replay in HUGEINT arithmetic — weighted
     // masses n·w, floor quotas, largest-remainder top-ups with key-asc
@@ -8602,81 +8660,11 @@ object SparkEntry {
     // within-cluster cosine closure → survivor index, then the batch
     // (even ids verbatim, odd reversed, +100000) serves through the same
     // final centroids and probes its cluster's survivors.
-    "q248_semdedup_incremental" ->
-      s"""WITH RECURSIVE ${embeddingsExCte},
-        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
-             seed = "km")},
-        |ssh AS (
-        |  SELECT id, cluster AS shard FROM (
-        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
-        |    FROM ex e JOIN c2 c ON e.dim = c.dim
-        |    GROUP BY e.id, c.cluster)
-        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
-        |saf AS (
-        |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
-        |    SELECT e.id, sh.shard, c.fcl,
-        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
-        |    FROM ex e JOIN ssh sh USING (id)
-        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
-        |    GROUP BY e.id, sh.shard, c.fcl)
-        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
-        |emb2 AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |p AS (
-        |  SELECT fa.id AS id_a, fb.id AS id_b
-        |  FROM saf fa JOIN saf fb ON fa.cluster = fb.cluster AND fa.id < fb.id
-        |  JOIN emb2 a ON a.id = fa.id
-        |  JOIN emb2 b ON b.id = fb.id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM p
-        |          UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT u, u FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
-        |losers AS (
-        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
-        |  WHERE comp <> id),
-        |idx AS (
-        |  SELECT s2.cluster, s2.id, e.v
-        |  FROM saf s2 JOIN emb2 e USING (id)
-        |  ANTI JOIN losers ON s2.id = losers.id),
-        |nex AS MATERIALIZED (
-        |  SELECT vec_id + 100000 AS id, p.i - 1 AS dim,
-        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
-        |  FROM embeddings,
-        |    unnest(list_transform(
-        |      CASE WHEN vec_id % 2 = 0 THEN embedding
-        |           ELSE list_reverse(embedding) END,
-        |      (x, i) -> {'x': x, 'i': i})) AS t(p)),
-        |bemb AS (
-        |  SELECT vec_id + 100000 AS id,
-        |    list_transform(
-        |      CASE WHEN vec_id % 2 = 0 THEN embedding
-        |           ELSE list_reverse(embedding) END,
-        |      x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |nsh AS (
-        |  SELECT id, cluster AS shard FROM (
-        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
-        |    FROM nex e JOIN c2 c ON e.dim = c.dim
-        |    GROUP BY e.id, c.cluster)
-        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
-        |naf AS (
-        |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
-        |    SELECT e.id, sh.shard, c.fcl,
-        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
-        |    FROM nex e JOIN nsh sh USING (id)
-        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
-        |    GROUP BY e.id, sh.shard, c.fcl)
-        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1)
-        |SELECT b.id AS batch_id, i.id AS index_id
-        |FROM naf b JOIN bemb bv ON bv.id = b.id
-        |JOIN idx i ON i.cluster = b.cluster
-        |WHERE list_cosine_similarity(bv.v, i.v) >= 0.42
-        |ORDER BY batch_id, index_id""".stripMargin,
+    "q248_semdedup_incremental" -> semDeDupIncrementalOracleSql,
+
+    // q251: the drained streaming probe equals q248's batch answer —
+    // serve stateless, index frozen, per-row decisions independent.
+    "q251_stream_semdedup" -> semDeDupIncrementalOracleSql,
 
     // q249: the drained streaming serve equals q242's batch serve — the
     // identical fit + serve replay.
@@ -10377,7 +10365,10 @@ object SparkEntry {
 
   /** Shared k-means centroid CTE chain (through `c10`) for the q33/q78
    * oracles — one arithmetic replay, two query tails. */
-  private def kmeansOracleCtes: String = {
+  /** `sampWhere` filters the FIT corpus (the id-ordered 4096 sample) —
+    * e.g. "WHERE id % 2 = 0" replays a model fitted on the even-id
+    * slice; emb stays the full table for assignment/probe CTEs. */
+  private def kmeansOracleCtes(sampWhere: String = ""): String = {
     val iters = 10
     def step(n: Int): String = s"""
       |a$n AS MATERIALIZED (
@@ -10402,7 +10393,7 @@ object SparkEntry {
       |  FROM embeddings),
       |samp AS MATERIALIZED (
       |  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS rn
-      |  FROM (SELECT id, v FROM emb ORDER BY id LIMIT 4096)),
+      |  FROM (SELECT id, v FROM emb $sampWhere ORDER BY id LIMIT 4096)),
       |par AS (
       |  SELECT count(*) AS n, least(32, count(*)) AS k,
       |         greatest(1, count(*) // 32) AS stride,
@@ -10417,7 +10408,7 @@ object SparkEntry {
 
   /** q78 oracle: same centroid replay, single nearest-cell assignment. */
   private def clusterOracleSql: String =
-    s"""WITH $kmeansOracleCtes
+    s"""WITH ${kmeansOracleCtes()}
       |SELECT id AS vec_id, CAST(cell AS INT) AS cluster FROM (
       |  SELECT e.id, c.cell,
       |    row_number() OVER (PARTITION BY e.id
@@ -11111,8 +11102,187 @@ object SparkEntry {
       |FROM serve s LEFT JOIN exact3 e ON e.qid = s.qid AND e.cid = s.cid
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by q248 (batch) and q251 (streaming drained union):
+    * fit, corpus serve, within-cluster closure, survivor index,
+    * batch serve, cosine probe — all replayed from raw parquet. */
+  private def semDeDupIncrementalOracleSql: String =
+      s"""WITH RECURSIVE ${embeddingsExCte},
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km")},
+        |ssh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+        |saf AS (
+        |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
+        |    SELECT e.id, sh.shard, c.fcl,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN ssh sh USING (id)
+        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |    GROUP BY e.id, sh.shard, c.fcl)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
+        |emb2 AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT fa.id AS id_a, fb.id AS id_b
+        |  FROM saf fa JOIN saf fb ON fa.cluster = fb.cluster AND fa.id < fb.id
+        |  JOIN emb2 a ON a.id = fa.id
+        |  JOIN emb2 b ON b.id = fb.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id),
+        |idx AS (
+        |  SELECT s2.cluster, s2.id, e.v
+        |  FROM saf s2 JOIN emb2 e USING (id)
+        |  ANTI JOIN losers ON s2.id = losers.id),
+        |nex AS MATERIALIZED (
+        |  SELECT vec_id + 100000 AS id, p.i - 1 AS dim,
+        |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(list_transform(
+        |      CASE WHEN vec_id % 2 = 0 THEN embedding
+        |           ELSE list_reverse(embedding) END,
+        |      (x, i) -> {'x': x, 'i': i})) AS t(p)),
+        |bemb AS (
+        |  SELECT vec_id + 100000 AS id,
+        |    list_transform(
+        |      CASE WHEN vec_id % 2 = 0 THEN embedding
+        |           ELSE list_reverse(embedding) END,
+        |      x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nsh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM nex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+        |naf AS (
+        |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
+        |    SELECT e.id, sh.shard, c.fcl,
+        |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM nex e JOIN nsh sh USING (id)
+        |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |    GROUP BY e.id, sh.shard, c.fcl)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1)
+        |SELECT b.id AS batch_id, i.id AS index_id
+        |FROM naf b JOIN bemb bv ON bv.id = b.id
+        |JOIN idx i ON i.cluster = b.cluster
+        |WHERE list_cosine_similarity(bv.v, i.v) >= 0.42
+        |ORDER BY batch_id, index_id""".stripMargin
+
+  /** q250/q253 shared replay: Hamilton allocation, manifest,
+    * instance expansion, and the recursive greedy packing whose
+    * running `used` column is the in-sequence token cursor. */
+  private def epochPlanPackOracleCtes: String =
+      """WITH RECURSIVE wt(key, w) AS (
+        |  VALUES ('en', 4), ('es', 3), ('fr', 2), ('de', 1)),
+        |n AS (
+        |  SELECT CAST(lang AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT n.key, n.n, CAST(coalesce(wt.w, 0) AS BIGINT) AS w,
+        |    n.n::HUGEINT * coalesce(wt.w, 0) AS m
+        |  FROM n LEFT JOIN wt ON n.key = wt.key),
+        |tot AS (SELECT sum(m) AS mt FROM m),
+        |q AS (
+        |  SELECT key, n, w,
+        |    CASE WHEN mt > 0 THEN (2000::HUGEINT * m) // mt ELSE 0 END AS base,
+        |    CASE WHEN mt > 0 THEN (2000::HUGEINT * m) % mt ELSE 0 END AS rem
+        |  FROM m, tot),
+        |r0 AS (
+        |  SELECT key, n, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS rk,
+        |    (SELECT CASE WHEN (SELECT mt FROM tot) > 0
+        |             THEN 2000 - sum(base) ELSE 0 END FROM q) AS leftover
+        |  FROM q),
+        |a AS (
+        |  SELECT key, n,
+        |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM r0),
+        |ranked AS (
+        |  SELECT doc_id, CAST(lang AS VARCHAR) AS key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
+        |                  25, 8))::BIGINT % 1000000,
+        |               doc_id) AS rnk
+        |  FROM documents WHERE lang IS NOT NULL),
+        |man AS (
+        |  SELECT ranked.doc_id, ranked.key AS lang,
+        |    CAST(a.alloc // a.n
+        |      + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END AS BIGINT)
+        |      AS multiplicity
+        |  FROM ranked JOIN a ON ranked.key = a.key
+        |  WHERE a.alloc // a.n
+        |      + CASE WHEN rnk <= a.alloc % a.n THEN 1 ELSE 0 END > 0),
+        |inst AS (
+        |  SELECT man.doc_id * 100000
+        |      + unnest(generate_series(0, man.multiplicity - 1)) AS id,
+        |    man.lang AS shard, d.text
+        |  FROM man JOIN documents d ON d.doc_id = man.doc_id),
+        |tok AS (
+        |  SELECT id, shard,
+        |    CAST(coalesce(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY id, md5(coalesce(text, ''))) AS rn
+        |  FROM inst),
+        |g AS (
+        |  SELECT id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_idx, n_tokens AS used
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.id, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN g.seq_idx + 1 ELSE g.seq_idx END,
+        |    CASE WHEN g.used + t.n_tokens > 128 THEN t.n_tokens ELSE g.used + t.n_tokens END
+        |  FROM g JOIN tok t ON t.shard = g.shard AND t.rn = g.rn + 1)""".stripMargin
+
+  /** q252: [[ivfOracleSql]]'s replay with the FIT pinned to the even-id
+    * base corpus (the stored generation's training slice) and the
+    * postings to the post-lifecycle survivors — even ids not divisible
+    * by 4 (compaction) plus the odd-id ingest batch, i.e. id % 4 <> 0.
+    * Probes stay the full-corpus id < 10 queries. */
+  private def ivfDeleteRefreshOracleSql: String = {
+    s"""WITH ${kmeansOracleCtes("WHERE id % 2 = 0")},
+      |assigned AS MATERIALIZED (
+      |  SELECT id AS c_id, v AS c_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN c10 c WHERE e.id % 4 <> 0) WHERE rk <= 3),
+      |probes AS MATERIALIZED (
+      |  SELECT id AS query_id, v AS q_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN c10 c WHERE e.id < 10) WHERE rk <= 12),
+      |scored AS (
+      |  SELECT p.query_id, a.c_id,
+      |    max(list_cosine_similarity(p.q_v, a.c_v)) AS sim
+      |  FROM assigned a JOIN probes p USING (cell)
+      |  WHERE p.query_id <> a.c_id
+      |  GROUP BY p.query_id, a.c_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, c_id) AS INT) AS rank,
+      |  c_id AS neighbor_id
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfOracleSql: String = {
-    s"""WITH $kmeansOracleCtes,
+    s"""WITH ${kmeansOracleCtes()},
       |assigned AS MATERIALIZED (
       |  SELECT id AS c_id, v AS c_v, cell FROM (
       |    SELECT e.id, e.v, c.cell,

@@ -188,14 +188,41 @@ object Packing {
       coalesce(col(nTokensCol).cast("long"), lit(0L)).as("tc"),
       tiebreakOf(tiebreakCol).as("tb")), budget)
 
+  /**
+   * [[packGreedy]] emitting the TRAINER-facing instance rows: each packed
+   * document also carries `tok_offset` — its starting token position
+   * inside its (shard, seq_idx) sequence, i.e. the running in-sequence
+   * cursor the greedy scan already holds before admitting the document.
+   * This is the table a data loader actually reads to slice training
+   * sequences; offsets come from the SAME single scan that packs (no
+   * second window pass), so sequence boundaries and Σ n_tokens replay
+   * exactly.
+   */
+  def packGreedyWithOffsets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Long): DataFrame =
+    packGreedySlim(df.select(col(idCol).cast("long").as("id"),
+      col(shardCol).cast("string").as("shard"), tokenCountOf(textCol).as("tc"),
+      tiebreakOf(textCol).as("tb")), budget, withOffsets = true)
+
   /** The shared greedy scan over (id, shard, tc, tb) rows. */
-  private def packGreedySlim(slim: DataFrame, budget: Long): DataFrame = {
+  private def packGreedySlim(
+      slim: DataFrame,
+      budget: Long,
+      withOffsets: Boolean = false): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+    val baseFields = Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("seq_idx", org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.StructField("seq_idx", org.apache.spark.sql.types.LongType))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      if (withOffsets) baseFields :+ org.apache.spark.sql.types.StructField(
+        "tok_offset", org.apache.spark.sql.types.LongType)
+      else baseFields)
     val shardIdx = 1
     slim.groupByKey((r: Row) => r.getString(shardIdx))(Encoders.STRING)
       .flatMapSortedGroups(col("id"), col("tb")) { (shard: String, rows: Iterator[Row]) =>
@@ -211,8 +238,10 @@ object Packing {
             used = 0L
             first = false
           }
+          val off = used
           used += tc
-          Row(r.getLong(0), shard, tc, seq)
+          if (withOffsets) Row(r.getLong(0), shard, tc, seq, off)
+          else Row(r.getLong(0), shard, tc, seq)
         }
       }(Encoders.row(outSchema))
       .toDF()

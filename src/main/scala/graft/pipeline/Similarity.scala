@@ -1013,6 +1013,67 @@ object Similarity {
   }
 
   /**
+   * Delete + compaction for a persisted [[buildIvfIndex]] index — the
+   * inverted-index takedown lifecycle (q160) on the vector side: the
+   * retired ids leave via ONE anti-join over the stored cell postings,
+   * rewritten as a NEW self-contained generation under `dstPath`
+   * (centroids carry over unchanged — the model is frozen, only postings
+   * compact away), so [[ivfTopKFromIndex]] serves the new generation
+   * while the old one stays readable until swapped. A curation loop that
+   * DROPS documents pays one compact-key anti-join, never a re-fit or a
+   * corpus re-assignment.
+   */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      deleteIds: DataFrame,
+      idCol: String): Unit = {
+    require(srcPath != dstPath,
+      "compaction writes a NEW generation; srcPath must differ from dstPath")
+    Dedup.requireIntegralId(deleteIds, idCol, "compactIvfIndex")
+    spark.read.parquet(s"$srcPath/centroids")
+      .repartition(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
+    spark.read.parquet(s"$srcPath/cells")
+      .join(deleteIds.select(col(idCol).cast("long").as("c_id")).distinct(),
+        Seq("c_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dstPath/cells")
+  }
+
+  /**
+   * Ingest a fresh batch into a persisted [[buildIvfIndex]] index through
+   * the STORED centroids — zero refit: batch vectors assign to their
+   * `replicas` nearest stored cells (the same map-side argmin the build
+   * ran) and APPEND to the cell postings. Batch ≪ corpus is the
+   * contract: the ingest pays only its own assignment scan; with
+   * [[compactIvfIndex]] this closes the index's delete/refresh lifecycle
+   * without ever re-reading the corpus.
+   */
+  def updateIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      replicas: Int = 1): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect() // nlist rows — bounded by construction
+      .map(_.getSeq[Double](1).toArray)
+    require(replicas >= 1 && replicas <= cents.length,
+      s"replicas must be in [1, ${cents.length}], got $replicas")
+    val slim = batch.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val assigned =
+      if (replicas == 1) {
+        slim.withColumn("cell",
+          CentroidFunctions.nearest_centroid(col("c_v"), cents))
+      } else {
+        slim.withColumn("cell",
+          explode(CentroidFunctions.nearest_cells(col("c_v"), cents, replicas)))
+      }
+    assigned.write.mode("append").parquet(s"$path/cells")
+  }
+
+  /**
    * Corpus clustering: every vector assigned to its nearest k-means
    * centroid (cosine). The same bounded deterministic centroid fit as IVF
    * (id-ordered sample, strided seeding, Lloyd); assignment is then a

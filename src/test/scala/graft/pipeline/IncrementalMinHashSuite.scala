@@ -49,6 +49,42 @@ class IncrementalMinHashSuite extends AnyFunSuite {
     assert(fromIndex === oneShot && oneShot.nonEmpty)
   }
 
+  test("IVF delete + frozen-centroid ingest equals from-scratch survivor assignment") {
+    val vecs = spark.range(0, 200)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 7), i -> CAST((id * (i + 3)) % 13 AS FLOAT)) AS embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_life").toString
+    // base generation: even ids only
+    Similarity.buildIvfIndex(vecs.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", s"$root/base", nlist = 8, replicas = 3)
+    // lifecycle: retire ids % 4 == 0 (compaction), ingest the odd batch
+    // through the STORED centroids
+    Similarity.compactIvfIndex(spark, s"$root/base", s"$root/gen2",
+      vecs.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id")
+    Similarity.updateIvfIndex(spark, s"$root/gen2",
+      vecs.where(col("vec_id") % 2 === 1), "vec_id", "embedding", replicas = 3)
+    // retired ids are gone; survivors carry 3 distinct cells each
+    val cells = spark.read.parquet(s"$root/gen2/cells")
+    assert(cells.where(col("c_id") % 4 === 0).count() === 0)
+    val perId = cells.groupBy("c_id")
+      .agg(countDistinct(col("cell")).as("nc")).collect()
+    assert(perId.length === 150) // 50 even survivors + 100 odd ingested
+    assert(perId.forall(_.getLong(1) === 3L))
+    // from-scratch: empty the postings, assign ALL survivors fresh through
+    // the same frozen centroids — probes must match the lifecycle index
+    Similarity.compactIvfIndex(spark, s"$root/base", s"$root/scratch",
+      vecs.select("vec_id"), "vec_id")
+    Similarity.updateIvfIndex(spark, s"$root/scratch",
+      vecs.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding", replicas = 3)
+    val queries = vecs.where(col("vec_id") < 5)
+    def probe(path: String) =
+      Similarity.ivfTopKFromIndex(spark, path, queries, "vec_id",
+          "embedding", 4, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val lifecycle = probe(s"$root/gen2")
+    assert(lifecycle === probe(s"$root/scratch") && lifecycle.nonEmpty)
+  }
+
   test("index survives a parquet roundtrip and probes identically") {
     val docs = (0L until 60L).map(i => (i, s"shared body text variant ${i % 9}"))
       .toDF("doc_id", "text")

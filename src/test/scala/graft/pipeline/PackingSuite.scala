@@ -40,6 +40,33 @@ class PackingSuite extends AnyFunSuite {
     assert(out(6L) === (5L, 2L))
   }
 
+  test("packGreedyWithOffsets: offsets are the running in-sequence cursor") {
+    val out = Packing.packGreedyWithOffsets(fixture, "doc_id", "text",
+        "source", 128)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // same assignment as packGreedy, plus the cursor before admission
+    assert(out(0L) === (100L, 0L, 0L))
+    assert(out(1L) === (28L, 0L, 100L))
+    assert(out(2L) === (1L, 1L, 0L))
+    assert(out(3L) === (300L, 0L, 0L))
+    assert(out(4L) === (128L, 1L, 0L))
+    assert(out(5L) === (0L, 1L, 128L)) // zero tokens at the full cursor
+    assert(out(6L) === (5L, 2L, 0L))
+    // invariant: within every (shard, seq) the offsets tile exactly —
+    // sorted by offset, each doc starts where the previous one ended
+    val rows = Packing.packGreedyWithOffsets(fixture, "doc_id", "text",
+        "source", 128)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(2)))
+    rows.groupBy(t => (t._1, t._2)).values.foreach { seq =>
+      var cursor = 0L
+      seq.sortBy(_._3).foreach { case (_, _, off, n) =>
+        assert(off === cursor)
+        cursor += n
+      }
+    }
+  }
+
   test("greedy matches an independent sequential replay on varied sizes") {
     // 200 docs over 4 shards with deterministic pseudo-random sizes,
     // including zeros, exact fits, and oversized outliers
