@@ -936,7 +936,12 @@ object Dedup extends org.apache.spark.internal.Logging {
             s"corpus) — past maxPairBudget=$maxPairBudget. Raise the " +
             "threshold, pass coarser explicit (numHashes, bands), or " +
             "raise the budget to accept the cost explicitly.")
-        Some(math.max(compVol, crossVol))
+        // Partition sizing follows the COMPARISON volume — the in-task
+        // work. crossVol is output rows, which stream out lazily into the
+        // consumer; sizing on it was measured at sf100 to explode the
+        // pair-block stage to ~12k near-empty tasks (200 s of launch
+        // overhead for the same 5.8k CPU-seconds of verification).
+        Some(compVol)
       }
     // Component-stage parallelism grows with the MEASURED comparison
     // volume when probed (including a measured zero — "every document
