@@ -163,9 +163,87 @@ case class SignLshBuckets(
   override def prettyName: String = "sign_lsh_buckets"
 }
 
+/**
+ * Exact integer squared-L2 argmin over a SHARD-INDEXED fine-centroid
+ * family — the serve-side fast path of the two-level clustering
+ * lifecycle when the stored model fits executor memory. Inputs
+ * (shard int, qv array<long> micro-quantized); returns
+ * struct(d2 long, fcl int, qv array<long>) — the same `__m` struct the
+ * shard-keyed join + min(struct) plan produces, bit-identically: long
+ * subtract/multiply/sum per dimension, ties to the LOWEST fcl (rows of
+ * `fines(shard)` are fcl-ascending and the loop keeps the first strict
+ * minimum). The join plan materializes one candidate row per (vector,
+ * fine centroid) each carrying the vector itself — measured at the
+ * 2M-vector × (177×177)-cluster decade to dominate serve wall time;
+ * this is one primitive loop per row, zero extra rows.
+ *
+ * `fines(shard)` is the shard's row-major (kShard × dim) centroid
+ * matrix; `fcls(shard)` maps matrix row → stored fcl id (ascending).
+ */
+case class NearestFineCentroidL2(
+    shard: Expression,
+    qv: Expression,
+    fines: Array[Array[Long]],
+    fcls: Array[Array[Int]],
+    dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def left: Expression = shard
+  override def right: Expression = qv
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (shard.dataType, qv.dataType) match {
+      case (IntegerType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (int, array<bigint>), got $other")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", LongType, nullable = false),
+    StructField("fcl", IntegerType, nullable = false),
+    StructField("qv", ArrayType(LongType, containsNull = true))))
+
+  override def nullSafeEval(s: Any, v: Any): Any = {
+    val sh = s.asInstanceOf[Int]
+    val a = v.asInstanceOf[ArrayData]
+    val flat = fines(sh)
+    val ids = fcls(sh)
+    val n = math.min(a.numElements(), dim)
+    var bestD2 = Long.MaxValue
+    var bestF = 0
+    var r = 0
+    while (r < ids.length) {
+      val off = r * dim
+      var d2 = 0L
+      var i = 0
+      while (i < n) {
+        val d = a.getLong(i) - flat(off + i)
+        d2 += d * d
+        i += 1
+      }
+      if (d2 < bestD2) { bestD2 = d2; bestF = ids(r) }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD2, bestF, a.copy())
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestFineCentroidL2 =
+    copy(shard = l, qv = r)
+  override def prettyName: String = "nearest_fine_centroid_l2"
+}
+
 object CentroidFunctions {
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
+  def nearest_fine_centroid_l2(
+      shard: Column, qv: Column,
+      fines: Array[Array[Long]], fcls: Array[Array[Int]], dim: Int): Column =
+    Bridge.column(NearestFineCentroidL2(
+      Bridge.expression(shard), Bridge.expression(qv), fines, fcls, dim))
   def nearest_cells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(v), centroids, nprobe))
   def sign_lsh_buckets(v: Column, tables: Int, numPlanes: Int, dim: Int, seed: Long): Column =

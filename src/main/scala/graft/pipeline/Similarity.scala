@@ -635,7 +635,7 @@ object Similarity {
     * map-side. (d2, fcl) is unique within a row's candidate set, so the
     * qv tail (carried to avoid a rejoin in the update step) never
     * decides a comparison. Input frame: (id, shard, qv). */
-  private def fineArgmin(base: DataFrame, cents: DataFrame): DataFrame =
+  private[pipeline] def fineArgmin(base: DataFrame, cents: DataFrame): DataFrame =
     base.join(cents, Seq("shard"))
       .select(col("id"), col("shard"),
         struct(
@@ -646,6 +646,59 @@ object Similarity {
           col("qv").as("qv")).as("__cand"))
       .groupBy(col("id"), col("shard"))
       .agg(min(col("__cand")).as("__m"))
+
+  /** Serve-side fine-argmin budget: collect the STORED fine table and
+    * evaluate one primitive loop per row when the model holds at most
+    * this many centroid elements (2²³ longs = 64 MB — comfortably
+    * executor-resident), else keep the shard-keyed join plan (model
+    * size never touches the driver). The join plan materializes one
+    * candidate row per (vector, fine centroid), each carrying the
+    * vector itself — measured at the 2M-vector auto-k decade
+    * (kc=kf=177) to dominate serve wall time; the inline tier is the
+    * same integer argmin as one map-side expression. TRAINING always
+    * uses the join plan: the trainer's driver-state contract (bounded
+    * by the coarse level, spec-pinned) must hold at any k. */
+  private[pipeline] val FineInlineMaxElements = 1L << 23
+
+  /** [[fineArgmin]] for SERVE-time callers holding a stored model:
+    * same output contract (id, shard, __m struct(d2, fcl, qv)), tiered
+    * by model size. `kCoarse` guards coverage — the inline tier needs
+    * every shard present (the fit-side patch guarantees it; a partial
+    * table falls back to the join plan, whose semantics are per-row). */
+  private[pipeline] def fineArgminServe(
+      base: DataFrame, cents: DataFrame, kCoarse: Int): DataFrame = {
+    val shape = cents
+      .agg(count(lit(1)), max(size(col("cv"))), countDistinct(col("shard")))
+      .head()
+    val nRows = shape.getLong(0)
+    val dim = if (shape.isNullAt(1)) 0 else shape.getInt(1)
+    val covered = shape.getLong(2) == kCoarse.toLong
+    if (nRows == 0 || dim <= 0 || !covered ||
+        nRows * dim > FineInlineMaxElements) {
+      fineArgmin(base, cents)
+    } else {
+      val rows = cents.select(col("shard"), col("fcl"), col("cv")).collect()
+      val byShard = rows.groupBy(_.getInt(0))
+      val fines = Array.ofDim[Array[Long]](kCoarse)
+      val fcls = Array.ofDim[Array[Int]](kCoarse)
+      (0 until kCoarse).foreach { sh =>
+        val sorted = byShard(sh).sortBy(_.getInt(1))
+        fcls(sh) = sorted.map(_.getInt(1))
+        val flat = new Array[Long](sorted.length * dim)
+        sorted.zipWithIndex.foreach { case (r, i) =>
+          val cv = r.getSeq[Long](2)
+          var d = 0
+          while (d < cv.length && d < dim) {
+            flat(i * dim + d) = cv(d); d += 1
+          }
+        }
+        fines(sh) = flat
+      }
+      base.select(col("id"), col("shard"),
+        CentroidFunctions.nearest_fine_centroid_l2(
+          col("shard"), col("qv"), fines, fcls, dim).as("__m"))
+    }
+  }
 
   /** Shared fit core of the two-level lifecycle: coarse flat Lloyd →
     * shard-partitioned corpus → DataFrame-resident fine Lloyd. Returns
@@ -813,7 +866,7 @@ object Similarity {
             x => round(x * lit(1000000.0)).cast("long")).as("qv")),
         coarse)
       .select(col("id"), col("qv"), col("__best.cluster").as("shard"))
-    fineArgmin(sharded, fine)
+    fineArgminServe(sharded, fine, coarse.length)
       .select(col("id"),
         (col("shard") * kFine + col("__m.fcl")).cast("int").as("cluster"),
         col("__m.d2").as("d2"))
@@ -847,7 +900,7 @@ object Similarity {
             x => round(x * lit(1000000.0)).cast("long")).as("qv")),
         coarse)
       .select(col("id"), col("qv"), col("__best.cluster").as("shard"))
-    fineArgmin(sharded, fine)
+    fineArgminServe(sharded, fine, coarse.length)
       .select(col("shard"), col("__m.fcl").as("fcl"),
         posexplode(col("__m.qv")).as(Seq("dim", "q")))
       .groupBy(col("shard"), col("fcl"), col("dim"))

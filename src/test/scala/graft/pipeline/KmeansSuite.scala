@@ -277,6 +277,42 @@ class KmeansSuite extends AnyFunSuite {
     assert(Similarity.driverCollectedRows.get() > collected)
   }
 
+  test("serve fine argmin: inline expression tier equals the join plan bit-for-bit") {
+    // A stored-model-shaped fine table with unequal per-shard fine
+    // counts and a PLANTED exact tie (shard 1's fcl 0 and 2 are the
+    // same centroid): the inline tier must reproduce the join plan's
+    // min(struct(d2, fcl, qv)) — including the tie to the LOWEST fcl —
+    // on every row.
+    val sharded = (0L until 300L).map { i =>
+      (i, Seq.tabulate(4)(d => ((i * (d + 7)) % 23 - 11) * 1000000L),
+        (i % 3).toInt)
+    }.toDF("id", "qv", "shard")
+    val cents = Seq(
+      (0, 0, Seq(0L, 0L, 0L, 0L)),
+      (0, 1, Seq(2000000L, -3000000L, 1000000L, 0L)),
+      (1, 0, Seq(-5000000L, 5000000L, 0L, 1000000L)),
+      (1, 2, Seq(-5000000L, 5000000L, 0L, 1000000L)), // exact tie with fcl 0
+      (2, 0, Seq(7000000L, 0L, -2000000L, 4000000L)),
+      (2, 1, Seq(-1000000L, 1000000L, 2000000L, -8000000L)),
+      (2, 3, Seq(0L, 0L, 0L, 0L))
+    ).toDF("shard", "fcl", "cv")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("shard"), col("__m.d2"), col("__m.fcl"),
+        col("__m.qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getSeq[Long](4)))
+      .sortBy(_._1).toSeq
+    val viaJoin = canon(Similarity.fineArgmin(sharded, cents))
+    val viaInline = canon(Similarity.fineArgminServe(sharded, cents, 3))
+    assert(viaInline === viaJoin)
+    // ties landed on the lowest fcl for every shard-1 row
+    assert(viaInline.filter(_._2 == 1).forall(_._4 == 0))
+    // and the inline tier actually engaged (no partial-coverage or
+    // size fallback for this model shape)
+    assert(cents.count() * 4 <= Similarity.FineInlineMaxElements)
+  }
+
   test("kmeansTwoLevelAssign: a shard smaller than kFine seeds what it has") {
     // 3 points land in one coarse shard, 1 in the other; kFine=3 asks
     // for more seeds than the singleton shard can give — it seeds one
