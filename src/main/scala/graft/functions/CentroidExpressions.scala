@@ -209,9 +209,18 @@ case class NearestFineCentroidL2(
   override def nullSafeEval(s: Any, v: Any): Any = {
     val sh = s.asInstanceOf[Int]
     val a = v.asInstanceOf[ArrayData]
+    // Dim drift fails LOUDLY: truncating the loop to min(len, dim) would
+    // silently score a prefix while the join-plan tier's zip_with pads
+    // with null — two serve tiers quietly disagreeing on malformed
+    // input. A query vector must match the model dim exactly.
+    if (a.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"nearest_fine_centroid_l2: query vector has ${a.numElements()} " +
+          s"elements, stored model dim is $dim — dim-drifted input")
+    }
     val flat = fines(sh)
     val ids = fcls(sh)
-    val n = math.min(a.numElements(), dim)
+    val n = dim
     var bestD2 = Long.MaxValue
     var bestF = 0
     var r = 0

@@ -914,22 +914,34 @@ object Dedup extends org.apache.spark.internal.Logging {
     val probedVol: Option[Long] =
       if (!probed) None
       else {
+        // All three quadratic terms run in decimal(38,0): a component
+        // whose member count s exceeds √Long.MaxValue (~3.04e9) would
+        // silently wrap s*s negative in long arithmetic (non-ANSI) and
+        // UNDERSTATE the budget sum exactly in the degenerate regime the
+        // probe exists to refuse. The doubled counts (n(n−1), s²−Σm²,
+        // m(m−1) — all even) sum exactly below 10³⁸ and halve as BigInt
+        // on the driver; after the refusal passes, compVol ≤
+        // maxPairBudget ≤ Long.MaxValue, so the Long narrowing is safe.
         val stats = comps.withColumnRenamed("id", "nid")
           .join(nodes.select(col("nid"),
             size(col("ids")).cast("long").as("mc")), Seq("nid"))
           .groupBy(col("component"))
           .agg(count(lit(1)).as("n"), sum(col("mc")).as("s"),
-            sum(col("mc") * col("mc")).as("s2"))
-          .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)),
-            coalesce(sum(expr("(s * s - s2) div 2")), lit(0L)))
+            sum(expr("cast(mc as decimal(38,0)) * mc")).as("s2"))
+          .agg(
+            expr("coalesce(sum(cast(n as decimal(38,0)) * (n - 1)), " +
+              "cast(0 as decimal(38,0)))"),
+            expr("coalesce(sum(cast(s as decimal(38,0)) * s - s2), " +
+              "cast(0 as decimal(38,0)))"))
           .head()
-        val compVol = stats.getLong(0)
-        val crossVol = stats.getLong(1)
-        val withinVol = nodes
-          .agg(coalesce(sum(expr(
-            "cast(size(ids) as bigint) * (size(ids) - 1) div 2")), lit(0L)))
-          .head().getLong(0)
-        require(compVol + crossVol + withinVol <= maxPairBudget,
+        val compVol = BigInt(stats.getDecimal(0).toBigInteger) / 2
+        val crossVol = BigInt(stats.getDecimal(1).toBigInteger) / 2
+        val withinVol = BigInt(nodes
+          .agg(expr(
+            "coalesce(sum(cast(size(ids) as decimal(38,0)) * (size(ids) - 1)), " +
+              "cast(0 as decimal(38,0)))"))
+          .head().getDecimal(0).toBigInteger) / 2
+        require(compVol + crossVol + withinVol <= BigInt(maxPairBudget),
           s"MinHash dedup yields $compVol within-component comparisons " +
             s"expanding to up to $crossVol member pairs + $withinVol " +
             "exact-duplicate pairs (duplicate-heavy or low-diversity " +
@@ -941,7 +953,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         // consumer; sizing on it was measured at sf100 to explode the
         // pair-block stage to ~12k near-empty tasks (200 s of launch
         // overhead for the same 5.8k CPU-seconds of verification).
-        Some(compVol)
+        Some(compVol.toLong)
       }
     // Component-stage parallelism grows with the MEASURED comparison
     // volume when probed (including a measured zero — "every document

@@ -660,22 +660,54 @@ object Similarity {
     * by the coarse level, spec-pinned) must hold at any k. */
   private[pipeline] val FineInlineMaxElements = 1L << 23
 
-  /** [[fineArgmin]] for SERVE-time callers holding a stored model:
-    * same output contract (id, shard, __m struct(d2, fcl, qv)), tiered
-    * by model size. `kCoarse` guards coverage — the inline tier needs
-    * every shard present (the fit-side patch guarantees it; a partial
-    * table falls back to the join plan, whose semantics are per-row). */
-  private[pipeline] def fineArgminServe(
-      base: DataFrame, cents: DataFrame, kCoarse: Int): DataFrame = {
+  /** Inline-tier memo: the shape probe + fine-table collect, keyed by
+    * the REFERENCE identity of the caller's stored-model DataFrame (and
+    * kCoarse). A serve loop — q251's foreachBatch — holds ONE frozen
+    * fine DataFrame across micro-batches, so the probe and the ≤64 MB
+    * collect run once and every batch's expression shares the same
+    * flattened arrays instead of re-aggregating + re-collecting per
+    * invocation. Reference identity (never structural plan equality)
+    * means a re-read of a refreshed model is a new DataFrame → a fresh
+    * probe; `None` caches the join-plan decision. LRU-bounded at 8
+    * entries, each ≤ [[FineInlineMaxElements]] longs by the same gate
+    * that admits it. */
+  private final class FineModelKey(val ref: AnyRef, val kCoarse: Int) {
+    override def hashCode: Int = System.identityHashCode(ref) * 31 + kCoarse
+    override def equals(o: Any): Boolean = o match {
+      case k: FineModelKey => (k.ref eq ref) && k.kCoarse == kCoarse
+      case _ => false
+    }
+  }
+  private type FineInline = Option[(Array[Array[Long]], Array[Array[Int]], Int)]
+  private val fineServeCache =
+    new java.util.LinkedHashMap[FineModelKey, FineInline](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[FineModelKey, FineInline]): Boolean =
+        size() > 8
+    }
+
+  /** One shape probe + (when admitted) one collect of the stored fine
+    * table: the inline tier engages only when the table is non-empty,
+    * covers shard ids EXACTLY {0..kCoarse−1} (count of distinct ids
+    * alone is not enough — a malformed table with kCoarse ids outside
+    * the range, reachable through [[twoLevelSuffStats]] which does no
+    * bound validation of its own, must ride the join plan rather than
+    * throw at `byShard(sh)`), and holds at most
+    * [[FineInlineMaxElements]] stored elements. */
+  private def fineInlineModel(cents: DataFrame, kCoarse: Int): FineInline = {
     val shape = cents
-      .agg(count(lit(1)), max(size(col("cv"))), countDistinct(col("shard")))
+      .agg(count(lit(1)), max(size(col("cv"))), countDistinct(col("shard")),
+        min(col("shard")), max(col("shard")))
       .head()
     val nRows = shape.getLong(0)
     val dim = if (shape.isNullAt(1)) 0 else shape.getInt(1)
-    val covered = shape.getLong(2) == kCoarse.toLong
+    // kCoarse DISTINCT ids all inside [0, kCoarse) is exactly the full
+    // id set (pigeonhole) — byShard(sh) below cannot miss.
+    val covered = nRows > 0 && shape.getLong(2) == kCoarse.toLong &&
+      shape.getInt(3) >= 0 && shape.getInt(4) < kCoarse
     if (nRows == 0 || dim <= 0 || !covered ||
         nRows * dim > FineInlineMaxElements) {
-      fineArgmin(base, cents)
+      None
     } else {
       val rows = cents.select(col("shard"), col("fcl"), col("cv")).collect()
       val byShard = rows.groupBy(_.getInt(0))
@@ -694,9 +726,32 @@ object Similarity {
         }
         fines(sh) = flat
       }
-      base.select(col("id"), col("shard"),
-        CentroidFunctions.nearest_fine_centroid_l2(
-          col("shard"), col("qv"), fines, fcls, dim).as("__m"))
+      Some((fines, fcls, dim))
+    }
+  }
+
+  /** [[fineArgmin]] for SERVE-time callers holding a stored model:
+    * same output contract (id, shard, __m struct(d2, fcl, qv)), tiered
+    * by model size. `kCoarse` guards coverage — the inline tier needs
+    * shard ids exactly {0..kCoarse−1} (the fit-side patch guarantees
+    * it; a partial or out-of-range table falls back to the join plan,
+    * whose semantics are per-row). The probe + collect are memoized per
+    * stored-model DataFrame — see [[fineServeCache]]. */
+  private[pipeline] def fineArgminServe(
+      base: DataFrame, cents: DataFrame, kCoarse: Int): DataFrame = {
+    val key = new FineModelKey(cents, kCoarse)
+    val cached = fineServeCache.synchronized(Option(fineServeCache.get(key)))
+    val inline = cached.getOrElse {
+      val computed = fineInlineModel(cents, kCoarse)
+      fineServeCache.synchronized(fineServeCache.put(key, computed))
+      computed
+    }
+    inline match {
+      case Some((fines, fcls, dim)) =>
+        base.select(col("id"), col("shard"),
+          CentroidFunctions.nearest_fine_centroid_l2(
+            col("shard"), col("qv"), fines, fcls, dim).as("__m"))
+      case None => fineArgmin(base, cents)
     }
   }
 

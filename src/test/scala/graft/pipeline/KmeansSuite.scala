@@ -466,4 +466,70 @@ class KmeansSuite extends AnyFunSuite {
         coarse, badFine, kFine = 1, index, threshold = 0.9)
     }
   }
+
+  test("fineArgminServe: out-of-range shard ids ride the join plan, never throw") {
+    // kCoarse DISTINCT shard ids that are NOT {0..kCoarse-1} — the shape
+    // a malformed stored table can reach through twoLevelSuffStats
+    // (which validates nothing). The count-only coverage check would
+    // admit it to the inline tier and die at byShard(3); the bound check
+    // must route it to the join plan, whose per-row join semantics
+    // simply find no candidates for absent shards.
+    val sharded = Seq(
+      (0L, Seq(0L, 0L), 1), (1L, Seq(1000000L, 0L), 2), (2L, Seq(0L, 500000L), 3)
+    ).toDF("id", "qv", "shard")
+    val badCents = Seq(
+      (1, 0, Seq(0L, 0L)), (2, 0, Seq(1000000L, 0L)), (3, 0, Seq(0L, 0L))
+    ).toDF("shard", "fcl", "cv")
+    val out = Similarity.fineArgminServe(sharded, badCents, kCoarse = 3)
+      .select(col("id"), col("__m.fcl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    // identical to the join plan on the same inputs
+    val viaJoin = Similarity.fineArgmin(sharded, badCents)
+      .select(col("id"), col("__m.fcl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(out.toSeq === viaJoin.toSeq)
+  }
+
+  test("fineArgminServe: inline model collected once per stored-model frame") {
+    // The q251 serve-loop shape: ONE frozen fine DataFrame served many
+    // times. The first call pays the shape probe + collect (Spark jobs);
+    // every later call with the same frame must plan from the memoized
+    // arrays — zero jobs until the returned frame is acted on.
+    val sharded = (0L until 50L)
+      .map(i => (i, Seq(i * 1000L, -i * 500L), (i % 2).toInt))
+      .toDF("id", "qv", "shard")
+    val cents = Seq(
+      (0, 0, Seq(0L, 0L)), (0, 1, Seq(9000000L, 0L)),
+      (1, 0, Seq(-1000000L, 2000000L))
+    ).toDF("shard", "fcl", "cv").localCheckpoint()
+    def inlineExpr(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case e: graft.functions.NearestFineCentroidL2 => e
+      }).head
+    val served1 = Similarity.fineArgminServe(sharded, cents, kCoarse = 2)
+    val first = served1.select("id", "__m.fcl").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val served2 = Similarity.fineArgminServe(sharded, cents, kCoarse = 2)
+    // The SAME flattened centroid arrays back the second plan — a fresh
+    // probe + collect would have built new instances.
+    assert(inlineExpr(served2).fines eq inlineExpr(served1).fines,
+      "second serve against the same stored frame re-collected the model")
+    val again = served2.select("id", "__m.fcl").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(again.sortBy(_._1).toSeq === first.sortBy(_._1).toSeq)
+  }
+
+  test("inline fine tier fails loudly on dim-drifted query vectors") {
+    // A 3-element query against a dim-2 model: the expression must
+    // refuse (the join plan's zip_with would null-pad — two tiers
+    // silently disagreeing on malformed input is the failure mode).
+    val sharded = Seq((0L, Seq(0L, 0L, 0L), 0)).toDF("id", "qv", "shard")
+    val cents = Seq((0, 0, Seq(0L, 0L))).toDF("shard", "fcl", "cv")
+    val e = intercept[Exception] {
+      Similarity.fineArgminServe(sharded, cents, kCoarse = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dim-drifted input")))
+  }
 }
