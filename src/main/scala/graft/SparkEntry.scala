@@ -2556,6 +2556,24 @@ object SparkEntry {
         .orderBy("shard", "seq_idx", "tok_offset")
     }),
 
+    "q254_twolevel_sampled_fit" -> ((s, d) => {
+      // The bounded-cost FIT path for the auto-k clusterer — the r17
+      // verdict's #1 gap: auto-k makes k ∝ n, so the full-corpus
+      // two-level fit is n^1.5-shaped (measured 1544 s at the 2M-vector
+      // decade) while serve stays linear. A production pipeline fits on
+      // a deterministic bounded sample and serves the full corpus;
+      // here the trainer reads only the first 200 ids in
+      // (md5('km|s|'||id), id) order — corpus-derived, RNG-free, a
+      // distributed top-N whose winners alone reach the driver — and
+      // every corpus row assigns through the stored model with zero
+      // training. The oracle replays sample selection, the two-level
+      // fit over exactly those rows, and the full-corpus serve.
+      Similarity.kmeansTwoLevelAssignSampled(t(s, d, "embeddings"),
+          "vec_id", "embedding", kCoarse = 3, kFine = 3,
+          itersCoarse = 2, itersFine = 2, maxFitRows = 200)
+        .orderBy("id")
+    }),
+
     "q239_dsir_serve" -> ((s, d) => {
       // DSIR's stored-model lifecycle (the r14 verdict gap): the dense
       // 256-bucket λ table persists ONCE (fingerprinted path, the q234
@@ -4920,27 +4938,28 @@ object SparkEntry {
     * over a caller-provided `ex(id, dim, q)` micro-quantized CTE — the
     * q204 arithmetic, source-agnostic so composed gates (q232's chunk
     * embeddings) share it verbatim with the embeddings-table gates. */
-  private def lloydIterOracleCtes(k: Int, iters: Int, seed: String): String = {
+  private def lloydIterOracleCtes(
+      k: Int, iters: Int, seed: String, exTable: String = "ex"): String = {
     val seeds =
       s"""seeds AS (
          |  SELECT id, rn - 1 AS cluster FROM (
          |    SELECT id, row_number() OVER (
          |        ORDER BY md5('$seed|' || CAST(id AS VARCHAR)), id) AS rn
-         |    FROM (SELECT DISTINCT id FROM ex)) WHERE rn <= $k)""".stripMargin
+         |    FROM (SELECT DISTINCT id FROM $exTable)) WHERE rn <= $k)""".stripMargin
     val c0 =
-      "c0 AS (SELECT s.cluster, e.dim, e.q AS c FROM seeds s JOIN ex e USING (id))"
+      s"c0 AS (SELECT s.cluster, e.dim, e.q AS c FROM seeds s JOIN $exTable e USING (id))"
     val iterCtes = (1 to iters).map { n =>
       s"""a$n AS (
          |  SELECT id, cluster FROM (
          |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
-         |    FROM ex e JOIN c${n - 1} c ON e.dim = c.dim
+         |    FROM $exTable e JOIN c${n - 1} c ON e.dim = c.dim
          |    GROUP BY e.id, c.cluster)
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
          |c$n AS (
          |  SELECT p.cluster, p.dim, coalesce(u$n.c, p.c) AS c
          |  FROM c${n - 1} p LEFT JOIN (
          |    SELECT a.cluster, e.dim, CAST(sum(e.q) // count(*) AS BIGINT) AS c
-         |    FROM a$n a JOIN ex e USING (id) GROUP BY a.cluster, e.dim) u$n
+         |    FROM a$n a JOIN $exTable e USING (id) GROUP BY a.cluster, e.dim) u$n
          |  ON p.cluster = u$n.cluster AND p.dim = u$n.dim)""".stripMargin
     }
     (Seq(seeds, c0) ++ iterCtes).mkString(",\n")
@@ -4953,13 +4972,14 @@ object SparkEntry {
     * arithmetic with centroids keyed by (shard, fcl) and empty fine
     * clusters keeping their previous centroid. */
   private def twoLevelOracleCtes(
-      kc: Int, kf: Int, itersC: Int, itersF: Int, seed: String): String = {
-    val coarse = lloydIterOracleCtes(kc, itersC, seed + "|c")
+      kc: Int, kf: Int, itersC: Int, itersF: Int, seed: String,
+      exTable: String = "ex"): String = {
+    val coarse = lloydIterOracleCtes(kc, itersC, seed + "|c", exTable)
     val shards =
       s"""shards AS (
          |  SELECT id, cluster AS shard FROM (
          |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
-         |    FROM ex e JOIN c$itersC c ON e.dim = c.dim
+         |    FROM $exTable e JOIN c$itersC c ON e.dim = c.dim
          |    GROUP BY e.id, c.cluster)
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)"""
         .stripMargin
@@ -4971,14 +4991,14 @@ object SparkEntry {
          |    FROM shards)
          |  WHERE rn <= $kf)""".stripMargin
     val f0 =
-      "f0 AS (SELECT s.shard, s.fcl, e.dim, e.q AS c " +
-        "FROM fseeds s JOIN ex e USING (id))"
+      s"f0 AS (SELECT s.shard, s.fcl, e.dim, e.q AS c " +
+        s"FROM fseeds s JOIN $exTable e USING (id))"
     val iterCtes = (1 to itersF).map { n =>
       s"""g$n AS (
          |  SELECT id, shard, fcl FROM (
          |    SELECT e.id, sh.shard, c.fcl,
          |      sum((e.q - c.c) * (e.q - c.c)) AS d2
-         |    FROM ex e JOIN shards sh USING (id)
+         |    FROM $exTable e JOIN shards sh USING (id)
          |    JOIN f${n - 1} c ON c.shard = sh.shard AND c.dim = e.dim
          |    GROUP BY e.id, sh.shard, c.fcl)
          |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
@@ -4987,7 +5007,7 @@ object SparkEntry {
          |  FROM f${n - 1} p LEFT JOIN (
          |    SELECT a.shard, a.fcl, e.dim,
          |      CAST(sum(e.q) // count(*) AS BIGINT) AS c
-         |    FROM g$n a JOIN ex e USING (id)
+         |    FROM g$n a JOIN $exTable e USING (id)
          |    GROUP BY a.shard, a.fcl, e.dim) u
          |  ON p.shard = u.shard AND p.fcl = u.fcl AND p.dim = u.dim)"""
         .stripMargin
@@ -8651,6 +8671,36 @@ object SparkEntry {
         |  SELECT e.id, sh.shard, c.fcl,
         |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
         |  FROM nex e JOIN nsh sh USING (id)
+        |  JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+        |  GROUP BY e.id, sh.shard, c.fcl)
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1
+        |ORDER BY id""".stripMargin,
+
+    // q254: the sampled-fit lifecycle replay — the fit CTE chain runs
+    // over sx (the md5-ranked 200-id sample, DISTINCT ids so the rank
+    // is over rows-as-ids exactly like the Spark top-N), and the final
+    // assignment runs over the FULL ex through the sample-trained
+    // (c2, f2) tables: coarse argmin, then fine argmin keyed by each
+    // row's own coarse shard.
+    "q254_twolevel_sampled_fit" ->
+      s"""WITH ${embeddingsExCte},
+        |sxid AS (
+        |  SELECT id FROM (SELECT DISTINCT id FROM ex)
+        |  ORDER BY md5('km|s|' || CAST(id AS VARCHAR)), id LIMIT 200),
+        |sx AS MATERIALIZED (
+        |  SELECT e.id, e.dim, e.q FROM ex e JOIN sxid USING (id)),
+        |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
+             seed = "km", exTable = "sx")},
+        |osh AS (
+        |  SELECT id, cluster AS shard FROM (
+        |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+        |    FROM ex e JOIN c2 c ON e.dim = c.dim
+        |    GROUP BY e.id, c.cluster)
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)
+        |SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster, d2 FROM (
+        |  SELECT e.id, sh.shard, c.fcl,
+        |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS d2
+        |  FROM ex e JOIN osh sh USING (id)
         |  JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
         |  GROUP BY e.id, sh.shard, c.fcl)
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1

@@ -927,6 +927,90 @@ object Similarity {
         col("__m.d2").as("d2"))
   }
 
+  /** Deterministic bounded FIT sample: the first `maxFitRows` corpus
+    * ids in (md5(seed|s|id), id) order — the house corpus-derived
+    * RNG-free rule ([[twoLevelState]]'s fine-seed ranking, globalized).
+    * `ORDER BY hash LIMIT n` plans as a distributed per-partition top-N
+    * with only the winning (hash, id) rows merging on the driver-side
+    * take, and the sampled ids rejoin the corpus by key (broadcast
+    * while the id table is comfortably executor-resident); the corpus
+    * is never globally sorted. A corpus at or under `maxFitRows` rows
+    * samples to itself — the sampled fit then IS the full fit. */
+  private[pipeline] def fitSample(
+      df: DataFrame,
+      idCol: String,
+      maxFitRows: Long,
+      seed: String): DataFrame = {
+    require(maxFitRows >= 1 && maxFitRows <= Int.MaxValue,
+      s"maxFitRows must be in [1, ${Int.MaxValue}], got $maxFitRows")
+    val picked = df.select(col(idCol).cast("long").as("__sid"))
+      .orderBy(md5(concat(lit(seed + "|s|"), col("__sid").cast("string"))),
+        col("__sid"))
+      .limit(maxFitRows.toInt)
+    val keyed = if (maxFitRows <= (1L << 22)) broadcast(picked) else picked
+    df.join(keyed, df(idCol).cast("long") === keyed("__sid")).drop("__sid")
+  }
+
+  /**
+   * [[kmeansTwoLevelModel]] with the FIT cost bounded by a deterministic
+   * sample — the production answer to auto-k's n^1.5 training wall:
+   * auto-k makes k ∝ n, so a full-corpus Lloyd pass costs n·k ∝ n^1.5
+   * per iteration (measured 14.8 → 106.3 → 1544 s per data decade at
+   * 2M vectors), while THIS fit touches at most `maxFitRows` vectors —
+   * k·maxFitRows per iteration, √n-shaped when k grows with the served
+   * corpus — and the full corpus only ever pays the serve-side argmin
+   * ([[kmeansTwoLevelServe]], linear, size-tiered). The sample is the
+   * first `maxFitRows` ids in (md5(seed|s|id), id) order: corpus-derived
+   * and RNG-free, so stored == refit stays replayable (the q254 gate
+   * replays sample, fit, and full-corpus serve in SQL).
+   */
+  def kmeansTwoLevelModelSampled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int,
+      kFine: Int,
+      itersCoarse: Int,
+      itersFine: Int,
+      seed: String = "km",
+      maxFitRows: Long): (Array[Array[Long]], DataFrame) =
+    kmeansTwoLevelModel(fitSample(df, idCol, maxFitRows, seed), idCol,
+      vecCol, kCoarse, kFine, itersCoarse, itersFine, seed)
+
+  /** Sampled fit + full-corpus serve in one call — the bounded-cost
+    * counterpart of [[kmeansTwoLevelAssign]]: same (id, cluster, d2)
+    * contract, but training reads only the [[fitSample]] slice and the
+    * corpus assigns through the stored model. */
+  def kmeansTwoLevelAssignSampled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int,
+      kFine: Int,
+      itersCoarse: Int,
+      itersFine: Int,
+      seed: String = "km",
+      maxFitRows: Long): DataFrame = {
+    val (coarse, fine) = kmeansTwoLevelModelSampled(df, idCol, vecCol,
+      kCoarse, kFine, itersCoarse, itersFine, seed, maxFitRows)
+    kmeansTwoLevelServe(df, idCol, vecCol, coarse, fine, kFine)
+  }
+
+  /** Flat-tier twin of [[kmeansTwoLevelAssignSampled]]: Lloyd trains on
+    * the [[fitSample]] slice, the corpus assigns through the resulting
+    * centroid matrix ([[kmeansAssign]] — map-side, zero shuffle). */
+  def kmeansLloydAssignSampled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: String = "km",
+      maxFitRows: Long): DataFrame =
+    kmeansAssign(df, idCol, vecCol,
+      kmeansLloydCentroids(fitSample(df, idCol, maxFitRows, seed),
+        idCol, vecCol, k, iters, seed))
+
   /**
    * Sufficient statistics of a FROZEN two-level model over a corpus
    * slice — [[kmeansSuffStats]] generalized to the hierarchy: each row
@@ -1480,9 +1564,31 @@ object Similarity {
       k: Int,
       iters: Int,
       seed: String,
-      flatKMax: Int): DataFrame =
-    if (k <= flatKMax) kmeansLloydAssign(df, idCol, vecCol, k, iters, seed)
-    else {
+      flatKMax: Int,
+      maxFitRows: Long = 0L): DataFrame =
+    if (maxFitRows > 0L) {
+      // Bounded-cost fit: training must be able to SEED k clusters from
+      // the sample — past that the caller is asking for more clusters
+      // than fit rows, which only grows targetClusterSize can fix (the
+      // honest lever: target ∝ n/maxFitRows keeps k inside the sample
+      // as the served corpus outgrows the fit budget).
+      require(k <= maxFitRows,
+        s"sampled fit asked for k=$k clusters from a $maxFitRows-row fit " +
+          "sample — raise maxFitRows or grow targetClusterSize (k ∝ " +
+          "n/targetClusterSize; a bounded fit budget needs the target to " +
+          "grow with the corpus).")
+      if (k <= flatKMax)
+        kmeansLloydAssignSampled(df, idCol, vecCol, k, iters, seed,
+          maxFitRows)
+      else {
+        val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+        val kf = (k + kc - 1) / kc
+        kmeansTwoLevelAssignSampled(df, idCol, vecCol, kc, kf, iters, iters,
+          seed, maxFitRows)
+      }
+    } else if (k <= flatKMax) {
+      kmeansLloydAssign(df, idCol, vecCol, k, iters, seed)
+    } else {
       val kc = math.ceil(math.sqrt(k.toDouble)).toInt
       val kf = (k + kc - 1) / kc
       kmeansTwoLevelAssign(df, idCol, vecCol, kc, kf, iters, iters, seed)
@@ -1499,12 +1605,16 @@ object Similarity {
       targetClusterSize: Int = 64,
       maxPairBudget: Long = 100000000000L,
       nHint: Long = 0L,
-      flatKMax: Int = 2048): DataFrame = {
+      flatKMax: Int = 2048,
+      maxFitRows: Long = 0L): DataFrame = {
     // k = 0 derives the cluster count from the corpus (the house rule:
     // scale knobs come from the data, with a loud refusal past budget,
     // never from a scaladoc note). The count is exact — the k curve has
     // no flat region an estimate could ride (cf. resolveBandingCount);
     // on parquet it is metadata-cheap, on derived frames pass nHint.
+    // maxFitRows > 0 bounds the TRAINING scan to a deterministic sample
+    // (the auto-k n^1.5 fit wall — see [[kmeansTwoLevelModelSampled]]);
+    // the pair stage below is unchanged, serving the full corpus.
     val kEff =
       if (k > 0) k
       else semDeDupParams(if (nHint > 0) nHint else df.count(),
@@ -1512,7 +1622,7 @@ object Similarity {
     // Lazy localCheckpoint: the assignment feeds BOTH the realized
     // pair-volume probe and the pair join — one argmin pass, not two.
     val assign = clusterAssignForDedup(df, idCol, vecCol, kEff, iters,
-        seed, flatKMax)
+        seed, flatKMax, maxFitRows)
       .select(col("id"), col("cluster"))
       .localCheckpoint(false)
     val losers = semDeDupLosers(df, idCol, vecCol, assign, threshold,

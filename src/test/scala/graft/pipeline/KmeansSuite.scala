@@ -519,6 +519,68 @@ class KmeansSuite extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq === first.sortBy(_._1).toSeq)
   }
 
+  test("sampled fit: covers-the-corpus sample reproduces the full fit exactly") {
+    // maxFitRows >= n makes the deterministic sample the whole corpus —
+    // the sampled path must then be the full trainer bit-for-bit (same
+    // seeds, same recurrence), pinning that sampling changes WHICH rows
+    // train and nothing else.
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq((i % 7).toDouble, (i % 3).toDouble)))
+      .toDF("id", "v")
+    val full = Similarity.kmeansTwoLevelAssign(vecs, "id", "v",
+        kCoarse = 2, kFine = 2, itersCoarse = 2, itersFine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val sampled = Similarity.kmeansTwoLevelAssignSampled(vecs, "id", "v",
+        kCoarse = 2, kFine = 2, itersCoarse = 2, itersFine = 2,
+        maxFitRows = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(sampled.toSeq === full.toSeq)
+  }
+
+  test("sampled fit: partitioning-invariant sample, total serve, bounded scan") {
+    val vecs = (0L until 60L)
+      .map(i => (i, Seq((i * 17 % 11).toDouble, (i * 5 % 13).toDouble)))
+      .toDF("id", "v")
+    val sampleA = Similarity.fitSample(vecs, "id", 16, "km")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val sampleB = Similarity.fitSample(vecs.repartition(7), "id", 16, "km")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // The md5-ranked top-N is a property of the DATA, not the layout.
+    assert(sampleA === sampleB)
+    assert(sampleA.size === 16)
+    val out = Similarity.kmeansTwoLevelAssignSampled(vecs, "id", "v",
+      kCoarse = 2, kFine = 2, itersCoarse = 2, itersFine = 2,
+      maxFitRows = 16)
+    // serve is TOTAL over the corpus even though training saw 16 rows
+    assert(out.count() === 60L)
+    assert(out.select("id").distinct().count() === 60L)
+    // and the model really is the sample-trained one
+    val (coarse, fine) = Similarity.kmeansTwoLevelModel(
+      Similarity.fitSample(vecs, "id", 16, "km"), "id", "v", 2, 2, 2, 2)
+    val viaModel = Similarity.kmeansTwoLevelServe(vecs, "id", "v",
+        coarse, fine, kFine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(out.select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq === viaModel)
+  }
+
+  test("sampled semdedup refuses k past the fit sample and runs inside it") {
+    val vecs = (0L until 50L)
+      .map(i => (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7))))
+      .toDF("id", "v")
+    // k (50/2=25 clusters) > maxFitRows=10 — the sample cannot seed it
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDeDupWithinClusters(vecs, "id", "v", threshold = 0.95,
+        targetClusterSize = 2, maxFitRows = 10)
+    }
+    assert(e.getMessage.contains("maxFitRows"))
+    // with k inside the sample, the bounded-fit dedup completes and
+    // keeps at least one representative per semantic component
+    val kept = Similarity.semDeDupWithinClusters(vecs, "id", "v",
+      threshold = 0.95, targetClusterSize = 16, maxFitRows = 20)
+    assert(kept.count() >= 1 && kept.count() <= 50)
+  }
+
   test("inline fine tier fails loudly on dim-drifted query vectors") {
     // A 3-element query against a dim-2 model: the expression must
     // refuse (the join plan's zip_with would null-pad — two tiers
