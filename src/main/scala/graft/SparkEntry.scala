@@ -2574,6 +2574,77 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q255_stream_semdedup_admit" -> ((s, d) => {
+      // q251's frontier gate with the index UNFROZEN — the r17 verdict's
+      // #2 gap: a real ingest-time dedup ADMITS each batch's survivors
+      // so later batches dedup against them, not just the day-one
+      // corpus. Four deterministic waves stream through foreachBatch
+      // (one file per trigger, mtime-ordered — FileStreamSource batches
+      // oldest-first); each wave probes the CURRENT stored index, emits
+      // its drop decisions, and appends its zero-hit rows to the index
+      // (model frozen throughout). Waves 2/4 repeat waves 1/3's vectors
+      // at fresh ids, so their hits name wave-1/3 ADMISSIONS — output
+      // no frozen-index run could produce. Order-dependent by design;
+      // the oracle replays the waves sequentially (the q74/q171
+      // incremental-ledger convention).
+      val emb = t(s, d, "embeddings")
+      val (coarse, fine) = twoLevelModelOnce(s, d)
+      val baseIdx = semDeDupIndexOnce(s, d)
+      val pin = s"${artifactRoot(d)}/stream_sdd_admit_in"
+      val waves = Seq((1, 0), (2, 0), (3, 1), (4, 1))
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$pin/_OK").exists()) {
+          val tmp = s"$pin-tmp"
+          waves.foreach { case (w, m) =>
+            emb.where(col("vec_id") % 5 === m)
+              .select((col("vec_id") + w * 100000).as("vec_id"),
+                reverse(col("embedding")).as("embedding"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$w")
+          }
+          new java.io.File(pin).mkdirs()
+          waves.foreach { case (w, _) =>
+            val part = new java.io.File(s"$tmp/$w").listFiles()
+              .find(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(s"$pin/wave$w.parquet")
+            java.nio.file.Files.copy(part.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            // Fixed, 60s-spaced mtimes pin the trigger order across runs.
+            dst.setLastModified(1600000000000L + w * 60000L)
+          }
+          val fsT = new org.apache.hadoop.fs.Path(tmp)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsT.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          new java.io.File(s"$pin/_OK").createNewFile()
+        }
+      }
+      val base = s"/tmp/graft_xml/${new java.io.File(d).getName}/stream_sdd_admit"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // The run-local index generation starts as a COPY of the stored
+      // survivor index (the shared artifact stays immutable).
+      baseIdx.write.mode("overwrite").parquet(s"$base/idx")
+      val schema = s.read.parquet(s"$pin/wave1.parquet").schema
+      val stream = s.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema).parquet(s"$pin/wave*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val (pairs, admitted) = Similarity.semDeDupAdmitBatch(
+            bdf, "vec_id", "embedding", coarse, fine, kFine = 3,
+            s.read.parquet(s"$base/idx"), threshold = 0.42)
+          // pairs first: its action materializes the lazy checkpoints,
+          // so the admitted append below never scans the index path it
+          // is appending to.
+          pairs.write.mode("append").parquet(s"$base/out")
+          admitted.write.mode("append").parquet(s"$base/idx")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("batch_id", "index_id")
+    }),
+
     "q239_dsir_serve" -> ((s, d) => {
       // DSIR's stored-model lifecycle (the r14 verdict gap): the dense
       // 256-bucket λ table persists ONCE (fingerprinted path, the q234
@@ -8716,6 +8787,10 @@ object SparkEntry {
     // serve stateless, index frozen, per-row decisions independent.
     "q251_stream_semdedup" -> semDeDupIncrementalOracleSql,
 
+    // q255: the admitting frontier's sequential wave replay — see
+    // [[semDeDupAdmitOracleSql]].
+    "q255_stream_semdedup_admit" -> semDeDupAdmitOracleSql,
+
     // q249: the drained streaming serve equals q242's batch serve — the
     // identical fit + serve replay.
     "q249_stream_twolevel_serve" ->
@@ -11152,11 +11227,12 @@ object SparkEntry {
       |FROM serve s LEFT JOIN exact3 e ON e.qid = s.qid AND e.cid = s.cid
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Shared by q248 (batch) and q251 (streaming drained union):
-    * fit, corpus serve, within-cluster closure, survivor index,
-    * batch serve, cosine probe — all replayed from raw parquet. */
-  private def semDeDupIncrementalOracleSql: String =
-      s"""WITH RECURSIVE ${embeddingsExCte},
+  /** Shared replay prefix for every gate probing the stored SemDeDup
+    * survivor index (q248/q251/q255): fit (two-level CTEs), full-corpus
+    * serve (ssh/saf), within-cluster cosine closure -> `idx` =
+    * (cluster, id, v) survivors. Callers append their own batch CTEs. */
+  private def semDeDupIdxCtes: String =
+      s"""${embeddingsExCte},
         |${twoLevelOracleCtes(kc = 3, kf = 3, itersC = 2, itersF = 2,
              seed = "km")},
         |ssh AS (
@@ -11195,7 +11271,13 @@ object SparkEntry {
         |idx AS (
         |  SELECT s2.cluster, s2.id, e.v
         |  FROM saf s2 JOIN emb2 e USING (id)
-        |  ANTI JOIN losers ON s2.id = losers.id),
+        |  ANTI JOIN losers ON s2.id = losers.id)""".stripMargin
+
+  /** Shared by q248 (batch) and q251 (streaming drained union):
+    * fit, corpus serve, within-cluster closure, survivor index,
+    * batch serve, cosine probe — all replayed from raw parquet. */
+  private def semDeDupIncrementalOracleSql: String =
+      s"""WITH RECURSIVE ${semDeDupIdxCtes},
         |nex AS MATERIALIZED (
         |  SELECT vec_id + 100000 AS id, p.i - 1 AS dim,
         |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
@@ -11230,6 +11312,65 @@ object SparkEntry {
         |JOIN idx i ON i.cluster = b.cluster
         |WHERE list_cosine_similarity(bv.v, i.v) >= 0.42
         |ORDER BY batch_id, index_id""".stripMargin
+
+  /** q255: the SEQUENTIAL replay of the admitting frontier — idx0 is
+    * q248's survivor index, then each wave w assigns through the frozen
+    * model (wsh/waf), pairs against idx{w−1} (hit{w} — the drop
+    * decisions), and idx{w} admits the wave's zero-hit rows. Waves 2/4
+    * repeat waves 1/3's vectors at new ids, so their hits point at
+    * wave-1/3 ADMISSIONS — rows no frozen-index replay could produce;
+    * order-dependence is the contract, exactly the q74/q171 incremental
+    * ledger convention on the semantic side. */
+  private def semDeDupAdmitOracleSql: String = {
+    val waves = Seq((1, 0), (2, 0), (3, 1), (4, 1))
+    val waveCtes = waves.map { case (w, m) =>
+      s"""wex$w AS MATERIALIZED (
+         |  SELECT vec_id + ${w}00000 AS id, p.i - 1 AS dim,
+         |    CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT) AS q
+         |  FROM embeddings,
+         |    unnest(list_transform(list_reverse(embedding),
+         |      (x, i) -> {'x': x, 'i': i})) AS t(p)
+         |  WHERE vec_id % 5 = $m),
+         |wemb$w AS (
+         |  SELECT vec_id + ${w}00000 AS id,
+         |    list_transform(list_reverse(embedding),
+         |      x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id % 5 = $m),
+         |wsh$w AS (
+         |  SELECT id, cluster AS shard FROM (
+         |    SELECT e.id, c.cluster, sum((e.q - c.c) * (e.q - c.c)) AS d2
+         |    FROM wex$w e JOIN c2 c ON e.dim = c.dim
+         |    GROUP BY e.id, c.cluster)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+         |waf$w AS (
+         |  SELECT id, CAST(shard * 3 + fcl AS INTEGER) AS cluster FROM (
+         |    SELECT e.id, sh.shard, c.fcl,
+         |      sum((e.q - c.c) * (e.q - c.c)) AS d2
+         |    FROM wex$w e JOIN wsh$w sh USING (id)
+         |    JOIN f2 c ON c.shard = sh.shard AND c.dim = e.dim
+         |    GROUP BY e.id, sh.shard, c.fcl)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, fcl) = 1),
+         |hit$w AS MATERIALIZED (
+         |  SELECT b.id AS batch_id, i.id AS index_id
+         |  FROM waf$w b JOIN wemb$w bv ON bv.id = b.id
+         |  JOIN idx${w - 1} i ON i.cluster = b.cluster
+         |  WHERE list_cosine_similarity(bv.v, i.v) >= 0.42),
+         |idx$w AS MATERIALIZED (
+         |  SELECT cluster, id, v FROM idx${w - 1}
+         |  UNION ALL
+         |  SELECT b.cluster, b.id, bv.v
+         |  FROM waf$w b JOIN wemb$w bv ON bv.id = b.id
+         |  ANTI JOIN (SELECT DISTINCT batch_id FROM hit$w) h
+         |    ON b.id = h.batch_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE ${semDeDupIdxCtes},
+       |idx0 AS (SELECT cluster, id, v FROM idx),
+       |$waveCtes
+       |SELECT batch_id, index_id FROM (
+       |  SELECT * FROM hit1 UNION ALL SELECT * FROM hit2
+       |  UNION ALL SELECT * FROM hit3 UNION ALL SELECT * FROM hit4)
+       |ORDER BY batch_id, index_id""".stripMargin
+  }
 
   /** q250/q253 shared replay: Hamilton allocation, manifest,
     * instance expansion, and the recursive greedy packing whose

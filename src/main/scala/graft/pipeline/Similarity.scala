@@ -1742,6 +1742,51 @@ object Similarity {
   }
 
   /**
+   * One FRONTIER-dedup ingest step — [[semDeDupPairsAgainstIndex]] plus
+   * the admission the real gate needs: returns BOTH the drop decisions
+   * (batch_id, index_id) and the batch's ADMITTED rows in index shape
+   * (cluster, id, v) — the zero-hit rows that should append to the
+   * stored index so LATER batches dedup against them, not just against
+   * the day-one corpus. Admission is batch-atomic: every no-hit row
+   * enters, and batch-mates never pair with each other (ingest at a
+   * finer batch grain when that matters — the within-batch regime is
+   * [[semDeDupWithinClusters]]). One serve argmin feeds both outputs
+   * (the assignment is lazily checkpointed), and the pair table is
+   * checkpointed too, so a caller that acts on `pairs` first can append
+   * `admitted` to the index path the pairs were computed FROM without
+   * re-scanning it mid-append. Sequential replay is the oracle
+   * convention (q255): batch k's answer depends on batches 1..k−1's
+   * admissions, exactly like the q74/q171 incremental ledgers.
+   */
+  def semDeDupAdmitBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Long]],
+      fine: DataFrame,
+      kFine: Int,
+      index: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val assign = kmeansTwoLevelServe(batch, idCol, vecCol, coarse, fine,
+        kFine)
+      .select(col("id"), col("cluster"))
+      .localCheckpoint(false)
+    val bv = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pairs = assign.join(bv, "id")
+      .join(index.select(col("cluster"), col("id").as("index_id"),
+        col("v").as("iv")), Seq("cluster"))
+      .where(cosine(col("v"), col("iv")) >= threshold)
+      .select(col("id").as("batch_id"), col("index_id"))
+      .localCheckpoint(false)
+    val admitted = assign.join(bv, "id")
+      .join(pairs.select(col("batch_id").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("cluster"), col("id"), col("v"))
+    (pairs, admitted)
+  }
+
+  /**
    * Per-group embedding centroid drift between two corpus slices — the
    * distribution-shift monitor a training pipeline runs between crawl
    * snapshots or data-mix revisions ("did source X's embedding mass

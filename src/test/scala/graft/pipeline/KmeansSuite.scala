@@ -581,6 +581,41 @@ class KmeansSuite extends AnyFunSuite {
     assert(kept.count() >= 1 && kept.count() <= 50)
   }
 
+  test("semDeDupAdmitBatch: admitted survivors catch later batches' twins") {
+    // Two well-separated blobs; reps 0 and 10 form the stored index.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.001)),
+      (10L, Seq(0.0, 1.0)), (11L, Seq(0.001, 1.0))
+    ).toDF("id", "v")
+    val (coarse, fine) = Similarity.kmeansTwoLevelModel(corpus, "id", "v",
+      kCoarse = 2, kFine = 1, itersCoarse = 3, itersFine = 1)
+    val idx0 = Similarity.semDeDupIndexFromModel(corpus, "id", "v",
+      coarse, fine, kFine = 1, threshold = 0.9).localCheckpoint()
+    // Batch 1: a NOVEL direction (cosine ~0.7 to both reps — clean) and
+    // a near-copy of rep 0 (dropped against idx0).
+    val b1 = Seq(
+      (100L, Seq(1.0, 1.0)), (101L, Seq(1.0, 0.0005))
+    ).toDF("id", "v")
+    val (p1, a1) = Similarity.semDeDupAdmitBatch(b1, "id", "v",
+      coarse, fine, 1, idx0, threshold = 0.9)
+    assert(p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((101L, 0L)))
+    val adm1 = a1.localCheckpoint()
+    assert(adm1.select("id").collect().map(_.getLong(0)).toSet === Set(100L))
+    // Batch 2: the twin of batch 1's ADMITTED row. Frozen index keeps
+    // it; the grown index drops it against 100 — the whole point.
+    val b2 = Seq((200L, Seq(1.0, 1.0))).toDF("id", "v")
+    val frozen = Similarity.semDeDupPairsAgainstIndex(b2, "id", "v",
+      coarse, fine, 1, idx0, threshold = 0.9)
+    assert(frozen.count() === 0L)
+    val grown = idx0.unionByName(adm1)
+    val (p2, a2) = Similarity.semDeDupAdmitBatch(b2, "id", "v",
+      coarse, fine, 1, grown, threshold = 0.9)
+    assert(p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((200L, 100L)))
+    assert(a2.count() === 0L)
+  }
+
   test("inline fine tier fails loudly on dim-drifted query vectors") {
     // A 3-element query against a dim-2 model: the expression must
     // refuse (the join plan's zip_with would null-pad — two tiers
