@@ -2530,6 +2530,41 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
     }),
 
+    "q256_ivf_compact_refresh" -> ((s, d) => {
+      // q252's takedown cycle with the centroids RECENTERED — the r17
+      // verdict's #3 gap: after mass deletion the frozen routing table
+      // drifts off the surviving distribution; q225's store-and-refresh
+      // belongs IN the generation swap. Compaction drops the takedown
+      // set (one anti-join, postings keep their stored cells) and
+      // recenters each cell on its surviving members (integer micro
+      // means, empty cells carry); the odd-id ingest then assigns
+      // through the REFRESHED centroids, and the probe routes its
+      // nprobe cells through them too. The oracle replays even fit,
+      // even postings, survivor means, refreshed-routing ingest, and
+      // the probe — every arithmetic step shared.
+      val emb = t(s, d, "embeddings")
+      val basePath = s"${artifactRoot(d)}/ivf_index_even"
+      SparkEntry.synchronized {
+        if (!new java.io.File(s"$basePath/cells/_SUCCESS").exists()) {
+          Similarity.buildIvfIndex(emb.where(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", basePath, nlist = 32, replicas = 3)
+        }
+      }
+      val gen2 = s"/tmp/graft_xml/${new java.io.File(d).getName}/ivf_gen2r"
+      val fs = new org.apache.hadoop.fs.Path(gen2)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(gen2), true)
+      Similarity.compactIvfIndex(s, basePath, gen2,
+        emb.where(col("vec_id") % 4 === 0).select(col("vec_id")), "vec_id",
+        refreshCentroids = true)
+      Similarity.updateIvfIndex(s, gen2,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        replicas = 3)
+      Similarity.ivfTopKFromIndex(s, gen2, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, nprobe = 12)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
     "q253_epoch_plan_instances" -> ((s, d) => {
       // q250's plan at the INSTANCE grain — the table a training data
       // loader actually reads to slice each packed sequence: one row per
@@ -6343,6 +6378,10 @@ object SparkEntry {
     // surviving ids — proving delete + compaction + frozen-centroid
     // ingest equals the ground-truth index of the surviving docs.
     "q252_ivf_delete_refresh" -> ivfDeleteRefreshOracleSql,
+
+    // q256: compaction + centroid refresh + refreshed-routing ingest —
+    // see [[ivfCompactRefreshOracleSql]].
+    "q256_ivf_compact_refresh" -> ivfCompactRefreshOracleSql,
     "q78_cluster_assign" -> clusterOracleSql,
 
     // q80: float->double widening is exact and both engines round half
@@ -11458,6 +11497,58 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY e.id
       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
       |    FROM emb e CROSS JOIN c10 c WHERE e.id < 10) WHERE rk <= 12),
+      |scored AS (
+      |  SELECT p.query_id, a.c_id,
+      |    max(list_cosine_similarity(p.q_v, a.c_v)) AS sim
+      |  FROM assigned a JOIN probes p USING (cell)
+      |  WHERE p.query_id <> a.c_id
+      |  GROUP BY p.query_id, a.c_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, c_id) AS INT) AS rank,
+      |  c_id AS neighbor_id
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q256: the q252 replay with the centroid REFRESH between compaction
+    * and ingest — even postings assign via the build centroids (their
+    * cells are stored history), survivors' integer-micro means become
+    * the refreshed routing table `rc` (empty cells carry), and the odd
+    * ingest AND the probe route through `rc`. */
+  private def ivfCompactRefreshOracleSql: String = {
+    s"""WITH ${kmeansOracleCtes("WHERE id % 2 = 0")},
+      |ev AS MATERIALIZED (
+      |  SELECT id AS c_id, v AS c_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN c10 c WHERE e.id % 2 = 0) WHERE rk <= 3),
+      |sv AS MATERIALIZED (SELECT * FROM ev WHERE c_id % 4 <> 0),
+      |rstat AS (
+      |  SELECT cell, p.i - 1 AS dim,
+      |    CAST(sum(CAST(round(CAST(p.x AS DOUBLE) * 1e6) AS BIGINT))
+      |      // count(*) AS BIGINT) AS cm
+      |  FROM sv, unnest(list_transform(c_v, (x, i) -> {'x': x, 'i': i})) AS t(p)
+      |  GROUP BY 1, 2),
+      |rc AS MATERIALIZED (
+      |  SELECT c.cell, coalesce(r.cv, c.cv) AS cv
+      |  FROM c10 c LEFT JOIN (
+      |    SELECT cell, list(CAST(cm AS DOUBLE) / 1e6 ORDER BY dim) AS cv
+      |    FROM rstat GROUP BY cell) r USING (cell)),
+      |od AS MATERIALIZED (
+      |  SELECT id AS c_id, v AS c_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN rc c WHERE e.id % 2 = 1) WHERE rk <= 3),
+      |assigned AS (SELECT * FROM sv UNION ALL SELECT * FROM od),
+      |probes AS MATERIALIZED (
+      |  SELECT id AS query_id, v AS q_v, cell FROM (
+      |    SELECT e.id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+      |    FROM emb e CROSS JOIN rc c WHERE e.id < 10) WHERE rk <= 12),
       |scored AS (
       |  SELECT p.query_id, a.c_id,
       |    max(list_cosine_similarity(p.q_v, a.c_v)) AS sim

@@ -1209,8 +1209,10 @@ object Similarity {
    * inverted-index takedown lifecycle (q160) on the vector side: the
    * retired ids leave via ONE anti-join over the stored cell postings,
    * rewritten as a NEW self-contained generation under `dstPath`
-   * (centroids carry over unchanged — the model is frozen, only postings
-   * compact away), so [[ivfTopKFromIndex]] serves the new generation
+   * (by default centroids carry over unchanged — the model is frozen,
+   * only postings compact away; `refreshCentroids = true` additionally
+   * recenters each cell on its surviving members, see inline note),
+   * so [[ivfTopKFromIndex]] serves the new generation
    * while the old one stays readable until swapped. A curation loop that
    * DROPS documents pays one compact-key anti-join, never a re-fit or a
    * corpus re-assignment.
@@ -1220,16 +1222,49 @@ object Similarity {
       srcPath: String,
       dstPath: String,
       deleteIds: DataFrame,
-      idCol: String): Unit = {
+      idCol: String,
+      refreshCentroids: Boolean = false): Unit = {
     require(srcPath != dstPath,
       "compaction writes a NEW generation; srcPath must differ from dstPath")
     Dedup.requireIntegralId(deleteIds, idCol, "compactIvfIndex")
-    spark.read.parquet(s"$srcPath/centroids")
-      .repartition(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
     spark.read.parquet(s"$srcPath/cells")
       .join(deleteIds.select(col(idCol).cast("long").as("c_id")).distinct(),
         Seq("c_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dstPath/cells")
+    if (!refreshCentroids) {
+      spark.read.parquet(s"$srcPath/centroids")
+        .repartition(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
+    } else {
+      // Post-takedown centroid REFRESH (q225's store-and-refresh
+      // composed with the generation swap): after mass deletion the
+      // frozen centroids drift off the surviving distribution, so the
+      // new generation recenters each cell on the MEAN of its surviving
+      // posting vectors — integer micro-sums with a truncating div (the
+      // Lloyd-family arithmetic, engine-deterministic so the q256
+      // oracle replays it), cells emptied by the takedown keeping their
+      // previous centroid (the empty-cluster carry rule). Postings are
+      // NOT reassigned — cell membership is the stored history; only
+      // the routing table moves, and later [[updateIvfIndex]] ingests
+      // and [[ivfTopKFromIndex]] probes assign through the refreshed
+      // centroids. One aggregate over the surviving postings; the
+      // centroid table stays nlist rows.
+      val stats = spark.read.parquet(s"$dstPath/cells")
+        .select(col("cell"),
+          posexplode(transform(col("c_v").cast("array<double>"),
+            x => round(x * lit(1000000.0)).cast("long")))
+            .as(Seq("dim", "q")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(expr("sum(q) div count(1)").as("cm"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cm")))),
+          s => s.getField("cm").cast("double") / lit(1000000.0)).as("rcv"))
+      spark.read.parquet(s"$srcPath/centroids")
+        .join(stats, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("rcv"), col("centroid")).as("centroid"))
+        .repartition(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
+    }
   }
 
   /**

@@ -85,6 +85,47 @@ class IncrementalMinHashSuite extends AnyFunSuite {
     assert(lifecycle === probe(s"$root/scratch") && lifecycle.nonEmpty)
   }
 
+  test("IVF compaction with refresh recenters cells on their survivors") {
+    val vecs = spark.range(0, 200)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 7), i -> CAST((id * (i + 3)) % 13 AS FLOAT)) AS embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_refresh").toString
+    Similarity.buildIvfIndex(vecs.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", s"$root/base", nlist = 8, replicas = 3)
+    Similarity.compactIvfIndex(spark, s"$root/base", s"$root/gen2",
+      vecs.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id",
+      refreshCentroids = true)
+    // postings: identical to the frozen-centroid compaction (cells are
+    // stored history; only the routing table moves)
+    val cells = spark.read.parquet(s"$root/gen2/cells")
+    assert(cells.where(col("c_id") % 4 === 0).count() === 0)
+    assert(cells.select("c_id").distinct().count() === 50)
+    // every cell's refreshed centroid equals the integer-micro mean of
+    // its surviving members (empty cells carry the old centroid)
+    val surv = cells.collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val oldC = spark.read.parquet(s"$root/base/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    val newC = spark.read.parquet(s"$root/gen2/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    assert(newC.keySet === oldC.keySet)
+    newC.foreach { case (cell, cv) =>
+      surv.get(cell) match {
+        case Some(ms) =>
+          val want = (0 until 8).map { d =>
+            val micro = ms.map(v => math.round(v(d) * 1e6))
+            math.floorDiv(micro.sum, micro.length.toLong) / 1e6
+          }
+          assert(cv.toSeq === want.toSeq, s"cell $cell centroid drifted")
+        case None => assert(cv.toSeq === oldC(cell).toSeq)
+      }
+    }
+    // and the refreshed routing changes later assignment: at least one
+    // centroid actually moved (the data is not already centered)
+    assert(oldC.exists { case (c, v) => newC(c).toSeq != v.toSeq })
+  }
+
   test("index survives a parquet roundtrip and probes identically") {
     val docs = (0L until 60L).map(i => (i, s"shared body text variant ${i % 9}"))
       .toDF("doc_id", "text")
