@@ -1585,6 +1585,30 @@ object Similarity {
     math.max(1L, k).toInt
   }
 
+  /** [[semDeDupParams]] constrained to a bounded FIT budget: grows
+    * targetClusterSize just enough that auto-k stays seedable inside a
+    * `maxFitRows` sample (effective target = max(target, ⌈n/maxFitRows⌉),
+    * so k = ⌈n/target⌉ ≤ maxFitRows) — the "targetClusterSize must grow
+    * with n/maxFitRows" lever from [[clusterAssignForDedup]]'s refusal,
+    * computed instead of hand-tuned. The pair-budget refusal reruns at
+    * the EFFECTIVE target: bigger clusters mean more within-cluster
+    * pairs, and that cost must stay explicit — a corpus big enough to
+    * push the effective target past the budget still refuses loudly
+    * rather than silently quadratically exploding the pair stage.
+    * Returns (k, effectiveTargetClusterSize). */
+  def semDeDupParamsBounded(
+      n: Long,
+      maxFitRows: Long,
+      targetClusterSize: Int = 64,
+      maxPairBudget: Long = 100000000000L): (Int, Int) = {
+    require(maxFitRows >= 2, s"maxFitRows must be >= 2, got $maxFitRows")
+    val grown = (n + maxFitRows - 1) / maxFitRows
+    require(grown <= Int.MaxValue,
+      s"effective targetClusterSize $grown overflows Int")
+    val eff = math.max(targetClusterSize.toLong, grown).toInt
+    (semDeDupParams(n, eff, maxPairBudget), eff)
+  }
+
   /** Trainer routing shared by [[semDeDupWithinClusters]] and the manual
     * pair-volume scaling probe: flat integer Lloyd while k fits
     * driver-resident centroids, the two-level hierarchy (kCoarse ≈ ⌈√k⌉

@@ -564,6 +564,23 @@ class KmeansSuite extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq === viaModel)
   }
 
+  test("semDeDupParamsBounded keeps auto-k seedable inside the fit budget") {
+    // Small corpus: the default target already fits — unchanged.
+    assert(Similarity.semDeDupParamsBounded(1000L, 65536L)
+      === ((Similarity.semDeDupParams(1000L), 64)))
+    // Corpus past target*maxFitRows: the target grows to n/maxFitRows
+    // and k lands exactly at the budget boundary.
+    val (k, eff) = Similarity.semDeDupParamsBounded(10000000L, 10000L)
+    assert(eff === 1000 && k === 10000)
+    assert(k <= 10000)
+    // The pair budget still refuses at the EFFECTIVE target: 1e9 docs
+    // in 1e4 fit rows means 1e5-member clusters — 5e13 pairs, past 1e11.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDeDupParamsBounded(1000000000L, 10000L)
+    }
+    assert(e.getMessage.contains("maxPairBudget"))
+  }
+
   test("sampled semdedup refuses k past the fit sample and runs inside it") {
     val vecs = (0L until 50L)
       .map(i => (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7))))
