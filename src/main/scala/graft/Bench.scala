@@ -1,8 +1,38 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 
 object Bench {
+
+  /** Opt-in per-stage profile (SPARK_GRAFT_STAGE_LOG=1): prints one stderr
+    * line per completed stage with the owning query's job description, wall
+    * duration, task count and shuffle bytes — the guide §1 "where does the
+    * time go" view for a UI-less bench. Never on for driver runs (env unset),
+    * so the measured contract is unchanged. */
+  private final class StageLogListener extends SparkListener {
+    private val stageDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val desc = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      js.stageIds.foreach(id => stageDesc.put(id, desc))
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val ms = for {
+        s <- si.submissionTime; e <- si.completionTime
+      } yield e - s
+      val m = si.taskMetrics
+      System.err.println(
+        f"[stage] q=${stageDesc.getOrDefault(si.stageId, "")}%s id=${si.stageId}%d " +
+          f"ms=${ms.getOrElse(-1L)}%d tasks=${si.numTasks}%d " +
+          f"in=${m.inputMetrics.bytesRead}%d sr=${m.shuffleReadMetrics.totalBytesRead}%d " +
+          f"sw=${m.shuffleWriteMetrics.bytesWritten}%d " +
+          f"exec_ms=${m.executorRunTime}%d cpu_ms=${m.executorCpuTime / 1000000}%d " +
+          f"name=${si.name.takeWhile(_ != '\n')}%s")
+    }
+  }
   /**
    * Forces full materialization of every projected column: counting the
    * physical plan's InternalRow RDD executes the plan as optimized for the
@@ -37,6 +67,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_STAGE_LOG").exists(_ == "1")) {
+      spark.sparkContext.addSparkListener(new StageLogListener)
+    }
     // Iterative operators localCheckpoint intermediates; those blocks are
     // reaped only when the GC collects the RDD handles, so a 100-query run
     // accumulates dead blocks that inflate later queries (GC pressure, block
@@ -52,7 +85,8 @@ object Bench {
     // first timed query doesn't absorb JVM startup. Exceptions are swallowed
     // HERE ONLY because this pass isn't a gate — a query broken by a code
     // change still surfaces in the timed passes below as -1.
-    benched.foreach { case (_, fn) =>
+    benched.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"warmup:$name")
       try sink(fn(spark, sfDir)) catch { case _: Throwable => () }
       dropLeakedBlocks()
     }
@@ -62,6 +96,7 @@ object Bench {
     // runs is the cleanest estimate of the plan's cost. A failed query
     // reports -1.
     def timedPass(): Map[String, Double] = benched.map { case (name, fn) =>
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val ok = try { sink(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
