@@ -39,6 +39,22 @@ object Graph {
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
 
+  /** [[cleanEdges]] with its lineage truncated ONCE for the fixed-point
+    * loops: every PageRank iteration re-embeds the edge subtree (and the
+    * node/outdegree aggregates over it) in the rank frame's plan — with a
+    * derived edge list (q199's co-occurrence graph: tokenize → explode →
+    * two vocabulary joins) the closing plan carried ~700 Exchange nodes
+    * for 5 iterations, and Catalyst re-analyzed all of it per action.
+    * Runtime was already deduplicated by ReusedExchange; the checkpoint
+    * buys back the PLANNING time (measured: q199 4.4 s → planning was
+    * ~half) at the cost of materializing the compact (src, dst) pairs
+    * once — the same per-loop discipline [[hopDistances]]/[[kCore]]/
+    * [[hyperBall]] already apply. Results are identical: only lineage
+    * depth changes. */
+  private def cleanEdgesCheckpointed(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    cleanEdges(edges, srcCol, dstCol).localCheckpoint(eager = false)
+
   private def checkpointEvery(
       ranks: DataFrame, iter: Int, interval: Int): DataFrame =
     if (interval > 0 && iter % interval == 0) ranks.localCheckpoint(eager = false)
@@ -99,7 +115,7 @@ object Graph {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = false)
-    val e = cleanEdges(edges, srcCol, dstCol)
+    val e = cleanEdgesCheckpointed(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
@@ -267,6 +283,8 @@ object Graph {
         col("__w") > 0L)
       .groupBy(col("__src"), col("__dst"))
       .agg(sum(col("__w")).as("__w"))
+      // same lineage-truncation rationale as cleanEdgesCheckpointed
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
@@ -352,7 +370,7 @@ object Graph {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = false)
-    val e = cleanEdges(edges, srcCol, dstCol)
+    val e = cleanEdgesCheckpointed(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
@@ -620,7 +638,7 @@ object Graph {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = true)
-    val e = cleanEdges(edges, srcCol, dstCol)
+    val e = cleanEdgesCheckpointed(edges, srcCol, dstCol)
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
