@@ -23,6 +23,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan spreading for CPU-heavy map pipelines (guide
+    * §2.5 input skew): a single-row-group parquet file is an unsplittable
+    * scan — one task runs the whole tokenize/hash/window chain while the
+    * other cores idle. When the source supplies fewer splits than
+    * `defaultParallelism`, one round-robin exchange of the (small, by
+    * construction — few splits ⇒ few bytes) input unlocks full map
+    * parallelism; at scale inputs carry many splits and this is a no-op.
+    * Only for scan-shaped frames (no shuffle upstream — probing `.rdd`
+    * on a shuffle-bearing plan would execute its stages under AQE), and
+    * only where downstream per-row work dwarfs one pass over the input:
+    * for light maps the exchange costs more than the serialism (the
+    * round-8 spreadInput measurement). Values are unchanged — only row
+    * placement moves. */
+  private def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec3(c: Column): Column = c.cast(DecimalType(18, 3))
 
@@ -1255,7 +1273,7 @@ object SparkEntry {
       // element-ORDER-sensitive (the harness sorts list cells before
       // hashing, which would wash out element order).
       val emb = Similarity.hashEmbed(col("text"), 32)
-      t(s, d, "documents")
+      spread(t(s, d, "documents"))
         .select(col("doc_id"), emb.as("e"))
         .select(col("doc_id"),
           concat_ws(",", col("e")).as("emb_csv"),
@@ -1667,7 +1685,7 @@ object SparkEntry {
       // MOSS robust winnowing (k=3 token grams, window 4): every doc's
       // selected (pos, fp) set — one window pass per doc, rightmost-min
       // picked by a single min(struct(hash, -pos)) frame expression.
-      TextAnalysis.winnowingFingerprints(t(s, d, "documents"),
+      TextAnalysis.winnowingFingerprints(spread(t(s, d, "documents")),
           "doc_id", "text", k = 3, w = 4)
         .orderBy("doc_id", "pos")
     }),
@@ -2750,7 +2768,7 @@ object SparkEntry {
       // rides selectByTokenBudget's range-bin-sharded prefix sum — no
       // global single-task window even at histogram ≈ corpus size.
       // λ table rides as a codegen literal; the corpus never self-joins.
-      val docs = t(s, d, "documents")
+      val docs = spread(t(s, d, "documents"))
       val wts = Classify.dsirLogRatios(docs, "doc_id", "text",
           nbLabelCol, buckets = 256)
         .where(col("n_bigrams") > 0)
@@ -2782,7 +2800,7 @@ object SparkEntry {
       // alphabet collapses to <= 16 symbols, no spaces — the signature a
       // char-distribution screen catches before tokenization means
       // anything).
-      val docs = t(s, d, "documents").select(col("doc_id"), expr(
+      val docs = spread(t(s, d, "documents")).select(col("doc_id"), expr(
         """CASE WHEN doc_id % 17 = 0
           |  THEN md5(CAST(doc_id AS STRING) || 'g0') ||
           |       md5(CAST(doc_id AS STRING) || 'g1') ||
