@@ -479,9 +479,25 @@ object Similarity {
     Dedup.requireIntegralId(df, idCol, "kmeansLloydAssign")
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // On the broadcast-argmin tier (k > MaxInlineCentroids — the auto-k
+    // path, where each pass scores k candidates per row): spread an
+    // unsplittable scan across the cores and materialize the quantized
+    // vectors ONCE, since iters+2 passes (seeding, per-iteration
+    // suff-stats, final assignment) each re-read this frame — measured at
+    // sf0.1 as one ~1 s task per pass with the other cores idle (ABAB:
+    // q208 4.97 → 3.65 s). The k ≤ 16 inline tier keeps the bare scan:
+    // its argmin is a single codegen'd expression, and the exchange +
+    // checkpoint cost more than they save there (measured, same ABAB:
+    // q237 +0.2 s when applied unconditionally).
+    val heavyK = k > MaxInlineCentroids
+    val src =
+      if (heavyK)
+        PlanStats.spreadScan(df, df.sparkSession.sparkContext.defaultParallelism)
+      else df
+    val sel = src.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * lit(1000000.0)).cast("long")).as("qv"))
+    val base = if (heavyK) sel.localCheckpoint(eager = false) else sel
 
     def withBest(cents: Array[Array[Long]]): DataFrame = bestAssign(base, cents)
 
