@@ -1235,15 +1235,24 @@ object SparkEntry {
       val langOk = TextAnalysis.langId(col("text")) === "en"
       val qualOk = TextAnalysis.tokenCount(col("text")) >= 30 &&
         TextAnalysis.punctRatio(col("text")) < 0.1
-      val filtered = docs.filter(langOk && qualOk)
+      // Flags computed ONCE over a spread scan, then checkpointed: the
+      // verdict assembly reads the chain's stage sets through four
+      // branches (ddIds, clIds, cpIds, the flag projection), each of
+      // which previously re-ran the tokenize/langId/punct scan from
+      // parquet — ~4x the flag work, serial on the unsplittable input.
+      val flagged = spread(docs)
+        .withColumn("__lang", langOk).withColumn("__qual", qualOk)
+        .localCheckpoint(eager = false)
+      val filtered = flagged.where(col("__lang") && col("__qual"))
+        .drop("__lang", "__qual")
       val deduped = Dedup.exactDedup(filtered, "doc_id", "text")
-      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val bench = flagged.filter(col("doc_id") % 37 === 0)
       val clean = Decontaminate.decontaminate(deduped, "doc_id", "text", bench, "text", 5)
       val capped = Sampling.capPerKey(clean, "source", 10, "doc_id", salt = "cap6")
       val ddIds = deduped.select(col("doc_id")).withColumn("__dd", lit(1))
       val clIds = clean.select(col("doc_id")).withColumn("__cl", lit(1))
       val cpIds = capped.select(col("doc_id")).withColumn("__cp", lit(1))
-      docs.select(col("doc_id"), langOk.as("__lang"), qualOk.as("__qual"))
+      flagged.select(col("doc_id"), col("__lang"), col("__qual"))
         .join(ddIds, Seq("doc_id"), "left")
         .join(clIds, Seq("doc_id"), "left")
         .join(cpIds, Seq("doc_id"), "left")
@@ -4227,7 +4236,7 @@ object SparkEntry {
       // One-pass table profile over orders: rows, nulls, exact distincts,
       // native-typed min/max per column — one scan, one aggregate, where
       // a per-column profiler loop would scan the table five times.
-      Profile.tableProfile(t(s, d, "orders"),
+      Profile.tableProfile(spread(t(s, d, "orders")),
           Seq("o_orderkey", "o_custkey", "o_orderstatus",
             "o_orderpriority", "o_orderdate"))
         .orderBy("col_name")
