@@ -4920,10 +4920,6 @@ object SparkEntry {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         t(s, dir, "documents")
           .select(col("doc_id"), mk(col("doc_id")).as("payload"))
-          // spread the one-time fixture across the cores: the payload
-          // consumers are batched decode kernels (real CPU per row), and
-          // a single-file fixture would serialize them (guide §2.5)
-          .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(path)
       }
     }
