@@ -20,12 +20,17 @@ object Bench {
     }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
+      // Evict as we go so a 255-query sweep doesn't grow the map unbounded.
+      // Caveat: stages from lazily materialized localCheckpoints run under
+      // whichever LATER query first forces them, so they are attributed to
+      // that triggering query's description, not the one that built them.
+      val desc = stageDesc.remove(si.stageId)
       val ms = for {
         s <- si.submissionTime; e <- si.completionTime
       } yield e - s
       val m = si.taskMetrics
       System.err.println(
-        f"[stage] q=${stageDesc.getOrDefault(si.stageId, "")}%s id=${si.stageId}%d " +
+        f"[stage] q=${if (desc == null) "" else desc}%s id=${si.stageId}%d " +
           f"ms=${ms.getOrElse(-1L)}%d tasks=${si.numTasks}%d " +
           f"in=${m.inputMetrics.bytesRead}%d sr=${m.shuffleReadMetrics.totalBytesRead}%d " +
           f"sw=${m.shuffleWriteMetrics.bytesWritten}%d " +
@@ -159,6 +164,13 @@ object Bench {
           System.err.println(s"bench: could not write $path: $e")
       }
     }
+    // Compact FINAL line: at 255 queries the full JSON line is ~11 KB, far
+    // past the driver's 2000-char stdout tail, so rounds 17-18 came back
+    // with parsed:null and an empty PERF per_query block. This summary is
+    // ~120 bytes and printed LAST so any tail capture ends with one complete,
+    // parseable JSON object; the per-query map lives in the full line above
+    // and in the on-disk copies named here.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

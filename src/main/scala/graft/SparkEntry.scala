@@ -26,20 +26,16 @@ object SparkEntry {
   /** Scale-adaptive scan spreading for CPU-heavy map pipelines (guide
     * §2.5 input skew): a single-row-group parquet file is an unsplittable
     * scan — one task runs the whole tokenize/hash/window chain while the
-    * other cores idle. When the source supplies fewer splits than
-    * `defaultParallelism`, one round-robin exchange of the (small, by
-    * construction — few splits ⇒ few bytes) input unlocks full map
-    * parallelism; at scale inputs carry many splits and this is a no-op.
-    * Only for scan-shaped frames (no shuffle upstream — probing `.rdd`
-    * on a shuffle-bearing plan would execute its stages under AQE), and
-    * only where downstream per-row work dwarfs one pass over the input:
-    * for light maps the exchange costs more than the serialism (the
-    * round-8 spreadInput measurement). Values are unchanged — only row
-    * placement moves. */
-  private def spread(df: DataFrame): DataFrame = {
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
-  }
+    * other cores idle. Delegates to [[graft.pipeline.PlanStats.spreadScan]],
+    * the ONE guarded helper: it refuses shuffle-bearing plans (probing
+    * `.rdd` on one would execute its stages under AQE), repartitions only
+    * when the scan supplies fewer splits than `defaultParallelism`, and is
+    * a no-op at scale where inputs carry many splits. Use only where
+    * downstream per-row work dwarfs one pass over the input. Values are
+    * unchanged — only row placement moves. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.pipeline.PlanStats.spreadScan(df,
+      df.sparkSession.sparkContext.defaultParallelism)
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec3(c: Column): Column = c.cast(DecimalType(18, 3))
@@ -2778,11 +2774,17 @@ object SparkEntry {
       // global single-task window even at histogram ≈ corpus size.
       // λ table rides as a codegen literal; the corpus never self-joins.
       val docs = spread(t(s, d, "documents"))
+      // tc is DERIVED, not re-tokenized: every surviving row has
+      // n_bigrams > 0, and the bigram array is exactly (tokens − 1) long,
+      // so tc = n_bigrams + 1 — same integers the third corpus pass +
+      // id-join used to recompute from scratch.
       val wts = Classify.dsirLogRatios(docs, "doc_id", "text",
           nbLabelCol, buckets = 256)
         .where(col("n_bigrams") > 0)
-        .join(docs.select(col("doc_id").as("id"),
-          TextAnalysis.tokenCount(col("text")).as("tc")), "id")
+        .withColumn("tc", // when() without otherwise keeps the column
+          // nullable, exactly like the tokenCount it replaces (its guard
+          // is the filter above, so no value is ever null)
+          when(col("n_bigrams") > 0, col("n_bigrams") + 1).cast("int"))
       Sampling.selectByTokenBudget(wts, "id", "tc", "dsir_mean_micro",
           budget = 20000L)
         .select(col("id").as("doc_id"), col("dsir_mean_micro"), col("tc"))

@@ -378,7 +378,7 @@ object CdcChunks {
  * overlapping window it appears in (windowLen/stride times).
  */
 case class SlidingWindowHashes(child: Expression, windowLen: Int, stride: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
   require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -386,21 +386,105 @@ case class SlidingWindowHashes(child: Expression, windowLen: Int, stride: Int)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val s = input.asInstanceOf[UTF8String].toString
-    // one code-point decode pass; windows index this array directly
-    val n = s.codePointCount(0, s.length)
-    if (n < windowLen) return new GenericArrayData(Array.empty[Long])
-    val cps = new Array[Int](n)
-    var ci = 0
-    var k = 0
-    while (ci < s.length) {
-      val cp = s.codePointAt(ci)
-      cps(k) = cp
-      k += 1
-      ci += Character.charCount(cp)
+  override def nullSafeEval(input: Any): Any =
+    SlidingWindowHashUtil.compute(input.asInstanceOf[UTF8String], windowLen,
+      stride)
+
+  // Whole-stage-codegen participation (the expression sits on the hottest
+  // text path): one static call per row, no interpreted-expression dispatch.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SlidingWindowHashUtil.compute($c, $windowLen, $stride)")
+
+  override protected def withNewChildInternal(c: Expression): SlidingWindowHashes =
+    copy(child = c)
+  override def prettyName: String = "sliding_window_hashes"
+}
+
+/** Shared compute core of [[SlidingWindowHashes]] — a plain object so the
+  * generated Java calls it through a static forwarder. Decodes code points
+  * straight off the UTF8String's UTF-8 bytes (no String copy, no UTF-16
+  * round-trip); a byte sequence that fails STRICT UTF-8 validation
+  * (truncated/overlong/surrogate/out-of-range — anything the JDK decoder
+  * would replace) falls back to the previous `toString`-based path, so
+  * hashes are identical to the old implementation on every input. */
+object SlidingWindowHashUtil {
+
+  def compute(input: UTF8String, windowLen: Int, stride: Int)
+    : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nb = input.numBytes
+    // Upper bound: >= 1 byte per code point, in both the strict and the
+    // JDK-replacement decode (each malformed sequence of >= 1 bytes maps
+    // to one U+FFFD), so one allocation serves either path.
+    val cps = new Array[Int](nb)
+    var n = 0
+    var i = 0
+    var valid = true
+    while (valid && i < nb) {
+      val b0 = input.getByte(i) & 0xff
+      if (b0 < 0x80) { cps(n) = b0; n += 1; i += 1 }
+      else if (b0 < 0xc2) valid = false // continuation byte or overlong lead
+      else if (b0 < 0xe0) {
+        if (i + 1 >= nb) valid = false
+        else {
+          val b1 = input.getByte(i + 1) & 0xff
+          if ((b1 & 0xc0) != 0x80) valid = false
+          else { cps(n) = ((b0 & 0x1f) << 6) | (b1 & 0x3f); n += 1; i += 2 }
+        }
+      } else if (b0 < 0xf0) {
+        if (i + 2 >= nb) valid = false
+        else {
+          val b1 = input.getByte(i + 1) & 0xff
+          val b2 = input.getByte(i + 2) & 0xff
+          val lo1 = if (b0 == 0xe0) 0xa0 else 0x80 // reject overlong
+          val hi1 = if (b0 == 0xed) 0x9f else 0xbf // reject surrogates
+          if (b1 < lo1 || b1 > hi1 || (b2 & 0xc0) != 0x80) valid = false
+          else {
+            cps(n) = ((b0 & 0x0f) << 12) | ((b1 & 0x3f) << 6) | (b2 & 0x3f)
+            n += 1; i += 3
+          }
+        }
+      } else if (b0 < 0xf5) {
+        if (i + 3 >= nb) valid = false
+        else {
+          val b1 = input.getByte(i + 1) & 0xff
+          val b2 = input.getByte(i + 2) & 0xff
+          val b3 = input.getByte(i + 3) & 0xff
+          val lo1 = if (b0 == 0xf0) 0x90 else 0x80 // reject overlong
+          val hi1 = if (b0 == 0xf4) 0x8f else 0xbf // reject > U+10FFFF
+          if (b1 < lo1 || b1 > hi1 || (b2 & 0xc0) != 0x80 ||
+              (b3 & 0xc0) != 0x80) valid = false
+          else {
+            cps(n) = ((b0 & 0x07) << 18) | ((b1 & 0x3f) << 12) |
+              ((b2 & 0x3f) << 6) | (b3 & 0x3f)
+            n += 1; i += 4
+          }
+        }
+      } else valid = false
     }
+    if (!valid) {
+      // Malformed UTF-8: the JDK decoder's replacement-char semantics —
+      // exactly what the previous implementation hashed.
+      val s = input.toString
+      n = 0
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        cps(n) = cp
+        n += 1
+        ci += Character.charCount(cp)
+      }
+    }
+    hashWindows(cps, n, windowLen, stride)
+  }
+
+  private def hashWindows(cps: Array[Int], n: Int, windowLen: Int, stride: Int)
+    : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (n < windowLen) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long]((n - windowLen) / stride + 1)
     var w = 0
     var p = 0
@@ -422,10 +506,6 @@ case class SlidingWindowHashes(child: Expression, windowLen: Int, stride: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): SlidingWindowHashes =
-    copy(child = c)
-  override def prettyName: String = "sliding_window_hashes"
 }
 
 object TextHashFunctions {

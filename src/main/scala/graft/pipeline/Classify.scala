@@ -240,16 +240,26 @@ object Classify {
       targetLabel: Column,
       buckets: Int): DataFrame = {
     requireBuckets(buckets)
-    val occ = df
-      .select(targetLabel.cast("boolean").as("y"),
-        explode(bigramBuckets(textCol, buckets)).as("bucket"))
+    dsirFitFromFeatures(
+      df.select(targetLabel.cast("boolean").as("y"),
+        bigramBuckets(textCol, buckets).as("bks")),
+      buckets)
+  }
+
+  /** [[dsirFitLambda]] over an already-extracted (y, bks) feature frame —
+    * the shared-scan entry point: [[dsirLogRatios]] materializes the
+    * hashed-bigram arrays once and both the fit (explode) and the serve
+    * (fold) read that frame instead of re-tokenizing and re-hashing the
+    * corpus. */
+  private def dsirFitFromFeatures(feats: DataFrame, buckets: Int): DataFrame = {
+    val occ = feats.select(col("y"), explode(col("bks")).as("bucket"))
     val counts = occ.groupBy("bucket").agg(
       sum(when(col("y"), 1L).otherwise(0L)).as("c_t"),
       count(lit(1)).as("c_r"))
     val totals = counts.agg(
       coalesce(sum("c_t"), lit(0L)).as("n_t"),
       coalesce(sum("c_r"), lit(0L)).as("n_r"))
-    val grid = df.sparkSession.range(buckets)
+    val grid = feats.sparkSession.range(buckets)
       .select(col("id").cast("int").as("bucket"))
     grid.join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_t", "c_r"))
@@ -259,7 +269,7 @@ object Classify {
           s"ln((c_r + 1) / CAST(n_r + $buckets AS DOUBLE))) * 1e6, 0) " +
           "AS BIGINT)"))
       .select("bucket", "c_t", "c_r", "lambda_micro")
-      .unionByName(df.sparkSession.range(1)
+      .unionByName(feats.sparkSession.range(1)
         .select(lit(-2).as("bucket"), lit(0L).as("c_t"), lit(0L).as("c_r"),
           lit(buckets.toLong).as("lambda_micro")))
   }
@@ -282,15 +292,29 @@ object Classify {
       idCol: String,
       textCol: String,
       lambda: DataFrame): DataFrame = {
+    val (buckets, lamLit) = collectLambda(lambda)
+    dsirScoreFromFeatures(
+      df.select(col(idCol).as("id"),
+        bigramBuckets(textCol, buckets).as("bks")),
+      lamLit)
+  }
+
+  /** Collect + dense-grid-validate a λ table into its literal array form
+    * (bounded: `buckets` rows by construction). */
+  private def collectLambda(lambda: DataFrame): (Int, Column) = {
     val rows = lambda.select("bucket", "lambda_micro").collect()
     val buckets = requireDenseGrid(
       rows.map(_.getInt(0)).filter(_ >= 0),
       rows.find(_.getInt(0) == -2).map(_.getLong(1)), "DSIR lambda")
     val lam = new Array[Long](buckets)
     rows.foreach(r => if (r.getInt(0) >= 0) lam(r.getInt(0)) = r.getLong(1))
-    val lamLit = lit(lam)
-    df.select(col(idCol).as("id"),
-        bigramBuckets(textCol, buckets).as("bks"))
+    (buckets, lit(lam))
+  }
+
+  /** The λ-literal fold over an already-extracted (id, bks) frame. */
+  private def dsirScoreFromFeatures(feats: DataFrame, lamLit: Column)
+    : DataFrame =
+    feats
       .select(col("id"),
         coalesce(size(col("bks")).cast("long"), lit(0L)).as("n_bigrams"),
         coalesce(
@@ -299,18 +323,27 @@ object Classify {
           lit(0L)).as("dsir_micro"))
       .withColumn("dsir_mean_micro",
         when(col("n_bigrams") > 0, expr("dsir_micro DIV n_bigrams")))
-  }
 
-  /** Fit-then-score in one call — [[dsirFitLambda]] composed with
-    * [[dsirScoreHashed]]; kept as the one-shot API for ad-hoc runs. The
-    * serve path makes the scoring ZERO-shuffle (the λ literal fold)
-    * where the old per-document bucket join shuffled every gram row. */
+  /** Fit-then-score in one call — kept as the one-shot API for ad-hoc
+    * runs. The hashed-bigram feature arrays are extracted ONCE and
+    * materialized (lazy localCheckpoint); the fit explodes that frame and
+    * the serve folds it — previously both halves re-tokenized and
+    * re-md5-hashed every bigram of the corpus (two full feature passes,
+    * the dominant CPU of the q235 path). Values are identical. At very
+    * large scale, stage the feature frame to a scratch parquet table
+    * instead of executor memory. */
   def dsirLogRatios(
       df: DataFrame,
       idCol: String,
       textCol: String,
       targetLabel: Column,
-      buckets: Int): DataFrame =
-    dsirScoreHashed(df, idCol, textCol,
-      dsirFitLambda(df, textCol, targetLabel, buckets))
+      buckets: Int): DataFrame = {
+    requireBuckets(buckets)
+    val feats = df.select(col(idCol).as("id"),
+        targetLabel.cast("boolean").as("y"),
+        bigramBuckets(textCol, buckets).as("bks"))
+      .localCheckpoint(eager = false)
+    val (_, lamLit) = collectLambda(dsirFitFromFeatures(feats, buckets))
+    dsirScoreFromFeatures(feats, lamLit)
+  }
 }

@@ -427,6 +427,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       threshold: Double,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
+    // NOTE (r19, measured): do NOT spread or checkpoint the probe side.
+    // Both hide its size stats (LogicalRDD/repartition report the unknown
+    // sentinel), the candidate/verify joins degrade from broadcast to
+    // sort-merge, and the INDEX side starts shuffling its fat token
+    // arrays — stage CPU ballooned 3.2 s → 26 s at sf0.1 (the r18
+    // stats-destruction lesson, reconfirmed here).
     val probe = minHashIndex(batch, idCol, textCol, numHashes, bands)
     // Candidate generation: compact (band, bucket, id) rows join, then a
     // distinct on the bare id pair. A near-dup pair collides on most of
@@ -582,14 +588,13 @@ object Dedup extends org.apache.spark.internal.Logging {
    * window volume (len/stride rows per doc, ~24 bytes each), with
    * `stride` the recall-granularity-vs-cost knob.
    *
-   * Scale shape: window positions explode from a bound text ATTRIBUTE
-   * (substring of a scan column — never a re-evaluated derived array, the
-   * q132 lesson); the only wide stages key on the 16-byte digest (text
-   * never shuffles); the document-frequency filter is a digest-keyed
-   * semi-join. Digests are md5 of the window bytes, exact for the gate;
-   * a 100-TB run can swap in a 64-bit hash to halve shuffle bytes at the
-   * price of birthday-collision over-marking (conservative direction:
-   * a collision only ever marks MORE text as repeated).
+   * Scale shape: window hashes come from ONE code-point pass per document
+   * ([[graft.functions.SlidingWindowHashes]] — 64-bit FNV-1a + murmur3
+   * fmix64 per window); the only wide stages key on the 8-byte hash (text
+   * never shuffles); the document-frequency filter is a hash-keyed
+   * semi-join. Hashes are internal join keys only (positions, not hashes,
+   * reach the output), exact absent a 64-bit collision — and a collision
+   * only ever marks MORE text as repeated (the conservative direction).
    */
   def repeatedPassageSpans(
       df: DataFrame,
@@ -829,7 +834,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       bands: Int = 0,
       nHint: Long = 0L,
       maxPairBudget: Long = 100000000000L,
-      pairBlockSize: Int = 4096): DataFrame = {
+      pairBlockSize: Int = 512): DataFrame = {
     requireIntegralId(df, idCol, "minHashDedupPairs")
     require(maxPairBudget >= 1, s"maxPairBudget must be >= 1, got $maxPairBudget")
     require(pairBlockSize >= 2, s"pairBlockSize must be >= 2, got $pairBlockSize")

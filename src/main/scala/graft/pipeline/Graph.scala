@@ -639,39 +639,58 @@ object Graph {
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val ckpt = resolveInterval(checkpointInterval, iterations, doubleRead = true)
     val e = cleanEdgesCheckpointed(edges, srcCol, dstCol)
+    // This variant checkpoints ranks per round (doubleRead), so each
+    // round is its OWN execution segment and exchange reuse never dedups
+    // loop-invariant subtrees across rounds: the old shape re-ran the
+    // node distinct + outdegree aggregate (twice — contribution and
+    // dangling branches) and the 1-row base broadcast in EVERY round's
+    // segment, ~13 one-task query-stage materializations per round on a
+    // compact graph. Three structural removals, values identical:
+    //  - nodes/outdeg materialize once (lazy localCheckpoint);
+    //  - the rank frame CARRIES each node's outdegree, so no round ever
+    //    re-joins it (the node universe is loop-invariant, so ranks
+    //    itself replaces the per-round nodes.crossJoin rebuild);
+    //  - the base constants fold to literals via one bounded 1-row
+    //    collect (the node count), instead of a broadcast join per round.
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
+      .localCheckpoint(eager = false)
     val outdeg = e.groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("__outdeg"))
-    val base = broadcast(nodes.agg(count(lit(1)).as("__n")).select(
-      col("__n"),
-      expr(s"(${1000 - dampingPermille} * (${Total}L div __n)) div 1000")
-        .as("__base"),
-      expr(s"${Total}L div __n").as("__r0")))
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    if (n == 0) {
+      // Empty graph: the old 1-row-broadcast form produced an empty rank
+      // frame (its base subquery divided by a NULL-guarded zero); keep
+      // that contract without risking a literal division by zero.
+      return nodes.select(col("node"), lit(0L).as("rank_ppt"))
+    }
+    val r0 = Total / n // Total, n > 0: Scala / == SQL div here
+    val baseConst = ((1000L - dampingPermille) * r0) / 1000L
 
-    var ranks = nodes.crossJoin(base)
-      .select(col("node"), col("__r0").as("rank_ppt"))
+    var ranks = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), col("__outdeg"), lit(r0).as("rank_ppt"))
+      .localCheckpoint(eager = false)
     for (i <- 1 to iterations) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      val contribs = withDeg.where(col("__outdeg").isNotNull)
+      val contribs = ranks.where(col("__outdeg").isNotNull)
         .select(col("node"), expr("rank_ppt div __outdeg").as("__c"))
         .join(e, col("node") === col("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
       // Sink mass: one exact int64 sum over the rank frame — a 1-row
-      // broadcast, like the base constants.
-      val dangling = broadcast(withDeg.where(col("__outdeg").isNull)
+      // broadcast.
+      val dangling = broadcast(ranks.where(col("__outdeg").isNull)
         .agg(coalesce(sum(col("rank_ppt")), lit(0L)).as("__dang")))
       ranks = checkpointEvery(
-        nodes.crossJoin(base).crossJoin(dangling)
+        ranks.select(col("node"), col("__outdeg")).crossJoin(dangling)
           .join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"__base + ($dampingPermille * " +
-              "(coalesce(__in, 0L) + __dang div __n)) div 1000")
+          .select(col("node"), col("__outdeg"),
+            expr(s"${baseConst}L + ($dampingPermille * " +
+              s"(coalesce(__in, 0L) + __dang div ${n}L)) div 1000")
               .as("rank_ppt")),
         i, ckpt)
     }
-    ranks
+    ranks.select(col("node"), col("rank_ppt"))
   }
 }

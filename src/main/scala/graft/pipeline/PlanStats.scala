@@ -10,7 +10,7 @@ import org.apache.spark.sql.DataFrame
  * depends on what the relation's sizeInBytes measures (in-memory widths vs
  * compressed on-disk bytes), which only the call site knows.
  */
-private[pipeline] object PlanStats {
+private[graft] object PlanStats {
 
   /** Exact row count when the optimized plan carries one. */
   def rowCount(df: DataFrame): Option[Long] =

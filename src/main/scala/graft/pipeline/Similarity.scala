@@ -793,14 +793,15 @@ object Similarity {
       s"kCoarse*kFine = ${kCoarse.toLong * kFine} overflows Int")
     val (_, ccents, cwithBest) =
       lloydState(df, idCol, vecCol, kCoarse, itersCoarse, seed + "|c")
-    val shards = cwithBest(ccents)
-      .select(col("id"), col("__best.cluster").as("shard"))
+    // The coarse argmin frame already carries (id, qv, __best) — take the
+    // shard straight from it. The previous formulation dropped qv, re-read
+    // the corpus to re-quantize it, and joined the shards back on id: one
+    // extra corpus scan plus an id-keyed shuffle join (2 Exchanges + sorts)
+    // per fit, for columns the argmin frame already had. Values identical.
     // Shard-partitioned once; every fine round's join and window reuse
     // this layout off the checkpoint instead of re-shuffling the corpus.
-    val base = df.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol).cast("array<double>"),
-          x => round(x * lit(1000000.0)).cast("long")).as("qv"))
-      .join(shards, "id")
+    val base = cwithBest(ccents)
+      .select(col("id"), col("qv"), col("__best.cluster").as("shard"))
       .repartition(col("shard"))
       .localCheckpoint(eager = false)
     // Fine seeds: per shard, the first kFine ids in (md5(seed|f|id), id)
@@ -821,20 +822,10 @@ object Similarity {
           posexplode(col("__m.qv")).as(Seq("dim", "q")))
         .groupBy(col("shard"), col("fcl"), col("dim"))
         .agg(expr("sum(q) div count(1)").as("cnew"))
-      // Empty fine clusters keep their previous centroid: explode the
-      // previous table, left-join the update, re-assemble in dim order.
-      // Per-group list size is the vector dim — bounded.
-      cents = cents
-        .select(col("shard"), col("fcl"),
-          posexplode(col("cv")).as(Seq("dim", "c")))
-        .join(upd, Seq("shard", "fcl", "dim"), "left")
-        .select(col("shard"), col("fcl"), col("dim"),
-          coalesce(col("cnew"), col("c")).as("c"))
-        .groupBy(col("shard"), col("fcl"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("cv"))
-        .localCheckpoint(eager = false)
+      // Empty fine clusters keep their previous centroid — overlay the
+      // sparse update onto the dense stored table ([[overlayFine]]: one
+      // union + one aggregate, no join).
+      cents = overlayFine(cents, upd).localCheckpoint(eager = false)
       it += 1
     }
     (base, cents, ccents)
@@ -1067,19 +1058,38 @@ object Similarity {
     * the stats (no rows this period) keep their stored centroid —
     * the same empty-cluster rule as training. Returns the refreshed
     * (shard, fcl, cv) table, ready to persist as the next model. */
-  def kmeansTwoLevelRefresh(fine: DataFrame, stats: DataFrame): DataFrame = {
-    val merged = stats.groupBy(col("shard"), col("fcl"), col("dim"))
-      .agg(expr("sum(s) div sum(n)").as("cnew"))
-    fine.select(col("shard"), col("fcl"),
+  def kmeansTwoLevelRefresh(fine: DataFrame, stats: DataFrame): DataFrame =
+    overlayFine(fine,
+      stats.groupBy(col("shard"), col("fcl"), col("dim"))
+        .agg(expr("sum(s) div sum(n)").as("cnew")))
+
+  /** Overlay a SPARSE per-(shard, fcl, dim) update table (`cnew`) onto a
+    * DENSE (shard, fcl, cv) centroid table and reassemble the cv arrays:
+    * per dim the update value wins when present, else the stored value
+    * stays — `coalesce(cnew, c)` semantics, computed as one union + one
+    * aggregate instead of the previous explode → left-join → re-aggregate
+    * chain (the join cost a broadcast-build job plus an extra exchange
+    * per fine round; values are identical). Sort key (dim, priority) is
+    * unique per group row, so the trailing `c` never decides an order;
+    * each dim keeps its LAST (highest-priority) entry. */
+  private def overlayFine(cents: DataFrame, upd: DataFrame): DataFrame =
+    cents
+      .select(col("shard"), col("fcl"),
         posexplode(col("cv")).as(Seq("dim", "c")))
-      .join(merged, Seq("shard", "fcl", "dim"), "left")
-      .select(col("shard"), col("fcl"), col("dim"),
-        coalesce(col("cnew"), col("c")).as("c"))
+      .select(col("shard"), col("fcl"), col("dim"), col("c"),
+        lit(0).as("__pr"))
+      .unionByName(upd.select(col("shard"), col("fcl"), col("dim"),
+        col("cnew").as("c"), lit(1).as("__pr")))
       .groupBy(col("shard"), col("fcl"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("cv"))
-  }
+      .agg(array_sort(
+        collect_list(struct(col("dim"), col("__pr"), col("c")))).as("__s"))
+      .select(col("shard"), col("fcl"),
+        transform(
+          filter(col("__s"), (x, i) =>
+            (i === size(col("__s")) - 1) ||
+              (element_at(col("__s"), i + 2).getField("dim") =!=
+                x.getField("dim"))),
+          s => s.getField("c")).as("cv"))
 
   /**
    * Cluster-balanced coreset: the `m` most central rows per cluster from a

@@ -73,6 +73,57 @@ class SlidingWindowHashSuite extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  /** The previous implementation's algorithm, verbatim: JDK String
+    * code-point walk + FNV-1a/fmix64 per window — the parity reference
+    * for the byte-walking rewrite. */
+  private def referenceHashes(t: String, w: Int, stride: Int): Seq[Long] = {
+    val n = t.codePointCount(0, t.length)
+    if (n < w) return Seq.empty
+    val cps = new Array[Int](n)
+    var ci = 0; var k = 0
+    while (ci < t.length) {
+      val cp = t.codePointAt(ci); cps(k) = cp; k += 1
+      ci += Character.charCount(cp)
+    }
+    (0 to (n - w) / stride).map { i =>
+      var h = 0xcbf29ce484222325L
+      var j = i * stride
+      while (j < i * stride + w) { h = (h ^ cps(j)) * 0x100000001b3L; j += 1 }
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      h
+    }
+  }
+
+  test("byte-walk decode matches the String code-point reference") {
+    val texts = Seq(
+      "plain ascii text with spaces",
+      "héllo wörld ünïcode two-byte",  // 2-byte seqs
+      "日本語のテキスト", // 3-byte seqs
+      "mix 😀 of 4-byte 🚀 and ascii",
+      "߿ࠀ� boundary code points 𐀀")
+    for (t <- texts; w <- Seq(2, 5); st <- Seq(1, 3)) {
+      assert(hashesOf(t, w, st) == referenceHashes(t, w, st),
+        s"text=$t w=$w stride=$st")
+    }
+  }
+
+  test("malformed UTF-8 falls back to the JDK replacement decode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      Array[Byte]('a', 'b', 0xc3.toByte, 'x', 'y', 'z'),     // truncated 2-byte
+      Array[Byte]('a', 0xed.toByte, 0xa0.toByte, 0x80.toByte, 'b', 'c'), // surrogate
+      Array[Byte](0xc0.toByte, 0xaf.toByte, 'q', 'r', 's'),  // overlong
+      Array[Byte]('x', 'y', 0xff.toByte, 'z', 'w'))          // invalid lead
+    for (bytes <- cases) {
+      val u = UTF8String.fromBytes(bytes)
+      val got = graft.functions.SlidingWindowHashUtil.compute(u, 2, 1)
+        .toLongArray().toSeq
+      assert(got == referenceHashes(u.toString, 2, 1), u.toString)
+    }
+  }
+
   test("repeatedPassageReport over the new hasher: planted copy detected") {
     val passage = "SHARED-PASSAGE-" + ("x" * 64)
     val docs = Seq(
