@@ -60,6 +60,38 @@ object SparkEntry {
     }
   }
 
+  /** Scale-adaptive state-store partition count for a STATEFUL stream
+    * drain (stream-stream join, session windows): shuffle partitions fix
+    * the state partitioning at stream start, and every micro-batch pays a
+    * per-partition state-store open/commit (delta file create + rename +
+    * CRC on the HDFS-backed provider) REGARDLESS of rows — at the bench's
+    * input sizes a state sharded `cores` ways is pure fixed cost (measured:
+    * most q188 stage time sits in 32 near-empty state tasks per batch).
+    * Size to ~64 MB of input bytes per state partition, floor 1, capped at
+    * the session's own setting so a production session configured for a
+    * 100-TB stream keeps its parallelism — the cap means this can only
+    * LOWER the count when the input is provably small. Partition count
+    * never changes the drained row SET (state ops are per-key; results are
+    * exact integer/decimal), only where keys live. */
+  private def stateShufflePartitions(s: SparkSession, inputDirs: Seq[String]): Int = {
+    val cap = s.sessionState.conf.numShufflePartitions
+    var bytes = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else bytes += f.length
+    inputDirs.foreach(p => walk(new java.io.File(p)))
+    math.max(1, math.min(cap.toLong, bytes / (64L << 20) + 1)).toInt
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`
+    * (restored in finally) — scopes the state sizing above to one stream. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Stream-source INPUT fixture: written once per (path, JVM). The write
     * is setup, not the measured operator — bench passes must time the
     * stream drain, not re-renders of a static corpus (same convention as
@@ -1859,16 +1891,20 @@ object SparkEntry {
       val sfName = new java.io.File(d).getName
       val path = s"/tmp/graft_xml/$sfName/stream_dedup_v1"
       xmlInputOnce(docs, path, "doc")
-      val stream = s.readStream.format("xmlng").option("rowTag", "doc")
-        .schema(docs.schema).load(path)
-      val ledger = stream
-        .select(md5(to_binary(coalesce(col("text"), lit("")),
-          lit("utf-8"))).as("digest"))
-        .dropDuplicates("digest")
       val sinkName = "q185_sink_" + sfName.replace('.', '_')
-      val q = ledger.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // dropDuplicates keeps per-digest state — size its partitions to
+      // the input (see stateShufflePartitions), not the core count.
+      withShufflePartitions(s, stateShufflePartitions(s, Seq(path))) {
+        val stream = s.readStream.format("xmlng").option("rowTag", "doc")
+          .schema(docs.schema).load(path)
+        val ledger = stream
+          .select(md5(to_binary(coalesce(col("text"), lit("")),
+            lit("utf-8"))).as("digest"))
+          .dropDuplicates("digest")
+        val q = ledger.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sinkName).orderBy("digest")
     }),
 
@@ -1913,26 +1949,31 @@ object SparkEntry {
         cPath, "ev")
       xmlInputOnce(ev.where(col("event_type") === "purchase").coalesce(4),
         pPath, "ev")
-      def read(path: String) = s.readStream.format("xmlng")
-        .option("rowTag", "ev").schema(ev.schema).load(path)
-      val clicks = read(cPath)
-        .select(col("event_id").as("click_id"), col("user_id"),
-          timestamp_micros(col("ts_us")).as("click_ts"))
-        .withWatermark("click_ts", "60 days")
-      val purchases = read(pPath)
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("__pu"),
-          timestamp_micros(col("ts_us")).as("purchase_ts"))
-        .withWatermark("purchase_ts", "60 days")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("__pu") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
-        .select(col("click_id"), col("purchase_id"), col("user_id"))
       val sinkName = "q188_sink_" + sfName.replace('.', '_')
-      val q = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // State partitions sized to the INPUT, not the core count — see
+      // stateShufflePartitions: the join's state shuffle repartitions
+      // anyway, and per-partition store commits dominate a small drain.
+      withShufflePartitions(s, stateShufflePartitions(s, Seq(cPath, pPath))) {
+        def read(path: String) = s.readStream.format("xmlng")
+          .option("rowTag", "ev").schema(ev.schema).load(path)
+        val clicks = read(cPath)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            timestamp_micros(col("ts_us")).as("click_ts"))
+          .withWatermark("click_ts", "60 days")
+        val purchases = read(pPath)
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("__pu"),
+            timestamp_micros(col("ts_us")).as("purchase_ts"))
+          .withWatermark("purchase_ts", "60 days")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("__pu") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"))
+        val q = joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sinkName).orderBy("click_id", "purchase_id")
     }),
 
@@ -3239,17 +3280,22 @@ object SparkEntry {
       val sfName = new java.io.File(d).getName
       val path = s"/tmp/graft_xml/$sfName/stream_sessions_v1"
       xmlInputOnce(ev.unionByName(sentinel).coalesce(4), path, "ev")
-      val stream = s.readStream.format("xmlng").option("rowTag", "ev")
-        .schema(ev.schema).load(path)
-        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
-          col("value"))
-        .withWatermark("ts", "60 days")
-      val sess = Sessionize.sessions(stream, "user_id", "ts", "30 minutes",
-        Seq("sum_value" -> sum(dec3(col("value"))).cast("double")))
       val sinkName = "q206_sink_" + sfName.replace('.', '_')
-      val q = sess.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // State partitions sized to the input (see stateShufflePartitions):
+      // session-window state is per-user and tiny here; the per-partition
+      // store commit each micro-batch is the cost that scales with count.
+      withShufflePartitions(s, stateShufflePartitions(s, Seq(path))) {
+        val stream = s.readStream.format("xmlng").option("rowTag", "ev")
+          .schema(ev.schema).load(path)
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("value"))
+          .withWatermark("ts", "60 days")
+        val sess = Sessionize.sessions(stream, "user_id", "ts", "30 minutes",
+          Seq("sum_value" -> sum(dec3(col("value"))).cast("double")))
+        val q = sess.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sinkName)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("start_us"),

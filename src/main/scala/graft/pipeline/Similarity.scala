@@ -702,6 +702,16 @@ object Similarity {
         size() > 8
     }
 
+  /** Serve-side shape-validation memo (same identity keying and bound as
+    * [[fineServeCache]]): one validated bounds row per stored fine frame. */
+  private val fineShapeCache =
+    new java.util.LinkedHashMap[FineModelKey, org.apache.spark.sql.Row](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[FineModelKey, org.apache.spark.sql.Row])
+        : Boolean = size() > 8
+    }
+
   /** One shape probe + (when admitted) one collect of the stored fine
     * table: the inline tier engages only when the table is non-empty,
     * covers shard ids EXACTLY {0..kCoarse−1} (count of distinct ids
@@ -905,10 +915,22 @@ object Similarity {
     // declared model shape — shard/fcl ranges, dim agreement, and full
     // shard coverage (every coarse shard must carry >= 1 fine centroid;
     // the fit-side patch guarantees it, a hand-truncated table fails).
-    val b = fine.agg(
-      min(col("shard")), max(col("shard")), min(col("fcl")), max(col("fcl")),
-      min(size(col("cv"))), max(size(col("cv"))),
-      countDistinct(col("shard"))).head()
+    // Memoized per stored-model DataFrame REFERENCE (the fineServeCache
+    // convention): a micro-batch serve loop holds ONE frozen fine frame
+    // across batches, and re-running this aggregate job per batch is pure
+    // fixed cost; a re-read of a refreshed model is a new DataFrame and
+    // re-validates.
+    val b = fineShapeCache.synchronized(
+      Option(fineShapeCache.get(new FineModelKey(fine, coarse.length)))
+    ).getOrElse {
+      val row = fine.agg(
+        min(col("shard")), max(col("shard")), min(col("fcl")), max(col("fcl")),
+        min(size(col("cv"))), max(size(col("cv"))),
+        countDistinct(col("shard"))).head()
+      fineShapeCache.synchronized(
+        fineShapeCache.put(new FineModelKey(fine, coarse.length), row))
+      row
+    }
     require(!b.isNullAt(0), "stored fine centroid table is empty")
     require(b.getInt(0) >= 0 && b.getInt(1) < coarse.length,
       s"stored fine table shard range [${b.getInt(0)}, ${b.getInt(1)}] " +
