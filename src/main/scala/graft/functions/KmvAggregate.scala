@@ -257,7 +257,7 @@ object KmvFunctions {
   /** 60-bit md5-derived hash of a column, the KMV input domain — chosen so
    * any SQL engine can recompute it (`('0x' || substr(md5(v),1,15))::BIGINT`). */
   def md5Hash60(v: Column): Column =
-    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.TextHashFunctions.md5_hex_slice_long(v.cast("string"), 1, 15)
 
   /** Approximate distinct count of the pre-hashed `hash` column (domain
    * [0, 2⁶⁰), e.g. [[md5Hash60]]); exact below k. */

@@ -43,6 +43,8 @@ private[graft] object TokenHashing {
   def md5Of(token: String): Array[Byte] =
     digest.get().digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  def md5OfBytes(b: Array[Byte]): Array[Byte] = digest.get().digest(b)
+
   /** Unsigned 32-bit value of digest bytes [off, off+4) — hex chars
    *  (2*off+1)..(2*off+8) 1-indexed, i.e. `substr(md5(t), 2*off+1, 8)`. */
   def md5Bits32(token: String, off: Int): Long = {
@@ -508,9 +510,64 @@ object SlidingWindowHashUtil {
   }
 }
 
+/**
+ * Integer value of md5 hex digits [start, start+len) (1-based positions in
+ * the 32-char lowercase hex digest) of the input string's UTF-8 bytes —
+ * the house `conv(substring(md5(x), start, len), 16, 10)` pattern as ONE
+ * whole-stage-codegen expression. Values are bit-identical to that chain
+ * (an oracle replaying the hex form agrees), but the hot path drops three
+ * per-row costs the chain carried: the 32-char hex string materialization,
+ * the base-16 string parse (`conv`), and a fresh MessageDigest per call
+ * (Spark's `md5()` goes through commons-codec's allocating entry point).
+ * `len <= 15` keeps the value non-negative in a long — the same bound the
+ * `cast("long")` in the original pattern relied on.
+ */
+case class Md5HexSliceLong(child: Expression, start: Int, len: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(start >= 1 && len >= 1 && len <= 15 && start + len <= 33,
+    s"md5 hex slice [$start, ${start + len}) out of the 32-digit/15-max range")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5HexSliceUtil.slice(input.asInstanceOf[UTF8String], start, len)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5HexSliceUtil.slice($c, $start, $len)")
+
+  override protected def withNewChildInternal(c: Expression): Md5HexSliceLong =
+    copy(child = c)
+  override def prettyName: String = "md5_hex_slice_long"
+}
+
+/** Compute core of [[Md5HexSliceLong]] — plain object so generated Java
+  * calls it through a static forwarder. */
+object Md5HexSliceUtil {
+  def slice(s: UTF8String, start: Int, len: Int): Long = {
+    val d = TokenHashing.md5OfBytes(s.getBytes)
+    var v = 0L
+    var i = start - 1 // 0-based nibble index
+    val end = i + len
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}
+
 object TextHashFunctions {
   def sliding_window_hashes(text: Column, windowLen: Int, stride: Int): Column =
     Bridge.column(SlidingWindowHashes(Bridge.expression(text), windowLen, stride))
+  def md5_hex_slice_long(text: Column, start: Int, len: Int): Column =
+    Bridge.column(Md5HexSliceLong(Bridge.expression(text), start, len))
   def md5_token_poly_hash(text: Column): Column =
     Bridge.column(Md5TokenPolyHash(Bridge.expression(text)))
   def md5_token_simhash64(text: Column): Column =

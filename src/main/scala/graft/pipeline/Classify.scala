@@ -43,7 +43,8 @@ object Classify {
    * formula: `('0x' || substr(md5(tok), 1, 8))::BIGINT % buckets`.
    */
   def tokenBucket(tok: Column, buckets: Int): Column =
-    (conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+    (graft.functions.TextHashFunctions.md5_hex_slice_long(tok, 1, 8)
+      % buckets).cast("int")
 
   private def requireBuckets(buckets: Int): Unit =
     require(buckets >= 2 && buckets <= (1 << 22),

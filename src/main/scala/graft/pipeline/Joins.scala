@@ -491,8 +491,8 @@ object Joins {
       s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1 && k <= 4, s"k must be in [1, 4], got $k")
     def positions(c: Column): Seq[Column] = (0 until k).map { j =>
-      conv(substring(md5(c.cast("string")), 1 + 8 * j, 8), 16, 10)
-        .cast("long") % mBits
+      graft.functions.TextHashFunctions.md5_hex_slice_long(
+        c.cast("string"), 1 + 8 * j, 8) % mBits
     }
     val posRows = small
       .select(col(smallKey).as("__k")).where(col("__k").isNotNull)

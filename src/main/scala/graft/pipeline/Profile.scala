@@ -458,7 +458,8 @@ object Profile {
     require(cols.nonEmpty, "at least one column required")
     val canon = concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
-    val digest = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    val digest =
+      graft.functions.TextHashFunctions.md5_hex_slice_long(canon, 1, 15)
     df.select(digest.as("__d"))
       .agg(count(lit(1)).as("n_rows"),
         coalesce(expr("bit_xor(__d)"), lit(0L)).as("xor_digest"),

@@ -25,8 +25,8 @@ object Sampling {
   /** Stable bucket in [0, buckets) from a non-null key. Change `salt` to
    *  draw an independent assignment (e.g. per-epoch subsampling). */
   def hashBucket(key: Column, buckets: Int = DefaultBuckets, salt: String = ""): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 25, 8), 16, 10)
-      .cast("long") % buckets
+    graft.functions.TextHashFunctions.md5_hex_slice_long(
+      concat(key.cast("string"), lit(salt)), 25, 8) % buckets
 
   /** Keep a deterministic `fraction` of rows, keyed by `keyCol`. */
   def sampleByHash(
@@ -301,8 +301,9 @@ object Sampling {
     require(shards.distinct.size == shards.size, s"duplicate shards: $shards")
     val scored = shards.map { sh =>
       struct(
-        conv(substring(md5(concat(col(keyCol).cast("string"), lit("|"),
-          lit(sh), lit(salt))), 1, 15), 16, 10).cast("long").as("w"),
+        graft.functions.TextHashFunctions.md5_hex_slice_long(
+          concat(col(keyCol).cast("string"), lit("|"), lit(sh), lit(salt)),
+          1, 15).as("w"),
         lit(sh).as("shard"))
     }
     df.withColumn("shard",
@@ -335,8 +336,8 @@ object Sampling {
       salt: String = "ws"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     Dedup.requireIntegralId(df, idCol, "weightedSampleNoReplacement")
-    val h = conv(substring(md5(concat(lit(salt), lit("|"),
-      col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val h = graft.functions.TextHashFunctions.md5_hex_slice_long(
+      concat(lit(salt), lit("|"), col("id").cast("string")), 1, 13)
     df.select(col(idCol).cast("long").as("id"),
         col(weightCol).cast("double").as("__w"))
       .where(col("id").isNotNull && col("__w") > 0.0)

@@ -1516,16 +1516,21 @@ object Similarity {
     // Hash once per TOKEN, in a separate materialized array stage: an
     // expression referenced inside the fold's `transform` lambda would
     // re-evaluate per (token, j) — dim×2 md5 calls per token (measured
-    // 6× slower on the whole query at sf0.1) instead of one.
-    val pairs = transform(transform(toks, t => md5(t)), h => struct(
-      (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int").as("b"),
-      when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, lit(1L))
-        .otherwise(lit(-1L)).as("s")))
+    // 6× slower on the whole query at sf0.1) instead of one. One 10-nibble
+    // slice carries both derived values: hex chars 1..8 (the bucket
+    // source) are bits 8.. of the slice, and hex char 9 (the sign nibble)
+    // is bits 4..8 — so b = (h >> 8) % dim and sign parity = (h >> 4) & 1,
+    // bit-identical to the conv(substring(...)) forms the oracle replays.
+    val hashes = transform(toks,
+      t => graft.functions.TextHashFunctions.md5_hex_slice_long(t, 1, 10))
     aggregate(
-      pairs,
+      hashes,
       array_repeat(lit(0L), dim),
-      (acc, p) => transform(acc, (v, j) =>
-        when(j === p.getField("b"), v + p.getField("s")).otherwise(v)))
+      (acc, h) => transform(acc, (v, j) =>
+        when(j === (shiftright(h, 8) % dim).cast("int"),
+          v + when(shiftright(h, 4).bitwiseAND(lit(1L)) === 0, lit(1L))
+            .otherwise(lit(-1L)))
+          .otherwise(v)))
   }
 
   /**
@@ -1766,13 +1771,14 @@ object Similarity {
     val vecs = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .join(assign, "id")
-    val pairs = vecs.select(col("cluster"), col("id").as("id_a"),
-        col("v").as("va"))
-      .join(vecs.select(col("cluster"), col("id").as("id_b"),
-        col("v").as("vb")), Seq("cluster"))
-      .where(col("id_a") < col("id_b"))
-      .where(cosine(col("va"), col("vb")) >= threshold)
-      .select("id_a", "id_b")
+    // Self-join through ONE aliased frame: the previous two
+    // differently-renamed projections made the sides non-canonical, so the
+    // (scan + assign-join) subtree materialized twice — two broadcast
+    // builds per run; identical children let exchange reuse dedup them.
+    val pairs = vecs.as("a").join(vecs.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component")).select(col("id"))
   }
@@ -1992,9 +1998,9 @@ object Similarity {
       .select(expr(s"id div $outDims").as("dim"),
         (col("id") % outDims).cast("long").as("k"))
       .withColumn("__b",
-        conv(substring(md5(concat(lit(seed), lit("|"), col("dim").cast("string"),
-          lit("|"), col("k").cast("string"))), 25, 8), 16, 10)
-          .cast("long") % 6)
+        graft.functions.TextHashFunctions.md5_hex_slice_long(
+          concat(lit(seed), lit("|"), col("dim").cast("string"),
+            lit("|"), col("k").cast("string")), 25, 8) % 6)
       .withColumn("sign",
         when(col("__b") === 0, 1L).when(col("__b") === 1, -1L).otherwise(0L))
       .where(col("sign") =!= 0L)

@@ -787,4 +787,25 @@ class TextOpsSuite extends AnyFunSuite {
       .collect().head
     assert((out.getLong(1), out.getLong(2)) === ((7L, 2L))) // both "y"s OOV
   }
+
+  test("md5_hex_slice_long matches conv(substring(md5(x), s, l), 16, 10)") {
+    import spark.implicits._
+    val rows = Seq("", "a", "hello world", "héllo wörld", "日本語テキスト",
+      "mixed 😀 unicode", "token|salt|x", "1234567890abcdef" * 8)
+    val df = rows.toDF("x")
+    for ((st, ln) <- Seq((1, 8), (9, 1), (25, 8), (1, 15), (1, 13), (1, 10),
+        (17, 8), (9, 8))) {
+      val got = df.select(graft.functions.TextHashFunctions
+        .md5_hex_slice_long(col("x"), st, ln).as("v")).collect().map(_.getLong(0))
+      val want = df.selectExpr(
+        s"CAST(conv(substring(md5(x), $st, $ln), 16, 10) AS BIGINT) AS v")
+        .collect().map(_.getLong(0))
+      assert(got.toSeq == want.toSeq, s"slice ($st, $ln)")
+    }
+    // null in -> null out, like the conv/substring/md5 chain
+    val r = Seq(Tuple1(null: String)).toDF("x")
+      .select(graft.functions.TextHashFunctions
+        .md5_hex_slice_long(col("x"), 1, 8).as("v")).head()
+    assert(r.isNullAt(0))
+  }
 }
